@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed twice: a warm-up pass is NOT run (cold numbers,
+matching how the driver measures); timing covers full execution to a
+count()/collect of the result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kcore_spark.queries import all_queries
+from kcore_spark.session import get_spark
+
+# Headline set: one per operator family, weighted to the heavy ops.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q10_returned_items",
+    "q_brand_volume",
+    "q13_customer_distribution",
+    "q_window_topk_orders",
+    "q_window_running_totals",
+    "q_rollup_returns",
+    "q_percentiles",
+    "q_datediff_fulfillment",
+    "q_topk_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("kcore_spark_bench")
+    # Warm the JVM (classloading, codegen compiler, parquet footer cache)
+    # with a trivial job so per-query timings measure the queries.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name].spark(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

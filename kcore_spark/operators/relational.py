@@ -1,0 +1,143 @@
+"""Relational operators Spark lacks as one-liners (SURVEY §2.3 C/E/F).
+
+All are compositions of built-in DataFrame ops — no Python UDFs — so
+Catalyst sees a fully declarative plan (pushdown, AQE, codegen apply).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Money/decimal canonicalization: exact decimal arithmetic for sums so
+# results are bit-reproducible regardless of aggregation order — at
+# 1000-executor scale partial-aggregate ordering is nondeterministic,
+# and double sums would drift run-to-run. DECIMAL sums are exact.
+MONEY = "decimal(15,2)"
+RATE = "decimal(4,2)"
+QTY = "decimal(15,2)"
+VAL6 = "decimal(18,6)"
+
+
+def money(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def rate(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(RATE)
+
+
+def qty(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(QTY)
+
+
+def dsum(col: Column, alias: str) -> Column:
+    """Exact decimal sum surfaced as double (stable across part orders)."""
+    return F.sum(col).cast("double").alias(alias)
+
+
+def davg(col: Column, alias: str) -> Column:
+    """Order-stable average: exact decimal sum / count, in double."""
+    return (F.sum(col).cast("double") / F.count(col)).alias(alias)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Per-group top-k via row_number (Catalyst plans a partial top-k
+    per partition before the shuffle when a limit-like filter follows
+    a rank — no global sort)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` for the same key (inner: unmatched dropped).
+
+    Spark has no native as-of join; the scalable rewrite is the
+    union-and-window trick: interleave both sides ordered by
+    (ts, side, tiebreak) and carry the last non-null right value
+    forward with ``last(..., ignorenulls=True)``. One shuffle on the
+    key, no range-join blow-up — at 100 TB this is a single
+    repartition-and-sort, versus an O(n·m) theta join.
+
+    Ties: right rows at identical ``right_ts`` are resolved by the
+    largest ``tiebreak`` value (they sort earlier→later, last wins).
+    """
+    tiebreak = tiebreak or right_vals[0]
+    lcols = [c for c in left.columns]
+    l = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_vals],
+    )
+    r = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(tiebreak).alias("__tb"),
+        F.lit(None).cast(left.select(F.struct(*lcols)).schema[0].dataType).alias("__l"),
+        *[F.col(v).alias(f"__r_{v}") for v in right_vals],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        "__side",
+        "__l",
+        *[F.last(f"__r_{v}", ignorenulls=True).over(w).alias(f"__c_{v}") for v in right_vals],
+    )
+    out = carried.where(F.col("__side") == 1).select(
+        *[F.col("__l").getField(c).alias(c) for c in lcols],
+        *[F.col(f"__c_{v}").alias(v) for v in right_vals],
+    )
+    # inner-join semantics: drop left rows with no prior right row
+    return out.where(F.col(right_vals[0]).isNotNull())
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Gap-based sessionization (batch analog of session_window).
+
+    Classic two-window formulation: flag rows whose gap from the
+    previous event exceeds the threshold, then a running sum of flags
+    is the session index. Both windows share one partitioning on the
+    key — a single shuffle, and the same plan shape scales to any
+    number of users (state is per-key, never global).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(order_tiebreak).asc())
+    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )

@@ -1,0 +1,226 @@
+"""Window functions (SURVEY §2.3 E/F) + grouping sets (D).
+
+Window determinism: every ORDER BY inside a window is total (unique
+tie-break key) so rank/lag/running values are engine-independent.
+Frame sums use exact decimals — Spark recomputes bounded frames while
+DuckDB uses segment trees, so double sums would differ in association
+order; decimals are associative-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table
+from kcore_spark.operators.relational import money, top_k_per_group
+from kcore_spark.queries import QuerySpec
+
+# ------------------------------------------------ per-group top-k
+
+
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+
+
+Q_WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+  FROM orders)
+WHERE rn <= 3
+"""
+
+# ------------------------------------------------ running / analytic
+
+
+def q_window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov3 = w.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(money("o_totalprice")).over(run).cast("double").alias("run_total"),
+        (F.sum(money("o_totalprice")).over(mov3).cast("double") / F.count(F.lit(1)).over(mov3)).alias(
+            "mov3_avg"
+        ),
+    )
+
+
+Q_WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)))
+            OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3_avg
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+# ------------------------------------------------ rank/dense_rank/ntile
+
+
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wy = Window.partitionBy("o_orderstatus").orderBy(F.year("o_orderdate").asc())
+    wt = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(wy).cast("int").alias("rank_year"),
+        F.dense_rank().over(wy).cast("int").alias("dense_rank_year"),
+        F.ntile(4).over(wt).cast("int").alias("price_quartile"),
+    )
+
+
+Q_WINDOW_RANKS_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(RANK()       OVER (PARTITION BY o_orderstatus ORDER BY year(o_orderdate)) AS INT) AS rank_year,
+       CAST(DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY year(o_orderdate)) AS INT) AS dense_rank_year,
+       CAST(NTILE(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS INT) AS price_quartile
+FROM orders
+"""
+
+# ------------------------------------------------ rollup / cube
+
+
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(15,2)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+       COALESCE(l_linestatus, '(all)') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+Q_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+# ------------------------------------------------ percentiles / stats
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.median("l_quantity").alias("median_qty"),
+            F.percentile("l_quantity", 0.25).alias("p25_qty"),
+            F.percentile("l_quantity", 0.75).alias("p75_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       MEDIAN(l_quantity) AS median_qty,
+       QUANTILE_CONT(l_quantity, 0.25) AS p25_qty,
+       QUANTILE_CONT(l_quantity, 0.75) AS p75_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+# ------------------------------------------------ collect_list / first/last
+
+
+def q_grouped_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        nat.groupBy("n_regionkey")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.min("n_name").alias("first_nation"),
+            F.max("n_name").alias("last_nation"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+Q_GROUPED_LISTS_SQL = """
+SELECT n_regionkey,
+       list_sort(list(n_name)) AS nations,
+       MIN(n_name) AS first_nation,
+       MAX(n_name) AS last_nation,
+       COUNT(*) AS n
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+QUERIES = {
+    "q_window_topk_orders": QuerySpec(q_window_topk_orders, Q_WINDOW_TOPK_SQL, "per-group top-k"),
+    "q_window_running_totals": QuerySpec(
+        q_window_running_totals, Q_WINDOW_RUNNING_SQL, "lag/lead/frames"
+    ),
+    "q_window_ranks": QuerySpec(q_window_ranks, Q_WINDOW_RANKS_SQL, "rank/dense_rank/ntile"),
+    "q_rollup_returns": QuerySpec(q_rollup_returns, Q_ROLLUP_SQL, "rollup"),
+    "q_cube_orders": QuerySpec(q_cube_orders, Q_CUBE_SQL, "cube"),
+    "q_percentiles": QuerySpec(q_percentiles, Q_PERCENTILES_SQL, "median/percentiles"),
+    "q_grouped_lists": QuerySpec(q_grouped_lists, Q_GROUPED_LISTS_SQL, "collect_list"),
+}

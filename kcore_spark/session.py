@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+One place to encode the engine's execution-model decisions so every
+entrypoint (tests, bench, driver verify, protocol front-end) runs with
+the same plan-shaping config:
+
+- AQE on (runtime join-strategy switch, skew-join splitting, partition
+  coalescing) — the 100 TB story leans on AQE instead of hand-tuned
+  partition counts.
+- Arrow on for every Python<->JVM hop (pandas_udf / applyInPandas /
+  toPandas) — row-at-a-time Python is banned from hot paths.
+- Session timezone UTC so timestamp results are oracle-stable.
+- ``nanosAsLong`` so parquet TIMESTAMP(NANOS) columns (the ``events``
+  fixture) are readable; the catalog converts them to microsecond
+  timestamps explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "kcore_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    At cluster scale the same config applies unchanged: AQE coalesces the
+    32-default shuffle partitions up to whatever
+    ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` allows,
+    so shuffle_partitions here is a floor for local runs, not a cap for
+    the cluster.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/kcore_spark_warehouse")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
