@@ -1,0 +1,129 @@
+"""Deduplication operators (SURVEY §2.3 J): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Design for 100 TB:
+- Pairwise similarity is NEVER all-pairs. The exact-Jaccard operator
+  joins on shared shingles (candidate generation by co-occurrence);
+  the MinHash/LSH operator reduces candidate generation to an
+  equi-join on band keys — both are plain shuffle joins Catalyst can
+  plan, with no cross join anywhere.
+- All hashes are portable arithmetic (md5-hex prefix → int), so the
+  same signatures/fingerprints come out of any engine — that's what
+  makes these operators oracle-checkable, and also what makes
+  incremental dedup possible (signatures computed in one run match
+  signatures computed in another).
+- Everything is JVM column expressions — no Python in the scan path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kcore_spark.operators.text import WORD_SPLIT
+
+NUM_HASHES = 6
+BANDS = 3  # 2 rows per band
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Documents with fewer than n words produce no shingles (and thus
+    never pair) — mirrored in the oracle SQL.
+    """
+    ws = F.split(F.col(text_col), WORD_SPLIT)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k + 1) for k in range(n)]),
+    )
+    return (
+        df.where(F.size(ws) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def shingle_hash(j: int) -> F.Column:
+    """Portable 32-bit hash of a shingle under seed j."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, min_jaccard: float) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing ≥1 shingle.
+
+    inter(id1,id2) via self-equi-join on shingle; |A∪B| from per-doc
+    set sizes. The shingle join key distributes candidate generation;
+    hot shingles (stop-gram skew) are handled by AQE skew-join at
+    scale.
+    """
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(sizes.withColumnsRenamed({"id": "id1", "sz": "sz1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "sz": "sz2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        )
+    )
+    return jac.where(F.col("jaccard") >= min_jaccard).select("id1", "id2", "jaccard")
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """MinHash signature per doc: sig_j = min over shingles of h_j."""
+    return shingles.groupBy("id").agg(
+        *[F.min(shingle_hash(j)).alias(f"sig{j}") for j in range(num_hashes)]
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = BANDS, rows: int = 2) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band are candidates.
+
+    Equi-join per band on the concatenated band key — b small shuffle
+    joins instead of one all-pairs comparison. Output distinct
+    (id1 < id2)."""
+    out = None
+    for b in range(bands):
+        key = F.concat_ws("_", *[F.col(f"sig{b * rows + r}") for r in range(rows)])
+        kd = sigs.select("id", key.alias("bkey"))
+        p = (
+            kd.alias("x")
+            .join(kd.alias("y"), (F.col("x.bkey") == F.col("y.bkey")) & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint over distinct words (bit-vote of word hashes).
+
+    Fully relational: explode (word × bit) then two aggregations.
+    At scale the explode factor is the bit width (32×), but it stays
+    a map-side projection followed by one hash aggregate on (id, bit).
+    """
+    ws = F.split(F.col(text_col), WORD_SPLIT)
+    word_df = df.select(F.col(id_col).alias("id"), F.explode(ws).alias("w")).distinct()
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    bitted = word_df.select(
+        "id", h.alias("h"), F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    ).select(
+        "id",
+        "b",
+        (F.expr("(h div cast(pow(2, b) as long)) % 2") * 2 - 1).alias("vote"),
+    )
+    votes = bitted.groupBy("id", "b").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("cast(pow(2, b) as long)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )

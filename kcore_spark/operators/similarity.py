@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (SURVEY §2.3 J).
+
+Brute-force cosine top-k is the exact baseline; IVF-Flat with
+deterministic seed centroids is the scale path (probe 1/K of the
+corpus per query). Everything is JVM higher-order column expressions:
+the dot product is a zip_with/aggregate fold — sequential double
+accumulation, bit-identical to DuckDB's list_inner_product on
+DOUBLE[] (verified property, relied on by the oracle checks).
+
+At 100 TB:
+- queries are broadcast (a query set is small by definition);
+  candidates stream through a map-side join — no shuffle of the
+  corpus;
+- per-query top-k is row_number over a window partitioned by query
+  id — one shuffle of (query, candidate-score) pairs, bounded by
+  |queries| × |corpus partition|;
+- IVF cuts the scanned fraction to ~1/K per query: the bucket join
+  key (centroid id) co-partitions queries with their probe bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: F.Column) -> F.Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-fold dot product in double (order-deterministic)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def with_norm(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    e = as_double(F.col(vec_col))
+    return df.select(F.col(id_col).alias("id"), e.alias("e")).withColumn(
+        "nrm", F.sqrt(dot(F.col("e"), F.col("e")))
+    )
+
+
+def cosine(ea: F.Column, eb: F.Column, na: F.Column, nb: F.Column) -> F.Column:
+    return dot(ea, eb) / (na * nb)
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, sim)."""
+    c = with_norm(corpus, vec_col, id_col).withColumnsRenamed(
+        {"id": "neighbor_id", "e": "ce", "nrm": "cn"}
+    )
+    q = with_norm(queries, vec_col, id_col).withColumnsRenamed(
+        {"id": "query_id", "e": "qe", "nrm": "qn"}
+    )
+    sims = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (IVF-Flat build).
+
+    Centroids are broadcast; assignment is a map-side argmax via
+    row_number over (vector, centroid-score)."""
+    c = with_norm(centroids, vec_col, id_col).withColumnsRenamed(
+        {"id": "centroid_id", "e": "ce", "nrm": "cn"}
+    )
+    v = with_norm(corpus, vec_col, id_col)
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "id",
+        "e",
+        "nrm",
+        "centroid_id",
+        cosine(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("csim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
+        "id", "e", "nrm", "centroid_id"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """IVF-probe-1 ANN top-k: search only the query's centroid bucket."""
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col).withColumnsRenamed(
+        {"id": "neighbor_id", "e": "ce", "nrm": "cn"}
+    )
+    q_assigned = ivf_assign(queries, centroids, vec_col, id_col).withColumnsRenamed(
+        {"id": "query_id", "e": "qe", "nrm": "qn"}
+    )
+    sims = q_assigned.join(assigned, "centroid_id").select(
+        "query_id",
+        "neighbor_id",
+        "centroid_id",
+        cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "centroid_id", "neighbor_id", "rank", "sim")
+    )

@@ -1,0 +1,83 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.3 J).
+
+All operators are pure column expressions (JVM-side, codegen'd) — no
+Python UDFs anywhere, so a 100 TB documents scan stays in whole-stage
+codegen. Hashes are portable arithmetic (md5-hex → int) so the DuckDB
+oracle can replicate them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WORD_SPLIT = "\\s+"
+# BPE-ish token classes: letter runs, digit runs, single punctuation.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# Tiny function-word lists per language for the n-gram/stopword
+# language-ID heuristic. Order = deterministic tie-break order.
+LANG_MARKERS = {
+    "en": "(the|a|of|and|to|in|is|that|it|for)",
+    "de": "(der|die|das|und|ist|nicht|mit|ein|zu|den)",
+    "es": "(el|la|de|que|y|en|un|una|los|por)",
+    "fr": "(le|la|les|de|et|un|une|est|pour|dans)",
+    "zh": "(de|le|shi|bu|wo|you|zai|ta|men|zhe)",
+}
+
+MOD = 1_000_000_007
+
+
+def words(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, WORD_SPLIT)
+
+
+def word_count(text: str | Column) -> Column:
+    return F.size(words(text)).cast("long")
+
+
+def token_count(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(TOKEN_PATTERN)).cast("long")
+
+
+def stopword_hits(text: str | Column, lang: str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(f"\\b{LANG_MARKERS[lang]}\\b")).cast("long")
+
+
+def word_hash(word: Column) -> Column:
+    """Portable 32-bit word hash: first 8 hex chars of md5 as int."""
+    return F.conv(F.substring(F.md5(word), 1, 8), 16, 10).cast("long")
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Order-sensitive rolling document fingerprint.
+
+    fold over words: acc = (acc*31 + hash32(word)) mod 1e9+7 — the
+    same value DuckDB computes with list_reduce, and stable across
+    partitionings because it's evaluated per-row.
+    """
+    return F.aggregate(
+        words(text),
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * 31 + word_hash(w)) % MOD,
+    )
+
+
+def quality_score(text: str | Column, n_chars: str | Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: length, punctuation
+    sparsity, stopword density. Integer counts → double arithmetic,
+    identical on any engine."""
+    c = F.col(text) if isinstance(text, str) else text
+    nc = (F.col(n_chars) if isinstance(n_chars, str) else n_chars).cast("double")
+    n_words = word_count(c).cast("double")
+    len_score = F.least(nc / 400.0, F.lit(1.0))
+    punct = F.regexp_count(c, F.lit("[^A-Za-z0-9\\s]")).cast("double")
+    punct_penalty = F.least(punct / F.greatest(nc, F.lit(1.0)) * 5.0, F.lit(1.0))
+    stop_density = F.least(
+        stopword_hits(c, "en").cast("double") / F.greatest(n_words, F.lit(1.0)) * 4.0,
+        F.lit(1.0),
+    )
+    return len_score * 0.5 + (1.0 - punct_penalty) * 0.2 + stop_density * 0.3

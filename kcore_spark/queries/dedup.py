@@ -1,3 +1,154 @@
-"""Placeholder — filled in as operators land."""
+"""Dedup queries over `documents` (SURVEY §2.3 J).
 
-QUERIES: dict = {}
+Oracle SQL mirrors the hash arithmetic exactly (md5-hex prefix → int),
+so even MinHash/LSH — normally "unverifiable" — is hash-matched
+against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table
+from kcore_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+from kcore_spark.queries import QuerySpec
+
+# SQL fragment: distinct 3-gram word shingles per doc (mirrors
+# operators/dedup.word_shingles).
+SHINGLES_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id AS id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS shingle
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+       UNNEST(generate_series(1, GREATEST(len(ws) - 2, 0))) t(g)
+  WHERE len(ws) >= 3)
+"""
+
+# -------------------------------------------------- exact dedup
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.sha2("text", 256))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("canonical_id", "n_copies", "text_hash")
+        .orderBy("canonical_id")
+    )
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies, sha256(text) AS text_hash
+FROM documents
+GROUP BY sha256(text)
+"""
+
+# -------------------------------------------------- exact n-gram Jaccard
+
+
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    return jaccard_pairs(sh, min_jaccard=0.8).orderBy("id1", "id2")
+
+
+Q_NEAR_DUP_SQL = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id1, id2, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id1
+JOIN sizes sb ON sb.id = id2
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+"""
+
+# -------------------------------------------------- MinHash + LSH
+# sig_j(doc) = min over shingles of int(md5(j||'|'||shingle)[:8], 16);
+# 3 bands × 2 rows; candidates verified with exact Jaccard ≥ 0.8.
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, num_hashes=6)
+    cands = lsh_candidate_pairs(sigs, bands=3, rows=2)
+    verified = cands.join(jaccard_pairs(sh, min_jaccard=0.8), ["id1", "id2"])
+    return verified.select("id1", "id2", "jaccard").orderBy("id1", "id2")
+
+
+_SIG_COLS = ",\n         ".join(
+    f"MIN(('0x' || substring(md5('{j}|' || shingle), 1, 8))::BIGINT) AS sig{j}" for j in range(6)
+)
+
+Q_MINHASH_SQL = f"""
+WITH {SHINGLES_CTE},
+sigs AS (
+  SELECT id,
+         {_SIG_COLS}
+  FROM sh GROUP BY id),
+cands AS (
+  SELECT DISTINCT id1, id2 FROM (
+    SELECT x.id AS id1, y.id AS id2 FROM sigs x JOIN sigs y
+      ON x.sig0 = y.sig0 AND x.sig1 = y.sig1 AND x.id < y.id
+    UNION
+    SELECT x.id, y.id FROM sigs x JOIN sigs y
+      ON x.sig2 = y.sig2 AND x.sig3 = y.sig3 AND x.id < y.id
+    UNION
+    SELECT x.id, y.id FROM sigs x JOIN sigs y
+      ON x.sig4 = y.sig4 AND x.sig5 = y.sig5 AND x.id < y.id)),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT c.id1, c.id2, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM cands c
+JOIN inter ON inter.id1 = c.id1 AND inter.id2 = c.id2
+JOIN sizes sa ON sa.id = c.id1
+JOIN sizes sb ON sb.id = c.id2
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+"""
+
+# -------------------------------------------------- SimHash
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=32).withColumnRenamed("id", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+Q_SIMHASH_SQL = """
+WITH wd AS (
+  SELECT DISTINCT doc_id AS id, w
+  FROM (SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS w FROM documents)),
+hashed AS (
+  SELECT id, ('0x' || substring(md5(w), 1, 8))::BIGINT AS h FROM wd),
+bitted AS (
+  SELECT id, b, CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+  FROM hashed, UNNEST(generate_series(0, 31)) t(b)),
+votes AS (SELECT id, b, SUM(vote) AS v FROM bitted GROUP BY id, b)
+SELECT id AS doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY id
+"""
+
+
+QUERIES = {
+    "q_dedup_exact": QuerySpec(q_dedup_exact, Q_DEDUP_EXACT_SQL, "exact dedup via sha256"),
+    "q_near_dup_jaccard": QuerySpec(q_near_dup_jaccard, Q_NEAR_DUP_SQL, "n-gram Jaccard pairs"),
+    "q_minhash_lsh_pairs": QuerySpec(q_minhash_lsh_pairs, Q_MINHASH_SQL, "MinHash LSH + verify"),
+    "q_simhash_fingerprints": QuerySpec(q_simhash_fingerprints, Q_SIMHASH_SQL, "SimHash fingerprints"),
+}

@@ -1,3 +1,130 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity-search queries over `embeddings` (SURVEY §2.3 J).
 
-QUERIES: dict = {}
+The double-precision cosine arithmetic is bit-identical between the
+Spark fold and DuckDB's list_inner_product on DOUBLE[] (both are
+sequential left-to-right accumulations), so raw sims hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table
+from kcore_spark.operators.similarity import cosine_topk, ivf_topk, with_norm
+from kcore_spark.queries import QuerySpec
+
+NORM_CTE = """
+n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings)
+"""
+
+# -------------------------------------------------- brute-force top-k
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    corpus = emb.where(F.col("vec_id") >= 20)
+    return cosine_topk(corpus, queries, "embedding", "vec_id", k=5).orderBy("query_id", "rank")
+
+
+Q_COSINE_TOPK_SQL = f"""
+WITH {NORM_CTE},
+q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, e AS ce, nrm AS cn FROM n WHERE vec_id >= 20),
+sims AS (
+  SELECT query_id, neighbor_id,
+         list_inner_product(qe, ce) / (qn * cn) AS sim
+  FROM q CROSS JOIN c)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+       sim
+FROM sims
+QUALIFY rank <= 5
+"""
+
+# -------------------------------------------------- embedding near-dup
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine ≥ τ pairs. Exact all-pairs here; at scale candidate
+    generation switches to LSH/IVF bucketing (see ivf_topk) — the
+    verification predicate is identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = with_norm(emb, "embedding", "vec_id")
+    a = n.withColumnsRenamed({"id": "id1", "e": "e1", "nrm": "n1"})
+    b = n.withColumnsRenamed({"id": "id2", "e": "e2", "nrm": "n2"})
+    from kcore_spark.operators.similarity import cosine
+
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            cosine(F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.45)
+        .orderBy("id1", "id2")
+    )
+
+
+Q_EMB_NEARDUP_SQL = f"""
+WITH {NORM_CTE}
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+"""
+
+# -------------------------------------------------- IVF ANN (scale path)
+# Deterministic "training": centroids = first 16 vectors. Probe-1.
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 16)
+    queries = emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 36))
+    corpus = emb.where(F.col("vec_id") >= 36)
+    return ivf_topk(corpus, queries, centroids, "embedding", "vec_id", k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+Q_ANN_IVF_SQL = f"""
+WITH {NORM_CTE},
+cent AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+assign_c AS (
+  SELECT vec_id AS neighbor_id, e, nrm, centroid_id
+  FROM (SELECT v.vec_id, v.e, v.nrm, cent.centroid_id,
+               list_inner_product(v.e, cent.ce) / (v.nrm * cent.cn) AS csim
+        FROM n v CROSS JOIN cent
+        WHERE v.vec_id >= 36)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1),
+assign_q AS (
+  SELECT vec_id AS query_id, e, nrm, centroid_id
+  FROM (SELECT v.vec_id, v.e, v.nrm, cent.centroid_id,
+               list_inner_product(v.e, cent.ce) / (v.nrm * cent.cn) AS csim
+        FROM n v CROSS JOIN cent
+        WHERE v.vec_id >= 16 AND v.vec_id < 36)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1),
+sims AS (
+  SELECT q.query_id, a.centroid_id, a.neighbor_id,
+         list_inner_product(q.e, a.e) / (q.nrm * a.nrm) AS sim
+  FROM assign_q q JOIN assign_c a ON q.centroid_id = a.centroid_id)
+SELECT query_id, centroid_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+       sim
+FROM sims
+QUALIFY rank <= 3
+"""
+
+
+QUERIES = {
+    "q_cosine_topk": QuerySpec(q_cosine_topk, Q_COSINE_TOPK_SQL, "exact cosine top-k"),
+    "q_embedding_neardup": QuerySpec(q_embedding_neardup, Q_EMB_NEARDUP_SQL, "cosine near-dup pairs"),
+    "q_ann_ivf_topk": QuerySpec(q_ann_ivf_topk, Q_ANN_IVF_SQL, "IVF-Flat ANN (probe-1)"),
+}

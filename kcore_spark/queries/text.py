@@ -1,3 +1,181 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis queries over `documents` (SURVEY §2.3 J).
 
-QUERIES: dict = {}
+Spark side uses only JVM column expressions (operators/text.py); the
+oracle replicates the arithmetic with DuckDB regex/list functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table
+from kcore_spark.operators import text as T
+from kcore_spark.queries import QuerySpec
+
+# -------------------------------------------------- per-doc stats
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = T.word_count("text")
+    chars_nospace = F.length(F.regexp_replace("text", "\\s", "")).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("len_chars"),
+        n_words.alias("n_words"),
+        chars_nospace.alias("chars_nospace"),
+        (chars_nospace.cast("double") / n_words.cast("double")).alias("avg_word_len"),
+        T.token_count("text").alias("n_tokens"),
+    )
+
+
+Q_TEXT_STATS_SQL = """
+SELECT doc_id, lang,
+       LENGTH(text) AS len_chars,
+       LEN(string_split_regex(text, '\\s+')) AS n_words,
+       LENGTH(regexp_replace(text, '\\s', '', 'g')) AS chars_nospace,
+       CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         / LEN(string_split_regex(text, '\\s+')) AS avg_word_len,
+       LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+FROM documents
+"""
+
+# -------------------------------------------------- quality scoring
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    score = T.quality_score("text", "n_chars")
+    bucket = F.floor(score * 10).cast("long")
+    return (
+        docs.select("lang", "source", bucket.alias("q_bucket"))
+        .groupBy("lang", "q_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "q_bucket")
+    )
+
+
+Q_TEXT_QUALITY_SQL = """
+WITH scored AS (
+  SELECT lang,
+         LEAST(CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 0.5
+         + (1.0 - LEAST(CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                        / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.2
+         + LEAST(CAST(LEN(regexp_extract_all(text,
+                  '\\b(the|a|of|and|to|in|is|that|it|for)\\b')) AS DOUBLE)
+                 / GREATEST(CAST(LEN(string_split_regex(text, '\\s+')) AS DOUBLE), 1.0) * 4.0,
+                 1.0) * 0.3
+         AS score
+  FROM documents)
+SELECT lang, CAST(FLOOR(score * 10) AS BIGINT) AS q_bucket, COUNT(*) AS n
+FROM scored
+GROUP BY lang, q_bucket
+"""
+
+# -------------------------------------------------- token counts by source
+
+
+def q_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count("text")).alias("total_tokens"),
+            F.sum(T.word_count("text")).alias("total_words"),
+            F.max(F.length("text").cast("long")).alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_TOKEN_TOTALS_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+           AS total_tokens,
+       CAST(SUM(LEN(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_words,
+       MAX(LENGTH(text)) AS max_chars
+FROM documents
+GROUP BY source
+"""
+
+# -------------------------------------------------- language ID heuristic
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hits = {lang: T.stopword_hits("text", lang) for lang in T.LANG_MARKERS}
+    # argmax with deterministic tie-break in LANG_MARKERS order
+    pred = F.lit(None).cast("string")
+    best = F.lit(-1).cast("long")
+    for lang in T.LANG_MARKERS:
+        better = hits[lang] > best
+        pred = F.when(better, F.lit(lang)).otherwise(pred)
+        best = F.when(better, hits[lang]).otherwise(best)
+    return (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    return (
+        f"LEN(regexp_extract_all(text, '\\b{T.LANG_MARKERS[lang]}\\b'))"
+    )
+
+
+Q_LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT lang,
+         {_lang_hits_sql("en")} AS h_en,
+         {_lang_hits_sql("de")} AS h_de,
+         {_lang_hits_sql("es")} AS h_es,
+         {_lang_hits_sql("fr")} AS h_fr,
+         {_lang_hits_sql("zh")} AS h_zh
+  FROM documents),
+pred AS (
+  SELECT lang,
+         CASE
+           WHEN h_zh > h_en AND h_zh > h_de AND h_zh > h_es AND h_zh > h_fr THEN 'zh'
+           WHEN h_fr > h_en AND h_fr > h_de AND h_fr > h_es THEN 'fr'
+           WHEN h_es > h_en AND h_es > h_de THEN 'es'
+           WHEN h_de > h_en THEN 'de'
+           ELSE 'en'
+         END AS pred_lang
+  FROM scored)
+SELECT lang, pred_lang, COUNT(*) AS n
+FROM pred
+GROUP BY lang, pred_lang
+"""
+
+# -------------------------------------------------- document fingerprint
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+Q_FINGERPRINTS_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split_regex(text, '\\s+'),
+                          w -> ('0x' || substring(md5(w), 1, 8))::BIGINT)),
+         (a, x) -> (a * 31 + x) % 1000000007) AS fp
+FROM documents
+"""
+
+
+QUERIES = {
+    "q_text_stats": QuerySpec(q_text_stats, Q_TEXT_STATS_SQL, "per-doc char/word/token stats"),
+    "q_text_quality": QuerySpec(q_text_quality, Q_TEXT_QUALITY_SQL, "quality-score buckets"),
+    "q_token_totals": QuerySpec(q_token_totals, Q_TOKEN_TOTALS_SQL, "token counting"),
+    "q_lang_id_confusion": QuerySpec(q_lang_id_confusion, Q_LANG_ID_SQL, "language-ID heuristic"),
+    "q_fingerprints": QuerySpec(q_fingerprints, Q_FINGERPRINTS_SQL, "rolling-hash fingerprint"),
+}
