@@ -1,0 +1,76 @@
+"""Multimodal column plumbing (SURVEY §2.3 J): opaque binary payloads
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The image/audio decode libraries are not in this container, so the
+decode step is STUBBED (deterministic byte-level features instead of
+pixels — see ``decode_stub``). Everything around the stub is real:
+the binary column schema, the mapInPandas batch shape (pandas
+DataFrames of bytes), partition preservation, and the typed metadata
+struct. Swapping ``decode_stub`` for PIL/librosa is a one-function
+change, and the Spark plan is identical.
+
+Scale: mapInPandas streams Arrow batches through Python — the only
+sane shape for per-payload native decode at 100 TB (one Python worker
+per core, no per-row pickling, no driver involvement). Batch size is
+governed by spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, "
+    "meta struct<n_bytes: long, declared_chars: long>"
+)
+
+FEATURE_SCHEMA = "doc_id long, media_type string, n_bytes long, first_byte long, last_byte long"
+
+
+def attach_payloads(docs: DataFrame) -> DataFrame:
+    """Synthesize a binary payload column from text (fixture stand-in
+    for real image/audio bytes) plus a typed metadata struct."""
+    return docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+            F.col("n_chars").cast("long").alias("declared_chars"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes) -> dict:
+    """STUB for the real media decode (no PIL/librosa in container).
+
+    Returns deterministic byte-level features so the pipeline is
+    testable end-to-end. A real deployment replaces this body with
+    e.g. PIL.Image.open(io.BytesIO(payload)) and emits real features.
+    """
+    if payload is None or len(payload) == 0:
+        return {"n_bytes": 0, "first_byte": -1, "last_byte": -1}
+    return {"n_bytes": len(payload), "first_byte": payload[0], "last_byte": payload[-1]}
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "first_byte": [f["first_byte"] for f in feats],
+                    "last_byte": [f["last_byte"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)

@@ -38,11 +38,12 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
         topiclog,
         tpch,
+        udfs,
         windows,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (tpch, windows, setops, scalars, events, dedup, similarity, text, streaming, topiclog):
+    for mod in (tpch, windows, setops, scalars, events, dedup, similarity, text, streaming, topiclog, udfs):
         for k, v in mod.QUERIES.items():
             if k in out:
                 raise ValueError(f"duplicate query name: {k}")

@@ -1,3 +1,170 @@
-"""Placeholder — filled in as operators land."""
+"""Real Structured Streaming queries (SURVEY §2.3 I), oracle-checked.
 
-QUERIES: dict = {}
+Each callable builds a readStream pipeline, replays it to completion
+with availableNow into a memory sink, and returns the materialized
+result — so the driver's batch-style harness (and DuckDB oracle) can
+check genuine streaming executions: watermarks, windowed state,
+streaming dedup, stream-static and stream-stream joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table
+from kcore_spark.queries import QuerySpec
+from kcore_spark.streaming.ops import events_stream, run_to_table
+
+# -------------------------------------------------- tumbling window agg
+
+
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    out = run_to_table(agg, "complete")
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"), "event_type", "n", "sum_value"
+    ).orderBy("window_start", "event_type")
+
+
+Q_STREAM_TUMBLING_SQL = """
+SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# -------------------------------------------------- streaming dedup
+
+
+def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = s.dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_table(agg, "complete").orderBy("event_type")
+
+
+Q_STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(*) AS n
+FROM (SELECT event_type FROM events
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) = 1)
+GROUP BY event_type
+"""
+
+# -------------------------------------------------- session windows
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = s.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_to_table(agg, "complete")
+    return out.select(
+        "user_id", F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"), "n_events"
+    ).orderBy("user_id", "session_start_epoch")
+
+
+# Gap-based sessionization is the batch image of session_window; the
+# session start is the first event's timestamp in the merged window.
+Q_STREAM_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   - LAG(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 THEN 1
+              WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+              ELSE 0 END AS new_sess
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id,
+       CAST(floor(epoch(MIN(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS session_start_epoch,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+# -------------------------------------------------- stream-static join
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    joined = s.join(F.broadcast(cust), s.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_table(agg, "complete").orderBy("c_mktsegment", "event_type")
+
+
+Q_STREAM_STATIC_SQL = """
+SELECT c_mktsegment, event_type, COUNT(*) AS n
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
+# -------------------------------------------------- stream-stream join
+# view→purchase conversions: each purchase joined to the same user's
+# views in the preceding 10 minutes; watermarks bound the join state.
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "30 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_event"))
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user AND v_ts >= p_ts - INTERVAL 10 MINUTES AND v_ts < p_ts"
+        ),
+    )
+    out = run_to_table(joined.select("p_event", "p_user"), "append")
+    return (
+        out.groupBy("p_user")
+        .agg(F.count(F.lit(1)).alias("n_view_purchase_pairs"))
+        .orderBy("p_user")
+    )
+
+
+Q_STREAM_STREAM_SQL = """
+SELECT p.user_id AS p_user, COUNT(*) AS n_view_purchase_pairs
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 10 MINUTE
+ AND v.ts < p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+GROUP BY p.user_id
+"""
+
+
+QUERIES = {
+    "q_stream_tumbling_counts": QuerySpec(
+        q_stream_tumbling_counts, Q_STREAM_TUMBLING_SQL, "streaming tumbling window"
+    ),
+    "q_stream_dedup_counts": QuerySpec(
+        q_stream_dedup_counts, Q_STREAM_DEDUP_SQL, "dropDuplicatesWithinWatermark"
+    ),
+    "q_stream_session_windows": QuerySpec(
+        q_stream_session_windows, Q_STREAM_SESSION_SQL, "session_window state"
+    ),
+    "q_stream_static_join": QuerySpec(q_stream_static_join, Q_STREAM_STATIC_SQL, "stream-static join"),
+    "q_stream_stream_join": QuerySpec(q_stream_stream_join, Q_STREAM_STREAM_SQL, "stream-stream join"),
+}

@@ -1,3 +1,87 @@
-"""Placeholder — filled in as operators land."""
+"""Topic-log queries: the produce→fetch path under the oracle gate.
 
-QUERIES: dict = {}
+Events are produced into a fresh 3-partition topic (partition =
+user_id % 3, offsets ordered by event_id) and read back through the
+Fetch/ListOffsets operators. The oracle recomputes the same offsets
+relationally (row_number per partition) — so the whole offset-
+assignment + pruned-scan path is hash-checked, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table
+from kcore_spark.queries import QuerySpec
+from kcore_spark.sources.topic_log import TopicLog
+
+
+def _produce_events_topic(spark: SparkSession, sf_dir: str) -> tuple[TopicLog, str]:
+    ev = load_table(spark, sf_dir, "events")
+    records = ev.select(
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.to_json(F.struct("event_id", "user_id", "event_type")), "utf-8").alias("value"),
+        F.col("ts").alias("timestamp"),
+        (F.col("user_id") % 3).cast("int").alias("part"),
+        "event_id",
+    )
+    root = tempfile.mkdtemp(prefix="kcore_topic_q_", dir=os.environ.get("TMPDIR", "/tmp"))
+    log = TopicLog(spark, root)
+    topic = f"events_{uuid.uuid4().hex[:8]}"
+    log.create_topic(topic, 3)
+    log.produce(topic, records, partition_expr=F.col("part"), order_by=["event_id"])
+    return log, topic
+
+
+def q_topic_list_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log, topic = _produce_events_topic(spark, sf_dir)
+    return log.list_offsets(topic).select(
+        F.col("partition").cast("long").alias("partition"),
+        "earliest",
+        "next_offset",
+        "n_records",
+    )
+
+
+Q_TOPIC_LIST_OFFSETS_SQL = """
+SELECT user_id % 3 AS partition,
+       0 AS earliest,
+       COUNT(*) AS next_offset,
+       COUNT(*) AS n_records
+FROM events
+GROUP BY user_id % 3
+"""
+
+
+def q_topic_fetch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log, topic = _produce_events_topic(spark, sf_dir)
+    fetched = log.fetch(topic, partition=1, start_offset=100, max_records=20)
+    return fetched.select(
+        "offset",
+        F.get_json_object(F.decode("value", "utf-8"), "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object(F.decode("value", "utf-8"), "$.event_type").alias("event_type"),
+    )
+
+
+Q_TOPIC_FETCH_SQL = """
+SELECT CAST(rn - 1 AS BIGINT) AS offset, event_id, event_type
+FROM (
+  SELECT event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id % 3 ORDER BY event_id) AS rn,
+         user_id % 3 AS part
+  FROM events)
+WHERE part = 1 AND rn - 1 >= 100 AND rn - 1 < 120
+"""
+
+
+QUERIES = {
+    "q_topic_list_offsets": QuerySpec(
+        q_topic_list_offsets, Q_TOPIC_LIST_OFFSETS_SQL, "produce + ListOffsets"
+    ),
+    "q_topic_fetch_range": QuerySpec(q_topic_fetch_range, Q_TOPIC_FETCH_SQL, "produce + Fetch range"),
+}

@@ -1,0 +1,175 @@
+"""Python execution surface (SURVEY §2.3 K) + multimodal plumbing (J).
+
+Demonstrates all five Python execution shapes — row udf, vectorized
+pandas_udf, applyInPandas (grouped map), mapInPandas, and UDTF — each
+under the oracle gate where the arithmetic is portable (integers).
+These exist to prove the surface; the engine's own operators stay on
+JVM expressions (UDFs are the slow path, per the project rules).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from kcore_spark.catalog import load_table
+from kcore_spark.operators.multimodal import attach_payloads, extract_features
+from kcore_spark.queries import QuerySpec
+
+# -------------------------------------------------- vectorized pandas_udf
+
+
+@F.pandas_udf(LongType())
+def _vec_count(s: pd.Series) -> pd.Series:
+    # Python re and RE2 agree on this class-only pattern.
+    return s.str.count(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]").astype("int64")
+
+
+def q_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", _vec_count("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("total_tokens"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+Q_PANDAS_UDF_SQL = """
+SELECT source,
+       CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+           AS total_tokens,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY source
+"""
+
+# -------------------------------------------------- grouped applyInPandas
+
+
+def q_apply_in_pandas_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-gap stats via grouped-map pandas (integer secs)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # unit-safe epoch seconds (Arrow may hand back ns or µs)
+        secs = pdf["ts"].astype("datetime64[s]").astype("int64")
+        d = secs.diff().dropna().astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "max_gap_s": [int(d.max()) if len(d) else 0],
+                "min_gap_s": [int(d.min()) if len(d) else 0],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(gaps, "user_id long, n_events long, max_gap_s long, min_gap_s long")
+        .orderBy("user_id")
+    )
+
+
+Q_APPLY_IN_PANDAS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+           - LAG(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+       COALESCE(MAX(gap), 0) AS max_gap_s,
+       COALESCE(MIN(gap), 0) AS min_gap_s
+FROM g GROUP BY user_id
+"""
+
+# -------------------------------------------------- mapInPandas (multimodal)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column → mapInPandas feature extraction (decode
+    stubbed; byte-level features are deterministic). Oracle computes
+    the same features from the source text (fixture corpus is ASCII,
+    so char codes == byte values)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payloads(docs)
+    return extract_features(media).orderBy("doc_id")
+
+
+Q_MULTIMODAL_SQL = """
+SELECT doc_id,
+       'text/plain' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       CASE WHEN LENGTH(text) = 0 THEN -1 ELSE ascii(substring(text, 1, 1)) END AS first_byte,
+       CASE WHEN LENGTH(text) = 0 THEN -1 ELSE ascii(substring(text, -1, 1)) END AS last_byte
+FROM documents
+"""
+
+# -------------------------------------------------- row UDF (exists; slow path)
+
+
+def q_row_udf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time udf — included for surface completeness only."""
+    bucket = F.udf(lambda v: int(v // 10) if v is not None else -1, LongType())
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(bucket("value").alias("value_bucket"))
+        .groupBy("value_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("value_bucket")
+    )
+
+
+Q_ROW_UDF_SQL = """
+SELECT CAST(floor(value / 10) AS BIGINT) AS value_bucket, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+# -------------------------------------------------- Python UDTF
+
+
+def q_udtf_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: per-row table expansion (top word lengths)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word_len: long, n: long")
+    class LenHist:
+        def eval(self, text: str):
+            from collections import Counter
+
+            c = Counter(len(w) for w in text.split())
+            for k in sorted(c):
+                yield k, c[k]
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    spark.udtf.register("len_hist", LenHist)
+    out = spark.sql(
+        "SELECT h.word_len, h.n FROM docs_udtf, LATERAL len_hist(text) h"
+    )
+    return out.groupBy("word_len").agg(F.sum("n").alias("n_words")).orderBy("word_len")
+
+
+Q_UDTF_SQL = """
+SELECT LENGTH(w) AS word_len, COUNT(*) AS n_words
+FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS w FROM documents)
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "q_pandas_udf_tokens": QuerySpec(q_pandas_udf_tokens, Q_PANDAS_UDF_SQL, "vectorized pandas_udf"),
+    "q_apply_in_pandas_gaps": QuerySpec(
+        q_apply_in_pandas_gaps, Q_APPLY_IN_PANDAS_SQL, "grouped-map applyInPandas"
+    ),
+    "q_multimodal_features": QuerySpec(
+        q_multimodal_features, Q_MULTIMODAL_SQL, "mapInPandas binary decode plumbing"
+    ),
+    "q_row_udf_bucket": QuerySpec(q_row_udf_bucket, Q_ROW_UDF_SQL, "row udf (surface only)"),
+    "q_udtf_explode_words": QuerySpec(q_udtf_explode_words, Q_UDTF_SQL, "Python UDTF"),
+}

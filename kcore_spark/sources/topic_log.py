@@ -1,0 +1,260 @@
+"""Topic log: the Kafka data model realized on partitioned parquet.
+
+The reference declares (but does not implement) the Kafka event model —
+topics, partitions, offsets, produce/fetch, consumer groups
+(`/root/reference/README.md:27,47-51`; the protocol plumbing that
+exists is `pkg/kafka/kafka_api.go:80-125`). This module implements
+those semantics Spark-first (SURVEY §1.2, §2.2):
+
+- A topic is a directory `root/<topic>/partition=<p>/part-*.parquet`
+  with the canonical Kafka record schema (key/value binary, offset,
+  timestamp, headers). Directory partitioning means Fetch prunes to
+  one partition dir, and offset predicates prune row groups via
+  parquet min/max stats — at 100 TB a fetch touches only the files
+  covering its offset range.
+- Offsets are dense per-partition sequences assigned at produce time:
+  high-watermark + row_number over the incoming batch (SURVEY §4.2's
+  one genuinely custom operator). Watermarks are tracked in a tiny
+  `_watermarks.json` control file (driver-side control plane, like a
+  broker's log-end-offset map — NOT a Spark job), so produce never
+  rescans the log to find the tail.
+- Consumer-group offsets are an idempotent key-value state table
+  (`__consumer_offsets`-analog), last-writer-wins by commit index.
+
+Concurrency contract (matches the reference's one-in-flight-per-
+connection model, `kafka_connectian_handler.go:63-108`): one producer
+per topic at a time; produces are atomic (files land, then the
+watermark file flips — a failed produce before the flip leaves
+orphaned files that the next produce overwrites logically by offset).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("timestampType", T.IntegerType(), False),
+        T.StructField("headers", T.MapType(T.StringType(), T.BinaryType()), True),
+    ]
+)
+
+
+@dataclass
+class TopicMeta:
+    name: str
+    num_partitions: int
+
+
+class TopicLog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------ control plane
+
+    def _topic_dir(self, topic: str) -> str:
+        return os.path.join(self.root, topic)
+
+    def _meta_path(self, topic: str) -> str:
+        return os.path.join(self._topic_dir(topic), "_meta.json")
+
+    def _wm_path(self, topic: str) -> str:
+        return os.path.join(self._topic_dir(topic), "_watermarks.json")
+
+    def create_topic(self, name: str, num_partitions: int) -> TopicMeta:
+        """CreateTopics (API key 19) analog: catalog DDL, no Spark job."""
+        d = self._topic_dir(name)
+        if os.path.exists(self._meta_path(name)):
+            raise ValueError(f"topic exists: {name}")
+        os.makedirs(d, exist_ok=True)
+        with open(self._meta_path(name), "w") as f:
+            json.dump({"name": name, "num_partitions": num_partitions}, f)
+        with open(self._wm_path(name), "w") as f:
+            json.dump({str(p): 0 for p in range(num_partitions)}, f)
+        return TopicMeta(name, num_partitions)
+
+    def delete_topic(self, name: str) -> None:
+        """DeleteTopics (API key 20) analog."""
+        import shutil
+
+        shutil.rmtree(self._topic_dir(name))
+
+    def topic_meta(self, name: str) -> TopicMeta:
+        with open(self._meta_path(name)) as f:
+            m = json.load(f)
+        return TopicMeta(m["name"], m["num_partitions"])
+
+    def list_topics(self) -> list[str]:
+        """Metadata (API key 3) analog."""
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.exists(self._meta_path(d))
+        )
+
+    def _watermarks(self, topic: str) -> dict[int, int]:
+        with open(self._wm_path(topic)) as f:
+            return {int(k): v for k, v in json.load(f).items()}
+
+    def _set_watermarks(self, topic: str, wm: dict[int, int]) -> None:
+        tmp = self._wm_path(topic) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in wm.items()}, f)
+        os.replace(tmp, self._wm_path(topic))
+
+    # ------------------------------------------------------ produce
+
+    def produce(
+        self,
+        topic: str,
+        records: DataFrame,
+        partition_expr: Column | None = None,
+        order_by: list[str] | None = None,
+    ) -> dict[int, int]:
+        """Produce (API key 0) analog: assign partitions + dense offsets,
+        atomic parquet append. Returns new high watermarks.
+
+        records: DataFrame with key/value (binary) and optional
+        timestamp/headers columns. partition_expr defaults to
+        pmod(xxhash64(key), num_partitions) — Kafka's keyed-partition
+        contract (same key → same partition). order_by fixes the
+        intra-batch offset order (required for deterministic replay;
+        defaults to the incoming order of (key, value) hashes).
+
+        Scale: one shuffle on `partition`, then a per-partition
+        row_number window — exactly the minimal work offset density
+        requires. The window's partition count equals the topic's,
+        so skew follows key skew; hot topics should choose partition
+        counts accordingly (as in Kafka).
+        """
+        meta = self.topic_meta(topic)
+        wm = self._watermarks(topic)
+        if partition_expr is None:
+            partition_expr = F.pmod(F.xxhash64(F.col("key")), F.lit(meta.num_partitions))
+        df = records.withColumn("partition", partition_expr.cast("int"))
+        order_cols = [F.col(c).asc() for c in (order_by or [])] or [
+            F.xxhash64("key", "value").asc()
+        ]
+        w = Window.partitionBy("partition").orderBy(*order_cols)
+        base = F.create_map(
+            *[x for p, o in wm.items() for x in (F.lit(p), F.lit(o))]
+        )
+        df = df.withColumn(
+            "offset",
+            (F.row_number().over(w) - 1 + F.element_at(base, F.col("partition"))).cast("long"),
+        )
+        if "timestamp" not in df.columns:
+            df = df.withColumn("timestamp", F.current_timestamp())
+        if "timestampType" not in df.columns:
+            df = df.withColumn("timestampType", F.lit(0))
+        if "headers" not in df.columns:
+            df = df.withColumn("headers", F.lit(None).cast("map<string,binary>"))
+        out = df.select("key", "value", "partition", "offset", "timestamp", "timestampType", "headers")
+        out.write.mode("append").partitionBy("partition").parquet(self._topic_dir(topic) + "/data")
+        new_wm = {
+            r["partition"]: r["hi"] + 1
+            for r in out.groupBy("partition").agg(F.max("offset").alias("hi")).collect()
+        }
+        merged = {p: max(wm.get(p, 0), new_wm.get(p, wm.get(p, 0))) for p in wm}
+        self._set_watermarks(topic, merged)
+        return merged
+
+    # ------------------------------------------------------ fetch / offsets
+
+    def scan(self, topic: str) -> DataFrame:
+        """Full-log scan (batch); partition column from the dir layout."""
+        return self.spark.read.schema(RECORD_SCHEMA).parquet(self._topic_dir(topic) + "/data")
+
+    def fetch(self, topic: str, partition: int, start_offset: int, max_records: int) -> DataFrame:
+        """Fetch (API key 1) analog: offset-range scan of one partition.
+
+        partition=→ directory pruning; offset range → row-group stats
+        pruning. No shuffle; ordering by offset is a partition-local
+        sort of at most max_records rows.
+        """
+        return (
+            self.scan(topic)
+            .where(
+                (F.col("partition") == partition)
+                & (F.col("offset") >= start_offset)
+                & (F.col("offset") < start_offset + max_records)
+            )
+            .orderBy("offset")
+        )
+
+    def list_offsets(self, topic: str) -> DataFrame:
+        """ListOffsets (API key 2) analog: earliest/next offset per partition."""
+        return (
+            self.scan(topic)
+            .groupBy("partition")
+            .agg(
+                F.min("offset").alias("earliest"),
+                (F.max("offset") + 1).alias("next_offset"),
+                F.count(F.lit(1)).alias("n_records"),
+            )
+            .orderBy("partition")
+        )
+
+    def read_stream(self, topic: str) -> DataFrame:
+        """Streaming topic source (micro-batch file source over the log)."""
+        return self.spark.readStream.schema(RECORD_SCHEMA).parquet(
+            self._topic_dir(topic) + "/data"
+        )
+
+    # ------------------------------------------------------ consumer groups
+
+    def _offsets_dir(self) -> str:
+        return os.path.join(self.root, "__consumer_offsets")
+
+    def commit_offset(self, group: str, topic: str, partition: int, offset: int) -> None:
+        """OffsetCommit (API key 8) analog: append a commit record.
+
+        Append-only log of commits; the committed offset is the one
+        with the highest commit index (last-writer-wins) — the same
+        compaction contract as Kafka's __consumer_offsets topic.
+        """
+        import time
+
+        os.makedirs(self._offsets_dir(), exist_ok=True)
+        rec = {
+            "group_id": group,
+            "topic": topic,
+            "partition": partition,
+            "committed_offset": offset,
+            "commit_seq": time.monotonic_ns(),
+        }
+        path = os.path.join(self._offsets_dir(), f"commit-{uuid.uuid4().hex}.json")
+        with open(path, "w") as f:
+            json.dump(rec, f)
+
+    def fetch_offsets(self, group: str) -> DataFrame:
+        """OffsetFetch (API key 9) analog: latest commit per (topic, partition)."""
+        d = self._offsets_dir()
+        sch = (
+            "group_id string, topic string, partition int, "
+            "committed_offset long, commit_seq long"
+        )
+        if not os.path.isdir(d) or not os.listdir(d):
+            return self.spark.createDataFrame([], sch)
+        df = self.spark.read.schema(sch).json(d + "/commit-*.json")
+        w = Window.partitionBy("group_id", "topic", "partition").orderBy(
+            F.col("commit_seq").desc()
+        )
+        return (
+            df.where(F.col("group_id") == group)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("group_id", "topic", "partition", "committed_offset")
+        )

@@ -1,0 +1,61 @@
+"""Streaming helpers: deterministic availableNow replay to a memory sink.
+
+Every streaming query in the inventory runs with
+``trigger(availableNow=True)`` + a fresh checkpoint, which processes
+the whole source once and terminates — the streaming answer equals the
+batch answer, which is what lets the DuckDB oracle check streaming
+operators at all (SURVEY §5).
+
+In production the same pipelines run with a real trigger; nothing in
+the query shape changes — availableNow vs processingTime is a replay
+policy, not a semantics change.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+_STAGED: dict[str, str] = {}
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """The parquet file-stream source requires a directory; stage the
+    single events.parquet file behind a symlink once per sf_dir."""
+    if sf_dir not in _STAGED:
+        d = tempfile.mkdtemp(prefix="kcore_events_stream_")
+        os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet"))
+        _STAGED[sf_dir] = d
+    return _STAGED[sf_dir]
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture with the engine's type
+    normalization (ns-long → µs timestamp), mirroring catalog.load_table."""
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(static.schema).parquet(_staged_events_dir(sf_dir))
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the materialized result as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="kcore_ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
