@@ -1,0 +1,138 @@
+"""asyncio Kafka-protocol front-end.
+
+Mirrors the reference's server shape (SURVEY §2.1 R1-R8, §3.2-3.3)
+with the bugs fixed and the model idiomatic to asyncio:
+
+- accept loop → one task per connection
+  (reference: goroutine per conn, `pkg/server/server.go:78`)
+- strict one-request-in-flight per connection, request→response order
+  preserved (reference: `pkg/kafka/kafka_connectian_handler.go:63-108`)
+- framing via readexactly — fixes the reference's short-read bug
+  (`kafka_connectian_handler.go:69-94` uses bare conn.Read; SURVEY §3.4)
+- unknown API key → graceful UNSUPPORTED_VERSION-style response
+  instead of the reference's connection kill (`kafka_api.go:95-96`)
+
+The data plane (Produce/Fetch bodies) binds to sources/topic_log.py;
+Metadata is served from the TopicLog catalog. Spark never sees wire
+bytes (SURVEY §1.2: frames stay outside Spark).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import struct
+
+from kcore_spark.protocol import wire
+
+log = logging.getLogger("kcore_spark.protocol")
+
+MAX_FRAME = 64 * 1024 * 1024
+
+
+class KafkaFrontend:
+    def __init__(self, host: str = "127.0.0.1", port: int = 9092, topic_log=None):
+        self.host = host
+        self.port = port
+        self.topic_log = topic_log
+        self._server: asyncio.AbstractServer | None = None
+
+    # ------------------------------------------------------ lifecycle
+
+    async def start(self) -> None:
+        self._server = await asyncio.start_server(self._handle_conn, self.host, self.port)
+        # pick up the OS-assigned port when started with port=0 (tests)
+        self.port = self._server.sockets[0].getsockname()[1]
+
+    async def stop(self) -> None:
+        if self._server:
+            self._server.close()
+            await self._server.wait_closed()
+
+    # ------------------------------------------------------ connection loop
+
+    async def _handle_conn(
+        self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
+    ) -> None:
+        peer = writer.get_extra_info("peername")
+        try:
+            while True:
+                try:
+                    size_buf = await reader.readexactly(4)
+                except asyncio.IncompleteReadError:
+                    return  # clean EOF
+                (size,) = struct.unpack(">I", size_buf)
+                if size > MAX_FRAME:
+                    log.warning("oversized frame %d from %s", size, peer)
+                    return
+                payload = await reader.readexactly(size)
+                resp = self.handle_request(payload)
+                if resp is None:
+                    return  # unrecoverable: close like the reference
+                writer.write(struct.pack(">I", len(resp)) + resp)
+                await writer.drain()
+        except (ConnectionResetError, asyncio.IncompleteReadError):
+            return
+        finally:
+            writer.close()
+
+    # ------------------------------------------------------ dispatch
+
+    def handle_request(self, payload: bytes) -> bytes | None:
+        """Decode → dispatch → encode (sync; the data plane calls into
+        Spark jobs which are blocking anyway — run in a thread pool
+        when the front-end is wired to a live engine)."""
+        if len(payload) < 8:
+            return None
+        api_key = struct.unpack(">h", payload[0:2])[0]
+        api_version = struct.unpack(">h", payload[2:4])[0]
+        correlation_id = struct.unpack(">i", payload[4:8])[0]
+        if api_key == wire.API_VERSIONS_KEY:
+            return self._handle_api_versions(payload, api_version, correlation_id)
+        if api_key == wire.METADATA_KEY and api_version <= 1:
+            return self._handle_metadata(api_version, correlation_id)
+        # Kafka answers an unsupported API with an ApiVersions-shaped
+        # error so clients can renegotiate; the reference kills the
+        # connection here (kafka_api.go:95-96) — deliberate deviation.
+        log.warning("unsupported api_key=%d version=%d", api_key, api_version)
+        return wire.encode_api_versions_response(
+            correlation_id, 0, error_code=wire.ERR_UNSUPPORTED_VERSION
+        )
+
+    def _handle_api_versions(
+        self, payload: bytes, api_version: int, correlation_id: int
+    ) -> bytes:
+        if not 0 <= api_version <= 3:
+            # per KIP-511: error 35 with a v0 body listing what we support
+            return wire.encode_api_versions_response(
+                correlation_id, 0, error_code=wire.ERR_UNSUPPORTED_VERSION
+            )
+        req = wire.decode_api_versions_request(payload)
+        log.debug(
+            "ApiVersions from %s/%s", req.client_software_name, req.client_software_version
+        )
+        return wire.encode_api_versions_response(req.header.correlation_id, api_version)
+
+    def _handle_metadata(self, api_version: int, correlation_id: int) -> bytes:
+        topics: list[tuple[str, int]] = []
+        if self.topic_log is not None:
+            topics = [
+                (t, self.topic_log.topic_meta(t).num_partitions)
+                for t in self.topic_log.list_topics()
+            ]
+        return wire.encode_metadata_response(
+            correlation_id, api_version, self.host, self.port, topics
+        )
+
+
+async def serve_forever(host: str = "127.0.0.1", port: int = 9092) -> None:
+    fe = KafkaFrontend(host, port)
+    await fe.start()
+    assert fe._server is not None
+    async with fe._server:
+        await fe._server.serve_forever()
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    asyncio.run(serve_forever())
