@@ -23,6 +23,7 @@ from kcore_spark.session import get_spark
 
 # Headline set: one per operator family, weighted to the heavy ops.
 HEADLINE = [
+    # batch relational
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
@@ -35,6 +36,21 @@ HEADLINE = [
     "q_percentiles",
     "q_datediff_fulfillment",
     "q_topk_orders",
+    # event analytics
+    "q_events_json_props",
+    "q_events_tumbling_1h",
+    "q_events_sessions",
+    "q_asof_event_order",
+    # LLM-pipeline ops
+    "q_dedup_exact",
+    "q_near_dup_jaccard",
+    "q_minhash_lsh_pairs",
+    "q_simhash_fingerprints",
+    "q_cosine_topk",
+    "q_token_totals",
+    "q_fingerprints",
+    # streaming (availableNow replay incl. source discovery)
+    "q_stream_tumbling_counts",
 ]
 
 

@@ -55,7 +55,10 @@ GROUP BY sha256(text)
 
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=3)
+    # persist: the shingle table feeds three consumers (sizes + both
+    # join sides); without it Spark recomputes the explode each time.
+    # At scale this is a materialized intermediate table.
+    sh = word_shingles(docs, "doc_id", "text", n=3).persist()
     return jaccard_pairs(sh, min_jaccard=0.8).orderBy("id1", "id2")
 
 
@@ -80,8 +83,8 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=3)
-    sigs = minhash_signatures(sh, num_hashes=6)
+    sh = word_shingles(docs, "doc_id", "text", n=3).persist()
+    sigs = minhash_signatures(sh, num_hashes=6).persist()
     cands = lsh_candidate_pairs(sigs, bands=3, rows=2)
     verified = cands.join(jaccard_pairs(sh, min_jaccard=0.8), ["id1", "id2"])
     return verified.select("id1", "id2", "jaccard").orderBy("id1", "id2")

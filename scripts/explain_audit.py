@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Plan audit: for each (or selected) query, print the physical plan
+and grep it for scale red flags:
+
+- parquet scans without PushedFilters when the query filters
+- sort-merge joins where a broadcast was intended
+- CartesianProduct / BroadcastNestedLoopJoin outside the known
+  similarity cross-joins
+- missing WholeStageCodegen spans (Python in the hot path)
+
+Usage: python scripts/explain_audit.py [name_filter...] [--full]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from kcore_spark.queries import all_queries
+from kcore_spark.testing import shared_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# cross joins that are intentional (bounded query-set × corpus)
+ALLOWED_NLJ = {"q_cosine_topk", "q_embedding_neardup", "q_ann_ivf_topk"}
+# filters that legitimately can't reach parquet: post-window rank
+# filters, OR-of-regex predicates, computed-similarity thresholds
+KNOWN_UNPUSHABLE = {
+    "q_window_topk_orders",
+    "q_events_dedup_first",
+    "q_like_filters",
+    "q_near_dup_jaccard",
+    "q_minhash_lsh_pairs",
+}
+# row-at-a-time Python is the point of these two (surface demos)
+KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}
+# streaming queries materialize through a memory sink — plan of the
+# returned batch DF is just a LocalTableScan, skip the audit
+SKIP = {n for n in all_queries() if n.startswith("q_stream_")} | {
+    "q_topic_list_offsets",
+    "q_topic_fetch_range",
+}
+
+
+def audit(name: str, plan: str) -> list[str]:
+    flags = []
+    if "CartesianProduct" in plan and name not in ALLOWED_NLJ:
+        flags.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_NLJ:
+        flags.append("BroadcastNestedLoopJoin")
+    scans = plan.count("Scan parquet")
+    if scans and "PushedFilters: [" in plan and name not in KNOWN_UNPUSHABLE:
+        empties = len(re.findall(r"PushedFilters: \[\]", plan))
+        if empties == scans and ("Filter " in plan):
+            flags.append("no pushed filters on any scan")
+    if "*(" not in plan and "WholeStageCodegen" not in plan and "Scan parquet" in plan:
+        flags.append("no WholeStageCodegen")
+    if "BatchEvalPython" in plan and name not in KNOWN_PYTHON:
+        flags.append("row-at-a-time Python (BatchEvalPython)")
+    return flags
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    full = "--full" in sys.argv
+    spark = shared_spark()
+    for name, spec in all_queries().items():
+        if name in SKIP:
+            continue
+        if args and not any(f in name for f in args):
+            continue
+        df = spec.spark(spark, SF_DIR)
+        df.collect()  # materialize so AQE finalizes the plan (codegen visible)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AQE toString includes both final and initial plans; audit the final
+        if "== Initial Plan ==" in plan:
+            plan = plan.split("== Initial Plan ==")[0]
+        flags = audit(name, plan)
+        n_exch = plan.count("Exchange")
+        print(f"{name}: exchanges={n_exch} flags={flags or 'none'}")
+        if full or flags:
+            print(df._jdf.queryExecution().simpleString()[:4000])
+            print("-" * 70)
+
+
+if __name__ == "__main__":
+    main()
