@@ -1,0 +1,292 @@
+"""Broker data plane: Produce/Fetch codecs + the wire log.
+
+Architecture (north star: "core broker logic isn't Spark"): the
+front-end appends produced batches to an in-memory per-partition log
+(`WireLog`) — the hot path never touches Spark. A flush bridge
+(`flush_to_topic_log`) drains accumulated records to the parquet
+topic log with their wire-assigned offsets preserved, which is where
+Spark analytics (and the Structured Streaming source) pick them up.
+This is exactly Kafka's own shape: page-cache log + async flush,
+with Spark playing the consumer-of-record role.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from kcore_spark.protocol import wire
+from kcore_spark.protocol.records import (
+    Record,
+    decode_record_batch,
+    encode_record_batch,
+)
+
+# ------------------------------------------------------ wire log
+
+
+@dataclass
+class _Partition:
+    records: list[Record] = field(default_factory=list)
+    flushed_upto: int = 0  # offsets below this are in the parquet log
+
+
+class WireLog:
+    """In-memory per-partition record log with dense offsets."""
+
+    def __init__(self) -> None:
+        self._parts: dict[tuple[str, int], _Partition] = {}
+        self.topics: dict[str, int] = {}
+
+    def create_topic(self, name: str, num_partitions: int) -> None:
+        self.topics[name] = num_partitions
+        for p in range(num_partitions):
+            self._parts[(name, p)] = _Partition()
+
+    def has(self, topic: str, partition: int) -> bool:
+        return (topic, partition) in self._parts
+
+    def append(self, topic: str, partition: int, records: list[Record]) -> int:
+        part = self._parts[(topic, partition)]
+        base = len(part.records)
+        for i, r in enumerate(records):
+            part.records.append(Record(r.key, r.value, r.timestamp_ms, base + i, r.headers))
+        return base
+
+    def read(self, topic: str, partition: int, offset: int, max_records: int) -> list[Record]:
+        part = self._parts[(topic, partition)]
+        return part.records[offset : offset + max_records]
+
+    def high_watermark(self, topic: str, partition: int) -> int:
+        return len(self._parts[(topic, partition)].records)
+
+    # -------------------------------------------------- Spark bridge
+
+    def flush_to_topic_log(self, spark, topic_log, topic: str) -> int:
+        """Drain unflushed records to the parquet topic log, preserving
+        wire-assigned offsets (append_raw). Returns records flushed.
+
+        This is the micro-batch boundary: wire appends are O(1) memory
+        ops; durability happens here in batch — exactly a foreachBatch
+        sink writing the accumulated stream."""
+        import pandas as pd
+
+        rows = []
+        for (t, p), part in self._parts.items():
+            if t != topic:
+                continue
+            for r in part.records[part.flushed_upto :]:
+                rows.append(
+                    {
+                        "key": bytes(r.key) if r.key is not None else None,
+                        "value": bytes(r.value) if r.value is not None else None,
+                        "partition": p,
+                        "offset": r.offset,
+                        "timestamp_ms": r.timestamp_ms,
+                    }
+                )
+            part.flushed_upto = len(part.records)
+        if not rows:
+            return 0
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(pd.DataFrame(rows)).select(
+            "key",
+            "value",
+            F.col("partition").cast("int"),
+            F.col("offset").cast("long"),
+            F.timestamp_millis(F.col("timestamp_ms")).alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+            F.lit(None).cast("map<string,binary>").alias("headers"),
+        )
+        topic_log.append_raw(topic, df)
+        return len(rows)
+
+
+# ------------------------------------------------------ Produce v3-v6
+
+
+@dataclass
+class ProducePartition:
+    index: int
+    batch: bytes | None
+
+
+@dataclass
+class ProduceRequest:
+    header: wire.RequestHeader
+    acks: int
+    timeout_ms: int
+    topics: list[tuple[str, list[ProducePartition]]]
+
+
+def decode_produce_request(payload: bytes) -> ProduceRequest:
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    transactional_id = r.nullable_string()  # noqa: F841 (unused: no txns)
+    acks = r.int16()
+    timeout_ms = r.int32()
+    topics = []
+    for _ in range(r.int32()):
+        name = r.nullable_string()
+        parts = []
+        for _ in range(r.int32()):
+            idx = r.int32()
+            parts.append(ProducePartition(idx, r.nullable_bytes()))
+        topics.append((name, parts))
+    return ProduceRequest(h, acks, timeout_ms, topics)
+
+
+def encode_produce_response(
+    correlation_id: int,
+    results: list[tuple[str, list[tuple[int, int, int]]]],  # topic → [(idx, err, base_offset)]
+) -> bytes:
+    w = wire.Writer()
+    w.int32(correlation_id)
+    w.int32(len(results))
+    for name, parts in results:
+        w.nullable_string(name)
+        w.int32(len(parts))
+        for idx, err, base in parts:
+            w.int32(idx).int16(err).int64(base).int64(-1)  # log_append_time
+    w.int32(0)  # throttle
+    return w.bytes()
+
+
+def decode_produce_response(payload: bytes):
+    r = wire.Reader(payload)
+    corr = r.int32()
+    out = []
+    for _ in range(r.int32()):
+        name = r.nullable_string()
+        parts = []
+        for _ in range(r.int32()):
+            parts.append((r.int32(), r.int16(), r.int64(), r.int64()))
+        out.append((name, parts))
+    throttle = r.int32()
+    return corr, out, throttle
+
+
+# ------------------------------------------------------ Fetch v4
+
+
+@dataclass
+class FetchPartition:
+    index: int
+    fetch_offset: int
+    max_bytes: int
+
+
+@dataclass
+class FetchRequest:
+    header: wire.RequestHeader
+    max_wait_ms: int
+    min_bytes: int
+    max_bytes: int
+    topics: list[tuple[str, list[FetchPartition]]]
+
+
+def decode_fetch_request(payload: bytes) -> FetchRequest:
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    r.int32()  # replica_id
+    max_wait = r.int32()
+    min_bytes = r.int32()
+    max_bytes = r.int32()
+    r.int8()  # isolation_level
+    topics = []
+    for _ in range(r.int32()):
+        name = r.nullable_string()
+        parts = []
+        for _ in range(r.int32()):
+            parts.append(FetchPartition(r.int32(), r.int64(), r.int32()))
+        topics.append((name, parts))
+    return FetchRequest(h, max_wait, min_bytes, max_bytes, topics)
+
+
+def encode_fetch_response(
+    correlation_id: int,
+    results: list[tuple[str, list[tuple[int, int, int, bytes | None]]]],
+    # topic → [(idx, err, high_watermark, record_batch_bytes)]
+) -> bytes:
+    w = wire.Writer()
+    w.int32(correlation_id)
+    w.int32(0)  # throttle
+    w.int32(len(results))
+    for name, parts in results:
+        w.nullable_string(name)
+        w.int32(len(parts))
+        for idx, err, hw, batch in parts:
+            w.int32(idx).int16(err).int64(hw)
+            w.int64(hw)  # last_stable_offset
+            w.int32(0)  # aborted_transactions: empty
+            w.nullable_bytes(batch)
+    return w.bytes()
+
+
+def decode_fetch_response(payload: bytes):
+    r = wire.Reader(payload)
+    corr = r.int32()
+    r.int32()  # throttle
+    out = []
+    for _ in range(r.int32()):
+        name = r.nullable_string()
+        parts = []
+        for _ in range(r.int32()):
+            idx = r.int32()
+            err = r.int16()
+            hw = r.int64()
+            r.int64()  # lso
+            for _ in range(r.int32()):
+                r.int64(), r.int64()  # aborted txns (none expected)
+            batch = r.nullable_bytes()
+            parts.append((idx, err, hw, batch))
+        out.append((name, parts))
+    return corr, out
+
+
+# ------------------------------------------------------ handlers
+
+
+def handle_produce(log: WireLog, payload: bytes) -> bytes:
+    req = decode_produce_request(payload)
+    results = []
+    for name, parts in req.topics:
+        part_results = []
+        for p in parts:
+            if not log.has(name, p.index):
+                part_results.append((p.index, wire.ERR_UNKNOWN_TOPIC_OR_PARTITION, -1))
+                continue
+            if p.batch is None:
+                part_results.append((p.index, wire.ERR_CORRUPT_MESSAGE, -1))
+                continue
+            try:
+                _base, records, _ = decode_record_batch(p.batch)
+            except (ValueError, IndexError, KeyError):
+                part_results.append((p.index, wire.ERR_CORRUPT_MESSAGE, -1))
+                continue
+            base = log.append(name, p.index, records)
+            part_results.append((p.index, wire.ERR_NONE, base))
+        results.append((name, part_results))
+    return encode_produce_response(req.header.correlation_id, results)
+
+
+def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 1000) -> bytes:
+    req = decode_fetch_request(payload)
+    results = []
+    for name, parts in req.topics:
+        part_results = []
+        for p in parts:
+            if not log.has(name, p.index):
+                part_results.append((p.index, wire.ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, None))
+                continue
+            hw = log.high_watermark(name, p.index)
+            if p.fetch_offset > hw:
+                part_results.append((p.index, wire.ERR_OFFSET_OUT_OF_RANGE, hw, None))
+                continue
+            recs = log.read(name, p.index, p.fetch_offset, max_records_per_partition)
+            batch = (
+                encode_record_batch(recs, base_offset=recs[0].offset) if recs else None
+            )
+            part_results.append((p.index, wire.ERR_NONE, hw, batch))
+        results.append((name, part_results))
+    return encode_fetch_response(req.header.correlation_id, results)

@@ -1,0 +1,215 @@
+"""Kafka record-batch v2 (magic 2) binary codec.
+
+The reference delegates all record encoding to its sarama fork
+(`/root/reference/go.mod:10,51`; the fork is absent from the snapshot)
+— this is the from-scratch, public-spec implementation of the same
+format: CRC32C (Castagnoli), zigzag varints, delta-encoded offsets and
+timestamps, per-record headers. SURVEY §7 flagged this codec as hard
+part #3; compression codecs are intentionally unsupported in v1
+(attributes bits 0-2 must be 0 = none).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+# ------------------------------------------------------ CRC32C (software)
+
+_CRC32C_POLY = 0x82F63B78
+_CRC32C_TABLE = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ _CRC32C_POLY if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    crc = ~crc & 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return ~crc & 0xFFFFFFFF
+
+
+# ------------------------------------------------------ zigzag varints
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def encode_varint(v: int) -> bytes:
+    u = _zigzag(v) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    result = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(result), pos
+        shift += 7
+
+
+# ------------------------------------------------------ records
+
+
+@dataclass
+class Record:
+    key: bytes | None
+    value: bytes | None
+    timestamp_ms: int
+    offset: int = 0  # absolute, filled on decode / used for deltas on encode
+    headers: list[tuple[str, bytes | None]] = field(default_factory=list)
+
+
+def _encode_record(rec: Record, base_offset: int, base_ts: int) -> bytes:
+    body = bytearray()
+    body += b"\x00"  # record attributes
+    body += encode_varint(rec.timestamp_ms - base_ts)
+    body += encode_varint(rec.offset - base_offset)
+    if rec.key is None:
+        body += encode_varint(-1)
+    else:
+        body += encode_varint(len(rec.key))
+        body += rec.key
+    if rec.value is None:
+        body += encode_varint(-1)
+    else:
+        body += encode_varint(len(rec.value))
+        body += rec.value
+    body += encode_varint(len(rec.headers))
+    for hk, hv in rec.headers:
+        kb = hk.encode("utf-8")
+        body += encode_varint(len(kb))
+        body += kb
+        if hv is None:
+            body += encode_varint(-1)
+        else:
+            body += encode_varint(len(hv))
+            body += hv
+    return encode_varint(len(body)) + bytes(body)
+
+
+def encode_record_batch(records: list[Record], base_offset: int = 0) -> bytes:
+    """Encode a magic-v2 batch. Offsets are assigned base_offset + i if
+    the records don't already carry absolute offsets."""
+    assert records, "empty batch"
+    if all(r.offset == 0 for r in records):  # assign sequentially
+        recs = [
+            Record(r.key, r.value, r.timestamp_ms, base_offset + i, r.headers)
+            for i, r in enumerate(records)
+        ]
+    else:  # caller supplied absolute offsets
+        recs = records
+    base_ts = min(r.timestamp_ms for r in recs)
+    max_ts = max(r.timestamp_ms for r in recs)
+    last_delta = recs[-1].offset - base_offset
+
+    payload = bytearray()
+    payload += struct.pack(">h", 0)  # attributes: no compression
+    payload += struct.pack(">i", last_delta)
+    payload += struct.pack(">q", base_ts)
+    payload += struct.pack(">q", max_ts)
+    payload += struct.pack(">q", -1)  # producerId
+    payload += struct.pack(">h", -1)  # producerEpoch
+    payload += struct.pack(">i", -1)  # baseSequence
+    payload += struct.pack(">i", len(recs))
+    for r in recs:
+        payload += _encode_record(r, base_offset, base_ts)
+
+    crc = crc32c(bytes(payload))
+    after_length = (
+        struct.pack(">i", 0)  # partitionLeaderEpoch
+        + b"\x02"  # magic
+        + struct.pack(">I", crc)
+        + bytes(payload)
+    )
+    return struct.pack(">q", base_offset) + struct.pack(">i", len(after_length)) + after_length
+
+
+def decode_record_batch(buf: bytes, pos: int = 0) -> tuple[int, list[Record], int]:
+    """Decode one batch at pos → (base_offset, records, new_pos).
+    Raises ValueError on CRC mismatch or unsupported magic/compression."""
+    base_offset = struct.unpack_from(">q", buf, pos)[0]
+    batch_len = struct.unpack_from(">i", buf, pos + 8)[0]
+    p = pos + 12
+    end = p + batch_len
+    p += 4  # partitionLeaderEpoch
+    magic = buf[p]
+    p += 1
+    if magic != 2:
+        raise ValueError(f"unsupported magic {magic}")
+    crc_stored = struct.unpack_from(">I", buf, p)[0]
+    p += 4
+    if crc32c(buf[p:end]) != crc_stored:
+        raise ValueError("record batch CRC mismatch")
+    attributes = struct.unpack_from(">h", buf, p)[0]
+    if attributes & 0x07:
+        raise ValueError("compressed batches unsupported in v1")
+    p += 2
+    p += 4  # lastOffsetDelta
+    base_ts = struct.unpack_from(">q", buf, p)[0]
+    p += 8
+    p += 8 + 8 + 2 + 4  # maxTs, producerId, producerEpoch, baseSequence
+    n = struct.unpack_from(">i", buf, p)[0]
+    p += 4
+    records = []
+    for _ in range(n):
+        _rec_len, p = decode_varint(buf, p)
+        p += 1  # record attributes
+        ts_delta, p = decode_varint(buf, p)
+        off_delta, p = decode_varint(buf, p)
+        klen, p = decode_varint(buf, p)
+        key = None
+        if klen >= 0:
+            key = buf[p : p + klen]
+            p += klen
+        vlen, p = decode_varint(buf, p)
+        value = None
+        if vlen >= 0:
+            value = buf[p : p + vlen]
+            p += vlen
+        nh, p = decode_varint(buf, p)
+        headers = []
+        for _ in range(nh):
+            hklen, p = decode_varint(buf, p)
+            hk = buf[p : p + hklen].decode("utf-8")
+            p += hklen
+            hvlen, p = decode_varint(buf, p)
+            hv = None
+            if hvlen >= 0:
+                hv = buf[p : p + hvlen]
+                p += hvlen
+            headers.append((hk, hv))
+        records.append(
+            Record(key, value, base_ts + ts_delta, base_offset + off_delta, headers)
+        )
+    return base_offset, records, end
+
+
+def decode_all_batches(buf: bytes) -> list[Record]:
+    """Decode a concatenation of batches (a fetch response payload)."""
+    out: list[Record] = []
+    pos = 0
+    while pos + 12 <= len(buf):
+        _, recs, pos = decode_record_batch(buf, pos)
+        out.extend(recs)
+    return out

@@ -31,10 +31,13 @@ MAX_FRAME = 64 * 1024 * 1024
 
 
 class KafkaFrontend:
-    def __init__(self, host: str = "127.0.0.1", port: int = 9092, topic_log=None):
+    def __init__(self, host: str = "127.0.0.1", port: int = 9092, topic_log=None, wire_log=None):
+        from kcore_spark.protocol.broker import WireLog
+
         self.host = host
         self.port = port
         self.topic_log = topic_log
+        self.wire_log = wire_log if wire_log is not None else WireLog()
         self._server: asyncio.AbstractServer | None = None
 
     # ------------------------------------------------------ lifecycle
@@ -91,6 +94,14 @@ class KafkaFrontend:
             return self._handle_api_versions(payload, api_version, correlation_id)
         if api_key == wire.METADATA_KEY and api_version <= 1:
             return self._handle_metadata(api_version, correlation_id)
+        if api_key == wire.PRODUCE_KEY and 3 <= api_version <= 6:
+            from kcore_spark.protocol.broker import handle_produce
+
+            return handle_produce(self.wire_log, payload)
+        if api_key == wire.FETCH_KEY and api_version == 4:
+            from kcore_spark.protocol.broker import handle_fetch
+
+            return handle_fetch(self.wire_log, payload)
         # Kafka answers an unsupported API with an ApiVersions-shaped
         # error so clients can renegotiate; the reference kills the
         # connection here (kafka_api.go:95-96) — deliberate deviation.
@@ -114,11 +125,14 @@ class KafkaFrontend:
         return wire.encode_api_versions_response(req.header.correlation_id, api_version)
 
     def _handle_metadata(self, api_version: int, correlation_id: int) -> bytes:
-        topics: list[tuple[str, int]] = []
+        topics: list[tuple[str, int]] = [
+            (t, n) for t, n in sorted(self.wire_log.topics.items())
+        ]
         if self.topic_log is not None:
-            topics = [
+            topics += [
                 (t, self.topic_log.topic_meta(t).num_partitions)
                 for t in self.topic_log.list_topics()
+                if t not in self.wire_log.topics
             ]
         return wire.encode_metadata_response(
             correlation_id, api_version, self.host, self.port, topics
@@ -126,7 +140,13 @@ class KafkaFrontend:
 
 
 async def serve_forever(host: str = "127.0.0.1", port: int = 9092) -> None:
+    import os
+
     fe = KafkaFrontend(host, port)
+    # standalone bootstrap topics: KCORE_TOPICS="name:partitions,..."
+    for spec in filter(None, os.environ.get("KCORE_TOPICS", "").split(",")):
+        name, _, n = spec.partition(":")
+        fe.wire_log.create_topic(name.strip(), int(n or 1))
     await fe.start()
     assert fe._server is not None
     async with fe._server:

@@ -25,13 +25,20 @@ from dataclasses import dataclass
 
 API_VERSIONS_KEY = 18
 METADATA_KEY = 3
+PRODUCE_KEY = 0
+FETCH_KEY = 1
 ERR_NONE = 0
+ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_CORRUPT_MESSAGE = 2
+ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNSUPPORTED_VERSION = 35
 
 # (api_key, min_version, max_version) advertised by this broker.
 SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
-    (API_VERSIONS_KEY, 0, 3),
+    (PRODUCE_KEY, 3, 6),
+    (FETCH_KEY, 4, 4),
     (METADATA_KEY, 0, 1),
+    (API_VERSIONS_KEY, 0, 3),
 )
 
 
@@ -52,6 +59,18 @@ class Reader:
 
     def int32(self) -> int:
         return struct.unpack(">i", self.read(4))[0]
+
+    def int64(self) -> int:
+        return struct.unpack(">q", self.read(8))[0]
+
+    def int8(self) -> int:
+        return self.read(1)[0]
+
+    def nullable_bytes(self) -> bytes | None:
+        n = self.int32()
+        if n == -1:
+            return None
+        return self.read(n)
 
     def nullable_string(self) -> str | None:
         n = self.int16()
@@ -96,6 +115,17 @@ class Writer:
 
     def int32(self, v: int) -> "Writer":
         return self.raw(struct.pack(">i", v))
+
+    def int64(self, v: int) -> "Writer":
+        return self.raw(struct.pack(">q", v))
+
+    def int8(self, v: int) -> "Writer":
+        return self.raw(bytes([v & 0xFF]))
+
+    def nullable_bytes(self, b: bytes | None) -> "Writer":
+        if b is None:
+            return self.int32(-1)
+        return self.int32(len(b)).raw(b)
 
     def nullable_string(self, s: str | None) -> "Writer":
         if s is None:

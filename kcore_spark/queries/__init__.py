@@ -35,6 +35,7 @@ def all_queries() -> dict[str, QuerySpec]:
         setops,
         similarity,
         streaming,
+        subqueries,
         text,
         topiclog,
         tpch,
@@ -43,7 +44,20 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (tpch, windows, setops, scalars, events, dedup, similarity, text, streaming, topiclog, udfs):
+    for mod in (
+        tpch,
+        windows,
+        setops,
+        scalars,
+        events,
+        dedup,
+        similarity,
+        text,
+        streaming,
+        topiclog,
+        udfs,
+        subqueries,
+    ):
         for k, v in mod.QUERIES.items():
             if k in out:
                 raise ValueError(f"duplicate query name: {k}")

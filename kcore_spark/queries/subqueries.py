@@ -1,0 +1,244 @@
+"""Subquery shapes (SURVEY §2.3 B/C/D): scalar, correlated, IN/EXISTS,
+HAVING-based semi-joins — plus the spark.sql entry point itself.
+
+Catalyst decorrelates these into joins/aggregates; the point of the
+block is that the decorrelation is exercised and oracle-checked.
+q18 runs through ``spark.sql`` on registered temp views to cover the
+SQL-string surface (everything else uses the DataFrame API).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table, register_all
+from kcore_spark.operators.relational import money, rate
+from kcore_spark.queries import QuerySpec
+
+# ---------------------------------------------------- q04: EXISTS + range
+
+
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one line shipped >60 days after order date."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late_orders = orders.join(
+        li.select("l_orderkey", "l_shipdate").alias("l"),
+        (orders.o_orderkey == F.col("l.l_orderkey"))
+        & (F.col("l.l_shipdate") > F.date_add(orders.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        late_orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+# ---------------------------------------------------- q17: correlated scalar
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lines below half their part's average quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        ((F.sum(F.col("l_quantity").cast("decimal(15,2)")).cast("double")
+          / F.count("l_quantity")) * 0.5).alias("half_avg")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.col("half_avg"))
+    )
+    return j.agg(
+        (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l1
+JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l1.l_quantity < (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(15,2))) AS DOUBLE)
+             / COUNT(l2.l_quantity) * 0.5
+    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+# ---------------------------------------------------- q18: IN + HAVING (spark.sql)
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 150)
+        GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 50
+        """
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 150)
+GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+"""
+
+# ---------------------------------------------------- q22: scalar subquery + anti
+
+
+def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above the positive-balance average with no 2000+ order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pos = cust.where(F.col("c_acctbal") > 0)
+    avg_bal = (
+        pos.agg(
+            (F.sum(F.col("c_acctbal").cast("decimal(15,2)")).cast("double")
+             / F.count("c_acctbal")).alias("ab")
+        )
+    )
+    recent = orders.where(F.year("o_orderdate") >= 2000)
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(15,2)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(15,2))) AS DOUBLE) / COUNT(c2.c_acctbal)
+    FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND year(o_orderdate) >= 2000)
+GROUP BY c_nationkey
+"""
+
+# ---------------------------------------------------- correlated scalar per-row
+
+
+def q_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their own nation's average balance (correlated
+    scalar subquery → window/groupBy-join decorrelation)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat_avg = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(15,2)")).cast("double")
+         / F.count("c_acctbal")).alias("nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(nat_avg), cust.c_nationkey == F.col("nk"))
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+        .orderBy("c_nationkey")
+    )
+
+
+Q_ABOVE_NATION_AVG_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_above
+FROM customer c
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(15,2))) AS DOUBLE) / COUNT(c2.c_acctbal)
+  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY c_nationkey
+"""
+
+# ---------------------------------------------------- approx sketches
+# approx_count_distinct is estimation — excluded from hash-match per
+# FIXTURES.md; we pin rsd and compare against DuckDB approx_count_distinct
+# only on row count/schema by returning BOTH approx and exact so the
+# oracle can at least hash the exact columns... no: hash covers all
+# columns. Instead expose the approx value bucketed to its guaranteed
+# accuracy band so both engines agree: with 1500+ distinct keys and
+# rsd=0.01... still not bit-stable. We therefore check CARDINALITY
+# CLASS (exact distinct vs approx within 5%) computed inside the
+# query, which IS deterministic: a boolean, not the sketch value.
+
+
+def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_d"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_d"),
+    )
+    return per_flag.select(
+        "l_returnflag",
+        "exact_d",
+        (
+            (F.abs(F.col("approx_d") - F.col("exact_d")) / F.col("exact_d")) < 0.05
+        ).alias("approx_within_5pct"),
+    ).orderBy("l_returnflag")
+
+
+Q_APPROX_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_d,
+       CAST(abs(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey)) AS DOUBLE)
+         / COUNT(DISTINCT l_orderkey) < 0.05 AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+QUERIES = {
+    "q04_order_priority": QuerySpec(q04_order_priority, Q04_SQL, "EXISTS + date-range semi"),
+    "q17_small_quantity_revenue": QuerySpec(
+        q17_small_quantity_revenue, Q17_SQL, "correlated scalar subquery"
+    ),
+    "q18_large_volume_customers": QuerySpec(
+        q18_large_volume_customers, Q18_SQL, "IN + HAVING via spark.sql"
+    ),
+    "q22_idle_wealthy_customers": QuerySpec(
+        q22_idle_wealthy_customers, Q22_SQL, "scalar subquery + anti join"
+    ),
+    "q_above_nation_avg": QuerySpec(
+        q_above_nation_avg, Q_ABOVE_NATION_AVG_SQL, "correlated per-group scalar"
+    ),
+    "q_approx_distinct_check": QuerySpec(
+        q_approx_distinct_check, Q_APPROX_SQL, "approx_count_distinct accuracy band"
+    ),
+}

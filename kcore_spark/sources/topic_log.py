@@ -162,6 +162,9 @@ class TopicLog:
         if "headers" not in df.columns:
             df = df.withColumn("headers", F.lit(None).cast("map<string,binary>"))
         out = df.select("key", "value", "partition", "offset", "timestamp", "timestampType", "headers")
+        return self._write_and_advance(topic, wm, out)
+
+    def _write_and_advance(self, topic: str, wm: dict[int, int], out: DataFrame) -> dict[int, int]:
         out.write.mode("append").partitionBy("partition").parquet(self._topic_dir(topic) + "/data")
         new_wm = {
             r["partition"]: r["hi"] + 1
@@ -170,6 +173,17 @@ class TopicLog:
         merged = {p: max(wm.get(p, 0), new_wm.get(p, wm.get(p, 0))) for p in wm}
         self._set_watermarks(topic, merged)
         return merged
+
+    def append_raw(self, topic: str, records: DataFrame) -> dict[int, int]:
+        """Append records that already carry (partition, offset) — the
+        flush path from the wire log, which assigned offsets at accept
+        time. The caller owns offset density; watermarks advance to
+        max(offset)+1 per partition."""
+        wm = self._watermarks(topic)
+        out = records.select(
+            "key", "value", "partition", "offset", "timestamp", "timestampType", "headers"
+        )
+        return self._write_and_advance(topic, wm, out)
 
     # ------------------------------------------------------ fetch / offsets
 
