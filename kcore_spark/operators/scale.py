@@ -20,6 +20,8 @@ These exist for the 100 TB case:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -56,7 +58,19 @@ def salted_join(
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, num_buckets: int = 8
 ) -> None:
-    """Materialize a bucketed+sorted table (one-time layout shuffle)."""
+    """Materialize a bucketed+sorted table (one-time layout shuffle).
+
+    Drops any previous incarnation including an orphaned warehouse
+    directory left by a dead session (managed-table locations survive
+    the catalog that knew about them)."""
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
     (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, bucket_col)
