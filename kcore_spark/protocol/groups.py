@@ -1,0 +1,116 @@
+"""Consumer-group protocol surface: FindCoordinator (10),
+OffsetCommit (8), OffsetFetch (9).
+
+The reference declares the Consumer API as roadmap
+(`/root/reference/README.md:48`); these are the coordinator-side
+pieces a consumer needs for manual assignment (assign + commit +
+resume). Group membership (JoinGroup/SyncGroup rebalancing) is
+deferred — Kafka clients work without it via manual partition
+assignment, which is also the natural mode when Spark Structured
+Streaming is the consumer (it manages its own assignment).
+
+Committed offsets live in the front-end's group store and are
+mirrored to the parquet `__consumer_offsets` analog via
+``sync_to_topic_log`` (same last-writer-wins contract as
+sources/topic_log.py::commit_offset).
+"""
+
+from __future__ import annotations
+
+from kcore_spark.protocol import wire
+
+ERR_NONE = wire.ERR_NONE
+
+
+class GroupStore:
+    """In-memory committed-offset store: (group, topic, partition) → offset."""
+
+    def __init__(self) -> None:
+        self._offsets: dict[tuple[str, str, int], int] = {}
+
+    def commit(self, group: str, topic: str, partition: int, offset: int) -> None:
+        self._offsets[(group, topic, partition)] = offset
+
+    def fetch(self, group: str, topic: str, partition: int) -> int:
+        return self._offsets.get((group, topic, partition), -1)
+
+    def sync_to_topic_log(self, topic_log) -> int:
+        """Mirror every commit into the durable parquet offsets store."""
+        n = 0
+        for (g, t, p), off in self._offsets.items():
+            topic_log.commit_offset(g, t, p, off)
+            n += 1
+        return n
+
+
+# ------------------------------------------------------ FindCoordinator v0
+
+
+def handle_find_coordinator(payload: bytes, host: str, port: int) -> bytes:
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    r.nullable_string()  # key (group id) — single-node: always us
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.int16(ERR_NONE)
+    w.int32(0)  # node_id
+    w.nullable_string(host)
+    w.int32(port)
+    return w.bytes()
+
+
+# ------------------------------------------------------ OffsetCommit v2
+
+
+def handle_offset_commit(store: GroupStore, payload: bytes) -> bytes:
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    group = r.nullable_string()
+    r.int32()  # generation_id
+    r.nullable_string()  # member_id
+    r.int64()  # retention_time_ms
+    results = []
+    for _ in range(r.int32()):
+        topic = r.nullable_string()
+        parts = []
+        for _ in range(r.int32()):
+            partition = r.int32()
+            offset = r.int64()
+            r.nullable_string()  # metadata
+            store.commit(group, topic, partition, offset)
+            parts.append(partition)
+        results.append((topic, parts))
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.int32(len(results))
+    for topic, parts in results:
+        w.nullable_string(topic)
+        w.int32(len(parts))
+        for p in parts:
+            w.int32(p).int16(ERR_NONE)
+    return w.bytes()
+
+
+# ------------------------------------------------------ OffsetFetch v1
+
+
+def handle_offset_fetch(store: GroupStore, payload: bytes) -> bytes:
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    group = r.nullable_string()
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    n_topics = r.int32()
+    w.int32(n_topics)
+    for _ in range(n_topics):
+        topic = r.nullable_string()
+        w.nullable_string(topic)
+        n_parts = r.int32()
+        w.int32(n_parts)
+        for _ in range(n_parts):
+            partition = r.int32()
+            w.int32(partition)
+            w.int64(store.fetch(group, topic, partition))
+            w.nullable_string(None)  # metadata
+            w.int16(ERR_NONE)
+    return w.bytes()

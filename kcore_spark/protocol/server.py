@@ -36,8 +36,11 @@ class KafkaFrontend:
 
         self.host = host
         self.port = port
+        from kcore_spark.protocol.groups import GroupStore
+
         self.topic_log = topic_log
         self.wire_log = wire_log if wire_log is not None else WireLog()
+        self.group_store = GroupStore()
         self._server: asyncio.AbstractServer | None = None
 
     # ------------------------------------------------------ lifecycle
@@ -102,6 +105,18 @@ class KafkaFrontend:
             from kcore_spark.protocol.broker import handle_fetch
 
             return handle_fetch(self.wire_log, payload)
+        if api_key == wire.OFFSET_COMMIT_KEY and api_version == 2:
+            from kcore_spark.protocol.groups import handle_offset_commit
+
+            return handle_offset_commit(self.group_store, payload)
+        if api_key == wire.OFFSET_FETCH_KEY and api_version == 1:
+            from kcore_spark.protocol.groups import handle_offset_fetch
+
+            return handle_offset_fetch(self.group_store, payload)
+        if api_key == wire.FIND_COORDINATOR_KEY and api_version == 0:
+            from kcore_spark.protocol.groups import handle_find_coordinator
+
+            return handle_find_coordinator(payload, self.host, self.port)
         # Kafka answers an unsupported API with an ApiVersions-shaped
         # error so clients can renegotiate; the reference kills the
         # connection here (kafka_api.go:95-96) — deliberate deviation.

@@ -27,6 +27,9 @@ API_VERSIONS_KEY = 18
 METADATA_KEY = 3
 PRODUCE_KEY = 0
 FETCH_KEY = 1
+OFFSET_COMMIT_KEY = 8
+OFFSET_FETCH_KEY = 9
+FIND_COORDINATOR_KEY = 10
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
@@ -38,6 +41,9 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (PRODUCE_KEY, 3, 6),
     (FETCH_KEY, 4, 4),
     (METADATA_KEY, 0, 1),
+    (OFFSET_COMMIT_KEY, 2, 2),
+    (OFFSET_FETCH_KEY, 1, 1),
+    (FIND_COORDINATOR_KEY, 0, 0),
     (API_VERSIONS_KEY, 0, 3),
 )
 

@@ -34,6 +34,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scalars,
         setops,
         similarity,
+        sources_q,
         streaming,
         subqueries,
         text,
@@ -57,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
         topiclog,
         udfs,
         subqueries,
+        sources_q,
     ):
         for k, v in mod.QUERIES.items():
             if k in out:

@@ -239,8 +239,41 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_i
 """
 
 
+# -------------------------------------------------- from_json → MAP
+
+
+def q_events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read payload decode: props JSON → MAP<string,string>,
+    then map functions (element_at / map_keys / size)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.select(
+            "event_type",
+            F.element_at(m, "k").cast("long").alias("k"),
+            F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        )
+        .groupBy("event_type", "n_keys")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type", "n_keys")
+    )
+
+
+Q_EVENTS_PROPS_MAP_SQL = """
+SELECT event_type,
+       CAST(LEN(json_keys(props)) AS BIGINT) AS n_keys,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type, n_keys
+"""
+
+
 QUERIES = {
     "q_events_json_props": QuerySpec(q_events_json_props, Q_EVENTS_JSON_SQL, "JSON payload decode"),
+    "q_events_props_map": QuerySpec(
+        q_events_props_map, Q_EVENTS_PROPS_MAP_SQL, "from_json → MAP + map functions"
+    ),
     "q_events_tumbling_1h": QuerySpec(q_events_tumbling_1h, Q_EVENTS_TUMBLING_SQL, "tumbling window"),
     "q_events_sliding_10m": QuerySpec(q_events_sliding_10m, Q_EVENTS_SLIDING_SQL, "sliding window"),
     "q_events_sessions": QuerySpec(q_events_sessions, Q_EVENTS_SESSIONS_SQL, "sessionization"),

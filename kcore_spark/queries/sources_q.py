@@ -1,0 +1,122 @@
+"""Source coverage (SURVEY §2.3 A): CSV and JSON file sources with
+schema inference, and in-memory tables via createDataFrame — each
+round-tripped through a real file in a temp dir, then oracle-checked
+against the original fixture content.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table
+from kcore_spark.queries import QuerySpec
+
+_STAGED: dict[tuple[str, str], str] = {}
+
+
+def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write a fixture out in fmt once per (sf_dir, fmt)."""
+    key = (sf_dir, fmt)
+    if key not in _STAGED:
+        d = tempfile.mkdtemp(prefix=f"kcore_{fmt}_src_")
+        if fmt == "csv":
+            cust = load_table(spark, sf_dir, "customer")
+            cust.coalesce(4).write.mode("overwrite").option("header", True).csv(
+                os.path.join(d, "customer_csv")
+            )
+        else:
+            ev = load_table(spark, sf_dir, "events").select(
+                "event_id", "event_type", "user_id", "value"
+            )
+            ev.coalesce(4).write.mode("overwrite").json(os.path.join(d, "events_json"))
+        _STAGED[key] = d
+    return _STAGED[key]
+
+
+def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _stage(spark, sf_dir, "csv")
+    cust = spark.read.option("header", True).option("inferSchema", True).csv(
+        os.path.join(d, "customer_csv")
+    )
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(15,2)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_CSV_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _stage(spark, sf_dir, "json")
+    ev = spark.read.json(os.path.join(d, "events_json"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("sum_ids"),
+            F.count_distinct("user_id").alias("users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       COUNT(DISTINCT user_id) AS users
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_inline_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory dimension via createDataFrame, broadcast-joined."""
+    dim = spark.createDataFrame(
+        [
+            ("BUILDING", "construction"),
+            ("AUTOMOBILE", "vehicles"),
+            ("MACHINERY", "industrial"),
+            ("HOUSEHOLD", "consumer"),
+            ("FURNITURE", "consumer"),
+        ],
+        "seg string, sector string",
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(dim), cust.c_mktsegment == dim.seg)
+        .groupBy("sector")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("sector")
+    )
+
+
+Q_INLINE_DIM_SQL = """
+SELECT sector, COUNT(*) AS n_customers
+FROM customer
+JOIN (VALUES ('BUILDING','construction'), ('AUTOMOBILE','vehicles'),
+             ('MACHINERY','industrial'), ('HOUSEHOLD','consumer'),
+             ('FURNITURE','consumer')) AS dim(seg, sector)
+  ON c_mktsegment = seg
+GROUP BY sector
+"""
+
+
+QUERIES = {
+    "q_csv_source": QuerySpec(q_csv_source, Q_CSV_SQL, "CSV source + schema inference"),
+    "q_json_source": QuerySpec(q_json_source, Q_JSON_SQL, "JSON-lines source"),
+    "q_inline_dim_join": QuerySpec(q_inline_dim_join, Q_INLINE_DIM_SQL, "createDataFrame dim"),
+}

@@ -155,7 +155,61 @@ GROUP BY p.user_id
 """
 
 
+# -------------------------------------------------- custom stateful op
+# applyInPandasWithState: arbitrary per-key state kept by the engine
+# across micro-batches (the "custom stateful operator" row of §2.3 I).
+# State here: running (n_events, sum_k); each batch emits the updated
+# totals, so after availableNow replay the memory sink's last row per
+# key equals the batch aggregate — which is the oracle.
+
+
+def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdf_iter, state: GroupState):
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += int(pdf["props"].map(lambda p: _json.loads(p)["k"]).sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_k": [s]})
+
+    s = events_stream(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, n_events long, sum_k long",
+        stateStructType="n long, s long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = run_to_table(out, "update")
+    # last emission per key is the final state
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        res.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_k")
+        .orderBy("user_id")
+    )
+
+
+Q_STREAM_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "q_stream_stateful_user_stats": QuerySpec(
+        q_stream_stateful_user_stats, Q_STREAM_STATEFUL_SQL, "applyInPandasWithState"
+    ),
     "q_stream_tumbling_counts": QuerySpec(
         q_stream_tumbling_counts, Q_STREAM_TUMBLING_SQL, "streaming tumbling window"
     ),
