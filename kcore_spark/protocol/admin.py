@@ -1,0 +1,111 @@
+"""Topic-management wire APIs: CreateTopics (19), DeleteTopics (20),
+ListOffsets (2).
+
+Completes the reference's declared "Topic Management" roadmap row
+(`/root/reference/README.md:50`) at the wire level; the engine-side
+DDL lives in sources/topic_log.py. Versions: CreateTopics v0,
+DeleteTopics v0, ListOffsets v1 (non-flexible encodings).
+"""
+
+from __future__ import annotations
+
+from kcore_spark.protocol import wire
+from kcore_spark.protocol.broker import WireLog
+
+ERR_TOPIC_ALREADY_EXISTS = 36
+ERR_INVALID_PARTITIONS = 37
+ERR_UNKNOWN_TOPIC_OR_PARTITION = wire.ERR_UNKNOWN_TOPIC_OR_PARTITION
+
+EARLIEST_TIMESTAMP = -2
+LATEST_TIMESTAMP = -1
+
+
+# ------------------------------------------------------ CreateTopics v0
+
+
+def handle_create_topics(log: WireLog, payload: bytes) -> bytes:
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    results = []
+    for _ in range(r.int32()):
+        name = r.nullable_string()
+        num_partitions = r.int32()
+        r.int16()  # replication_factor (single node: ignored)
+        for _ in range(r.int32()):  # manual assignments
+            r.int32()
+            for _ in range(r.int32()):
+                r.int32()
+        for _ in range(r.int32()):  # configs
+            r.nullable_string(), r.nullable_string()
+        if name in log.topics:
+            results.append((name, ERR_TOPIC_ALREADY_EXISTS))
+        elif num_partitions < 1:
+            results.append((name, ERR_INVALID_PARTITIONS))
+        else:
+            log.create_topic(name, num_partitions)
+            results.append((name, wire.ERR_NONE))
+    r.int32()  # timeout_ms
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.int32(len(results))
+    for name, err in results:
+        w.nullable_string(name).int16(err)
+    return w.bytes()
+
+
+# ------------------------------------------------------ DeleteTopics v0
+
+
+def handle_delete_topics(log: WireLog, payload: bytes) -> bytes:
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    results = []
+    for _ in range(r.int32()):
+        name = r.nullable_string()
+        if name not in log.topics:
+            results.append((name, ERR_UNKNOWN_TOPIC_OR_PARTITION))
+        else:
+            n = log.topics.pop(name)
+            for p in range(n):
+                log._parts.pop((name, p), None)
+            results.append((name, wire.ERR_NONE))
+    r.int32()  # timeout_ms
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.int32(len(results))
+    for name, err in results:
+        w.nullable_string(name).int16(err)
+    return w.bytes()
+
+
+# ------------------------------------------------------ ListOffsets v1
+
+
+def handle_list_offsets(log: WireLog, payload: bytes) -> bytes:
+    """timestamp -2 → earliest (0), -1 → log-end offset."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    r.int32()  # replica_id
+    results = []
+    for _ in range(r.int32()):
+        name = r.nullable_string()
+        parts = []
+        for _ in range(r.int32()):
+            partition = r.int32()
+            ts = r.int64()
+            if not log.has(name, partition):
+                parts.append((partition, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, -1))
+                continue
+            hw = log.high_watermark(name, partition)
+            offset = 0 if ts == EARLIEST_TIMESTAMP else hw
+            parts.append((partition, wire.ERR_NONE, -1, offset))
+        results.append((name, parts))
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.int32(len(results))
+    for name, parts in results:
+        w.nullable_string(name)
+        w.int32(len(parts))
+        for partition, err, ts, offset in parts:
+            w.int32(partition).int16(err).int64(ts).int64(offset)
+    return w.bytes()

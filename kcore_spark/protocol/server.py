@@ -117,6 +117,18 @@ class KafkaFrontend:
             from kcore_spark.protocol.groups import handle_find_coordinator
 
             return handle_find_coordinator(payload, self.host, self.port)
+        if api_key == wire.CREATE_TOPICS_KEY and api_version == 0:
+            from kcore_spark.protocol.admin import handle_create_topics
+
+            return handle_create_topics(self.wire_log, payload)
+        if api_key == wire.DELETE_TOPICS_KEY and api_version == 0:
+            from kcore_spark.protocol.admin import handle_delete_topics
+
+            return handle_delete_topics(self.wire_log, payload)
+        if api_key == wire.LIST_OFFSETS_KEY and api_version == 1:
+            from kcore_spark.protocol.admin import handle_list_offsets
+
+            return handle_list_offsets(self.wire_log, payload)
         # Kafka answers an unsupported API with an ApiVersions-shaped
         # error so clients can renegotiate; the reference kills the
         # connection here (kafka_api.go:95-96) — deliberate deviation.

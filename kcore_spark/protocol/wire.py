@@ -27,6 +27,9 @@ API_VERSIONS_KEY = 18
 METADATA_KEY = 3
 PRODUCE_KEY = 0
 FETCH_KEY = 1
+LIST_OFFSETS_KEY = 2
+CREATE_TOPICS_KEY = 19
+DELETE_TOPICS_KEY = 20
 OFFSET_COMMIT_KEY = 8
 OFFSET_FETCH_KEY = 9
 FIND_COORDINATOR_KEY = 10
@@ -40,10 +43,13 @@ ERR_UNSUPPORTED_VERSION = 35
 SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (PRODUCE_KEY, 3, 6),
     (FETCH_KEY, 4, 4),
+    (LIST_OFFSETS_KEY, 1, 1),
     (METADATA_KEY, 0, 1),
     (OFFSET_COMMIT_KEY, 2, 2),
     (OFFSET_FETCH_KEY, 1, 1),
     (FIND_COORDINATOR_KEY, 0, 0),
+    (CREATE_TOPICS_KEY, 0, 0),
+    (DELETE_TOPICS_KEY, 0, 0),
     (API_VERSIONS_KEY, 0, 3),
 )
 

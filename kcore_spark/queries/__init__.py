@@ -40,6 +40,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
         topiclog,
         tpch,
+        tpch2,
         udfs,
         windows,
     )
@@ -47,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
     out: dict[str, QuerySpec] = {}
     for mod in (
         tpch,
+        tpch2,
         windows,
         setops,
         scalars,

@@ -1,0 +1,133 @@
+"""Topic-management wire APIs + property-based codec tests (hypothesis)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kcore_spark.protocol import wire
+from kcore_spark.protocol.records import (
+    Record,
+    decode_record_batch,
+    decode_varint,
+    encode_record_batch,
+    encode_varint,
+)
+from kcore_spark.protocol.server import KafkaFrontend
+
+
+def _create_payload(topics: list[tuple[str, int]], corr=41) -> bytes:
+    w = wire.Writer()
+    w.int16(wire.CREATE_TOPICS_KEY).int16(0).int32(corr)
+    w.nullable_string("c")
+    w.int32(len(topics))
+    for name, parts in topics:
+        w.nullable_string(name)
+        w.int32(parts)
+        w.int16(1)  # replication
+        w.int32(0)  # assignments
+        w.int32(0)  # configs
+    w.int32(30000)
+    return w.bytes()
+
+
+def _delete_payload(names: list[str], corr=42) -> bytes:
+    w = wire.Writer()
+    w.int16(wire.DELETE_TOPICS_KEY).int16(0).int32(corr)
+    w.nullable_string("c")
+    w.int32(len(names))
+    for n in names:
+        w.nullable_string(n)
+    w.int32(30000)
+    return w.bytes()
+
+
+def _list_offsets_payload(topic: str, partition: int, ts: int, corr=43) -> bytes:
+    w = wire.Writer()
+    w.int16(wire.LIST_OFFSETS_KEY).int16(1).int32(corr)
+    w.nullable_string("c")
+    w.int32(-1)
+    w.int32(1)
+    w.nullable_string(topic)
+    w.int32(1)
+    w.int32(partition).int64(ts)
+    return w.bytes()
+
+
+def _topic_errors(resp: bytes) -> dict[str, int]:
+    r = wire.Reader(resp)
+    r.int32()
+    return {r.nullable_string(): r.int16() for _ in range(r.int32())}
+
+
+def test_create_delete_lifecycle():
+    fe = KafkaFrontend()
+    assert _topic_errors(fe.handle_request(_create_payload([("a", 3), ("b", 1)]))) == {
+        "a": 0,
+        "b": 0,
+    }
+    # duplicate + invalid partitions
+    errs = _topic_errors(fe.handle_request(_create_payload([("a", 2), ("c", 0)])))
+    assert errs == {"a": 36, "c": 37}
+    assert fe.wire_log.topics == {"a": 3, "b": 1}
+    # delete one, delete unknown
+    errs = _topic_errors(fe.handle_request(_delete_payload(["a", "zz"])))
+    assert errs == {"a": 0, "zz": 3}
+    assert fe.wire_log.topics == {"b": 1}
+    assert not fe.wire_log.has("a", 0)
+
+
+def test_list_offsets_earliest_latest():
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("t", 1)
+    fe.wire_log.append("t", 0, [Record(b"k", b"v", 1) for _ in range(5)])
+
+    def last_offset(resp):
+        r = wire.Reader(resp)
+        r.int32(), r.int32(), r.nullable_string(), r.int32()
+        r.int32()  # partition
+        err = r.int16()
+        r.int64()  # ts
+        return err, r.int64()
+
+    assert last_offset(fe.handle_request(_list_offsets_payload("t", 0, -2))) == (0, 0)
+    assert last_offset(fe.handle_request(_list_offsets_payload("t", 0, -1))) == (0, 5)
+    err, _ = last_offset(fe.handle_request(_list_offsets_payload("t", 9, -1)))
+    assert err == wire.ERR_UNKNOWN_TOPIC_OR_PARTITION
+
+
+# ------------------------------------------------------ property tests
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_varint_roundtrip_property(v):
+    dec, _ = decode_varint(encode_varint(v), 0)
+    assert dec == v
+
+
+record_st = st.builds(
+    Record,
+    key=st.one_of(st.none(), st.binary(max_size=64)),
+    value=st.one_of(st.none(), st.binary(max_size=256)),
+    timestamp_ms=st.integers(min_value=0, max_value=2**42),
+    offset=st.just(0),
+    headers=st.lists(
+        st.tuples(st.text(max_size=16), st.one_of(st.none(), st.binary(max_size=32))),
+        max_size=4,
+    ),
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(record_st, min_size=1, max_size=20), st.integers(min_value=0, max_value=2**40))
+def test_record_batch_roundtrip_property(records, base):
+    batch = encode_record_batch(records, base_offset=base)
+    got_base, got, end = decode_record_batch(batch)
+    assert got_base == base
+    assert end == len(batch)
+    assert [r.offset for r in got] == [base + i for i in range(len(records))]
+    for orig, dec in zip(records, got):
+        assert dec.key == orig.key
+        assert dec.value == orig.value
+        assert dec.timestamp_ms == orig.timestamp_ms
+        assert dec.headers == orig.headers
