@@ -1,0 +1,165 @@
+"""Group-membership coordinator: JoinGroup (11), SyncGroup (14),
+Heartbeat (12), LeaveGroup (13) — all v0.
+
+Completes the reference's Consumer API roadmap row
+(`/root/reference/README.md:48`). Single-node semantics, simplified
+per KIP-62-era protocol:
+
+- first joiner becomes leader; every membership change bumps the
+  generation and invalidates older generations (ILLEGAL_GENERATION);
+- join completes immediately (no rebalance-delay barrier — with one
+  coordinator and deterministic tests there is nothing to wait for);
+- the leader pushes the full assignment map in SyncGroup; followers
+  sync to fetch theirs;
+- heartbeats validate (group, member, generation) only.
+
+Group state is in-memory, like the wire log; committed offsets live
+in groups.GroupStore (durable-synced separately).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from kcore_spark.protocol import wire
+
+ERR_ILLEGAL_GENERATION = 22
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_GROUP_ID_NOT_FOUND = 69
+
+
+@dataclass
+class GroupMembership:
+    generation: int = 0
+    members: list[str] = field(default_factory=list)  # join order; [0] is leader
+    protocols: dict[str, bytes] = field(default_factory=dict)  # member → metadata
+    protocol_name: str = ""
+    assignments: dict[str, bytes] = field(default_factory=dict)
+    next_member_seq: int = 0
+
+
+class Coordinator:
+    def __init__(self) -> None:
+        self.groups: dict[str, GroupMembership] = {}
+
+    # -------------------------------------------------- JoinGroup v0
+
+    def handle_join_group(self, payload: bytes) -> bytes:
+        r = wire.Reader(payload)
+        h = wire.decode_request_header(r, flexible=False)
+        group_id = r.nullable_string()
+        r.int32()  # session_timeout_ms
+        member_id = r.nullable_string() or ""
+        r.nullable_string()  # protocol_type
+        protocols = []
+        for _ in range(r.int32()):
+            protocols.append((r.nullable_string(), r.nullable_bytes()))
+
+        g = self.groups.setdefault(group_id, GroupMembership())
+        if member_id and member_id not in g.members:
+            return self._join_error(h.correlation_id, ERR_UNKNOWN_MEMBER_ID)
+        if not member_id:
+            member_id = f"member-{g.next_member_seq}"
+            g.next_member_seq += 1
+            g.members.append(member_id)
+            g.generation += 1
+            g.assignments.clear()  # membership changed → assignments stale
+        g.protocols[member_id] = protocols[0][1] if protocols else b""
+        g.protocol_name = protocols[0][0] if protocols else ""
+
+        leader = g.members[0]
+        w = wire.Writer()
+        w.int32(h.correlation_id)
+        w.int16(wire.ERR_NONE)
+        w.int32(g.generation)
+        w.nullable_string(g.protocol_name)
+        w.nullable_string(leader)
+        w.nullable_string(member_id)
+        member_list = g.members if member_id == leader else []
+        w.int32(len(member_list))
+        for m in member_list:
+            w.nullable_string(m)
+            w.nullable_bytes(g.protocols.get(m, b""))
+        return w.bytes()
+
+    def _join_error(self, corr: int, err: int) -> bytes:
+        w = wire.Writer()
+        w.int32(corr).int16(err).int32(-1)
+        w.nullable_string(None).nullable_string(None).nullable_string(None)
+        w.int32(0)
+        return w.bytes()
+
+    # -------------------------------------------------- SyncGroup v0
+
+    def handle_sync_group(self, payload: bytes) -> bytes:
+        r = wire.Reader(payload)
+        h = wire.decode_request_header(r, flexible=False)
+        group_id = r.nullable_string()
+        generation = r.int32()
+        member_id = r.nullable_string()
+        incoming = {}
+        for _ in range(r.int32()):
+            m = r.nullable_string()
+            incoming[m] = r.nullable_bytes()
+
+        g = self.groups.get(group_id)
+        err = wire.ERR_NONE
+        assignment: bytes | None = b""
+        if g is None:
+            err = ERR_GROUP_ID_NOT_FOUND
+        elif member_id not in g.members:
+            err = ERR_UNKNOWN_MEMBER_ID
+        elif generation != g.generation:
+            err = ERR_ILLEGAL_GENERATION
+        else:
+            if incoming and member_id == g.members[0]:  # leader distributes
+                g.assignments = dict(incoming)
+            assignment = g.assignments.get(member_id, b"")
+        w = wire.Writer()
+        w.int32(h.correlation_id)
+        w.int16(err)
+        w.nullable_bytes(assignment)
+        return w.bytes()
+
+    # -------------------------------------------------- Heartbeat v0
+
+    def handle_heartbeat(self, payload: bytes) -> bytes:
+        r = wire.Reader(payload)
+        h = wire.decode_request_header(r, flexible=False)
+        group_id = r.nullable_string()
+        generation = r.int32()
+        member_id = r.nullable_string()
+        g = self.groups.get(group_id)
+        if g is None:
+            err = ERR_GROUP_ID_NOT_FOUND
+        elif member_id not in g.members:
+            err = ERR_UNKNOWN_MEMBER_ID
+        elif generation != g.generation:
+            err = ERR_ILLEGAL_GENERATION
+        else:
+            err = wire.ERR_NONE
+        w = wire.Writer()
+        w.int32(h.correlation_id).int16(err)
+        return w.bytes()
+
+    # -------------------------------------------------- LeaveGroup v0
+
+    def handle_leave_group(self, payload: bytes) -> bytes:
+        r = wire.Reader(payload)
+        h = wire.decode_request_header(r, flexible=False)
+        group_id = r.nullable_string()
+        member_id = r.nullable_string()
+        g = self.groups.get(group_id)
+        if g is None:
+            err = ERR_GROUP_ID_NOT_FOUND
+        elif member_id not in g.members:
+            err = ERR_UNKNOWN_MEMBER_ID
+        else:
+            g.members.remove(member_id)
+            g.protocols.pop(member_id, None)
+            g.assignments.clear()
+            g.generation += 1
+            err = wire.ERR_NONE
+        w = wire.Writer()
+        w.int32(h.correlation_id).int16(err)
+        return w.bytes()

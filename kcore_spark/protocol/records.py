@@ -108,10 +108,15 @@ def _encode_record(rec: Record, base_offset: int, base_ts: int) -> bytes:
     return encode_varint(len(body)) + bytes(body)
 
 
-def encode_record_batch(records: list[Record], base_offset: int = 0) -> bytes:
+def encode_record_batch(
+    records: list[Record], base_offset: int = 0, compression: str | None = None
+) -> bytes:
     """Encode a magic-v2 batch. Offsets are assigned base_offset + i if
-    the records don't already carry absolute offsets."""
+    the records don't already carry absolute offsets. compression:
+    None or "gzip" (codec 1; the records block after the count is
+    compressed, headers stay plain — per the Kafka spec)."""
     assert records, "empty batch"
+    assert compression in (None, "gzip")
     if all(r.offset == 0 for r in records):  # assign sequentially
         recs = [
             Record(r.key, r.value, r.timestamp_ms, base_offset + i, r.headers)
@@ -123,8 +128,16 @@ def encode_record_batch(records: list[Record], base_offset: int = 0) -> bytes:
     max_ts = max(r.timestamp_ms for r in recs)
     last_delta = recs[-1].offset - base_offset
 
+    rec_block = b"".join(_encode_record(r, base_offset, base_ts) for r in recs)
+    attrs = 0
+    if compression == "gzip":
+        import gzip as _gzip
+
+        rec_block = _gzip.compress(rec_block)
+        attrs = 1
+
     payload = bytearray()
-    payload += struct.pack(">h", 0)  # attributes: no compression
+    payload += struct.pack(">h", attrs)
     payload += struct.pack(">i", last_delta)
     payload += struct.pack(">q", base_ts)
     payload += struct.pack(">q", max_ts)
@@ -132,8 +145,7 @@ def encode_record_batch(records: list[Record], base_offset: int = 0) -> bytes:
     payload += struct.pack(">h", -1)  # producerEpoch
     payload += struct.pack(">i", -1)  # baseSequence
     payload += struct.pack(">i", len(recs))
-    for r in recs:
-        payload += _encode_record(r, base_offset, base_ts)
+    payload += rec_block
 
     crc = crc32c(bytes(payload))
     after_length = (
@@ -162,8 +174,9 @@ def decode_record_batch(buf: bytes, pos: int = 0) -> tuple[int, list[Record], in
     if crc32c(buf[p:end]) != crc_stored:
         raise ValueError("record batch CRC mismatch")
     attributes = struct.unpack_from(">h", buf, p)[0]
-    if attributes & 0x07:
-        raise ValueError("compressed batches unsupported in v1")
+    codec = attributes & 0x07
+    if codec not in (0, 1):
+        raise ValueError(f"unsupported compression codec {codec}")
     p += 2
     p += 4  # lastOffsetDelta
     base_ts = struct.unpack_from(">q", buf, p)[0]
@@ -171,6 +184,12 @@ def decode_record_batch(buf: bytes, pos: int = 0) -> tuple[int, list[Record], in
     p += 8 + 8 + 2 + 4  # maxTs, producerId, producerEpoch, baseSequence
     n = struct.unpack_from(">i", buf, p)[0]
     p += 4
+    batch_end = end
+    if codec == 1:
+        import gzip as _gzip
+
+        buf = _gzip.decompress(buf[p:end])
+        p, end = 0, len(buf)
     records = []
     for _ in range(n):
         _rec_len, p = decode_varint(buf, p)
@@ -202,7 +221,7 @@ def decode_record_batch(buf: bytes, pos: int = 0) -> tuple[int, list[Record], in
         records.append(
             Record(key, value, base_ts + ts_delta, base_offset + off_delta, headers)
         )
-    return base_offset, records, end
+    return base_offset, records, batch_end
 
 
 def decode_all_batches(buf: bytes) -> list[Record]:

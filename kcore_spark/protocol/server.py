@@ -40,7 +40,10 @@ class KafkaFrontend:
 
         self.topic_log = topic_log
         self.wire_log = wire_log if wire_log is not None else WireLog()
+        from kcore_spark.protocol.coordinator import Coordinator
+
         self.group_store = GroupStore()
+        self.coordinator = Coordinator()
         self._server: asyncio.AbstractServer | None = None
 
     # ------------------------------------------------------ lifecycle
@@ -117,6 +120,14 @@ class KafkaFrontend:
             from kcore_spark.protocol.groups import handle_find_coordinator
 
             return handle_find_coordinator(payload, self.host, self.port)
+        if api_key == wire.JOIN_GROUP_KEY and api_version == 0:
+            return self.coordinator.handle_join_group(payload)
+        if api_key == wire.SYNC_GROUP_KEY and api_version == 0:
+            return self.coordinator.handle_sync_group(payload)
+        if api_key == wire.HEARTBEAT_KEY and api_version == 0:
+            return self.coordinator.handle_heartbeat(payload)
+        if api_key == wire.LEAVE_GROUP_KEY and api_version == 0:
+            return self.coordinator.handle_leave_group(payload)
         if api_key == wire.CREATE_TOPICS_KEY and api_version == 0:
             from kcore_spark.protocol.admin import handle_create_topics
 

@@ -30,6 +30,10 @@ FETCH_KEY = 1
 LIST_OFFSETS_KEY = 2
 CREATE_TOPICS_KEY = 19
 DELETE_TOPICS_KEY = 20
+JOIN_GROUP_KEY = 11
+HEARTBEAT_KEY = 12
+LEAVE_GROUP_KEY = 13
+SYNC_GROUP_KEY = 14
 OFFSET_COMMIT_KEY = 8
 OFFSET_FETCH_KEY = 9
 FIND_COORDINATOR_KEY = 10
@@ -48,6 +52,10 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (OFFSET_COMMIT_KEY, 2, 2),
     (OFFSET_FETCH_KEY, 1, 1),
     (FIND_COORDINATOR_KEY, 0, 0),
+    (JOIN_GROUP_KEY, 0, 0),
+    (HEARTBEAT_KEY, 0, 0),
+    (LEAVE_GROUP_KEY, 0, 0),
+    (SYNC_GROUP_KEY, 0, 0),
     (CREATE_TOPICS_KEY, 0, 0),
     (DELETE_TOPICS_KEY, 0, 0),
     (API_VERSIONS_KEY, 0, 3),

@@ -227,6 +227,37 @@ class TopicLog:
             self._topic_dir(topic) + "/data"
         )
 
+    # ------------------------------------------------------ compaction
+
+    def compact(self, topic: str) -> int:
+        """Log compaction: keep only the latest record per (partition,
+        key); null keys are always retained (Kafka's contract).
+
+        Offsets are preserved (a compacted log keeps original offsets
+        with holes) and watermarks don't move. One shuffle on
+        (partition, key) for the per-key argmax, then a rewrite —
+        at scale this is exactly Kafka's cleaner pass expressed as a
+        window + swap. Returns the number of retained records.
+        """
+        df = self.scan(topic)
+        w = Window.partitionBy("partition", "key").orderBy(F.col("offset").desc())
+        keyed = (
+            df.where(F.col("key").isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        compacted = keyed.unionByName(df.where(F.col("key").isNull()))
+        data_dir = self._topic_dir(topic) + "/data"
+        tmp_dir = self._topic_dir(topic) + f"/data.compact.{uuid.uuid4().hex}"
+        compacted.write.mode("overwrite").partitionBy("partition").parquet(tmp_dir)
+        n = self.spark.read.schema(RECORD_SCHEMA).parquet(tmp_dir).count()
+        import shutil
+
+        shutil.rmtree(data_dir)
+        os.rename(tmp_dir, data_dir)
+        return n
+
     # ------------------------------------------------------ consumer groups
 
     def _offsets_dir(self) -> str:

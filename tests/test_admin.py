@@ -131,3 +131,15 @@ def test_record_batch_roundtrip_property(records, base):
         assert dec.value == orig.value
         assert dec.timestamp_ms == orig.timestamp_ms
         assert dec.headers == orig.headers
+
+
+def test_gzip_record_batch_roundtrip():
+    recs = [Record(b"k%d" % i, b"v" * 100, 1000 + i) for i in range(50)]
+    plain = encode_record_batch(recs, base_offset=7)
+    gz = encode_record_batch(recs, base_offset=7, compression="gzip")
+    assert len(gz) < len(plain)  # 100-byte repeated values compress
+    base, got, end = decode_record_batch(gz)
+    assert base == 7 and end == len(gz)
+    assert [(r.key, r.value, r.timestamp_ms, r.offset) for r in got] == [
+        (r.key, b"v" * 100, 1000 + i, 7 + i) for i, r in enumerate(recs)
+    ]

@@ -128,3 +128,30 @@ def test_streaming_source_reads_log(spark, log):
         q.awaitTermination(120)
         total = spark.table(name).agg(F.sum("count")).collect()[0][0]
         assert total == 30
+
+
+def test_log_compaction_keeps_latest_per_key(spark, log):
+    import pyspark.sql.functions as SF
+
+    log.create_topic("tc", 2)
+    # two produces with overlapping keys: key k{0..6} repeats
+    log.produce("tc", _records(spark, 50), order_by=["seq"])
+    log.produce("tc", _records(spark, 50, start=100), order_by=["seq"])
+    before = log.scan("tc").count()
+    wm_before = log._watermarks("tc")
+    retained = log.compact("tc")
+    assert retained < before
+    after = log.scan("tc")
+    # exactly one record per (partition, key)
+    assert after.groupBy("partition", "key").count().where("count > 1").count() == 0
+    # the survivor is the max-offset record for its key
+    latest = (
+        log.scan("tc")
+        .groupBy("partition", "key")
+        .agg(SF.max("offset").alias("offset"))
+        .count()
+    )
+    assert retained == latest
+    # offsets preserved (holes allowed), watermarks unchanged
+    assert log._watermarks("tc") == wm_before
+    assert after.agg(SF.max("offset")).collect()[0][0] == max(wm_before.values()) - 1
