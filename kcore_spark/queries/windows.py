@@ -213,7 +213,61 @@ GROUP BY n_regionkey
 """
 
 
+# ------------------------------------------------ pivot / string agg
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns (explicit value list keeps the
+    schema static — mandatory at scale: an unbounded pivot is a
+    driver-side distinct scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(15,2)")).cast("double"))
+        .withColumnsRenamed({"F": "qty_f", "O": "qty_o", "P": "qty_p"})
+        .orderBy("l_returnflag")
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(15,2)) END) AS DOUBLE) AS qty_f,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(15,2)) END) AS DOUBLE) AS qty_o,
+       CAST(SUM(CASE WHEN l_linestatus = 'P'
+                     THEN CAST(l_quantity AS DECIMAL(15,2)) END) AS DOUBLE) AS qty_p
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg shape)."""
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        nat.groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations_csv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+Q_STRING_AGG_SQL = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+       COUNT(*) AS n
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
 QUERIES = {
+    "q_pivot_status": QuerySpec(q_pivot_status, Q_PIVOT_SQL, "pivot (static value list)"),
+    "q_string_agg_nations": QuerySpec(q_string_agg_nations, Q_STRING_AGG_SQL, "ordered listagg"),
     "q_window_topk_orders": QuerySpec(q_window_topk_orders, Q_WINDOW_TOPK_SQL, "per-group top-k"),
     "q_window_running_totals": QuerySpec(
         q_window_running_totals, Q_WINDOW_RUNNING_SQL, "lag/lead/frames"

@@ -24,7 +24,12 @@ from kcore_spark.testing import shared_spark
 SF_DIR = "/root/testdata/sf0.01"
 
 # cross joins that are intentional (bounded query-set × corpus)
-ALLOWED_NLJ = {"q_cosine_topk", "q_embedding_neardup", "q_ann_ivf_topk"}
+ALLOWED_NLJ = {
+    "q_cosine_topk",
+    "q_embedding_neardup",
+    "q_ann_ivf_topk",
+    "q22_idle_wealthy_customers",  # 1-row scalar-subquery broadcast cross
+}
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
 KNOWN_UNPUSHABLE = {
