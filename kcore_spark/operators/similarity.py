@@ -89,6 +89,27 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, vec_col: str, id_col: st
     )
 
 
+def _assign_topn(
+    df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Top-n nearest centroids per vector (multi-probe query fan-out)."""
+    c = with_norm(centroids, vec_col, id_col).withColumnsRenamed(
+        {"id": "centroid_id", "e": "ce", "nrm": "cn"}
+    )
+    v = with_norm(df, vec_col, id_col)
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "id",
+        "e",
+        "nrm",
+        "centroid_id",
+        cosine(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn")).alias("csim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= n).select(
+        "id", "e", "nrm", "centroid_id"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -96,12 +117,17 @@ def ivf_topk(
     vec_col: str,
     id_col: str,
     k: int,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-probe-1 ANN top-k: search only the query's centroid bucket."""
+    """IVF ANN top-k: search the query's ``nprobe`` nearest centroid
+    buckets. Scanned fraction ≈ nprobe/num_centroids; recall rises
+    with nprobe (measured in scripts/bench_operators.py). nprobe is
+    the standard IVF quality/cost dial — probe-1 for cheap recall,
+    probe-¼-of-K approaching exact."""
     assigned = ivf_assign(corpus, centroids, vec_col, id_col).withColumnsRenamed(
         {"id": "neighbor_id", "e": "ce", "nrm": "cn"}
     )
-    q_assigned = ivf_assign(queries, centroids, vec_col, id_col).withColumnsRenamed(
+    q_assigned = _assign_topn(queries, centroids, vec_col, id_col, nprobe).withColumnsRenamed(
         {"id": "query_id", "e": "qe", "nrm": "qn"}
     )
     sims = q_assigned.join(assigned, "centroid_id").select(

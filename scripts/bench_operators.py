@@ -1,0 +1,144 @@
+#!/usr/bin/env python3
+"""Operator strategy micro-benchmarks at sf0.1: measures the scale-path
+variant against the naive formulation of the same semantics.
+
+Prints a markdown table (consumed by SCALE.md). Each pair is checked
+for result equivalence before timing is reported.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kcore_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs, minhash_signatures, word_shingles
+from kcore_spark.operators.relational import asof_join
+from kcore_spark.operators.scale import bucketed_join, salted_join, write_bucketed
+from kcore_spark.operators.similarity import cosine_topk, ivf_topk
+from kcore_spark.testing import shared_spark
+
+SF = "/root/testdata/sf0.1"
+
+
+def t(fn):
+    t0 = time.time()
+    out = fn()
+    return out, time.time() - t0
+
+
+def main() -> None:
+    spark = shared_spark()
+    rows = []
+
+    # ---------------- as-of join: union-window vs join+argmax
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    good, t_good = t(
+        lambda: asof_join(
+            ev, orders, "user_id", "o_custkey", "ts", "o_orderdate", ["o_orderkey"], "o_orderkey"
+        ).count()
+    )
+    w = Window.partitionBy("event_id").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    naive, t_naive = t(
+        lambda: ev.join(orders, (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .count()
+    )
+    assert good == naive, (good, naive)
+    rows.append(("as-of join", "union+window (1 shuffle)", t_good, "range join + argmax", t_naive))
+
+    # ---------------- near-dup: LSH+verify vs exact all-pairs
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = word_shingles(docs, "doc_id", "text", 3).persist()
+    sh.count()
+    exact, t_exact = t(lambda: jaccard_pairs(sh, 0.8).count())
+    def lsh():
+        sigs = minhash_signatures(sh, 6).persist()
+        cands = lsh_candidate_pairs(sigs, 3, 2)
+        return cands.join(jaccard_pairs(sh, 0.8), ["id1", "id2"]).count()
+    found, t_lsh = t(lsh)
+    rows.append(
+        (f"near-dup (found {exact} pairs)", f"MinHash LSH ({found} verified)", t_lsh, "exact all-co-occurring pairs", t_exact)
+    )
+
+    # ---------------- ANN: IVF probe-1 vs brute force (+recall)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 116))
+    corpus = emb.where(F.col("vec_id") >= 116)
+    cents = emb.where(F.col("vec_id") < 16)
+    bf, t_bf = t(lambda: cosine_topk(corpus, queries, "embedding", "vec_id", 10).collect())
+    bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    for nprobe in (1, 4):
+        ivf, t_ivf = t(
+            lambda: ivf_topk(corpus, queries, cents, "embedding", "vec_id", 10, nprobe=nprobe).collect()
+        )
+        ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+        recall = len(bf_set & ivf_set) / len(bf_set)
+        rows.append(
+            (
+                f"ANN top-10 (recall {recall:.2f})",
+                f"IVF-16 probe-{nprobe}",
+                t_ivf,
+                "brute-force cosine",
+                t_bf,
+            )
+        )
+
+    # ---------------- repeated join: bucketed vs plain (broadcast off)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    od = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "bb_lineitem", "l_orderkey", 8)
+    write_bucketed(od, "bb_orders", "o_orderkey", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain, t_plain = t(
+            lambda: li.join(od, li.l_orderkey == od.o_orderkey).count()
+        )
+        bjoin = lambda: bucketed_join(
+            spark, "bb_lineitem", "bb_orders",
+            spark.table("bb_lineitem").l_orderkey == spark.table("bb_orders").o_orderkey,
+        ).count()
+        bucketed, t_bucket = t(bjoin)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert plain == bucketed
+    rows.append(("fact⋈fact join (SMJ)", "pre-bucketed (0 exchanges)", t_bucket, "shuffle join", t_plain))
+
+    # ---------------- skewed aggregation join: salted vs plain
+    skewed = spark.range(0, 2_000_000).select(
+        F.when(F.col("id") % 10 < 8, F.lit(1)).otherwise(F.col("id") % 1000).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 1000).select(F.col("id").alias("dk"), (F.col("id") * 2).alias("dv"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p, t_p = t(lambda: skewed.join(dim, skewed.k == dim.dk).agg(F.sum("dv")).collect())
+        s, t_s = t(
+            lambda: salted_join(skewed, dim, "k", "dk", 8).agg(F.sum("dv")).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert p == s
+    rows.append(("80%-hot-key join (2M rows)", "salted ×8", t_s, "plain shuffle join", t_p))
+
+    print("| operator | scale path | time | naive path | time |")
+    print("|---|---|---|---|---|")
+    for name, a, ta, b, tb in rows:
+        print(f"| {name} | {a} | {ta:.1f}s | {b} | {tb:.1f}s |")
+
+
+if __name__ == "__main__":
+    main()
