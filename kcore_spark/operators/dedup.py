@@ -38,7 +38,10 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     per shingle (measured 8× slower). slice() instead of per-word
     element_at() avoids O(len) indexing per gram. Fully map-side: no
     shuffle until the terminal distinct."""
-    pre = df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), WORD_SPLIT).alias("__ws"))
+    pre = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.col(text_col), WORD_SPLIT), lambda x: x != "").alias("__ws"),
+    )
     grams = F.transform(
         F.sequence(F.lit(1), F.size("__ws") - (n - 1)),
         lambda i: F.array_join(F.slice("__ws", i, n), " "),
@@ -117,7 +120,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     At scale the explode factor is the bit width (32×), but it stays
     a map-side projection followed by one hash aggregate on (id, bit).
     """
-    ws = F.split(F.col(text_col), WORD_SPLIT)
+    ws = F.filter(F.split(F.col(text_col), WORD_SPLIT), lambda x: x != "")
     word_df = df.select(F.col(id_col).alias("id"), F.explode(ws).alias("w")).distinct()
     h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
     bitted = word_df.select(

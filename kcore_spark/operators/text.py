@@ -29,8 +29,10 @@ MOD = 1_000_000_007
 
 
 def words(text: str | Column) -> Column:
+    """Whitespace tokens with empties dropped (leading/trailing
+    whitespace yields empty strings from split on both engines)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(c, WORD_SPLIT)
+    return F.filter(F.split(c, WORD_SPLIT), lambda x: x != "")
 
 
 def word_count(text: str | Column) -> Column:

@@ -31,6 +31,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from kcore_spark.queries import (
         dedup,
         events,
+        recursive,
         scalars,
         setops,
         similarity,
@@ -61,6 +62,7 @@ def all_queries() -> dict[str, QuerySpec]:
         udfs,
         subqueries,
         sources_q,
+        recursive,
     ):
         for k, v in mod.QUERIES.items():
             if k in out:

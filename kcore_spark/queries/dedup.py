@@ -25,7 +25,7 @@ from kcore_spark.queries import QuerySpec
 SHINGLES_CTE = """
 sh AS (
   SELECT DISTINCT doc_id AS id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS shingle
-  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws FROM documents),
        UNNEST(generate_series(1, GREATEST(len(ws) - 2, 0))) t(g)
   WHERE len(ws) >= 3)
 """
@@ -136,7 +136,7 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_SIMHASH_SQL = """
 WITH wd AS (
   SELECT DISTINCT doc_id AS id, w
-  FROM (SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS w FROM documents)),
+  FROM (SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS w FROM documents)),
 hashed AS (
   SELECT id, ('0x' || substring(md5(w), 1, 8))::BIGINT AS h FROM wd),
 bitted AS (

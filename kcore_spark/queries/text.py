@@ -34,10 +34,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_TEXT_STATS_SQL = """
 SELECT doc_id, lang,
        LENGTH(text) AS len_chars,
-       LEN(string_split_regex(text, '\\s+')) AS n_words,
+       LEN(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS n_words,
        LENGTH(regexp_replace(text, '\\s', '', 'g')) AS chars_nospace,
        CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-         / LEN(string_split_regex(text, '\\s+')) AS avg_word_len,
+         / LEN(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS avg_word_len,
        LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
 FROM documents
 """
@@ -65,7 +65,7 @@ WITH scored AS (
                         / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.2
          + LEAST(CAST(LEN(regexp_extract_all(text,
                   '\\b(the|a|of|and|to|in|is|that|it|for)\\b')) AS DOUBLE)
-                 / GREATEST(CAST(LEN(string_split_regex(text, '\\s+')) AS DOUBLE), 1.0) * 4.0,
+                 / GREATEST(CAST(LEN(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS DOUBLE), 1.0) * 4.0,
                  1.0) * 0.3
          AS score
   FROM documents)
@@ -96,7 +96,7 @@ SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
            AS total_tokens,
-       CAST(SUM(LEN(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_words,
+       CAST(SUM(LEN(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))) AS BIGINT) AS total_words,
        MAX(LENGTH(text)) AS max_chars
 FROM documents
 GROUP BY source
@@ -165,7 +165,7 @@ Q_FINGERPRINTS_SQL = """
 SELECT doc_id,
        list_reduce(
          list_prepend(0::BIGINT,
-           list_transform(string_split_regex(text, '\\s+'),
+           list_transform(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
                           w -> ('0x' || substring(md5(w), 1, 8))::BIGINT)),
          (a, x) -> (a * 31 + x) % 1000000007) AS fp
 FROM documents

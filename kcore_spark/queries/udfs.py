@@ -157,7 +157,7 @@ def q_udtf_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_UDTF_SQL = """
 SELECT LENGTH(w) AS word_len, COUNT(*) AS n_words
-FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS w FROM documents)
+FROM (SELECT UNNEST(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS w FROM documents)
 GROUP BY 1
 """
 
