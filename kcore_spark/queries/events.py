@@ -269,7 +269,48 @@ GROUP BY event_type, n_keys
 """
 
 
+# -------------------------------------------------- malformed payloads
+# Schema-on-read must survive corrupt payloads: PERMISSIVE decode maps
+# unparseable JSON to NULL (never a task failure). Corruption is
+# synthesized deterministically (every 7th event truncated) so the
+# oracle can replicate it with json_valid().
+
+
+def q_events_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bad = F.when(F.col("event_id") % 7 == 0, F.substring("props", 1, 4)).otherwise(F.col("props"))
+    parsed = F.from_json(bad, "map<string,string>")
+    return (
+        ev.select("event_type", parsed.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).cast("long").alias("n_corrupt"),
+            F.sum(F.element_at("m", "k").cast("long")).alias("sum_k_valid"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_EVENTS_CORRUPT_SQL = """
+WITH mangled AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN substring(props, 1, 4) ELSE props END AS bad
+  FROM events)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN NOT json_valid(bad) THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN json_valid(bad) THEN CAST(bad->>'k' AS BIGINT) END) AS BIGINT)
+           AS sum_k_valid
+FROM mangled
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "q_events_corrupt_json": QuerySpec(
+        q_events_corrupt_json, Q_EVENTS_CORRUPT_SQL, "PERMISSIVE decode of corrupt payloads"
+    ),
     "q_events_json_props": QuerySpec(q_events_json_props, Q_EVENTS_JSON_SQL, "JSON payload decode"),
     "q_events_props_map": QuerySpec(
         q_events_props_map, Q_EVENTS_PROPS_MAP_SQL, "from_json → MAP + map functions"
