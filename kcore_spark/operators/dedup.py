@@ -116,23 +116,34 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = BANDS, rows: int = 2) -> D
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint over distinct words (bit-vote of word hashes).
 
-    Fully relational: explode (word × bit) then two aggregations.
-    At scale the explode factor is the bit width (32×), but it stays
-    a map-side projection followed by one hash aggregate on (id, bit).
+    Single-shuffle formulation: per (id, word) compute the ±1 vote
+    VECTOR as an array column, sum vectors element-wise with a
+    zip_with merge in one aggregate keyed on id, then fold the sign
+    bits back into the fingerprint. (The earlier explode-(word×bit)
+    version carried a 32× row blowup through an extra aggregate —
+    same answer, one more shuffle; see ROADMAP.)
     """
     ws = F.filter(F.split(F.col(text_col), WORD_SPLIT), lambda x: x != "")
     word_df = df.select(F.col(id_col).alias("id"), F.explode(ws).alias("w")).distinct()
-    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
-    bitted = word_df.select(
-        "id", h.alias("h"), F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    ).select(
-        "id",
-        "b",
-        (F.expr("(h div cast(pow(2, b) as long)) % 2") * 2 - 1).alias("vote"),
+    # materialize the hash ONCE per word (HOF lambdas don't share
+    # subexpressions — inlining md5 into per-bit exprs recomputes it
+    # 32×, the word_shingles pitfall again)
+    hashed = word_df.select(
+        "id", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h")
     )
-    votes = bitted.groupBy("id", "b").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("id").agg(
+    # 32 independent ±1 vote sums: plain sums partial-aggregate
+    # map-side (collect_list wouldn't), so the shuffle carries one
+    # 32-long row per (partition, id)
+    vote_cols = [
         F.sum(
-            F.when(F.col("v") > 0, F.expr("cast(pow(2, b) as long)")).otherwise(F.lit(0))
-        ).alias("simhash")
+            (F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0).cast("long") * 2 - 1
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    summed = hashed.groupBy("id").agg(*vote_cols)
+    fingerprint = sum(
+        [F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+         for b in range(bits)],
+        F.lit(0).cast("long"),
     )
+    return summed.select("id", fingerprint.alias("simhash"))

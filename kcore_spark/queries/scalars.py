@@ -244,7 +244,82 @@ FROM nation
 """
 
 
+# ------------------------------------------------------- strings, part 2
+
+
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.substring("p_name", 1, 3).alias("left3"),
+        F.substring("p_name", -3, 3).alias("right3"),
+        F.instr("p_name", "e").cast("long").alias("pos_e"),
+        F.col("p_name").contains("red").alias("has_red"),
+        F.col("p_type").startswith("ECO").alias("eco"),
+        F.col("p_name").endswith("bolt").alias("is_bolt"),
+        F.format_string("%s#%03d", "p_brand", "p_size").alias("brand_size"),
+        F.ascii("p_brand").cast("long").alias("first_code"),
+        F.chr(F.lit(65) + (F.col("p_size") % 26)).alias("size_letter"),
+    )
+
+
+Q_STRING2_SQL = """
+SELECT p_partkey,
+       translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+       repeat('ab', 3) AS rep,
+       left(p_name, 3) AS left3,
+       right(p_name, 3) AS right3,
+       strpos(p_name, 'e') AS pos_e,
+       contains(p_name, 'red') AS has_red,
+       starts_with(p_type, 'ECO') AS eco,
+       ends_with(p_name, 'bolt') AS is_bolt,
+       printf('%s#%03d', p_brand, p_size) AS brand_size,
+       ascii(p_brand) AS first_code,
+       chr(65 + (p_size % 26)) AS size_letter
+FROM part
+"""
+
+# ------------------------------------------------------- agg extras
+
+
+def q_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (with a unique ordering value so the argmax is
+    well-defined), bool_and/bool_or."""
+    orders = load_table(spark, sf_dir, "orders")
+    # cents*1e7 + orderkey: integer-exact in double, unique per row
+    ordval = F.round(F.col("o_totalprice") * 100).cast("long") * 10000000 + F.col("o_orderkey")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", ordval).alias("priciest_order"),
+            F.min_by("o_orderkey", ordval).alias("cheapest_order"),
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_AGG_EXTRAS_SQL = """
+SELECT o_orderstatus,
+       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+           AS priciest_order,
+       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+           AS cheapest_order,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "q_string_funcs2": QuerySpec(q_string_funcs2, Q_STRING2_SQL, "string surface, part 2"),
+    "q_agg_extras": QuerySpec(q_agg_extras, Q_AGG_EXTRAS_SQL, "max_by/min_by/bool aggs"),
     "q_string_funcs": QuerySpec(q_string_funcs, Q_STRING_SQL, "string function surface"),
     "q_date_funcs": QuerySpec(q_date_funcs, Q_DATE_SQL, "date function surface"),
     "q_datediff_fulfillment": QuerySpec(q_datediff_fulfillment, Q_DATEDIFF_SQL, "datediff+agg"),
