@@ -243,6 +243,34 @@ GROUP BY l_returnflag
 """
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (Spark 4 DataFrame.unpivot / SQL UNPIVOT)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(money("o_totalprice")).cast("double").alias("total_price"),
+        (F.sum(money("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_orders", "total_price", "avg_price"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).orderBy("o_orderstatus", "metric")
+
+
+Q_UNPIVOT_SQL = """
+UNPIVOT (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_price,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_price
+  FROM orders GROUP BY o_orderstatus)
+ON n_orders, total_price, avg_price
+INTO NAME metric VALUE val
+"""
+
+
 def q_string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (listagg shape)."""
     nat = load_table(spark, sf_dir, "nation")
@@ -267,6 +295,7 @@ GROUP BY n_regionkey
 
 QUERIES = {
     "q_pivot_status": QuerySpec(q_pivot_status, Q_PIVOT_SQL, "pivot (static value list)"),
+    "q_unpivot_metrics": QuerySpec(q_unpivot_metrics, Q_UNPIVOT_SQL, "unpivot wide→long"),
     "q_string_agg_nations": QuerySpec(q_string_agg_nations, Q_STRING_AGG_SQL, "ordered listagg"),
     "q_window_topk_orders": QuerySpec(q_window_topk_orders, Q_WINDOW_TOPK_SQL, "per-group top-k"),
     "q_window_running_totals": QuerySpec(
