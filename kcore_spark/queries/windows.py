@@ -260,14 +260,13 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_UNPIVOT_SQL = """
-UNPIVOT (
-  SELECT o_orderstatus,
-         CAST(COUNT(*) AS DOUBLE) AS n_orders,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_price,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_price
-  FROM orders GROUP BY o_orderstatus)
-ON n_orders, total_price, avg_price
-INTO NAME metric VALUE val
+SELECT o_orderstatus, metric, val
+FROM (SELECT o_orderstatus,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_price,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      FROM orders GROUP BY o_orderstatus)
+UNPIVOT (val FOR metric IN (n_orders, total_price, avg_price))
 """
 
 
