@@ -178,7 +178,12 @@ class KafkaFrontend:
 
 
 async def serve_forever(host: str = "127.0.0.1", port: int = 9092) -> None:
+    """Run until SIGINT/SIGTERM, then stop the listener gracefully —
+    the reference's main-loop shape (flag parsing, signal-cancelled
+    context, listener close: `cmd/kcore/main.go:43-82`,
+    `pkg/server/server.go:85-98`)."""
     import os
+    import signal
 
     fe = KafkaFrontend(host, port)
     # standalone bootstrap topics: KCORE_TOPICS="name:partitions,..."
@@ -186,11 +191,31 @@ async def serve_forever(host: str = "127.0.0.1", port: int = 9092) -> None:
         name, _, n = spec.partition(":")
         fe.wire_log.create_topic(name.strip(), int(n or 1))
     await fe.start()
-    assert fe._server is not None
-    async with fe._server:
-        await fe._server.serve_forever()
+    log.info("kcore_spark front-end listening on %s:%d", fe.host, fe.port)
+    stop = asyncio.Event()
+    loop = asyncio.get_running_loop()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        loop.add_signal_handler(sig, stop.set)
+    await stop.wait()
+    log.info("shutting down")
+    await fe.stop()
+
+
+def main() -> None:
+    import argparse
+
+    # same flag surface as the reference binary (cmd/kcore/main.go:37-41)
+    ap = argparse.ArgumentParser(description="kcore_spark Kafka-protocol front-end")
+    ap.add_argument("-address", "--address", default="127.0.0.1")
+    ap.add_argument("-port", "--port", type=int, default=9092)
+    ap.add_argument("-verbose", "--verbose", action="store_true")
+    args = ap.parse_args()
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format='{"time":"%(asctime)s","level":"%(levelname)s","msg":"%(message)s"}',
+    )
+    asyncio.run(serve_forever(args.address, args.port))
 
 
 if __name__ == "__main__":
-    logging.basicConfig(level=logging.INFO)
-    asyncio.run(serve_forever())
+    main()
