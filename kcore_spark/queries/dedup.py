@@ -149,7 +149,43 @@ FROM votes GROUP BY id
 """
 
 
+# ---------------------------------------- stop-shingle-filtered Jaccard
+# The documented mitigation for hot-shingle skew at scale (SCALE.md):
+# drop shingles whose document frequency exceeds a cutoff before the
+# pair join. Different (slightly stricter) semantics than the exact
+# query — kept as its own inventory entry so both are oracle-pinned.
+
+
+def q_near_dup_jaccard_df_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    max_df = 20
+    keep = sh.groupBy("shingle").count().where(F.col("count") <= max_df).select("shingle")
+    filtered = sh.join(F.broadcast(keep), "shingle").persist()
+    return jaccard_pairs(filtered, min_jaccard=0.8).orderBy("id1", "id2")
+
+
+Q_NEAR_DUP_DF_SQL = f"""
+WITH {SHINGLES_CTE},
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
+fsh AS (SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT id, COUNT(*) AS sz FROM fsh GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id1, id2, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id1
+JOIN sizes sb ON sb.id = id2
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+"""
+
+
 QUERIES = {
+    "q_near_dup_jaccard_df_filtered": QuerySpec(
+        q_near_dup_jaccard_df_filtered, Q_NEAR_DUP_DF_SQL, "doc-freq-filtered Jaccard (skew cutoff)"
+    ),
     "q_dedup_exact": QuerySpec(q_dedup_exact, Q_DEDUP_EXACT_SQL, "exact dedup via sha256"),
     "q_near_dup_jaccard": QuerySpec(q_near_dup_jaccard, Q_NEAR_DUP_SQL, "n-gram Jaccard pairs"),
     "q_minhash_lsh_pairs": QuerySpec(q_minhash_lsh_pairs, Q_MINHASH_SQL, "MinHash LSH + verify"),

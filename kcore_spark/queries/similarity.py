@@ -123,7 +123,41 @@ QUALIFY rank <= 3
 """
 
 
+# -------------------------------------------------- label centroids
+# Embedding pooling (mean vector per label) — the training-data op
+# behind class prototypes / nearest-class-mean. Element values are
+# rounded to 12 dp decimals before the exact sum so the per-group
+# accumulation order (nondeterministic at scale) can't change bits.
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))).alias(
+                "centroid_val"
+            ),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+Q_LABEL_CENTROIDS_SQL = """
+SELECT label, pos - 1 AS pos,
+       CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS centroid_val,
+       COUNT(*) AS n_vecs
+FROM (SELECT label, UNNEST(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+GROUP BY label, pos
+"""
+
+
 QUERIES = {
+    "q_label_centroids": QuerySpec(q_label_centroids, Q_LABEL_CENTROIDS_SQL, "embedding mean-pooling"),
     "q_cosine_topk": QuerySpec(q_cosine_topk, Q_COSINE_TOPK_SQL, "exact cosine top-k"),
     "q_embedding_neardup": QuerySpec(q_embedding_neardup, Q_EMB_NEARDUP_SQL, "cosine near-dup pairs"),
     "q_ann_ivf_topk": QuerySpec(q_ann_ivf_topk, Q_ANN_IVF_SQL, "IVF-Flat ANN (probe-1)"),

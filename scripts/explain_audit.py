@@ -37,6 +37,7 @@ KNOWN_UNPUSHABLE = {
     "q_events_dedup_first",
     "q_like_filters",
     "q_near_dup_jaccard",
+    "q_near_dup_jaccard_df_filtered",
     "q_minhash_lsh_pairs",
 }
 # row-at-a-time Python is the point of these two (surface demos)
