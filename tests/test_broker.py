@@ -208,3 +208,39 @@ def test_flush_bridge_to_parquet_log(spark, tmp_path):
     wl.flush_to_topic_log(spark, tlog, "t")
     assert tlog._watermarks("t")[0] == 4
     assert tlog.fetch("t", 0, 3, 10).select(F.col("offset")).collect()[0][0] == 3
+
+
+# ------------------------------------------------------ handler properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_rec = st.builds(
+    Record,
+    key=st.one_of(st.none(), st.binary(max_size=32)),
+    value=st.one_of(st.none(), st.binary(max_size=64)),
+    timestamp_ms=st.integers(min_value=0, max_value=2**41),
+    offset=st.just(0),
+    headers=st.just([]),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_rec, min_size=1, max_size=8), st.lists(_rec, min_size=1, max_size=8))
+def test_produce_fetch_handler_property(batch1, batch2):
+    """Any two produced batches fetch back byte-identical with dense,
+    contiguous offsets across the batches."""
+    log = WireLog()
+    log.create_topic("t", 1)
+    for b in (batch1, batch2):
+        resp = handle_produce(log, _produce_payload("t", 0, encode_record_batch(b)))
+        _, results, _ = decode_produce_response(resp)
+        assert results[0][1][0][1] == wire.ERR_NONE
+    fr = handle_fetch(log, _fetch_payload("t", 0, 0))
+    _, out = decode_fetch_response(fr)
+    recs = decode_all_batches(out[0][1][0][3])
+    want = batch1 + batch2
+    assert [r.offset for r in recs] == list(range(len(want)))
+    assert [(r.key, r.value, r.timestamp_ms) for r in recs] == [
+        (w.key, w.value, w.timestamp_ms) for w in want
+    ]
