@@ -40,8 +40,27 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Defensively pin the session confs correctness depends on —
+    the driver's verify harness builds its own SparkSession, which may
+    not carry session.py's config:
+
+    - nanosAsLong: without it, reading the ns-timestamp events table
+      throws PARQUET_TYPE_ILLEGAL;
+    - UTC session timezone: epoch/unix_timestamp outputs are
+      timezone-dependent, and the DuckDB oracle treats naive
+      timestamps as UTC.
+
+    Both are runtime-settable session confs (verified); setting them
+    repeatedly is idempotent.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, applying engine type normalizations."""
+    ensure_engine_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # ns → µs truncation; integer `div` — float division loses ns

@@ -38,6 +38,9 @@ def _staged_events_dir(sf_dir: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture with the engine's type
     normalization (ns-long → µs timestamp), mirroring catalog.load_table."""
+    from kcore_spark.catalog import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(static.schema).parquet(_staged_events_dir(sf_dir))
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
