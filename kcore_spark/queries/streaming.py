@@ -40,6 +40,34 @@ FROM events
 GROUP BY 1, 2
 """
 
+# -------------------------------------------------- sliding window
+
+
+def q_stream_sliding_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    # count_distinct is unsupported on streams; use an exact decimal sum
+    agg = s.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    out = run_to_table(agg, "complete")
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"), "n", "sum_value"
+    ).orderBy("window_start")
+
+
+Q_STREAM_SLIDING_SQL = """
+SELECT ws AS window_start, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT value,
+         UNNEST([b, b - 300]) AS ws
+  FROM (SELECT value,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 AS BIGINT) AS b
+        FROM events))
+GROUP BY ws
+"""
+
 # -------------------------------------------------- streaming dedup
 
 
@@ -212,6 +240,9 @@ QUERIES = {
     ),
     "q_stream_tumbling_counts": QuerySpec(
         q_stream_tumbling_counts, Q_STREAM_TUMBLING_SQL, "streaming tumbling window"
+    ),
+    "q_stream_sliding_10m": QuerySpec(
+        q_stream_sliding_10m, Q_STREAM_SLIDING_SQL, "streaming sliding window"
     ),
     "q_stream_dedup_counts": QuerySpec(
         q_stream_dedup_counts, Q_STREAM_DEDUP_SQL, "dropDuplicatesWithinWatermark"
