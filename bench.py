@@ -58,9 +58,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("kcore_spark_bench")
-    # Warm the JVM (classloading, codegen compiler, parquet footer cache)
-    # with a trivial job so per-query timings measure the queries.
+    # Warm the JVM (classloading, codegen compiler, parquet reader and
+    # decimal-aggregate codepaths) with trivial jobs so per-query
+    # timings measure the queries, not first-use initialization.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).selectExpr(
+        "sum(cast(r_regionkey as decimal(15,2)))"
+    ).collect()
     qs = all_queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

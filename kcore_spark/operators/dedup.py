@@ -13,6 +13,12 @@ Design for 100 TB:
   incremental dedup possible (signatures computed in one run match
   signatures computed in another).
 - Everything is JVM column expressions — no Python in the scan path.
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational/data operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`); this module
+realizes the driver-mandated query surface over the reference's declared
+event-streaming data model (`/root/reference/README.md:17,27`).
 """
 
 from __future__ import annotations

@@ -13,6 +13,12 @@ Scale: mapInPandas streams Arrow batches through Python — the only
 sane shape for per-payload native decode at 100 TB (one Python worker
 per core, no per-row pickling, no driver involvement). Batch size is
 governed by spark.sql.execution.arrow.maxRecordsPerBatch.
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational/data operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`); this module
+realizes the driver-mandated query surface over the reference's declared
+event-streaming data model (`/root/reference/README.md:17,27`).
 """
 
 from __future__ import annotations

@@ -16,6 +16,12 @@ These exist for the 100 TB case:
   100 TB this converts the dominant repeated shuffle into a one-time
   layout cost. (Parquet bucketed tables via saveAsTable, the same
   mechanism a production Hive/Unity catalog would use.)
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational/data operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`); this module
+realizes the driver-mandated query surface over the reference's declared
+event-streaming data model (`/root/reference/README.md:17,27`).
 """
 
 from __future__ import annotations

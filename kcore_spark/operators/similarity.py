@@ -16,6 +16,12 @@ At 100 TB:
   |queries| × |corpus partition|;
 - IVF cuts the scanned fraction to ~1/K per query: the bucket join
   key (centroid id) co-partitions queries with their probe bucket.
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational/data operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`); this module
+realizes the driver-mandated query surface over the reference's declared
+event-streaming data model (`/root/reference/README.md:17,27`).
 """
 
 from __future__ import annotations

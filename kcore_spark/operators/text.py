@@ -4,6 +4,12 @@ All operators are pure column expressions (JVM-side, codegen'd) — no
 Python UDFs anywhere, so a 100 TB documents scan stays in whole-stage
 codegen. Hashes are portable arithmetic (md5-hex → int) so the DuckDB
 oracle can replicate them bit-for-bit.
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational/data operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`); this module
+realizes the driver-mandated query surface over the reference's declared
+event-streaming data model (`/root/reference/README.md:17,27`).
 """
 
 from __future__ import annotations

@@ -8,6 +8,11 @@ topic log with their wire-assigned offsets preserved, which is where
 Spark analytics (and the Structured Streaming source) pick them up.
 This is exactly Kafka's own shape: page-cache log + async flush,
 with Spark playing the consumer-of-record role.
+
+Provenance: Produce/Fetch are declared-unimplemented in the reference
+(`/root/reference/README.md:47-48`); record encoding was delegated to its
+absent sarama fork (`/root/reference/go.mod:10,51`) — records.py is the
+from-scratch public-spec codec these handlers sit on.
 """
 
 from __future__ import annotations

@@ -7,6 +7,12 @@ queries/streaming.py produce the same answers via availableNow replay.
 
 Windows are surfaced as epoch-second BIGINT starts: Spark's window()
 struct and DuckDB's date_trunc differ in type but not in instant.
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational/data operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`); this module
+realizes the driver-mandated query surface over the reference's declared
+event-streaming data model (`/root/reference/README.md:17,27`).
 """
 
 from __future__ import annotations

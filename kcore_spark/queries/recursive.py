@@ -10,6 +10,12 @@ each step is a join against the previous frontier. Depth is bounded
 by max orders per customer (~10 at these SFs); the frontier shrinks
 monotonically. For deep graphs the iterative DataFrame loop with
 checkpointing is the fallback; for this workload the CTE is exact.
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational/data operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`); this module
+realizes the driver-mandated query surface over the reference's declared
+event-streaming data model (`/root/reference/README.md:17,27`).
 """
 
 from __future__ import annotations

@@ -2,6 +2,12 @@
 schema inference, and in-memory tables via createDataFrame — each
 round-tripped through a real file in a temp dir, then oracle-checked
 against the original fixture content.
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational/data operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`); this module
+realizes the driver-mandated query surface over the reference's declared
+event-streaming data model (`/root/reference/README.md:17,27`).
 """
 
 from __future__ import annotations

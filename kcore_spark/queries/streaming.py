@@ -5,6 +5,10 @@ with availableNow into a memory sink, and returns the materialized
 result — so the driver's batch-style harness (and DuckDB oracle) can
 check genuine streaming executions: watermarks, windowed state,
 streaming dedup, stream-static and stream-stream joins.
+
+Provenance: SURVEY §2.3-I. The reference declares the event-streaming
+platform (`/root/reference/README.md:17,27`) with no stream processing;
+this is the Structured Streaming realization of that declared model.
 """
 
 from __future__ import annotations

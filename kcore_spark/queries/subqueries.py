@@ -5,6 +5,12 @@ Catalyst decorrelates these into joins/aggregates; the point of the
 block is that the decorrelation is exercised and oracle-checked.
 q18 runs through ``spark.sql`` on registered temp views to cover the
 SQL-string surface (everything else uses the DataFrame API).
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational/data operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`); this module
+realizes the driver-mandated query surface over the reference's declared
+event-streaming data model (`/root/reference/README.md:17,27`).
 """
 
 from __future__ import annotations

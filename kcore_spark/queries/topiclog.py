@@ -5,6 +5,10 @@ user_id % 3, offsets ordered by event_id) and read back through the
 Fetch/ListOffsets operators. The oracle recomputes the same offsets
 relationally (row_number per partition) — so the whole offset-
 assignment + pruned-scan path is hash-checked, not just smoke-tested.
+
+Provenance: Produce/Fetch/ListOffsets are reference roadmap rows
+(`/root/reference/README.md:47-48`); offset semantics follow the Kafka
+model the reference targets (`/root/reference/README.md:17`).
 """
 
 from __future__ import annotations

@@ -3,6 +3,12 @@
 TPC-H-shaped queries adapted to the fixture schema. Plan notes for the
 100 TB case are on each query: which side broadcasts, where the one
 shuffle lands, what pushes down to the parquet scan.
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational/data operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`); this module
+realizes the driver-mandated query surface over the reference's declared
+event-streaming data model (`/root/reference/README.md:17,27`).
 """
 
 from __future__ import annotations

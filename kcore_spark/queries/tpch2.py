@@ -1,6 +1,12 @@
 """Second TPC-H-shaped batch (Q7/Q8/Q12/Q14/Q16/Q19 adaptations):
 two-sided dimension conditions, conditional-aggregate market share,
 NOT IN subqueries, disjunctive multi-predicate pushdown.
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational/data operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`); this module
+realizes the driver-mandated query surface over the reference's declared
+event-streaming data model (`/root/reference/README.md:17,27`).
 """
 
 from __future__ import annotations

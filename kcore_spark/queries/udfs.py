@@ -5,6 +5,12 @@ pandas_udf, applyInPandas (grouped map), mapInPandas, and UDTF — each
 under the oracle gate where the arithmetic is portable (integers).
 These exist to prove the surface; the engine's own operators stay on
 JVM expressions (UDFs are the slow path, per the project rules).
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational/data operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`); this module
+realizes the driver-mandated query surface over the reference's declared
+event-streaming data model (`/root/reference/README.md:17,27`).
 """
 
 from __future__ import annotations

@@ -5,6 +5,12 @@ tie-break key) so rank/lag/running values are engine-independent.
 Frame sums use exact decimals — Spark recomputes bounded frames while
 DuckDB uses segment trees, so double sums would differ in association
 order; decimals are associative-exact.
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational/data operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`); this module
+realizes the driver-mandated query surface over the reference's declared
+event-streaming data model (`/root/reference/README.md:17,27`).
 """
 
 from __future__ import annotations

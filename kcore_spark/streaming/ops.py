@@ -9,6 +9,9 @@ operators at all (SURVEY §5).
 In production the same pipelines run with a real trigger; nothing in
 the query shape changes — availableNow vs processingTime is a replay
 policy, not a semantics change.
+
+Provenance: SURVEY §2.3-I / §5 (availableNow determinism is our test
+strategy extension; the reference has no streaming execution at all).
 """
 
 from __future__ import annotations
