@@ -1,0 +1,24 @@
+"""The composed curation pipeline holds its invariants end-to-end."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo/scripts")
+
+from pipeline_demo import run
+
+from .conftest import SF_DIR_MED
+
+
+def test_pipeline_invariants(spark):
+    s = run(SF_DIR_MED)
+    # monotone shrinkage through the cleaning stages
+    assert s["raw"] >= s["after_exact_dedup"] >= s["after_near_dedup"] >= s["after_quality_filter"]
+    # near-dedup actually removed the planted near-duplicates
+    assert s["after_near_dedup"] < s["after_exact_dedup"]
+    # everything surviving has an embedding (1:1 doc↔vec at fixture SFs)
+    assert s["with_embeddings"] == s["after_quality_filter"]
+    assert s["languages"] == 5
+    assert s["total_tokens"] > 0
+    assert s["centroid_rows"] % 64 == 0  # labels × 64 dims
