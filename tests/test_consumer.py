@@ -67,3 +67,24 @@ def test_seek(spark, log):
     _drain(c, 1000)
     c.seek_to_beginning()
     assert _drain(c, 1000) == 100
+
+
+def test_consume_after_compaction_with_offset_holes(spark, log):
+    """Compaction leaves offset holes; consecutive polls must still
+    cover every retained record exactly once."""
+    retained = log.compact("t")
+    c = TopicConsumer(log, "g_compact", "t")
+    seen = []
+    for batch in c.poll_batches(7):  # small windows → some land in holes
+        seen.extend(
+            (r["partition"], r["offset"])
+            for r in batch.select("partition", "offset").collect()
+        )
+    assert len(seen) == retained
+    assert len(set(seen)) == retained  # no duplicates
+    # survivors are the max-offset record per key per partition
+    from pyspark.sql import functions as SF
+
+    assert (
+        log.scan("t").groupBy("partition", "key").count().where("count > 1").count() == 0
+    )
