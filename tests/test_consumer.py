@@ -72,7 +72,18 @@ def test_seek(spark, log):
 def test_consume_after_compaction_with_offset_holes(spark, log):
     """Compaction leaves offset holes; consecutive polls must still
     cover every retained record exactly once."""
+    from pyspark.sql import functions as F2
+
+    # overwrite the 100 unique keys with 10 hot keys → real compaction
+    hot = spark.range(100, 200).select(
+        F2.encode((F2.col("id") % 10).cast("string"), "utf-8").alias("key"),
+        F2.encode(F2.concat(F2.lit("new"), F2.col("id").cast("string")), "utf-8").alias("value"),
+        F2.col("id").alias("seq"),
+    )
+    log.produce("t", hot, order_by=["seq"])
+    total_before = log.scan("t").count()
     retained = log.compact("t")
+    assert retained < total_before  # holes actually exist
     c = TopicConsumer(log, "g_compact", "t")
     seen = []
     for batch in c.poll_batches(7):  # small windows → some land in holes
