@@ -90,6 +90,8 @@ WHERE p_brand = 'Brand#1'
 
 
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed view names are fine for a sequential harness; a unique
+    # suffix would be needed only under concurrent query execution
     register_all(spark, sf_dir)
     return spark.sql(
         """

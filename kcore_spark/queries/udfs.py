@@ -153,11 +153,12 @@ def q_udtf_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in sorted(c):
                 yield k, c[k]
 
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    import uuid
+
+    view = f"docs_udtf_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
     spark.udtf.register("len_hist", LenHist)
-    out = spark.sql(
-        "SELECT h.word_len, h.n FROM docs_udtf, LATERAL len_hist(text) h"
-    )
+    out = spark.sql(f"SELECT h.word_len, h.n FROM {view}, LATERAL len_hist(text) h")
     return out.groupBy("word_len").agg(F.sum("n").alias("n_words")).orderBy("word_len")
 
 
