@@ -188,7 +188,54 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
 """
 
 
+# ---------------------------------------- duplicate clustering
+# Pairwise near-dup edges → transitive clusters → canonical per
+# cluster (min doc_id). The iterative min-label propagation is
+# oracle-checked against a recursive-CTE transitive closure.
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3).persist()
+    edges = jaccard_pairs(sh, min_jaccard=0.8).select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    )
+    cc = connected_components(edges)
+    return cc.select(F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")).orderBy(
+        "doc_id"
+    )
+
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE},
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id1, id2
+  FROM inter JOIN sizes sa ON sa.id = id1 JOIN sizes sb ON sb.id = id2
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+FROM reach
+GROUP BY a
+"""
+
+
 QUERIES = {
+    "q_dedup_clusters": QuerySpec(
+        q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL, "transitive duplicate clustering (CC)"
+    ),
     "q_near_dup_jaccard_df_filtered": QuerySpec(
         q_near_dup_jaccard_df_filtered, Q_NEAR_DUP_DF_SQL, "doc-freq-filtered Jaccard (skew cutoff)"
     ),

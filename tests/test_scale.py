@@ -67,3 +67,15 @@ def test_broadcast_hint_respected(spark):
     part = spark.read.parquet(f"{SF_DIR}/part.parquet")
     plan = _plan(li.join(F.broadcast(part), li.l_partkey == part.p_partkey).groupBy("p_brand").count())
     assert "BroadcastHashJoin" in plan
+
+
+def test_connected_components_semantics(spark):
+    from kcore_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4, triangle 10-11-12 (+chord), pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
