@@ -275,6 +275,34 @@ GROUP BY event_type, n_keys
 """
 
 
+# -------------------------------------------------- VARIANT decode
+# Spark 4's VARIANT type: parse once, path-extract many — the modern
+# replacement for repeated get_json_object on the same payload.
+
+
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select("event_type", F.variant_get(v, "$.k", "long").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_EVENTS_VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
 # -------------------------------------------------- malformed payloads
 # Schema-on-read must survive corrupt payloads: PERMISSIVE decode maps
 # unparseable JSON to NULL (never a task failure). Corruption is
@@ -317,6 +345,7 @@ QUERIES = {
     "q_events_corrupt_json": QuerySpec(
         q_events_corrupt_json, Q_EVENTS_CORRUPT_SQL, "PERMISSIVE decode of corrupt payloads"
     ),
+    "q_events_variant": QuerySpec(q_events_variant, Q_EVENTS_VARIANT_SQL, "VARIANT payload decode"),
     "q_events_json_props": QuerySpec(q_events_json_props, Q_EVENTS_JSON_SQL, "JSON payload decode"),
     "q_events_props_map": QuerySpec(
         q_events_props_map, Q_EVENTS_PROPS_MAP_SQL, "from_json → MAP + map functions"

@@ -277,12 +277,13 @@ UNPIVOT (val FOR metric IN (n_orders, total_price, avg_price))
 
 
 def q_string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered string aggregation (listagg shape)."""
+    """Ordered string aggregation — native listagg (Spark 4) checked
+    against DuckDB string_agg with ORDER BY."""
     nat = load_table(spark, sf_dir, "nation")
     return (
         nat.groupBy("n_regionkey")
         .agg(
-            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations_csv"),
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("nations_csv"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("n_regionkey")
