@@ -93,6 +93,85 @@ def jaccard_pairs(shingles: DataFrame, min_jaccard: float) -> DataFrame:
     return jac.where(F.col("jaccard") >= min_jaccard).select("id1", "id2", "jaccard")
 
 
+def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame, min_jaccard: float) -> DataFrame:
+    """Exact Jaccard computed ONLY for a given candidate pair list.
+
+    This is the scale-safe verification step for LSH: the shingle
+    table is first semi-joined down to ids that appear in any
+    candidate pair, then the intersection count is aggregated over
+    (pair × shared shingle) — so work is O(|candidates| × shingles
+    per doc), never O(co-shingle pairs) over the whole corpus. A
+    plain ``cands ⋈ jaccard_pairs(all)`` would recompute the full
+    quadratic pair join and the LSH pruning would buy nothing.
+
+    ``pairs``: (id1, id2) with id1 < id2. Returns (id1, id2, jaccard)
+    for pairs with jaccard >= min_jaccard.
+    """
+    cand_ids = (
+        pairs.select(F.col("id1").alias("id"))
+        .unionByName(pairs.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    shc = shingles.join(cand_ids, "id", "left_semi")
+    sizes = shc.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(shc.alias("a"), F.col("id1") == F.col("a.id"))
+        .join(
+            shc.alias("b"),
+            (F.col("id2") == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(sizes.withColumnsRenamed({"id": "id1", "sz": "sz1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "sz": "sz2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        )
+    )
+    return jac.where(F.col("jaccard") >= min_jaccard).select("id1", "id2", "jaccard")
+
+
+def lsh_params(
+    tau: float, p_target: float = 0.95, num_hashes: int = NUM_HASHES
+) -> tuple[int, int]:
+    """Derive LSH (bands, rows) from a target Jaccard threshold.
+
+    Within the signature budget ``num_hashes``, consider every banding
+    (bands × rows ≤ num_hashes) whose s-curve detection probability
+    1-(1-tau^rows)^bands at similarity ``tau`` meets ``p_target``, and
+    pick the one with the LOWEST false-positive probability at the
+    background similarity tau/2 (ties → fewer hashes). Minimizing hash
+    count alone degenerates to rows=1 — a single-hash band key that
+    makes nearly every co-shingled pair a candidate; the verify join
+    then swamps the pipeline, which is the exact failure LSH exists to
+    avoid. Defaults: tau=0.8, 6 hashes → (3 bands, 2 rows), detection
+    ≈0.953, FP at 0.4 ≈0.407 (vs 0.96 for the rows=1 degenerate).
+    Returns (bands, rows).
+    """
+    s_bg = tau / 2.0
+    best: tuple[int, int] | None = None
+    best_key: tuple[float, int] | None = None
+    for rows in range(1, num_hashes + 1):
+        for bands in range(1, num_hashes // rows + 1):
+            p_detect = 1.0 - (1.0 - tau**rows) ** bands
+            if p_detect < p_target:
+                continue
+            p_fp = 1.0 - (1.0 - s_bg**rows) ** bands
+            key = (p_fp, bands * rows)
+            if best_key is None or key < best_key:
+                best, best_key = (bands, rows), key
+            break  # more bands at this rows only raises the FP rate
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) within {num_hashes} hashes reaches "
+            f"p={p_target} at tau={tau}"
+        )
+    return best
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """MinHash signature per doc: sig_j = min over shingles of h_j."""
     return shingles.groupBy("id").agg(

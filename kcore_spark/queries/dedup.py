@@ -18,8 +18,10 @@ from pyspark.sql import functions as F
 
 from kcore_spark.catalog import load_table
 from kcore_spark.operators.dedup import (
+    jaccard_for_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
+    lsh_params,
     minhash_signatures,
     simhash,
     word_shingles,
@@ -84,15 +86,19 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
 
 # -------------------------------------------------- MinHash + LSH
 # sig_j(doc) = min over shingles of int(md5(j||'|'||shingle)[:8], 16);
-# 3 bands × 2 rows; candidates verified with exact Jaccard ≥ 0.8.
+# bands×rows derived from the s-curve for τ=0.8 (lsh_params(0.8) →
+# 3 bands × 2 rows, detection p≈0.953); candidates verified with
+# exact Jaccard ≥ 0.8 computed ONLY over the candidate pairs
+# (jaccard_for_pairs) — never the full co-shingle pair join.
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, "doc_id", "text", n=3).persist()
-    sigs = minhash_signatures(sh, num_hashes=6).persist()
-    cands = lsh_candidate_pairs(sigs, bands=3, rows=2)
-    verified = cands.join(jaccard_pairs(sh, min_jaccard=0.8), ["id1", "id2"])
+    bands, rows = lsh_params(0.8)  # (3, 2)
+    sigs = minhash_signatures(sh, num_hashes=bands * rows)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows=rows).persist()
+    verified = jaccard_for_pairs(cands, sh, min_jaccard=0.8)
     return verified.select("id1", "id2", "jaccard").orderBy("id1", "id2")
 
 
@@ -116,16 +122,19 @@ cands AS (
     UNION
     SELECT x.id, y.id FROM sigs x JOIN sigs y
       ON x.sig4 = y.sig4 AND x.sig5 = y.sig5 AND x.id < y.id)),
-sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+cid AS (SELECT id1 AS id FROM cands UNION SELECT id2 FROM cands),
+shc AS (SELECT sh.id, sh.shingle FROM sh JOIN cid USING (id)),
+sizes AS (SELECT id, COUNT(*) AS sz FROM shc GROUP BY id),
 inter AS (
-  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  SELECT c.id1, c.id2, COUNT(*) AS i
+  FROM cands c
+  JOIN shc a ON a.id = c.id1
+  JOIN shc b ON b.id = c.id2 AND b.shingle = a.shingle
   GROUP BY 1, 2)
-SELECT c.id1, c.id2, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-FROM cands c
-JOIN inter ON inter.id1 = c.id1 AND inter.id2 = c.id2
-JOIN sizes sa ON sa.id = c.id1
-JOIN sizes sb ON sb.id = c.id2
+SELECT inter.id1, inter.id2, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = inter.id1
+JOIN sizes sb ON sb.id = inter.id2
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
 """
 

@@ -219,33 +219,42 @@ GROUP BY p_type
 
 
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array construction + higher-order transform/filter/aggregate."""
+    """Array construction + higher-order transform/filter/aggregate.
+
+    Every array-typed intermediate is serialized to a CSV string in the
+    final projection — the harness canonicalizer hashes scalar cells only,
+    so arrays must never reach the output schema.
+    """
     nat = load_table(spark, sf_dir, "nation")
     arr = F.sequence(F.lit(1), (F.col("n_nationkey") % 5) + 1)
+
+    def csv(col):
+        return F.array_join(col.cast("array<string>"), ",")
+
     return nat.select(
         "n_nationkey",
-        arr.alias("seq"),
+        csv(arr).alias("seq"),
         F.size(arr).cast("long").alias("seq_len"),
         F.aggregate(arr, F.lit(0), lambda a, x: a + x).cast("long").alias("seq_sum"),
-        F.transform(arr, lambda x: x * x).alias("seq_sq"),
-        F.filter(arr, lambda x: x % 2 == 0).alias("seq_even"),
+        csv(F.transform(arr, lambda x: x * x)).alias("seq_sq"),
+        csv(F.filter(arr, lambda x: x % 2 == 0)).alias("seq_even"),
         F.array_contains(arr, 3).alias("has3"),
-        F.slice(arr, 1, 2).alias("first2"),
-        F.sort_array(F.reverse(arr)).alias("resorted"),
+        csv(F.slice(arr, 1, 2)).alias("first2"),
+        csv(F.sort_array(F.reverse(arr))).alias("resorted"),
     )
 
 
 Q_ARRAY_SQL = """
 SELECT n_nationkey,
-       generate_series(1, (n_nationkey % 5) + 1) AS seq,
+       array_to_string(generate_series(1, (n_nationkey % 5) + 1), ',') AS seq,
        len(generate_series(1, (n_nationkey % 5) + 1)) AS seq_len,
        list_reduce(list_prepend(0, generate_series(1, (n_nationkey % 5) + 1)),
                    (a, x) -> a + x) AS seq_sum,
-       list_transform(generate_series(1, (n_nationkey % 5) + 1), x -> x * x) AS seq_sq,
-       list_filter(generate_series(1, (n_nationkey % 5) + 1), x -> x % 2 = 0) AS seq_even,
+       array_to_string(list_transform(generate_series(1, (n_nationkey % 5) + 1), x -> x * x), ',') AS seq_sq,
+       COALESCE(array_to_string(list_filter(generate_series(1, (n_nationkey % 5) + 1), x -> x % 2 = 0), ','), '') AS seq_even,
        list_contains(generate_series(1, (n_nationkey % 5) + 1), 3) AS has3,
-       list_slice(generate_series(1, (n_nationkey % 5) + 1), 1, 2) AS first2,
-       list_sort(list_reverse(generate_series(1, (n_nationkey % 5) + 1))) AS resorted
+       array_to_string(list_slice(generate_series(1, (n_nationkey % 5) + 1), 1, 2), ',') AS first2,
+       array_to_string(list_sort(list_reverse(generate_series(1, (n_nationkey % 5) + 1))), ',') AS resorted
 FROM nation
 """
 

@@ -199,7 +199,9 @@ def q_grouped_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nat.groupBy("n_regionkey")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            # Arrays never reach a final projection: the harness canonicalizer
+            # hashes scalar cells only, so serialize the sorted list to CSV.
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
             F.min("n_name").alias("first_nation"),
             F.max("n_name").alias("last_nation"),
             F.count(F.lit(1)).alias("n"),
@@ -210,7 +212,7 @@ def q_grouped_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_GROUPED_LISTS_SQL = """
 SELECT n_regionkey,
-       list_sort(list(n_name)) AS nations,
+       array_to_string(list_sort(list(n_name)), ',') AS nations,
        MIN(n_name) AS first_nation,
        MAX(n_name) AS last_nation,
        COUNT(*) AS n

@@ -1,0 +1,98 @@
+"""Dedup operator properties: s-curve LSH parameterization and the
+pair-restricted Jaccard verifier (VERDICT r1 items #2 and #9)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kcore_spark.operators.dedup import (
+    jaccard_for_pairs,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    lsh_params,
+    minhash_signatures,
+    word_shingles,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _detection(tau: float, bands: int, rows: int) -> float:
+    return 1.0 - (1.0 - tau**rows) ** bands
+
+
+@given(
+    tau=st.floats(min_value=0.5, max_value=0.95),
+    p_target=st.floats(min_value=0.8, max_value=0.99),
+)
+@settings(max_examples=200, deadline=None)
+def test_lsh_params_meets_target(tau: float, p_target: float):
+    bands, rows = lsh_params(tau, p_target, num_hashes=64)
+    assert bands * rows <= 64
+    assert _detection(tau, bands, rows) >= p_target
+
+
+def test_lsh_params_tau08_default():
+    # The pinned production setting: τ=0.8 → 3 bands × 2 rows, p≈0.953.
+    bands, rows = lsh_params(0.8)
+    assert (bands, rows) == (3, 2)
+    assert _detection(0.8, bands, rows) > 0.95
+
+
+def test_lsh_params_min_false_positives():
+    # Among all feasible bandings within the budget, the chosen one has
+    # the lowest false-positive rate at background similarity tau/2.
+    tau, p_target, budget = 0.8, 0.95, 6
+    bands, rows = lsh_params(tau, p_target, num_hashes=budget)
+    chosen_fp = _detection(tau / 2, bands, rows)
+    for r in range(1, budget + 1):
+        for b in range(1, budget // r + 1):
+            if _detection(tau, b, r) >= p_target:
+                assert _detection(tau / 2, b, r) >= chosen_fp - 1e-12
+
+
+def test_lsh_recall_on_planted_near_dups(spark):
+    """Planted near-dups (J≈0.99) must be detected: at τ=0.8 the
+    s-curve gives p≈0.95 per pair at exactly 0.8 and ≈1.0 at 0.99, so
+    LSH candidates should cover every true pair in the fixture."""
+    from kcore_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3).persist()
+    truth = {
+        (r.id1, r.id2) for r in jaccard_pairs(sh, min_jaccard=0.8).collect()
+    }
+    assert truth, "fixture should contain planted near-dup pairs"
+    bands, rows = lsh_params(0.8)
+    sigs = minhash_signatures(sh, num_hashes=bands * rows)
+    cands = {
+        (r.id1, r.id2)
+        for r in lsh_candidate_pairs(sigs, bands=bands, rows=rows).collect()
+    }
+    recall = len(truth & cands) / len(truth)
+    assert recall >= 0.95
+    sh.unpersist()
+
+
+def test_jaccard_for_pairs_matches_full_join(spark):
+    """The pair-restricted verifier must agree exactly with
+    (full jaccard_pairs ⋈ candidates) — same pairs, same values."""
+    from kcore_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3).persist()
+    sigs = minhash_signatures(sh, num_hashes=6)
+    cands = lsh_candidate_pairs(sigs, bands=3, rows=2).persist()
+
+    fast = {
+        (r.id1, r.id2): r.jaccard
+        for r in jaccard_for_pairs(cands, sh, min_jaccard=0.8).collect()
+    }
+    slow = {
+        (r.id1, r.id2): r.jaccard
+        for r in cands.join(jaccard_pairs(sh, min_jaccard=0.8), ["id1", "id2"]).collect()
+    }
+    assert fast == slow
+    sh.unpersist()
+    cands.unpersist()
