@@ -72,10 +72,16 @@ class WireLog:
 
         This is the micro-batch boundary: wire appends are O(1) memory
         ops; durability happens here in batch — exactly a foreachBatch
-        sink writing the accumulated stream."""
+        sink writing the accumulated stream.
+
+        flushed_upto advances ONLY after append_raw returns: if the
+        Spark write raises (schema inference failure, disk error) the
+        records stay pending and the next flush retries them — the
+        watermark file never acknowledges data that isn't in parquet."""
         import pandas as pd
 
         rows = []
+        pending: list[tuple[_Partition, int]] = []
         for (t, p), part in self._parts.items():
             if t != topic:
                 continue
@@ -89,7 +95,7 @@ class WireLog:
                         "timestamp_ms": r.timestamp_ms,
                     }
                 )
-            part.flushed_upto = len(part.records)
+            pending.append((part, len(part.records)))
         if not rows:
             return 0
         from pyspark.sql import functions as F
@@ -104,6 +110,8 @@ class WireLog:
             F.lit(None).cast("map<string,binary>").alias("headers"),
         )
         topic_log.append_raw(topic, df)
+        for part, upto in pending:
+            part.flushed_upto = upto
         return len(rows)
 
 
@@ -144,7 +152,12 @@ def decode_produce_request(payload: bytes) -> ProduceRequest:
 def encode_produce_response(
     correlation_id: int,
     results: list[tuple[str, list[tuple[int, int, int]]]],  # topic → [(idx, err, base_offset)]
+    api_version: int = 3,
 ) -> bytes:
+    """ProduceResponse v3-v6. v5+ appends per-partition
+    log_start_offset (always 0 here: the wire log never truncates) —
+    a spec-compliant client that negotiated v5/v6 would mis-parse a
+    v4-shaped body, so the version must be threaded through."""
     w = wire.Writer()
     w.int32(correlation_id)
     w.int32(len(results))
@@ -153,11 +166,13 @@ def encode_produce_response(
         w.int32(len(parts))
         for idx, err, base in parts:
             w.int32(idx).int16(err).int64(base).int64(-1)  # log_append_time
+            if api_version >= 5:
+                w.int64(0)  # log_start_offset
     w.int32(0)  # throttle
     return w.bytes()
 
 
-def decode_produce_response(payload: bytes):
+def decode_produce_response(payload: bytes, api_version: int = 3):
     r = wire.Reader(payload)
     corr = r.int32()
     out = []
@@ -165,7 +180,10 @@ def decode_produce_response(payload: bytes):
         name = r.nullable_string()
         parts = []
         for _ in range(r.int32()):
-            parts.append((r.int32(), r.int16(), r.int64(), r.int64()))
+            row = (r.int32(), r.int16(), r.int64(), r.int64())
+            if api_version >= 5:
+                row += (r.int64(),)  # log_start_offset
+            parts.append(row)
         out.append((name, parts))
     throttle = r.int32()
     return corr, out, throttle
@@ -272,7 +290,9 @@ def handle_produce(log: WireLog, payload: bytes) -> bytes:
             base = log.append(name, p.index, records)
             part_results.append((p.index, wire.ERR_NONE, base))
         results.append((name, part_results))
-    return encode_produce_response(req.header.correlation_id, results)
+    return encode_produce_response(
+        req.header.correlation_id, results, api_version=req.header.api_version
+    )
 
 
 def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 1000) -> bytes:

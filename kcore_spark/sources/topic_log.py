@@ -62,6 +62,7 @@ class TopicLog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._last_commit_seq = 0
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------ control plane
@@ -170,7 +171,19 @@ class TopicLog:
             r["partition"]: r["hi"] + 1
             for r in out.groupBy("partition").agg(F.max("offset").alias("hi")).collect()
         }
-        merged = {p: max(wm.get(p, 0), new_wm.get(p, wm.get(p, 0))) for p in wm}
+        n_parts = self.topic_meta(topic).num_partitions
+        bad = sorted(p for p in new_wm if not 0 <= p < n_parts)
+        if bad:
+            raise ValueError(
+                f"topic {topic!r} declares {n_parts} partitions; "
+                f"records arrived for partition(s) {bad}"
+            )
+        # merge over the UNION of keys: a partition present in the data
+        # but missing from the control file (e.g. created by an older
+        # writer) must not lose its watermark.
+        merged = {
+            p: max(wm.get(p, 0), new_wm.get(p, 0)) for p in set(wm) | set(new_wm)
+        }
         self._set_watermarks(topic, merged)
         return merged
 
@@ -189,7 +202,10 @@ class TopicLog:
 
     def scan(self, topic: str) -> DataFrame:
         """Full-log scan (batch); partition column from the dir layout."""
-        return self.spark.read.schema(RECORD_SCHEMA).parquet(self._topic_dir(topic) + "/data")
+        data_dir = self._topic_dir(topic) + "/data"
+        if not os.path.isdir(data_dir):
+            self._recover_compaction(topic)
+        return self.spark.read.schema(RECORD_SCHEMA).parquet(data_dir)
 
     def fetch(self, topic: str, partition: int, start_offset: int, max_records: int) -> DataFrame:
         """Fetch (API key 1) analog: offset-range scan of one partition.
@@ -239,6 +255,7 @@ class TopicLog:
         at scale this is exactly Kafka's cleaner pass expressed as a
         window + swap. Returns the number of retained records.
         """
+        self._recover_compaction(topic)
         df = self.scan(topic)
         w = Window.partitionBy("partition", "key").orderBy(F.col("offset").desc())
         keyed = (
@@ -254,9 +271,39 @@ class TopicLog:
         n = self.spark.read.schema(RECORD_SCHEMA).parquet(tmp_dir).count()
         import shutil
 
-        shutil.rmtree(data_dir)
+        # crash-safe swap: the live dir is moved aside (not deleted)
+        # before the new one takes its place, so at every instant either
+        # data/ or data.old-*/ holds a complete log. A crash between the
+        # two renames is healed by _recover_compaction on next access.
+        old_dir = self._topic_dir(topic) + f"/data.old-{uuid.uuid4().hex}"
+        os.rename(data_dir, old_dir)
         os.rename(tmp_dir, data_dir)
+        shutil.rmtree(old_dir)
         return n
+
+    def _recover_compaction(self, topic: str) -> None:
+        """Heal a crashed compaction swap. Invariants of compact():
+        data/ missing + data.old-* present → crashed between renames:
+        restore the old dir (the compacted tmp is discarded — offsets
+        it holds are a subset of the old log, nothing is lost).
+        data/ present + data.old-* present → crashed mid-rmtree:
+        finish deleting. Leftover data.compact.* tmp dirs are removed
+        either way."""
+        import shutil
+
+        tdir = self._topic_dir(topic)
+        if not os.path.isdir(tdir):
+            return
+        olds = sorted(d for d in os.listdir(tdir) if d.startswith("data.old-"))
+        data_dir = os.path.join(tdir, "data")
+        if not os.path.isdir(data_dir) and olds:
+            os.rename(os.path.join(tdir, olds[0]), data_dir)
+            olds = olds[1:]
+        for d in olds:
+            shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+        for d in os.listdir(tdir):
+            if d.startswith("data.compact."):
+                shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
 
     # ------------------------------------------------------ consumer groups
 
@@ -269,16 +316,23 @@ class TopicLog:
         Append-only log of commits; the committed offset is the one
         with the highest commit index (last-writer-wins) — the same
         compaction contract as Kafka's __consumer_offsets topic.
+
+        commit_seq is wall-clock ns (NOT monotonic_ns, which resets at
+        boot and would freeze resume on any pre-reboot commit forever),
+        bumped past the process-local max so same-tick commits in one
+        process still order by call sequence.
         """
         import time
 
         os.makedirs(self._offsets_dir(), exist_ok=True)
+        seq = max(time.time_ns(), self._last_commit_seq + 1)
+        self._last_commit_seq = seq
         rec = {
             "group_id": group,
             "topic": topic,
             "partition": partition,
             "committed_offset": offset,
-            "commit_seq": time.monotonic_ns(),
+            "commit_seq": seq,
         }
         path = os.path.join(self._offsets_dir(), f"commit-{uuid.uuid4().hex}.json")
         with open(path, "w") as f:
