@@ -27,3 +27,23 @@ def test_query_matches_oracle(name, spark, duck):
         return
     res = compare(name, df, spec.oracle, duck)
     assert res.ok, res.diff_summary()
+
+
+def test_native_recursive_cte_matches_closed_form(spark):
+    """Pins Spark's native WITH RECURSIVE executor AND verifies the
+    closed-form rewrite that the registry entry uses (linear recursion
+    over a functional edge list ⇒ row_number)."""
+    from kcore_spark.queries.recursive import (
+        q_recursive_order_chains,
+        q_recursive_order_chains_native,
+    )
+
+    fast = {
+        (r.depth, r.n_customers_at_depth)
+        for r in q_recursive_order_chains(spark, SF_DIR).collect()
+    }
+    native = {
+        (r.depth, r.n_customers_at_depth)
+        for r in q_recursive_order_chains_native(spark, SF_DIR).collect()
+    }
+    assert fast == native and fast
