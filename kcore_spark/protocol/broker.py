@@ -115,7 +115,7 @@ class WireLog:
         return len(rows)
 
 
-# ------------------------------------------------------ Produce v3-v6
+# ------------------------------------------------------ Produce v3-v9
 
 
 @dataclass
@@ -133,19 +133,39 @@ class ProduceRequest:
 
 
 def decode_produce_request(payload: bytes) -> ProduceRequest:
+    import struct
+
+    api_version = struct.unpack(">h", payload[2:4])[0]
+    flexible = wire.is_flexible_request(wire.PRODUCE_KEY, api_version)
     r = wire.Reader(payload)
-    h = wire.decode_request_header(r, flexible=False)
-    transactional_id = r.nullable_string()  # noqa: F841 (unused: no txns)
-    acks = r.int16()
-    timeout_ms = r.int32()
-    topics = []
-    for _ in range(r.int32()):
-        name = r.nullable_string()
-        parts = []
+    h = wire.decode_request_header(r, flexible=flexible)
+    if flexible:
+        r.compact_string()  # transactional_id (unused: no txns)
+        acks = r.int16()
+        timeout_ms = r.int32()
+        topics = []
+        for _ in range(r.compact_array_len()):
+            name = r.compact_string()
+            parts = []
+            for _ in range(r.compact_array_len()):
+                idx = r.int32()
+                parts.append(ProducePartition(idx, r.compact_bytes()))
+                r.tagged_fields()
+            r.tagged_fields()
+            topics.append((name, parts))
+        r.tagged_fields()
+    else:
+        r.nullable_string()  # transactional_id (unused: no txns)
+        acks = r.int16()
+        timeout_ms = r.int32()
+        topics = []
         for _ in range(r.int32()):
-            idx = r.int32()
-            parts.append(ProducePartition(idx, r.nullable_bytes()))
-        topics.append((name, parts))
+            name = r.nullable_string()
+            parts = []
+            for _ in range(r.int32()):
+                idx = r.int32()
+                parts.append(ProducePartition(idx, r.nullable_bytes()))
+            topics.append((name, parts))
     return ProduceRequest(h, acks, timeout_ms, topics)
 
 
@@ -154,42 +174,72 @@ def encode_produce_response(
     results: list[tuple[str, list[tuple[int, int, int]]]],  # topic → [(idx, err, base_offset)]
     api_version: int = 3,
 ) -> bytes:
-    """ProduceResponse v3-v6. v5+ appends per-partition
-    log_start_offset (always 0 here: the wire log never truncates) —
-    a spec-compliant client that negotiated v5/v6 would mis-parse a
-    v4-shaped body, so the version must be threaded through."""
+    """ProduceResponse v3-v9 (flexible from v9). v5+ appends
+    per-partition log_start_offset (always 0 here: the wire log never
+    truncates); v8+ adds empty record_errors + null error_message —
+    a spec-compliant client that negotiated a higher version would
+    mis-parse a v4-shaped body, so the version must be threaded
+    through."""
+    flex = api_version >= 9
     w = wire.Writer()
     w.int32(correlation_id)
-    w.int32(len(results))
+    if flex:
+        w.empty_tagged_fields()  # response header v1
+    w.compact_array_len(len(results)) if flex else w.int32(len(results))
     for name, parts in results:
-        w.nullable_string(name)
-        w.int32(len(parts))
+        w.compact_string(name) if flex else w.nullable_string(name)
+        w.compact_array_len(len(parts)) if flex else w.int32(len(parts))
         for idx, err, base in parts:
             w.int32(idx).int16(err).int64(base).int64(-1)  # log_append_time
             if api_version >= 5:
                 w.int64(0)  # log_start_offset
+            if api_version >= 8:
+                w.compact_array_len(0) if flex else w.int32(0)  # record_errors
+                w.compact_string(None) if flex else w.nullable_string(None)
+            if flex:
+                w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
     w.int32(0)  # throttle
+    if flex:
+        w.empty_tagged_fields()
     return w.bytes()
 
 
 def decode_produce_response(payload: bytes, api_version: int = 3):
+    flex = api_version >= 9
     r = wire.Reader(payload)
     corr = r.int32()
+    if flex:
+        r.tagged_fields()
     out = []
-    for _ in range(r.int32()):
-        name = r.nullable_string()
+    for _ in range(r.compact_array_len() if flex else r.int32()):
+        name = r.compact_string() if flex else r.nullable_string()
         parts = []
-        for _ in range(r.int32()):
+        for _ in range(r.compact_array_len() if flex else r.int32()):
             row = (r.int32(), r.int16(), r.int64(), r.int64())
             if api_version >= 5:
                 row += (r.int64(),)  # log_start_offset
+            if api_version >= 8:
+                for _ in range(r.compact_array_len() if flex else r.int32()):
+                    r.int32()  # batch_index
+                    r.compact_string() if flex else r.nullable_string()
+                    if flex:
+                        r.tagged_fields()
+                r.compact_string() if flex else r.nullable_string()  # error_message
+            if flex:
+                r.tagged_fields()
             parts.append(row)
+        if flex:
+            r.tagged_fields()
         out.append((name, parts))
     throttle = r.int32()
+    if flex:
+        r.tagged_fields()
     return corr, out, throttle
 
 
-# ------------------------------------------------------ Fetch v4
+# ------------------------------------------------------ Fetch v4-v11
 
 
 @dataclass
@@ -209,6 +259,13 @@ class FetchRequest:
 
 
 def decode_fetch_request(payload: bytes) -> FetchRequest:
+    """FetchRequest v4-v11 (rigid encoding throughout -- flexible only
+    starts at v12). Session fields (v7+) are read and ignored: this
+    broker is sessionless and replies with session_id=0, which per
+    KIP-227 tells the client full responses will always be sent."""
+    import struct
+
+    api_version = struct.unpack(">h", payload[2:4])[0]
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=False)
     r.int32()  # replica_id
@@ -216,24 +273,47 @@ def decode_fetch_request(payload: bytes) -> FetchRequest:
     min_bytes = r.int32()
     max_bytes = r.int32()
     r.int8()  # isolation_level
+    if api_version >= 7:
+        r.int32()  # session_id
+        r.int32()  # session_epoch
     topics = []
     for _ in range(r.int32()):
         name = r.nullable_string()
         parts = []
         for _ in range(r.int32()):
-            parts.append(FetchPartition(r.int32(), r.int64(), r.int32()))
+            idx = r.int32()
+            if api_version >= 9:
+                r.int32()  # current_leader_epoch
+            off = r.int64()
+            if api_version >= 5:
+                r.int64()  # log_start_offset (follower-only)
+            parts.append(FetchPartition(idx, off, r.int32()))
         topics.append((name, parts))
+    if api_version >= 7:
+        for _ in range(r.int32()):  # forgotten_topics_data
+            r.nullable_string()
+            for _ in range(r.int32()):
+                r.int32()
+    if api_version >= 11 and r.pos < len(r.buf):
+        r.nullable_string()  # rack_id
     return FetchRequest(h, max_wait, min_bytes, max_bytes, topics)
 
 
 def encode_fetch_response(
     correlation_id: int,
     results: list[tuple[str, list[tuple[int, int, int, bytes | None]]]],
-    # topic → [(idx, err, high_watermark, record_batch_bytes)]
+    # topic -> [(idx, err, high_watermark, record_batch_bytes)]
+    api_version: int = 4,
 ) -> bytes:
+    """FetchResponse v4-v11: v5+ adds per-partition log_start_offset,
+    v7+ adds top-level error_code + session_id (0 = sessionless),
+    v11+ adds preferred_read_replica."""
     w = wire.Writer()
     w.int32(correlation_id)
     w.int32(0)  # throttle
+    if api_version >= 7:
+        w.int16(wire.ERR_NONE)
+        w.int32(0)  # session_id: sessionless
     w.int32(len(results))
     for name, parts in results:
         w.nullable_string(name)
@@ -241,15 +321,22 @@ def encode_fetch_response(
         for idx, err, hw, batch in parts:
             w.int32(idx).int16(err).int64(hw)
             w.int64(hw)  # last_stable_offset
+            if api_version >= 5:
+                w.int64(0)  # log_start_offset
             w.int32(0)  # aborted_transactions: empty
+            if api_version >= 11:
+                w.int32(-1)  # preferred_read_replica
             w.nullable_bytes(batch)
     return w.bytes()
 
 
-def decode_fetch_response(payload: bytes):
+def decode_fetch_response(payload: bytes, api_version: int = 4):
     r = wire.Reader(payload)
     corr = r.int32()
     r.int32()  # throttle
+    if api_version >= 7:
+        r.int16()  # error_code
+        r.int32()  # session_id
     out = []
     for _ in range(r.int32()):
         name = r.nullable_string()
@@ -259,8 +346,12 @@ def decode_fetch_response(payload: bytes):
             err = r.int16()
             hw = r.int64()
             r.int64()  # lso
+            if api_version >= 5:
+                r.int64()  # log_start_offset
             for _ in range(r.int32()):
                 r.int64(), r.int64()  # aborted txns (none expected)
+            if api_version >= 11:
+                r.int32()  # preferred_read_replica
             batch = r.nullable_bytes()
             parts.append((idx, err, hw, batch))
         out.append((name, parts))
@@ -314,4 +405,6 @@ def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 
             )
             part_results.append((p.index, wire.ERR_NONE, hw, batch))
         results.append((name, part_results))
-    return encode_fetch_response(req.header.correlation_id, results)
+    return encode_fetch_response(
+        req.header.correlation_id, results, api_version=req.header.api_version
+    )

@@ -98,13 +98,13 @@ class KafkaFrontend:
         correlation_id = struct.unpack(">i", payload[4:8])[0]
         if api_key == wire.API_VERSIONS_KEY:
             return self._handle_api_versions(payload, api_version, correlation_id)
-        if api_key == wire.METADATA_KEY and api_version <= 1:
-            return self._handle_metadata(api_version, correlation_id)
-        if api_key == wire.PRODUCE_KEY and 3 <= api_version <= 6:
+        if api_key == wire.METADATA_KEY and api_version <= 12:
+            return self._handle_metadata(payload, api_version, correlation_id)
+        if api_key == wire.PRODUCE_KEY and 3 <= api_version <= 9:
             from kcore_spark.protocol.broker import handle_produce
 
             return handle_produce(self.wire_log, payload)
-        if api_key == wire.FETCH_KEY and api_version == 4:
+        if api_key == wire.FETCH_KEY and 4 <= api_version <= 11:
             from kcore_spark.protocol.broker import handle_fetch
 
             return handle_fetch(self.wire_log, payload)
@@ -162,18 +162,24 @@ class KafkaFrontend:
         )
         return wire.encode_api_versions_response(req.header.correlation_id, api_version)
 
-    def _handle_metadata(self, api_version: int, correlation_id: int) -> bytes:
-        topics: list[tuple[str, int]] = [
-            (t, n) for t, n in sorted(self.wire_log.topics.items())
-        ]
+    def _handle_metadata(self, payload: bytes, api_version: int, correlation_id: int) -> bytes:
+        req = wire.decode_metadata_request(payload)
+        catalog: dict[str, int] = dict(sorted(self.wire_log.topics.items()))
         if self.topic_log is not None:
-            topics += [
-                (t, self.topic_log.topic_meta(t).num_partitions)
-                for t in self.topic_log.list_topics()
-                if t not in self.wire_log.topics
+            for t in self.topic_log.list_topics():
+                catalog.setdefault(t, self.topic_log.topic_meta(t).num_partitions)
+        if req.topics is None:
+            topics = list(catalog.items())
+            errors: list[tuple[str, int]] = []
+        else:
+            topics = [(t, catalog[t]) for t in req.topics if t in catalog]
+            errors = [
+                (t, wire.ERR_UNKNOWN_TOPIC_OR_PARTITION)
+                for t in req.topics
+                if t not in catalog
             ]
         return wire.encode_metadata_response(
-            correlation_id, api_version, self.host, self.port, topics
+            correlation_id, api_version, self.host, self.port, topics, topic_errors=errors
         )
 
 

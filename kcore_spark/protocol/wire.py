@@ -45,10 +45,10 @@ ERR_UNSUPPORTED_VERSION = 35
 
 # (api_key, min_version, max_version) advertised by this broker.
 SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
-    (PRODUCE_KEY, 3, 6),
-    (FETCH_KEY, 4, 4),
+    (PRODUCE_KEY, 3, 9),
+    (FETCH_KEY, 4, 11),
     (LIST_OFFSETS_KEY, 1, 1),
-    (METADATA_KEY, 0, 1),
+    (METADATA_KEY, 0, 12),
     (OFFSET_COMMIT_KEY, 2, 2),
     (OFFSET_FETCH_KEY, 1, 1),
     (FIND_COORDINATOR_KEY, 0, 0),
@@ -114,6 +114,22 @@ class Reader:
             return None
         return self.read(n - 1).decode("utf-8")
 
+    def compact_bytes(self) -> bytes | None:
+        n = self.unsigned_varint()
+        if n == 0:
+            return None
+        return self.read(n - 1)
+
+    def compact_array_len(self) -> int:
+        """Compact array length: 0 encodes null (returned as -1)."""
+        return self.unsigned_varint() - 1
+
+    def bool_(self) -> bool:
+        return self.read(1)[0] != 0
+
+    def uuid(self) -> bytes:
+        return self.read(16)
+
     def tagged_fields(self) -> None:
         count = self.unsigned_varint()
         for _ in range(count):
@@ -171,6 +187,18 @@ class Writer:
     def compact_array_len(self, n: int) -> "Writer":
         return self.unsigned_varint(n + 1)
 
+    def compact_bytes(self, b: bytes | None) -> "Writer":
+        if b is None:
+            return self.unsigned_varint(0)
+        return self.unsigned_varint(len(b) + 1).raw(b)
+
+    def bool_(self, v: bool) -> "Writer":
+        return self.raw(b"\x01" if v else b"\x00")
+
+    def uuid(self, b: bytes) -> "Writer":
+        assert len(b) == 16
+        return self.raw(b)
+
     def empty_tagged_fields(self) -> "Writer":
         return self.unsigned_varint(0)
 
@@ -196,11 +224,16 @@ def decode_request_header(r: Reader, flexible: bool) -> RequestHeader:
 
 
 def is_flexible_request(api_key: int, api_version: int) -> bool:
-    """Flexible (compact/tagged) encoding cutover per API key."""
+    """Flexible (compact/tagged) encoding cutover per API key, per the
+    upstream protocol JSON schemas' flexibleVersions."""
     if api_key == API_VERSIONS_KEY:
         return api_version >= 3
     if api_key == METADATA_KEY:
         return api_version >= 9
+    if api_key == PRODUCE_KEY:
+        return api_version >= 9
+    if api_key == FETCH_KEY:
+        return api_version >= 12
     return False
 
 
@@ -278,7 +311,73 @@ def decode_api_versions_response(payload: bytes, api_version: int):
     return correlation_id, error_code, apis, throttle
 
 
-# ------------------------------------------------------ Metadata (v0/v1)
+# ------------------------------------------------------ Metadata (v0-v12)
+
+
+def topic_uuid(name: str) -> bytes:
+    """Deterministic per-topic UUID (v10+ topic_id): md5 of the name
+    with RFC-4122 version/variant bits set, so the same topic always
+    reports the same id across restarts."""
+    import hashlib
+
+    h = bytearray(hashlib.md5(name.encode("utf-8")).digest())
+    h[6] = (h[6] & 0x0F) | 0x30  # version 3 (name-based md5)
+    h[8] = (h[8] & 0x3F) | 0x80  # RFC 4122 variant
+    return bytes(h)
+
+
+@dataclass
+class MetadataRequest:
+    header: RequestHeader
+    topics: list[str] | None  # None = all topics
+    allow_auto_topic_creation: bool = True
+    include_topic_authorized_operations: bool = False
+
+
+def decode_metadata_request(payload: bytes) -> MetadataRequest:
+    """MetadataRequest v0-v12 (flexible from v9). Topics requested by
+    id-only (name null, v10+) are not resolvable in this catalog and
+    decode as an empty-name entry the handler rejects per-topic."""
+    r = Reader(payload)
+    api_version = struct.unpack(">h", payload[2:4])[0]
+    flexible = is_flexible_request(METADATA_KEY, api_version)
+    h = decode_request_header(r, flexible)
+    topics: list[str] | None
+    if r.pos >= len(r.buf):
+        # header-only request (some clients omit the body entirely for
+        # "all topics"): treat as a null topics array
+        return MetadataRequest(h, None)
+    if flexible:
+        n = r.compact_array_len()
+        if n < 0:
+            topics = None
+        else:
+            topics = []
+            for _ in range(n):
+                if api_version >= 10:
+                    r.uuid()  # topic_id (resolution by id unsupported)
+                name = r.compact_string()
+                r.tagged_fields()
+                topics.append(name if name is not None else "")
+    else:
+        n = r.int32()
+        if n == -1 and api_version >= 1:
+            topics = None
+        elif n <= 0:
+            # v0 has no null marker: empty array historically means ALL
+            topics = None if api_version == 0 else []
+        else:
+            topics = [r.nullable_string() or "" for _ in range(n)]
+    req = MetadataRequest(h, topics)
+    if r.pos < len(r.buf) and api_version >= 4:
+        req.allow_auto_topic_creation = r.bool_()
+    if r.pos < len(r.buf) and 8 <= api_version <= 10:
+        r.bool_()  # include_cluster_authorized_operations
+    if r.pos < len(r.buf) and api_version >= 8:
+        req.include_topic_authorized_operations = r.bool_()
+    if flexible and r.pos < len(r.buf):
+        r.tagged_fields()
+    return req
 
 
 def encode_metadata_response(
@@ -287,32 +386,138 @@ def encode_metadata_response(
     host: str,
     port: int,
     topics: list[tuple[str, int]],
+    topic_errors: list[tuple[str, int]] | None = None,
 ) -> bytes:
-    """Metadata response v0/v1: single-broker cluster (node 0), topics
-    from the TopicLog catalog, every partition led by node 0."""
+    """Metadata response v0-v12 (flexible from v9): single-broker
+    cluster (node 0), topics from the TopicLog catalog, every
+    partition led by node 0 at leader epoch 0."""
+    flexible = api_version >= 9
     w = Writer()
     w.int32(correlation_id)
-    w.int32(1)  # brokers: 1
+    if flexible:
+        w.empty_tagged_fields()  # response header v1
+    if api_version >= 3:
+        w.int32(0)  # throttle_time_ms
+    # brokers
+    w.compact_array_len(1) if flexible else w.int32(1)
     w.int32(0)  # node_id
-    w.nullable_string(host)
+    w.compact_string(host) if flexible else w.nullable_string(host)
     w.int32(port)
     if api_version >= 1:
-        w.nullable_string(None)  # rack
+        w.compact_string(None) if flexible else w.nullable_string(None)  # rack
+    if flexible:
+        w.empty_tagged_fields()
+    if api_version >= 2:
+        cluster = "kcore-spark"
+        w.compact_string(cluster) if flexible else w.nullable_string(cluster)
     if api_version >= 1:
         w.int32(0)  # controller_id
-    w.int32(len(topics))
+    errs = topic_errors or []
+    n_topics = len(topics) + len(errs)
+    w.compact_array_len(n_topics) if flexible else w.int32(n_topics)
+    for name, err in errs:
+        w.int16(err)
+        w.compact_string(name or None) if flexible else w.nullable_string(name)
+        if api_version >= 10:
+            w.uuid(topic_uuid(name))
+        if api_version >= 1:
+            w.bool_(False)  # is_internal
+        w.compact_array_len(0) if flexible else w.int32(0)  # no partitions
+        if api_version >= 8:
+            w.int32(-2147483648)  # authorized ops: INT32_MIN = omitted
+        if flexible:
+            w.empty_tagged_fields()
     for name, n_parts in topics:
         w.int16(ERR_NONE)
-        w.nullable_string(name)
+        w.compact_string(name) if flexible else w.nullable_string(name)
+        if api_version >= 10:
+            w.uuid(topic_uuid(name))
         if api_version >= 1:
-            w.raw(b"\x00")  # is_internal: false
-        w.int32(n_parts)
+            w.bool_(False)  # is_internal
+        w.compact_array_len(n_parts) if flexible else w.int32(n_parts)
         for p in range(n_parts):
             w.int16(ERR_NONE)
             w.int32(p)
             w.int32(0)  # leader = node 0
-            w.int32(1)  # replicas
+            if api_version >= 7:
+                w.int32(0)  # leader_epoch
+            w.compact_array_len(1) if flexible else w.int32(1)  # replicas
             w.int32(0)
-            w.int32(1)  # isr
+            w.compact_array_len(1) if flexible else w.int32(1)  # isr
             w.int32(0)
+            if api_version >= 5:
+                w.compact_array_len(0) if flexible else w.int32(0)  # offline
+            if flexible:
+                w.empty_tagged_fields()
+        if api_version >= 8:
+            w.int32(-2147483648)  # topic_authorized_operations
+        if flexible:
+            w.empty_tagged_fields()
+    if 8 <= api_version <= 10:
+        w.int32(-2147483648)  # cluster_authorized_operations
+    if flexible:
+        w.empty_tagged_fields()
     return w.bytes()
+
+
+def decode_metadata_response(payload: bytes, api_version: int):
+    """Client-side decode (tests' behavioral oracle). Returns
+    (correlation_id, brokers, topics) where topics =
+    [(err, name, topic_id|None, [partition_index...])]."""
+    flexible = api_version >= 9
+    r = Reader(payload)
+    corr = r.int32()
+    if flexible:
+        r.tagged_fields()
+    if api_version >= 3:
+        r.int32()  # throttle
+    brokers = []
+    nb = r.compact_array_len() if flexible else r.int32()
+    for _ in range(nb):
+        node = r.int32()
+        h = r.compact_string() if flexible else r.nullable_string()
+        port = r.int32()
+        if api_version >= 1:
+            r.compact_string() if flexible else r.nullable_string()  # rack
+        if flexible:
+            r.tagged_fields()
+        brokers.append((node, h, port))
+    if api_version >= 2:
+        r.compact_string() if flexible else r.nullable_string()  # cluster_id
+    if api_version >= 1:
+        r.int32()  # controller_id
+    out = []
+    nt = r.compact_array_len() if flexible else r.int32()
+    for _ in range(nt):
+        err = r.int16()
+        name = r.compact_string() if flexible else r.nullable_string()
+        tid = r.uuid() if api_version >= 10 else None
+        if api_version >= 1:
+            r.bool_()  # is_internal
+        parts = []
+        np_ = r.compact_array_len() if flexible else r.int32()
+        for _ in range(np_):
+            r.int16()  # err
+            parts.append(r.int32())
+            r.int32()  # leader
+            if api_version >= 7:
+                r.int32()  # leader_epoch
+            for _ in range(r.compact_array_len() if flexible else r.int32()):
+                r.int32()  # replicas
+            for _ in range(r.compact_array_len() if flexible else r.int32()):
+                r.int32()  # isr
+            if api_version >= 5:
+                for _ in range(r.compact_array_len() if flexible else r.int32()):
+                    r.int32()  # offline
+            if flexible:
+                r.tagged_fields()
+        if api_version >= 8:
+            r.int32()  # topic_authorized_operations
+        if flexible:
+            r.tagged_fields()
+        out.append((err, name, tid, parts))
+    if 8 <= api_version <= 10:
+        r.int32()  # cluster_authorized_operations
+    if flexible:
+        r.tagged_fields()
+    return corr, brokers, out
