@@ -4,15 +4,114 @@ The reference delegates all record encoding to its sarama fork
 (`/root/reference/go.mod:10,51`; the fork is absent from the snapshot)
 — this is the from-scratch, public-spec implementation of the same
 format: CRC32C (Castagnoli), zigzag varints, delta-encoded offsets and
-timestamps, per-record headers. SURVEY §7 flagged this codec as hard
-part #3; compression codecs are intentionally unsupported in v1
-(attributes bits 0-2 must be 0 = none).
+timestamps, per-record headers.
+
+Compression (attributes bits 0-2): none(0) and gzip(1) via stdlib;
+snappy(2, xerial stream framing), lz4(3, LZ4 frame) and zstd(4, zstd
+frame) via the codecs bundled in pyarrow, gated behind import-try —
+when pyarrow is absent those codecs raise UnsupportedCodecError and
+the broker answers CORRUPT_MESSAGE rather than crashing.
 """
 
 from __future__ import annotations
 
 import struct
 from dataclasses import dataclass, field
+
+# ------------------------------------------------------ compression codecs
+
+CODEC_IDS = {None: 0, "gzip": 1, "snappy": 2, "lz4": 3, "zstd": 4}
+CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
+
+_XERIAL_HEADER = b"\x82SNAPPY\x00"
+
+
+class UnsupportedCodecError(ValueError):
+    pass
+
+
+def _pa_codec(name: str):
+    try:
+        import pyarrow as pa
+    except ImportError as e:  # pragma: no cover - pyarrow is baked in
+        raise UnsupportedCodecError(
+            f"codec {name!r} needs pyarrow, which is not installed"
+        ) from e
+    return pa
+
+
+def _snappy_raw_uncompressed_len(block: bytes) -> int:
+    """A raw snappy block starts with a varint of its uncompressed
+    length — exactly the size hint pyarrow's one-shot codec needs."""
+    n = shift = i = 0
+    while True:
+        b = block[i]
+        n |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            return n
+        shift += 7
+
+
+def compress_block(name: str, data: bytes) -> bytes:
+    """Compress a record block with Kafka's framing for the codec:
+    gzip → gzip stream; snappy → xerial-framed stream of raw snappy
+    blocks (what the Java client's SnappyOutputStream produces);
+    lz4 → LZ4 frame; zstd → zstd frame."""
+    if name == "gzip":
+        import gzip as _gzip
+
+        return _gzip.compress(data)
+    if name == "snappy":
+        pa = _pa_codec("snappy")
+        block = pa.Codec("snappy").compress(data, asbytes=True)
+        return (
+            _XERIAL_HEADER
+            + struct.pack(">ii", 1, 1)  # version, compat
+            + struct.pack(">i", len(block))
+            + block
+        )
+    if name in ("lz4", "zstd"):
+        pa = _pa_codec(name)
+        sink = pa.BufferOutputStream()
+        f = pa.CompressedOutputStream(sink, name)
+        f.write(data)
+        f.close()
+        return sink.getvalue().to_pybytes()
+    raise UnsupportedCodecError(f"unknown codec {name!r}")
+
+
+def decompress_block(name: str, data: bytes) -> bytes:
+    if name == "gzip":
+        import gzip as _gzip
+
+        return _gzip.decompress(data)
+    if name == "snappy":
+        pa = _pa_codec("snappy")
+        codec = pa.Codec("snappy")
+        if data[:8] == _XERIAL_HEADER:
+            out = bytearray()
+            p = 16  # header + version + compat
+            while p < len(data):
+                (blen,) = struct.unpack_from(">i", data, p)
+                p += 4
+                block = data[p : p + blen]
+                p += blen
+                out += codec.decompress(
+                    block,
+                    decompressed_size=_snappy_raw_uncompressed_len(block),
+                    asbytes=True,
+                )
+            return bytes(out)
+        # raw snappy block (librdkafka-style)
+        return codec.decompress(
+            data, decompressed_size=_snappy_raw_uncompressed_len(data), asbytes=True
+        )
+    if name in ("lz4", "zstd"):
+        pa = _pa_codec(name)
+        f = pa.CompressedInputStream(pa.BufferReader(data), name)
+        return f.read()
+    raise UnsupportedCodecError(f"unknown codec {name!r}")
 
 # ------------------------------------------------------ CRC32C (software)
 
@@ -113,10 +212,11 @@ def encode_record_batch(
 ) -> bytes:
     """Encode a magic-v2 batch. Offsets are assigned base_offset + i if
     the records don't already carry absolute offsets. compression:
-    None or "gzip" (codec 1; the records block after the count is
-    compressed, headers stay plain — per the Kafka spec)."""
+    None, "gzip", "snappy", "lz4" or "zstd" (the records block after
+    the count is compressed, batch headers stay plain — per the Kafka
+    spec)."""
     assert records, "empty batch"
-    assert compression in (None, "gzip")
+    assert compression in CODEC_IDS, f"unknown codec {compression!r}"
     if all(r.offset == 0 for r in records):  # assign sequentially
         recs = [
             Record(r.key, r.value, r.timestamp_ms, base_offset + i, r.headers)
@@ -129,12 +229,9 @@ def encode_record_batch(
     last_delta = recs[-1].offset - base_offset
 
     rec_block = b"".join(_encode_record(r, base_offset, base_ts) for r in recs)
-    attrs = 0
-    if compression == "gzip":
-        import gzip as _gzip
-
-        rec_block = _gzip.compress(rec_block)
-        attrs = 1
+    attrs = CODEC_IDS[compression]
+    if compression is not None:
+        rec_block = compress_block(compression, rec_block)
 
     payload = bytearray()
     payload += struct.pack(">h", attrs)
@@ -175,7 +272,7 @@ def decode_record_batch(buf: bytes, pos: int = 0) -> tuple[int, list[Record], in
         raise ValueError("record batch CRC mismatch")
     attributes = struct.unpack_from(">h", buf, p)[0]
     codec = attributes & 0x07
-    if codec not in (0, 1):
+    if codec not in CODEC_NAMES:
         raise ValueError(f"unsupported compression codec {codec}")
     p += 2
     p += 4  # lastOffsetDelta
@@ -185,10 +282,8 @@ def decode_record_batch(buf: bytes, pos: int = 0) -> tuple[int, list[Record], in
     n = struct.unpack_from(">i", buf, p)[0]
     p += 4
     batch_end = end
-    if codec == 1:
-        import gzip as _gzip
-
-        buf = _gzip.decompress(buf[p:end])
+    if codec != 0:
+        buf = decompress_block(CODEC_NAMES[codec], buf[p:end])
         p, end = 0, len(buf)
     records = []
     for _ in range(n):
