@@ -34,13 +34,18 @@ class GroupMembership:
     members: list[str] = field(default_factory=list)  # join order; [0] is leader
     protocols: dict[str, bytes] = field(default_factory=dict)  # member → metadata
     protocol_name: str = ""
+    protocol_type: str = ""
     assignments: dict[str, bytes] = field(default_factory=dict)
     next_member_seq: int = 0
 
 
 class Coordinator:
-    def __init__(self) -> None:
+    def __init__(self, topic_partitions=None) -> None:
+        """topic_partitions: zero-arg callable returning the current
+        {topic: partition_count} catalog — used for the server-side
+        assignment fallback when a leader syncs without assignments."""
         self.groups: dict[str, GroupMembership] = {}
+        self._topic_partitions = topic_partitions
 
     # -------------------------------------------------- JoinGroup v0
 
@@ -50,12 +55,13 @@ class Coordinator:
         group_id = r.nullable_string()
         r.int32()  # session_timeout_ms
         member_id = r.nullable_string() or ""
-        r.nullable_string()  # protocol_type
+        protocol_type = r.nullable_string() or ""
         protocols = []
         for _ in range(r.int32()):
             protocols.append((r.nullable_string(), r.nullable_bytes()))
 
         g = self.groups.setdefault(group_id, GroupMembership())
+        g.protocol_type = protocol_type
         if member_id and member_id not in g.members:
             return self._join_error(h.correlation_id, ERR_UNKNOWN_MEMBER_ID)
         if not member_id:
@@ -114,12 +120,32 @@ class Coordinator:
         else:
             if incoming and member_id == g.members[0]:  # leader distributes
                 g.assignments = dict(incoming)
+            elif (
+                not g.assignments
+                and member_id == g.members[0]
+                and g.protocol_type in ("", "consumer")
+            ):
+                # server-side fallback (our TopicConsumer's convenience
+                # path): leader synced without assignments — run the
+                # negotiated assignor over the joined subscriptions.
+                self._auto_assign(g)
             assignment = g.assignments.get(member_id, b"")
         w = wire.Writer()
         w.int32(h.correlation_id)
         w.int16(err)
         w.nullable_bytes(assignment)
         return w.bytes()
+
+    def _auto_assign(self, g: GroupMembership) -> None:
+        from kcore_spark.protocol import assignor
+
+        if g.protocol_name not in assignor.ASSIGNORS or self._topic_partitions is None:
+            return
+        try:
+            subs = {m: g.protocols.get(m, b"") for m in g.members}
+            g.assignments = assignor.assign(g.protocol_name, subs, self._topic_partitions())
+        except (EOFError, ValueError, KeyError):
+            return  # undecodable metadata: leave assignment to the leader
 
     # -------------------------------------------------- Heartbeat v0
 

@@ -43,8 +43,15 @@ class KafkaFrontend:
         from kcore_spark.protocol.coordinator import Coordinator
 
         self.group_store = GroupStore()
-        self.coordinator = Coordinator()
+        self.coordinator = Coordinator(topic_partitions=self._catalog_partitions)
         self._server: asyncio.AbstractServer | None = None
+
+    def _catalog_partitions(self) -> dict[str, int]:
+        out = dict(self.wire_log.topics)
+        if self.topic_log is not None:
+            for t in self.topic_log.list_topics():
+                out.setdefault(t, self.topic_log.topic_meta(t).num_partitions)
+        return out
 
     # ------------------------------------------------------ lifecycle
 

@@ -26,22 +26,32 @@ from kcore_spark.sources.topic_log import TopicLog
 
 
 class TopicConsumer:
-    def __init__(self, log: TopicLog, group: str, topic: str):
+    def __init__(
+        self,
+        log: TopicLog,
+        group: str,
+        topic: str,
+        partitions: list[int] | None = None,
+    ):
+        """partitions: restrict this consumer to a subset (the slice an
+        assignor handed it); None = all partitions (solo consumer)."""
         self.log = log
         self.group = group
         self.topic = topic
+        self.partitions = partitions
         self._positions: dict[int, int] = {}
         self._load_positions()
 
     def _load_positions(self) -> None:
         n_parts = self.log.topic_meta(self.topic).num_partitions
+        mine = self.partitions if self.partitions is not None else range(n_parts)
         committed = {
             r["partition"]: r["committed_offset"]
             for r in self.log.fetch_offsets(self.group).collect()
             if r["topic"] == self.topic
         }
         # committed offset = next offset to read (Kafka convention)
-        self._positions = {p: committed.get(p, 0) for p in range(n_parts)}
+        self._positions = {p: committed.get(p, 0) for p in mine}
 
     def position(self, partition: int) -> int:
         return self._positions[partition]
@@ -81,3 +91,21 @@ class TopicConsumer:
 
     def seek_to_beginning(self) -> None:
         self._positions = {p: 0 for p in self._positions}
+
+
+def balanced_consumers(
+    log: TopicLog, group: str, topic: str, n_members: int, strategy: str = "range"
+) -> list[TopicConsumer]:
+    """Split a topic across n consumers with a real assignor (range or
+    roundrobin — the same strategies the wire coordinator negotiates).
+    Each returned consumer polls a disjoint partition slice; together
+    they cover the topic exactly once."""
+    from kcore_spark.protocol.assignor import ASSIGNORS
+
+    n_parts = log.topic_meta(topic).num_partitions
+    members = [f"member-{i}" for i in range(n_members)]
+    assigned = ASSIGNORS[strategy]({m: [topic] for m in members}, {topic: n_parts})
+    return [
+        TopicConsumer(log, group, topic, partitions=assigned[m].get(topic, []))
+        for m in members
+    ]
