@@ -116,6 +116,33 @@ def _assign_topn(
     )
 
 
+def train_centroids(
+    corpus: DataFrame, vec_col: str, id_col: str, k: int = 16, seed: int = 7
+) -> DataFrame:
+    """Train IVF centroids with k-means|| (pyspark.ml KMeans, fixed
+    seed) — the quality upgrade over seeded first-K-vectors centroids:
+    trained centroids tile the actual data distribution, so probe
+    buckets are balanced and recall@k at the same nprobe is ≥ the
+    seeded variant (measured in scripts/bench_operators.py).
+
+    Returns (id_col, vec_col) shaped like the corpus so it drops into
+    ivf_topk unchanged. Scale: k-means|| is the distributed-init
+    variant designed for exactly this (Bahmani et al., VLDB'12); each
+    iteration is one map-side assignment pass + a k-row reduce."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(array_to_vector(as_double(F.col(vec_col))).alias("features"))
+    model = KMeans(k=k, seed=seed, initMode="k-means||", maxIter=20).fit(vecs)
+    centers = model.clusterCenters()
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        f"{id_col} long, {vec_col} array<double>",
+    )
+    return cdf
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

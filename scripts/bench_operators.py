@@ -16,10 +16,16 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from kcore_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs, minhash_signatures, word_shingles
+from kcore_spark.operators.dedup import (
+    jaccard_for_pairs,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    word_shingles,
+)
 from kcore_spark.operators.relational import asof_join
 from kcore_spark.operators.scale import bucketed_join, salted_join, write_bucketed
-from kcore_spark.operators.similarity import cosine_topk, ivf_topk
+from kcore_spark.operators.similarity import cosine_topk, ivf_topk, train_centroids
 from kcore_spark.testing import shared_spark
 
 SF = "/root/testdata/sf0.1"
@@ -66,9 +72,9 @@ def main() -> None:
     sh.count()
     exact, t_exact = t(lambda: jaccard_pairs(sh, 0.8).count())
     def lsh():
-        sigs = minhash_signatures(sh, 6).persist()
-        cands = lsh_candidate_pairs(sigs, 3, 2)
-        return cands.join(jaccard_pairs(sh, 0.8), ["id1", "id2"]).count()
+        sigs = minhash_signatures(sh, 6)
+        cands = lsh_candidate_pairs(sigs, 3, 2).persist()
+        return jaccard_for_pairs(cands, sh, 0.8).count()
     found, t_lsh = t(lsh)
     rows.append(
         (f"near-dup (found {exact} pairs)", f"MinHash LSH ({found} verified)", t_lsh, "exact all-co-occurring pairs", t_exact)
@@ -96,6 +102,35 @@ def main() -> None:
                 t_bf,
             )
         )
+
+    # trained (k-means||) vs seeded centroids: same nprobe, recall must
+    # not regress (VERDICT r1 #6 acceptance)
+    trained = train_centroids(corpus, "embedding", "vec_id", k=16, seed=7).persist()
+    trained.count()
+    seeded_recalls, trained_recalls = {}, {}
+    for nprobe in (1, 4):
+        s = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(corpus, queries, cents, "embedding", "vec_id", 10, nprobe=nprobe).collect()
+        }
+        tr, t_tr = t(
+            lambda: ivf_topk(corpus, queries, trained, "embedding", "vec_id", 10, nprobe=nprobe).collect()
+        )
+        tr_set = {(r["query_id"], r["neighbor_id"]) for r in tr}
+        seeded_recalls[nprobe] = len(bf_set & s) / len(bf_set)
+        trained_recalls[nprobe] = len(bf_set & tr_set) / len(bf_set)
+        rows.append(
+            (
+                f"ANN top-10 probe-{nprobe} (recall {trained_recalls[nprobe]:.2f} vs seeded {seeded_recalls[nprobe]:.2f})",
+                "k-means|| trained IVF-16",
+                t_tr,
+                "brute-force cosine",
+                t_bf,
+            )
+        )
+    assert all(
+        trained_recalls[np_] >= seeded_recalls[np_] - 1e-9 for np_ in (1, 4)
+    ), f"trained centroids regressed recall: {trained_recalls} vs {seeded_recalls}"
 
     # ---------------- repeated join: bucketed vs plain (broadcast off)
     li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")

@@ -96,3 +96,32 @@ def test_jaccard_for_pairs_matches_full_join(spark):
     assert fast == slow
     sh.unpersist()
     cands.unpersist()
+
+
+def test_trained_centroids_shape_and_recall(spark):
+    """k-means|| centroids drop into ivf_topk and must not regress
+    recall vs the seeded first-K variant at the same nprobe."""
+    from pyspark.sql import functions as F
+
+    from kcore_spark.operators.similarity import cosine_topk, ivf_topk, train_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 28))
+    corpus = emb.where(F.col("vec_id") >= 28)
+    seeded = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding")
+    trained = train_centroids(corpus, "embedding", "vec_id", k=8, seed=7)
+    assert trained.columns == ["vec_id", "embedding"]
+    assert trained.count() == 8
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(corpus, queries, "embedding", "vec_id", 5).collect()
+    }
+    def recall(cents):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(corpus, queries, cents, "embedding", "vec_id", 5, nprobe=2).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    assert recall(trained) >= recall(seeded) - 1e-9
