@@ -105,6 +105,85 @@ class TopicLog:
             d for d in os.listdir(self.root) if os.path.exists(self._meta_path(d))
         )
 
+    def _manifest_path(self, topic: str) -> str:
+        return os.path.join(self._topic_dir(topic), "_manifest.json")
+
+    def _load_manifest(self, topic: str) -> dict[str, list[dict]]:
+        p = self._manifest_path(topic)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_manifest(self, topic: str, man: dict[str, list[dict]]) -> None:
+        tmp = self._manifest_path(topic) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self._manifest_path(topic))
+
+    def _refresh_manifest(self, topic: str) -> dict[str, list[dict]]:
+        """Incrementally index new segment files: for every parquet file
+        not yet in the manifest, read its footer's offset min/max (one
+        driver-side footer read per NEW file — never a rescan of known
+        segments, so append cost is O(files just written) no matter how
+        many segments the log has accumulated)."""
+        import pyarrow.parquet as pq
+
+        man = self._load_manifest(topic)
+        data_dir = self._topic_dir(topic) + "/data"
+        if not os.path.isdir(data_dir):
+            return man
+        known = {e["file"] for entries in man.values() for e in entries}
+        seen_files: set[str] = set()
+        for pdir in os.listdir(data_dir):
+            if not pdir.startswith("partition="):
+                continue
+            for fn in os.listdir(os.path.join(data_dir, pdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = f"{pdir}/{fn}"
+                seen_files.add(rel)
+                if rel in known:
+                    continue
+                md = pq.ParquetFile(os.path.join(data_dir, rel)).metadata
+                oi = {md.schema.column(i).name: i for i in range(md.num_columns)}["offset"]
+                lo, hi = None, None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(oi).statistics
+                    if st is None or not st.has_min_max:
+                        lo, hi = 0, 2**62  # no stats: must always scan
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is None:
+                    continue  # zero-row file
+                man.setdefault(pdir, []).append({"file": rel, "min": lo, "max": hi})
+        # drop entries whose files disappeared (compaction swap)
+        for pdir in list(man):
+            man[pdir] = [e for e in man[pdir] if e["file"] in seen_files]
+            if not man[pdir]:
+                del man[pdir]
+        self._save_manifest(topic, man)
+        return man
+
+    def _manifest_files(
+        self, topic: str, partition: int, start: int, end: int
+    ) -> list[str] | None:
+        """Absolute paths of segment files overlapping [start, end) for
+        one partition, from the manifest alone — O(partition's segment
+        list), no filesystem listing. None = no manifest (fall back to
+        a full scan)."""
+        man = self._load_manifest(topic)
+        if not man:
+            return None
+        entries = man.get(f"partition={partition}", [])
+        data_dir = self._topic_dir(topic) + "/data"
+        return [
+            os.path.join(data_dir, e["file"])
+            for e in entries
+            if e["min"] < end and e["max"] >= start
+        ]
+
     def _watermarks(self, topic: str) -> dict[int, int]:
         with open(self._wm_path(topic)) as f:
             return {int(k): v for k, v in json.load(f).items()}
@@ -185,6 +264,7 @@ class TopicLog:
             p: max(wm.get(p, 0), new_wm.get(p, 0)) for p in set(wm) | set(new_wm)
         }
         self._set_watermarks(topic, merged)
+        self._refresh_manifest(topic)  # index just-written segments
         return merged
 
     def append_raw(self, topic: str, records: DataFrame) -> dict[int, int]:
@@ -210,16 +290,33 @@ class TopicLog:
     def fetch(self, topic: str, partition: int, start_offset: int, max_records: int) -> DataFrame:
         """Fetch (API key 1) analog: offset-range scan of one partition.
 
-        partition=→ directory pruning; offset range → row-group stats
-        pruning. No shuffle; ordering by offset is a partition-local
-        sort of at most max_records rows.
+        Planning is manifest-first: only segment files whose footer
+        offset range overlaps [start, start+max) are handed to the
+        reader, so planning cost is O(relevant files) — a fetch near
+        the tail of a million-segment log lists nothing but its own
+        few files. Inside those files, partition= directory pruning
+        and offset row-group stats still apply. No shuffle; ordering
+        by offset is a partition-local sort of at most max_records
+        rows. Falls back to a full-directory scan when no manifest
+        exists (pre-manifest logs stay readable).
         """
+        end = start_offset + max_records
+        files = self._manifest_files(topic, partition, start_offset, end)
+        if files is None:
+            src = self.scan(topic)
+        elif not files:
+            return self.spark.createDataFrame([], RECORD_SCHEMA)
+        else:
+            src = (
+                self.spark.read.schema(RECORD_SCHEMA)
+                .option("basePath", self._topic_dir(topic) + "/data")
+                .parquet(*files)
+            )
         return (
-            self.scan(topic)
-            .where(
+            src.where(
                 (F.col("partition") == partition)
                 & (F.col("offset") >= start_offset)
-                & (F.col("offset") < start_offset + max_records)
+                & (F.col("offset") < end)
             )
             .orderBy("offset")
         )
@@ -279,6 +376,7 @@ class TopicLog:
         os.rename(data_dir, old_dir)
         os.rename(tmp_dir, data_dir)
         shutil.rmtree(old_dir)
+        self._refresh_manifest(topic)  # old segments out, compacted in
         return n
 
     def _recover_compaction(self, topic: str) -> None:
@@ -304,6 +402,9 @@ class TopicLog:
         for d in os.listdir(tdir):
             if d.startswith("data.compact."):
                 shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+        # the restored dir may not match the manifest written before the
+        # crash — re-index so fetch never plans against missing files
+        self._refresh_manifest(topic)
 
     # ------------------------------------------------------ consumer groups
 

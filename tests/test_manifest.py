@@ -1,0 +1,119 @@
+"""Manifest-based topic-log listing (VERDICT r1 #7): fetch planning is
+O(relevant files), append indexing is O(new files), and results are
+identical to the full-scan path."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kcore_spark.sources.topic_log import TopicLog
+
+
+@pytest.fixture()
+def log(spark):
+    with tempfile.TemporaryDirectory(prefix="kcore_topics_") as d:
+        yield TopicLog(spark, d)
+
+
+def _records(spark, n, start=0):
+    return spark.range(start, start + n).select(
+        F.encode(F.concat(F.lit("k"), (F.col("id") % 5).cast("string")), "utf-8").alias("key"),
+        F.encode(F.concat(F.lit("v"), F.col("id").cast("string")), "utf-8").alias("value"),
+        F.col("id").alias("seq"),
+    )
+
+
+def _fill_segments(spark, log, topic="t", batches=6, per_batch=10):
+    log.create_topic(topic, 2)
+    for i in range(batches):
+        log.produce(topic, _records(spark, per_batch, start=i * per_batch), order_by=["seq"])
+
+
+def test_manifest_tracks_every_segment(spark, log):
+    _fill_segments(spark, log)
+    man = log._load_manifest("t")
+    assert set(man) == {"partition=0", "partition=1"}
+    total = log.scan("t").count()
+    assert total == 60
+    # offsets covered exactly: per partition, ranges stitch 0..wm-1
+    for p, wm in log._watermarks("t").items():
+        entries = sorted(man[f"partition={p}"], key=lambda e: e["min"])
+        assert entries[0]["min"] == 0
+        assert entries[-1]["max"] == wm - 1
+
+
+def test_fetch_reads_only_overlapping_files(spark, log):
+    _fill_segments(spark, log, batches=6)
+    man = log._load_manifest("t")
+    n_files_p0 = len(man["partition=0"])
+    assert n_files_p0 >= 6  # one+ segment per produce batch
+    wm = log._watermarks("t")[0]
+    df = log.fetch("t", 0, wm - 3, 3)  # tail fetch
+    touched = df.inputFiles()
+    assert 0 < len(touched) < n_files_p0  # pruned to the overlapping tail
+    # and the rows are right
+    got = [r.offset for r in df.collect()]
+    assert got == [wm - 3, wm - 2, wm - 1]
+
+
+def test_fetch_matches_full_scan_path(spark, log):
+    _fill_segments(spark, log, batches=4)
+    wm = log._watermarks("t")[1]
+    via_manifest = {(r.offset, bytes(r.value)) for r in log.fetch("t", 1, 5, 10).collect()}
+    # simulate a pre-manifest log: drop the manifest → full-scan fallback
+    import os
+
+    os.remove(log._manifest_path("t"))
+    via_scan = {(r.offset, bytes(r.value)) for r in log.fetch("t", 1, 5, 10).collect()}
+    assert via_manifest == via_scan and via_manifest
+
+
+def test_fetch_out_of_range_is_empty(spark, log):
+    _fill_segments(spark, log, batches=2)
+    assert log.fetch("t", 0, 10_000, 5).count() == 0
+
+
+def test_append_indexes_only_new_files(spark, log, monkeypatch):
+    """Listing cost must not scale with accumulated segment count: the
+    footer reader runs once per NEW file only."""
+    import pyarrow.parquet as pq
+
+    _fill_segments(spark, log, batches=5)
+    calls = []
+    real = pq.ParquetFile
+
+    def counting(path, *a, **kw):
+        calls.append(str(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting)
+    log.produce("t", _records(spark, 10, start=50), order_by=["seq"])
+    known = {
+        e["file"] for v in log._load_manifest("t").values() for e in v
+    }
+    assert calls  # indexed the just-written segments
+    assert len(calls) < len(known)  # but never re-read known ones
+
+
+def test_compaction_rebuilds_manifest(spark, log):
+    _fill_segments(spark, log, batches=4)
+    log.compact("t")
+    man = log._load_manifest("t")
+    files = {e["file"] for v in man.values() for e in v}
+    import os
+
+    data = log._topic_dir("t") + "/data"
+    on_disk = {
+        f"{p}/{f}"
+        for p in os.listdir(data)
+        if p.startswith("partition=")
+        for f in os.listdir(os.path.join(data, p))
+        if f.endswith(".parquet")
+    }
+    assert files == on_disk  # no stale entries, nothing missing
+    # fetch still works post-compaction via the rebuilt manifest
+    assert log.fetch("t", 0, 0, 1000).count() > 0
