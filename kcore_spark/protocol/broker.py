@@ -375,7 +375,10 @@ def handle_produce(log: WireLog, payload: bytes) -> bytes:
                 continue
             try:
                 _base, records, _ = decode_record_batch(p.batch)
-            except (ValueError, IndexError, KeyError):
+            except (ValueError, IndexError, KeyError, MemoryError, OSError):
+                # MemoryError/OSError: a crafted compressed block can
+                # still make a codec over-allocate or fail mid-stream;
+                # that is corrupt input, not a broker crash
                 part_results.append((p.index, wire.ERR_CORRUPT_MESSAGE, -1))
                 continue
             base = log.append(name, p.index, records)

@@ -42,15 +42,30 @@ def _pa_codec(name: str):
 
 def _snappy_raw_uncompressed_len(block: bytes) -> int:
     """A raw snappy block starts with a varint of its uncompressed
-    length — exactly the size hint pyarrow's one-shot codec needs."""
+    length — exactly the size hint pyarrow's one-shot codec needs.
+
+    The declared length is attacker-controlled: a crafted block can
+    claim terabytes and make the codec attempt the allocation before
+    noticing the payload is garbage. Snappy's worst-case expansion is
+    bounded (compressed >= uncompressed/..., in practice compressed
+    can't be smaller than ~uncompressed/255 even for all-zero runs),
+    so reject anything beyond 256x the compressed size or 1 GiB."""
     n = shift = i = 0
     while True:
         b = block[i]
         n |= (b & 0x7F) << shift
         i += 1
         if not b & 0x80:
-            return n
+            break
         shift += 7
+        if shift > 42:  # > 6 varint bytes: length would exceed 4 TiB
+            raise ValueError("snappy: unreasonable uncompressed-length varint")
+    if n > max(1 << 30, 256 * len(block)):
+        raise ValueError(
+            f"snappy: declared uncompressed size {n} implausible for "
+            f"{len(block)}-byte block"
+        )
+    return n
 
 
 def compress_block(name: str, data: bytes) -> bytes:

@@ -177,14 +177,19 @@ class KafkaFrontend:
                 catalog.setdefault(t, self.topic_log.topic_meta(t).num_partitions)
         if req.topics is None:
             topics = list(catalog.items())
-            errors: list[tuple[str, int]] = []
+            errors: list[tuple] = []
         else:
-            topics = [(t, catalog[t]) for t in req.topics if t in catalog]
-            errors = [
-                (t, wire.ERR_UNKNOWN_TOPIC_OR_PARTITION)
-                for t in req.topics
-                if t not in catalog
-            ]
+            ids = req.topic_ids or [None] * len(req.topics)
+            topics, errors = [], []
+            for t, tid in zip(req.topics, ids):
+                if t in catalog and t:
+                    topics.append((t, catalog[t]))
+                elif not t and tid is not None:
+                    # id-only lookup (v10+): no id index in this catalog;
+                    # echo the requested id so the client can correlate
+                    errors.append(("", wire.ERR_UNKNOWN_TOPIC_ID, tid))
+                else:
+                    errors.append((t, wire.ERR_UNKNOWN_TOPIC_OR_PARTITION))
         return wire.encode_metadata_response(
             correlation_id, api_version, self.host, self.port, topics, topic_errors=errors
         )

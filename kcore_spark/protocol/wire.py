@@ -42,6 +42,7 @@ ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
 ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNSUPPORTED_VERSION = 35
+ERR_UNKNOWN_TOPIC_ID = 100
 
 # (api_key, min_version, max_version) advertised by this broker.
 SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
@@ -332,17 +333,23 @@ class MetadataRequest:
     topics: list[str] | None  # None = all topics
     allow_auto_topic_creation: bool = True
     include_topic_authorized_operations: bool = False
+    # aligned with `topics`: the request's topic_id per entry (v10+),
+    # None for by-name requests. An id-only lookup (null name) decodes
+    # as name "" with its id preserved here so the handler can echo it.
+    topic_ids: list[bytes | None] | None = None
 
 
 def decode_metadata_request(payload: bytes) -> MetadataRequest:
     """MetadataRequest v0-v12 (flexible from v9). Topics requested by
-    id-only (name null, v10+) are not resolvable in this catalog and
-    decode as an empty-name entry the handler rejects per-topic."""
+    id-only (name null, v10+) decode as an empty-name entry with the
+    requested id kept in `topic_ids`; this catalog has no id index, so
+    the handler answers those with UNKNOWN_TOPIC_ID echoing the id."""
     r = Reader(payload)
     api_version = struct.unpack(">h", payload[2:4])[0]
     flexible = is_flexible_request(METADATA_KEY, api_version)
     h = decode_request_header(r, flexible)
     topics: list[str] | None
+    topic_ids: list[bytes | None] | None = None
     if r.pos >= len(r.buf):
         # header-only request (some clients omit the body entirely for
         # "all topics"): treat as a null topics array
@@ -353,12 +360,17 @@ def decode_metadata_request(payload: bytes) -> MetadataRequest:
             topics = None
         else:
             topics = []
+            topic_ids = []
             for _ in range(n):
+                tid: bytes | None = None
                 if api_version >= 10:
-                    r.uuid()  # topic_id (resolution by id unsupported)
+                    tid = r.uuid()
+                    if tid == b"\x00" * 16:
+                        tid = None
                 name = r.compact_string()
                 r.tagged_fields()
                 topics.append(name if name is not None else "")
+                topic_ids.append(tid)
     else:
         n = r.int32()
         if n == -1 and api_version >= 1:
@@ -368,7 +380,7 @@ def decode_metadata_request(payload: bytes) -> MetadataRequest:
             topics = None if api_version == 0 else []
         else:
             topics = [r.nullable_string() or "" for _ in range(n)]
-    req = MetadataRequest(h, topics)
+    req = MetadataRequest(h, topics, topic_ids=topic_ids)
     if r.pos < len(r.buf) and api_version >= 4:
         req.allow_auto_topic_creation = r.bool_()
     if r.pos < len(r.buf) and 8 <= api_version <= 10:
@@ -415,11 +427,20 @@ def encode_metadata_response(
     errs = topic_errors or []
     n_topics = len(topics) + len(errs)
     w.compact_array_len(n_topics) if flexible else w.int32(n_topics)
-    for name, err in errs:
+    for entry in errs:
+        name, err = entry[0], entry[1]
+        req_tid = entry[2] if len(entry) > 2 else None
         w.int16(err)
-        w.compact_string(name or None) if flexible else w.nullable_string(name)
+        if flexible:
+            # topic name is non-nullable until v12: id-only lookups echo
+            # an empty (not null) name on v9-11, null from v12 on
+            w.compact_string(name if (name or api_version < 12) else None)
+        else:
+            w.nullable_string(name)
         if api_version >= 10:
-            w.uuid(topic_uuid(name))
+            # echo the requested topic_id for id-only lookups; unknown
+            # by-name topics report the zero uuid (no id exists)
+            w.uuid(req_tid if req_tid else b"\x00" * 16)
         if api_version >= 1:
             w.bool_(False)  # is_internal
         w.compact_array_len(0) if flexible else w.int32(0)  # no partitions

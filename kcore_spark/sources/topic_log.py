@@ -63,6 +63,7 @@ class TopicLog:
         self.spark = spark
         self.root = root
         self._last_commit_seq = 0
+        self._commit_seq_seeded = False
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------ control plane
@@ -302,6 +303,11 @@ class TopicLog:
         """
         end = start_offset + max_records
         files = self._manifest_files(topic, partition, start_offset, end)
+        if files is not None and any(not os.path.exists(f) for f in files):
+            # stale manifest (read concurrently with a compaction swap):
+            # re-plan from a fresh index rather than failing mid-scan
+            self._refresh_manifest(topic)
+            files = self._manifest_files(topic, partition, start_offset, end)
         if files is None:
             src = self.scan(topic)
         elif not files:
@@ -375,8 +381,12 @@ class TopicLog:
         old_dir = self._topic_dir(topic) + f"/data.old-{uuid.uuid4().hex}"
         os.rename(data_dir, old_dir)
         os.rename(tmp_dir, data_dir)
+        # re-index BEFORE deleting old segments: another instance that
+        # reads the manifest from disk must never be handed file paths
+        # that are already gone (fetch also tolerates a stale manifest
+        # by falling back to a full scan on a missing file)
+        self._refresh_manifest(topic)
         shutil.rmtree(old_dir)
-        self._refresh_manifest(topic)  # old segments out, compacted in
         return n
 
     def _recover_compaction(self, topic: str) -> None:
@@ -411,6 +421,25 @@ class TopicLog:
     def _offsets_dir(self) -> str:
         return os.path.join(self.root, "__consumer_offsets")
 
+    def _max_commit_seq_on_disk(self) -> int:
+        """Largest commit_seq in the offsets log (0 if none) — a
+        driver-side read of the small control-plane JSON files, done
+        once per TopicLog instance to seed last-writer-wins ordering
+        across restarts."""
+        d = self._offsets_dir()
+        if not os.path.isdir(d):
+            return 0
+        best = 0
+        for fn in os.listdir(d):
+            if not (fn.startswith("commit-") and fn.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(d, fn)) as f:
+                    best = max(best, int(json.load(f).get("commit_seq", 0)))
+            except (ValueError, OSError):
+                continue  # torn write of an in-flight commit: ignore
+        return best
+
     def commit_offset(self, group: str, topic: str, partition: int, offset: int) -> None:
         """OffsetCommit (API key 8) analog: append a commit record.
 
@@ -421,11 +450,19 @@ class TopicLog:
         commit_seq is wall-clock ns (NOT monotonic_ns, which resets at
         boot and would freeze resume on any pre-reboot commit forever),
         bumped past the process-local max so same-tick commits in one
-        process still order by call sequence.
+        process still order by call sequence. The local max is seeded
+        from the max commit_seq already on disk, so a restart after a
+        backwards wall-clock step (NTP) can never write a commit that
+        orders before an already-persisted one.
         """
         import time
 
         os.makedirs(self._offsets_dir(), exist_ok=True)
+        if not self._commit_seq_seeded:
+            self._last_commit_seq = max(
+                self._last_commit_seq, self._max_commit_seq_on_disk()
+            )
+            self._commit_seq_seeded = True
         seq = max(time.time_ns(), self._last_commit_seq + 1)
         self._last_commit_seq = seq
         rec = {
