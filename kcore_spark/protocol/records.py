@@ -76,7 +76,9 @@ def compress_block(name: str, data: bytes) -> bytes:
     if name == "gzip":
         import gzip as _gzip
 
-        return _gzip.compress(data)
+        # mtime=0: reproducible bytes (the header would otherwise embed
+        # the wall clock, breaking golden-byte conformance fixtures)
+        return _gzip.compress(data, mtime=0)
     if name == "snappy":
         pa = _pa_codec("snappy")
         block = pa.Codec("snappy").compress(data, asbytes=True)
