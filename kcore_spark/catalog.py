@@ -56,6 +56,9 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # INT96 (the default) writes no footer min/max stats; MICROS does,
+    # and the topic-log manifest's timestamp index is built from them
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

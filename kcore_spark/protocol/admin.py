@@ -82,7 +82,10 @@ def handle_delete_topics(log: WireLog, payload: bytes) -> bytes:
 
 
 def handle_list_offsets(log: WireLog, payload: bytes) -> bytes:
-    """timestamp -2 → earliest (0), -1 → log-end offset."""
+    """timestamp -2 → earliest (0), -1 → log-end offset, >= 0 → the
+    first offset whose record timestamp is >= the target (v1+
+    timestamp resolution; the response echoes the matched record's
+    timestamp, or -1/-1 when no record qualifies)."""
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=False)
     r.int32()  # replica_id
@@ -97,8 +100,19 @@ def handle_list_offsets(log: WireLog, payload: bytes) -> bytes:
                 parts.append((partition, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, -1))
                 continue
             hw = log.high_watermark(name, partition)
-            offset = 0 if ts == EARLIEST_TIMESTAMP else hw
-            parts.append((partition, wire.ERR_NONE, -1, offset))
+            if ts == EARLIEST_TIMESTAMP:
+                parts.append((partition, wire.ERR_NONE, -1, 0))
+            elif ts == LATEST_TIMESTAMP:
+                parts.append((partition, wire.ERR_NONE, -1, hw))
+            else:
+                hit = next(
+                    (rec for rec in log.read(name, partition, 0, hw) if rec.timestamp_ms >= ts),
+                    None,
+                )
+                if hit is None:
+                    parts.append((partition, wire.ERR_NONE, -1, -1))
+                else:
+                    parts.append((partition, wire.ERR_NONE, hit.timestamp_ms, hit.offset))
         results.append((name, parts))
     w = wire.Writer()
     w.int32(h.correlation_id)

@@ -83,9 +83,35 @@ WHERE part = 1 AND rn - 1 >= 100 AND rn - 1 < 120
 """
 
 
+def q_topic_offsets_for_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListOffsets v1+ timestamp → offset resolution (VERDICT r2 #2):
+    first offset per partition with record timestamp >= 2024-01-20,
+    served from the manifest's per-segment timestamp index."""
+    log, topic = _produce_events_topic(spark, sf_dir)
+    return log.offsets_for_timestamp(topic, 1705708800000).select(
+        F.col("partition").cast("long").alias("partition"), "offset"
+    )
+
+
+Q_TOPIC_OFFSETS_FOR_TS_SQL = """
+SELECT CAST(part AS BIGINT) AS partition, CAST(MIN(rn - 1) AS BIGINT) AS offset
+FROM (
+  SELECT user_id % 3 AS part, CAST(ts AS TIMESTAMP) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id % 3 ORDER BY event_id) AS rn
+  FROM events)
+WHERE t >= TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY part
+"""
+
+
 QUERIES = {
     "q_topic_list_offsets": QuerySpec(
         q_topic_list_offsets, Q_TOPIC_LIST_OFFSETS_SQL, "produce + ListOffsets"
     ),
     "q_topic_fetch_range": QuerySpec(q_topic_fetch_range, Q_TOPIC_FETCH_SQL, "produce + Fetch range"),
+    "q_topic_offsets_for_ts": QuerySpec(
+        q_topic_offsets_for_ts,
+        Q_TOPIC_OFFSETS_FOR_TS_SQL,
+        "ListOffsets v1 timestamp resolution (manifest ts index)",
+    ),
 }

@@ -52,6 +52,18 @@ RECORD_SCHEMA = T.StructType(
 )
 
 
+def _epoch_ms(ts) -> int:
+    """Parquet footer timestamp statistic → epoch milliseconds.
+    pyarrow surfaces these as datetimes (or raw ints for INT64 ts)."""
+    if isinstance(ts, int):
+        return ts
+    from datetime import timezone
+
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=timezone.utc)
+    return int(ts.timestamp() * 1000)
+
+
 @dataclass
 class TopicMeta:
     name: str
@@ -60,6 +72,9 @@ class TopicMeta:
 
 class TopicLog:
     def __init__(self, spark: SparkSession, root: str):
+        from kcore_spark.catalog import ensure_engine_confs
+
+        ensure_engine_confs(spark)  # MICROS ts output → footer stats
         self.spark = spark
         self.root = root
         self._last_commit_seq = 0
@@ -147,8 +162,11 @@ class TopicLog:
                 if rel in known:
                     continue
                 md = pq.ParquetFile(os.path.join(data_dir, rel)).metadata
-                oi = {md.schema.column(i).name: i for i in range(md.num_columns)}["offset"]
+                cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                oi = cols["offset"]
+                ti = cols.get("timestamp")
                 lo, hi = None, None
+                ts_lo, ts_hi = None, None
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(oi).statistics
                     if st is None or not st.has_min_max:
@@ -156,9 +174,22 @@ class TopicLog:
                         break
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
+                    if ti is not None:
+                        ts = md.row_group(rg).column(ti).statistics
+                        if ts is not None and ts.has_min_max:
+                            a = _epoch_ms(ts.min)
+                            b = _epoch_ms(ts.max)
+                            ts_lo = a if ts_lo is None else min(ts_lo, a)
+                            ts_hi = b if ts_hi is None else max(ts_hi, b)
                 if lo is None:
                     continue  # zero-row file
-                man.setdefault(pdir, []).append({"file": rel, "min": lo, "max": hi})
+                entry = {"file": rel, "min": lo, "max": hi}
+                if ts_lo is not None:
+                    # timestamp range (epoch ms) indexes ListOffsets-by-
+                    # timestamp: segments with ts_max < target can't hold
+                    # the answer and are pruned without being opened
+                    entry["ts_min"], entry["ts_max"] = ts_lo, ts_hi
+                man.setdefault(pdir, []).append(entry)
         # drop entries whose files disappeared (compaction swap)
         for pdir in list(man):
             man[pdir] = [e for e in man[pdir] if e["file"] in seen_files]
@@ -337,6 +368,52 @@ class TopicLog:
                 (F.max("offset") + 1).alias("next_offset"),
                 F.count(F.lit(1)).alias("n_records"),
             )
+            .orderBy("partition")
+        )
+
+    def offsets_for_timestamp(self, topic: str, ts_ms: int) -> DataFrame:
+        """ListOffsets v1+ timestamp lookup: per partition, the FIRST
+        offset whose record timestamp is >= ts_ms (the "replay from
+        last Tuesday" entry point). Partitions with no qualifying
+        record report offset -1, Kafka's "no such offset".
+
+        Planning: the manifest's per-segment timestamp range (footer
+        stats, epoch ms) prunes every segment whose ts_max < target —
+        on a long-retention log the scan touches only the tail segments
+        that can actually hold the answer. Within surviving files the
+        timestamp predicate is pushed to parquet row-group stats. One
+        partial-aggregatable min per partition; no shuffle beyond the
+        final 1-row-per-partition agg.
+        """
+        man = self._load_manifest(topic)
+        data_dir = self._topic_dir(topic) + "/data"
+        n_parts = self.topic_meta(topic).num_partitions
+        parts_df = self.spark.range(n_parts).select(F.col("id").cast("int").alias("partition"))
+        if man:
+            files = [
+                os.path.join(data_dir, e["file"])
+                for entries in man.values()
+                for e in entries
+                # keep files lacking ts stats (can't prove they miss)
+                if e.get("ts_max") is None or e["ts_max"] >= ts_ms
+            ]
+            if not files:
+                return parts_df.withColumn("offset", F.lit(-1).cast("long"))
+            src = (
+                self.spark.read.schema(RECORD_SCHEMA)
+                .option("basePath", data_dir)
+                .parquet(*files)
+            )
+        else:
+            src = self.scan(topic)
+        hits = (
+            src.where(F.col("timestamp") >= F.timestamp_millis(F.lit(ts_ms)))
+            .groupBy("partition")
+            .agg(F.min("offset").alias("offset"))
+        )
+        return (
+            parts_df.join(hits, "partition", "left")
+            .select("partition", F.coalesce("offset", F.lit(-1)).cast("long").alias("offset"))
             .orderBy("partition")
         )
 

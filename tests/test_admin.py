@@ -96,6 +96,27 @@ def test_list_offsets_earliest_latest():
     assert err == wire.ERR_UNKNOWN_TOPIC_OR_PARTITION
 
 
+def test_list_offsets_by_timestamp():
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("t", 1)
+    fe.wire_log.append("t", 0, [Record(b"k", b"v", ts) for ts in (100, 200, 200, 300)])
+
+    def ts_offset(resp):
+        r = wire.Reader(resp)
+        r.int32(), r.int32(), r.nullable_string(), r.int32()
+        r.int32()  # partition
+        err = r.int16()
+        return err, r.int64(), r.int64()  # err, matched ts, offset
+
+    # exact hit → first of the tied records
+    assert ts_offset(fe.handle_request(_list_offsets_payload("t", 0, 200))) == (0, 200, 1)
+    # between records → next one
+    assert ts_offset(fe.handle_request(_list_offsets_payload("t", 0, 201))) == (0, 300, 3)
+    # before all → offset 0; after all → -1/-1 (Kafka's "no such offset")
+    assert ts_offset(fe.handle_request(_list_offsets_payload("t", 0, 1))) == (0, 100, 0)
+    assert ts_offset(fe.handle_request(_list_offsets_payload("t", 0, 9999))) == (0, -1, -1)
+
+
 # ------------------------------------------------------ property tests
 
 

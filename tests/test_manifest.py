@@ -117,3 +117,54 @@ def test_compaction_rebuilds_manifest(spark, log):
     assert files == on_disk  # no stale entries, nothing missing
     # fetch still works post-compaction via the rebuilt manifest
     assert log.fetch("t", 0, 0, 1000).count() > 0
+
+
+# ------------------------------------------------ ListOffsets by timestamp
+
+
+def _ts_records(spark, n, start_seq, base_ms):
+    return spark.range(n).select(
+        F.encode((F.col("id") % 5).cast("string"), "utf-8").alias("key"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("value"),
+        F.timestamp_millis(F.lit(base_ms) + F.col("id") * 10).alias("timestamp"),
+        (F.col("id") + start_seq).alias("seq"),
+    )
+
+
+def test_offsets_for_timestamp_resolution(spark, log):
+    log.create_topic("t", 2)
+    # two segments per partition with disjoint time ranges
+    log.produce("t", _ts_records(spark, 20, 0, 1_000_000), order_by=["seq"])
+    log.produce("t", _ts_records(spark, 20, 20, 9_000_000), order_by=["seq"])
+    wm = log._watermarks("t")
+    # target inside the second batch's range: the answer is that
+    # partition's first offset with ts >= target
+    got = {r["partition"]: r["offset"] for r in log.offsets_for_timestamp("t", 9_000_000).collect()}
+    full = log.scan("t")
+    expect = {
+        r["partition"]: r["o"]
+        for r in full.where(F.col("timestamp") >= F.timestamp_millis(F.lit(9_000_000)))
+        .groupBy("partition")
+        .agg(F.min("offset").alias("o"))
+        .collect()
+    }
+    assert got == expect
+    # before all records → 0; after all → -1
+    assert {r["offset"] for r in log.offsets_for_timestamp("t", 0).collect()} == {0}
+    assert {r["offset"] for r in log.offsets_for_timestamp("t", 99_000_000).collect()} == {-1}
+    assert set(got) == set(wm)
+
+
+def test_offsets_for_timestamp_prunes_old_segments(spark, log):
+    log.create_topic("t", 1)
+    log.produce("t", _ts_records(spark, 20, 0, 1_000_000), order_by=["seq"])
+    log.produce("t", _ts_records(spark, 20, 20, 9_000_000), order_by=["seq"])
+    man = log._load_manifest("t")
+    entries = man["partition=0"]
+    assert all("ts_min" in e and "ts_max" in e for e in entries)
+    # a late target must not open the early segment
+    df = log.offsets_for_timestamp("t", 9_000_050)
+    read_files = {f.split("/")[-1] for f in df.inputFiles()}
+    old = {e["file"].split("/")[-1] for e in entries if e["ts_max"] < 9_000_050}
+    assert old, "expected at least one prunable old segment"
+    assert not (read_files & old)
