@@ -101,7 +101,7 @@ def handle_list_offsets(log: WireLog, payload: bytes) -> bytes:
                 continue
             hw = log.high_watermark(name, partition)
             if ts == EARLIEST_TIMESTAMP:
-                parts.append((partition, wire.ERR_NONE, -1, 0))
+                parts.append((partition, wire.ERR_NONE, -1, log.log_start(name, partition)))
             elif ts == LATEST_TIMESTAMP:
                 parts.append((partition, wire.ERR_NONE, -1, hw))
             else:
@@ -122,4 +122,46 @@ def handle_list_offsets(log: WireLog, payload: bytes) -> bytes:
         w.int32(len(parts))
         for partition, err, ts, offset in parts:
             w.int32(partition).int16(err).int64(ts).int64(offset)
+    return w.bytes()
+
+
+# ------------------------------------------------------ DeleteRecords v0-v1
+
+ERR_OFFSET_OUT_OF_RANGE = wire.ERR_OFFSET_OUT_OF_RANGE
+
+
+def handle_delete_records(log: WireLog, payload: bytes) -> bytes:
+    """DeleteRecords (API key 21, v0-v1 — identical non-flexible
+    layouts): advance each partition's log start offset; offset -1
+    means "up to the high watermark". The response reports the new
+    low watermark per partition."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    results = []
+    for _ in range(r.int32()):
+        name = r.nullable_string()
+        parts = []
+        for _ in range(r.int32()):
+            partition = r.int32()
+            before = r.int64()
+            if not log.has(name, partition):
+                parts.append((partition, -1, ERR_UNKNOWN_TOPIC_OR_PARTITION))
+                continue
+            try:
+                low = log.delete_records(name, partition, before)
+            except ValueError:
+                parts.append((partition, -1, ERR_OFFSET_OUT_OF_RANGE))
+                continue
+            parts.append((partition, low, wire.ERR_NONE))
+        results.append((name, parts))
+    r.int32()  # timeout_ms (after topics in the request layout)
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.int32(0)  # throttle_time_ms
+    w.int32(len(results))
+    for name, parts in results:
+        w.nullable_string(name)
+        w.int32(len(parts))
+        for partition, low_watermark, err in parts:
+            w.int32(partition).int64(low_watermark).int16(err)
     return w.bytes()

@@ -32,6 +32,7 @@ from kcore_spark.protocol.records import (
 @dataclass
 class _Partition:
     records: list[Record] = field(default_factory=list)
+    base: int = 0  # log start offset; records[i] has offset base + i
     flushed_upto: int = 0  # offsets below this are in the parquet log
 
 
@@ -52,17 +53,40 @@ class WireLog:
 
     def append(self, topic: str, partition: int, records: list[Record]) -> int:
         part = self._parts[(topic, partition)]
-        base = len(part.records)
+        base = part.base + len(part.records)
         for i, r in enumerate(records):
             part.records.append(Record(r.key, r.value, r.timestamp_ms, base + i, r.headers))
         return base
 
     def read(self, topic: str, partition: int, offset: int, max_records: int) -> list[Record]:
         part = self._parts[(topic, partition)]
-        return part.records[offset : offset + max_records]
+        i = max(offset, part.base) - part.base
+        return part.records[i : i + max_records]
 
     def high_watermark(self, topic: str, partition: int) -> int:
-        return len(self._parts[(topic, partition)].records)
+        part = self._parts[(topic, partition)]
+        return part.base + len(part.records)
+
+    def log_start(self, topic: str, partition: int) -> int:
+        return self._parts[(topic, partition)].base
+
+    def delete_records(self, topic: str, partition: int, before_offset: int) -> int:
+        """DeleteRecords (API key 21): advance the log start offset to
+        before_offset (-1 = high watermark, i.e. delete everything) and
+        free the truncated prefix. Returns the new low watermark.
+        Raises ValueError if before_offset is beyond the high watermark
+        (the wire handler maps this to OFFSET_OUT_OF_RANGE)."""
+        part = self._parts[(topic, partition)]
+        hw = part.base + len(part.records)
+        if before_offset == -1:
+            before_offset = hw
+        if before_offset > hw:
+            raise ValueError(f"offset {before_offset} beyond high watermark {hw}")
+        if before_offset > part.base:
+            del part.records[: before_offset - part.base]
+            part.base = before_offset
+            part.flushed_upto = max(part.flushed_upto, before_offset)
+        return part.base
 
     # -------------------------------------------------- Spark bridge
 
@@ -85,7 +109,7 @@ class WireLog:
         for (t, p), part in self._parts.items():
             if t != topic:
                 continue
-            for r in part.records[part.flushed_upto :]:
+            for r in part.records[max(part.flushed_upto - part.base, 0) :]:
                 rows.append(
                     {
                         "key": bytes(r.key) if r.key is not None else None,
@@ -95,7 +119,7 @@ class WireLog:
                         "timestamp_ms": r.timestamp_ms,
                     }
                 )
-            pending.append((part, len(part.records)))
+            pending.append((part, part.base + len(part.records)))
         if not rows:
             return 0
         from pyspark.sql import functions as F
@@ -171,15 +195,15 @@ def decode_produce_request(payload: bytes) -> ProduceRequest:
 
 def encode_produce_response(
     correlation_id: int,
-    results: list[tuple[str, list[tuple[int, int, int]]]],  # topic → [(idx, err, base_offset)]
+    results: list[tuple],  # topic → [(idx, err, base_offset[, log_start])]
     api_version: int = 3,
 ) -> bytes:
     """ProduceResponse v3-v9 (flexible from v9). v5+ appends
-    per-partition log_start_offset (always 0 here: the wire log never
-    truncates); v8+ adds empty record_errors + null error_message —
-    a spec-compliant client that negotiated a higher version would
-    mis-parse a v4-shaped body, so the version must be threaded
-    through."""
+    per-partition log_start_offset (real: the wire log truncates via
+    DeleteRecords/retention); v8+ adds empty record_errors + null
+    error_message — a spec-compliant client that negotiated a higher
+    version would mis-parse a v4-shaped body, so the version must be
+    threaded through."""
     flex = api_version >= 9
     w = wire.Writer()
     w.int32(correlation_id)
@@ -189,10 +213,11 @@ def encode_produce_response(
     for name, parts in results:
         w.compact_string(name) if flex else w.nullable_string(name)
         w.compact_array_len(len(parts)) if flex else w.int32(len(parts))
-        for idx, err, base in parts:
+        for entry in parts:
+            idx, err, base = entry[0], entry[1], entry[2]
             w.int32(idx).int16(err).int64(base).int64(-1)  # log_append_time
             if api_version >= 5:
-                w.int64(0)  # log_start_offset
+                w.int64(entry[3] if len(entry) > 3 else 0)  # log_start_offset
             if api_version >= 8:
                 w.compact_array_len(0) if flex else w.int32(0)  # record_errors
                 w.compact_string(None) if flex else w.nullable_string(None)
@@ -301,8 +326,8 @@ def decode_fetch_request(payload: bytes) -> FetchRequest:
 
 def encode_fetch_response(
     correlation_id: int,
-    results: list[tuple[str, list[tuple[int, int, int, bytes | None]]]],
-    # topic -> [(idx, err, high_watermark, record_batch_bytes)]
+    results: list[tuple],
+    # topic -> [(idx, err, high_watermark[, log_start], record_batch_bytes)]
     api_version: int = 4,
 ) -> bytes:
     """FetchResponse v4-v11: v5+ adds per-partition log_start_offset,
@@ -318,11 +343,15 @@ def encode_fetch_response(
     for name, parts in results:
         w.nullable_string(name)
         w.int32(len(parts))
-        for idx, err, hw, batch in parts:
+        for entry in parts:
+            if len(entry) == 5:
+                idx, err, hw, log_start, batch = entry
+            else:
+                (idx, err, hw, batch), log_start = entry, 0
             w.int32(idx).int16(err).int64(hw)
             w.int64(hw)  # last_stable_offset
             if api_version >= 5:
-                w.int64(0)  # log_start_offset
+                w.int64(log_start)
             w.int32(0)  # aborted_transactions: empty
             if api_version >= 11:
                 w.int32(-1)  # preferred_read_replica
@@ -382,7 +411,7 @@ def handle_produce(log: WireLog, payload: bytes) -> bytes:
                 part_results.append((p.index, wire.ERR_CORRUPT_MESSAGE, -1))
                 continue
             base = log.append(name, p.index, records)
-            part_results.append((p.index, wire.ERR_NONE, base))
+            part_results.append((p.index, wire.ERR_NONE, base, log.log_start(name, p.index)))
         results.append((name, part_results))
     return encode_produce_response(
         req.header.correlation_id, results, api_version=req.header.api_version
@@ -399,14 +428,18 @@ def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 
                 part_results.append((p.index, wire.ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, None))
                 continue
             hw = log.high_watermark(name, p.index)
-            if p.fetch_offset > hw:
+            if p.fetch_offset > hw or p.fetch_offset < log.log_start(name, p.index):
+                # below the log start (truncated away) or past the end:
+                # OFFSET_OUT_OF_RANGE, per the Kafka fetch contract
                 part_results.append((p.index, wire.ERR_OFFSET_OUT_OF_RANGE, hw, None))
                 continue
             recs = log.read(name, p.index, p.fetch_offset, max_records_per_partition)
             batch = (
                 encode_record_batch(recs, base_offset=recs[0].offset) if recs else None
             )
-            part_results.append((p.index, wire.ERR_NONE, hw, batch))
+            part_results.append(
+                (p.index, wire.ERR_NONE, hw, log.log_start(name, p.index), batch)
+            )
         results.append((name, part_results))
     return encode_fetch_response(
         req.header.correlation_id, results, api_version=req.header.api_version

@@ -37,6 +37,7 @@ SYNC_GROUP_KEY = 14
 OFFSET_COMMIT_KEY = 8
 OFFSET_FETCH_KEY = 9
 FIND_COORDINATOR_KEY = 10
+DELETE_RECORDS_KEY = 21
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
@@ -59,6 +60,7 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (SYNC_GROUP_KEY, 0, 0),
     (CREATE_TOPICS_KEY, 0, 0),
     (DELETE_TOPICS_KEY, 0, 0),
+    (DELETE_RECORDS_KEY, 0, 1),
     (API_VERSIONS_KEY, 0, 3),
 )
 

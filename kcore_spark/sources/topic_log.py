@@ -183,7 +183,12 @@ class TopicLog:
                             ts_hi = b if ts_hi is None else max(ts_hi, b)
                 if lo is None:
                     continue  # zero-row file
-                entry = {"file": rel, "min": lo, "max": hi}
+                entry = {
+                    "file": rel,
+                    "min": lo,
+                    "max": hi,
+                    "bytes": os.path.getsize(os.path.join(data_dir, rel)),
+                }
                 if ts_lo is not None:
                     # timestamp range (epoch ms) indexes ListOffsets-by-
                     # timestamp: segments with ts_max < target can't hold
@@ -215,6 +220,113 @@ class TopicLog:
             for e in entries
             if e["min"] < end and e["max"] >= start
         ]
+
+    def _log_start_path(self, topic: str) -> str:
+        return os.path.join(self._topic_dir(topic), "_log_start.json")
+
+    def _log_starts(self, topic: str) -> dict[int, int]:
+        """Per-partition log start offset (0 = never truncated)."""
+        p = self._log_start_path(topic)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {int(k): v for k, v in json.load(f).items()}
+
+    def _set_log_starts(self, topic: str, starts: dict[int, int]) -> None:
+        tmp = self._log_start_path(topic) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in starts.items()}, f)
+        os.replace(tmp, self._log_start_path(topic))
+
+    def truncate_before(self, topic: str, offsets: dict[int, int]) -> dict[int, int]:
+        """DeleteRecords (API key 21) analog: advance log start offsets.
+        offsets: {partition: first offset to KEEP}. Monotonic (a lower
+        request than the current start is a no-op) and clamped to the
+        high watermark. Returns the new log start per partition.
+
+        Crash-safe ordering: the log-start state is committed first
+        (atomic rename) — from that instant truncated offsets are
+        invisible to scan/fetch — then segments wholly below the
+        boundary are physically deleted and the manifest re-indexed.
+        A crash between the two steps leaves dead files that the next
+        truncate/retention pass reclaims; it can never resurrect
+        deleted offsets."""
+        wm = self._watermarks(topic)
+        starts = self._log_starts(topic)
+        for p, off in offsets.items():
+            if p not in wm:
+                raise KeyError(f"unknown partition {p}")
+            starts[p] = max(starts.get(p, 0), min(off, wm[p]))
+        self._set_log_starts(topic, starts)
+        self._reclaim_truncated(topic)
+        return starts
+
+    def _reclaim_truncated(self, topic: str) -> None:
+        """Delete segment files whose entire offset range is below the
+        partition's log start (manifest-planned, O(candidate files))."""
+        starts = self._log_starts(topic)
+        if not any(v > 0 for v in starts.values()):
+            return
+        man = self._load_manifest(topic)
+        data_dir = self._topic_dir(topic) + "/data"
+        removed = False
+        for p, lo in starts.items():
+            for e in man.get(f"partition={p}", []):
+                if e["max"] < lo:
+                    try:
+                        os.remove(os.path.join(data_dir, e["file"]))
+                        removed = True
+                    except FileNotFoundError:
+                        pass  # already reclaimed by a crashed pass
+        if removed:
+            self._refresh_manifest(topic)
+
+    def apply_retention(
+        self,
+        topic: str,
+        retention_ms: int | None = None,
+        retention_bytes: int | None = None,
+        now_ms: int | None = None,
+    ) -> dict[int, int]:
+        """Kafka-style retention: per partition, delete the longest
+        PREFIX of segments (in offset order) such that (a) every
+        deleted segment's newest record is older than retention_ms,
+        and/or (b) the retained suffix fits in retention_bytes. Only
+        whole segments are dropped (a straddling segment survives until
+        it ages out), exactly the broker's cleanup contract. Planning
+        runs entirely on the manifest (timestamp range + byte size per
+        segment) — no data files are opened. Returns new log starts."""
+        import time
+
+        if now_ms is None:
+            now_ms = time.time_ns() // 1_000_000
+        man = self._load_manifest(topic)
+        cut: dict[int, int] = {}
+        for pdir, entries in man.items():
+            p = int(pdir.split("=", 1)[1])
+            ordered = sorted(entries, key=lambda e: e["min"])
+            keep_bytes = sum(e.get("bytes", 0) for e in ordered)
+            drop_upto = None  # offset of last dropped record
+            for i, e in enumerate(ordered):
+                expired = (
+                    retention_ms is not None
+                    and e.get("ts_max") is not None
+                    and e["ts_max"] < now_ms - retention_ms
+                )
+                oversize = (
+                    retention_bytes is not None
+                    and i < len(ordered) - 1  # never drop the active tail
+                    and keep_bytes > retention_bytes
+                )
+                if not (expired or oversize):
+                    break
+                drop_upto = e["max"]
+                keep_bytes -= e.get("bytes", 0)
+            if drop_upto is not None:
+                cut[p] = drop_upto + 1
+        if cut:
+            return self.truncate_before(topic, cut)
+        return self._log_starts(topic)
 
     def _watermarks(self, topic: str) -> dict[int, int]:
         with open(self._wm_path(topic)) as f:
@@ -313,11 +425,28 @@ class TopicLog:
     # ------------------------------------------------------ fetch / offsets
 
     def scan(self, topic: str) -> DataFrame:
-        """Full-log scan (batch); partition column from the dir layout."""
+        """Full-log scan (batch); partition column from the dir layout.
+        Records below a partition's log start offset (truncated via
+        truncate_before / retention) are filtered out — they may still
+        exist physically inside segments that straddle the boundary."""
         data_dir = self._topic_dir(topic) + "/data"
         if not os.path.isdir(data_dir):
             self._recover_compaction(topic)
-        return self.spark.read.schema(RECORD_SCHEMA).parquet(data_dir)
+        df = self.spark.read.schema(RECORD_SCHEMA).parquet(data_dir)
+        starts = self._log_starts(topic)
+        if any(v > 0 for v in starts.values()):
+            # offset >= per-partition threshold; a map-literal lookup
+            # keeps this a single scan-side predicate (no join)
+            pairs: list = []
+            for p, lo in starts.items():
+                pairs += [F.lit(p), F.lit(lo)]
+            df = df.where(
+                F.col("offset")
+                >= F.coalesce(
+                    F.create_map(*pairs)[F.col("partition")], F.lit(0)
+                )
+            )
+        return df
 
     def fetch(self, topic: str, partition: int, start_offset: int, max_records: int) -> DataFrame:
         """Fetch (API key 1) analog: offset-range scan of one partition.
@@ -332,6 +461,10 @@ class TopicLog:
         rows. Falls back to a full-directory scan when no manifest
         exists (pre-manifest logs stay readable).
         """
+        # truncated prefix is invisible: clamp the requested range to
+        # the partition's log start (a single constant, so the offset
+        # predicate still pushes down to parquet row-group stats)
+        start_offset = max(start_offset, self._log_starts(topic).get(partition, 0))
         end = start_offset + max_records
         files = self._manifest_files(topic, partition, start_offset, end)
         if files is not None and any(not os.path.exists(f) for f in files):
