@@ -66,14 +66,40 @@ def shingle_hash(j: int) -> F.Column:
     )
 
 
-def jaccard_pairs(shingles: DataFrame, min_jaccard: float) -> DataFrame:
-    """Exact n-gram Jaccard for every pair sharing ≥1 shingle.
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    min_jaccard: float,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing ≥1 retained shingle.
 
     inter(id1,id2) via self-equi-join on shingle; |A∪B| from per-doc
-    set sizes. The shingle join key distributes candidate generation;
-    hot shingles (stop-gram skew) are handled by AQE skew-join at
-    scale.
+    set sizes. The shingle join key distributes candidate generation.
+
+    max_df is the hot-shingle cutoff — the production default. The
+    pair join's output is QUADRATIC in per-shingle document frequency,
+    so one boilerplate shingle shared by 1M docs would emit 5·10^11
+    pairs from a single key: a straggler AQE can split but not shrink.
+    Dropping shingles with df > max_df bounds any key's contribution
+    to max_df², and a shingle in >10k documents is boilerplate, not
+    signal. The hot set is tiny by construction (≤ |shingles|/max_df
+    distinct values), so it broadcasts; the retained stream never
+    shuffles for the filter. Semantics: pairs whose ONLY overlap is
+    boilerplate no longer meet the threshold — at a 0.8 bar those were
+    never near-duplicates. Pass max_df=None for exact textbook Jaccard
+    (the oracle-pinned q_near_dup_jaccard variant).
     """
+    if max_df is not None:
+        hot = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -112,7 +138,11 @@ def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame, min_jaccard: float)
         .unionByName(pairs.select(F.col("id2").alias("id")))
         .distinct()
     )
-    shc = shingles.join(cand_ids, "id", "left_semi")
+    # explicit broadcast: the candidate id set is orders of magnitude
+    # smaller than the shingle table (LSH already pruned), and a
+    # broadcast semi-join means the full shingle table is NEVER
+    # shuffled on id — asserted by a plan test
+    shc = shingles.join(F.broadcast(cand_ids), "id", "left_semi")
     sizes = shc.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pairs.join(shc.alias("a"), F.col("id1") == F.col("a.id"))

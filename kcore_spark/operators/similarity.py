@@ -117,13 +117,30 @@ def _assign_topn(
 
 
 def train_centroids(
-    corpus: DataFrame, vec_col: str, id_col: str, k: int = 16, seed: int = 7
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 16,
+    seed: int = 7,
+    sample_fraction: float | None = None,
+    max_train_vectors: int = 200_000,
 ) -> DataFrame:
     """Train IVF centroids with k-means|| (pyspark.ml KMeans, fixed
     seed) — the quality upgrade over seeded first-K-vectors centroids:
     trained centroids tile the actual data distribution, so probe
     buckets are balanced and recall@k at the same nprobe is ≥ the
     seeded variant (measured in scripts/bench_operators.py).
+
+    Training fits on a SAMPLE of the corpus: centroid positions
+    converge long before the sample covers the distribution, so at
+    100 TB fitting on every vector buys nothing but 20 extra full
+    passes (this is an offline index build, but the passes still cost
+    a cluster-day each). sample_fraction=None auto-sizes to about
+    max_train_vectors rows (FAISS guidance is ~max(10k, 256·k)
+    training points; 200k is comfortably past that for any practical
+    k); pass 1.0 to force a full fit. Fixed seed ⇒ deterministic
+    sample ⇒ deterministic centroids. recall@k vs the full fit is
+    within noise (scripts/bench_operators.py).
 
     Returns (id_col, vec_col) shaped like the corpus so it drops into
     ivf_topk unchanged. Scale: k-means|| is the distributed-init
@@ -132,7 +149,11 @@ def train_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    vecs = corpus.select(array_to_vector(as_double(F.col(vec_col))).alias("features"))
+    if sample_fraction is None:
+        n = corpus.count()
+        sample_fraction = min(1.0, max_train_vectors / max(n, 1))
+    train = corpus if sample_fraction >= 1.0 else corpus.sample(sample_fraction, seed=seed)
+    vecs = train.select(array_to_vector(as_double(F.col(vec_col))).alias("features"))
     model = KMeans(k=k, seed=seed, initMode="k-means||", maxIter=20).fit(vecs)
     centers = model.clusterCenters()
     spark = corpus.sparkSession

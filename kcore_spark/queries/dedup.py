@@ -67,7 +67,9 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join sides); without it Spark recomputes the explode each time.
     # At scale this is a materialized intermediate table.
     sh = word_shingles(docs, "doc_id", "text", n=3).persist()
-    return jaccard_pairs(sh, min_jaccard=0.8).orderBy("id1", "id2")
+    # max_df=None: the oracle-pinned exact textbook variant; production
+    # callers get the hot-shingle cutoff by default (operators/dedup.py)
+    return jaccard_pairs(sh, min_jaccard=0.8, max_df=None).orderBy("id1", "id2")
 
 
 Q_NEAR_DUP_SQL = f"""
@@ -173,11 +175,10 @@ FROM votes GROUP BY id
 
 def q_near_dup_jaccard_df_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=3)
-    max_df = 20
-    keep = sh.groupBy("shingle").count().where(F.col("count") <= max_df).select("shingle")
-    filtered = sh.join(F.broadcast(keep), "shingle").persist()
-    return jaccard_pairs(filtered, min_jaccard=0.8).orderBy("id1", "id2")
+    sh = word_shingles(docs, "doc_id", "text", n=3).persist()
+    # df<=20 at fixture scale exercises the cutoff (default is 10k);
+    # hot set broadcast + anti-join, retained stream never shuffles
+    return jaccard_pairs(sh, min_jaccard=0.8, max_df=20).orderBy("id1", "id2")
 
 
 Q_NEAR_DUP_DF_SQL = f"""
@@ -208,7 +209,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, "doc_id", "text", n=3).persist()
-    edges = jaccard_pairs(sh, min_jaccard=0.8).select(
+    edges = jaccard_pairs(sh, min_jaccard=0.8, max_df=None).select(
         F.col("id1").alias("src"), F.col("id2").alias("dst")
     )
     cc = connected_components(edges)

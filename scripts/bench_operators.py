@@ -132,6 +132,32 @@ def main() -> None:
         trained_recalls[np_] >= seeded_recalls[np_] - 1e-9 for np_ in (1, 4)
     ), f"trained centroids regressed recall: {trained_recalls} vs {seeded_recalls}"
 
+    # sampled-fit vs full-fit training (VERDICT r2 #7 acceptance):
+    # recall@10 at the same nprobe must be within noise of the full fit
+    sampled, t_sfit = t(
+        lambda: train_centroids(
+            corpus, "embedding", "vec_id", k=16, seed=7, sample_fraction=0.25
+        ).persist()
+    )
+    sampled.count()
+    for nprobe in (1, 4):
+        sm, t_sm = t(
+            lambda: ivf_topk(corpus, queries, sampled, "embedding", "vec_id", 10, nprobe=nprobe).collect()
+        )
+        sm_recall = len(bf_set & {(r["query_id"], r["neighbor_id"]) for r in sm}) / len(bf_set)
+        rows.append(
+            (
+                f"ANN top-10 probe-{nprobe} (recall {sm_recall:.2f} vs full-fit {trained_recalls[nprobe]:.2f})",
+                "25%-sample k-means|| IVF-16",
+                t_sm,
+                "brute-force cosine",
+                t_bf,
+            )
+        )
+        assert sm_recall >= trained_recalls[nprobe] - 0.10, (
+            f"sampled training fell outside noise: {sm_recall} vs {trained_recalls[nprobe]}"
+        )
+
     # ---------------- repeated join: bucketed vs plain (broadcast off)
     li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
     od = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_totalprice")
