@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Derive a K×-scaled copy of the sf0.1 fixtures for SCALING BENCHMARKS.
+
+PERF-ONLY DATA: correctness is always checked against the driver's
+own fixtures; this derived set exists solely to measure how query
+runtimes scale (VERDICT r2 #4 — "the scaling curve is the evidence
+that plans hold"). Written to /tmp (not the repo): deterministic, so
+regenerating yields identical bytes-for-bytes inputs.
+
+Derivation (copy i of K, i = 0..K-1):
+- region/nation: dimensions don't scale (TPC-H's own rule) — verbatim.
+- customer/supplier/part/orders/lineitem: every key column shifted by
+  i × (max_base_key + 1) so foreign-key relationships hold WITHIN a
+  copy and never collide across copies — join fan-outs per key are
+  exactly the base dataset's, row counts are K×.
+- events: event_id/user_id shifted the same way (user_id aligns with
+  c_custkey for the as-of join).
+- documents: doc_id shifted; every word in `text` is suffixed with the
+  copy number, so vocabularies of different copies are DISJOINT —
+  shingle/minhash/simhash statistics per copy match the base corpus
+  exactly, and no artificial cross-copy near-duplicates appear (10
+  identical copies of each text would otherwise manufacture quadratic
+  duplicate cliques the base corpus doesn't have).
+- embeddings: vec_id shifted, vectors verbatim. CAVEAT: cross-copy
+  vectors are identical (cosine 1.0) — fine for cosine_topk/ANN
+  throughput scaling (work is corpus-size-bound), but
+  embedding-near-dup pair COUNTS would be artificial; that query is
+  excluded from the scaling headline.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+BASE = "/root/testdata/sf0.1"
+OUT_ROOT = "/tmp/kcore_benchdata"
+
+# key column → offset unit is max(base)+1, precomputed per run
+KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+# key family → which base table/column defines its offset unit
+FAMILY = {
+    "c_custkey": ("customer", "c_custkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "user_id": ("customer", "c_custkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "event_id": ("events", "event_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
+
+def build(k: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    units = {}
+    for col, (tbl, base_col) in FAMILY.items():
+        units[col] = (
+            con.sql(f"SELECT MAX({base_col}) + 1 FROM '{BASE}/{tbl}.parquet'").fetchone()[0]
+        )
+    for tbl in ("region", "nation"):
+        con.sql(
+            f"COPY (SELECT * FROM '{BASE}/{tbl}.parquet') TO "
+            f"'{out_dir}/{tbl}.parquet' (FORMAT PARQUET)"
+        )
+    for tbl, keys in KEYED.items():
+        cols = con.sql(f"SELECT * FROM '{BASE}/{tbl}.parquet' LIMIT 0").columns
+        select_parts = []
+        for c in cols:
+            if c in keys:
+                select_parts.append(f"{c} + i * {units[c]} AS {c}")
+            elif tbl == "events" and c == "ts":
+                # the base fixture is parquet TIMESTAMP(NANOS), which
+                # Spark reads as long under nanosAsLong; DuckDB would
+                # re-write it as NTZ micros and break that contract, so
+                # materialize the epoch-ns long directly
+                select_parts.append("epoch_ns(ts) AS ts")
+            elif tbl == "documents" and c == "text":
+                # disjoint vocabulary per copy: suffix every word
+                select_parts.append(
+                    "CASE WHEN i = 0 THEN text ELSE "
+                    "regexp_replace(text, '(\\S+)', '\\1_' || i, 'g') END AS text"
+                )
+            else:
+                select_parts.append(c)
+        sel = ", ".join(select_parts)
+        con.sql(
+            f"COPY (SELECT {sel} FROM '{BASE}/{tbl}.parquet', "
+            f"(SELECT UNNEST(generate_series(0, {k - 1})) AS i) "
+            f"ORDER BY i) TO '{out_dir}/{tbl}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+
+
+def ensure(k: int = 10) -> str:
+    """Build (once) and return the derived dir for K copies of sf0.1."""
+    out_dir = os.path.join(OUT_ROOT, f"sf{k / 10:g}")
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        build(k, out_dir)
+        with open(marker, "w") as f:
+            f.write(f"derived from {BASE} x{k}\n")
+    return out_dir
+
+
+if __name__ == "__main__":
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    print(ensure(k))
