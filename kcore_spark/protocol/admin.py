@@ -82,46 +82,75 @@ def handle_delete_topics(log: WireLog, payload: bytes) -> bytes:
 
 
 def handle_list_offsets(log: WireLog, payload: bytes) -> bytes:
-    """timestamp -2 → earliest (0), -1 → log-end offset, >= 0 → the
-    first offset whose record timestamp is >= the target (v1+
-    timestamp resolution; the response echoes the matched record's
-    timestamp, or -1/-1 when no record qualifies)."""
+    """ListOffsets v0-v5 (non-flexible layouts).
+
+    timestamp -2 → earliest (the log start offset), -1 → log-end
+    offset, >= 0 → the first offset whose record timestamp is >= the
+    target (the response echoes the matched record's timestamp, or
+    -1/-1 when no record qualifies). Version deltas per the public
+    spec: v0 requests carry max_num_offsets and get an offset ARRAY
+    back; v1 switches to the single (timestamp, offset) shape; v2 adds
+    request isolation_level + response throttle_time; v4 adds request
+    current_leader_epoch + response leader_epoch."""
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=False)
+    v = h.api_version
     r.int32()  # replica_id
+    if v >= 2:
+        r.int8()  # isolation_level (no transactions: read_uncommitted)
     results = []
     for _ in range(r.int32()):
         name = r.nullable_string()
         parts = []
         for _ in range(r.int32()):
             partition = r.int32()
+            if v >= 4:
+                r.int32()  # current_leader_epoch
             ts = r.int64()
+            max_n = r.int32() if v == 0 else 1
             if not log.has(name, partition):
-                parts.append((partition, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, -1))
+                parts.append((partition, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, [], max_n))
                 continue
             hw = log.high_watermark(name, partition)
             if ts == EARLIEST_TIMESTAMP:
-                parts.append((partition, wire.ERR_NONE, -1, log.log_start(name, partition)))
+                parts.append(
+                    (partition, wire.ERR_NONE, -1, [log.log_start(name, partition)], max_n)
+                )
             elif ts == LATEST_TIMESTAMP:
-                parts.append((partition, wire.ERR_NONE, -1, hw))
+                parts.append((partition, wire.ERR_NONE, -1, [hw], max_n))
             else:
                 hit = next(
                     (rec for rec in log.read(name, partition, 0, hw) if rec.timestamp_ms >= ts),
                     None,
                 )
                 if hit is None:
-                    parts.append((partition, wire.ERR_NONE, -1, -1))
+                    parts.append((partition, wire.ERR_NONE, -1, [], max_n))
                 else:
-                    parts.append((partition, wire.ERR_NONE, hit.timestamp_ms, hit.offset))
+                    parts.append(
+                        (partition, wire.ERR_NONE, hit.timestamp_ms, [hit.offset], max_n)
+                    )
         results.append((name, parts))
     w = wire.Writer()
     w.int32(h.correlation_id)
+    if v >= 2:
+        w.int32(0)  # throttle_time_ms
     w.int32(len(results))
     for name, parts in results:
         w.nullable_string(name)
         w.int32(len(parts))
-        for partition, err, ts, offset in parts:
-            w.int32(partition).int16(err).int64(ts).int64(offset)
+        for partition, err, ts, offsets, max_n in parts:
+            w.int32(partition).int16(err)
+            if v == 0:
+                # v0: array of offsets, newest-first, up to max_num_offsets
+                out = offsets[:max_n]
+                w.int32(len(out))
+                for o in out:
+                    w.int64(o)
+            else:
+                w.int64(ts)
+                w.int64(offsets[0] if offsets else -1)
+                if v >= 4:
+                    w.int32(0)  # leader_epoch
     return w.bytes()
 
 

@@ -1,5 +1,8 @@
-"""Group-membership coordinator: JoinGroup (11), SyncGroup (14),
-Heartbeat (12), LeaveGroup (13) — all v0.
+"""Group-membership coordinator: JoinGroup (11) v0-v2, SyncGroup (14)
+v0-v1, Heartbeat (12) v0-v1, LeaveGroup (13) v0-v1.
+
+Version deltas (public spec): JoinGroup v1 adds rebalance_timeout_ms
+to the request; v2+/v1+ responses prepend throttle_time_ms.
 
 Completes the reference's Consumer API roadmap row
 (`/root/reference/README.md:48`). Single-node semantics, simplified
@@ -54,6 +57,8 @@ class Coordinator:
         h = wire.decode_request_header(r, flexible=False)
         group_id = r.nullable_string()
         r.int32()  # session_timeout_ms
+        if h.api_version >= 1:
+            r.int32()  # rebalance_timeout_ms
         member_id = r.nullable_string() or ""
         protocol_type = r.nullable_string() or ""
         protocols = []
@@ -63,7 +68,7 @@ class Coordinator:
         g = self.groups.setdefault(group_id, GroupMembership())
         g.protocol_type = protocol_type
         if member_id and member_id not in g.members:
-            return self._join_error(h.correlation_id, ERR_UNKNOWN_MEMBER_ID)
+            return self._join_error(h.correlation_id, ERR_UNKNOWN_MEMBER_ID, h.api_version)
         if not member_id:
             member_id = f"member-{g.next_member_seq}"
             g.next_member_seq += 1
@@ -76,6 +81,8 @@ class Coordinator:
         leader = g.members[0]
         w = wire.Writer()
         w.int32(h.correlation_id)
+        if h.api_version >= 2:
+            w.int32(0)  # throttle_time_ms
         w.int16(wire.ERR_NONE)
         w.int32(g.generation)
         w.nullable_string(g.protocol_name)
@@ -88,9 +95,12 @@ class Coordinator:
             w.nullable_bytes(g.protocols.get(m, b""))
         return w.bytes()
 
-    def _join_error(self, corr: int, err: int) -> bytes:
+    def _join_error(self, corr: int, err: int, api_version: int = 0) -> bytes:
         w = wire.Writer()
-        w.int32(corr).int16(err).int32(-1)
+        w.int32(corr)
+        if api_version >= 2:
+            w.int32(0)  # throttle_time_ms
+        w.int16(err).int32(-1)
         w.nullable_string(None).nullable_string(None).nullable_string(None)
         w.int32(0)
         return w.bytes()
@@ -132,6 +142,8 @@ class Coordinator:
             assignment = g.assignments.get(member_id, b"")
         w = wire.Writer()
         w.int32(h.correlation_id)
+        if h.api_version >= 1:
+            w.int32(0)  # throttle_time_ms
         w.int16(err)
         w.nullable_bytes(assignment)
         return w.bytes()
@@ -165,10 +177,13 @@ class Coordinator:
         else:
             err = wire.ERR_NONE
         w = wire.Writer()
-        w.int32(h.correlation_id).int16(err)
+        w.int32(h.correlation_id)
+        if h.api_version >= 1:
+            w.int32(0)  # throttle_time_ms
+        w.int16(err)
         return w.bytes()
 
-    # -------------------------------------------------- LeaveGroup v0
+    # -------------------------------------------------- LeaveGroup v0-v1
 
     def handle_leave_group(self, payload: bytes) -> bytes:
         r = wire.Reader(payload)
@@ -187,5 +202,8 @@ class Coordinator:
             g.generation += 1
             err = wire.ERR_NONE
         w = wire.Writer()
-        w.int32(h.correlation_id).int16(err)
+        w.int32(h.correlation_id)
+        if h.api_version >= 1:
+            w.int32(0)  # throttle_time_ms
+        w.int16(err)
         return w.bytes()

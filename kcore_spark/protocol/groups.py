@@ -34,6 +34,12 @@ class GroupStore:
     def fetch(self, group: str, topic: str, partition: int) -> int:
         return self._offsets.get((group, topic, partition), -1)
 
+    def committed(self, group: str) -> dict[tuple[str, int], int]:
+        """All (topic, partition) → offset commits of one group."""
+        return {
+            (t, p): off for (g, t, p), off in self._offsets.items() if g == group
+        }
+
     def sync_to_topic_log(self, topic_log) -> int:
         """Mirror every commit into the durable parquet offsets store."""
         n = 0
@@ -47,12 +53,21 @@ class GroupStore:
 
 
 def handle_find_coordinator(payload: bytes, host: str, port: int) -> bytes:
+    """FindCoordinator v0-v2: v1 adds request key_type + response
+    throttle/error_message (single node: the coordinator is always us,
+    for group (0) and transaction (1) key types alike)."""
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=False)
     r.nullable_string()  # key (group id) — single-node: always us
+    if h.api_version >= 1 and r.pos < len(r.buf):
+        r.int8()  # key_type
     w = wire.Writer()
     w.int32(h.correlation_id)
+    if h.api_version >= 1:
+        w.int32(0)  # throttle_time_ms
     w.int16(ERR_NONE)
+    if h.api_version >= 1:
+        w.nullable_string(None)  # error_message
     w.int32(0)  # node_id
     w.nullable_string(host)
     w.int32(port)
@@ -63,12 +78,16 @@ def handle_find_coordinator(payload: bytes, host: str, port: int) -> bytes:
 
 
 def handle_offset_commit(store: GroupStore, payload: bytes) -> bytes:
+    """OffsetCommit v2-v5: the v2-v4 request carries retention_time_ms
+    (dropped in v5); v6 adds leader epochs (not yet supported); v3+
+    responses prepend throttle_time_ms."""
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=False)
     group = r.nullable_string()
     r.int32()  # generation_id
     r.nullable_string()  # member_id
-    r.int64()  # retention_time_ms
+    if 2 <= h.api_version <= 4:
+        r.int64()  # retention_time_ms
     results = []
     for _ in range(r.int32()):
         topic = r.nullable_string()
@@ -82,6 +101,8 @@ def handle_offset_commit(store: GroupStore, payload: bytes) -> bytes:
         results.append((topic, parts))
     w = wire.Writer()
     w.int32(h.correlation_id)
+    if h.api_version >= 3:
+        w.int32(0)  # throttle_time_ms
     w.int32(len(results))
     for topic, parts in results:
         w.nullable_string(topic)
@@ -95,22 +116,37 @@ def handle_offset_commit(store: GroupStore, payload: bytes) -> bytes:
 
 
 def handle_offset_fetch(store: GroupStore, payload: bytes) -> bytes:
+    """OffsetFetch v1-v3: v2+ allows a null topics array (= every topic
+    the group has commits for) and appends a top-level error_code; v3
+    prepends throttle_time_ms."""
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=False)
     group = r.nullable_string()
+    n_topics = r.int32()
+    if n_topics < 0 and h.api_version >= 2:
+        by_topic: dict[str, list[int]] = {}
+        for (t, p) in sorted(store.committed(group)):
+            by_topic.setdefault(t, []).append(p)
+        requested = [(t, ps) for t, ps in by_topic.items()]
+    else:
+        requested = []
+        for _ in range(max(n_topics, 0)):
+            topic = r.nullable_string()
+            parts = [r.int32() for _ in range(r.int32())]
+            requested.append((topic, parts))
     w = wire.Writer()
     w.int32(h.correlation_id)
-    n_topics = r.int32()
-    w.int32(n_topics)
-    for _ in range(n_topics):
-        topic = r.nullable_string()
+    if h.api_version >= 3:
+        w.int32(0)  # throttle_time_ms
+    w.int32(len(requested))
+    for topic, parts in requested:
         w.nullable_string(topic)
-        n_parts = r.int32()
-        w.int32(n_parts)
-        for _ in range(n_parts):
-            partition = r.int32()
+        w.int32(len(parts))
+        for partition in parts:
             w.int32(partition)
             w.int64(store.fetch(group, topic, partition))
             w.nullable_string(None)  # metadata
             w.int16(ERR_NONE)
+    if h.api_version >= 2:
+        w.int16(ERR_NONE)  # top-level error_code
     return w.bytes()

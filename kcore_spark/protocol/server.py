@@ -115,25 +115,25 @@ class KafkaFrontend:
             from kcore_spark.protocol.broker import handle_fetch
 
             return handle_fetch(self.wire_log, payload)
-        if api_key == wire.OFFSET_COMMIT_KEY and api_version == 2:
+        if api_key == wire.OFFSET_COMMIT_KEY and 2 <= api_version <= 5:
             from kcore_spark.protocol.groups import handle_offset_commit
 
             return handle_offset_commit(self.group_store, payload)
-        if api_key == wire.OFFSET_FETCH_KEY and api_version == 1:
+        if api_key == wire.OFFSET_FETCH_KEY and 1 <= api_version <= 3:
             from kcore_spark.protocol.groups import handle_offset_fetch
 
             return handle_offset_fetch(self.group_store, payload)
-        if api_key == wire.FIND_COORDINATOR_KEY and api_version == 0:
+        if api_key == wire.FIND_COORDINATOR_KEY and api_version <= 2:
             from kcore_spark.protocol.groups import handle_find_coordinator
 
             return handle_find_coordinator(payload, self.host, self.port)
-        if api_key == wire.JOIN_GROUP_KEY and api_version == 0:
+        if api_key == wire.JOIN_GROUP_KEY and api_version <= 2:
             return self.coordinator.handle_join_group(payload)
-        if api_key == wire.SYNC_GROUP_KEY and api_version == 0:
+        if api_key == wire.SYNC_GROUP_KEY and api_version <= 1:
             return self.coordinator.handle_sync_group(payload)
-        if api_key == wire.HEARTBEAT_KEY and api_version == 0:
+        if api_key == wire.HEARTBEAT_KEY and api_version <= 1:
             return self.coordinator.handle_heartbeat(payload)
-        if api_key == wire.LEAVE_GROUP_KEY and api_version == 0:
+        if api_key == wire.LEAVE_GROUP_KEY and api_version <= 1:
             return self.coordinator.handle_leave_group(payload)
         if api_key == wire.CREATE_TOPICS_KEY and api_version == 0:
             from kcore_spark.protocol.admin import handle_create_topics
@@ -143,7 +143,7 @@ class KafkaFrontend:
             from kcore_spark.protocol.admin import handle_delete_topics
 
             return handle_delete_topics(self.wire_log, payload)
-        if api_key == wire.LIST_OFFSETS_KEY and api_version == 1:
+        if api_key == wire.LIST_OFFSETS_KEY and api_version <= 5:
             from kcore_spark.protocol.admin import handle_list_offsets
 
             return handle_list_offsets(self.wire_log, payload)

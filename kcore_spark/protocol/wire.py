@@ -49,15 +49,15 @@ ERR_UNKNOWN_TOPIC_ID = 100
 SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (PRODUCE_KEY, 3, 9),
     (FETCH_KEY, 4, 11),
-    (LIST_OFFSETS_KEY, 1, 1),
+    (LIST_OFFSETS_KEY, 0, 5),
     (METADATA_KEY, 0, 12),
-    (OFFSET_COMMIT_KEY, 2, 2),
-    (OFFSET_FETCH_KEY, 1, 1),
-    (FIND_COORDINATOR_KEY, 0, 0),
-    (JOIN_GROUP_KEY, 0, 0),
-    (HEARTBEAT_KEY, 0, 0),
-    (LEAVE_GROUP_KEY, 0, 0),
-    (SYNC_GROUP_KEY, 0, 0),
+    (OFFSET_COMMIT_KEY, 2, 5),
+    (OFFSET_FETCH_KEY, 1, 3),
+    (FIND_COORDINATOR_KEY, 0, 2),
+    (JOIN_GROUP_KEY, 0, 2),
+    (HEARTBEAT_KEY, 0, 1),
+    (LEAVE_GROUP_KEY, 0, 1),
+    (SYNC_GROUP_KEY, 0, 1),
     (CREATE_TOPICS_KEY, 0, 0),
     (DELETE_TOPICS_KEY, 0, 0),
     (DELETE_RECORDS_KEY, 0, 1),

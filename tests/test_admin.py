@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -164,3 +165,59 @@ def test_gzip_record_batch_roundtrip():
     assert [(r.key, r.value, r.timestamp_ms, r.offset) for r in got] == [
         (r.key, b"v" * 100, 1000 + i, 7 + i) for i, r in enumerate(recs)
     ]
+
+
+def _list_offsets_payload_v(version: int, topic: str, partition: int, ts: int, max_n=3, corr=47):
+    w = wire.Writer()
+    w.int16(wire.LIST_OFFSETS_KEY).int16(version).int32(corr)
+    w.nullable_string("c")
+    w.int32(-1)  # replica_id
+    if version >= 2:
+        w.int8(0)  # isolation_level
+    w.int32(1)
+    w.nullable_string(topic)
+    w.int32(1)
+    w.int32(partition)
+    if version >= 4:
+        w.int32(-1)  # current_leader_epoch
+    w.int64(ts)
+    if version == 0:
+        w.int32(max_n)
+    return w.bytes()
+
+
+@pytest.mark.parametrize("version", [0, 1, 2, 3, 4, 5])
+def test_list_offsets_all_versions(version):
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("t", 1)
+    fe.wire_log.append("t", 0, [Record(b"k", b"v", 100 + i) for i in range(5)])
+    resp = fe.handle_request(_list_offsets_payload_v(version, "t", 0, -1))
+    r = wire.Reader(resp)
+    assert r.int32() == 47
+    if version >= 2:
+        assert r.int32() == 0  # throttle
+    assert r.int32() == 1
+    assert r.nullable_string() == "t"
+    assert r.int32() == 1
+    assert r.int32() == 0  # partition
+    assert r.int16() == wire.ERR_NONE
+    if version == 0:
+        n = r.int32()
+        assert n == 1 and r.int64() == 5  # log-end offset array
+    else:
+        assert r.int64() == -1  # ts
+        assert r.int64() == 5
+        if version >= 4:
+            assert r.int32() == 0  # leader_epoch
+
+
+@pytest.mark.parametrize("version", [2, 4])
+def test_list_offsets_timestamp_across_versions(version):
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("t", 1)
+    fe.wire_log.append("t", 0, [Record(b"k", b"v", ts) for ts in (100, 200, 300)])
+    resp = fe.handle_request(_list_offsets_payload_v(version, "t", 0, 150))
+    r = wire.Reader(resp)
+    r.int32(), r.int32(), r.int32(), r.nullable_string(), r.int32(), r.int32()
+    assert r.int16() == wire.ERR_NONE
+    assert r.int64() == 200 and r.int64() == 1

@@ -1,0 +1,189 @@
+"""Group-API version widening: JoinGroup v0-v2, SyncGroup/Heartbeat/
+LeaveGroup v0-v1, FindCoordinator v0-v2, OffsetCommit v2-v5,
+OffsetFetch v1-v3 — exercised through the real dispatch path."""
+
+from __future__ import annotations
+
+import pytest
+
+from kcore_spark.protocol import wire
+from kcore_spark.protocol.server import KafkaFrontend
+
+
+@pytest.fixture()
+def fe():
+    f = KafkaFrontend()
+    f.wire_log.create_topic("t", 2)
+    return f
+
+
+def _hdr(w, key, version, corr):
+    w.int16(key).int16(version).int32(corr)
+    w.nullable_string("pytest")
+    return w
+
+
+def _join_payload(version, group="g", member="", corr=61):
+    w = _hdr(wire.Writer(), wire.JOIN_GROUP_KEY, version, corr)
+    w.nullable_string(group)
+    w.int32(10000)  # session_timeout
+    if version >= 1:
+        w.int32(30000)  # rebalance_timeout
+    w.nullable_string(member)
+    w.nullable_string("consumer")
+    w.int32(1)
+    w.nullable_string("range")
+    w.nullable_bytes(b"")
+    return w.bytes()
+
+
+@pytest.mark.parametrize("version", [0, 1, 2])
+def test_join_group_versions(fe, version):
+    r = wire.Reader(fe.handle_request(_join_payload(version)))
+    assert r.int32() == 61
+    if version >= 2:
+        assert r.int32() == 0  # throttle
+    assert r.int16() == wire.ERR_NONE
+    assert r.int32() == 1  # generation
+    assert r.nullable_string() == "range"
+    leader = r.nullable_string()
+    member = r.nullable_string()
+    assert leader == member  # first joiner leads
+    assert r.int32() == 1  # leader sees the member list
+
+
+def _sync_payload(version, group, generation, member, corr=62):
+    w = _hdr(wire.Writer(), wire.SYNC_GROUP_KEY, version, corr)
+    w.nullable_string(group)
+    w.int32(generation)
+    w.nullable_string(member)
+    w.int32(1)
+    w.nullable_string(member)
+    w.nullable_bytes(b"assign-blob")
+    return w.bytes()
+
+
+@pytest.mark.parametrize("version", [0, 1])
+def test_sync_heartbeat_leave_versions(fe, version):
+    r = wire.Reader(fe.handle_request(_join_payload(max(version, 1))))
+    r.int32()
+    if max(version, 1) >= 2:
+        r.int32()
+    r.int16()
+    gen = r.int32()
+    r.nullable_string(), r.nullable_string()
+    member = r.nullable_string()
+
+    r = wire.Reader(fe.handle_request(_sync_payload(version, "g", gen, member)))
+    assert r.int32() == 62
+    if version >= 1:
+        assert r.int32() == 0
+    assert r.int16() == wire.ERR_NONE
+    assert r.nullable_bytes() == b"assign-blob"
+
+    w = _hdr(wire.Writer(), wire.HEARTBEAT_KEY, version, 63)
+    w.nullable_string("g").int32(gen)
+    w.nullable_string(member)
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 63
+    if version >= 1:
+        assert r.int32() == 0
+    assert r.int16() == wire.ERR_NONE
+
+    w = _hdr(wire.Writer(), wire.LEAVE_GROUP_KEY, version, 64)
+    w.nullable_string("g")
+    w.nullable_string(member)
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 64
+    if version >= 1:
+        assert r.int32() == 0
+    assert r.int16() == wire.ERR_NONE
+
+
+@pytest.mark.parametrize("version", [0, 1, 2])
+def test_find_coordinator_versions(fe, version):
+    w = _hdr(wire.Writer(), wire.FIND_COORDINATOR_KEY, version, 65)
+    w.nullable_string("g")
+    if version >= 1:
+        w.int8(0)  # key_type: group
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 65
+    if version >= 1:
+        assert r.int32() == 0  # throttle
+    assert r.int16() == wire.ERR_NONE
+    if version >= 1:
+        assert r.nullable_string() is None  # error_message
+    assert r.int32() == 0 and r.nullable_string() == fe.host and r.int32() == fe.port
+
+
+def _commit_payload(version, group, topic, partition, offset, corr=66):
+    w = _hdr(wire.Writer(), wire.OFFSET_COMMIT_KEY, version, corr)
+    w.nullable_string(group)
+    w.int32(1)  # generation
+    w.nullable_string("m")
+    if 2 <= version <= 4:
+        w.int64(-1)  # retention_time_ms
+    w.int32(1)
+    w.nullable_string(topic)
+    w.int32(1)
+    w.int32(partition).int64(offset)
+    w.nullable_string(None)
+    return w.bytes()
+
+
+@pytest.mark.parametrize("version", [2, 3, 4, 5])
+def test_offset_commit_versions(fe, version):
+    r = wire.Reader(fe.handle_request(_commit_payload(version, "g", "t", 1, 42)))
+    assert r.int32() == 66
+    if version >= 3:
+        assert r.int32() == 0  # throttle
+    assert r.int32() == 1
+    assert r.nullable_string() == "t"
+    assert r.int32() == 1
+    assert r.int32() == 1 and r.int16() == wire.ERR_NONE
+    assert fe.group_store.fetch("g", "t", 1) == 42
+
+
+@pytest.mark.parametrize("version", [1, 2, 3])
+def test_offset_fetch_versions(fe, version):
+    fe.handle_request(_commit_payload(2, "g", "t", 0, 7))
+    fe.handle_request(_commit_payload(2, "g", "t", 1, 9))
+    w = _hdr(wire.Writer(), wire.OFFSET_FETCH_KEY, version, 67)
+    w.nullable_string("g")
+    if version >= 2:
+        w.int32(-1)  # null topics = everything committed
+    else:
+        w.int32(1)
+        w.nullable_string("t")
+        w.int32(2)
+        w.int32(0).int32(1)
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 67
+    if version >= 3:
+        assert r.int32() == 0  # throttle
+    assert r.int32() == 1
+    assert r.nullable_string() == "t"
+    assert r.int32() == 2
+    got = {}
+    for _ in range(2):
+        p = r.int32()
+        off = r.int64()
+        r.nullable_string()
+        assert r.int16() == wire.ERR_NONE
+        got[p] = off
+    assert got == {0: 7, 1: 9}
+    if version >= 2:
+        assert r.int16() == wire.ERR_NONE  # top-level error
+
+
+def test_api_versions_advertises_group_ranges(fe):
+    w = _hdr(wire.Writer(), wire.API_VERSIONS_KEY, 0, 68)
+    resp = fe.handle_request(w.bytes())
+    _, err, apis, _ = wire.decode_api_versions_response(resp, 0)
+    ranges = {k: (lo, hi) for k, lo, hi in apis}
+    assert ranges[wire.JOIN_GROUP_KEY] == (0, 2)
+    assert ranges[wire.OFFSET_COMMIT_KEY] == (2, 5)
+    assert ranges[wire.OFFSET_FETCH_KEY] == (1, 3)
+    assert ranges[wire.FIND_COORDINATOR_KEY] == (0, 2)
+    assert ranges[wire.LIST_OFFSETS_KEY] == (0, 5)
+    assert ranges[wire.DELETE_RECORDS_KEY] == (0, 1)
