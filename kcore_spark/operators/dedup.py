@@ -228,6 +228,57 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = BANDS, rows: int = 2) -> D
     return out.distinct()
 
 
+def simhash_near_dup(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance.
+
+    Candidate generation is the classic byte-banding pigeonhole: split
+    the 32-bit fingerprint into 4 bytes — any pair within Hamming
+    distance 3 must agree EXACTLY on at least one byte (4 bands > 3
+    differing bits), so an equi-join per band finds every true pair
+    and the verify step (bit_count(xor) <= max_hamming) never misses.
+    Same blocked-equi-join shape as MinHash banding: 4 shuffle joins on
+    single-byte keys instead of an all-pairs comparison. Requires
+    max_hamming < 4 for the pigeonhole to be exact; larger radii need
+    more/narrower bands.
+
+    Scale note: a byte band has only 256 distinct values, so each join
+    key holds ~n/256 documents — fine to millions of docs, quadratic
+    per key beyond that. The production-scale shape (Manku et al.,
+    WWW'07) is a 64-bit fingerprint with 16-bit bands (65k key values)
+    or permuted-table probing; this 32-bit variant exists because the
+    oracle's portable md5 arithmetic yields 32 clean bits, and the
+    banding/verify structure is identical either way.
+
+    ``fingerprints``: (id, simhash). Returns (id1, id2, hamming),
+    id1 < id2.
+    """
+    assert max_hamming < 4, "4-byte banding is exact only for hamming <= 3"
+    out = None
+    for b in range(4):
+        band = fingerprints.select(
+            "id", F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("bkey")
+        )
+        p = (
+            band.alias("x")
+            .join(
+                band.alias("y"),
+                (F.col("x.bkey") == F.col("y.bkey")) & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+        )
+        out = p if out is None else out.unionByName(p)
+    cands = out.distinct()
+    fp1 = fingerprints.withColumnsRenamed({"id": "id1", "simhash": "h1"})
+    fp2 = fingerprints.withColumnsRenamed({"id": "id2", "simhash": "h2"})
+    return (
+        cands.join(fp1, "id1")
+        .join(fp2, "id2")
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint over distinct words (bit-vote of word hashes).
 

@@ -150,6 +150,48 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dup pairs (byte-banded candidate
+    generation + bit_count verify) — the cheap-fingerprint complement
+    to MinHash/LSH in the dedup family."""
+    from kcore_spark.operators.dedup import simhash_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash(docs, "doc_id", "text", bits=32).persist()
+    return simhash_near_dup(fp, max_hamming=3).orderBy("id1", "id2")
+
+
+_SIMHASH_CTE = """
+wd AS (
+  SELECT DISTINCT doc_id AS id, w
+  FROM (SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS w FROM documents)),
+hashed AS (
+  SELECT id, ('0x' || substring(md5(w), 1, 8))::BIGINT AS h FROM wd),
+bitted AS (
+  SELECT id, b, CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+  FROM hashed, UNNEST(generate_series(0, 31)) t(b)),
+votes AS (SELECT id, b, SUM(vote) AS v FROM bitted GROUP BY id, b),
+fp AS (
+  SELECT id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY id)
+"""
+
+Q_SIMHASH_NEARDUP_SQL = f"""
+WITH {_SIMHASH_CTE},
+bands AS (
+  SELECT id, simhash, (simhash >> (8 * b)) & 255 AS bkey, b
+  FROM fp, UNNEST(generate_series(0, 3)) t(b)),
+cands AS (
+  SELECT DISTINCT x.id AS id1, y.id AS id2
+  FROM bands x JOIN bands y ON x.bkey = y.bkey AND x.b = y.b AND x.id < y.id)
+SELECT c.id1, c.id2, CAST(bit_count(xor(f1.simhash, f2.simhash)) AS INT) AS hamming
+FROM cands c
+JOIN fp f1 ON f1.id = c.id1
+JOIN fp f2 ON f2.id = c.id2
+WHERE bit_count(xor(f1.simhash, f2.simhash)) <= 3
+"""
+
+
 Q_SIMHASH_SQL = """
 WITH wd AS (
   SELECT DISTINCT doc_id AS id, w
@@ -253,4 +295,7 @@ QUERIES = {
     "q_near_dup_jaccard": QuerySpec(q_near_dup_jaccard, Q_NEAR_DUP_SQL, "n-gram Jaccard pairs"),
     "q_minhash_lsh_pairs": QuerySpec(q_minhash_lsh_pairs, Q_MINHASH_SQL, "MinHash LSH + verify"),
     "q_simhash_fingerprints": QuerySpec(q_simhash_fingerprints, Q_SIMHASH_SQL, "SimHash fingerprints"),
+    "q_simhash_neardup": QuerySpec(
+        q_simhash_neardup, Q_SIMHASH_NEARDUP_SQL, "SimHash hamming near-dup (byte-banded)"
+    ),
 }

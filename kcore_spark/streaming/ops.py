@@ -65,3 +65,31 @@ def run_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataFra
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_incremental(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    sink_dir: str,
+) -> None:
+    """Incremental availableNow run against a PERSISTENT checkpoint:
+    the first run processes the whole source, every later run processes
+    only files that appeared since — Structured Streaming's resume
+    contract, which is exactly a Kafka consumer group's position
+    tracking with the checkpoint playing __consumer_offsets.
+
+    Append-only parquet sink (projections/filters/joins); aggregations
+    need foreachBatch upsert instead (streaming/sinks.py). The pair
+    (checkpoint_dir, sink_dir) must move together — reusing a
+    checkpoint against a truncated sink double-counts nothing but
+    leaves stale rows behind.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -125,3 +125,26 @@ def test_trained_centroids_shape_and_recall(spark):
         return len(truth & got) / len(truth)
 
     assert recall(trained) >= recall(seeded) - 1e-9
+
+
+def test_simhash_near_dup_banding_is_exact(spark):
+    from kcore_spark.operators.dedup import simhash_near_dup
+
+    # pairs at hamming 0-3 must ALL be found (pigeonhole: 4 bands > 3
+    # flipped bits); a hamming-4 pair crafted to differ in every byte
+    # must be excluded by candidate generation itself
+    base = 0b01010101_00110011_00001111_11110000
+    fps = [
+        (1, base),
+        (2, base ^ 0b1),                     # hamming 1, same 3 high bytes
+        (3, base ^ 0b11 << 8),               # hamming 2
+        (4, base ^ (1 | 1 << 30)),           # hamming 2, split bytes
+        (5, base ^ (1 | 1 << 8 | 1 << 16 | 1 << 24)),  # hamming 4, all bytes differ
+    ]
+    df = spark.createDataFrame(fps, "id long, simhash long")
+    got = {(r.id1, r.id2): r.hamming for r in simhash_near_dup(df, max_hamming=3).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2
+    assert got[(1, 4)] == 2
+    assert (1, 5) not in got  # every byte differs: never a candidate
+    assert (2, 3) in got  # hamming(2,3) = 3, shares untouched bytes
