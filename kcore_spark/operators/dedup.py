@@ -228,6 +228,26 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = BANDS, rows: int = 2) -> D
     return out.distinct()
 
 
+def lsh_candidate_pairs_between(
+    sigs_new: DataFrame, sigs_corpus: DataFrame, bands: int = BANDS, rows: int = 2
+) -> DataFrame:
+    """Asymmetric LSH banding: candidates between a NEW batch and an
+    existing corpus only — never corpus × corpus. This is the
+    incremental-dedup join: corpus signatures are computed once (the
+    portable md5 arithmetic makes them stable across runs/engines, so
+    they can be stored as a table and reused), and admitting a new
+    batch costs O(|new| × band collisions), independent of corpus
+    size beyond the join. Returns (new_id, corpus_id), distinct."""
+    out = None
+    for b in range(bands):
+        key = F.concat_ws("_", *[F.col(f"sig{b * rows + r}") for r in range(rows)])
+        kn = sigs_new.select(F.col("id").alias("new_id"), key.alias("bkey"))
+        kc = sigs_corpus.select(F.col("id").alias("corpus_id"), key.alias("bkey"))
+        p = kn.join(kc, "bkey").select("new_id", "corpus_id")
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()
+
+
 def simhash_near_dup(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance.
 

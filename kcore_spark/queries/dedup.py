@@ -140,6 +140,66 @@ JOIN sizes sb ON sb.id = inter.id2
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
 """
 
+# -------------------------------------------------- incremental dedup
+# New-batch admission against an existing corpus: docs with
+# doc_id % 5 == 4 are "arriving", the rest are the standing corpus.
+# Corpus signatures are computed once and reusable across runs (the
+# portable hash arithmetic is engine- and run-stable); candidates are
+# generated new×corpus only, then exact-verified.
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.operators.dedup import lsh_candidate_pairs_between
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3).persist()
+    is_new = F.col("id") % 5 == 4
+    sh_new, sh_corpus = sh.where(is_new), sh.where(~is_new)
+    bands, rows = lsh_params(0.8)
+    sigs_new = minhash_signatures(sh_new, num_hashes=bands * rows)
+    sigs_corpus = minhash_signatures(sh_corpus, num_hashes=bands * rows)
+    cands = lsh_candidate_pairs_between(sigs_new, sigs_corpus, bands, rows)
+    verified = jaccard_for_pairs(
+        cands.select(F.col("new_id").alias("id1"), F.col("corpus_id").alias("id2")),
+        sh,
+        min_jaccard=0.8,
+    )
+    return verified.select(
+        F.col("id1").alias("new_id"), F.col("id2").alias("corpus_id"), "jaccard"
+    ).orderBy("new_id", "corpus_id")
+
+
+Q_INCREMENTAL_DEDUP_SQL = f"""
+WITH {SHINGLES_CTE},
+sigs AS (
+  SELECT id,
+         {_SIG_COLS}
+  FROM sh GROUP BY id),
+cands AS (
+  SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+  FROM sigs n JOIN sigs c
+    ON n.id % 5 = 4 AND c.id % 5 <> 4
+   AND ((n.sig0 = c.sig0 AND n.sig1 = c.sig1)
+     OR (n.sig2 = c.sig2 AND n.sig3 = c.sig3)
+     OR (n.sig4 = c.sig4 AND n.sig5 = c.sig5))),
+cid AS (SELECT new_id AS id FROM cands UNION SELECT corpus_id FROM cands),
+shc AS (SELECT sh.id, sh.shingle FROM sh JOIN cid USING (id)),
+sizes AS (SELECT id, COUNT(*) AS sz FROM shc GROUP BY id),
+inter AS (
+  SELECT c.new_id, c.corpus_id, COUNT(*) AS i
+  FROM cands c
+  JOIN shc a ON a.id = c.new_id
+  JOIN shc b ON b.id = c.corpus_id AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT inter.new_id, inter.corpus_id,
+       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = inter.new_id
+JOIN sizes sb ON sb.id = inter.corpus_id
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+"""
+
+
 # -------------------------------------------------- SimHash
 
 
@@ -297,5 +357,10 @@ QUERIES = {
     "q_simhash_fingerprints": QuerySpec(q_simhash_fingerprints, Q_SIMHASH_SQL, "SimHash fingerprints"),
     "q_simhash_neardup": QuerySpec(
         q_simhash_neardup, Q_SIMHASH_NEARDUP_SQL, "SimHash hamming near-dup (byte-banded)"
+    ),
+    "q_incremental_dedup": QuerySpec(
+        q_incremental_dedup,
+        Q_INCREMENTAL_DEDUP_SQL,
+        "new-batch vs corpus MinHash dedup (asymmetric LSH)",
     ),
 }

@@ -178,10 +178,96 @@ FROM documents
 """
 
 
+# -------------------------------------------------- curation pipeline
+# The end-to-end training-data admission filter, composed from the
+# individual operators: quality gate + language agreement + token
+# bounds + exact-dup canonicalization, rolled up per source. This is
+# the query a data-curation job runs nightly; every predicate is a
+# column expression, the only shuffles are the dedup window and the
+# final per-source aggregate.
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = T.quality_score("text", "n_chars")
+    tok = T.token_count("text")
+    hits = {lang: T.stopword_hits("text", lang) for lang in T.LANG_MARKERS}
+    pred = F.lit(None).cast("string")
+    best = F.lit(-1).cast("long")
+    for lang in T.LANG_MARKERS:
+        better = hits[lang] > best
+        pred = F.when(better, F.lit(lang)).otherwise(pred)
+        best = F.when(better, hits[lang]).otherwise(best)
+    canonical = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(F.sha2("text", 256))
+    )
+    kept = (
+        (score >= 0.5)
+        & (pred == F.col("lang"))
+        & tok.between(10, 2000)
+        & canonical
+    )
+    return (
+        docs.select("source", kept.alias("kept"), tok.alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("tok")).otherwise(F.lit(0))).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_CORPUS_CURATION_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source, lang, text,
+         LEAST(CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 0.5
+         + (1.0 - LEAST(CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                        / GREATEST(CAST(n_chars AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.2
+         + LEAST(CAST(LEN(regexp_extract_all(text,
+                  '\\b(the|a|of|and|to|in|is|that|it|for)\\b')) AS DOUBLE)
+                 / GREATEST(CAST(LEN(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS DOUBLE), 1.0) * 4.0,
+                 1.0) * 0.3 AS score,
+         CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tok,
+         {_lang_hits_sql("en")} AS h_en,
+         {_lang_hits_sql("de")} AS h_de,
+         {_lang_hits_sql("es")} AS h_es,
+         {_lang_hits_sql("fr")} AS h_fr,
+         {_lang_hits_sql("zh")} AS h_zh,
+         MIN(doc_id) OVER (PARTITION BY sha256(text)) AS canon
+  FROM documents),
+flagged AS (
+  SELECT source, tok,
+         (score >= 0.5
+          AND CASE
+                WHEN h_zh > h_en AND h_zh > h_de AND h_zh > h_es AND h_zh > h_fr THEN 'zh'
+                WHEN h_fr > h_en AND h_fr > h_de AND h_fr > h_es THEN 'fr'
+                WHEN h_es > h_en AND h_es > h_de THEN 'es'
+                WHEN h_de > h_en THEN 'de'
+                ELSE 'en'
+              END = lang
+          AND tok BETWEEN 10 AND 2000
+          AND doc_id = canon) AS kept
+  FROM scored)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM flagged
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q_text_stats": QuerySpec(q_text_stats, Q_TEXT_STATS_SQL, "per-doc char/word/token stats"),
     "q_text_quality": QuerySpec(q_text_quality, Q_TEXT_QUALITY_SQL, "quality-score buckets"),
     "q_token_totals": QuerySpec(q_token_totals, Q_TOKEN_TOTALS_SQL, "token counting"),
     "q_lang_id_confusion": QuerySpec(q_lang_id_confusion, Q_LANG_ID_SQL, "language-ID heuristic"),
     "q_fingerprints": QuerySpec(q_fingerprints, Q_FINGERPRINTS_SQL, "rolling-hash fingerprint"),
+    "q_corpus_curation": QuerySpec(
+        q_corpus_curation, Q_CORPUS_CURATION_SQL, "end-to-end training-data admission filter"
+    ),
 }

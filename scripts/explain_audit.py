@@ -39,6 +39,11 @@ KNOWN_UNPUSHABLE = {
     "q_near_dup_jaccard",
     "q_near_dup_jaccard_df_filtered",
     "q_minhash_lsh_pairs",
+    # whole-corpus fingerprint/signature scans: the only filters are on
+    # derived columns (hamming distance, band keys, id-mod batch split
+    # applied after the persisted shingle explode) — nothing pushable
+    "q_simhash_neardup",
+    "q_incremental_dedup",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}
