@@ -207,3 +207,81 @@ class Coordinator:
             w.int32(0)  # throttle_time_ms
         w.int16(err)
         return w.bytes()
+
+    # ------------------------------------------ group admin (15/16/42)
+
+    def handle_list_groups(self, payload: bytes) -> bytes:
+        """ListGroups v0: every known group with its protocol type."""
+        r = wire.Reader(payload)
+        h = wire.decode_request_header(r, flexible=False)
+        w = wire.Writer()
+        w.int32(h.correlation_id)
+        w.int16(wire.ERR_NONE)
+        w.int32(len(self.groups))
+        for gid in sorted(self.groups):
+            w.nullable_string(gid)
+            w.nullable_string(self.groups[gid].protocol_type)
+        return w.bytes()
+
+    def _group_state(self, g: GroupMembership) -> str:
+        if not g.members:
+            return "Empty"
+        return "Stable" if g.assignments else "CompletingRebalance"
+
+    def handle_describe_groups(self, payload: bytes) -> bytes:
+        """DescribeGroups v0: state, protocol, and full member roster
+        (metadata + current assignment) per requested group."""
+        r = wire.Reader(payload)
+        h = wire.decode_request_header(r, flexible=False)
+        names = [r.nullable_string() for _ in range(r.int32())]
+        w = wire.Writer()
+        w.int32(h.correlation_id)
+        w.int32(len(names))
+        for gid in names:
+            g = self.groups.get(gid)
+            if g is None:
+                w.int16(ERR_GROUP_ID_NOT_FOUND)
+                w.nullable_string(gid)
+                w.nullable_string("Dead")
+                w.nullable_string("").nullable_string("")
+                w.int32(0)
+                continue
+            w.int16(wire.ERR_NONE)
+            w.nullable_string(gid)
+            w.nullable_string(self._group_state(g))
+            w.nullable_string(g.protocol_type)
+            w.nullable_string(g.protocol_name if g.members else "")
+            w.int32(len(g.members))
+            for m in g.members:
+                w.nullable_string(m)
+                w.nullable_string("")  # client_id (not tracked)
+                w.nullable_string("")  # client_host
+                w.nullable_bytes(g.protocols.get(m, b""))
+                w.nullable_bytes(g.assignments.get(m, b""))
+        return w.bytes()
+
+    def handle_delete_groups(self, payload: bytes) -> bytes:
+        """DeleteGroups v0: only EMPTY groups are deletable (the Kafka
+        contract — active members must leave first, NON_EMPTY_GROUP
+        error 68 otherwise)."""
+        r = wire.Reader(payload)
+        h = wire.decode_request_header(r, flexible=False)
+        names = [r.nullable_string() for _ in range(r.int32())]
+        results = []
+        for gid in names:
+            g = self.groups.get(gid)
+            if g is None:
+                results.append((gid, ERR_GROUP_ID_NOT_FOUND))
+            elif g.members:
+                results.append((gid, 68))  # NON_EMPTY_GROUP
+            else:
+                del self.groups[gid]
+                results.append((gid, wire.ERR_NONE))
+        w = wire.Writer()
+        w.int32(h.correlation_id)
+        w.int32(0)  # throttle_time_ms
+        w.int32(len(results))
+        for gid, err in results:
+            w.nullable_string(gid)
+            w.int16(err)
+        return w.bytes()

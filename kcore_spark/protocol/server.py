@@ -135,6 +135,12 @@ class KafkaFrontend:
             return self.coordinator.handle_heartbeat(payload)
         if api_key == wire.LEAVE_GROUP_KEY and api_version <= 1:
             return self.coordinator.handle_leave_group(payload)
+        if api_key == wire.LIST_GROUPS_KEY and api_version == 0:
+            return self.coordinator.handle_list_groups(payload)
+        if api_key == wire.DESCRIBE_GROUPS_KEY and api_version == 0:
+            return self.coordinator.handle_describe_groups(payload)
+        if api_key == wire.DELETE_GROUPS_KEY and api_version == 0:
+            return self.coordinator.handle_delete_groups(payload)
         if api_key == wire.CREATE_TOPICS_KEY and api_version == 0:
             from kcore_spark.protocol.admin import handle_create_topics
 

@@ -38,6 +38,9 @@ OFFSET_COMMIT_KEY = 8
 OFFSET_FETCH_KEY = 9
 FIND_COORDINATOR_KEY = 10
 DELETE_RECORDS_KEY = 21
+DESCRIBE_GROUPS_KEY = 15
+LIST_GROUPS_KEY = 16
+DELETE_GROUPS_KEY = 42
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
@@ -61,6 +64,9 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (CREATE_TOPICS_KEY, 0, 0),
     (DELETE_TOPICS_KEY, 0, 0),
     (DELETE_RECORDS_KEY, 0, 1),
+    (DESCRIBE_GROUPS_KEY, 0, 0),
+    (LIST_GROUPS_KEY, 0, 0),
+    (DELETE_GROUPS_KEY, 0, 0),
     (API_VERSIONS_KEY, 0, 3),
 )
 

@@ -301,7 +301,83 @@ GROUP BY n_regionkey
 """
 
 
+# -------------------------------------------------- analytic functions
+# percent_rank / cume_dist / nth_value over a total order (unique
+# tie-break key, per the determinism contract).
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.nth_value("c_custkey", 2).over(wf).alias("second_poorest"),
+        )
+        .where(F.col("pr") >= 0.99)
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+Q_WINDOW_ANALYTICS_SQL = """
+SELECT c_mktsegment, c_custkey, pr, cd, second_poorest
+FROM (
+  SELECT c_mktsegment, c_custkey,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal ASC, c_custkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_poorest
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC))
+WHERE pr >= 0.99
+"""
+
+
+# -------------------------------------------------- deterministic sampling
+# Reproducible hash-based sampling — the training-data way to subset:
+# the same rows are sampled on ANY engine, any run, any partitioning
+# (portable md5 arithmetic), unlike TABLESAMPLE/rand(seed) whose
+# output is engine- and partitioning-dependent.
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 10
+    return (
+        docs.where(bucket == 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("n_chars").cast("long")).alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_HASH_SAMPLE_SQL = """
+SELECT source, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+GROUP BY source
+"""
+
+
 QUERIES = {
+    "q_window_analytics": QuerySpec(
+        q_window_analytics, Q_WINDOW_ANALYTICS_SQL, "percent_rank/cume_dist/nth_value"
+    ),
+    "q_hash_sample": QuerySpec(
+        q_hash_sample, Q_HASH_SAMPLE_SQL, "deterministic hash sampling (portable)"
+    ),
     "q_pivot_status": QuerySpec(q_pivot_status, Q_PIVOT_SQL, "pivot (static value list)"),
     "q_unpivot_metrics": QuerySpec(q_unpivot_metrics, Q_UNPIVOT_SQL, "unpivot wide→long"),
     "q_string_agg_nations": QuerySpec(q_string_agg_nations, Q_STRING_AGG_SQL, "ordered listagg"),

@@ -187,3 +187,64 @@ def test_api_versions_advertises_group_ranges(fe):
     assert ranges[wire.FIND_COORDINATOR_KEY] == (0, 2)
     assert ranges[wire.LIST_OFFSETS_KEY] == (0, 5)
     assert ranges[wire.DELETE_RECORDS_KEY] == (0, 1)
+
+
+# ------------------------------------------------ group admin APIs
+
+
+def test_list_describe_delete_groups(fe):
+    # join a group, then admin-inspect it
+    r = wire.Reader(fe.handle_request(_join_payload(0, group="adm")))
+    r.int32(), r.int16()
+    gen = r.int32()
+    r.nullable_string(), r.nullable_string()
+    member = r.nullable_string()
+    fe.handle_request(_sync_payload(0, "adm", gen, member))
+
+    # ListGroups sees it with its protocol type
+    w = _hdr(wire.Writer(), wire.LIST_GROUPS_KEY, 0, 71)
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 71 and r.int16() == wire.ERR_NONE
+    groups = {r.nullable_string(): r.nullable_string() for _ in range(r.int32())}
+    assert groups == {"adm": "consumer"}
+
+    # DescribeGroups: Stable state, roster with assignment blob
+    w = _hdr(wire.Writer(), wire.DESCRIBE_GROUPS_KEY, 0, 72)
+    w.int32(2)
+    w.nullable_string("adm")
+    w.nullable_string("ghost")
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 72
+    assert r.int32() == 2
+    assert r.int16() == wire.ERR_NONE
+    assert r.nullable_string() == "adm"
+    assert r.nullable_string() == "Stable"
+    assert r.nullable_string() == "consumer"
+    assert r.nullable_string() == "range"
+    assert r.int32() == 1
+    assert r.nullable_string() == member
+    r.nullable_string(), r.nullable_string()  # client id/host
+    r.nullable_bytes()
+    assert r.nullable_bytes() == b"assign-blob"
+    assert r.int16() == 69  # ghost: GROUP_ID_NOT_FOUND
+    assert r.nullable_string() == "ghost"
+    assert r.nullable_string() == "Dead"
+
+    # DeleteGroups: refuses non-empty, accepts after leave
+    def delete(gid, corr):
+        w = _hdr(wire.Writer(), wire.DELETE_GROUPS_KEY, 0, corr)
+        w.int32(1)
+        w.nullable_string(gid)
+        r = wire.Reader(fe.handle_request(w.bytes()))
+        assert r.int32() == corr
+        r.int32()  # throttle
+        assert r.int32() == 1
+        return r.nullable_string(), r.int16()
+
+    assert delete("adm", 73) == ("adm", 68)  # NON_EMPTY_GROUP
+    w = _hdr(wire.Writer(), wire.LEAVE_GROUP_KEY, 0, 74)
+    w.nullable_string("adm")
+    w.nullable_string(member)
+    fe.handle_request(w.bytes())
+    assert delete("adm", 75) == ("adm", wire.ERR_NONE)
+    assert delete("adm", 76) == ("adm", 69)  # now gone
