@@ -34,6 +34,11 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             cust.coalesce(4).write.mode("overwrite").option("header", True).csv(
                 os.path.join(d, "customer_csv")
             )
+        elif fmt == "orc":
+            li = load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+            )
+            li.coalesce(4).write.mode("overwrite").orc(os.path.join(d, "lineitem_orc"))
         else:
             ev = load_table(spark, sf_dir, "events").select(
                 "event_id", "event_type", "user_id", "value"
@@ -126,3 +131,32 @@ QUERIES = {
     "q_json_source": QuerySpec(q_json_source, Q_JSON_SQL, "JSON-lines source"),
     "q_inline_dim_join": QuerySpec(q_inline_dim_join, Q_INLINE_DIM_SQL, "createDataFrame dim"),
 }
+
+
+def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ORC source (columnar alternative to parquet): fixture
+    round-tripped through ORC files, then aggregated — predicate/
+    column pushdown applies to the ORC scan exactly as to parquet."""
+    d = _stage(spark, sf_dir, "orc")
+    li = spark.read.orc(os.path.join(d, "lineitem_orc"))
+    return (
+        li.where(F.col("l_quantity") < 10)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(15,2)")).cast("double").alias("total"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_ORC_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS total
+FROM lineitem
+WHERE l_quantity < 10
+GROUP BY l_returnflag
+"""
+
+
+QUERIES["q_orc_source"] = QuerySpec(q_orc_source, Q_ORC_SQL, "ORC source (native columnar)")
