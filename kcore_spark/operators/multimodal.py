@@ -80,3 +80,35 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> DataFrame:
+    """Evenly-spaced frame sampling over binary payloads — the video
+    counterpart of extract_features, demonstrating the 1→N mapInPandas
+    shape (each input row yields n_frames output rows inside the same
+    Arrow batch; no explode/shuffle involved).
+
+    Frame i of a payload of b bytes starts at floor(i*b/n) and spans
+    frame_bytes bytes (clipped at the end) — with a real video lib this
+    is keyframe extraction at fixed timestamps; the byte-window stand-in
+    keeps the batch shape, schema and partitioning identical.
+    """
+
+    def batches(it):
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = len(payload) if payload is not None else 0
+                for i in range(n_frames):
+                    if b == 0:
+                        continue
+                    off = (i * b) // n_frames
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(payload[off : off + frame_bytes]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

@@ -117,6 +117,29 @@ SELECT doc_id,
 FROM documents
 """
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: each payload yields 4 evenly-spaced
+    16-byte frames via a 1→N mapInPandas expansion. The oracle slices
+    the same windows relationally (ASCII corpus: byte offsets == char
+    offsets), so the Arrow-batch expansion is hash-checked, not just
+    smoke-tested."""
+    from kcore_spark.operators.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(attach_payloads(docs), n_frames=4, frame_bytes=16)
+    return frames.select(
+        "doc_id", "frame_idx", F.md5("frame").alias("frame_md5")
+    ).orderBy("doc_id", "frame_idx")
+
+
+Q_FRAME_SAMPLE_SQL = """
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       md5(substring(text, (i * LENGTH(text)) // 4 + 1, 16)) AS frame_md5
+FROM documents, UNNEST(generate_series(0, 3)) t(i)
+WHERE LENGTH(text) > 0
+"""
+
+
 # -------------------------------------------------- row UDF (exists; slow path)
 
 
@@ -173,6 +196,9 @@ QUERIES = {
     "q_pandas_udf_tokens": QuerySpec(q_pandas_udf_tokens, Q_PANDAS_UDF_SQL, "vectorized pandas_udf"),
     "q_apply_in_pandas_gaps": QuerySpec(
         q_apply_in_pandas_gaps, Q_APPLY_IN_PANDAS_SQL, "grouped-map applyInPandas"
+    ),
+    "q_frame_sample": QuerySpec(
+        q_frame_sample, Q_FRAME_SAMPLE_SQL, "1-to-N frame sampling via mapInPandas"
     ),
     "q_multimodal_features": QuerySpec(
         q_multimodal_features, Q_MULTIMODAL_SQL, "mapInPandas binary decode plumbing"
