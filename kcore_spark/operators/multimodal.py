@@ -112,3 +112,32 @@ def frame_sample(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> 
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+ENERGY_SCHEMA = "doc_id long, window_idx int, n_samples int, energy long"
+
+
+def waveform_energy(media: DataFrame, window: int = 64) -> DataFrame:
+    """Windowed energy over a byte waveform — the audio counterpart of
+    frame_sample: payload bytes stand in for PCM samples, per-window
+    sum stands in for RMS energy (a real deployment decodes with
+    librosa/soundfile and sums squared samples; batch shape, schema
+    and the 1→N expansion are identical).
+    """
+
+    def batches(it):
+        for pdf in it:
+            ids, idxs, ns, energies = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = payload if payload is not None else b""
+                for w in range((len(b) + window - 1) // window):
+                    chunk = b[w * window : (w + 1) * window]
+                    ids.append(doc_id)
+                    idxs.append(w)
+                    ns.append(len(chunk))
+                    energies.append(sum(chunk))
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_idx": idxs, "n_samples": ns, "energy": energies}
+            )
+
+    return media.mapInPandas(batches, ENERGY_SCHEMA)

@@ -206,3 +206,33 @@ QUERIES = {
     "q_row_udf_bucket": QuerySpec(q_row_udf_bucket, Q_ROW_UDF_SQL, "row udf (surface only)"),
     "q_udtf_explode_words": QuerySpec(q_udtf_explode_words, Q_UDTF_SQL, "Python UDTF"),
 }
+
+
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed energy: 64-byte windows of each payload
+    summed per window via mapInPandas (PCM stand-in); the oracle
+    recomputes every window sum relationally over the ASCII corpus."""
+    from kcore_spark.operators.multimodal import waveform_energy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        waveform_energy(attach_payloads(docs), window=64)
+        .select("doc_id", "window_idx", "n_samples", "energy")
+        .orderBy("doc_id", "window_idx")
+    )
+
+
+Q_AUDIO_ENERGY_SQL = """
+SELECT doc_id, CAST(w AS INT) AS window_idx,
+       CAST(LENGTH(substring(text, w*64+1, 64)) AS INT) AS n_samples,
+       CAST(list_aggregate(list_transform(
+              regexp_extract_all(substring(text, w*64+1, 64), '[\\s\\S]'),
+              x -> ascii(x)), 'sum') AS BIGINT) AS energy
+FROM documents, UNNEST(generate_series(0, (LENGTH(text) - 1) // 64)) t(w)
+WHERE LENGTH(text) > 0
+"""
+
+
+QUERIES["q_audio_energy"] = QuerySpec(
+    q_audio_energy, Q_AUDIO_ENERGY_SQL, "windowed waveform energy via mapInPandas"
+)

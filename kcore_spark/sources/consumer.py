@@ -92,6 +92,27 @@ class TopicConsumer:
     def seek_to_beginning(self) -> None:
         self._positions = {p: 0 for p in self._positions}
 
+    def seek_to_timestamp(self, ts_ms: int) -> dict[int, int]:
+        """Seek every assigned partition to the first offset whose
+        record timestamp is >= ts_ms — "replay from last Tuesday",
+        ListOffsets-by-timestamp applied to this consumer's slice.
+        Partitions with no record at/after ts_ms seek to their log end
+        (nothing to replay). Returns the new positions. Served from the
+        manifest's per-segment timestamp index, so planning opens no
+        segment older than the target."""
+        hits = {
+            r["partition"]: r["offset"]
+            for r in self.log.offsets_for_timestamp(self.topic, ts_ms).collect()
+        }
+        ends = {
+            r["partition"]: r["next_offset"]
+            for r in self.log.list_offsets(self.topic).collect()
+        }
+        for p in self._positions:
+            off = hits.get(p, -1)
+            self._positions[p] = off if off >= 0 else ends.get(p, 0)
+        return dict(self._positions)
+
 
 def balanced_consumers(
     log: TopicLog, group: str, topic: str, n_members: int, strategy: str = "range"

@@ -99,3 +99,32 @@ def test_consume_after_compaction_with_offset_holes(spark, log):
     assert (
         log.scan("t").groupBy("partition", "key").count().where("count > 1").count() == 0
     )
+
+
+def test_seek_to_timestamp(spark, log):
+    from pyspark.sql import functions as F
+
+    log.create_topic("ts_seek", 2)
+    recs = spark.range(40).select(
+        F.encode((F.col("id") % 5).cast("string"), "utf-8").alias("key"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("value"),
+        F.timestamp_millis(F.lit(1_000_000) + F.col("id") * 1000).alias("timestamp"),
+        F.col("id").alias("seq"),
+    )
+    log.produce("ts_seek", recs, order_by=["seq"])
+    c = TopicConsumer(log, group="g_ts", topic="ts_seek")
+    # mid-stream target: every polled record from there on is >= target
+    target = 1_000_000 + 20_000
+    pos = c.seek_to_timestamp(target)
+    batch = c.poll(max_records_per_partition=100)
+    rows = batch.collect()
+    assert rows, "expected records at/after the target"
+    assert all(r["timestamp"].timestamp() * 1000 >= target for r in rows)
+    # no earlier record was skipped: polled offsets start at the seek points
+    starts = {r["partition"]: r["offset"] for r in batch.groupBy("partition").agg(
+        F.min("offset").alias("offset")).collect()}
+    assert starts == {p: o for p, o in pos.items() if p in starts}
+    # future target: seeks to log end, poll returns nothing
+    c2 = TopicConsumer(log, group="g_ts2", topic="ts_seek")
+    c2.seek_to_timestamp(9_000_000_000)
+    assert c2.poll() is None
