@@ -22,9 +22,12 @@ from dataclasses import dataclass, field
 from kcore_spark.protocol import wire
 from kcore_spark.protocol.records import (
     Record,
+    batch_producer_info,
     decode_record_batch,
     encode_record_batch,
 )
+
+ERR_OUT_OF_ORDER_SEQUENCE = 45  # OUT_OF_ORDER_SEQUENCE_NUMBER
 
 # ------------------------------------------------------ wire log
 
@@ -42,6 +45,39 @@ class WireLog:
     def __init__(self) -> None:
         self._parts: dict[tuple[str, int], _Partition] = {}
         self.topics: dict[str, int] = {}
+        self._next_pid = 0
+        # (topic, partition, producer_id) → (base_seq, n, base_offset)
+        # of the last accepted batch: the idempotence dedup state
+        self._producer_seqs: dict[tuple[str, int, int], tuple[int, int, int]] = {}
+
+    def init_producer_id(self) -> tuple[int, int]:
+        """InitProducerId (API key 22): allocate a fresh producer id
+        (epoch 0 — no transactional fencing in v1)."""
+        pid = self._next_pid
+        self._next_pid += 1
+        return pid, 0
+
+    def check_sequence(
+        self, topic: str, partition: int, pid: int, base_seq: int, n: int
+    ) -> tuple[str, int]:
+        """Idempotence check for a produce batch: returns
+        ("accept", -1), ("duplicate", original_base_offset) for an
+        exact retry of the last accepted batch, or ("out_of_order", -1)
+        for a sequence gap (per the Kafka idempotent-producer
+        contract: sequences per (producer, partition) are dense)."""
+        key = (topic, partition, pid)
+        prev = self._producer_seqs.get(key)
+        if prev is not None and base_seq == prev[0] and n == prev[1]:
+            return "duplicate", prev[2]
+        expected = 0 if prev is None else prev[0] + prev[1]
+        if base_seq != expected:
+            return "out_of_order", -1
+        return "accept", -1
+
+    def record_sequence(
+        self, topic: str, partition: int, pid: int, base_seq: int, n: int, base_offset: int
+    ) -> None:
+        self._producer_seqs[(topic, partition, pid)] = (base_seq, n, base_offset)
 
     def create_topic(self, name: str, num_partitions: int) -> None:
         self.topics[name] = num_partitions
@@ -404,13 +440,32 @@ def handle_produce(log: WireLog, payload: bytes) -> bytes:
                 continue
             try:
                 _base, records, _ = decode_record_batch(p.batch)
+                pid, _epoch, base_seq, n_recs = batch_producer_info(p.batch)
             except (ValueError, IndexError, KeyError, MemoryError, OSError):
                 # MemoryError/OSError: a crafted compressed block can
                 # still make a codec over-allocate or fail mid-stream;
                 # that is corrupt input, not a broker crash
                 part_results.append((p.index, wire.ERR_CORRUPT_MESSAGE, -1))
                 continue
+            if pid >= 0 and base_seq >= 0:
+                verdict, dup_base = log.check_sequence(
+                    name, p.index, pid, base_seq, len(records)
+                )
+                if verdict == "duplicate":
+                    # idempotent retry: acknowledge the ORIGINAL offset,
+                    # append nothing (exactly-once produce)
+                    part_results.append(
+                        (p.index, wire.ERR_NONE, dup_base, log.log_start(name, p.index))
+                    )
+                    continue
+                if verdict == "out_of_order":
+                    part_results.append(
+                        (p.index, ERR_OUT_OF_ORDER_SEQUENCE, -1)
+                    )
+                    continue
             base = log.append(name, p.index, records)
+            if pid >= 0 and base_seq >= 0:
+                log.record_sequence(name, p.index, pid, base_seq, len(records), base)
             part_results.append((p.index, wire.ERR_NONE, base, log.log_start(name, p.index)))
         results.append((name, part_results))
     return encode_produce_response(
@@ -444,3 +499,26 @@ def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 
     return encode_fetch_response(
         req.header.correlation_id, results, api_version=req.header.api_version
     )
+
+
+# ------------------------------------------------------ InitProducerId v0-v1
+
+
+def handle_init_producer_id(log: WireLog, payload: bytes) -> bytes:
+    """InitProducerId (API key 22, v0-v1 — identical non-flexible
+    layouts): allocate a producer id for idempotent produce.
+    transactional_id must be null in v1 of this engine (transactions
+    out of scope); a non-null id still gets a pid (epoch 0) since the
+    idempotence path is what it feeds."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    r.nullable_string()  # transactional_id
+    r.int32()  # transaction_timeout_ms
+    pid, epoch = log.init_producer_id()
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.int32(0)  # throttle_time_ms
+    w.int16(wire.ERR_NONE)
+    w.int64(pid)
+    w.int16(epoch)
+    return w.bytes()

@@ -225,13 +225,19 @@ def _encode_record(rec: Record, base_offset: int, base_ts: int) -> bytes:
 
 
 def encode_record_batch(
-    records: list[Record], base_offset: int = 0, compression: str | None = None
+    records: list[Record],
+    base_offset: int = 0,
+    compression: str | None = None,
+    producer_id: int = -1,
+    producer_epoch: int = -1,
+    base_sequence: int = -1,
 ) -> bytes:
     """Encode a magic-v2 batch. Offsets are assigned base_offset + i if
     the records don't already carry absolute offsets. compression:
     None, "gzip", "snappy", "lz4" or "zstd" (the records block after
     the count is compressed, batch headers stay plain — per the Kafka
-    spec)."""
+    spec). producer_id/epoch/base_sequence (-1 = non-idempotent) are
+    the idempotence headers the broker dedups on."""
     assert records, "empty batch"
     assert compression in CODEC_IDS, f"unknown codec {compression!r}"
     if all(r.offset == 0 for r in records):  # assign sequentially
@@ -255,9 +261,9 @@ def encode_record_batch(
     payload += struct.pack(">i", last_delta)
     payload += struct.pack(">q", base_ts)
     payload += struct.pack(">q", max_ts)
-    payload += struct.pack(">q", -1)  # producerId
-    payload += struct.pack(">h", -1)  # producerEpoch
-    payload += struct.pack(">i", -1)  # baseSequence
+    payload += struct.pack(">q", producer_id)
+    payload += struct.pack(">h", producer_epoch)
+    payload += struct.pack(">i", base_sequence)
     payload += struct.pack(">i", len(recs))
     payload += rec_block
 
@@ -269,6 +275,21 @@ def encode_record_batch(
         + bytes(payload)
     )
     return struct.pack(">q", base_offset) + struct.pack(">i", len(after_length)) + after_length
+
+
+def batch_producer_info(buf: bytes, pos: int = 0) -> tuple[int, int, int, int]:
+    """Read (producer_id, producer_epoch, base_sequence, record_count)
+    from a magic-v2 batch's fixed-offset header without decoding
+    records — the idempotence dedup check needs only these. Field
+    offsets per the public record-batch layout: baseOffset(8)
+    batchLength(4) partitionLeaderEpoch(4) magic(1) crc(4)
+    attributes(2) lastOffsetDelta(4) baseTs(8) maxTs(8) → producerId
+    at pos+43."""
+    pid = struct.unpack_from(">q", buf, pos + 43)[0]
+    epoch = struct.unpack_from(">h", buf, pos + 51)[0]
+    base_seq = struct.unpack_from(">i", buf, pos + 53)[0]
+    n = struct.unpack_from(">i", buf, pos + 57)[0]
+    return pid, epoch, base_seq, n
 
 
 def decode_record_batch(buf: bytes, pos: int = 0) -> tuple[int, list[Record], int]:

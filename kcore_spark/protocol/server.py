@@ -157,6 +157,10 @@ class KafkaFrontend:
             from kcore_spark.protocol.admin import handle_delete_records
 
             return handle_delete_records(self.wire_log, payload)
+        if api_key == wire.INIT_PRODUCER_ID_KEY and api_version <= 1:
+            from kcore_spark.protocol.broker import handle_init_producer_id
+
+            return handle_init_producer_id(self.wire_log, payload)
         # Kafka answers an unsupported API with an ApiVersions-shaped
         # error so clients can renegotiate; the reference kills the
         # connection here (kafka_api.go:95-96) — deliberate deviation.

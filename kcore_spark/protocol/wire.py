@@ -41,6 +41,7 @@ DELETE_RECORDS_KEY = 21
 DESCRIBE_GROUPS_KEY = 15
 LIST_GROUPS_KEY = 16
 DELETE_GROUPS_KEY = 42
+INIT_PRODUCER_ID_KEY = 22
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
@@ -67,6 +68,7 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (DESCRIBE_GROUPS_KEY, 0, 0),
     (LIST_GROUPS_KEY, 0, 0),
     (DELETE_GROUPS_KEY, 0, 0),
+    (INIT_PRODUCER_ID_KEY, 0, 1),
     (API_VERSIONS_KEY, 0, 3),
 )
 
