@@ -233,3 +233,111 @@ QUERIES = {
     "q16_supplier_counts": QuerySpec(q16_supplier_counts, Q16_SQL, "NOT IN + count distinct"),
     "q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_SQL, "disjunctive predicates"),
 }
+
+
+# ---------------------------------------------------- q06 forecast revenue
+# The classic: one scan, three pushable predicates, one global sum.
+
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * rate("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+Q06_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------- q15 top supplier
+# Revenue per supplier over a quarter; keep every supplier at the max
+# (the spec's correlated-max view, done with a rank-free max join).
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where((F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-04-01"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_price()).alias("r"))
+    )
+    mx = rev.agg(F.max("r").alias("mr"))
+    return (
+        rev.join(F.broadcast(mx), rev.r == mx.mr)
+        .join(sup, rev.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({_REV}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------- q09 profit by nation
+# Q9 adaptation: the fixture has no partsupp, so "profit" is the
+# discounted revenue credited to the supplier's nation per order year
+# (same join graph minus the supplycost term).
+
+
+def q09_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q09_SQL = f"""
+SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_REV}) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+"""
+
+
+QUERIES["q06_forecast_revenue"] = QuerySpec(q06_forecast_revenue, Q06_SQL, "TPC-H Q6")
+QUERIES["q15_top_supplier"] = QuerySpec(q15_top_supplier, Q15_SQL, "TPC-H Q15 (max-join view)")
+QUERIES["q09_profit_by_nation_year"] = QuerySpec(
+    q09_profit_by_nation_year, Q09_SQL, "TPC-H Q9 adaptation (no partsupp in fixture)"
+)
