@@ -97,9 +97,21 @@ class KafkaFrontend:
     def handle_request(self, payload: bytes) -> bytes | None:
         """Decode → dispatch → encode (sync; the data plane calls into
         Spark jobs which are blocking anyway — run in a thread pool
-        when the front-end is wired to a live engine)."""
+        when the front-end is wired to a live engine).
+
+        An undecodable request body (truncated frame, garbage counts)
+        returns None — the connection handler closes that connection,
+        which is real Kafka's behavior for frames it cannot parse. No
+        malformed payload may raise out of dispatch (fuzz-tested across
+        every advertised api/version)."""
         if len(payload) < 8:
             return None
+        try:
+            return self._dispatch(payload)
+        except (EOFError, ValueError, IndexError, KeyError, struct.error, MemoryError, OSError):
+            return None
+
+    def _dispatch(self, payload: bytes) -> bytes | None:
         api_key = struct.unpack(">h", payload[0:2])[0]
         api_version = struct.unpack(">h", payload[2:4])[0]
         correlation_id = struct.unpack(">i", payload[4:8])[0]

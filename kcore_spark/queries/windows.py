@@ -391,3 +391,43 @@ QUERIES = {
     "q_percentiles": QuerySpec(q_percentiles, Q_PERCENTILES_SQL, "median/percentiles"),
     "q_grouped_lists": QuerySpec(q_grouped_lists, Q_GROUPED_LISTS_SQL, "collect_list"),
 }
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture sampling: per-language admission rates
+    (en 80%, de/es/fr 40%, zh 20%) applied via portable md5 bucketing —
+    the deterministic version of sampleBy, reproducible across engines,
+    runs and partitionings. The output mix is what a data-mixing stage
+    feeds the tokenizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    rate = (
+        F.when(F.col("lang") == "en", 80)
+        .when(F.col("lang").isin("de", "es", "fr"), 40)
+        .otherwise(20)
+    )
+    return (
+        docs.where(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("n_chars").cast("long")).alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      < CASE WHEN lang = 'en' THEN 80 WHEN lang IN ('de','es','fr') THEN 40 ELSE 20 END
+GROUP BY lang
+"""
+
+
+QUERIES["q_stratified_sample"] = QuerySpec(
+    q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL, "per-stratum mixture sampling (portable)"
+)

@@ -159,3 +159,34 @@ def test_metadata_lists_topics(spark, tmp_path):
             for _ in range(r.int32()):
                 r.int32()
     assert names == ["alpha", "beta"]
+
+
+# ------------------------------------------------ dispatch fuzz
+
+
+def test_truncated_and_garbage_payloads_never_crash_dispatch():
+    """Every advertised (api_key, version) must survive truncated and
+    garbage bodies — a malformed request may get an error response or
+    None (connection close), never an exception out of dispatch."""
+    import struct
+
+    from kcore_spark.protocol.server import KafkaFrontend
+
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("t", 1)
+    for key, lo, hi in wire.SUPPORTED_APIS:
+        for version in (lo, hi):
+            base = struct.pack(">hhi", key, version, 1) + b"\x00\x03fuz"
+            for payload in (
+                base,                      # header only
+                base + b"\x00",            # 1 stray byte
+                base + b"\xff" * 8,        # null-ish array counts
+                base + b"\x7f\xff\xff\xff" * 4,  # huge counts
+                base[:6],                  # truncated header
+            ):
+                try:
+                    fe.handle_request(payload)
+                except Exception as e:  # noqa: BLE001 - the assertion
+                    raise AssertionError(
+                        f"api {key} v{version} crashed on {payload!r}: {e!r}"
+                    ) from e
