@@ -28,6 +28,8 @@ from kcore_spark.protocol.records import (
 )
 
 ERR_OUT_OF_ORDER_SEQUENCE = 45  # OUT_OF_ORDER_SEQUENCE_NUMBER
+ERR_INVALID_PRODUCER_EPOCH = 47
+ERR_INVALID_TXN_STATE = 48
 
 # ------------------------------------------------------ wire log
 
@@ -49,13 +51,103 @@ class WireLog:
         # (topic, partition, producer_id) → (base_seq, n, base_offset)
         # of the last accepted batch: the idempotence dedup state
         self._producer_seqs: dict[tuple[str, int, int], tuple[int, int, int]] = {}
+        # transactions: tid → (pid, epoch); open txn state per pid;
+        # committed-reader filter state per partition
+        self._tids: dict[str, tuple[int, int]] = {}
+        self._open_txns: dict[int, dict[tuple[str, int], int]] = {}
+        self._aborted: dict[tuple[str, int], list[tuple[int, int]]] = {}
 
-    def init_producer_id(self) -> tuple[int, int]:
-        """InitProducerId (API key 22): allocate a fresh producer id
-        (epoch 0 — no transactional fencing in v1)."""
+    def init_producer_id(self, transactional_id: str | None = None) -> tuple[int, int]:
+        """InitProducerId (API key 22): allocate a producer id. A
+        transactional id maps to a STABLE pid whose epoch bumps on
+        every re-init — the zombie-fencing contract (an older instance
+        of the same logical producer is rejected with
+        INVALID_PRODUCER_EPOCH once the new one initializes)."""
+        if transactional_id is not None:
+            if transactional_id in self._tids:
+                pid, epoch = self._tids[transactional_id]
+                self._tids[transactional_id] = (pid, epoch + 1)
+                self._open_txns.pop(pid, None)  # fencing aborts zombies
+                return pid, epoch + 1
+            pid = self._next_pid
+            self._next_pid += 1
+            self._tids[transactional_id] = (pid, 0)
+            return pid, 0
         pid = self._next_pid
         self._next_pid += 1
         return pid, 0
+
+    # -------------------------------------------------- transactions
+
+    def producer_epoch(self, pid: int) -> int:
+        for p, e in self._tids.values():
+            if p == pid:
+                return e
+        return -1
+
+    def add_partition_to_txn(self, pid: int, epoch: int, topic: str, partition: int) -> int:
+        """AddPartitionsToTxn (API key 24): declare intent. Returns a
+        Kafka error code (0 = ok)."""
+        if self.producer_epoch(pid) != epoch:
+            return ERR_INVALID_PRODUCER_EPOCH
+        if not self.has(topic, partition):
+            return wire.ERR_UNKNOWN_TOPIC_OR_PARTITION
+        self._open_txns.setdefault(pid, {}).setdefault((topic, partition), -1)
+        return wire.ERR_NONE
+
+    def note_transactional_append(
+        self, topic: str, partition: int, pid: int, base_offset: int
+    ) -> None:
+        txn = self._open_txns.setdefault(pid, {})
+        if txn.get((topic, partition), -1) < 0:
+            txn[(topic, partition)] = base_offset
+
+    def end_txn(self, pid: int, epoch: int, commit: bool) -> int:
+        """EndTxn (API key 26): commit makes the txn's records visible
+        to read_committed consumers; abort hides them forever (their
+        offset ranges join the aborted filter). Returns an error code."""
+        if self.producer_epoch(pid) != epoch:
+            return ERR_INVALID_PRODUCER_EPOCH
+        txn = self._open_txns.pop(pid, None)
+        if txn is None:
+            return ERR_INVALID_TXN_STATE
+        if not commit:
+            for (topic, partition), start in txn.items():
+                if start >= 0:
+                    end = self.high_watermark(topic, partition)
+                    self._aborted.setdefault((topic, partition), []).append((start, end))
+        return wire.ERR_NONE
+
+    def last_stable_offset(self, topic: str, partition: int) -> int:
+        """First offset still owned by an OPEN transaction; read_committed
+        consumers never see at/after it (the LSO contract)."""
+        hw = self.high_watermark(topic, partition)
+        starts = [
+            s
+            for txn in self._open_txns.values()
+            for (t, p), s in txn.items()
+            if (t, p) == (topic, partition) and s >= 0
+        ]
+        return min(starts) if starts else hw
+
+    def read_committed(
+        self, topic: str, partition: int, offset: int, max_records: int
+    ) -> list[Record]:
+        """read_committed isolation: records below the LSO minus aborted
+        ranges. (Single-node engine filters server-side; real Kafka
+        ships aborted-txn metadata for client-side filtering — same
+        visible result.)"""
+        lso = self.last_stable_offset(topic, partition)
+        start = max(offset, self.log_start(topic, partition))
+        aborted = self._aborted.get((topic, partition), [])
+        out = []
+        for r in self.read(topic, partition, start, max(0, lso - start)):
+            if any(s <= r.offset < e for s, e in aborted):
+                continue
+            out.append(r)
+            if len(out) >= max_records:
+                break
+        return out
 
     def check_sequence(
         self, topic: str, partition: int, pid: int, base_seq: int, n: int
@@ -317,6 +409,7 @@ class FetchRequest:
     min_bytes: int
     max_bytes: int
     topics: list[tuple[str, list[FetchPartition]]]
+    isolation_level: int = 0  # 0 = read_uncommitted, 1 = read_committed
 
 
 def decode_fetch_request(payload: bytes) -> FetchRequest:
@@ -333,7 +426,7 @@ def decode_fetch_request(payload: bytes) -> FetchRequest:
     max_wait = r.int32()
     min_bytes = r.int32()
     max_bytes = r.int32()
-    r.int8()  # isolation_level
+    isolation = r.int8()
     if api_version >= 7:
         r.int32()  # session_id
         r.int32()  # session_epoch
@@ -357,7 +450,7 @@ def decode_fetch_request(payload: bytes) -> FetchRequest:
                 r.int32()
     if api_version >= 11 and r.pos < len(r.buf):
         r.nullable_string()  # rack_id
-    return FetchRequest(h, max_wait, min_bytes, max_bytes, topics)
+    return FetchRequest(h, max_wait, min_bytes, max_bytes, topics, isolation)
 
 
 def encode_fetch_response(
@@ -440,12 +533,17 @@ def handle_produce(log: WireLog, payload: bytes) -> bytes:
                 continue
             try:
                 _base, records, _ = decode_record_batch(p.batch)
-                pid, _epoch, base_seq, n_recs = batch_producer_info(p.batch)
+                pid, epoch, base_seq, n_recs, transactional = batch_producer_info(p.batch)
             except (ValueError, IndexError, KeyError, MemoryError, OSError):
                 # MemoryError/OSError: a crafted compressed block can
                 # still make a codec over-allocate or fail mid-stream;
                 # that is corrupt input, not a broker crash
                 part_results.append((p.index, wire.ERR_CORRUPT_MESSAGE, -1))
+                continue
+            if transactional and log.producer_epoch(pid) != epoch:
+                # zombie fencing: a newer instance of this logical
+                # producer has initialized since this one did
+                part_results.append((p.index, ERR_INVALID_PRODUCER_EPOCH, -1))
                 continue
             if pid >= 0 and base_seq >= 0:
                 verdict, dup_base = log.check_sequence(
@@ -466,6 +564,8 @@ def handle_produce(log: WireLog, payload: bytes) -> bytes:
             base = log.append(name, p.index, records)
             if pid >= 0 and base_seq >= 0:
                 log.record_sequence(name, p.index, pid, base_seq, len(records), base)
+            if transactional:
+                log.note_transactional_append(name, p.index, pid, base)
             part_results.append((p.index, wire.ERR_NONE, base, log.log_start(name, p.index)))
         results.append((name, part_results))
     return encode_produce_response(
@@ -482,13 +582,23 @@ def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 
             if not log.has(name, p.index):
                 part_results.append((p.index, wire.ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, None))
                 continue
-            hw = log.high_watermark(name, p.index)
+            committed_only = req.isolation_level == 1
+            # read_committed consumers see the log only up to the LSO
+            hw = (
+                log.last_stable_offset(name, p.index)
+                if committed_only
+                else log.high_watermark(name, p.index)
+            )
             if p.fetch_offset > hw or p.fetch_offset < log.log_start(name, p.index):
                 # below the log start (truncated away) or past the end:
                 # OFFSET_OUT_OF_RANGE, per the Kafka fetch contract
                 part_results.append((p.index, wire.ERR_OFFSET_OUT_OF_RANGE, hw, None))
                 continue
-            recs = log.read(name, p.index, p.fetch_offset, max_records_per_partition)
+            recs = (
+                log.read_committed(name, p.index, p.fetch_offset, max_records_per_partition)
+                if committed_only
+                else log.read(name, p.index, p.fetch_offset, max_records_per_partition)
+            )
             batch = (
                 encode_record_batch(recs, base_offset=recs[0].offset) if recs else None
             )
@@ -506,19 +616,66 @@ def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 
 
 def handle_init_producer_id(log: WireLog, payload: bytes) -> bytes:
     """InitProducerId (API key 22, v0-v1 — identical non-flexible
-    layouts): allocate a producer id for idempotent produce.
-    transactional_id must be null in v1 of this engine (transactions
-    out of scope); a non-null id still gets a pid (epoch 0) since the
-    idempotence path is what it feeds."""
+    layouts): allocate a producer id for idempotent produce; a
+    transactional id maps to a stable pid with an epoch bump per
+    re-init (zombie fencing)."""
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=False)
-    r.nullable_string()  # transactional_id
+    tid = r.nullable_string()
     r.int32()  # transaction_timeout_ms
-    pid, epoch = log.init_producer_id()
+    pid, epoch = log.init_producer_id(tid)
     w = wire.Writer()
     w.int32(h.correlation_id)
     w.int32(0)  # throttle_time_ms
     w.int16(wire.ERR_NONE)
     w.int64(pid)
     w.int16(epoch)
+    return w.bytes()
+
+
+# ------------------------------------------------------ transactions (24/26)
+
+
+def handle_add_partitions_to_txn(log: WireLog, payload: bytes) -> bytes:
+    """AddPartitionsToTxn (API key 24, v0): register the partitions the
+    next transactional batches will touch."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    r.nullable_string()  # transactional_id (pid identifies the txn here)
+    pid = r.int64()
+    epoch = r.int16()
+    results = []
+    for _ in range(r.int32()):
+        name = r.nullable_string()
+        parts = []
+        for _ in range(r.int32()):
+            partition = r.int32()
+            err = log.add_partition_to_txn(pid, epoch, name, partition)
+            parts.append((partition, err))
+        results.append((name, parts))
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.int32(0)  # throttle_time_ms
+    w.int32(len(results))
+    for name, parts in results:
+        w.nullable_string(name)
+        w.int32(len(parts))
+        for partition, err in parts:
+            w.int32(partition).int16(err)
+    return w.bytes()
+
+
+def handle_end_txn(log: WireLog, payload: bytes) -> bytes:
+    """EndTxn (API key 26, v0): commit or abort the open transaction."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    r.nullable_string()  # transactional_id
+    pid = r.int64()
+    epoch = r.int16()
+    committed = r.bool_()
+    err = log.end_txn(pid, epoch, committed)
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.int32(0)  # throttle_time_ms
+    w.int16(err)
     return w.bytes()

@@ -231,6 +231,7 @@ def encode_record_batch(
     producer_id: int = -1,
     producer_epoch: int = -1,
     base_sequence: int = -1,
+    transactional: bool = False,
 ) -> bytes:
     """Encode a magic-v2 batch. Offsets are assigned base_offset + i if
     the records don't already carry absolute offsets. compression:
@@ -252,7 +253,7 @@ def encode_record_batch(
     last_delta = recs[-1].offset - base_offset
 
     rec_block = b"".join(_encode_record(r, base_offset, base_ts) for r in recs)
-    attrs = CODEC_IDS[compression]
+    attrs = CODEC_IDS[compression] | (0x10 if transactional else 0)
     if compression is not None:
         rec_block = compress_block(compression, rec_block)
 
@@ -277,19 +278,20 @@ def encode_record_batch(
     return struct.pack(">q", base_offset) + struct.pack(">i", len(after_length)) + after_length
 
 
-def batch_producer_info(buf: bytes, pos: int = 0) -> tuple[int, int, int, int]:
-    """Read (producer_id, producer_epoch, base_sequence, record_count)
-    from a magic-v2 batch's fixed-offset header without decoding
-    records — the idempotence dedup check needs only these. Field
-    offsets per the public record-batch layout: baseOffset(8)
-    batchLength(4) partitionLeaderEpoch(4) magic(1) crc(4)
-    attributes(2) lastOffsetDelta(4) baseTs(8) maxTs(8) → producerId
-    at pos+43."""
+def batch_producer_info(buf: bytes, pos: int = 0) -> tuple[int, int, int, int, bool]:
+    """Read (producer_id, producer_epoch, base_sequence, record_count,
+    transactional) from a magic-v2 batch's fixed-offset header without
+    decoding records — the idempotence/transaction checks need only
+    these. Field offsets per the public record-batch layout:
+    baseOffset(8) batchLength(4) partitionLeaderEpoch(4) magic(1)
+    crc(4) attributes(2, bit 4 = transactional) lastOffsetDelta(4)
+    baseTs(8) maxTs(8) → producerId at pos+43."""
+    attrs = struct.unpack_from(">h", buf, pos + 21)[0]
     pid = struct.unpack_from(">q", buf, pos + 43)[0]
     epoch = struct.unpack_from(">h", buf, pos + 51)[0]
     base_seq = struct.unpack_from(">i", buf, pos + 53)[0]
     n = struct.unpack_from(">i", buf, pos + 57)[0]
-    return pid, epoch, base_seq, n
+    return pid, epoch, base_seq, n, bool(attrs & 0x10)
 
 
 def decode_record_batch(buf: bytes, pos: int = 0) -> tuple[int, list[Record], int]:

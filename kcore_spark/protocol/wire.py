@@ -42,6 +42,8 @@ DESCRIBE_GROUPS_KEY = 15
 LIST_GROUPS_KEY = 16
 DELETE_GROUPS_KEY = 42
 INIT_PRODUCER_ID_KEY = 22
+ADD_PARTITIONS_TO_TXN_KEY = 24
+END_TXN_KEY = 26
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
@@ -69,6 +71,8 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (LIST_GROUPS_KEY, 0, 0),
     (DELETE_GROUPS_KEY, 0, 0),
     (INIT_PRODUCER_ID_KEY, 0, 1),
+    (ADD_PARTITIONS_TO_TXN_KEY, 0, 0),
+    (END_TXN_KEY, 0, 0),
     (API_VERSIONS_KEY, 0, 3),
 )
 

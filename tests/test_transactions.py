@@ -1,0 +1,178 @@
+"""Transactional produce: AddPartitionsToTxn (24) + EndTxn (26) +
+read_committed fetch isolation + zombie fencing — uncommitted data is
+invisible to read_committed consumers, commits reveal it, aborts hide
+it forever, and a re-initialized transactional producer fences its
+older instance."""
+
+from __future__ import annotations
+
+from kcore_spark.protocol import wire
+from kcore_spark.protocol.broker import (
+    ERR_INVALID_PRODUCER_EPOCH,
+    ERR_INVALID_TXN_STATE,
+    decode_fetch_response,
+    decode_produce_response,
+)
+from kcore_spark.protocol.records import Record, decode_record_batch, encode_record_batch
+from kcore_spark.protocol.server import KafkaFrontend
+
+from tests.test_idempotent_produce import _init_pid
+from tests.test_protocol_versions import _fetch_payload, _produce_payload
+
+
+def _init_txn_pid(fe, tid, corr=85):
+    w = wire.Writer()
+    w.int16(wire.INIT_PRODUCER_ID_KEY).int16(0).int32(corr)
+    w.nullable_string("pytest")
+    w.nullable_string(tid)
+    w.int32(60000)
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    r.int32(), r.int32()
+    assert r.int16() == wire.ERR_NONE
+    return r.int64(), r.int16()
+
+
+def _add_partitions(fe, tid, pid, epoch, topic, partitions, corr=86):
+    w = wire.Writer()
+    w.int16(wire.ADD_PARTITIONS_TO_TXN_KEY).int16(0).int32(corr)
+    w.nullable_string("pytest")
+    w.nullable_string(tid)
+    w.int64(pid).int16(epoch)
+    w.int32(1)
+    w.nullable_string(topic)
+    w.int32(len(partitions))
+    for p in partitions:
+        w.int32(p)
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    r.int32(), r.int32()
+    out = {}
+    for _ in range(r.int32()):
+        name = r.nullable_string()
+        for _ in range(r.int32()):
+            partition = r.int32()
+            out[(name, partition)] = r.int16()
+    return out
+
+
+def _end_txn(fe, tid, pid, epoch, commit, corr=87):
+    w = wire.Writer()
+    w.int16(wire.END_TXN_KEY).int16(0).int32(corr)
+    w.nullable_string("pytest")
+    w.nullable_string(tid)
+    w.int64(pid).int16(epoch)
+    w.bool_(commit)
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    r.int32(), r.int32()
+    return r.int16()
+
+
+def _txn_batch(pid, epoch, seq, values):
+    return encode_record_batch(
+        [Record(b"k", v, 1) for v in values],
+        producer_id=pid, producer_epoch=epoch, base_sequence=seq, transactional=True,
+    )
+
+
+def _produce(fe, batch):
+    resp = fe.handle_request(_produce_payload(3, "alpha", 0, batch))
+    _, results, _ = decode_produce_response(resp, api_version=3)
+    [(_, [row])] = results
+    return row[1], row[2]
+
+
+def _fetch_values(fe, isolation, offset=0):
+    payload = bytearray(_fetch_payload(4, "alpha", 0, offset))
+    # isolation byte sits after replica_id + 3 int32s in the v4 body;
+    # locate it as the byte right before the topics count by rebuilding
+    w = wire.Writer()
+    w.int16(wire.FETCH_KEY).int16(4).int32(88)
+    w.nullable_string("pytest")
+    w.int32(-1).int32(100).int32(1).int32(1 << 20)
+    w.int8(isolation)
+    w.int32(1)
+    w.nullable_string("alpha")
+    w.int32(1)
+    w.int32(0).int64(offset).int32(1 << 20)
+    corr, results = decode_fetch_response(fe.handle_request(w.bytes()), api_version=4)
+    [(_, [(idx, err, hw, batch)])] = results
+    if batch is None:
+        return err, hw, []
+    _, recs, _ = decode_record_batch(batch)
+    return err, hw, [r.value for r in recs]
+
+
+def test_commit_reveals_abort_hides():
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("alpha", 1)
+    tid = "txn-app"
+    pid, epoch = _init_txn_pid(fe, tid)
+    assert _add_partitions(fe, tid, pid, epoch, "alpha", [0]) == {("alpha", 0): 0}
+    assert _produce(fe, _txn_batch(pid, epoch, 0, [b"t0", b"t1"])) == (wire.ERR_NONE, 0)
+
+    # open txn: read_committed sees nothing, read_uncommitted sees all
+    err, hw, vals = _fetch_values(fe, isolation=1)
+    assert (err, hw, vals) == (wire.ERR_NONE, 0, [])
+    err, hw, vals = _fetch_values(fe, isolation=0)
+    assert (hw, vals) == (2, [b"t0", b"t1"])
+
+    assert _end_txn(fe, tid, pid, epoch, commit=True) == wire.ERR_NONE
+    err, hw, vals = _fetch_values(fe, isolation=1)
+    assert (hw, vals) == (2, [b"t0", b"t1"])
+
+    # second txn aborted: its records never become visible
+    assert _add_partitions(fe, tid, pid, epoch, "alpha", [0]) == {("alpha", 0): 0}
+    assert _produce(fe, _txn_batch(pid, epoch, 2, [b"bad"])) == (wire.ERR_NONE, 2)
+    assert _end_txn(fe, tid, pid, epoch, commit=False) == wire.ERR_NONE
+    err, hw, vals = _fetch_values(fe, isolation=1)
+    assert (hw, vals) == (3, [b"t0", b"t1"])  # aborted offset 2 skipped
+    _, _, vals = _fetch_values(fe, isolation=0)
+    assert vals == [b"t0", b"t1", b"bad"]  # uncommitted readers see it
+
+
+def test_zombie_producer_fenced():
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("alpha", 1)
+    tid = "txn-app"
+    pid, epoch = _init_txn_pid(fe, tid)
+    # a new instance of the same logical producer initializes...
+    pid2, epoch2 = _init_txn_pid(fe, tid, corr=90)
+    assert pid2 == pid and epoch2 == epoch + 1
+    # ...and the old instance is fenced everywhere
+    err, _ = _produce(fe, _txn_batch(pid, epoch, 0, [b"z"]))
+    assert err == ERR_INVALID_PRODUCER_EPOCH
+    assert _add_partitions(fe, tid, pid, epoch, "alpha", [0]) == {
+        ("alpha", 0): ERR_INVALID_PRODUCER_EPOCH
+    }
+    assert _end_txn(fe, tid, pid, epoch, True) == ERR_INVALID_PRODUCER_EPOCH
+    # the new instance works
+    assert _add_partitions(fe, tid, pid2, epoch2, "alpha", [0]) == {("alpha", 0): 0}
+    assert _produce(fe, _txn_batch(pid2, epoch2, 0, [b"ok"])) == (wire.ERR_NONE, 0)
+    assert _end_txn(fe, tid, pid2, epoch2, True) == wire.ERR_NONE
+    _, hw, vals = _fetch_values(fe, isolation=1)
+    assert (hw, vals) == (1, [b"ok"])
+
+
+def test_end_txn_without_open_txn_is_invalid_state():
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("alpha", 1)
+    pid, epoch = _init_txn_pid(fe, "t2")
+    assert _end_txn(fe, "t2", pid, epoch, True) == ERR_INVALID_TXN_STATE
+
+
+def test_lso_blocks_later_committed_data_until_open_txn_ends():
+    """A second producer's committed records sit ABOVE an open txn's
+    start: read_committed must not see them until the open txn ends
+    (the LSO contract)."""
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("alpha", 1)
+    t1_pid, t1_epoch = _init_txn_pid(fe, "p1")
+    _add_partitions(fe, "p1", t1_pid, t1_epoch, "alpha", [0])
+    assert _produce(fe, _txn_batch(t1_pid, t1_epoch, 0, [b"open"])) == (wire.ERR_NONE, 0)
+    # plain (non-transactional) producer appends above it
+    plain = encode_record_batch([Record(b"k", b"plain", 1)])
+    assert _produce(fe, plain) == (wire.ERR_NONE, 1)
+    _, hw, vals = _fetch_values(fe, isolation=1)
+    assert (hw, vals) == (0, [])  # LSO pinned at the open txn's start
+    assert _end_txn(fe, "p1", t1_pid, t1_epoch, True) == wire.ERR_NONE
+    _, hw, vals = _fetch_values(fe, isolation=1)
+    assert (hw, vals) == (2, [b"open", b"plain"])
