@@ -431,3 +431,38 @@ GROUP BY lang
 QUERIES["q_stratified_sample"] = QuerySpec(
     q_stratified_sample, Q_STRATIFIED_SAMPLE_SQL, "per-stratum mixture sampling (portable)"
 )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — finer than rollup/cube:
+    exactly the (status, priority), (status), and () aggregates, with
+    the bitmask distinguishing which level each row belongs to."""
+    import uuid
+
+    view = f"orders_gs_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+        FROM {view}
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+QUERIES["q_grouping_sets"] = QuerySpec(
+    q_grouping_sets, Q_GROUPING_SETS_SQL, "explicit grouping sets + grouping_id"
+)
