@@ -1,10 +1,10 @@
 """Topic-management wire APIs: CreateTopics (19), DeleteTopics (20),
-ListOffsets (2).
+ListOffsets (2, v0-v5), DeleteRecords (21), DescribeConfigs (32),
+AlterConfigs (33).
 
 Completes the reference's declared "Topic Management" roadmap row
 (`/root/reference/README.md:50`) at the wire level; the engine-side
-DDL lives in sources/topic_log.py. Versions: CreateTopics v0,
-DeleteTopics v0, ListOffsets v1 (non-flexible encodings).
+DDL lives in sources/topic_log.py (non-flexible encodings throughout).
 """
 
 from __future__ import annotations
@@ -35,14 +35,18 @@ def handle_create_topics(log: WireLog, payload: bytes) -> bytes:
             r.int32()
             for _ in range(r.int32()):
                 r.int32()
+        configs: dict[str, str] = {}
         for _ in range(r.int32()):  # configs
-            r.nullable_string(), r.nullable_string()
+            ck = r.nullable_string()
+            cv = r.nullable_string()
+            if ck is not None and cv is not None:
+                configs[ck] = cv
         if name in log.topics:
             results.append((name, ERR_TOPIC_ALREADY_EXISTS))
         elif num_partitions < 1:
             results.append((name, ERR_INVALID_PARTITIONS))
         else:
-            log.create_topic(name, num_partitions)
+            log.create_topic(name, num_partitions, configs)
             results.append((name, wire.ERR_NONE))
     r.int32()  # timeout_ms
     w = wire.Writer()
@@ -193,4 +197,90 @@ def handle_delete_records(log: WireLog, payload: bytes) -> bytes:
         w.int32(len(parts))
         for partition, low_watermark, err in parts:
             w.int32(partition).int64(low_watermark).int16(err)
+    return w.bytes()
+
+
+# ------------------------------------------- Describe/AlterConfigs v0
+
+RESOURCE_TOPIC = 2
+ERR_INVALID_REQUEST = 42
+
+
+def handle_describe_configs(log: WireLog, payload: bytes) -> bytes:
+    """DescribeConfigs (API key 32, v0) for TOPIC resources: the
+    topic's stored configs, optionally filtered by requested names."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    resources = []
+    for _ in range(r.int32()):
+        rtype = r.int8()
+        rname = r.nullable_string()
+        n = r.int32()
+        names = None if n < 0 else [r.nullable_string() for _ in range(n)]
+        resources.append((rtype, rname, names))
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.int32(0)  # throttle_time_ms
+    w.int32(len(resources))
+    for rtype, rname, names in resources:
+        if rtype != RESOURCE_TOPIC or rname not in log.topics:
+            err = ERR_UNKNOWN_TOPIC_OR_PARTITION if rtype == RESOURCE_TOPIC else ERR_INVALID_REQUEST
+            w.int16(err)
+            w.nullable_string("unknown resource")
+            w.int8(rtype)
+            w.nullable_string(rname)
+            w.int32(0)
+            continue
+        cfg = log.topic_configs.get(rname, {})
+        if names is not None:
+            cfg = {k: v for k, v in cfg.items() if k in names}
+        w.int16(wire.ERR_NONE)
+        w.nullable_string(None)
+        w.int8(rtype)
+        w.nullable_string(rname)
+        w.int32(len(cfg))
+        for k in sorted(cfg):
+            w.nullable_string(k)
+            w.nullable_string(cfg[k])
+            w.bool_(False)  # read_only
+            w.bool_(False)  # is_default
+            w.bool_(False)  # is_sensitive
+    return w.bytes()
+
+
+def handle_alter_configs(log: WireLog, payload: bytes) -> bytes:
+    """AlterConfigs (API key 33, v0) for TOPIC resources: replace the
+    resource's config set (the v0 contract — incremental alters are
+    API 44). validate_only skips the mutation."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    resources = []
+    for _ in range(r.int32()):
+        rtype = r.int8()
+        rname = r.nullable_string()
+        entries = {}
+        for _ in range(r.int32()):
+            k = r.nullable_string()
+            v = r.nullable_string()
+            entries[k] = v
+        resources.append((rtype, rname, entries))
+    validate_only = r.bool_()
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.int32(0)  # throttle_time_ms
+    w.int32(len(resources))
+    for rtype, rname, entries in resources:
+        if rtype != RESOURCE_TOPIC or rname not in log.topics:
+            err = ERR_UNKNOWN_TOPIC_OR_PARTITION if rtype == RESOURCE_TOPIC else ERR_INVALID_REQUEST
+            w.int16(err)
+            w.nullable_string("unknown resource")
+        else:
+            if not validate_only:
+                log.topic_configs[rname] = {
+                    k: v for k, v in entries.items() if v is not None
+                }
+            w.int16(wire.ERR_NONE)
+            w.nullable_string(None)
+        w.int8(rtype)
+        w.nullable_string(rname)
     return w.bytes()

@@ -47,6 +47,7 @@ class WireLog:
     def __init__(self) -> None:
         self._parts: dict[tuple[str, int], _Partition] = {}
         self.topics: dict[str, int] = {}
+        self.topic_configs: dict[str, dict[str, str]] = {}
         self._next_pid = 0
         # (topic, partition, producer_id) → (base_seq, n, base_offset)
         # of the last accepted batch: the idempotence dedup state
@@ -171,8 +172,11 @@ class WireLog:
     ) -> None:
         self._producer_seqs[(topic, partition, pid)] = (base_seq, n, base_offset)
 
-    def create_topic(self, name: str, num_partitions: int) -> None:
+    def create_topic(
+        self, name: str, num_partitions: int, configs: dict[str, str] | None = None
+    ) -> None:
         self.topics[name] = num_partitions
+        self.topic_configs[name] = dict(configs or {})
         for p in range(num_partitions):
             self._parts[(name, p)] = _Partition()
 

@@ -181,6 +181,14 @@ class KafkaFrontend:
             from kcore_spark.protocol.broker import handle_end_txn
 
             return handle_end_txn(self.wire_log, payload)
+        if api_key == wire.DESCRIBE_CONFIGS_KEY and api_version == 0:
+            from kcore_spark.protocol.admin import handle_describe_configs
+
+            return handle_describe_configs(self.wire_log, payload)
+        if api_key == wire.ALTER_CONFIGS_KEY and api_version == 0:
+            from kcore_spark.protocol.admin import handle_alter_configs
+
+            return handle_alter_configs(self.wire_log, payload)
         # Kafka answers an unsupported API with an ApiVersions-shaped
         # error so clients can renegotiate; the reference kills the
         # connection here (kafka_api.go:95-96) — deliberate deviation.

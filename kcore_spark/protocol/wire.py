@@ -44,6 +44,8 @@ DELETE_GROUPS_KEY = 42
 INIT_PRODUCER_ID_KEY = 22
 ADD_PARTITIONS_TO_TXN_KEY = 24
 END_TXN_KEY = 26
+DESCRIBE_CONFIGS_KEY = 32
+ALTER_CONFIGS_KEY = 33
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
@@ -73,6 +75,8 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (INIT_PRODUCER_ID_KEY, 0, 1),
     (ADD_PARTITIONS_TO_TXN_KEY, 0, 0),
     (END_TXN_KEY, 0, 0),
+    (DESCRIBE_CONFIGS_KEY, 0, 0),
+    (ALTER_CONFIGS_KEY, 0, 0),
     (API_VERSIONS_KEY, 0, 3),
 )
 

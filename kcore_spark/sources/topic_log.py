@@ -92,17 +92,62 @@ class TopicLog:
     def _wm_path(self, topic: str) -> str:
         return os.path.join(self._topic_dir(topic), "_watermarks.json")
 
-    def create_topic(self, name: str, num_partitions: int) -> TopicMeta:
-        """CreateTopics (API key 19) analog: catalog DDL, no Spark job."""
+    def create_topic(
+        self, name: str, num_partitions: int, configs: dict[str, str] | None = None
+    ) -> TopicMeta:
+        """CreateTopics (API key 19) analog: catalog DDL, no Spark job.
+        configs: Kafka-style topic configs (retention.ms /
+        retention.bytes drive apply_retention_from_config)."""
         d = self._topic_dir(name)
         if os.path.exists(self._meta_path(name)):
             raise ValueError(f"topic exists: {name}")
         os.makedirs(d, exist_ok=True)
         with open(self._meta_path(name), "w") as f:
-            json.dump({"name": name, "num_partitions": num_partitions}, f)
+            json.dump(
+                {"name": name, "num_partitions": num_partitions, "configs": configs or {}},
+                f,
+            )
         with open(self._wm_path(name), "w") as f:
             json.dump({str(p): 0 for p in range(num_partitions)}, f)
         return TopicMeta(name, num_partitions)
+
+    def topic_config(self, name: str) -> dict[str, str]:
+        with open(self._meta_path(name)) as f:
+            return json.load(f).get("configs", {})
+
+    def alter_topic_config(self, name: str, updates: dict[str, str | None]) -> dict[str, str]:
+        """AlterConfigs (API key 33) analog: merge updates (None deletes
+        a key) atomically into the topic's config."""
+        with open(self._meta_path(name)) as f:
+            m = json.load(f)
+        cfg = m.get("configs", {})
+        for k, v in updates.items():
+            if v is None:
+                cfg.pop(k, None)
+            else:
+                cfg[k] = str(v)
+        m["configs"] = cfg
+        tmp = self._meta_path(name) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._meta_path(name))
+        return cfg
+
+    def apply_retention_from_config(self, name: str, now_ms: int | None = None) -> dict[int, int]:
+        """Run retention using the topic's own retention.ms /
+        retention.bytes configs (the broker's periodic cleaner pass,
+        config-driven exactly as in Kafka). No-op without configs."""
+        cfg = self.topic_config(name)
+        ms = cfg.get("retention.ms")
+        by = cfg.get("retention.bytes")
+        if ms is None and by is None:
+            return self._log_starts(name)
+        return self.apply_retention(
+            name,
+            retention_ms=int(ms) if ms is not None else None,
+            retention_bytes=int(by) if by is not None else None,
+            now_ms=now_ms,
+        )
 
     def delete_topic(self, name: str) -> None:
         """DeleteTopics (API key 20) analog."""
