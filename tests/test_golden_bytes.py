@@ -336,3 +336,91 @@ def test_golden_offset_commit_v2_then_heartbeat(fe):
     r = wire.Reader(resp)
     assert r.int32() == 9
     assert r.int16() == 69
+
+
+# ------------------------------------------- round-3 API golden requests
+
+DELETERECORDS_V1_REQ = bytes.fromhex(
+    "001500010000000b000b636f6e666f726d616e6365000000010005616c7068610000000100"
+    "000000000000000000000200007530"
+)
+INITPRODUCERID_V0_REQ = bytes.fromhex(
+    "001600000000000c000b636f6e666f726d616e6365ffff0000ea60"
+)
+ENDTXN_V0_REQ = bytes.fromhex(
+    "001a00000000000d000b636f6e666f726d616e6365000474782d310000000000000000000001"
+)
+DESCRIBECONFIGS_V0_REQ = bytes.fromhex(
+    "002000000000000e000b636f6e666f726d616e636500000001020005616c706861ffffffff"
+)
+LISTOFFSETS_V5_REQ = bytes.fromhex(
+    "000200050000000f000b636f6e666f726d616e6365ffffffff00000000010005616c706861"
+    "0000000100000000fffffffffffffffffffffffe"
+)
+
+
+def test_golden_delete_records_v1(fe):
+    fe.handle_request(PRODUCE_V3_REQ)  # offsets 0
+    fe.handle_request(PRODUCE_V3_REQ.replace(b"\x00\x00\x00\x05", b"\x00\x00\x00\x15", 1))
+    fe.wire_log.append("alpha", 0, [])  # no-op, keeps state simple
+    resp = fe.handle_request(DELETERECORDS_V1_REQ)
+    r = wire.Reader(resp)
+    assert r.int32() == 11
+    assert r.int32() == 0  # throttle
+    assert r.int32() == 1
+    assert r.nullable_string() == "alpha"
+    assert r.int32() == 1
+    assert r.int32() == 0  # partition
+    assert r.int64() == 2  # new low watermark
+    assert r.int16() == wire.ERR_NONE
+    assert fe.wire_log.log_start("alpha", 0) == 2
+
+
+def test_golden_init_producer_id_v0(fe):
+    resp = fe.handle_request(INITPRODUCERID_V0_REQ)
+    r = wire.Reader(resp)
+    assert r.int32() == 12
+    assert r.int32() == 0
+    assert r.int16() == wire.ERR_NONE
+    assert r.int64() == 0  # first pid
+    assert r.int16() == 0  # epoch
+
+
+def test_golden_end_txn_v0_without_txn(fe):
+    # no InitProducerId for "tx-1" → pid 0 has epoch -1 → fenced
+    resp = fe.handle_request(ENDTXN_V0_REQ)
+    r = wire.Reader(resp)
+    assert r.int32() == 13
+    assert r.int32() == 0
+    assert r.int16() == 47  # INVALID_PRODUCER_EPOCH
+
+
+def test_golden_describe_configs_v0(fe):
+    fe.wire_log.topic_configs["alpha"] = {"retention.ms": "1000"}
+    resp = fe.handle_request(DESCRIBECONFIGS_V0_REQ)
+    r = wire.Reader(resp)
+    assert r.int32() == 14
+    r.int32()
+    assert r.int32() == 1
+    assert r.int16() == wire.ERR_NONE
+    r.nullable_string()
+    assert r.int8() == 2 and r.nullable_string() == "alpha"
+    assert r.int32() == 1
+    assert r.nullable_string() == "retention.ms"
+    assert r.nullable_string() == "1000"
+
+
+def test_golden_list_offsets_v5_earliest(fe):
+    fe.handle_request(PRODUCE_V3_REQ)
+    resp = fe.handle_request(LISTOFFSETS_V5_REQ)
+    r = wire.Reader(resp)
+    assert r.int32() == 15
+    assert r.int32() == 0  # throttle (v2+)
+    assert r.int32() == 1
+    assert r.nullable_string() == "alpha"
+    assert r.int32() == 1
+    assert r.int32() == 0
+    assert r.int16() == wire.ERR_NONE
+    assert r.int64() == -1  # ts
+    assert r.int64() == 0  # earliest
+    assert r.int32() == 0  # leader_epoch (v4+)
