@@ -34,6 +34,7 @@ ALLOWED_NLJ = {
 # filters, OR-of-regex predicates, computed-similarity thresholds
 KNOWN_UNPUSHABLE = {
     "q_window_topk_orders",
+    "q_window_analytics",  # percent_rank filter is post-window by nature
     "q_events_dedup_first",
     "q_like_filters",
     "q_near_dup_jaccard",
