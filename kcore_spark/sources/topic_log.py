@@ -373,6 +373,28 @@ class TopicLog:
             return self.truncate_before(topic, cut)
         return self._log_starts(topic)
 
+    def run_cleanup(self, topic: str, now_ms: int | None = None) -> dict:
+        """One cleaner pass for a topic, driven by its configs — the
+        engine-side analog of Kafka's log-cleaner thread:
+        cleanup.policy "delete" (default) applies time/size retention;
+        "compact" runs log compaction; "compact,delete" does both.
+        Returns {"policy", "log_starts", "retained"} for observability.
+        """
+        cfg = self.topic_config(topic)
+        policy = cfg.get("cleanup.policy", "delete")
+        retained = None
+        if "compact" in policy:
+            retained = self.compact(topic)
+        starts = self._log_starts(topic)
+        if "delete" in policy:
+            starts = self.apply_retention_from_config(topic, now_ms=now_ms)
+        return {"policy": policy, "log_starts": starts, "retained": retained}
+
+    def run_cleanup_all(self, now_ms: int | None = None) -> dict[str, dict]:
+        """Cleaner pass over every topic — the loop a scheduler (cron,
+        streaming-listener hook) calls periodically."""
+        return {t: self.run_cleanup(t, now_ms=now_ms) for t in self.list_topics()}
+
     def _watermarks(self, topic: str) -> dict[int, int]:
         with open(self._wm_path(topic)) as f:
             return {int(k): v for k, v in json.load(f).items()}

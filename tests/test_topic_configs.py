@@ -124,3 +124,26 @@ def test_config_driven_retention(spark):
         log.produce("keep", _ts_records(spark, 5, 0, 1_000), order_by=["seq"])
         assert log.apply_retention_from_config("keep") == {}
         assert log.scan("keep").count() == 5
+
+
+def test_cleanup_policy_routes_compact_and_delete(spark):
+    with tempfile.TemporaryDirectory(prefix="kcore_clean_") as d:
+        log = TopicLog(spark, d)
+        # compacted topic: duplicate keys collapse, offsets preserved
+        log.create_topic("c", 1, configs={"cleanup.policy": "compact"})
+        log.produce("c", _ts_records(spark, 10, 0, 1_000_000), order_by=["seq"])
+        log.produce("c", _ts_records(spark, 10, 10, 2_000_000), order_by=["seq"])
+        out = log.run_cleanup("c")
+        assert out["policy"] == "compact"
+        # 5 distinct keys → 5 latest survive (all values keyed id%5)
+        assert out["retained"] == 5
+        assert log.scan("c").count() == 5
+        # delete-policy topic: retention applies, no compaction
+        log.create_topic("t", 1, configs={"cleanup.policy": "delete", "retention.ms": "3600000"})
+        log.produce("t", _ts_records(spark, 10, 0, 1_000_000), order_by=["seq"])
+        log.produce("t", _ts_records(spark, 10, 10, 9_000_000), order_by=["seq"])
+        out = log.run_cleanup("t", now_ms=9_500_000)
+        assert out["policy"] == "delete" and out["log_starts"] == {0: 10}
+        # run_cleanup_all covers every topic in one pass
+        all_out = log.run_cleanup_all(now_ms=9_500_000)
+        assert set(all_out) == {"c", "t"}
