@@ -141,7 +141,13 @@ def sessionize(
     number of users (state is per-key, never global).
     """
     w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(order_tiebreak).asc())
-    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    # Epoch seconds via an explicit TIMESTAMP hop: TIMESTAMP_NTZ→BIGINT
+    # is an illegal cast in Spark 4, but NTZ→TIMESTAMP→unix_timestamp is
+    # well-defined for every event-time type the engine accepts
+    # (catalog.normalize_event_ts), and a LongType ts (already epoch
+    # seconds) passes through cast("timestamp") unchanged in value.
+    epoch = F.unix_timestamp(F.col(ts).cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
     new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn(
         "session_id",

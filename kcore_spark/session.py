@@ -10,9 +10,10 @@ the same plan-shaping config:
 - Arrow on for every Python<->JVM hop (pandas_udf / applyInPandas /
   toPandas) — row-at-a-time Python is banned from hot paths.
 - Session timezone UTC so timestamp results are oracle-stable.
-- ``nanosAsLong`` so parquet TIMESTAMP(NANOS) columns (the ``events``
-  fixture) are readable; the catalog converts them to microsecond
-  timestamps explicitly.
+- ``nanosAsLong`` so legacy parquet TIMESTAMP(NANOS) events fixtures
+  stay readable (current fixtures are timestamp[us]; the conf is inert
+  for them). All event-time type handling funnels through
+  ``catalog.normalize_event_ts`` — see tests/test_schema_drift.py.
 """
 
 from __future__ import annotations

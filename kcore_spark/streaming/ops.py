@@ -40,13 +40,15 @@ def _staged_events_dir(sf_dir: str) -> str:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture with the engine's type
-    normalization (ns-long → µs timestamp), mirroring catalog.load_table."""
-    from kcore_spark.catalog import ensure_engine_confs
+    normalization (any fixture ts encoding → session-TZ timestamp),
+    sharing catalog.normalize_event_ts with the batch path so batch and
+    stream can never disagree about the event-time type."""
+    from kcore_spark.catalog import ensure_engine_confs, normalize_event_ts
 
     ensure_engine_confs(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(static.schema).parquet(_staged_events_dir(sf_dir))
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(stream)
 
 
 def run_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:

@@ -42,9 +42,10 @@ def main() -> None:
     rows = []
 
     # ---------------- as-of join: union-window vs join+argmax
+    from kcore_spark.catalog import normalize_event_ts
+
     ev = (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
         .where(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts")
     )

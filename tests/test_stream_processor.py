@@ -22,9 +22,9 @@ def test_topic_to_topic_stream_pipeline(spark):
     log.create_topic("raw", 2)
     log.create_topic("purchases", 2)
 
-    ev = spark.read.parquet(f"{SF_DIR_MED}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from kcore_spark.catalog import normalize_event_ts
+
+    ev = normalize_event_ts(spark.read.parquet(f"{SF_DIR_MED}/events.parquet"))
     records = ev.select(
         F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
         F.encode(F.to_json(F.struct("event_id", "event_type", "value")), "utf-8").alias("value"),

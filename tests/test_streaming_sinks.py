@@ -18,9 +18,9 @@ def test_foreach_batch_upsert_latest_event_per_user(spark):
     state_dir = tempfile.mkdtemp(prefix="kcore_upsert_") + "/state"
     ckpt = tempfile.mkdtemp(prefix="kcore_ckpt_fb_")
 
-    ev = spark.read.parquet(f"{SF_DIR_MED}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from kcore_spark.catalog import normalize_event_ts
+
+    ev = normalize_event_ts(spark.read.parquet(f"{SF_DIR_MED}/events.parquet"))
     # 3 source files → 3 micro-batches with maxFilesPerTrigger=1
     ev.repartition(3).write.mode("overwrite").parquet(src_dir + "/files")
 
