@@ -124,11 +124,24 @@ def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame, min_jaccard: float)
 
     This is the scale-safe verification step for LSH: the shingle
     table is first semi-joined down to ids that appear in any
-    candidate pair, then the intersection count is aggregated over
-    (pair × shared shingle) — so work is O(|candidates| × shingles
-    per doc), never O(co-shingle pairs) over the whole corpus. A
-    plain ``cands ⋈ jaccard_pairs(all)`` would recompute the full
-    quadratic pair join and the LSH pruning would buy nothing.
+    candidate pair (broadcast — the candidate id set is orders of
+    magnitude smaller than the shingle table, so the full shingle
+    table is NEVER shuffled on id; asserted by a plan test), then the
+    surviving rows are packed into one shingle-set array per candidate
+    doc and each pair is verified with a single array_intersect. Work
+    is O(|candidates| × shingles per doc), never O(co-shingle pairs)
+    over the whole corpus — a plain ``cands ⋈ jaccard_pairs(all)``
+    would recompute the full quadratic pair join and the LSH pruning
+    would buy nothing.
+
+    Plan shape: ONE aggregation (pack sets, pre-pruned by the semi-
+    join) + two joins of the pair list against the packed sets —
+    versus the exploded alternative (pair × shared-shingle join +
+    re-aggregation + two size joins), which costs three more shuffles
+    of the same data. Per-doc set arrays are bounded by document
+    length (a 100k-word document ≈ a few MB), fine for any corpus
+    whose individual documents fit in executor memory; pathological
+    single documents would call for the exploded form instead.
 
     ``pairs``: (id1, id2) with id1 < id2. Returns (id1, id2, jaccard)
     for pairs with jaccard >= min_jaccard.
@@ -138,27 +151,20 @@ def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame, min_jaccard: float)
         .unionByName(pairs.select(F.col("id2").alias("id")))
         .distinct()
     )
-    # explicit broadcast: the candidate id set is orders of magnitude
-    # smaller than the shingle table (LSH already pruned), and a
-    # broadcast semi-join means the full shingle table is NEVER
-    # shuffled on id — asserted by a plan test
     shc = shingles.join(F.broadcast(cand_ids), "id", "left_semi")
-    sizes = shc.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        pairs.join(shc.alias("a"), F.col("id1") == F.col("a.id"))
-        .join(
-            shc.alias("b"),
-            (F.col("id2") == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # persisted: the packed sets feed BOTH join branches (id1, id2);
+    # unpersisted each branch re-runs the semi-join + aggregation
+    sets = shc.groupBy("id").agg(F.collect_set("shingle").alias("shset")).persist()
     jac = (
-        inter.join(sizes.withColumnsRenamed({"id": "id1", "sz": "sz1"}), "id1")
-        .join(sizes.withColumnsRenamed({"id": "id2", "sz": "sz2"}), "id2")
+        pairs.join(
+            sets.select(F.col("id").alias("id1"), F.col("shset").alias("s1")), "id1"
+        )
+        .join(sets.select(F.col("id").alias("id2"), F.col("shset").alias("s2")), "id2")
+        .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
         .withColumn(
             "jaccard",
-            F.col("inter").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+            F.col("inter").cast("double")
+            / (F.size("s1") + F.size("s2") - F.col("inter")),
         )
     )
     return jac.where(F.col("jaccard") >= min_jaccard).select("id1", "id2", "jaccard")

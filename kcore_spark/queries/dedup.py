@@ -110,7 +110,12 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shared_shingles(spark, sf_dir)
     bands, rows = lsh_params(0.8)  # (3, 2)
-    sigs = minhash_signatures(sh, num_hashes=bands * rows)
+    # persist the signature table: one narrow row per doc, but it feeds
+    # SIX plan branches (x/y side of each band join) — unpersisted, the
+    # groupBy-of-6-md5-mins over the whole shingle table re-runs per
+    # branch. Materializing signatures is also the production pattern
+    # (stored sig table, reused across runs — see q_incremental_dedup).
+    sigs = minhash_signatures(sh, num_hashes=bands * rows).persist()
     cands = lsh_candidate_pairs(sigs, bands=bands, rows=rows).persist()
     verified = jaccard_for_pairs(cands, sh, min_jaccard=0.8)
     return verified.select("id1", "id2", "jaccard").orderBy("id1", "id2")
@@ -167,8 +172,11 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.col("id") % 5 == 4
     sh_new, sh_corpus = sh.where(is_new), sh.where(~is_new)
     bands, rows = lsh_params(0.8)
-    sigs_new = minhash_signatures(sh_new, num_hashes=bands * rows)
-    sigs_corpus = minhash_signatures(sh_corpus, num_hashes=bands * rows)
+    # persisted for the same reason as q_minhash_lsh_pairs: each sig
+    # table feeds one branch per band (3×) — and the corpus table is
+    # exactly what a production deployment stores between runs
+    sigs_new = minhash_signatures(sh_new, num_hashes=bands * rows).persist()
+    sigs_corpus = minhash_signatures(sh_corpus, num_hashes=bands * rows).persist()
     cands = lsh_candidate_pairs_between(sigs_new, sigs_corpus, bands, rows)
     verified = jaccard_for_pairs(
         cands.select(F.col("new_id").alias("id1"), F.col("corpus_id").alias("id2")),
