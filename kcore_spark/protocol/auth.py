@@ -1,0 +1,145 @@
+"""SASL wire APIs: SaslHandshake (17, v0-v1) + SaslAuthenticate (36, v0-v1).
+
+Implements SASL/PLAIN (RFC 4616) over the Kafka SASL flow: the client
+negotiates a mechanism with SaslHandshake, then presents the
+``authzid NUL user NUL password`` token — wrapped in a SaslAuthenticate
+request for handshake v1 (KIP-152), or as a RAW frame (no Kafka header)
+for the legacy handshake-v0 flow. Both flows are supported; the
+connection loop switches on ``SaslState.expect_raw_token``.
+
+Semantics notes (matching the public protocol spec):
+- SaslHandshake responses are NEVER flexible (even at the highest
+  version) and list the mechanisms the broker supports, also on error,
+  so a client can retry with one of them.
+- An unknown mechanism → UNSUPPORTED_SASL_MECHANISM (33).
+- Authenticate before handshake → ILLEGAL_SASL_STATE (34).
+- Bad credentials → SASL_AUTHENTICATION_FAILED (58); real brokers also
+  close the connection after delivering the error, which the
+  connection loop does on ``state.failed``.
+
+Provenance: the reference declares "Encryption & Auth" as an unchecked
+roadmap row (`/root/reference/README.md:51`) with no implementation;
+this realizes the authentication half at the wire level. TLS/SCRAM
+stay out of scope (SCALE.md "Replication & durability" note).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from kcore_spark.protocol import wire
+
+SASL_HANDSHAKE_KEY = 17
+SASL_AUTHENTICATE_KEY = 36
+
+ERR_UNSUPPORTED_SASL_MECHANISM = 33
+ERR_ILLEGAL_SASL_STATE = 34
+ERR_SASL_AUTHENTICATION_FAILED = 58
+
+MECHANISMS: tuple[str, ...] = ("PLAIN",)
+
+# Session lifetime advertised on successful v1 authenticate: 0 means
+# "no re-authentication required" (KIP-368 re-auth not implemented).
+SESSION_LIFETIME_MS = 0
+
+
+@dataclass
+class SaslState:
+    """Per-connection SASL progress (one instance per TCP connection)."""
+
+    mechanism: str | None = None
+    authenticated: bool = False
+    authorization_id: str | None = None
+    # handshake v0: the next inbound frame is a bare SASL token
+    expect_raw_token: bool = False
+    # a failed authenticate: deliver the error response, then close
+    failed: bool = False
+    handshake_version: int | None = None
+
+
+def parse_plain_token(token: bytes) -> tuple[str, str, str]:
+    """Split a SASL/PLAIN token into (authzid, authcid, password).
+
+    RFC 4616: ``[authzid] UTF8NUL authcid UTF8NUL passwd``; empty
+    authzid means "derive from authcid"."""
+    parts = token.split(b"\x00")
+    if len(parts) != 3:
+        raise ValueError("PLAIN token must contain exactly two NUL separators")
+    authzid, authcid, passwd = (p.decode("utf-8") for p in parts)
+    if not authcid:
+        raise ValueError("PLAIN token has empty authcid")
+    return authzid, authcid, passwd
+
+
+def check_plain(credentials: dict[str, str], token: bytes, state: SaslState) -> tuple[int, str | None]:
+    """Validate a PLAIN token against the credential map; updates state.
+
+    Returns (error_code, error_message)."""
+    try:
+        authzid, user, passwd = parse_plain_token(token)
+    except (ValueError, UnicodeDecodeError):
+        state.failed = True
+        return ERR_SASL_AUTHENTICATION_FAILED, "malformed PLAIN token"
+    if credentials.get(user) != passwd:
+        state.failed = True
+        return ERR_SASL_AUTHENTICATION_FAILED, "invalid credentials"
+    state.authenticated = True
+    state.authorization_id = authzid or user
+    return wire.ERR_NONE, None
+
+
+def handle_sasl_handshake(state: SaslState, payload: bytes) -> bytes:
+    """SaslHandshake v0/v1 (rigid encoding at every version)."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    mechanism = r.nullable_string() or ""
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    if mechanism in MECHANISMS and not state.authenticated:
+        state.mechanism = mechanism
+        state.handshake_version = h.api_version
+        state.expect_raw_token = h.api_version == 0
+        w.int16(wire.ERR_NONE)
+    elif state.authenticated:
+        w.int16(ERR_ILLEGAL_SASL_STATE)
+    else:
+        w.int16(ERR_UNSUPPORTED_SASL_MECHANISM)
+    w.int32(len(MECHANISMS))
+    for m in MECHANISMS:
+        w.nullable_string(m)
+    return w.bytes()
+
+
+def handle_sasl_authenticate(
+    state: SaslState, credentials: dict[str, str], payload: bytes
+) -> bytes:
+    """SaslAuthenticate v0/v1 (rigid; the KIP-152 wrapped flow)."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    token = r.nullable_bytes() or b""
+    if state.mechanism is None or state.expect_raw_token:
+        # no (v1) handshake on this connection → illegal state
+        err, msg = ERR_ILLEGAL_SASL_STATE, "SaslHandshake v1 must precede authenticate"
+        state.failed = True
+    else:
+        err, msg = check_plain(credentials, token, state)
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.int16(err)
+    w.nullable_string(msg)
+    w.int32(0)  # auth_bytes: empty server token (PLAIN has no challenge)
+    if h.api_version >= 1:
+        w.int64(SESSION_LIFETIME_MS)
+    return w.bytes()
+
+
+def handle_raw_token(state: SaslState, credentials: dict[str, str], frame: bytes) -> bytes | None:
+    """Legacy handshake-v0 flow: ``frame`` is the bare SASL token (no
+    Kafka header). Success answers with an empty frame (the server's
+    empty final token); failure closes the connection (None) — v0 has
+    no structured way to deliver an error."""
+    state.expect_raw_token = False
+    err, _msg = check_plain(credentials, frame, state)
+    if err != wire.ERR_NONE:
+        return None
+    return b""

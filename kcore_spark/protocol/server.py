@@ -31,7 +31,14 @@ MAX_FRAME = 64 * 1024 * 1024
 
 
 class KafkaFrontend:
-    def __init__(self, host: str = "127.0.0.1", port: int = 9092, topic_log=None, wire_log=None):
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 9092,
+        topic_log=None,
+        wire_log=None,
+        credentials: dict[str, str] | None = None,
+    ):
         from kcore_spark.protocol.broker import WireLog
 
         self.host = host
@@ -44,6 +51,10 @@ class KafkaFrontend:
 
         self.group_store = GroupStore()
         self.coordinator = Coordinator(topic_partitions=self._catalog_partitions)
+        # credentials != None turns SASL/PLAIN enforcement on: every
+        # connection must complete a handshake+authenticate before any
+        # API other than ApiVersions/SaslHandshake/SaslAuthenticate
+        self.credentials = credentials
         self._server: asyncio.AbstractServer | None = None
 
     def _catalog_partitions(self) -> dict[str, int]:
@@ -70,7 +81,10 @@ class KafkaFrontend:
     async def _handle_conn(
         self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
     ) -> None:
+        from kcore_spark.protocol.auth import SaslState, handle_raw_token
+
         peer = writer.get_extra_info("peername")
+        sasl = SaslState()
         try:
             while True:
                 try:
@@ -82,11 +96,18 @@ class KafkaFrontend:
                     log.warning("oversized frame %d from %s", size, peer)
                     return
                 payload = await reader.readexactly(size)
-                resp = self.handle_request(payload)
+                if sasl.expect_raw_token:
+                    # legacy handshake-v0 flow: this frame is the bare
+                    # SASL token, not a Kafka request
+                    resp = handle_raw_token(sasl, self.credentials or {}, payload)
+                else:
+                    resp = self.handle_request(payload, sasl=sasl)
                 if resp is None:
                     return  # unrecoverable: close like the reference
                 writer.write(struct.pack(">I", len(resp)) + resp)
                 await writer.drain()
+                if sasl.failed:
+                    return  # auth error delivered; close like real brokers
         except (ConnectionResetError, asyncio.IncompleteReadError):
             return
         finally:
@@ -94,7 +115,7 @@ class KafkaFrontend:
 
     # ------------------------------------------------------ dispatch
 
-    def handle_request(self, payload: bytes) -> bytes | None:
+    def handle_request(self, payload: bytes, sasl=None) -> bytes | None:
         """Decode → dispatch → encode (sync; the data plane calls into
         Spark jobs which are blocking anyway — run in a thread pool
         when the front-end is wired to a live engine).
@@ -103,20 +124,37 @@ class KafkaFrontend:
         returns None — the connection handler closes that connection,
         which is real Kafka's behavior for frames it cannot parse. No
         malformed payload may raise out of dispatch (fuzz-tested across
-        every advertised api/version)."""
+        every advertised api/version).
+
+        ``sasl``: per-connection SaslState (the connection loop passes
+        it). With credentials configured and no/unauthenticated state,
+        only ApiVersions and the SASL APIs are served — anything else
+        closes the connection, real brokers' behavior for
+        unauthenticated data requests."""
         if len(payload) < 8:
             return None
         try:
-            return self._dispatch(payload)
+            return self._dispatch(payload, sasl)
         except (EOFError, ValueError, IndexError, KeyError, struct.error, MemoryError, OSError):
             return None
 
-    def _dispatch(self, payload: bytes) -> bytes | None:
+    def _dispatch(self, payload: bytes, sasl=None) -> bytes | None:
+        from kcore_spark.protocol import auth
+
         api_key = struct.unpack(">h", payload[0:2])[0]
         api_version = struct.unpack(">h", payload[2:4])[0]
         correlation_id = struct.unpack(">i", payload[4:8])[0]
         if api_key == wire.API_VERSIONS_KEY:
             return self._handle_api_versions(payload, api_version, correlation_id)
+        if api_key == auth.SASL_HANDSHAKE_KEY and api_version <= 1:
+            return auth.handle_sasl_handshake(sasl if sasl is not None else auth.SaslState(), payload)
+        if api_key == auth.SASL_AUTHENTICATE_KEY and api_version <= 1:
+            return auth.handle_sasl_authenticate(
+                sasl if sasl is not None else auth.SaslState(), self.credentials or {}, payload
+            )
+        if self.credentials is not None and (sasl is None or not sasl.authenticated):
+            log.warning("unauthenticated api_key=%d from connection; closing", api_key)
+            return None
         if api_key == wire.METADATA_KEY and api_version <= 12:
             return self._handle_metadata(payload, api_version, correlation_id)
         if api_key == wire.PRODUCE_KEY and 3 <= api_version <= 9:

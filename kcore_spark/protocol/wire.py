@@ -46,6 +46,8 @@ ADD_PARTITIONS_TO_TXN_KEY = 24
 END_TXN_KEY = 26
 DESCRIBE_CONFIGS_KEY = 32
 ALTER_CONFIGS_KEY = 33
+SASL_HANDSHAKE_KEY = 17
+SASL_AUTHENTICATE_KEY = 36
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
@@ -77,6 +79,8 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (END_TXN_KEY, 0, 0),
     (DESCRIBE_CONFIGS_KEY, 0, 0),
     (ALTER_CONFIGS_KEY, 0, 0),
+    (SASL_HANDSHAKE_KEY, 0, 1),
+    (SASL_AUTHENTICATE_KEY, 0, 1),
     (API_VERSIONS_KEY, 0, 3),
 )
 

@@ -148,3 +148,72 @@ def test_simhash_near_dup_banding_is_exact(spark):
     assert got[(1, 4)] == 2
     assert (1, 5) not in got  # every byte differs: never a candidate
     assert (2, 3) in got  # hamming(2,3) = 3, shares untouched bytes
+
+
+def test_simhash64_fingerprint_matches_reference_arithmetic(spark):
+    """bits=64 must reproduce the portable md5 arithmetic bit-for-bit:
+    hi/lo hex-prefix halves recombined, votes per bit, sign fold —
+    checked against a pure-Python reimplementation on a tiny corpus."""
+    import hashlib
+    import re
+
+    from kcore_spark.operators.dedup import simhash
+
+    rows = [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta iota")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.simhash for r in simhash(df, "doc_id", "text", bits=64).collect()}
+
+    def py_simhash64(text: str) -> int:
+        votes = [0] * 64
+        for w in set(re.split(r"\s+", text)) - {""}:
+            d = hashlib.md5(w.encode()).hexdigest()
+            h = (int(d[:8], 16) << 32) | int(d[8:16], 16)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        fp = sum(1 << b for b in range(64) if votes[b] > 0)
+        return fp - (1 << 64) if fp >= 1 << 63 else fp  # as signed long
+
+    for doc_id, text in rows:
+        assert got[doc_id] == py_simhash64(text), doc_id
+
+
+def test_simhash64_neardup_recall_on_seeded_corpus(spark):
+    """64-bit fingerprints + 16-bit banding: near-dup pairs found by
+    the banded join must EQUAL the brute-force hamming<=3 pairs over
+    the same fingerprints (pigeonhole exactness at the production
+    width), and seeded 1-word perturbations must actually land within
+    the radius while unrelated docs stay outside it."""
+    from pyspark.sql import functions as F
+
+    from kcore_spark.operators.dedup import simhash, simhash_near_dup
+
+    words = [f"w{i}" for i in range(40)]
+    base = " ".join(words)
+    rows = [(0, base)]
+    # 5 near-dups: replace one word each (tiny vote perturbation)
+    for k in range(1, 6):
+        toks = list(words)
+        toks[k] = f"sub{k}"
+        rows.append((k, " ".join(toks)))
+    # 5 unrelated docs
+    for k in range(6, 11):
+        rows.append((k, " ".join(f"z{k}_{i}" for i in range(40))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = simhash(df, "doc_id", "text", bits=64).persist()
+
+    got = {
+        (r.id1, r.id2)
+        for r in simhash_near_dup(fp, max_hamming=3, bits=64).collect()
+    }
+    a = fp.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"))
+    b = fp.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"))
+    brute = {
+        (r.id1, r.id2)
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .where(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= 3)
+        .collect()
+    }
+    assert got == brute  # banding is exact at the 64-bit width
+    # seeded perturbations must be recalled; unrelated docs must not pair
+    assert any(p[0] == 0 or p[1] == 0 for p in got)
+    assert all(p[0] <= 5 and p[1] <= 5 for p in got)
