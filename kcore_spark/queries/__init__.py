@@ -42,6 +42,7 @@ def all_queries() -> dict[str, QuerySpec]:
         topiclog,
         tpch,
         tpch2,
+        tpch3,
         udfs,
         windows,
     )
@@ -63,6 +64,7 @@ def all_queries() -> dict[str, QuerySpec]:
         subqueries,
         sources_q,
         recursive,
+        tpch3,
     ):
         for k, v in mod.QUERIES.items():
             if k in out:

@@ -29,6 +29,7 @@ ALLOWED_NLJ = {
     "q_embedding_neardup",
     "q_ann_ivf_topk",
     "q22_idle_wealthy_customers",  # 1-row scalar-subquery broadcast cross
+    "q11_important_stock",  # 1-row fraction-threshold broadcast cross
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
