@@ -24,6 +24,62 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """PageRank over directed ``edges`` (src, dst) in integer fixed-point.
+
+    Ranks are BIGINTs scaled by 10^12; each round distributes
+    ``rank div out_degree`` along out-edges and recombines with the
+    standard damping split, all in integer arithmetic:
+
+        new = (SCALE * 15) div 100  +  (85 * incoming) div 100
+
+    Why fixed-point: float PageRank sums are order-dependent (double
+    addition is not associative), so a distributed Spark sum and a
+    single-threaded oracle sum can disagree in the last ulps and any
+    rank-ordering assertion becomes flaky. Integer sums are exact and
+    order-free — the result is bit-identical on any engine, which is
+    what lets an iterative algorithm be value-hash-checked at all.
+    Dangling nodes (no out-edges) leak their rank mass; both engines
+    implement the same convention, and the leak only lowers the global
+    sum, not the relative ordering this operator is used for.
+
+    Scale: each iteration is one join (edges ⋈ ranks, shuffled on the
+    edge key) + one aggregate — the standard large-graph pattern; the
+    per-round localCheckpoint truncates the iterative lineage exactly
+    as connected_components does. Returns (id, rank).
+    """
+    scale = 1_000_000_000_000
+    e = edges.select("src", "dst").distinct().persist()
+    out_deg = e.groupBy(F.col("src").alias("od_id")).agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long")).localCheckpoint()
+    base = (scale * 15) // 100
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.id)
+            .join(out_deg, e.src == F.col("od_id"))
+            .select("dst", F.expr("rank div out_deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr("85 * coalesce(incoming, 0L) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges: (src, dst) undirected. Returns (id, component) where
     component = min vertex id reachable."""

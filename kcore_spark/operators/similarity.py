@@ -196,3 +196,43 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "centroid_id", "neighbor_id", "rank", "sim")
     )
+
+
+def quantize_int8(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column.
+
+    Per vector: scale = max|x| / 127; q_i = clamp(floor(x_i/scale + .5),
+    -127, 127). The storage form a 100 TB embedding corpus actually
+    ships (4× smaller than float32, dot products in int arithmetic);
+    here the engine-side contract is determinism — every output column
+    is either integer (exact) or a fixed-order array fold (float ops in
+    array order, bit-identical across engines — same property the
+    cosine operators rely on).
+
+    floor(x + 0.5) instead of round(): engines disagree on
+    round-half-to-even vs half-away-from-zero, floor does not.
+    All-zero vectors quantize to all-zero (scale guard).
+
+    Returns (id, n_dims, q_l1, q_sum, recon_mse):
+    q_l1/q_sum integer checksums of the quantized vector, recon_mse
+    the mean squared dequantization error.
+    """
+    x = as_double(F.col(vec_col))
+    mx = F.array_max(F.transform(x, F.abs))
+    scale = mx / F.lit(127.0)
+    q = F.when(mx == 0.0, F.transform(x, lambda v: F.lit(0.0))).otherwise(
+        F.transform(
+            x,
+            lambda v: F.greatest(
+                F.lit(-127.0), F.least(F.lit(127.0), F.floor(v / scale + 0.5))
+            ),
+        )
+    )
+    err2 = F.zip_with(x, q, lambda v, qi: (v - qi * scale) * (v - qi * scale))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(x).cast("long").alias("n_dims"),
+        F.aggregate(q, F.lit(0.0), lambda a, v: a + F.abs(v)).cast("long").alias("q_l1"),
+        F.aggregate(q, F.lit(0.0), lambda a, v: a + v).cast("long").alias("q_sum"),
+        (F.aggregate(err2, F.lit(0.0), lambda a, v: a + v) / F.size(x)).alias("recon_mse"),
+    )

@@ -89,3 +89,54 @@ def quality_score(text: str | Column, n_chars: str | Column) -> Column:
         F.lit(1.0),
     )
     return len_score * 0.5 + (1.0 - punct_penalty) * 0.2 + stop_density * 0.3
+
+
+def bm25_scores(
+    docs,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 relevance of every document against a fixed term set.
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Plan shape (one documents scan): per-doc (dl, tf per query term) is
+    a single projection — tf via regexp_count of the anchored term, so
+    no explode of the corpus for a handful of query terms. The corpus
+    stats (N, avgdl, df per term) aggregate that projection into ONE
+    row which broadcasts back as a cross join — at 100 TB the scan is
+    the only heavy stage and it reads each document exactly once.
+    Returns (id, dl, score_raw) — callers round/rank.
+    """
+    from pyspark.sql import DataFrame  # local import keeps module header light
+
+    assert query_terms, "need at least one query term"
+    tf_cols = [
+        F.regexp_count(F.col(text_col), F.lit(f"\\b{t}\\b")).cast("double").alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = docs.select(
+        F.col(id_col).alias("id"), word_count(text_col).cast("double").alias("dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            1.0 + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}")
+        term = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        score = term if score is None else score + term
+    return j.select("id", F.col("dl").cast("long").alias("dl"), score.alias("score_raw"))

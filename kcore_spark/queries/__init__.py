@@ -31,6 +31,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from kcore_spark.queries import (
         dedup,
         events,
+        ranking,
         recursive,
         scalars,
         setops,
@@ -65,6 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sources_q,
         recursive,
         tpch3,
+        ranking,
     ):
         for k, v in mod.QUERIES.items():
             if k in out:

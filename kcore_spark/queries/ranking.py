@@ -1,0 +1,196 @@
+"""Ranking / scoring queries (SURVEY §2.3 J extensions): BM25 relevance,
+fixed-point PageRank, int8 embedding quantization.
+
+The retrieval-and-scoring half of a training-data pipeline: BM25 is
+the classic lexical retrieval scorer, PageRank the classic importance
+prior, int8 quantization the storage form embedding corpora ship in.
+Determinism notes per query; see FIXTURES.md for the general rules.
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational/data operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table
+from kcore_spark.operators.graph import pagerank_fixed_point
+from kcore_spark.operators.similarity import quantize_int8
+from kcore_spark.operators.text import bm25_scores
+from kcore_spark.queries import QuerySpec
+
+# -------------------------------------------------- BM25 top-k retrieval
+
+QUERY_TERMS = ("spark", "join", "window")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by Okapi BM25 for a fixed query-term set.
+
+    Scores are rounded to 6 decimals BEFORE ranking so both engines
+    rank identical values (ln() may differ in the final ulp between
+    libm implementations; 1e-6 is far above that)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, QUERY_TERMS)
+    return (
+        scored.select(
+            F.col("id").alias("doc_id"), "dl", F.round("score_raw", 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_TF = ",\n         ".join(
+    f"CAST(len(regexp_extract_all(text, '\\b{t}\\b')) AS DOUBLE) AS tf_{i}"
+    for i, t in enumerate(QUERY_TERMS)
+)
+_DF = ",\n         ".join(
+    f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_{i}"
+    for i in range(len(QUERY_TERMS))
+)
+_SCORE = " + ".join(
+    f"ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+    f" * (tf_{i} * 2.2) / (tf_{i} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+    for i in range(len(QUERY_TERMS))
+)
+
+Q_BM25_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS DOUBLE) AS dl,
+         {_TF}
+  FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         SUM(dl) / COUNT(*) AS avgdl,
+         {_DF}
+  FROM per_doc)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       ROUND({_SCORE}, 6) AS score
+FROM per_doc, stats
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+# -------------------------------------------------- fixed-point PageRank
+# Purchase graph: customer ↔ supplier edges from lineitem×orders, node
+# ids disambiguated by parity (customer = 2k, supplier = 2k+1). Three
+# iterations, integer fixed-point (operators/graph.py docstring has the
+# determinism argument). Oracle = the same three iterations unrolled.
+
+
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"), (F.col("l_suppkey") * 2 + 1).alias("s")
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
+def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = pagerank_fixed_point(_purchase_edges(spark, sf_dir), iterations=3)
+    return ranks.select(F.col("id").alias("node_id"), "rank").orderBy(
+        F.col("rank").desc(), "node_id"
+    ).limit(50)
+
+
+_PR_EDGES = """
+pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)
+"""
+
+
+def _pr_iter(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT n.id,
+         CAST(150000000000 + (85 * COALESCE(inc.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, SUM(r.rank // d.od) AS s
+    FROM edges e JOIN {prev} r ON e.src = r.id JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) inc ON n.id = inc.dst)
+"""
+
+
+Q_PAGERANK_SQL = (
+    "WITH "
+    + _PR_EDGES.strip().rstrip(",")
+    + ",\nr0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),"
+    + _pr_iter("r0", "r1").strip().rstrip(",")
+    + ","
+    + _pr_iter("r1", "r2").strip().rstrip(",")
+    + ","
+    + _pr_iter("r2", "r3").strip().rstrip(",")
+    + """
+SELECT id AS node_id, rank FROM r3
+ORDER BY rank DESC, node_id
+LIMIT 50
+"""
+)
+
+# -------------------------------------------------- int8 quantization
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = quantize_int8(emb, "embedding", "vec_id")
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "n_dims",
+        "q_l1",
+        "q_sum",
+        F.round("recon_mse", 10).alias("recon_mse"),
+    ).orderBy("vec_id")
+
+
+Q_QUANTIZE_SQL = """
+WITH x AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+  FROM embeddings),
+scaled AS (
+  SELECT vec_id, xs,
+         list_max(list_transform(xs, v -> abs(v))) / 127.0 AS scale
+  FROM x),
+quant AS (
+  SELECT vec_id, xs, scale,
+         CASE WHEN scale = 0 THEN list_transform(xs, v -> 0.0)
+              ELSE list_transform(xs, v ->
+                greatest(-127.0, least(127.0, floor(v / scale + 0.5))))
+         END AS q
+  FROM scaled)
+SELECT vec_id,
+       CAST(len(xs) AS BIGINT) AS n_dims,
+       CAST(list_reduce(list_prepend(0.0, list_transform(q, v -> abs(v))), (a, b) -> a + b) AS BIGINT) AS q_l1,
+       CAST(list_reduce(list_prepend(0.0, q), (a, b) -> a + b) AS BIGINT) AS q_sum,
+       ROUND(list_reduce(list_prepend(0.0,
+               list_transform(list_zip(xs, q), p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale))),
+             (a, b) -> a + b) / len(xs), 10) AS recon_mse
+FROM quant
+ORDER BY vec_id
+"""
+
+
+QUERIES = {
+    "q_bm25_topk": QuerySpec(q_bm25_topk, Q_BM25_SQL, "Okapi BM25 top-k retrieval"),
+    "q_pagerank_purchases": QuerySpec(
+        q_pagerank_purchases, Q_PAGERANK_SQL, "fixed-point PageRank (3 iterations)"
+    ),
+    "q_embedding_quantize": QuerySpec(
+        q_embedding_quantize, Q_QUANTIZE_SQL, "symmetric int8 embedding quantization"
+    ),
+}

@@ -30,6 +30,7 @@ ALLOWED_NLJ = {
     "q_ann_ivf_topk",
     "q22_idle_wealthy_customers",  # 1-row scalar-subquery broadcast cross
     "q11_important_stock",  # 1-row fraction-threshold broadcast cross
+    "q_bm25_topk",  # 1-row corpus-stats broadcast cross
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
