@@ -367,3 +367,50 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         F.lit(0).cast("long"),
     )
     return summed.select("id", fingerprint.alias("simhash"))
+
+
+def cdc_chunks(
+    df: DataFrame, id_col: str, text_col: str, boundary_mod: int = 16
+) -> DataFrame:
+    """Content-defined chunking: split each document at words whose
+    portable hash ≡ 0 (mod boundary_mod) — the rolling-boundary idea
+    behind Rabin/FastCDC chunkers, word-granular so it stays a pure
+    column expression. Because boundaries depend on CONTENT, an edit
+    shifts at most its own chunk, and identical passages in different
+    documents produce identical chunks — which is what makes
+    chunk-level dedup robust to insertions where fixed-size blocks are
+    not.
+
+    Plan: one scan → posexplode (flat map) → one window per doc
+    (running boundary count = chunk index, shuffled on the doc id) →
+    one aggregate per (doc, chunk). Expected chunk length =
+    boundary_mod words. Chunk text is reassembled with a sorted
+    struct-array fold, not a bare collect_list (whose order is
+    partition-dependent).
+
+    Returns (id, chunk, chunk_hash, n_words).
+    """
+    from pyspark.sql import Window
+
+    from kcore_spark.operators.text import word_hash, words
+
+    pos = df.select(
+        F.col(id_col).alias("id"), F.posexplode(words(F.col(text_col))).alias("pos", "w")
+    )
+    boundary = (word_hash(F.col("w")) % boundary_mod == 0).cast("long")
+    w_doc = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    chunked = pos.withColumn("chunk", F.sum(boundary).over(w_doc))
+    return (
+        chunked.groupBy("id", "chunk")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("ws"),
+        )
+        .select(
+            "id",
+            "chunk",
+            F.md5(F.array_join(F.transform("ws", lambda x: x["w"]), " ")).alias("chunk_hash"),
+            F.size("ws").cast("long").alias("n_words"),
+        )
+    )

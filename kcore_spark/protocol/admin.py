@@ -284,3 +284,34 @@ def handle_alter_configs(log: WireLog, payload: bytes) -> bytes:
         w.int8(rtype)
         w.nullable_string(rname)
     return w.bytes()
+
+
+# ------------------------------------------------------ DescribeCluster v0
+
+
+def handle_describe_cluster(payload: bytes, host: str, port: int) -> bytes:
+    """DescribeCluster (key 60, v0 — flexible-only API): the modern
+    admin-client bootstrap call (cluster id, controller, broker list)
+    without Metadata's topic payload. Single-node constants mirror the
+    Metadata response (node 0, cluster 'kcore-spark')."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=True)
+    if r.pos < len(r.buf):
+        r.bool_()  # include_cluster_authorized_operations
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.empty_tagged_fields()  # response header v1
+    w.int32(0)  # throttle_time_ms
+    w.int16(wire.ERR_NONE)
+    w.compact_string(None)  # error_message
+    w.compact_string("kcore-spark")  # cluster_id
+    w.int32(0)  # controller_id
+    w.compact_array_len(1)  # brokers
+    w.int32(0)  # broker_id
+    w.compact_string(host)
+    w.int32(port)
+    w.compact_string(None)  # rack
+    w.empty_tagged_fields()
+    w.int32(-2147483648)  # authorized ops omitted (INT32_MIN)
+    w.empty_tagged_fields()
+    return w.bytes()

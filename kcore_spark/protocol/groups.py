@@ -150,3 +150,43 @@ def handle_offset_fetch(store: GroupStore, payload: bytes) -> bytes:
     if h.api_version >= 2:
         w.int16(ERR_NONE)  # top-level error_code
     return w.bytes()
+
+
+# ------------------------------------------------------ OffsetDelete v0
+
+ERR_GROUP_ID_NOT_FOUND = 69
+
+
+def handle_offset_delete(store: GroupStore, payload: bytes) -> bytes:
+    """OffsetDelete (key 47, v0, rigid): remove committed offsets for
+    the named (topic, partition) pairs of one group — the admin-side
+    cleanup a long-lived deployment needs when retiring consumers.
+    Partitions with no commit report UNKNOWN_TOPIC_OR_PARTITION; an
+    unknown group reports GROUP_ID_NOT_FOUND at the top level (this
+    coordinator has no group-state machine tied to the offset store, so
+    'group exists' means 'has at least one commit')."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=False)
+    group = r.nullable_string() or ""
+    topics: list[tuple[str, list[int]]] = []
+    for _ in range(r.int32()):
+        name = r.nullable_string() or ""
+        parts = [r.int32() for _ in range(r.int32())]
+        topics.append((name, parts))
+    known_group = bool(store.committed(group))
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.int16(wire.ERR_NONE if known_group else ERR_GROUP_ID_NOT_FOUND)
+    w.int32(0)  # throttle_time_ms
+    w.int32(len(topics))
+    for name, parts in topics:
+        w.nullable_string(name)
+        w.int32(len(parts))
+        for p in parts:
+            if known_group and (group, name, p) in store._offsets:
+                del store._offsets[(group, name, p)]
+                perr = wire.ERR_NONE
+            else:
+                perr = wire.ERR_UNKNOWN_TOPIC_OR_PARTITION
+            w.int32(p).int16(perr)
+    return w.bytes()

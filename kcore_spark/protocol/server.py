@@ -227,6 +227,14 @@ class KafkaFrontend:
             from kcore_spark.protocol.admin import handle_alter_configs
 
             return handle_alter_configs(self.wire_log, payload)
+        if api_key == wire.OFFSET_DELETE_KEY and api_version == 0:
+            from kcore_spark.protocol.groups import handle_offset_delete
+
+            return handle_offset_delete(self.group_store, payload)
+        if api_key == wire.DESCRIBE_CLUSTER_KEY and api_version == 0:
+            from kcore_spark.protocol.admin import handle_describe_cluster
+
+            return handle_describe_cluster(payload, self.host, self.port)
         # Kafka answers an unsupported API with an ApiVersions-shaped
         # error so clients can renegotiate; the reference kills the
         # connection here (kafka_api.go:95-96) — deliberate deviation.

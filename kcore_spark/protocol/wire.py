@@ -48,6 +48,8 @@ DESCRIBE_CONFIGS_KEY = 32
 ALTER_CONFIGS_KEY = 33
 SASL_HANDSHAKE_KEY = 17
 SASL_AUTHENTICATE_KEY = 36
+OFFSET_DELETE_KEY = 47
+DESCRIBE_CLUSTER_KEY = 60
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
@@ -81,6 +83,8 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (ALTER_CONFIGS_KEY, 0, 0),
     (SASL_HANDSHAKE_KEY, 0, 1),
     (SASL_AUTHENTICATE_KEY, 0, 1),
+    (OFFSET_DELETE_KEY, 0, 0),
+    (DESCRIBE_CLUSTER_KEY, 0, 0),
     (API_VERSIONS_KEY, 0, 3),
 )
 

@@ -361,7 +361,111 @@ GROUP BY a
 """
 
 
+# ---------------------------------------- train/test decontamination
+# The benchmark-contamination check every training-data pipeline runs:
+# does a held-out (test) document share long n-grams with the training
+# corpus? 8-word shingles, test = doc_id % 5 == 4 (the same split
+# convention as q_incremental_dedup). Candidate generation is the
+# shingle co-occurrence equi-join — same scale shape as Jaccard, and
+# the production variant would apply the same max_df cutoff.
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh8 = word_shingles(docs, "doc_id", "text", n=8)
+    is_test = F.col("id") % 5 == 4
+    test, train = sh8.where(is_test), sh8.where(~is_test)
+    shared = (
+        test.alias("t")
+        .join(train.alias("tr"), F.col("t.shingle") == F.col("tr.shingle"), "left_semi")
+        .groupBy(F.col("id").alias("test_doc_id"))
+        .agg(F.count_distinct("shingle").alias("n_shared_8grams"))
+    )
+    return shared.withColumn("contaminated", F.col("n_shared_8grams") >= 3).orderBy(
+        "test_doc_id"
+    )
+
+
+_SH8 = " || ' ' || ".join(f"ws[g+{k}]" for k in range(8))
+
+Q_DECONTAMINATE_SQL = f"""
+WITH sh8 AS (
+  SELECT DISTINCT doc_id AS id, {_SH8} AS shingle
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws FROM documents),
+       UNNEST(generate_series(1, GREATEST(len(ws) - 7, 0))) t(g)
+  WHERE len(ws) >= 8)
+SELECT t.id AS test_doc_id,
+       COUNT(DISTINCT t.shingle) AS n_shared_8grams,
+       COUNT(DISTINCT t.shingle) >= 3 AS contaminated
+FROM sh8 t
+WHERE t.id % 5 = 4
+  AND EXISTS (SELECT 1 FROM sh8 tr WHERE tr.shingle = t.shingle AND tr.id % 5 <> 4)
+GROUP BY t.id
+ORDER BY t.id
+"""
+
+# ---------------------------------------- content-defined chunk dedup
+# Chunk-level dedup finds SHARED PASSAGES exact/whole-doc dedup can't:
+# boilerplate headers, license blocks, quoted replies. Boundaries are
+# content-defined (word hash ≡ 0 mod 16), so insertions shift only
+# their own chunk — the Rabin/FastCDC property, word-granular.
+
+
+def q_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.operators.dedup import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunks(docs, "doc_id", "text", boundary_mod=16)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("n_words").alias("chunk_words"),
+        )
+        .where(F.col("n_occ") > 1)
+        .orderBy(F.col("n_occ").desc(), "chunk_hash")
+        .limit(50)
+    )
+
+
+Q_CDC_SQL = """
+WITH pos AS (
+  SELECT doc_id AS id, g AS pos, ws[g] AS w
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws FROM documents),
+       UNNEST(generate_series(1, len(ws))) t(g)),
+flagged AS (
+  SELECT id, pos, w,
+         CASE WHEN ('0x' || substring(md5(w), 1, 8))::BIGINT % 16 = 0 THEN 1 ELSE 0 END AS bd
+  FROM pos),
+chunked AS (
+  SELECT id, pos, w,
+         SUM(bd) OVER (PARTITION BY id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk
+  FROM flagged),
+chunk_text AS (
+  SELECT id, chunk, md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash,
+         COUNT(*) AS n_words
+  FROM chunked GROUP BY id, chunk)
+SELECT chunk_hash,
+       COUNT(DISTINCT id) AS n_docs,
+       COUNT(*) AS n_occ,
+       CAST(MIN(n_words) AS BIGINT) AS chunk_words
+FROM chunk_text
+GROUP BY chunk_hash
+HAVING COUNT(*) > 1
+ORDER BY n_occ DESC, chunk_hash
+LIMIT 50
+"""
+
+
 QUERIES = {
+    "q_decontaminate_ngram": QuerySpec(
+        q_decontaminate_ngram, Q_DECONTAMINATE_SQL, "train/test 8-gram contamination check"
+    ),
+    "q_cdc_chunk_dups": QuerySpec(
+        q_cdc_chunk_dups, Q_CDC_SQL, "content-defined chunking + chunk-level dedup"
+    ),
     "q_dedup_clusters": QuerySpec(
         q_dedup_clusters, Q_DEDUP_CLUSTERS_SQL, "transitive duplicate clustering (CC)"
     ),

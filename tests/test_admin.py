@@ -221,3 +221,92 @@ def test_list_offsets_timestamp_across_versions(version):
     r.int32(), r.int32(), r.int32(), r.nullable_string(), r.int32(), r.int32()
     assert r.int16() == wire.ERR_NONE
     assert r.int64() == 200 and r.int64() == 1
+
+
+# ------------------------------------------------ OffsetDelete (k47)
+
+
+def _offset_delete_payload(group: str, topics: list[tuple[str, list[int]]]) -> bytes:
+    w = wire.Writer()
+    w.int16(wire.OFFSET_DELETE_KEY).int16(0).int32(71)
+    w.nullable_string("pytest")
+    w.nullable_string(group)
+    w.int32(len(topics))
+    for name, parts in topics:
+        w.nullable_string(name)
+        w.int32(len(parts))
+        for p in parts:
+            w.int32(p)
+    return w.bytes()
+
+
+def _parse_offset_delete(resp: bytes):
+    r = wire.Reader(resp)
+    corr, err, _throttle = r.int32(), r.int16(), r.int32()
+    out = {}
+    for _ in range(r.int32()):
+        name = r.nullable_string()
+        for _ in range(r.int32()):
+            p, perr = r.int32(), r.int16()
+            out[(name, p)] = perr
+    return corr, err, out
+
+
+def test_offset_delete_removes_commits_and_flags_unknown():
+    from kcore_spark.protocol.server import KafkaFrontend
+
+    fe = KafkaFrontend()
+    fe.group_store.commit("g1", "t", 0, 42)
+    fe.group_store.commit("g1", "t", 1, 7)
+    resp = fe.handle_request(
+        _offset_delete_payload("g1", [("t", [0, 5])])
+    )
+    corr, err, parts = _parse_offset_delete(resp)
+    assert corr == 71 and err == wire.ERR_NONE
+    assert parts[("t", 0)] == wire.ERR_NONE
+    assert parts[("t", 5)] == wire.ERR_UNKNOWN_TOPIC_OR_PARTITION
+    # deleted commit is gone; untouched partition survives
+    assert fe.group_store.fetch("g1", "t", 0) == -1
+    assert fe.group_store.fetch("g1", "t", 1) == 7
+
+
+def test_offset_delete_unknown_group():
+    from kcore_spark.protocol.groups import ERR_GROUP_ID_NOT_FOUND
+    from kcore_spark.protocol.server import KafkaFrontend
+
+    fe = KafkaFrontend()
+    _, err, parts = _parse_offset_delete(
+        fe.handle_request(_offset_delete_payload("ghost", [("t", [0])]))
+    )
+    assert err == ERR_GROUP_ID_NOT_FOUND
+    assert parts[("t", 0)] == wire.ERR_UNKNOWN_TOPIC_OR_PARTITION
+
+
+# ------------------------------------------------ DescribeCluster (k60)
+
+
+def test_describe_cluster_v0():
+    from kcore_spark.protocol.server import KafkaFrontend
+
+    fe = KafkaFrontend(host="127.0.0.1", port=9092)
+    w = wire.Writer()
+    w.int16(wire.DESCRIBE_CLUSTER_KEY).int16(0).int32(81)
+    w.nullable_string("pytest")
+    w.empty_tagged_fields()  # flexible header
+    w.bool_(False)
+    w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 81
+    r.tagged_fields()
+    assert r.int32() == 0  # throttle
+    assert r.int16() == wire.ERR_NONE
+    assert r.compact_string() is None  # error_message
+    assert r.compact_string() == "kcore-spark"
+    assert r.int32() == 0  # controller
+    assert r.compact_array_len() == 1
+    assert r.int32() == 0  # broker id
+    assert r.compact_string() == "127.0.0.1"
+    assert r.int32() == 9092
+    assert r.compact_string() is None  # rack
+    r.tagged_fields()
+    assert r.int32() == -2147483648
