@@ -40,6 +40,7 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming,
         subqueries,
         text,
+        timeseries,
         topiclog,
         tpch,
         tpch2,
@@ -67,6 +68,7 @@ def all_queries() -> dict[str, QuerySpec]:
         recursive,
         tpch3,
         ranking,
+        timeseries,
     ):
         for k, v in mod.QUERIES.items():
             if k in out:

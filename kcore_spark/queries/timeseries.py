@@ -1,0 +1,175 @@
+"""Event-sequence and time-series queries (SURVEY §2.3 C/E/I
+extensions): funnel conversion and resample-with-forward-fill.
+
+Both are event-analytics staples the reference's declared streaming
+data model implies (`/root/reference/README.md:17,27`): sequential
+pattern detection (view → click → purchase within bounded delays) and
+regular-grid resampling with as-of forward fill (the hypertable
+"rollup + gap-fill" shape).
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table
+from kcore_spark.operators.relational import asof_join
+from kcore_spark.queries import QuerySpec
+
+# -------------------------------------------------- funnel conversion
+# Per user: view → first click within 30 min → purchase within 30 min
+# of that click. The step joins are per-user interval joins (bounded by
+# per-user event counts, shuffled on user_id); counts are integers so
+# the result is exact on any engine.
+
+
+def q_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    step1 = (
+        v.join(
+            c,
+            (F.col("u") == F.col("cu"))
+            & (F.col("cts") > F.col("vts"))
+            & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy("u", "vid")
+        .agg(F.min("cts").alias("first_click"))
+    )
+    converted = step1.join(
+        p,
+        (F.col("u") == F.col("pu"))
+        & (F.col("pts") > F.col("first_click"))
+        & (F.col("pts") <= F.col("first_click") + F.expr("INTERVAL 30 MINUTES")),
+        "left_semi",
+    )
+    # distinct event_id: the events fixture contains duplicate rows
+    # (q_events_dedup_first exists for exactly that), and the funnel
+    # grain is the view EVENT, not the raw row
+    views = v.groupBy(F.col("u").alias("user_id")).agg(
+        F.count_distinct("vid").alias("n_views")
+    )
+    clicked = step1.groupBy(F.col("u").alias("cu2")).agg(
+        F.count(F.lit(1)).alias("n_view_click")
+    )
+    conv = converted.groupBy(F.col("u").alias("pu2")).agg(
+        F.count(F.lit(1)).alias("n_converted")
+    )
+    return (
+        views.join(clicked, views.user_id == F.col("cu2"), "left")
+        .join(conv, views.user_id == F.col("pu2"), "left")
+        .select(
+            "user_id",
+            "n_views",
+            F.coalesce("n_view_click", F.lit(0)).alias("n_view_click"),
+            F.coalesce("n_converted", F.lit(0)).alias("n_converted"),
+        )
+        .where(F.col("n_view_click") > 0)
+        .orderBy("user_id")
+    )
+
+
+Q_FUNNEL_SQL = """
+WITH v AS (SELECT user_id AS u, ts AS vts, event_id AS vid FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id AS pu, ts AS pts FROM events WHERE event_type = 'purchase'),
+step1 AS (
+  SELECT u, vid, MIN(cts) AS first_click
+  FROM v JOIN c ON u = cu AND cts > vts AND cts <= vts + INTERVAL 30 MINUTE
+  GROUP BY u, vid),
+converted AS (
+  SELECT DISTINCT u, vid FROM step1
+  WHERE EXISTS (
+    SELECT 1 FROM p
+    WHERE pu = u AND pts > first_click AND pts <= first_click + INTERVAL 30 MINUTE))
+SELECT v.u AS user_id,
+       COUNT(DISTINCT v.vid) AS n_views,
+       (SELECT COUNT(*) FROM step1 s WHERE s.u = v.u) AS n_view_click,
+       (SELECT COUNT(*) FROM converted cv WHERE cv.u = v.u) AS n_converted
+FROM v
+GROUP BY v.u
+HAVING (SELECT COUNT(*) FROM step1 s WHERE s.u = v.u) > 0
+ORDER BY user_id
+"""
+
+# -------------------------------------------------- resample + ffill
+# Hourly grid over a fixed week, forward-filled with each user's last
+# event value at-or-before the grid point — the union-window as-of join
+# (operators/relational.py), so the fill is ONE shuffle on user_id, not
+# a per-point range join. DuckDB's native ASOF JOIN is the oracle.
+
+_WEEK_START = "2024-01-08 00:00:00"
+_WEEK_END = "2024-01-15 00:00:00"
+
+
+def q_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select(F.col("user_id").alias("u")).distinct()
+    spine = users.select(
+        "u",
+        F.explode(
+            F.sequence(
+                F.lit(_WEEK_START).cast("timestamp"),
+                F.lit(_WEEK_END).cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("grid_ts"),
+    )
+    obs = ev.select("user_id", "ts", F.col("value").cast("double").alias("obs_value"), "event_id")
+    filled = asof_join(
+        spine,
+        obs,
+        left_key="u",
+        right_key="user_id",
+        left_ts="grid_ts",
+        right_ts="ts",
+        right_vals=["obs_value"],
+        tiebreak="event_id",
+    )
+    return filled.select(
+        F.col("u").alias("user_id"),
+        F.unix_timestamp("grid_ts").alias("grid_epoch"),
+        F.round("obs_value", 6).alias("filled_value"),
+    ).orderBy("user_id", "grid_epoch")
+
+
+Q_RESAMPLE_SQL = f"""
+WITH spine AS (
+  SELECT u, UNNEST(generate_series(
+           TIMESTAMP '{_WEEK_START}', TIMESTAMP '{_WEEK_END}', INTERVAL 1 HOUR)) AS grid_ts
+  FROM (SELECT DISTINCT user_id AS u FROM events)),
+obs AS (
+  SELECT user_id, ts, CAST(value AS DOUBLE) AS obs_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events)
+SELECT spine.u AS user_id,
+       CAST(epoch(grid_ts) AS BIGINT) AS grid_epoch,
+       ROUND(obs.obs_value, 6) AS filled_value
+FROM spine
+ASOF JOIN (SELECT * FROM obs WHERE rn = 1) obs
+  ON spine.u = obs.user_id AND spine.grid_ts >= obs.ts
+ORDER BY user_id, grid_epoch
+"""
+
+
+QUERIES = {
+    "q_funnel_conversions": QuerySpec(
+        q_funnel_conversions, Q_FUNNEL_SQL, "view→click→purchase funnel (sequential pattern)"
+    ),
+    "q_resample_hourly_ffill": QuerySpec(
+        q_resample_hourly_ffill, Q_RESAMPLE_SQL, "hourly resample + as-of forward fill"
+    ),
+}

@@ -104,7 +104,38 @@ GROUP BY part
 """
 
 
+def q_topic_pyds_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fetch-range answer read through the ``kcore_topic``
+    Python DataSource (sources/pyds.py) instead of the native fetch
+    path — proving the public source API returns byte-identical
+    records with manifest-pruned, segment-parallel planning."""
+    from kcore_spark.sources.pyds import TopicLogDataSource
+
+    log, topic = _produce_events_topic(spark, sf_dir)
+    spark.dataSource.register(TopicLogDataSource)
+    df = (
+        spark.read.format("kcore_topic")
+        .option("root", log.root)
+        .option("topic", topic)
+        .option("start_offset", "100")
+        .option("end_offset", "120")
+        .load()
+    )
+    return (
+        df.where(F.col("partition") == 1)
+        .select(
+            "offset",
+            F.get_json_object(F.decode("value", "utf-8"), "$.event_id").cast("long").alias("event_id"),
+            F.get_json_object(F.decode("value", "utf-8"), "$.event_type").alias("event_type"),
+        )
+        .orderBy("offset")
+    )
+
+
 QUERIES = {
+    "q_topic_pyds_read": QuerySpec(
+        q_topic_pyds_read, Q_TOPIC_FETCH_SQL, "Python DataSource topic read (kcore_topic)"
+    ),
     "q_topic_list_offsets": QuerySpec(
         q_topic_list_offsets, Q_TOPIC_LIST_OFFSETS_SQL, "produce + ListOffsets"
     ),

@@ -1,0 +1,85 @@
+"""kcore_topic Python DataSource (sources/pyds.py): planning and read
+parity with the native TopicLog fetch path."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kcore_spark.sources.pyds import TopicLogDataSource, TopicLogReader
+from kcore_spark.sources.topic_log import TopicLog
+
+
+def _make_log(spark, n=100, parts=3):
+    root = tempfile.mkdtemp(prefix="kcore_pyds_")
+    log = TopicLog(spark, root)
+    log.create_topic("t", parts)
+    recs = spark.range(0, n).select(
+        F.encode(F.col("id").cast("string"), "utf-8").alias("key"),
+        F.encode((F.col("id") * 7).cast("string"), "utf-8").alias("value"),
+        F.col("id").alias("seq"),
+    )
+    log.produce("t", recs, order_by=["seq"])
+    log.produce("t", recs, order_by=["seq"])  # second batch → more segments
+    return log
+
+
+def test_full_read_matches_native_fetch(spark):
+    log = _make_log(spark)
+    spark.dataSource.register(TopicLogDataSource)
+    via_ds = (
+        spark.read.format("kcore_topic")
+        .option("root", log.root)
+        .option("topic", "t")
+        .load()
+        .select("partition", "offset", "key", "value")
+    )
+    native = [
+        log.fetch("t", p, 0, 10_000).select("partition", "offset", "key", "value")
+        for p in range(3)
+    ]
+    native_all = native[0].unionByName(native[1]).unionByName(native[2])
+    a = sorted(map(tuple, via_ds.collect()))
+    b = sorted(map(tuple, native_all.collect()))
+    assert a == b and len(a) == 200
+
+
+def test_offset_range_filters_and_prunes(spark):
+    log = _make_log(spark)
+    spark.dataSource.register(TopicLogDataSource)
+    sub = (
+        spark.read.format("kcore_topic")
+        .option("root", log.root)
+        .option("topic", "t")
+        .option("start_offset", "5")
+        .option("end_offset", "15")
+        .load()
+    )
+    rows = sub.collect()
+    assert all(5 <= r.offset < 15 for r in rows)
+    assert len(rows) == 30  # 10 offsets × 3 partitions
+
+    # manifest-based planning prunes whole segments outside the range:
+    # the second produce's segments hold offsets >= ~33 per partition,
+    # so a [0, 5) read must plan strictly fewer splits than a full read
+    full_splits = TopicLogReader({"root": log.root, "topic": "t"}).partitions()
+    low_splits = TopicLogReader(
+        {"root": log.root, "topic": "t", "start_offset": "0", "end_offset": "5"}
+    ).partitions()
+    assert 0 < len(low_splits) < len(full_splits)
+
+
+def test_empty_topic_reads_zero_rows(spark):
+    root = tempfile.mkdtemp(prefix="kcore_pyds_empty_")
+    log = TopicLog(spark, root)
+    log.create_topic("empty", 2)
+    spark.dataSource.register(TopicLogDataSource)
+    df = (
+        spark.read.format("kcore_topic")
+        .option("root", root)
+        .option("topic", "empty")
+        .load()
+    )
+    assert df.count() == 0
+    assert len(df.schema.fields) == 7
