@@ -232,7 +232,57 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------- HLL sketch surface
+# Datasketches HLL (Spark 4): build per-group sketches, MERGE them with
+# hll_union_agg, estimate. The mergeability property is the point —
+# partial sketches built per partition/group combine into the global
+# cardinality without a re-scan, which is how 100 TB distinct-counting
+# pipelines actually run (sketch once, merge everywhere). Like
+# q_approx_distinct_check, the oracle pins the ACCURACY CLASS (within
+# 5% of exact — deterministic boolean), not the sketch bytes.
+
+
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sketches = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.count_distinct("l_orderkey").alias("exact_d"),
+    )
+    per_flag = sketches.select(
+        "l_returnflag",
+        "exact_d",
+        (
+            (F.abs(F.hll_sketch_estimate("sk") - F.col("exact_d")) / F.col("exact_d")) < 0.05
+        ).alias("hll_within_5pct"),
+    )
+    global_exact = li.agg(F.count_distinct("l_orderkey").alias("exact_d"))
+    merged = (
+        sketches.agg(F.hll_union_agg("sk").alias("u"))
+        .crossJoin(F.broadcast(global_exact))
+        .select(
+            F.lit("ALL").alias("l_returnflag"),
+            "exact_d",
+            (
+                (F.abs(F.hll_sketch_estimate("u") - F.col("exact_d")) / F.col("exact_d")) < 0.05
+            ).alias("hll_within_5pct"),
+        )
+    )
+    return per_flag.unionByName(merged).orderBy("l_returnflag")
+
+
+Q_HLL_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_d, TRUE AS hll_within_5pct
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'ALL', COUNT(DISTINCT l_orderkey), TRUE FROM lineitem
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "q_hll_sketch_union": QuerySpec(
+        q_hll_sketch_union, Q_HLL_SQL, "HLL sketch build + merge (accuracy-class oracle)"
+    ),
     "q04_order_priority": QuerySpec(q04_order_priority, Q04_SQL, "EXISTS + date-range semi"),
     "q17_small_quantity_revenue": QuerySpec(
         q17_small_quantity_revenue, Q17_SQL, "correlated scalar subquery"

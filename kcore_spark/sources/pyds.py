@@ -24,6 +24,13 @@ gets topic reads with the SAME planning guarantees the native path has:
 - executors stream pyarrow RecordBatches (Arrow page transfer), with
   row-group pruning on the offset column inside each file.
 
+The same source also STREAMS (``spark.readStream.format("kcore_topic")``):
+micro-batch offsets are the topic's own per-partition watermarks — the
+Kafka-source model — and ``readBetweenOffsets`` replays any committed
+range deterministically from the immutable segments, so checkpoint
+recovery is exact (tested: incremental availableNow runs pick up only
+new records, no replay duplicates).
+
 Writes intentionally go through ``TopicLog.produce`` — offset
 assignment is a log-wide transaction (dense per-partition offsets +
 watermark advance) that a blind per-task writer cannot do safely.
@@ -35,11 +42,17 @@ source; the reference has no implementation to mirror.
 
 from __future__ import annotations
 
+import datetime as _dt
 import glob
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 RECORD_DDL = (
     "key binary, value binary, partition int, offset bigint, "
@@ -132,6 +145,68 @@ class TopicLogReader(DataSourceReader):
             yield from t.select(order).to_batches()
 
 
+# ---------------------------------------------------- streaming reader
+
+
+class TopicLogStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch source over the topic log: offsets are the topic's
+    own per-partition watermarks (``{"0": next_offset, ...}``) — the
+    exact Kafka-source model (startingOffsets → latest per trigger).
+    ``readBetweenOffsets`` replays any committed range
+    deterministically from the immutable segments, which is what makes
+    checkpoint recovery exact."""
+
+    def __init__(self, options: dict):
+        self.root = options["root"]
+        self.topic = options["topic"]
+        self._tdir = os.path.join(self.root, self.topic)
+
+    def _watermarks(self) -> dict[str, int]:
+        with open(os.path.join(self._tdir, "_watermarks.json")) as f:
+            return {str(k): int(v) for k, v in json.load(f).items()}
+
+    def initialOffset(self) -> dict:
+        return {p: 0 for p in self._watermarks()}
+
+    def read(self, start: dict):
+        end = self._watermarks()
+        # partitions created after the stream started begin at 0
+        merged_start = {p: int(start.get(p, 0)) for p in end}
+        # materialized list, not a generator: the runtime caches this
+        # batch for replay (copy.copy per plan) and a generator is not
+        # copyable; a micro-batch is bounded by definition
+        return list(self.readBetweenOffsets(merged_start, end)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for p, hi in end.items():
+            lo = int(start.get(p, 0))
+            if hi <= lo:
+                continue
+            split_reader = TopicLogReader(
+                {
+                    "root": self.root,
+                    "topic": self.topic,
+                    "start_offset": str(lo),
+                    "end_offset": str(hi),
+                }
+            )
+            for split in split_reader.partitions():
+                if split.path and split.partition == int(p):
+                    for batch in split_reader.read(split) or ():
+                        for row in batch.to_pylist():
+                            # segments store UTC-adjusted µs timestamps;
+                            # the tuple path must hand the NTZ schema a
+                            # naive datetime (UTC wall clock)
+                            ts = row["timestamp"]
+                            if ts is not None and ts.tzinfo is not None:
+                                ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                            row["timestamp"] = ts
+                            yield tuple(row.values())
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint; the log is immutable
+
+
 class TopicLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -142,3 +217,6 @@ class TopicLogDataSource(DataSource):
 
     def reader(self, schema) -> TopicLogReader:
         return TopicLogReader(dict(self.options))
+
+    def simpleStreamReader(self, schema) -> TopicLogStreamReader:
+        return TopicLogStreamReader(dict(self.options))

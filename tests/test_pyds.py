@@ -83,3 +83,46 @@ def test_empty_topic_reads_zero_rows(spark):
     )
     assert df.count() == 0
     assert len(df.schema.fields) == 7
+
+
+def test_stream_reader_incremental_across_runs(spark):
+    import tempfile as tf
+
+    from pyspark.sql import functions as F2
+
+    log = _make_log(spark, n=60)
+    spark.dataSource.register(TopicLogDataSource)
+    ckpt = tf.mkdtemp(prefix="kcore_pyds_ckpt_")
+    sink = tf.mkdtemp(prefix="kcore_pyds_sink_") + "/out"
+
+    def run_once():
+        q = (
+            spark.readStream.format("kcore_topic")
+            .option("root", log.root)
+            .option("topic", "t")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(sink).count()
+    assert first == 120  # two produces of 60
+
+    # new records arrive; the SAME checkpoint must pick up ONLY them
+    recs = spark.range(1000, 1010).select(
+        F2.encode(F2.col("id").cast("string"), "utf-8").alias("key"),
+        F2.encode(F2.col("id").cast("string"), "utf-8").alias("value"),
+        F2.col("id").alias("seq"),
+    )
+    log.produce("t", recs, order_by=["seq"])
+    run_once()
+    df = spark.read.parquet(sink)
+    assert df.count() == 130
+    # every (partition, offset) appears exactly once — no replay dups
+    assert df.select("partition", "offset").distinct().count() == 130
