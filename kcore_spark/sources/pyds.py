@@ -88,8 +88,15 @@ class TopicLogReader(DataSourceReader):
         man: dict[str, list[dict]] = {}
         mpath = os.path.join(tdir, "_manifest.json")
         if os.path.exists(mpath):
-            with open(mpath) as f:
-                man = json.load(f)
+            try:
+                with open(mpath) as f:
+                    man = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                # unreadable manifest (torn write from a foreign tool):
+                # treat as absent — plan from the directory listing;
+                # stricter than the native path's heal-and-refresh, but
+                # this reader may lack write access to heal
+                man = {}
         splits: list[SegmentSplit] = []
         data_dir = os.path.join(tdir, "data")
         for p in range(n_parts):

@@ -31,6 +31,7 @@ ALLOWED_NLJ = {
     "q22_idle_wealthy_customers",  # 1-row scalar-subquery broadcast cross
     "q11_important_stock",  # 1-row fraction-threshold broadcast cross
     "q_bm25_topk",  # 1-row corpus-stats broadcast cross
+    "q_hll_sketch_union",  # 1-row global-exact broadcast cross
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
@@ -47,6 +48,10 @@ KNOWN_UNPUSHABLE = {
     # applied after the persisted shingle explode) — nothing pushable
     "q_simhash_neardup",
     "q_incremental_dedup",
+    # filters only on derived columns: chunk duplicate counts / the
+    # post-as-of-join inner-match null drop — nothing reaches the scan
+    "q_cdc_chunk_dups",
+    "q_resample_hourly_ffill",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}

@@ -424,3 +424,42 @@ def test_golden_list_offsets_v5_earliest(fe):
     assert r.int64() == -1  # ts
     assert r.int64() == 0  # earliest
     assert r.int32() == 0  # leader_epoch (v4+)
+
+
+# -------------------------------------------------------- SASL (17 / 36)
+# SaslHandshake v1 request, assembled field-by-field per spec:
+#   header v1: api_key=17 version=1 corr=33 client_id="conf"
+#   body: mechanism STRING "PLAIN"
+SASL_HANDSHAKE_V1_REQ = bytes.fromhex(
+    "00110001" "00000021" "0004" "636f6e66" "0005" "504c41494e"
+)
+# expected response bytes (header v0): corr, error_code=0,
+# mechanisms ARRAY[STRING] = ["PLAIN"]
+SASL_HANDSHAKE_V1_RESP = bytes.fromhex(
+    "00000021" "0000" "00000001" "0005" "504c41494e"
+)
+
+# SaslAuthenticate v1 request: header v1 (key=36 v=1 corr=34
+# client="conf"), body auth_bytes = RFC 4616 PLAIN token
+# "\0alice\0wonderland" (len 17)
+SASL_AUTH_V1_REQ = bytes.fromhex(
+    "00240001" "00000022" "0004" "636f6e66"
+    "00000011" "00" "616c696365" "00" "776f6e6465726c616e64"
+)
+# expected response: corr, error=0, error_message=null(ffff),
+# auth_bytes empty (len 0), session_lifetime_ms int64 = 0
+SASL_AUTH_V1_RESP = bytes.fromhex(
+    "00000022" "0000" "ffff" "00000000" "0000000000000000"
+)
+
+
+def test_golden_sasl_plain_flow_exact_bytes():
+    from kcore_spark.protocol.auth import SaslState
+
+    fe = KafkaFrontend(credentials={"alice": "wonderland"})
+    st = SaslState()
+    resp1 = fe.handle_request(SASL_HANDSHAKE_V1_REQ, sasl=st)
+    assert resp1 == SASL_HANDSHAKE_V1_RESP
+    resp2 = fe.handle_request(SASL_AUTH_V1_REQ, sasl=st)
+    assert resp2 == SASL_AUTH_V1_RESP
+    assert st.authenticated and st.authorization_id == "alice"

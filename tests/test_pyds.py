@@ -126,3 +126,39 @@ def test_stream_reader_incremental_across_runs(spark):
     assert df.count() == 130
     # every (partition, offset) appears exactly once — no replay dups
     assert df.select("partition", "offset").distinct().count() == 130
+
+
+def test_hostile_options_fail_cleanly(spark):
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    spark.dataSource.register(TopicLogDataSource)
+    # unknown topic: planning fails with a clear error, not a hang
+    with _pytest.raises(Exception) as ei:
+        (
+            spark.read.format("kcore_topic")
+            .option("root", "/nonexistent_kcore_root")
+            .option("topic", "ghost")
+            .load()
+            .collect()
+        )
+    assert "ghost" in str(ei.value) or "No such file" in str(ei.value)
+
+
+def test_corrupt_manifest_falls_back_to_listing(spark):
+    # a manifest that isn't JSON must not poison reads — note this is
+    # stricter than the native path (which heals via refresh): the
+    # DataSource treats an unreadable manifest as absent
+    import os
+
+    log = _make_log(spark, n=30)
+    with open(os.path.join(log.root, "t", "_manifest.json"), "w") as f:
+        f.write("{ not json")
+    spark.dataSource.register(TopicLogDataSource)
+    df = (
+        spark.read.format("kcore_topic")
+        .option("root", log.root)
+        .option("topic", "t")
+        .load()
+    )
+    assert df.count() == 60
