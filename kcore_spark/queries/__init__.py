@@ -33,6 +33,7 @@ def all_queries() -> dict[str, QuerySpec]:
         events,
         ranking,
         recursive,
+        scale_q,
         scalars,
         setops,
         similarity,
@@ -69,6 +70,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch3,
         ranking,
         timeseries,
+        scale_q,
     ):
         for k, v in mod.QUERIES.items():
             if k in out:

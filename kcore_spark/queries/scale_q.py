@@ -1,0 +1,93 @@
+"""Scale-operator queries (SURVEY §2.3 C): the skew/bucketing paths
+under the oracle gate — proving the scale rewrites are RESULT-IDENTICAL
+to the plain formulations, not just plan-shaped right (the unit tests
+in tests/test_scale.py assert the plan shapes: even salt spread,
+exchange-free bucketed joins).
+
+Provenance: declared surface of OUR engine (SURVEY §2.3). The reference
+implements no relational operators — its one dispatch arm is
+ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table
+from kcore_spark.operators.relational import money
+from kcore_spark.operators.scale import bucketed_join, salted_join, write_bucketed
+from kcore_spark.queries import QuerySpec
+
+# -------------------------------------------------- salted join parity
+
+
+def q_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue per market segment through the SALTED join path —
+    the hot-key mitigation — with results identical to a plain join
+    (the salt is an internal sub-key, invisible in the answer)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = salted_join(orders, cust, "o_custkey", "c_custkey", salt_factor=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("total_revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_SALTED_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+# -------------------------------------------------- bucketed join parity
+
+
+def q_bucketed_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order counts per nation through BUCKETED tables — the
+    one-time-layout, exchange-free repeated-join path (plan asserted in
+    tests/test_scale.py); the answer must equal the plain join's.
+    Fixed table names are fine in the sequential harness (same
+    convention as q18's temp views)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(orders.select("o_orderkey", "o_custkey"), "q_bkt_orders", "o_custkey")
+    write_bucketed(
+        cust.select("c_custkey", "c_nationkey"), "q_bkt_customer", "c_custkey"
+    )
+    j = bucketed_join(
+        spark,
+        "q_bkt_orders",
+        "q_bkt_customer",
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        j.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("c_nationkey")
+    )
+
+
+Q_BUCKETED_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+QUERIES = {
+    "q_salted_join_segments": QuerySpec(
+        q_salted_join_segments, Q_SALTED_SQL, "skew-salted join, result parity"
+    ),
+    "q_bucketed_join_nations": QuerySpec(
+        q_bucketed_join_nations, Q_BUCKETED_SQL, "bucketed exchange-free join, result parity"
+    ),
+}

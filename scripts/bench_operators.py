@@ -196,6 +196,81 @@ def main() -> None:
     assert p == s
     rows.append(("80%-hot-key join (2M rows)", "salted ×8", t_s, "plain shuffle join", t_p))
 
+    # ---------------- LSH verify: packed-array vs exploded (round 4)
+    sigs_p = minhash_signatures(sh, 6).persist()
+    sigs_p.count()
+    cands_p = lsh_candidate_pairs(sigs_p, 3, 2).persist()
+    cands_p.count()
+    packed, t_packed = t(lambda: jaccard_for_pairs(cands_p, sh, 0.8).count())
+
+    def exploded_verify() -> int:
+        cand_ids = (
+            cands_p.select(F.col("id1").alias("id"))
+            .unionByName(cands_p.select(F.col("id2").alias("id")))
+            .distinct()
+        )
+        shc = sh.join(F.broadcast(cand_ids), "id", "left_semi")
+        sizes = shc.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        inter = (
+            cands_p.join(shc.alias("a"), F.col("id1") == F.col("a.id"))
+            .join(
+                shc.alias("b"),
+                (F.col("id2") == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")),
+            )
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        jac = (
+            inter.join(sizes.withColumnsRenamed({"id": "id1", "sz": "sz1"}), "id1")
+            .join(sizes.withColumnsRenamed({"id": "id2", "sz": "sz2"}), "id2")
+            .withColumn(
+                "jaccard",
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+            )
+        )
+        return jac.where(F.col("jaccard") >= 0.8).count()
+
+    expl, t_expl = t(exploded_verify)
+    assert packed == expl, (packed, expl)
+    rows.append(
+        ("LSH verify", "packed-array intersect (1 agg + 2 joins)", t_packed,
+         "exploded pair×shingle (4 shuffles)", t_expl)
+    )
+
+    # ---------------- simhash bit vote: shiftright+AND(1) vs mask+cmp
+    from kcore_spark.operators.dedup import simhash as simhash_current
+
+    cur, t_cur = t(
+        lambda: simhash_current(docs, "doc_id", "text", 32).agg(F.sum("simhash")).collect()
+    )
+
+    def mask_variant():
+        from kcore_spark.operators.text import WORD_SPLIT
+
+        ws = F.filter(F.split(F.col("text"), WORD_SPLIT), lambda x: x != "")
+        word_df = docs.select(F.col("doc_id").alias("id"), F.explode(ws).alias("w")).distinct()
+        hashed = word_df.select(
+            "id", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h")
+        )
+        vote_cols = [
+            F.sum(
+                (F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0).cast("long") * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+        summed = hashed.groupBy("id").agg(*vote_cols)
+        fp = sum(
+            [F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+             for b in range(32)],
+            F.lit(0).cast("long"),
+        )
+        return summed.select("id", fp.alias("simhash")).agg(F.sum("simhash")).collect()
+
+    old, t_old = t(mask_variant)
+    assert cur == old
+    rows.append(("simhash 32-bit votes", "shiftright+AND(1)", t_cur, "mask+compare+cast", t_old))
+
     print("| operator | scale path | time | naive path | time |")
     print("|---|---|---|---|---|")
     for name, a, ta, b, tb in rows:

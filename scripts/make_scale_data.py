@@ -86,10 +86,12 @@ def build(k: int, out_dir: str) -> None:
             if c in keys:
                 select_parts.append(f"{c} + i * {units[c]} AS {c}")
             elif tbl == "events" and c == "ts":
-                # the base fixture is parquet TIMESTAMP(NANOS), which
-                # Spark reads as long under nanosAsLong; DuckDB would
-                # re-write it as NTZ micros and break that contract, so
-                # materialize the epoch-ns long directly
+                # materialize epoch-ns BIGINT regardless of the base
+                # encoding (fixtures have shipped both TIMESTAMP(NANOS)
+                # and timestamp[us]) — the engine's normalize_event_ts
+                # accepts the long form, and keeping the derived set on
+                # the LEGACY encoding doubles as a standing exercise of
+                # that branch at scale (see tests/test_schema_drift.py)
                 select_parts.append("epoch_ns(ts) AS ts")
             elif tbl == "documents" and c == "text":
                 # disjoint vocabulary per copy: suffix every word
@@ -109,10 +111,17 @@ def build(k: int, out_dir: str) -> None:
 
 
 def ensure(k: int = 10) -> str:
-    """Build (once) and return the derived dir for K copies of sf0.1."""
+    """Build (once) and return the derived dir for K copies of sf0.1.
+
+    Rebuilds when any base fixture is newer than the marker — the
+    driver regenerates fixtures between rounds, and a cached
+    derivation of the OLD base would silently measure stale data."""
     out_dir = os.path.join(OUT_ROOT, f"sf{k / 10:g}")
     marker = os.path.join(out_dir, "_COMPLETE")
-    if not os.path.exists(marker):
+    base_mtime = max(
+        os.path.getmtime(os.path.join(BASE, f)) for f in os.listdir(BASE)
+    )
+    if not os.path.exists(marker) or os.path.getmtime(marker) < base_mtime:
         build(k, out_dir)
         with open(marker, "w") as f:
             f.write(f"derived from {BASE} x{k}\n")
