@@ -132,7 +132,44 @@ def q_topic_pyds_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_topic_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming through the kcore_topic DataSource: events
+    produced into a fresh topic, then STREAMED back (watermark-offset
+    micro-batches, sources/pyds.py) into a per-partition count — the
+    full produce→stream→aggregate loop under the value oracle."""
+    from kcore_spark.sources.pyds import TopicLogDataSource
+    from kcore_spark.streaming.ops import run_to_table
+
+    log, topic = _produce_events_topic(spark, sf_dir)
+    spark.dataSource.register(TopicLogDataSource)
+    stream = (
+        spark.readStream.format("kcore_topic")
+        .option("root", log.root)
+        .option("topic", topic)
+        .load()
+    )
+    agg = stream.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n"), F.max("offset").alias("max_offset")
+    )
+    out = run_to_table(agg, "complete")
+    return out.select(
+        F.col("partition").cast("long").alias("partition"), "n", "max_offset"
+    ).orderBy("partition")
+
+
+Q_STREAM_TOPIC_SOURCE_SQL = """
+SELECT user_id % 3 AS partition, COUNT(*) AS n, COUNT(*) - 1 AS max_offset
+FROM events
+GROUP BY user_id % 3
+"""
+
+
 QUERIES = {
+    "q_stream_topic_source_counts": QuerySpec(
+        q_stream_topic_source_counts,
+        Q_STREAM_TOPIC_SOURCE_SQL,
+        "streaming read through the kcore_topic DataSource",
+    ),
     "q_topic_pyds_read": QuerySpec(
         q_topic_pyds_read, Q_TOPIC_FETCH_SQL, "Python DataSource topic read (kcore_topic)"
     ),
