@@ -56,6 +56,10 @@ BATCH_EVENTS_QUERIES = (
     "q_events_sessions",
     "q_events_enriched",
     "q_events_dedup_first",
+    # round-4 events consumers: funnel + resample must survive any
+    # fixture ts encoding too
+    "q_funnel_conversions",
+    "q_resample_hourly_ffill",
 )
 
 
