@@ -187,6 +187,76 @@ FROM documents
 # final per-source aggregate.
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    duplicate n-gram fraction — 1 − distinct/total 3-grams — plus the
+    top-word dominance ratio. Pure per-row array expressions: the whole
+    filter is map-side, NO shuffle until the final per-source rollup,
+    so at 100 TB it rides the documents scan for free.
+
+    Output per source: docs flagged repetitious (dup 3-gram fraction
+    > 0.2 or top-word ratio > 0.3) vs total."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", T.WORD_SPLIT), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
+    )
+    n_grams = F.size(grams)
+    dup_frac = F.when(
+        n_grams > 0,
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / n_grams.cast("double"),
+    ).otherwise(F.lit(0.0))
+    # top-word dominance: occurrences of the most frequent word / total
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(ws), lambda w: F.size(F.filter(ws, lambda x: x == w))
+        )
+    )
+    top_ratio = F.when(
+        F.size(ws) > 0, top_count.cast("double") / F.size(ws).cast("double")
+    ).otherwise(F.lit(0.0))
+    flagged = (dup_frac > 0.2) | (top_ratio > 0.3)
+    return (
+        docs.select("source", flagged.alias("rep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("rep").cast("long")).alias("n_repetitious"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_GOPHER_REPETITION_SQL = """
+WITH g AS (
+  SELECT source, ws,
+         CASE WHEN len(ws) >= 3
+              THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                    FOR i IN generate_series(1, len(ws) - 2)]
+              ELSE [] END AS grams
+  FROM (SELECT source,
+               list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+        FROM documents)),
+scored AS (
+  SELECT source,
+         CASE WHEN len(grams) > 0
+              THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+              ELSE 0.0 END AS dup_frac,
+         CASE WHEN len(ws) > 0
+              THEN CAST(list_max(list_transform(list_distinct(ws),
+                     w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws)
+              ELSE 0.0 END AS top_ratio
+  FROM g)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN dup_frac > 0.2 OR top_ratio > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitious
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -269,5 +339,8 @@ QUERIES = {
     "q_fingerprints": QuerySpec(q_fingerprints, Q_FINGERPRINTS_SQL, "rolling-hash fingerprint"),
     "q_corpus_curation": QuerySpec(
         q_corpus_curation, Q_CORPUS_CURATION_SQL, "end-to-end training-data admission filter"
+    ),
+    "q_gopher_repetition": QuerySpec(
+        q_gopher_repetition, Q_GOPHER_REPETITION_SQL, "Gopher repetition filters (dup n-grams)"
     ),
 }
