@@ -683,3 +683,97 @@ def handle_end_txn(log: WireLog, payload: bytes) -> bytes:
     w.int32(0)  # throttle_time_ms
     w.int16(err)
     return w.bytes()
+
+
+# ------------------------------------------ txn admin (k65 / k66)
+
+LIST_TRANSACTIONS_KEY = 66
+DESCRIBE_TRANSACTIONS_KEY = 65
+
+
+def _txn_state(log: WireLog, tid: str) -> str:
+    """'Ongoing' when the tid's pid holds an open transaction with at
+    least one declared partition, else 'Empty' — the two states this
+    single-broker coordinator can actually be in (no two-phase
+    PrepareCommit/PrepareAbort window: EndTxn resolves synchronously)."""
+    pid, _ = log._tids[tid]
+    return "Ongoing" if log._open_txns.get(pid) else "Empty"
+
+
+def handle_list_transactions(log: WireLog, payload: bytes) -> bytes:
+    """ListTransactions (key 66, v0 — flexible-only): enumerate known
+    transactional ids with state filtering, the admin-client's
+    transaction inventory call."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=True)
+    n = r.compact_array_len()
+    state_filters = {r.compact_string() for _ in range(max(n, 0))}
+    n = r.compact_array_len()
+    pid_filters = {r.int64() for _ in range(max(n, 0))}
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.empty_tagged_fields()
+    w.int32(0)  # throttle
+    w.int16(wire.ERR_NONE)
+    w.compact_array_len(0)  # unknown_state_filters (all are known names)
+    states = [
+        (tid, pid, _txn_state(log, tid))
+        for tid, (pid, _e) in sorted(log._tids.items())
+        if (not state_filters or _txn_state(log, tid) in state_filters)
+        and (not pid_filters or pid in pid_filters)
+    ]
+    w.compact_array_len(len(states))
+    for tid, pid, state in states:
+        w.compact_string(tid)
+        w.int64(pid)
+        w.compact_string(state)
+        w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+def handle_describe_transactions(log: WireLog, payload: bytes) -> bytes:
+    """DescribeTransactions (key 65, v0 — flexible-only): per-tid state
+    incl. the partition set of the open transaction. Unknown tids get
+    TRANSACTIONAL_ID_NOT_FOUND (error 105)."""
+    ERR_TRANSACTIONAL_ID_NOT_FOUND = 105
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=True)
+    n = r.compact_array_len()
+    tids = [r.compact_string() or "" for _ in range(max(n, 0))]
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.empty_tagged_fields()
+    w.int32(0)  # throttle
+    w.compact_array_len(len(tids))
+    for tid in tids:
+        known = tid in log._tids
+        w.int16(wire.ERR_NONE if known else ERR_TRANSACTIONAL_ID_NOT_FOUND)
+        w.compact_string(tid)
+        if known:
+            pid, epoch = log._tids[tid]
+            w.compact_string(_txn_state(log, tid))
+            w.int32(60000)  # transaction_timeout_ms (static default)
+            w.int64(-1)  # transaction_start_time_ms (not tracked)
+            w.int64(pid)
+            w.int16(epoch)
+            parts: dict[str, list[int]] = {}
+            for (t, p) in log._open_txns.get(pid, {}):
+                parts.setdefault(t, []).append(p)
+            w.compact_array_len(len(parts))
+            for t in sorted(parts):
+                w.compact_string(t)
+                w.compact_array_len(len(parts[t]))
+                for p in sorted(parts[t]):
+                    w.int32(p)
+                w.empty_tagged_fields()
+        else:
+            w.compact_string("")  # state
+            w.int32(0)
+            w.int64(-1)
+            w.int64(-1)
+            w.int16(-1)
+            w.compact_array_len(0)
+        w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    return w.bytes()

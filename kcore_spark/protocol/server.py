@@ -235,6 +235,14 @@ class KafkaFrontend:
             from kcore_spark.protocol.admin import handle_describe_cluster
 
             return handle_describe_cluster(payload, self.host, self.port)
+        if api_key == wire.LIST_TRANSACTIONS_KEY and api_version == 0:
+            from kcore_spark.protocol.broker import handle_list_transactions
+
+            return handle_list_transactions(self.wire_log, payload)
+        if api_key == wire.DESCRIBE_TRANSACTIONS_KEY and api_version == 0:
+            from kcore_spark.protocol.broker import handle_describe_transactions
+
+            return handle_describe_transactions(self.wire_log, payload)
         # Kafka answers an unsupported API with an ApiVersions-shaped
         # error so clients can renegotiate; the reference kills the
         # connection here (kafka_api.go:95-96) — deliberate deviation.

@@ -50,6 +50,8 @@ SASL_HANDSHAKE_KEY = 17
 SASL_AUTHENTICATE_KEY = 36
 OFFSET_DELETE_KEY = 47
 DESCRIBE_CLUSTER_KEY = 60
+DESCRIBE_TRANSACTIONS_KEY = 65
+LIST_TRANSACTIONS_KEY = 66
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
@@ -85,6 +87,8 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (SASL_AUTHENTICATE_KEY, 0, 1),
     (OFFSET_DELETE_KEY, 0, 0),
     (DESCRIBE_CLUSTER_KEY, 0, 0),
+    (DESCRIBE_TRANSACTIONS_KEY, 0, 0),
+    (LIST_TRANSACTIONS_KEY, 0, 0),
     (API_VERSIONS_KEY, 0, 3),
 )
 

@@ -176,3 +176,103 @@ def test_lso_blocks_later_committed_data_until_open_txn_ends():
     assert _end_txn(fe, "p1", t1_pid, t1_epoch, True) == wire.ERR_NONE
     _, hw, vals = _fetch_values(fe, isolation=1)
     assert (hw, vals) == (2, [b"open", b"plain"])
+
+
+# ------------------------------------------------ txn admin (k65/k66)
+
+
+def _list_txns_payload(states=(), pids=()):
+    w = wire.Writer()
+    w.int16(wire.LIST_TRANSACTIONS_KEY).int16(0).int32(55)
+    w.nullable_string("pytest")
+    w.empty_tagged_fields()
+    w.compact_array_len(len(states))
+    for s in states:
+        w.compact_string(s)
+    w.compact_array_len(len(pids))
+    for p in pids:
+        w.int64(p)
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+def _parse_list_txns(resp):
+    r = wire.Reader(resp)
+    corr = r.int32()
+    r.tagged_fields()
+    r.int32()  # throttle
+    err = r.int16()
+    for _ in range(max(r.compact_array_len(), 0)):
+        r.compact_string()
+    out = []
+    for _ in range(max(r.compact_array_len(), 0)):
+        tid, pid, state = r.compact_string(), r.int64(), r.compact_string()
+        r.tagged_fields()
+        out.append((tid, pid, state))
+    return corr, err, out
+
+
+def test_list_transactions_states_and_filters():
+    from kcore_spark.protocol.server import KafkaFrontend
+
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("t", 1)
+    pid_a, ep_a = fe.wire_log.init_producer_id("txn-a")
+    pid_b, _ = fe.wire_log.init_producer_id("txn-b")
+    fe.wire_log.add_partition_to_txn(pid_a, ep_a, "t", 0)
+
+    _, err, all_txns = _parse_list_txns(fe.handle_request(_list_txns_payload()))
+    assert err == wire.ERR_NONE
+    assert ("txn-a", pid_a, "Ongoing") in all_txns
+    assert ("txn-b", pid_b, "Empty") in all_txns
+
+    _, _, ongoing = _parse_list_txns(
+        fe.handle_request(_list_txns_payload(states=("Ongoing",)))
+    )
+    assert [t[0] for t in ongoing] == ["txn-a"]
+
+    _, _, by_pid = _parse_list_txns(
+        fe.handle_request(_list_txns_payload(pids=(pid_b,)))
+    )
+    assert [t[0] for t in by_pid] == ["txn-b"]
+
+
+def test_describe_transactions_partitions_and_unknown():
+    from kcore_spark.protocol.server import KafkaFrontend
+
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("t", 2)
+    pid, ep = fe.wire_log.init_producer_id("txn-x")
+    fe.wire_log.add_partition_to_txn(pid, ep, "t", 0)
+    fe.wire_log.add_partition_to_txn(pid, ep, "t", 1)
+
+    w = wire.Writer()
+    w.int16(wire.DESCRIBE_TRANSACTIONS_KEY).int16(0).int32(56)
+    w.nullable_string("pytest")
+    w.empty_tagged_fields()
+    w.compact_array_len(2)
+    w.compact_string("txn-x")
+    w.compact_string("ghost")
+    w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 56
+    r.tagged_fields()
+    r.int32()  # throttle
+    assert r.compact_array_len() == 2
+    # txn-x
+    assert r.int16() == wire.ERR_NONE
+    assert r.compact_string() == "txn-x"
+    assert r.compact_string() == "Ongoing"
+    r.int32()  # timeout
+    r.int64()  # start time
+    assert r.int64() == pid
+    assert r.int16() == ep
+    assert r.compact_array_len() == 1
+    assert r.compact_string() == "t"
+    n_parts = r.compact_array_len()
+    assert sorted(r.int32() for _ in range(n_parts)) == [0, 1]
+    r.tagged_fields()
+    r.tagged_fields()
+    # ghost
+    assert r.int16() == 105  # TRANSACTIONAL_ID_NOT_FOUND
+    assert r.compact_string() == "ghost"
