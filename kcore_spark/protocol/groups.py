@@ -17,9 +17,16 @@ sources/topic_log.py::commit_offset).
 
 from __future__ import annotations
 
+import struct
+
 from kcore_spark.protocol import wire
 
 ERR_NONE = wire.ERR_NONE
+
+
+def struct_version(payload: bytes) -> int:
+    """The request's api_version straight from the frame header."""
+    return struct.unpack(">h", payload[2:4])[0]
 
 
 class GroupStore:
@@ -78,37 +85,59 @@ def handle_find_coordinator(payload: bytes, host: str, port: int) -> bytes:
 
 
 def handle_offset_commit(store: GroupStore, payload: bytes) -> bytes:
-    """OffsetCommit v2-v5: the v2-v4 request carries retention_time_ms
-    (dropped in v5); v6 adds leader epochs (not yet supported); v3+
-    responses prepend throttle_time_ms."""
+    """OffsetCommit v2-v8: v2-v4 carry retention_time_ms (dropped in
+    v5); v6 adds committed_leader_epoch per partition (accepted,
+    unused — single-broker logs have one epoch); v7 adds
+    group_instance_id (static membership); v8 is the flexible
+    encoding. v3+ responses prepend throttle_time_ms."""
     r = wire.Reader(payload)
-    h = wire.decode_request_header(r, flexible=False)
-    group = r.nullable_string()
+    v = struct_version(payload)
+    flex = v >= 8
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
+    group = rd_str()
     r.int32()  # generation_id
-    r.nullable_string()  # member_id
-    if 2 <= h.api_version <= 4:
+    rd_str()  # member_id
+    if v >= 7:
+        rd_str()  # group_instance_id
+    if 2 <= v <= 4:
         r.int64()  # retention_time_ms
     results = []
-    for _ in range(r.int32()):
-        topic = r.nullable_string()
+    for _ in range(max(rd_len(), 0)):
+        topic = rd_str()
         parts = []
-        for _ in range(r.int32()):
+        for _ in range(max(rd_len(), 0)):
             partition = r.int32()
             offset = r.int64()
-            r.nullable_string()  # metadata
+            if v >= 6:
+                r.int32()  # committed_leader_epoch
+            rd_str()  # metadata
+            if flex:
+                r.tagged_fields()
             store.commit(group, topic, partition, offset)
             parts.append(partition)
+        if flex:
+            r.tagged_fields()
         results.append((topic, parts))
     w = wire.Writer()
     w.int32(h.correlation_id)
-    if h.api_version >= 3:
+    if flex:
+        w.empty_tagged_fields()  # response header v1
+    if v >= 3:
         w.int32(0)  # throttle_time_ms
-    w.int32(len(results))
+    w.compact_array_len(len(results)) if flex else w.int32(len(results))
     for topic, parts in results:
-        w.nullable_string(topic)
-        w.int32(len(parts))
+        w.compact_string(topic) if flex else w.nullable_string(topic)
+        w.compact_array_len(len(parts)) if flex else w.int32(len(parts))
         for p in parts:
             w.int32(p).int16(ERR_NONE)
+            if flex:
+                w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()
     return w.bytes()
 
 
@@ -116,14 +145,19 @@ def handle_offset_commit(store: GroupStore, payload: bytes) -> bytes:
 
 
 def handle_offset_fetch(store: GroupStore, payload: bytes) -> bytes:
-    """OffsetFetch v1-v3: v2+ allows a null topics array (= every topic
+    """OffsetFetch v1-v6: v2+ allows a null topics array (= every topic
     the group has commits for) and appends a top-level error_code; v3
-    prepends throttle_time_ms."""
+    prepends throttle_time_ms; v5 adds committed_leader_epoch per
+    partition; v6 is the flexible encoding."""
     r = wire.Reader(payload)
-    h = wire.decode_request_header(r, flexible=False)
-    group = r.nullable_string()
-    n_topics = r.int32()
-    if n_topics < 0 and h.api_version >= 2:
+    v = struct_version(payload)
+    flex = v >= 6
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
+    group = rd_str()
+    n_topics = rd_len()
+    if n_topics < 0 and v >= 2:
         by_topic: dict[str, list[int]] = {}
         for (t, p) in sorted(store.committed(group)):
             by_topic.setdefault(t, []).append(p)
@@ -131,24 +165,36 @@ def handle_offset_fetch(store: GroupStore, payload: bytes) -> bytes:
     else:
         requested = []
         for _ in range(max(n_topics, 0)):
-            topic = r.nullable_string()
-            parts = [r.int32() for _ in range(r.int32())]
+            topic = rd_str()
+            parts = [r.int32() for _ in range(max(rd_len(), 0))]
+            if flex:
+                r.tagged_fields()
             requested.append((topic, parts))
     w = wire.Writer()
     w.int32(h.correlation_id)
-    if h.api_version >= 3:
+    if flex:
+        w.empty_tagged_fields()  # response header v1
+    if v >= 3:
         w.int32(0)  # throttle_time_ms
-    w.int32(len(requested))
+    w.compact_array_len(len(requested)) if flex else w.int32(len(requested))
     for topic, parts in requested:
-        w.nullable_string(topic)
-        w.int32(len(parts))
+        w.compact_string(topic) if flex else w.nullable_string(topic)
+        w.compact_array_len(len(parts)) if flex else w.int32(len(parts))
         for partition in parts:
             w.int32(partition)
             w.int64(store.fetch(group, topic, partition))
-            w.nullable_string(None)  # metadata
+            if v >= 5:
+                w.int32(-1)  # committed_leader_epoch: none recorded
+            w.compact_string(None) if flex else w.nullable_string(None)  # metadata
             w.int16(ERR_NONE)
-    if h.api_version >= 2:
+            if flex:
+                w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
+    if v >= 2:
         w.int16(ERR_NONE)  # top-level error_code
+    if flex:
+        w.empty_tagged_fields()
     return w.bytes()
 
 

@@ -165,11 +165,11 @@ class KafkaFrontend:
             from kcore_spark.protocol.broker import handle_fetch
 
             return handle_fetch(self.wire_log, payload)
-        if api_key == wire.OFFSET_COMMIT_KEY and 2 <= api_version <= 5:
+        if api_key == wire.OFFSET_COMMIT_KEY and 2 <= api_version <= 8:
             from kcore_spark.protocol.groups import handle_offset_commit
 
             return handle_offset_commit(self.group_store, payload)
-        if api_key == wire.OFFSET_FETCH_KEY and 1 <= api_version <= 3:
+        if api_key == wire.OFFSET_FETCH_KEY and 1 <= api_version <= 6:
             from kcore_spark.protocol.groups import handle_offset_fetch
 
             return handle_offset_fetch(self.group_store, payload)

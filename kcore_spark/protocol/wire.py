@@ -65,8 +65,8 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (FETCH_KEY, 4, 11),
     (LIST_OFFSETS_KEY, 0, 5),
     (METADATA_KEY, 0, 12),
-    (OFFSET_COMMIT_KEY, 2, 5),
-    (OFFSET_FETCH_KEY, 1, 3),
+    (OFFSET_COMMIT_KEY, 2, 8),
+    (OFFSET_FETCH_KEY, 1, 6),
     (FIND_COORDINATOR_KEY, 0, 2),
     (JOIN_GROUP_KEY, 0, 2),
     (HEARTBEAT_KEY, 0, 1),

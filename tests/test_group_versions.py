@@ -182,8 +182,8 @@ def test_api_versions_advertises_group_ranges(fe):
     _, err, apis, _ = wire.decode_api_versions_response(resp, 0)
     ranges = {k: (lo, hi) for k, lo, hi in apis}
     assert ranges[wire.JOIN_GROUP_KEY] == (0, 2)
-    assert ranges[wire.OFFSET_COMMIT_KEY] == (2, 5)
-    assert ranges[wire.OFFSET_FETCH_KEY] == (1, 3)
+    assert ranges[wire.OFFSET_COMMIT_KEY] == (2, 8)
+    assert ranges[wire.OFFSET_FETCH_KEY] == (1, 6)
     assert ranges[wire.FIND_COORDINATOR_KEY] == (0, 2)
     assert ranges[wire.LIST_OFFSETS_KEY] == (0, 5)
     assert ranges[wire.DELETE_RECORDS_KEY] == (0, 1)
@@ -248,3 +248,101 @@ def test_list_describe_delete_groups(fe):
     fe.handle_request(w.bytes())
     assert delete("adm", 75) == ("adm", wire.ERR_NONE)
     assert delete("adm", 76) == ("adm", 69)  # now gone
+
+
+# ---------------------------------------- OffsetCommit v6-v8 / Fetch v4-v6
+
+
+def _commit_payload_v6plus(version, group, topic, partition, offset, corr=70):
+    flex = version >= 8
+    w = wire.Writer()
+    w.int16(wire.OFFSET_COMMIT_KEY).int16(version).int32(corr)
+    w.nullable_string("pytest")
+    if flex:
+        w.empty_tagged_fields()
+        w.compact_string(group)
+        w.int32(1)
+        w.compact_string("m")
+        w.compact_string(None)  # group_instance_id
+        w.compact_array_len(1)
+        w.compact_string(topic)
+        w.compact_array_len(1)
+        w.int32(partition).int64(offset).int32(-1)  # leader epoch
+        w.compact_string(None)  # metadata
+        w.empty_tagged_fields()  # partition
+        w.empty_tagged_fields()  # topic
+        w.empty_tagged_fields()  # body
+    else:
+        w.nullable_string(group)
+        w.int32(1)
+        w.nullable_string("m")
+        if version >= 7:
+            w.nullable_string(None)  # group_instance_id
+        w.int32(1)
+        w.nullable_string(topic)
+        w.int32(1)
+        w.int32(partition).int64(offset)
+        w.int32(-1)  # committed_leader_epoch (v6+)
+        w.nullable_string(None)
+    return w.bytes()
+
+
+@pytest.mark.parametrize("version", [6, 7, 8])
+def test_offset_commit_v6_to_v8(fe, version):
+    flex = version >= 8
+    r = wire.Reader(fe.handle_request(_commit_payload_v6plus(version, "g6", "t", 2, 99)))
+    assert r.int32() == 70
+    if flex:
+        r.tagged_fields()
+    assert r.int32() == 0  # throttle
+    n = r.compact_array_len() if flex else r.int32()
+    assert n == 1
+    assert (r.compact_string() if flex else r.nullable_string()) == "t"
+    n = r.compact_array_len() if flex else r.int32()
+    assert n == 1
+    assert r.int32() == 2 and r.int16() == wire.ERR_NONE
+    assert fe.group_store.fetch("g6", "t", 2) == 99
+
+
+@pytest.mark.parametrize("version", [4, 5, 6])
+def test_offset_fetch_v4_to_v6(fe, version):
+    flex = version >= 6
+    fe.handle_request(_commit_payload_v6plus(6, "g7", "t", 0, 11))
+    w = wire.Writer()
+    w.int16(wire.OFFSET_FETCH_KEY).int16(version).int32(71)
+    w.nullable_string("pytest")
+    if flex:
+        w.empty_tagged_fields()
+        w.compact_string("g7")
+        w.compact_array_len(1)
+        w.compact_string("t")
+        w.compact_array_len(1)
+        w.int32(0)
+        w.empty_tagged_fields()
+        w.empty_tagged_fields()
+    else:
+        w.nullable_string("g7")
+        w.int32(1)
+        w.nullable_string("t")
+        w.int32(1)
+        w.int32(0)
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 71
+    if flex:
+        r.tagged_fields()
+    assert r.int32() == 0  # throttle (v3+)
+    n = r.compact_array_len() if flex else r.int32()
+    assert n == 1
+    assert (r.compact_string() if flex else r.nullable_string()) == "t"
+    n = r.compact_array_len() if flex else r.int32()
+    assert n == 1
+    assert r.int32() == 0
+    assert r.int64() == 11
+    if version >= 5:
+        assert r.int32() == -1  # committed_leader_epoch
+    assert (r.compact_string() if flex else r.nullable_string()) is None
+    assert r.int16() == wire.ERR_NONE
+    if flex:
+        r.tagged_fields()
+        r.tagged_fields()
+    assert r.int16() == wire.ERR_NONE  # top-level
