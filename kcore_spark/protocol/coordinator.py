@@ -1,8 +1,15 @@
-"""Group-membership coordinator: JoinGroup (11) v0-v2, SyncGroup (14)
-v0-v1, Heartbeat (12) v0-v1, LeaveGroup (13) v0-v1.
+"""Group-membership coordinator: JoinGroup (11) v0-v5, SyncGroup (14)
+v0-v3, Heartbeat (12) v0-v4, LeaveGroup (13) v0-v3.
 
-Version deltas (public spec): JoinGroup v1 adds rebalance_timeout_ms
-to the request; v2+/v1+ responses prepend throttle_time_ms.
+Version deltas (public spec): JoinGroup v1 adds rebalance_timeout_ms;
+v2+/v1+ responses prepend throttle_time_ms; JoinGroup v4 introduces
+the MEMBER_ID_REQUIRED (79) two-step join — an empty member_id gets a
+server-generated id and must REJOIN with it (KIP-394, duplicate-member
+protection on client retries); v5 adds group_instance_id (static
+membership, KIP-345) to request and member roster. SyncGroup v3 and
+Heartbeat v3 add group_instance_id; Heartbeat v4 is flexible.
+LeaveGroup v3 batches members [(member_id, group_instance_id)] with a
+per-member response.
 
 Completes the reference's Consumer API roadmap row
 (`/root/reference/README.md:48`). Single-node semantics, simplified
@@ -29,6 +36,7 @@ from kcore_spark.protocol import wire
 ERR_ILLEGAL_GENERATION = 22
 ERR_UNKNOWN_MEMBER_ID = 25
 ERR_GROUP_ID_NOT_FOUND = 69
+ERR_MEMBER_ID_REQUIRED = 79
 
 
 @dataclass
@@ -40,6 +48,8 @@ class GroupMembership:
     protocol_type: str = ""
     assignments: dict[str, bytes] = field(default_factory=dict)
     next_member_seq: int = 0
+    # ids handed out by the v4+ MEMBER_ID_REQUIRED dance, awaiting rejoin
+    pending: set[str] = field(default_factory=set)
 
 
 class Coordinator:
@@ -55,11 +65,13 @@ class Coordinator:
     def handle_join_group(self, payload: bytes) -> bytes:
         r = wire.Reader(payload)
         h = wire.decode_request_header(r, flexible=False)
+        v = h.api_version
         group_id = r.nullable_string()
         r.int32()  # session_timeout_ms
-        if h.api_version >= 1:
+        if v >= 1:
             r.int32()  # rebalance_timeout_ms
         member_id = r.nullable_string() or ""
+        group_instance_id = r.nullable_string() if v >= 5 else None
         protocol_type = r.nullable_string() or ""
         protocols = []
         for _ in range(r.int32()):
@@ -67,9 +79,24 @@ class Coordinator:
 
         g = self.groups.setdefault(group_id, GroupMembership())
         g.protocol_type = protocol_type
-        if member_id and member_id not in g.members:
-            return self._join_error(h.correlation_id, ERR_UNKNOWN_MEMBER_ID, h.api_version)
-        if not member_id:
+        if not member_id and v >= 4:
+            # KIP-394 two-step join: hand out an id, demand a rejoin —
+            # a retried join with the handed-out id then lands exactly
+            # once instead of creating a duplicate member
+            member_id = f"member-{g.next_member_seq}"
+            g.next_member_seq += 1
+            g.pending.add(member_id)
+            return self._join_error(
+                h.correlation_id, ERR_MEMBER_ID_REQUIRED, v, member_id=member_id
+            )
+        if member_id and member_id not in g.members and member_id not in g.pending:
+            return self._join_error(h.correlation_id, ERR_UNKNOWN_MEMBER_ID, v)
+        if member_id in g.pending:
+            g.pending.discard(member_id)
+            g.members.append(member_id)
+            g.generation += 1
+            g.assignments.clear()
+        elif not member_id:
             member_id = f"member-{g.next_member_seq}"
             g.next_member_seq += 1
             g.members.append(member_id)
@@ -81,7 +108,7 @@ class Coordinator:
         leader = g.members[0]
         w = wire.Writer()
         w.int32(h.correlation_id)
-        if h.api_version >= 2:
+        if v >= 2:
             w.int32(0)  # throttle_time_ms
         w.int16(wire.ERR_NONE)
         w.int32(g.generation)
@@ -92,16 +119,23 @@ class Coordinator:
         w.int32(len(member_list))
         for m in member_list:
             w.nullable_string(m)
+            if v >= 5:
+                w.nullable_string(None)  # group_instance_id (dynamic member)
             w.nullable_bytes(g.protocols.get(m, b""))
         return w.bytes()
 
-    def _join_error(self, corr: int, err: int, api_version: int = 0) -> bytes:
+    def _join_error(
+        self, corr: int, err: int, api_version: int = 0, member_id: str | None = None
+    ) -> bytes:
         w = wire.Writer()
         w.int32(corr)
         if api_version >= 2:
             w.int32(0)  # throttle_time_ms
         w.int16(err).int32(-1)
-        w.nullable_string(None).nullable_string(None).nullable_string(None)
+        w.nullable_string(None).nullable_string(None)
+        # MEMBER_ID_REQUIRED responses CARRY the assigned member id —
+        # that is the whole point of the v4 dance
+        w.nullable_string(member_id)
         w.int32(0)
         return w.bytes()
 
@@ -113,6 +147,8 @@ class Coordinator:
         group_id = r.nullable_string()
         generation = r.int32()
         member_id = r.nullable_string()
+        if h.api_version >= 3:
+            r.nullable_string()  # group_instance_id
         incoming = {}
         for _ in range(r.int32()):
             m = r.nullable_string()
@@ -162,11 +198,18 @@ class Coordinator:
     # -------------------------------------------------- Heartbeat v0
 
     def handle_heartbeat(self, payload: bytes) -> bytes:
+        import struct as _struct
+
+        v = _struct.unpack(">h", payload[2:4])[0]
+        flex = v >= 4
         r = wire.Reader(payload)
-        h = wire.decode_request_header(r, flexible=False)
-        group_id = r.nullable_string()
+        h = wire.decode_request_header(r, flexible=flex)
+        rd_str = r.compact_string if flex else r.nullable_string
+        group_id = rd_str()
         generation = r.int32()
-        member_id = r.nullable_string()
+        member_id = rd_str()
+        if v >= 3:
+            rd_str()  # group_instance_id
         g = self.groups.get(group_id)
         if g is None:
             err = ERR_GROUP_ID_NOT_FOUND
@@ -178,9 +221,13 @@ class Coordinator:
             err = wire.ERR_NONE
         w = wire.Writer()
         w.int32(h.correlation_id)
-        if h.api_version >= 1:
+        if flex:
+            w.empty_tagged_fields()  # response header v1
+        if v >= 1:
             w.int32(0)  # throttle_time_ms
         w.int16(err)
+        if flex:
+            w.empty_tagged_fields()
         return w.bytes()
 
     # -------------------------------------------------- LeaveGroup v0-v1
@@ -188,24 +235,45 @@ class Coordinator:
     def handle_leave_group(self, payload: bytes) -> bytes:
         r = wire.Reader(payload)
         h = wire.decode_request_header(r, flexible=False)
+        v = h.api_version
         group_id = r.nullable_string()
-        member_id = r.nullable_string()
-        g = self.groups.get(group_id)
-        if g is None:
-            err = ERR_GROUP_ID_NOT_FOUND
-        elif member_id not in g.members:
-            err = ERR_UNKNOWN_MEMBER_ID
+        if v >= 3:
+            # batched members (KIP-345): [(member_id, group_instance_id)]
+            members = []
+            for _ in range(r.int32()):
+                members.append((r.nullable_string(), r.nullable_string()))
         else:
-            g.members.remove(member_id)
-            g.protocols.pop(member_id, None)
-            g.assignments.clear()
-            g.generation += 1
-            err = wire.ERR_NONE
+            members = [(r.nullable_string(), None)]
+        g = self.groups.get(group_id)
+        results: list[tuple[str | None, str | None, int]] = []
+        for member_id, inst in members:
+            if g is None:
+                results.append((member_id, inst, ERR_GROUP_ID_NOT_FOUND))
+            elif member_id not in g.members:
+                results.append((member_id, inst, ERR_UNKNOWN_MEMBER_ID))
+            else:
+                g.members.remove(member_id)
+                g.protocols.pop(member_id, None)
+                g.assignments.clear()
+                g.generation += 1
+                results.append((member_id, inst, wire.ERR_NONE))
+        if g is None:
+            top_err = ERR_GROUP_ID_NOT_FOUND
+        elif v >= 3:
+            top_err = wire.ERR_NONE  # per-member errors carry the detail
+        else:
+            top_err = results[0][2]
         w = wire.Writer()
         w.int32(h.correlation_id)
-        if h.api_version >= 1:
+        if v >= 1:
             w.int32(0)  # throttle_time_ms
-        w.int16(err)
+        w.int16(top_err)
+        if v >= 3:
+            w.int32(len(results))
+            for member_id, inst, err in results:
+                w.nullable_string(member_id)
+                w.nullable_string(inst)
+                w.int16(err)
         return w.bytes()
 
     # ------------------------------------------ group admin (15/16/42)

@@ -60,24 +60,48 @@ class GroupStore:
 
 
 def handle_find_coordinator(payload: bytes, host: str, port: int) -> bytes:
-    """FindCoordinator v0-v2: v1 adds request key_type + response
-    throttle/error_message (single node: the coordinator is always us,
-    for group (0) and transaction (1) key types alike)."""
+    """FindCoordinator v0-v4: v1 adds request key_type + response
+    throttle/error_message; v3 is the flexible encoding of the same
+    single-key shape; v4 batches (coordinator_keys array in, a
+    coordinators array out — KIP-699). Single node: the coordinator is
+    always us, for group (0) and transaction (1) key types alike."""
+    v = struct_version(payload)
+    flex = v >= 3
     r = wire.Reader(payload)
-    h = wire.decode_request_header(r, flexible=False)
-    r.nullable_string()  # key (group id) — single-node: always us
-    if h.api_version >= 1 and r.pos < len(r.buf):
-        r.int8()  # key_type
+    h = wire.decode_request_header(r, flexible=flex)
+    if v >= 4:
+        r.int8()  # key_type precedes the batched keys
+        keys = [r.compact_string() or "" for _ in range(max(r.compact_array_len(), 0))]
+    else:
+        keys = [(r.compact_string() if flex else r.nullable_string()) or ""]
+        if v >= 1 and r.pos < len(r.buf):
+            r.int8()  # key_type
     w = wire.Writer()
     w.int32(h.correlation_id)
-    if h.api_version >= 1:
+    if flex:
+        w.empty_tagged_fields()  # response header v1
+    if v >= 1:
         w.int32(0)  # throttle_time_ms
+    if v >= 4:
+        w.compact_array_len(len(keys))
+        for k in keys:
+            w.compact_string(k)
+            w.int32(0)  # node_id
+            w.compact_string(host)
+            w.int32(port)
+            w.int16(ERR_NONE)
+            w.compact_string(None)  # error_message
+            w.empty_tagged_fields()
+        w.empty_tagged_fields()
+        return w.bytes()
     w.int16(ERR_NONE)
-    if h.api_version >= 1:
-        w.nullable_string(None)  # error_message
+    if v >= 1:
+        w.compact_string(None) if flex else w.nullable_string(None)  # error_message
     w.int32(0)  # node_id
-    w.nullable_string(host)
+    w.compact_string(host) if flex else w.nullable_string(host)
     w.int32(port)
+    if flex:
+        w.empty_tagged_fields()
     return w.bytes()
 
 

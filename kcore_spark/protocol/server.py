@@ -173,17 +173,17 @@ class KafkaFrontend:
             from kcore_spark.protocol.groups import handle_offset_fetch
 
             return handle_offset_fetch(self.group_store, payload)
-        if api_key == wire.FIND_COORDINATOR_KEY and api_version <= 2:
+        if api_key == wire.FIND_COORDINATOR_KEY and api_version <= 4:
             from kcore_spark.protocol.groups import handle_find_coordinator
 
             return handle_find_coordinator(payload, self.host, self.port)
-        if api_key == wire.JOIN_GROUP_KEY and api_version <= 2:
+        if api_key == wire.JOIN_GROUP_KEY and api_version <= 5:
             return self.coordinator.handle_join_group(payload)
-        if api_key == wire.SYNC_GROUP_KEY and api_version <= 1:
+        if api_key == wire.SYNC_GROUP_KEY and api_version <= 3:
             return self.coordinator.handle_sync_group(payload)
-        if api_key == wire.HEARTBEAT_KEY and api_version <= 1:
+        if api_key == wire.HEARTBEAT_KEY and api_version <= 4:
             return self.coordinator.handle_heartbeat(payload)
-        if api_key == wire.LEAVE_GROUP_KEY and api_version <= 1:
+        if api_key == wire.LEAVE_GROUP_KEY and api_version <= 3:
             return self.coordinator.handle_leave_group(payload)
         if api_key == wire.LIST_GROUPS_KEY and api_version == 0:
             return self.coordinator.handle_list_groups(payload)

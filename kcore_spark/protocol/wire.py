@@ -67,11 +67,11 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (METADATA_KEY, 0, 12),
     (OFFSET_COMMIT_KEY, 2, 8),
     (OFFSET_FETCH_KEY, 1, 6),
-    (FIND_COORDINATOR_KEY, 0, 2),
-    (JOIN_GROUP_KEY, 0, 2),
-    (HEARTBEAT_KEY, 0, 1),
-    (LEAVE_GROUP_KEY, 0, 1),
-    (SYNC_GROUP_KEY, 0, 1),
+    (FIND_COORDINATOR_KEY, 0, 4),
+    (JOIN_GROUP_KEY, 0, 5),
+    (HEARTBEAT_KEY, 0, 4),
+    (LEAVE_GROUP_KEY, 0, 3),
+    (SYNC_GROUP_KEY, 0, 3),
     (CREATE_TOPICS_KEY, 0, 0),
     (DELETE_TOPICS_KEY, 0, 0),
     (DELETE_RECORDS_KEY, 0, 1),

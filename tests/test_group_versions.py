@@ -1,6 +1,8 @@
-"""Group-API version widening: JoinGroup v0-v2, SyncGroup/Heartbeat/
-LeaveGroup v0-v1, FindCoordinator v0-v2, OffsetCommit v2-v5,
-OffsetFetch v1-v3 — exercised through the real dispatch path."""
+"""Group-API version widening: JoinGroup v0-v5 (incl. the KIP-394
+MEMBER_ID_REQUIRED dance and KIP-345 group_instance_id), SyncGroup
+v0-v3, Heartbeat v0-v4 (flexible), LeaveGroup v0-v3 (batched),
+FindCoordinator v0-v4 (flexible + KIP-699 batched), OffsetCommit
+v2-v8, OffsetFetch v1-v6 — exercised through the real dispatch path."""
 
 from __future__ import annotations
 
@@ -181,10 +183,13 @@ def test_api_versions_advertises_group_ranges(fe):
     resp = fe.handle_request(w.bytes())
     _, err, apis, _ = wire.decode_api_versions_response(resp, 0)
     ranges = {k: (lo, hi) for k, lo, hi in apis}
-    assert ranges[wire.JOIN_GROUP_KEY] == (0, 2)
+    assert ranges[wire.JOIN_GROUP_KEY] == (0, 5)
+    assert ranges[wire.HEARTBEAT_KEY] == (0, 4)
+    assert ranges[wire.SYNC_GROUP_KEY] == (0, 3)
+    assert ranges[wire.LEAVE_GROUP_KEY] == (0, 3)
     assert ranges[wire.OFFSET_COMMIT_KEY] == (2, 8)
     assert ranges[wire.OFFSET_FETCH_KEY] == (1, 6)
-    assert ranges[wire.FIND_COORDINATOR_KEY] == (0, 2)
+    assert ranges[wire.FIND_COORDINATOR_KEY] == (0, 4)
     assert ranges[wire.LIST_OFFSETS_KEY] == (0, 5)
     assert ranges[wire.DELETE_RECORDS_KEY] == (0, 1)
 
@@ -346,3 +351,149 @@ def test_offset_fetch_v4_to_v6(fe, version):
         r.tagged_fields()
         r.tagged_fields()
     assert r.int16() == wire.ERR_NONE  # top-level
+
+
+# ---------------------------------------- JoinGroup v4/v5, KIP-394/345
+
+
+def _join_v45_payload(version, group="g45", member="", corr=80):
+    w = _hdr(wire.Writer(), wire.JOIN_GROUP_KEY, version, corr)
+    w.nullable_string(group)
+    w.int32(10000)  # session_timeout
+    w.int32(30000)  # rebalance_timeout (v1+)
+    w.nullable_string(member)
+    if version >= 5:
+        w.nullable_string(None)  # group_instance_id
+    w.nullable_string("consumer")
+    w.int32(1)
+    w.nullable_string("range").nullable_bytes(b"\x00\x01")
+    return w.bytes()
+
+
+@pytest.mark.parametrize("version", [4, 5])
+def test_join_group_member_id_required_dance(fe, version):
+    # step 1: empty member_id → MEMBER_ID_REQUIRED with an assigned id
+    r = wire.Reader(fe.handle_request(_join_v45_payload(version)))
+    assert r.int32() == 80
+    r.int32()  # throttle
+    assert r.int16() == 79  # MEMBER_ID_REQUIRED
+    r.int32()  # generation (-1)
+    r.nullable_string()
+    r.nullable_string()
+    assigned = r.nullable_string()
+    assert assigned and assigned.startswith("member-")
+    # not yet a member
+    assert assigned not in fe.coordinator.groups["g45"].members
+
+    # step 2: rejoin WITH the id → joined as leader
+    r = wire.Reader(fe.handle_request(_join_v45_payload(version, member=assigned, corr=81)))
+    assert r.int32() == 81
+    r.int32()  # throttle
+    assert r.int16() == wire.ERR_NONE
+    gen = r.int32()
+    assert gen >= 1
+    assert r.nullable_string() == "range"
+    assert r.nullable_string() == assigned  # leader
+    assert r.nullable_string() == assigned  # member
+    n = r.int32()
+    assert n == 1
+    assert r.nullable_string() == assigned
+    if version >= 5:
+        assert r.nullable_string() is None  # group_instance_id
+    assert r.nullable_bytes() == b"\x00\x01"
+
+
+def test_leave_group_v3_batched(fe):
+    # join two members the v2 way
+    def join(corr):
+        r = wire.Reader(fe.handle_request(_join_payload(2, group="gl3", corr=corr)))
+        r.int32(); r.int32(); r.int16(); r.int32()
+        r.nullable_string(); r.nullable_string()
+        return r.nullable_string()
+
+    m1, m2 = join(90), join(91)
+    w = _hdr(wire.Writer(), wire.LEAVE_GROUP_KEY, 3, 92)
+    w.nullable_string("gl3")
+    w.int32(2)
+    w.nullable_string(m1).nullable_string(None)
+    w.nullable_string("ghost").nullable_string(None)
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 92
+    r.int32()  # throttle
+    assert r.int16() == wire.ERR_NONE  # top-level
+    assert r.int32() == 2
+    got = {}
+    for _ in range(2):
+        m = r.nullable_string()
+        r.nullable_string()
+        got[m] = r.int16()
+    assert got[m1] == wire.ERR_NONE
+    assert got["ghost"] == 25  # UNKNOWN_MEMBER_ID
+    assert fe.coordinator.groups["gl3"].members == [m2]
+
+
+def test_heartbeat_v4_flexible(fe):
+    member = None
+    r = wire.Reader(fe.handle_request(_join_payload(2, group="gh4", corr=93)))
+    r.int32(); r.int32(); r.int16()
+    gen = r.int32()
+    r.nullable_string(); r.nullable_string()
+    member = r.nullable_string()
+
+    w = wire.Writer()
+    w.int16(wire.HEARTBEAT_KEY).int16(4).int32(94)
+    w.nullable_string("pytest")
+    w.empty_tagged_fields()
+    w.compact_string("gh4")
+    w.int32(gen)
+    w.compact_string(member)
+    w.compact_string(None)  # group_instance_id
+    w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 94
+    r.tagged_fields()
+    assert r.int32() == 0  # throttle
+    assert r.int16() == wire.ERR_NONE
+
+
+def test_find_coordinator_v3_flexible_and_v4_batched(fe):
+    w = wire.Writer()
+    w.int16(wire.FIND_COORDINATOR_KEY).int16(3).int32(95)
+    w.nullable_string("pytest")
+    w.empty_tagged_fields()
+    w.compact_string("g")
+    w.int8(0)
+    w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 95
+    r.tagged_fields()
+    assert r.int32() == 0  # throttle
+    assert r.int16() == wire.ERR_NONE
+    assert r.compact_string() is None  # error_message
+    assert r.int32() == 0  # node
+    assert r.compact_string() == fe.host
+
+    w = wire.Writer()
+    w.int16(wire.FIND_COORDINATOR_KEY).int16(4).int32(96)
+    w.nullable_string("pytest")
+    w.empty_tagged_fields()
+    w.int8(0)
+    w.compact_array_len(2)
+    w.compact_string("g1")
+    w.compact_string("g2")
+    w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 96
+    r.tagged_fields()
+    r.int32()  # throttle
+    assert r.compact_array_len() == 2
+    keys = []
+    for _ in range(2):
+        keys.append(r.compact_string())
+        assert r.int32() == 0  # node
+        assert r.compact_string() == fe.host
+        r.int32()  # port
+        assert r.int16() == wire.ERR_NONE
+        r.compact_string()  # error_message
+        r.tagged_fields()
+    assert keys == ["g1", "g2"]
