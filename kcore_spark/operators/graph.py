@@ -49,19 +49,26 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
     as connected_components does. Returns (id, rank).
     """
     scale = 1_000_000_000_000
+    # persisted: the deduped edge list feeds out_deg, both sides of the
+    # degree join, and the node set — unpersisted, an expensive edge
+    # derivation (e.g. a distinct over a fact join) re-runs per branch
     e = edges.select("src", "dst").distinct().persist()
-    out_deg = e.groupBy(F.col("src").alias("od_id")).agg(F.count(F.lit(1)).alias("out_deg"))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # degrees pre-joined ONCE: each iteration is then a single
+    # edges⋈ranks join + one aggregate, instead of re-deriving degrees
+    # and paying a second join per round
+    ewd = e.join(out_deg, "src").select("src", "dst", "out_deg").persist()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        .persist()
     )
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long")).localCheckpoint()
     base = (scale * 15) // 100
     for _ in range(iterations):
         contribs = (
-            e.join(ranks, e.src == ranks.id)
-            .join(out_deg, e.src == F.col("od_id"))
+            ewd.join(ranks, ewd.src == ranks.id)
             .select("dst", F.expr("rank div out_deg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("incoming"))

@@ -213,22 +213,31 @@ def quantize_int8(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     round-half-to-even vs half-away-from-zero, floor does not.
     All-zero vectors quantize to all-zero (scale guard).
 
+    Performance: the per-vector scale must NOT be referenced inside a
+    per-element lambda — HOF lambdas don't share outer subexpressions,
+    so each of the 64 elements would recompute the array_max chain
+    (measured ~10× slower; the word_shingles pitfall again). Instead
+    ``array_repeat(scale, n)`` evaluates scale once per row and hands
+    it to the lambdas as a plain element argument.
+
     Returns (id, n_dims, q_l1, q_sum, recon_mse):
     q_l1/q_sum integer checksums of the quantized vector, recon_mse
     the mean squared dequantization error.
     """
     x = as_double(F.col(vec_col))
     mx = F.array_max(F.transform(x, F.abs))
-    scale = mx / F.lit(127.0)
+    sarr = F.array_repeat(mx / F.lit(127.0), F.size(x))
     q = F.when(mx == 0.0, F.transform(x, lambda v: F.lit(0.0))).otherwise(
-        F.transform(
+        F.zip_with(
             x,
-            lambda v: F.greatest(
-                F.lit(-127.0), F.least(F.lit(127.0), F.floor(v / scale + 0.5))
+            sarr,
+            lambda v, s: F.greatest(
+                F.lit(-127.0), F.least(F.lit(127.0), F.floor(v / s + 0.5))
             ),
         )
     )
-    err2 = F.zip_with(x, q, lambda v, qi: (v - qi * scale) * (v - qi * scale))
+    recon = F.zip_with(q, sarr, lambda qi, s: qi * s)
+    err2 = F.zip_with(x, recon, lambda v, r: (v - r) * (v - r))
     return df.select(
         F.col(id_col).alias("id"),
         F.size(x).cast("long").alias("n_dims"),
