@@ -197,7 +197,19 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per source: docs flagged repetitious (dup 3-gram fraction
     > 0.2 or top-word ratio > 0.3) vs total."""
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.filter(F.split("text", T.WORD_SPLIT), lambda x: x != "")
+    # Materialize the token array BEFORE any lambda references it:
+    # inside a HOF lambda, a collapsed-in split() expression re-runs
+    # per element (the word_shingles pitfall). A plain two-step select
+    # would be re-merged by CollapseProject, so the tokenized
+    # projection is persisted — the lambdas then read a stored column.
+    # (At 100 TB the same barrier is a materialized tokenized table,
+    # or the explode pipeline word_shingles uses, whose Generator
+    # blocks the collapse naturally.)
+    pre = docs.select(
+        "source",
+        F.filter(F.split("text", T.WORD_SPLIT), lambda x: x != "").alias("ws"),
+    ).persist()
+    ws = F.col("ws")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
@@ -207,18 +219,35 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_grams > 0,
         1.0 - F.size(F.array_distinct(grams)).cast("double") / n_grams.cast("double"),
     ).otherwise(F.lit(0.0))
-    # top-word dominance: occurrences of the most frequent word / total
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(ws), lambda w: F.size(F.filter(ws, lambda x: x == w))
-        )
+    # top-word dominance: occurrences of the most frequent word / total.
+    # Computed as the longest equal run of the SORTED array in one
+    # aggregate fold — the naive transform(distinct, w -> count(ws, w))
+    # references ws inside a lambda, and HOF lambdas don't share outer
+    # subexpressions, so the whole tokenization re-ran per distinct
+    # word (measured ~8× slower; the quantize_int8 pitfall). The fold's
+    # lambdas touch only the accumulator and the element.
+    top_count = F.aggregate(
+        F.array_sort(ws),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     top_ratio = F.when(
         F.size(ws) > 0, top_count.cast("double") / F.size(ws).cast("double")
     ).otherwise(F.lit(0.0))
     flagged = (dup_frac > 0.2) | (top_ratio > 0.3)
     return (
-        docs.select("source", flagged.alias("rep"))
+        pre.select("source", flagged.alias("rep"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
