@@ -140,6 +140,87 @@ WHERE LENGTH(text) > 0
 """
 
 
+def q_multimodal_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality ROUTER: a mixed-modality corpus (magic-byte prefixes
+    synthesized by doc_id % 3) is routed by sniffing the payload's
+    leading bytes — never a metadata column, so routing survives
+    mislabeled inputs — into the modality-specific Arrow extractor
+    (byte features / frame sampling / windowed energy), then rolled up
+    per modality. This is the dispatch layer a mixed 100 TB corpus
+    needs in front of the per-modality decoders: one scan, three
+    filtered mapInPandas branches, no shuffle before the final rollup.
+    """
+    from kcore_spark.operators.multimodal import (
+        extract_features,
+        frame_sample,
+        waveform_energy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.encode("text", "utf-8")
+    mod = F.col("doc_id") % 3
+    payload = (
+        F.when(mod == 1, F.concat(F.lit(b"\x89PNG"), body))
+        .when(mod == 2, F.concat(F.lit(b"RIFF"), body))
+        .otherwise(body)
+    )
+    head = F.substring(F.col("payload"), 1, 4)
+    media = (
+        docs.select("doc_id", payload.alias("payload"))
+        .withColumn(
+            "modality",
+            F.when(head == F.lit(b"\x89PNG"), "image")
+            .when(head == F.lit(b"RIFF"), "audio")
+            .otherwise("text"),
+        )
+        .persist()  # three routed branches + the stats rollup read it
+    )
+    base_stats = media.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("payload").cast("long")).alias("total_bytes"),
+    )
+    text_media = media.where(F.col("modality") == "text").withColumn(
+        "media_type", F.lit("text/plain")
+    )
+    t_feat = extract_features(text_media).agg(
+        F.sum("n_bytes").alias("routed_feature")
+    ).withColumn("modality", F.lit("text"))
+    i_feat = (
+        frame_sample(media.where(F.col("modality") == "image"), n_frames=4, frame_bytes=16)
+        .agg(F.count(F.lit(1)).cast("long").alias("routed_feature"))
+        .withColumn("modality", F.lit("image"))
+    )
+    a_feat = (
+        waveform_energy(media.where(F.col("modality") == "audio"), window=64)
+        .agg(F.count(F.lit(1)).cast("long").alias("routed_feature"))
+        .withColumn("modality", F.lit("audio"))
+    )
+    feats = t_feat.unionByName(i_feat).unionByName(a_feat)
+    return (
+        base_stats.join(feats, "modality")
+        .select("modality", "n_docs", "total_bytes", "routed_feature")
+        .orderBy("modality")
+    )
+
+
+Q_MULTIMODAL_ROUTER_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'text' END AS modality,
+         octet_length(encode(text)) + CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 4 END AS nb
+  FROM documents)
+SELECT modality, COUNT(*) AS n_docs, CAST(SUM(nb) AS BIGINT) AS total_bytes,
+       CAST(CASE modality
+         WHEN 'text' THEN SUM(nb)
+         WHEN 'image' THEN 4 * COUNT(*)
+         ELSE SUM((nb + 63) // 64)
+       END AS BIGINT) AS routed_feature
+FROM m
+GROUP BY modality
+ORDER BY modality
+"""
+
+
 # -------------------------------------------------- row UDF (exists; slow path)
 
 
@@ -202,6 +283,9 @@ QUERIES = {
     ),
     "q_multimodal_features": QuerySpec(
         q_multimodal_features, Q_MULTIMODAL_SQL, "mapInPandas binary decode plumbing"
+    ),
+    "q_multimodal_router": QuerySpec(
+        q_multimodal_router, Q_MULTIMODAL_ROUTER_SQL, "magic-byte modality routing + per-type extract"
     ),
     "q_row_udf_bucket": QuerySpec(q_row_udf_bucket, Q_ROW_UDF_SQL, "row udf (surface only)"),
     "q_udtf_explode_words": QuerySpec(q_udtf_explode_words, Q_UDTF_SQL, "Python UDTF"),

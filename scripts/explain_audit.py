@@ -52,6 +52,7 @@ KNOWN_UNPUSHABLE = {
     # post-as-of-join inner-match null drop — nothing reaches the scan
     "q_cdc_chunk_dups",
     "q_resample_hourly_ffill",
+    "q_multimodal_router",  # routes on the sniffed-magic-bytes column
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}
