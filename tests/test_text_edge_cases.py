@@ -70,3 +70,51 @@ def test_token_count_unicode(spark, weird_docs):
     assert got[2] == 1
     assert got[3] == 2
     assert got[6] == 500
+
+
+# ------------------------------------------------ round-4 operator edges
+
+
+def test_bm25_empty_and_short_docs(spark):
+    from kcore_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "spark"), (3, "   ")], "doc_id long, text string"
+    )
+    rows = {r.id: r for r in bm25_scores(docs, ("spark",)).collect()}
+    assert rows[1].dl == 0 and rows[1].score_raw == 0.0
+    assert rows[3].dl == 0 and rows[3].score_raw == 0.0
+    assert rows[2].score_raw > 0.0
+
+
+def test_cdc_chunks_short_and_empty_docs(spark):
+    from kcore_spark.operators.dedup import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "a b c d e")], "doc_id long, text string"
+    )
+    rows = cdc_chunks(docs, "doc_id", "text").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+    assert 1 not in by_doc  # empty doc → no chunks
+    assert sum(c.n_words for c in by_doc[2]) == 1
+    assert sum(c.n_words for c in by_doc[3]) == 5  # chunks partition the doc
+
+
+def test_pagerank_empty_edges(spark):
+    from kcore_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_fixed_point(edges, 3).count() == 0
+
+
+def test_quantize_negative_dominant_value(spark):
+    from kcore_spark.operators.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [-2.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    r = quantize_int8(emb, "embedding", "vec_id").collect()[0]
+    # scale = 2/127; q = [-127, 64 (floor(63.5+0.5))]
+    assert r.q_l1 == 191 and r.q_sum == -63
