@@ -185,7 +185,63 @@ ORDER BY vec_id
 """
 
 
+# -------------------------------------------------- triangle counting
+# Co-purchase supplier graph: suppliers are linked when at least one
+# customer bought from both. Triangle counting is the classic
+# clustering-coefficient primitive; the standard distributed plan is
+# the ordered 3-way self-join (edges kept as s1 < s2, so each triangle
+# is counted exactly once and the join fan-out is halved).
+
+
+def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        cs.alias("a")
+        .join(cs.alias("b"), (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .distinct()
+        .persist()  # three join branches below
+    )
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.s2") == F.col("e2.s1"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e1.s1") == F.col("e3.s1")) & (F.col("e2.s2") == F.col("e3.s2")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        F.broadcast(tri)
+    )
+
+
+Q_TRIANGLES_SQL = """
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT DISTINCT a.s AS s1, b.s AS s2
+  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s)
+SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(*) FROM edges e1
+        JOIN edges e2 ON e1.s2 = e2.s1
+        WHERE EXISTS (SELECT 1 FROM edges e3
+                      WHERE e3.s1 = e1.s1 AND e3.s2 = e2.s2)) AS n_triangles
+"""
+
+
 QUERIES = {
+    "q_supplier_triangles": QuerySpec(
+        q_supplier_triangles, Q_TRIANGLES_SQL, "ordered 3-join triangle counting"
+    ),
     "q_bm25_topk": QuerySpec(q_bm25_topk, Q_BM25_SQL, "Okapi BM25 top-k retrieval"),
     "q_pagerank_purchases": QuerySpec(
         q_pagerank_purchases, Q_PAGERANK_SQL, "fixed-point PageRank (3 iterations)"

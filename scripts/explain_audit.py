@@ -32,6 +32,7 @@ ALLOWED_NLJ = {
     "q11_important_stock",  # 1-row fraction-threshold broadcast cross
     "q_bm25_topk",  # 1-row corpus-stats broadcast cross
     "q_hll_sketch_union",  # 1-row global-exact broadcast cross
+    "q_supplier_triangles",  # 1-row triangle-count broadcast cross
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
