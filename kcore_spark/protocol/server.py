@@ -276,14 +276,20 @@ class KafkaFrontend:
             errors: list[tuple] = []
         else:
             ids = req.topic_ids or [None] * len(req.topics)
+            # topic ids are deterministic (md5 of the name), so an
+            # id-only lookup resolves by scanning the catalog — the id
+            # "index" is a pure function of the name set
+            by_id = {wire.topic_uuid(t): t for t in catalog}
             topics, errors = [], []
             for t, tid in zip(req.topics, ids):
+                if not t and tid is not None:
+                    t = by_id.get(tid, "")
+                    if not t:
+                        # unknown id: echo it so the client can correlate
+                        errors.append(("", wire.ERR_UNKNOWN_TOPIC_ID, tid))
+                        continue
                 if t in catalog and t:
                     topics.append((t, catalog[t]))
-                elif not t and tid is not None:
-                    # id-only lookup (v10+): no id index in this catalog;
-                    # echo the requested id so the client can correlate
-                    errors.append(("", wire.ERR_UNKNOWN_TOPIC_ID, tid))
                 else:
                     errors.append((t, wire.ERR_UNKNOWN_TOPIC_OR_PARTITION))
         return wire.encode_metadata_response(

@@ -198,3 +198,16 @@ def test_commit_seq_seeded_from_disk_across_restart(spark):
             with open(os.path.join(offsets, fn)) as f:
                 seqs.append(json.load(f)["commit_seq"])
         assert max(seqs) > future  # seeded past the planted commit
+
+
+def test_metadata_id_only_lookup_resolves_known_topic(fe):
+    """Topic ids are md5-deterministic, so an id-only v10+ lookup for a
+    topic that EXISTS resolves to the full topic row (name + partition
+    count), not an UNKNOWN_TOPIC_ID echo."""
+    known_id = wire.topic_uuid("alpha")
+    resp = fe.handle_request(_metadata_id_only_payload(10, known_id))
+    corr, _, topics = wire.decode_metadata_response(resp, 10)
+    [(err, name, tid, parts)] = topics
+    assert err == wire.ERR_NONE
+    assert name == "alpha" and tid == known_id
+    assert len(parts) == 2  # the topic's real partition list
