@@ -412,49 +412,74 @@ class FetchRequest:
     max_wait_ms: int
     min_bytes: int
     max_bytes: int
-    topics: list[tuple[str, list[FetchPartition]]]
+    topics: list[tuple[str | None, list[FetchPartition]]]
     isolation_level: int = 0  # 0 = read_uncommitted, 1 = read_committed
+    # aligned with `topics`: v13+ id-addressed entries (name is None)
+    topic_ids: list[bytes | None] | None = None
 
 
 def decode_fetch_request(payload: bytes) -> FetchRequest:
-    """FetchRequest v4-v11 (rigid encoding throughout -- flexible only
-    starts at v12). Session fields (v7+) are read and ignored: this
+    """FetchRequest v4-v13: rigid through v11, flexible from v12
+    (KIP-482), topics addressed by uuid instead of name from v13
+    (KIP-516 — id-addressed entries carry name=None + the id in
+    ``topic_ids``). Session fields (v7+) are read and ignored: this
     broker is sessionless and replies with session_id=0, which per
     KIP-227 tells the client full responses will always be sent."""
     import struct
 
-    api_version = struct.unpack(">h", payload[2:4])[0]
+    v = struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 12
     r = wire.Reader(payload)
-    h = wire.decode_request_header(r, flexible=False)
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_len = r.compact_array_len if flex else r.int32
+    rd_str = r.compact_string if flex else r.nullable_string
     r.int32()  # replica_id
     max_wait = r.int32()
     min_bytes = r.int32()
     max_bytes = r.int32()
     isolation = r.int8()
-    if api_version >= 7:
+    if v >= 7:
         r.int32()  # session_id
         r.int32()  # session_epoch
     topics = []
-    for _ in range(r.int32()):
-        name = r.nullable_string()
+    topic_ids: list[bytes | None] = []
+    for _ in range(max(rd_len(), 0)):
+        if v >= 13:
+            name, tid = None, r.uuid()
+        else:
+            name, tid = rd_str(), None
         parts = []
-        for _ in range(r.int32()):
+        for _ in range(max(rd_len(), 0)):
             idx = r.int32()
-            if api_version >= 9:
+            if v >= 9:
                 r.int32()  # current_leader_epoch
             off = r.int64()
-            if api_version >= 5:
+            if v >= 5:
                 r.int64()  # log_start_offset (follower-only)
             parts.append(FetchPartition(idx, off, r.int32()))
+            if flex:
+                r.tagged_fields()
+        if flex:
+            r.tagged_fields()
         topics.append((name, parts))
-    if api_version >= 7:
-        for _ in range(r.int32()):  # forgotten_topics_data
-            r.nullable_string()
-            for _ in range(r.int32()):
+        topic_ids.append(tid)
+    if v >= 7:
+        for _ in range(max(rd_len(), 0)):  # forgotten_topics_data
+            if v >= 13:
+                r.uuid()
+            else:
+                rd_str()
+            for _ in range(max(rd_len(), 0)):
                 r.int32()
-    if api_version >= 11 and r.pos < len(r.buf):
-        r.nullable_string()  # rack_id
-    return FetchRequest(h, max_wait, min_bytes, max_bytes, topics, isolation)
+            if flex:
+                r.tagged_fields()
+    if v >= 11 and r.pos < len(r.buf):
+        rd_str()  # rack_id
+    if flex and r.pos < len(r.buf):
+        r.tagged_fields()
+    req = FetchRequest(h, max_wait, min_bytes, max_bytes, topics, isolation)
+    req.topic_ids = topic_ids
+    return req
 
 
 def encode_fetch_response(
@@ -463,19 +488,29 @@ def encode_fetch_response(
     # topic -> [(idx, err, high_watermark[, log_start], record_batch_bytes)]
     api_version: int = 4,
 ) -> bytes:
-    """FetchResponse v4-v11: v5+ adds per-partition log_start_offset,
+    """FetchResponse v4-v13: v5+ adds per-partition log_start_offset,
     v7+ adds top-level error_code + session_id (0 = sessionless),
-    v11+ adds preferred_read_replica."""
+    v11+ adds preferred_read_replica, v12+ is flexible, v13 addresses
+    topics by uuid (``results`` entries may carry the id as a third
+    element)."""
+    flex = api_version >= 12
     w = wire.Writer()
     w.int32(correlation_id)
+    if flex:
+        w.empty_tagged_fields()  # response header v1
     w.int32(0)  # throttle
     if api_version >= 7:
         w.int16(wire.ERR_NONE)
         w.int32(0)  # session_id: sessionless
-    w.int32(len(results))
-    for name, parts in results:
-        w.nullable_string(name)
-        w.int32(len(parts))
+    w.compact_array_len(len(results)) if flex else w.int32(len(results))
+    for result in results:
+        name, parts = result[0], result[1]
+        if api_version >= 13:
+            tid = result[2] if len(result) > 2 and result[2] else wire.topic_uuid(name or "")
+            w.uuid(tid)
+        else:
+            w.compact_string(name) if flex else w.nullable_string(name)
+        w.compact_array_len(len(parts)) if flex else w.int32(len(parts))
         for entry in parts:
             if len(entry) == 5:
                 idx, err, hw, log_start, batch = entry
@@ -485,37 +520,56 @@ def encode_fetch_response(
             w.int64(hw)  # last_stable_offset
             if api_version >= 5:
                 w.int64(log_start)
-            w.int32(0)  # aborted_transactions: empty
+            w.compact_array_len(0) if flex else w.int32(0)  # aborted txns
             if api_version >= 11:
                 w.int32(-1)  # preferred_read_replica
-            w.nullable_bytes(batch)
+            w.compact_bytes(batch) if flex else w.nullable_bytes(batch)
+            if flex:
+                w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()
     return w.bytes()
 
 
 def decode_fetch_response(payload: bytes, api_version: int = 4):
+    flex = api_version >= 12
     r = wire.Reader(payload)
     corr = r.int32()
+    if flex:
+        r.tagged_fields()
     r.int32()  # throttle
     if api_version >= 7:
         r.int16()  # error_code
         r.int32()  # session_id
+    rd_len = r.compact_array_len if flex else r.int32
     out = []
-    for _ in range(r.int32()):
-        name = r.nullable_string()
+    for _ in range(max(rd_len(), 0)):
+        if api_version >= 13:
+            name = r.uuid()  # id-addressed: callers map back via topic_uuid
+        else:
+            name = r.compact_string() if flex else r.nullable_string()
         parts = []
-        for _ in range(r.int32()):
+        for _ in range(max(rd_len(), 0)):
             idx = r.int32()
             err = r.int16()
             hw = r.int64()
             r.int64()  # lso
             if api_version >= 5:
                 r.int64()  # log_start_offset
-            for _ in range(r.int32()):
+            for _ in range(max(rd_len(), 0)):
                 r.int64(), r.int64()  # aborted txns (none expected)
+                if flex:
+                    r.tagged_fields()
             if api_version >= 11:
                 r.int32()  # preferred_read_replica
-            batch = r.nullable_bytes()
+            batch = r.compact_bytes() if flex else r.nullable_bytes()
+            if flex:
+                r.tagged_fields()
             parts.append((idx, err, hw, batch))
+        if flex:
+            r.tagged_fields()
         out.append((name, parts))
     return corr, out
 
@@ -579,8 +633,19 @@ def handle_produce(log: WireLog, payload: bytes) -> bytes:
 
 def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 1000) -> bytes:
     req = decode_fetch_request(payload)
+    # v13 id-addressed topics: resolve uuid → name (ids are the
+    # deterministic md5 of the name, so the catalog IS the index)
+    by_id = {wire.topic_uuid(t): t for t in log.topics}
+    ids = req.topic_ids or [None] * len(req.topics)
     results = []
-    for name, parts in req.topics:
+    for (name, parts), tid in zip(req.topics, ids):
+        if name is None and tid is not None:
+            name = by_id.get(tid)
+            if name is None:
+                results.append(
+                    ("", [(p.index, wire.ERR_UNKNOWN_TOPIC_ID, -1, None) for p in parts], tid)
+                )
+                continue
         part_results = []
         for p in parts:
             if not log.has(name, p.index):
@@ -609,7 +674,7 @@ def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 
             part_results.append(
                 (p.index, wire.ERR_NONE, hw, log.log_start(name, p.index), batch)
             )
-        results.append((name, part_results))
+        results.append((name, part_results, tid))
     return encode_fetch_response(
         req.header.correlation_id, results, api_version=req.header.api_version
     )

@@ -161,7 +161,7 @@ class KafkaFrontend:
             from kcore_spark.protocol.broker import handle_produce
 
             return handle_produce(self.wire_log, payload)
-        if api_key == wire.FETCH_KEY and 4 <= api_version <= 11:
+        if api_key == wire.FETCH_KEY and 4 <= api_version <= 13:
             from kcore_spark.protocol.broker import handle_fetch
 
             return handle_fetch(self.wire_log, payload)

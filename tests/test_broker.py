@@ -244,3 +244,83 @@ def test_produce_fetch_handler_property(batch1, batch2):
     assert [(r.key, r.value, r.timestamp_ms) for r in recs] == [
         (w.key, w.value, w.timestamp_ms) for w in want
     ]
+
+
+# ------------------------------------------------ Fetch v12 / v13
+
+
+def _fetch_payload_modern(version, topic, partition, offset, corr=21):
+    w = wire.Writer()
+    w.int16(wire.FETCH_KEY).int16(version).int32(corr)
+    w.nullable_string("t")
+    w.empty_tagged_fields()  # flexible header (v12+)
+    w.int32(-1)  # replica_id
+    w.int32(100).int32(1).int32(1 << 20)
+    w.int8(0)  # isolation
+    w.int32(0).int32(0)  # session_id / epoch
+    w.compact_array_len(1)
+    if version >= 13:
+        w.uuid(wire.topic_uuid(topic))
+    else:
+        w.compact_string(topic)
+    w.compact_array_len(1)
+    w.int32(partition)
+    w.int32(-1)  # current_leader_epoch
+    w.int64(offset)
+    w.int64(-1)  # log_start_offset
+    w.int32(1 << 20)
+    w.empty_tagged_fields()  # partition
+    w.empty_tagged_fields()  # topic
+    w.compact_array_len(0)  # forgotten topics
+    w.compact_string(None)  # rack_id
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+@pytest.mark.parametrize("version", [12, 13])
+def test_fetch_v12_v13_roundtrip(version):
+    log = WireLog()
+    log.create_topic("modern", 1)
+    handle_produce(log, _produce_payload("modern", 0, encode_record_batch(_sample_records())))
+    fr = handle_fetch(log, _fetch_payload_modern(version, "modern", 0, 0))
+    corr, out = decode_fetch_response(fr, api_version=version)
+    assert corr == 21
+    (name, [(idx, err, hw, batch)]) = out[0]
+    if version >= 13:
+        assert name == wire.topic_uuid("modern")  # id-addressed echo
+    else:
+        assert name == "modern"
+    assert (idx, err, hw) == (0, wire.ERR_NONE, 3)
+    base, records, _ = decode_record_batch(batch)
+    assert base == 0 and len(records) == 3
+
+
+def test_fetch_v13_unknown_topic_id():
+    log = WireLog()
+    log.create_topic("known", 1)
+    import uuid as uuid_mod
+
+    ghost = uuid_mod.uuid4().bytes
+    w = wire.Writer()
+    w.int16(wire.FETCH_KEY).int16(13).int32(22)
+    w.nullable_string("t")
+    w.empty_tagged_fields()
+    w.int32(-1)
+    w.int32(100).int32(1).int32(1 << 20)
+    w.int8(0)
+    w.int32(0).int32(0)
+    w.compact_array_len(1)
+    w.uuid(ghost)
+    w.compact_array_len(1)
+    w.int32(0).int32(-1).int64(0).int64(-1).int32(1 << 20)
+    w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    w.compact_array_len(0)
+    w.compact_string(None)
+    w.empty_tagged_fields()
+    fr = handle_fetch(log, w.bytes())
+    corr, out = decode_fetch_response(fr, api_version=13)
+    (tid, [(idx, err, hw, batch)]) = out[0]
+    assert tid == ghost  # unresolvable id echoed back
+    assert err == wire.ERR_UNKNOWN_TOPIC_ID
+    assert batch is None

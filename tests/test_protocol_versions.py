@@ -189,5 +189,5 @@ def test_api_versions_advertises_new_ranges():
     _, err, apis, _ = wire.decode_api_versions_response(resp, 0)
     ranges = {k: (lo, hi) for k, lo, hi in apis}
     assert ranges[wire.PRODUCE_KEY] == (3, 9)
-    assert ranges[wire.FETCH_KEY] == (4, 11)
+    assert ranges[wire.FETCH_KEY] == (4, 13)
     assert ranges[wire.METADATA_KEY] == (0, 12)
