@@ -157,7 +157,7 @@ class KafkaFrontend:
             return None
         if api_key == wire.METADATA_KEY and api_version <= 12:
             return self._handle_metadata(payload, api_version, correlation_id)
-        if api_key == wire.PRODUCE_KEY and 3 <= api_version <= 9:
+        if api_key == wire.PRODUCE_KEY and 3 <= api_version <= 11:
             from kcore_spark.protocol.broker import handle_produce
 
             return handle_produce(self.wire_log, payload)

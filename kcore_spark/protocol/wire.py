@@ -61,7 +61,7 @@ ERR_UNKNOWN_TOPIC_ID = 100
 
 # (api_key, min_version, max_version) advertised by this broker.
 SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
-    (PRODUCE_KEY, 3, 9),
+    (PRODUCE_KEY, 3, 11),
     (FETCH_KEY, 4, 13),
     (LIST_OFFSETS_KEY, 0, 5),
     (METADATA_KEY, 0, 12),

@@ -124,7 +124,7 @@ def _produce_payload(version: int, topic: str, partition: int, batch: bytes) -> 
     return w.bytes()
 
 
-@pytest.mark.parametrize("version", [7, 8, 9])
+@pytest.mark.parametrize("version", [7, 8, 9, 10, 11])
 def test_produce_new_versions_roundtrip(fe, version):
     batch = encode_record_batch([Record(b"k", b"v", 1700000000000)])
     resp = fe.handle_request(_produce_payload(version, "alpha", 1, batch))
@@ -188,6 +188,6 @@ def test_api_versions_advertises_new_ranges():
     resp = fe.handle_request(w.bytes())
     _, err, apis, _ = wire.decode_api_versions_response(resp, 0)
     ranges = {k: (lo, hi) for k, lo, hi in apis}
-    assert ranges[wire.PRODUCE_KEY] == (3, 9)
+    assert ranges[wire.PRODUCE_KEY] == (3, 11)
     assert ranges[wire.FETCH_KEY] == (4, 13)
     assert ranges[wire.METADATA_KEY] == (0, 12)
