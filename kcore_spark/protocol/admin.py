@@ -18,6 +18,7 @@ ERR_UNKNOWN_TOPIC_OR_PARTITION = wire.ERR_UNKNOWN_TOPIC_OR_PARTITION
 
 EARLIEST_TIMESTAMP = -2
 LATEST_TIMESTAMP = -1
+MAX_TIMESTAMP = -3  # KIP-734 (v7+)
 
 
 # ------------------------------------------------------ CreateTopics v0
@@ -86,32 +87,41 @@ def handle_delete_topics(log: WireLog, payload: bytes) -> bytes:
 
 
 def handle_list_offsets(log: WireLog, payload: bytes) -> bytes:
-    """ListOffsets v0-v5 (non-flexible layouts).
+    """ListOffsets v0-v7 (flexible from v6).
 
     timestamp -2 → earliest (the log start offset), -1 → log-end
-    offset, >= 0 → the first offset whose record timestamp is >= the
+    offset, -3 (v7+, KIP-734) → the offset holding the MAXIMUM record
+    timestamp, >= 0 → the first offset whose record timestamp is >= the
     target (the response echoes the matched record's timestamp, or
     -1/-1 when no record qualifies). Version deltas per the public
     spec: v0 requests carry max_num_offsets and get an offset ARRAY
     back; v1 switches to the single (timestamp, offset) shape; v2 adds
     request isolation_level + response throttle_time; v4 adds request
-    current_leader_epoch + response leader_epoch."""
+    current_leader_epoch + response leader_epoch; v6 is the flexible
+    encoding."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 6
     r = wire.Reader(payload)
-    h = wire.decode_request_header(r, flexible=False)
-    v = h.api_version
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
     r.int32()  # replica_id
     if v >= 2:
         r.int8()  # isolation_level (no transactions: read_uncommitted)
     results = []
-    for _ in range(r.int32()):
-        name = r.nullable_string()
+    for _ in range(max(rd_len(), 0)):
+        name = rd_str()
         parts = []
-        for _ in range(r.int32()):
+        for _ in range(max(rd_len(), 0)):
             partition = r.int32()
             if v >= 4:
                 r.int32()  # current_leader_epoch
             ts = r.int64()
             max_n = r.int32() if v == 0 else 1
+            if flex:
+                r.tagged_fields()
             if not log.has(name, partition):
                 parts.append((partition, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, [], max_n))
                 continue
@@ -122,6 +132,19 @@ def handle_list_offsets(log: WireLog, payload: bytes) -> bytes:
                 )
             elif ts == LATEST_TIMESTAMP:
                 parts.append((partition, wire.ERR_NONE, -1, [hw], max_n))
+            elif ts == MAX_TIMESTAMP and v >= 7:
+                # KIP-734: the offset of the record with the highest
+                # timestamp (ties → the later offset, matching Kafka)
+                best = None
+                for rec in log.read(name, partition, log.log_start(name, partition), hw):
+                    if best is None or rec.timestamp_ms >= best.timestamp_ms:
+                        best = rec
+                if best is None:
+                    parts.append((partition, wire.ERR_NONE, -1, [], max_n))
+                else:
+                    parts.append(
+                        (partition, wire.ERR_NONE, best.timestamp_ms, [best.offset], max_n)
+                    )
             else:
                 hit = next(
                     (rec for rec in log.read(name, partition, 0, hw) if rec.timestamp_ms >= ts),
@@ -133,15 +156,19 @@ def handle_list_offsets(log: WireLog, payload: bytes) -> bytes:
                     parts.append(
                         (partition, wire.ERR_NONE, hit.timestamp_ms, [hit.offset], max_n)
                     )
+        if flex:
+            r.tagged_fields()
         results.append((name, parts))
     w = wire.Writer()
     w.int32(h.correlation_id)
+    if flex:
+        w.empty_tagged_fields()  # response header v1
     if v >= 2:
         w.int32(0)  # throttle_time_ms
-    w.int32(len(results))
+    w.compact_array_len(len(results)) if flex else w.int32(len(results))
     for name, parts in results:
-        w.nullable_string(name)
-        w.int32(len(parts))
+        w.compact_string(name) if flex else w.nullable_string(name)
+        w.compact_array_len(len(parts)) if flex else w.int32(len(parts))
         for partition, err, ts, offsets, max_n in parts:
             w.int32(partition).int16(err)
             if v == 0:
@@ -155,6 +182,12 @@ def handle_list_offsets(log: WireLog, payload: bytes) -> bytes:
                 w.int64(offsets[0] if offsets else -1)
                 if v >= 4:
                     w.int32(0)  # leader_epoch
+                if flex:
+                    w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()
     return w.bytes()
 
 

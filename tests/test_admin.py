@@ -310,3 +310,76 @@ def test_describe_cluster_v0():
     assert r.compact_string() is None  # rack
     r.tagged_fields()
     assert r.int32() == -2147483648
+
+
+# ------------------------------------------------ ListOffsets v6/v7
+
+
+def _list_offsets_modern(version, topic, partition, ts, corr=95):
+    w = wire.Writer()
+    w.int16(wire.LIST_OFFSETS_KEY).int16(version).int32(corr)
+    w.nullable_string("pytest")
+    w.empty_tagged_fields()  # flexible header (v6+)
+    w.int32(-1)  # replica_id
+    w.int8(0)  # isolation_level
+    w.compact_array_len(1)
+    w.compact_string(topic)
+    w.compact_array_len(1)
+    w.int32(partition).int32(-1).int64(ts)
+    w.empty_tagged_fields()  # partition
+    w.empty_tagged_fields()  # topic
+    w.empty_tagged_fields()  # body
+    return w.bytes()
+
+
+def _parse_list_offsets_modern(resp):
+    r = wire.Reader(resp)
+    corr = r.int32()
+    r.tagged_fields()
+    r.int32()  # throttle
+    assert r.compact_array_len() == 1
+    name = r.compact_string()
+    assert r.compact_array_len() == 1
+    p = r.int32()
+    err = r.int16()
+    ts = r.int64()
+    off = r.int64()
+    r.int32()  # leader_epoch
+    return corr, name, p, err, ts, off
+
+
+def _txn_free_log_with_records():
+    from kcore_spark.protocol.broker import WireLog
+    from kcore_spark.protocol.records import Record
+    from kcore_spark.protocol.server import KafkaFrontend
+
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("lo", 1)
+    fe.wire_log.append(
+        "lo",
+        0,
+        [
+            Record(b"a", b"1", 1000),
+            Record(b"b", b"2", 5000),  # the max-timestamp record
+            Record(b"c", b"3", 3000),
+        ],
+    )
+    return fe
+
+
+def test_list_offsets_v6_flexible_latest():
+    fe = _txn_free_log_with_records()
+    corr, name, p, err, ts, off = _parse_list_offsets_modern(
+        fe.handle_request(_list_offsets_modern(6, "lo", 0, -1))
+    )
+    assert (corr, name, p, err) == (95, "lo", 0, wire.ERR_NONE)
+    assert off == 3  # log-end offset
+
+
+def test_list_offsets_v7_max_timestamp():
+    fe = _txn_free_log_with_records()
+    corr, name, p, err, ts, off = _parse_list_offsets_modern(
+        fe.handle_request(_list_offsets_modern(7, "lo", 0, -3))
+    )
+    assert err == wire.ERR_NONE
+    assert ts == 5000 and off == 1  # the record with the highest timestamp
