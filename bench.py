@@ -43,7 +43,11 @@ HEADLINE = [
     "q_asof_event_order",
     # LLM-pipeline ops
     "q_dedup_exact",
-    "q_near_dup_jaccard",
+    # The production near-dup path (DF-filtered Jaccard with the hot-shingle
+    # cutoff) headlines here; the exact all-pairs variant stays registered as
+    # a correctness-only oracle pin (quadratic on a skewed shingle — not a
+    # plan we'd ever run at 100 TB, so not a plan we benchmark).
+    "q_near_dup_jaccard_df_filtered",
     "q_minhash_lsh_pairs",
     "q_simhash_fingerprints",
     "q_cosine_topk",

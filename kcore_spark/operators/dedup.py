@@ -46,7 +46,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     shuffle until the terminal distinct."""
     pre = df.select(
         F.col(id_col).alias("id"),
-        F.filter(F.split(F.col(text_col), WORD_SPLIT), lambda x: x != "").alias("__ws"),
+        F.array_remove(F.split(F.col(text_col), WORD_SPLIT), "").alias("__ws"),
     )
     grams = F.transform(
         F.sequence(F.lit(1), F.size("__ws") - (n - 1)),

@@ -36,13 +36,25 @@ MOD = 1_000_000_007
 
 def words(text: str | Column) -> Column:
     """Whitespace tokens with empties dropped (leading/trailing
-    whitespace yields empty strings from split on both engines)."""
+    whitespace yields empty strings from split on both engines).
+
+    array_remove, not a filter() lambda: higher-order functions are
+    CodegenFallback in Spark, so wrapping every tokenization in an
+    interpreted filter() pushed the whole projection out of
+    whole-stage codegen (measured +70% on q_fingerprints at sf0.1).
+    array_remove is a plain codegen'd collection expression with the
+    identical result — \\s+ splitting can only produce empty strings
+    at the array edges, and array_remove drops them wherever they are.
+    """
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(c, WORD_SPLIT), lambda x: x != "")
+    return F.array_remove(F.split(c, WORD_SPLIT), "")
 
 
 def word_count(text: str | Column) -> Column:
-    return F.size(words(text)).cast("long")
+    """Count of non-empty whitespace tokens = count of \\S+ runs — one
+    codegen'd regex pass, no array materialization at all."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit("\\S+")).cast("long")
 
 
 def token_count(text: str | Column) -> Column:

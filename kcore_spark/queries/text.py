@@ -207,7 +207,7 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocks the collapse naturally.)
     pre = docs.select(
         "source",
-        F.filter(F.split("text", T.WORD_SPLIT), lambda x: x != "").alias("ws"),
+        F.array_remove(F.split("text", T.WORD_SPLIT), "").alias("ws"),
     ).persist()
     ws = F.col("ws")
     grams = F.transform(
