@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from kcore_spark.caching import release_transients
 from kcore_spark.queries import all_queries
 from kcore_spark.session import get_spark
 
@@ -78,6 +79,11 @@ def main() -> None:
         df = qs[name].spark(spark, sf_dir)
         df.collect()
         timings[name] = round(time.time() - t0, 3)
+        # per-query persisted intermediates have served their purpose
+        # once the collect returns; releasing them keeps executor
+        # storage flat across the run (the session-scoped shingle
+        # table is exempt — it is shared by the dedup family)
+        release_transients()
     total = round(sum(timings.values()), 3)
     # Streaming cold numbers include one-off checkpoint creation +
     # source discovery; a same-JVM second run isolates the operator

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kcore_spark.caching import transient_persist
 from kcore_spark.operators.text import WORD_SPLIT
 
 NUM_HASHES = 6
@@ -153,8 +154,11 @@ def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame, min_jaccard: float)
     )
     shc = shingles.join(F.broadcast(cand_ids), "id", "left_semi")
     # persisted: the packed sets feed BOTH join branches (id1, id2);
-    # unpersisted each branch re-runs the semi-join + aggregation
-    sets = shc.groupBy("id").agg(F.collect_set("shingle").alias("shset")).persist()
+    # unpersisted each branch re-runs the semi-join + aggregation.
+    # Registered as a transient so the harness releases it post-action.
+    sets = transient_persist(
+        shc.groupBy("id").agg(F.collect_set("shingle").alias("shset"))
+    )
     jac = (
         pairs.join(
             sets.select(F.col("id").alias("id1"), F.col("shset").alias("s1")), "id1"

@@ -66,24 +66,36 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
     )
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long")).localCheckpoint()
     base = (scale * 15) // 100
-    for _ in range(iterations):
-        contribs = (
-            ewd.join(ranks, ewd.src == ranks.id)
-            .select("dst", F.expr("rank div out_deg").alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("incoming"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes.id == contribs.dst, "left")
-            .select(
-                "id",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr("85 * coalesce(incoming, 0L) div 100")
-                ).alias("rank"),
+    try:
+        for _ in range(iterations):
+            contribs = (
+                ewd.join(ranks, ewd.src == ranks.id)
+                .select("dst", F.expr("rank div out_deg").alias("contrib"))
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("incoming"))
             )
-            .localCheckpoint()
-        )
+            ranks = (
+                nodes.join(contribs, nodes.id == contribs.dst, "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(base).cast("long")
+                        + F.expr("85 * coalesce(incoming, 0L) div 100")
+                    ).alias("rank"),
+                )
+                # eager by default — the final round's checkpoint doubles
+                # as the materialization barrier that makes it safe to
+                # unpersist the intermediates below before returning
+                .localCheckpoint()
+            )
+    finally:
+        # the returned ranks are fully materialized by the eager
+        # checkpoint, so the cached edge/degree/node tables can be
+        # released here — repeated invocations in a long-lived session
+        # otherwise accumulate cached partitions until eviction
+        # pressure slows every later cache-dependent query
+        for df in (e, ewd, nodes):
+            df.unpersist()
     return ranks
 
 
@@ -102,29 +114,34 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges_sym.join(labels, edges_sym.b == labels.id)
-            .groupBy("a")
-            .agg(F.min("component").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges_sym.join(labels, edges_sym.b == labels.id)
+                .groupBy("a")
+                .agg(F.min("component").alias("nmin"))
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        # labels are materialized by the eager checkpoint each round;
+        # the cached symmetric edge list is no longer needed
+        edges_sym.unpersist()
     return labels

@@ -124,9 +124,19 @@ def bm25_scores(
     the only heavy stage and it reads each document exactly once.
     Returns (id, dl, score_raw) — callers round/rank.
     """
-    from pyspark.sql import DataFrame  # local import keeps module header light
+    import re as _re
 
     assert query_terms, "need at least one query term"
+    # Terms are interpolated into regexp_count patterns on BOTH engines
+    # (Spark and the DuckDB oracle); a metacharacter ('c++', 'a.b')
+    # would silently mis-count or break the pattern, so restrict to
+    # word characters rather than attempting two dialects of quoting.
+    for t in query_terms:
+        if not _re.fullmatch(r"[A-Za-z0-9_]+", t):
+            raise ValueError(
+                f"bm25 query term {t!r} must match [A-Za-z0-9_]+ "
+                "(terms are embedded in regex patterns on both engines)"
+            )
     tf_cols = [
         F.regexp_count(F.col(text_col), F.lit(f"\\b{t}\\b")).cast("double").alias(f"tf_{i}")
         for i, t in enumerate(query_terms)

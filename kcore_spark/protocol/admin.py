@@ -134,10 +134,13 @@ def handle_list_offsets(log: WireLog, payload: bytes) -> bytes:
                 parts.append((partition, wire.ERR_NONE, -1, [hw], max_n))
             elif ts == MAX_TIMESTAMP and v >= 7:
                 # KIP-734: the offset of the record with the highest
-                # timestamp (ties → the later offset, matching Kafka)
+                # timestamp. On ties Kafka keeps the FIRST record that
+                # achieves the max (UnifiedLog tracks maxTimestampSoFar
+                # and only updates on a strictly greater value), so the
+                # comparison must be strict.
                 best = None
                 for rec in log.read(name, partition, log.log_start(name, partition), hw):
-                    if best is None or rec.timestamp_ms >= best.timestamp_ms:
+                    if best is None or rec.timestamp_ms > best.timestamp_ms:
                         best = rec
                 if best is None:
                     parts.append((partition, wire.ERR_NONE, -1, [], max_n))

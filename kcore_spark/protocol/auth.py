@@ -25,6 +25,7 @@ stay out of scope (SCALE.md "Replication & durability" note).
 
 from __future__ import annotations
 
+import hmac
 from dataclasses import dataclass
 
 from kcore_spark.protocol import wire
@@ -80,7 +81,10 @@ def check_plain(credentials: dict[str, str], token: bytes, state: SaslState) -> 
     except (ValueError, UnicodeDecodeError):
         state.failed = True
         return ERR_SASL_AUTHENTICATION_FAILED, "malformed PLAIN token"
-    if credentials.get(user) != passwd:
+    # Constant-time compare (and a dummy digest for unknown users) so
+    # response timing leaks neither password prefixes nor user existence.
+    expected = credentials.get(user, "\x00<no-such-user>")
+    if not hmac.compare_digest(expected.encode("utf-8"), passwd.encode("utf-8")):
         state.failed = True
         return ERR_SASL_AUTHENTICATION_FAILED, "invalid credentials"
     state.authenticated = True
@@ -101,8 +105,13 @@ def handle_sasl_handshake(state: SaslState, payload: bytes) -> bytes:
         state.expect_raw_token = h.api_version == 0
         w.int16(wire.ERR_NONE)
     elif state.authenticated:
+        # Real brokers deliver the handshake error and then close the
+        # connection — without this an attacker gets unlimited retries
+        # on a single pre-auth connection.
+        state.failed = True
         w.int16(ERR_ILLEGAL_SASL_STATE)
     else:
+        state.failed = True
         w.int16(ERR_UNSUPPORTED_SASL_MECHANISM)
     w.int32(len(MECHANISMS))
     for m in MECHANISMS:

@@ -48,8 +48,19 @@ class GroupMembership:
     protocol_type: str = ""
     assignments: dict[str, bytes] = field(default_factory=dict)
     next_member_seq: int = 0
-    # ids handed out by the v4+ MEMBER_ID_REQUIRED dance, awaiting rejoin
-    pending: set[str] = field(default_factory=set)
+    # ids handed out by the v4+ MEMBER_ID_REQUIRED dance, awaiting
+    # rejoin. Insertion-ordered dict-as-set so the oldest id can be
+    # expired: a client that keeps retrying with an EMPTY member_id
+    # (or vanishes before rejoining) would otherwise grow this set
+    # forever. Kafka expires these by session timeout; with no timer
+    # wheel here, a FIFO cap bounds the same leak.
+    pending: dict[str, None] = field(default_factory=dict)
+
+
+# Max un-rejoined MEMBER_ID_REQUIRED ids remembered per group. Any real
+# client rejoins within one round-trip, so depth tracks concurrent
+# joiners, not history; 256 is far above any sane group fan-in.
+MAX_PENDING_MEMBERS = 256
 
 
 class Coordinator:
@@ -85,14 +96,16 @@ class Coordinator:
             # once instead of creating a duplicate member
             member_id = f"member-{g.next_member_seq}"
             g.next_member_seq += 1
-            g.pending.add(member_id)
+            g.pending[member_id] = None
+            while len(g.pending) > MAX_PENDING_MEMBERS:
+                g.pending.pop(next(iter(g.pending)))  # expire oldest
             return self._join_error(
                 h.correlation_id, ERR_MEMBER_ID_REQUIRED, v, member_id=member_id
             )
         if member_id and member_id not in g.members and member_id not in g.pending:
             return self._join_error(h.correlation_id, ERR_UNKNOWN_MEMBER_ID, v)
         if member_id in g.pending:
-            g.pending.discard(member_id)
+            g.pending.pop(member_id, None)
             g.members.append(member_id)
             g.generation += 1
             g.assignments.clear()

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kcore_spark.caching import transient_persist
 from kcore_spark.catalog import load_table
 from kcore_spark.operators.dedup import (
     jaccard_for_pairs,
@@ -115,8 +116,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy-of-6-md5-mins over the whole shingle table re-runs per
     # branch. Materializing signatures is also the production pattern
     # (stored sig table, reused across runs — see q_incremental_dedup).
-    sigs = minhash_signatures(sh, num_hashes=bands * rows).persist()
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows=rows).persist()
+    sigs = transient_persist(minhash_signatures(sh, num_hashes=bands * rows))
+    cands = transient_persist(lsh_candidate_pairs(sigs, bands=bands, rows=rows))
     verified = jaccard_for_pairs(cands, sh, min_jaccard=0.8)
     return verified.select("id1", "id2", "jaccard").orderBy("id1", "id2")
 
@@ -175,8 +176,8 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted for the same reason as q_minhash_lsh_pairs: each sig
     # table feeds one branch per band (3×) — and the corpus table is
     # exactly what a production deployment stores between runs
-    sigs_new = minhash_signatures(sh_new, num_hashes=bands * rows).persist()
-    sigs_corpus = minhash_signatures(sh_corpus, num_hashes=bands * rows).persist()
+    sigs_new = transient_persist(minhash_signatures(sh_new, num_hashes=bands * rows))
+    sigs_corpus = transient_persist(minhash_signatures(sh_corpus, num_hashes=bands * rows))
     cands = lsh_candidate_pairs_between(sigs_new, sigs_corpus, bands, rows)
     verified = jaccard_for_pairs(
         cands.select(F.col("new_id").alias("id1"), F.col("corpus_id").alias("id2")),
@@ -236,7 +237,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcore_spark.operators.dedup import simhash_near_dup
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = simhash(docs, "doc_id", "text", bits=32).persist()
+    fp = transient_persist(simhash(docs, "doc_id", "text", bits=32))
     return simhash_near_dup(fp, max_hamming=3).orderBy("id1", "id2")
 
 

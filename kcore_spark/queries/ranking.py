@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kcore_spark.caching import transient_persist
 from kcore_spark.catalog import load_table
 from kcore_spark.operators.graph import pagerank_fixed_point
 from kcore_spark.operators.similarity import quantize_int8
@@ -201,12 +202,11 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    edges = (
+    edges = transient_persist(  # three join branches below
         cs.alias("a")
         .join(cs.alias("b"), (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
         .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
         .distinct()
-        .persist()  # three join branches below
     )
     tri = (
         edges.alias("e1")

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kcore_spark.caching import transient_persist
 from kcore_spark.catalog import load_table
 from kcore_spark.operators import text as T
 from kcore_spark.queries import QuerySpec
@@ -208,7 +209,8 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = docs.select(
         "source",
         F.array_remove(F.split("text", T.WORD_SPLIT), "").alias("ws"),
-    ).persist()
+    )
+    pre = transient_persist(pre)
     ws = F.col("ws")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(0))),

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kcore_spark.caching import transient_persist
 from kcore_spark.catalog import load_table
 from kcore_spark.operators.relational import money, qty, rate
 from kcore_spark.queries import QuerySpec
@@ -128,11 +129,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
     nation_sup = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey, "left_semi")
     val = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
-    per_part = (
+    per_part = transient_persist(  # feeds both the threshold aggregate and the filter
         li.join(F.broadcast(nation_sup), li.l_suppkey == nation_sup.s_suppkey, "left_semi")
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(val).alias("value_dec"))
-        .persist()  # feeds both the threshold aggregate and the filter
     )
     total = per_part.agg((F.sum("value_dec").cast("double") * 0.001).alias("threshold"))
     return (

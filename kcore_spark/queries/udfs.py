@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from kcore_spark.caching import transient_persist
 from kcore_spark.catalog import load_table
 from kcore_spark.operators.multimodal import attach_payloads, extract_features
 from kcore_spark.queries import QuerySpec
@@ -165,7 +166,7 @@ def q_multimodal_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(body)
     )
     head = F.substring(F.col("payload"), 1, 4)
-    media = (
+    media = transient_persist(  # three routed branches + the stats rollup read it
         docs.select("doc_id", payload.alias("payload"))
         .withColumn(
             "modality",
@@ -173,7 +174,6 @@ def q_multimodal_router(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(head == F.lit(b"RIFF"), "audio")
             .otherwise("text"),
         )
-        .persist()  # three routed branches + the stats rollup read it
     )
     base_stats = media.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_docs"),

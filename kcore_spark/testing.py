@@ -87,6 +87,11 @@ def compare(
 ) -> CompareResult:
     sp = spark_df.toPandas()
     du = con.sql(oracle_sql).df()
+    # the Spark side has fully executed; drop any per-query persisted
+    # intermediates so a long test run keeps executor storage flat
+    from kcore_spark.caching import release_transients
+
+    release_transients()
     return CompareResult(
         name=name,
         rows_spark=len(sp),

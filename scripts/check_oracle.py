@@ -30,6 +30,9 @@ def main() -> int:
             df = spec.spark(spark, sf_dir)
             if spec.oracle is None:
                 n = df.count()
+                from kcore_spark.caching import release_transients
+
+                release_transients()
                 print(f"  rows-only {name}: {n} rows  [{time.time()-t0:.1f}s]")
                 continue
             res = compare(name, df, spec.oracle, con)

@@ -383,3 +383,24 @@ def test_list_offsets_v7_max_timestamp():
     )
     assert err == wire.ERR_NONE
     assert ts == 5000 and off == 1  # the record with the highest timestamp
+
+
+def test_list_offsets_v7_max_timestamp_tie_keeps_earliest():
+    """Kafka's UnifiedLog only advances maxTimestampSoFar on a STRICTLY
+    greater timestamp, so among equal max timestamps the FIRST record's
+    offset wins."""
+    from kcore_spark.protocol.records import Record
+    from kcore_spark.protocol.server import KafkaFrontend
+
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("lo", 1)
+    fe.wire_log.append(
+        "lo",
+        0,
+        [Record(b"a", b"1", 1000), Record(b"b", b"2", 5000), Record(b"c", b"3", 5000)],
+    )
+    _, _, _, err, ts, off = _parse_list_offsets_modern(
+        fe.handle_request(_list_offsets_modern(7, "lo", 0, -3))
+    )
+    assert err == wire.ERR_NONE
+    assert ts == 5000 and off == 1  # not 2: ties keep the earliest offset

@@ -84,8 +84,11 @@ def test_handshake_unknown_mechanism_lists_supported():
         auth.handle_sasl_handshake(st, _handshake_req(1, "SCRAM-SHA-256"))
     )
     assert err == auth.ERR_UNSUPPORTED_SASL_MECHANISM
-    assert mechs == ["PLAIN"]  # client can retry with one of these
+    assert mechs == ["PLAIN"]  # listed so the client's NEXT connection can use one
     assert st.mechanism is None
+    # the error is delivered and then the connection closes (real-broker
+    # behavior) — no unlimited pre-auth retries on one connection
+    assert st.failed
 
 
 def test_authenticate_success_and_wrong_password():

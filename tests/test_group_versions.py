@@ -403,6 +403,28 @@ def test_join_group_member_id_required_dance(fe, version):
     assert r.nullable_bytes() == b"\x00\x01"
 
 
+def test_pending_member_ids_are_capped(fe):
+    """A client that retries forever with an EMPTY member_id must not
+    grow the pending-id set unboundedly (each empty-id join allocates a
+    fresh id); the FIFO cap expires the oldest un-rejoined ids."""
+    from kcore_spark.protocol.coordinator import MAX_PENDING_MEMBERS
+
+    for i in range(MAX_PENDING_MEMBERS + 50):
+        fe.handle_request(_join_v45_payload(4, group="gcap", corr=100 + i))
+    g = fe.coordinator.groups["gcap"]
+    assert len(g.pending) == MAX_PENDING_MEMBERS
+    # the newest handed-out id is still honored...
+    newest = next(reversed(g.pending))
+    r = wire.Reader(fe.handle_request(_join_v45_payload(4, group="gcap", member=newest)))
+    r.int32(); r.int32()
+    assert r.int16() == wire.ERR_NONE
+    # ...while the oldest (expired) id is fenced as unknown
+    assert "member-0" not in g.pending
+    r = wire.Reader(fe.handle_request(_join_v45_payload(4, group="gcap", member="member-0")))
+    r.int32(); r.int32()
+    assert r.int16() == 25  # UNKNOWN_MEMBER_ID
+
+
 def test_leave_group_v3_batched(fe):
     # join two members the v2 way
     def join(corr):

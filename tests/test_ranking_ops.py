@@ -29,6 +29,17 @@ def test_bm25_orders_by_term_hits_and_zero_without(spark):
     assert got[1] > got[2] > 0.0
 
 
+def test_bm25_rejects_regex_metacharacter_terms(spark):
+    # terms are interpolated into regexp_count patterns on both engines;
+    # a metacharacter term must fail loudly, not silently mis-count
+    import pytest
+
+    docs = spark.createDataFrame([(1, "c plus plus")], "doc_id long, text string")
+    for bad in ("c++", "a.b", "x|y", ""):
+        with pytest.raises(ValueError):
+            bm25_scores(docs, (bad,))
+
+
 def test_bm25_length_normalization_prefers_shorter_doc():
     # same tf, different lengths: the shorter doc must score higher
     from kcore_spark.testing import shared_spark
