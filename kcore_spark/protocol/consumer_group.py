@@ -1,0 +1,274 @@
+"""KIP-848 next-generation consumer group protocol:
+ConsumerGroupHeartbeat (API key 68, v0, always flexible).
+
+The modern replacement for the classic JoinGroup/SyncGroup dance
+(coordinator.py): one heartbeat RPC carries join, subscription
+changes, assignment reconciliation, and leave. Kafka 4.x clients
+speak this first, so the reference's Consumer API roadmap row
+(`/root/reference/README.md:48`) maps here for modern clients.
+
+Epoch model (per the KIP):
+- The GROUP epoch bumps whenever membership or any member's
+  subscriptions change; each bump recomputes the server-side TARGET
+  assignment for every member.
+- Each MEMBER carries a member epoch = the group epoch whose target
+  it has fully reconciled to. A heartbeat with any other epoch than
+  the coordinator's record of that member is fenced
+  (FENCED_MEMBER_EPOCH) — the member must rejoin with epoch 0.
+- Reconciliation is INCREMENTAL: a member may not take ownership of a
+  partition until the previous owner has revoked it. The coordinator
+  therefore keeps per-member ``current`` (confirmed owned) sets; a
+  member whose current set contains partitions now targeted at
+  another member is first told to shrink (same epoch, reduced
+  assignment) and only advances to the new epoch once it reports (via
+  the request's topic_partitions field) that it no longer owns them.
+
+Single-broker simplifications, matching coordinator.py's stance: no
+session-timeout timer wheel (a member leaves via epoch -1/-2 or is
+replaced on id reuse), and the only server assignor is the uniform
+round-robin one ("uniform"; "range" accepted as an alias).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from kcore_spark.protocol import wire
+
+CONSUMER_GROUP_HEARTBEAT_KEY = 68
+
+ERR_INVALID_REQUEST = 42
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_FENCED_MEMBER_EPOCH = 110
+ERR_UNSUPPORTED_ASSIGNOR = 112
+
+HEARTBEAT_INTERVAL_MS = 3000
+SUPPORTED_ASSIGNORS = ("uniform", "range")
+
+# member_epoch sentinels in the request (per the KIP)
+LEAVE_EPOCH = -1
+STATIC_LEAVE_EPOCH = -2
+
+
+@dataclass
+class MemberState:
+    member_epoch: int = 0
+    subscriptions: tuple[str, ...] = ()
+    instance_id: str | None = None
+    rebalance_timeout_ms: int = 30000
+    # partition ownership, topic → sorted tuple of partition ids
+    current: dict[str, tuple[int, ...]] = field(default_factory=dict)
+    target: dict[str, tuple[int, ...]] = field(default_factory=dict)
+
+
+@dataclass
+class ConsumerGroup:
+    group_epoch: int = 0
+    members: dict[str, MemberState] = field(default_factory=dict)
+    next_member_seq: int = 0
+
+
+class ConsumerGroupCoordinator:
+    def __init__(self, topic_partitions=None) -> None:
+        """``topic_partitions``: zero-arg callable returning the
+        current {topic: partition_count} catalog (same contract as
+        coordinator.Coordinator)."""
+        self.groups: dict[str, ConsumerGroup] = {}
+        self._topic_partitions = topic_partitions or (lambda: {})
+
+    # ------------------------------------------------ target assignment
+
+    def _recompute_targets(self, g: ConsumerGroup) -> None:
+        """Uniform server-side assignor: for every topic, the
+        subscribed members (sorted by id for determinism) receive the
+        topic's partitions round-robin. O(members + partitions); runs
+        once per group-epoch bump, never per heartbeat."""
+        catalog = self._topic_partitions()
+        for m in g.members.values():
+            m.target = {}
+        for topic in sorted(catalog):
+            n_parts = catalog[topic]
+            subscribers = sorted(
+                mid for mid, m in g.members.items() if topic in m.subscriptions
+            )
+            if not subscribers:
+                continue
+            per: dict[str, list[int]] = {mid: [] for mid in subscribers}
+            for p in range(n_parts):
+                per[subscribers[p % len(subscribers)]].append(p)
+            for mid, parts in per.items():
+                if parts:
+                    g.members[mid].target[topic] = tuple(parts)
+
+    @staticmethod
+    def _owned_elsewhere(g: ConsumerGroup, mid: str) -> set[tuple[str, int]]:
+        """(topic, partition) pairs targeted at OTHER members — the set
+        this member must revoke before it can advance epochs."""
+        taken: set[tuple[str, int]] = set()
+        for other_id, other in g.members.items():
+            if other_id == mid:
+                continue
+            for topic, parts in other.target.items():
+                taken.update((topic, p) for p in parts)
+        return taken
+
+    # ------------------------------------------------ wire handler
+
+    def handle_heartbeat(self, payload: bytes) -> bytes:
+        r = wire.Reader(payload)
+        h = wire.decode_request_header(r, flexible=True)
+        group_id = r.compact_string() or ""
+        member_id = r.compact_string() or ""
+        member_epoch = r.int32()
+        instance_id = r.compact_string()
+        r.compact_string()  # rack_id (no rack-aware assignment)
+        rebalance_timeout_ms = r.int32()
+        n_subs = r.compact_array_len()
+        subscriptions: tuple[str, ...] | None = None
+        if n_subs >= 0:
+            subscriptions = tuple(r.compact_string() or "" for _ in range(n_subs))
+        server_assignor = r.compact_string()
+        n_owned = r.compact_array_len()
+        owned: dict[str, tuple[int, ...]] | None = None
+        if n_owned >= 0:
+            owned = {}
+            by_id = {wire.topic_uuid(t): t for t in self._topic_partitions()}
+            for _ in range(n_owned):
+                tid = r.uuid()
+                parts = tuple(r.int32() for _ in range(max(r.compact_array_len(), 0)))
+                r.tagged_fields()
+                name = by_id.get(tid)
+                if name is not None:
+                    owned[name] = tuple(sorted(parts))
+        r.tagged_fields()
+
+        if server_assignor is not None and server_assignor not in SUPPORTED_ASSIGNORS:
+            return self._error(
+                h.correlation_id,
+                ERR_UNSUPPORTED_ASSIGNOR,
+                f"assignor {server_assignor!r} not supported",
+            )
+
+        g = self.groups.setdefault(group_id, ConsumerGroup())
+
+        # ---- leave (epoch -1 dynamic, -2 static)
+        if member_epoch in (LEAVE_EPOCH, STATIC_LEAVE_EPOCH):
+            if member_id in g.members:
+                del g.members[member_id]
+                g.group_epoch += 1
+                self._recompute_targets(g)
+            return self._ok(h.correlation_id, member_id, member_epoch, None)
+
+        if member_epoch < 0:
+            return self._error(h.correlation_id, ERR_INVALID_REQUEST, "bad member epoch")
+
+        # ---- join (epoch 0): new member, or a known member rejoining
+        if member_epoch == 0:
+            if not member_id:
+                member_id = f"cg-member-{g.next_member_seq}"
+                g.next_member_seq += 1
+            m = MemberState(
+                subscriptions=subscriptions or (),
+                instance_id=instance_id,
+                rebalance_timeout_ms=rebalance_timeout_ms,
+            )
+            # a rejoin with an existing id keeps confirmed ownership
+            # (the member is re-reconciled, not restarted)
+            if member_id in g.members:
+                m.current = g.members[member_id].current
+            g.members[member_id] = m
+            g.group_epoch += 1
+            self._recompute_targets(g)
+            return self._reconcile(h.correlation_id, g, member_id, joined=True)
+
+        # ---- steady state
+        m = g.members.get(member_id)
+        if m is None:
+            return self._error(h.correlation_id, ERR_UNKNOWN_MEMBER_ID, "unknown member")
+        if member_epoch != m.member_epoch:
+            return self._error(
+                h.correlation_id, ERR_FENCED_MEMBER_EPOCH, "fenced member epoch"
+            )
+        if subscriptions is not None and subscriptions != m.subscriptions:
+            m.subscriptions = subscriptions
+            g.group_epoch += 1
+            self._recompute_targets(g)
+        if owned is not None:
+            # the member's report of what it still owns drives the
+            # revocation half of reconciliation
+            m.current = owned
+        return self._reconcile(h.correlation_id, g, member_id, joined=False)
+
+    # ------------------------------------------------ reconciliation
+
+    def _reconcile(self, corr: int, g: ConsumerGroup, mid: str, joined: bool) -> bytes:
+        m = g.members[mid]
+        if m.member_epoch == g.group_epoch and not joined:
+            # fully reconciled: heartbeat-only, assignment omitted
+            return self._ok(corr, mid, m.member_epoch, None)
+        taken = self._owned_elsewhere(g, mid)
+        still_revoking = {
+            (t, p) for t, parts in m.current.items() for p in parts
+        } & taken
+        if still_revoking:
+            # shrink first, same epoch: everything currently owned
+            # minus what other members' targets claim
+            reduced = {
+                t: tuple(p for p in parts if (t, p) not in taken)
+                for t, parts in m.current.items()
+            }
+            reduced = {t: ps for t, ps in reduced.items() if ps}
+            return self._ok(corr, mid, m.member_epoch, reduced)
+        # nothing pending revocation → advance to the group epoch and
+        # hand over the full target
+        m.member_epoch = g.group_epoch
+        m.current = dict(m.target)
+        return self._ok(corr, mid, m.member_epoch, m.target)
+
+    # ------------------------------------------------ encoding
+
+    def _ok(
+        self,
+        corr: int,
+        member_id: str,
+        member_epoch: int,
+        assignment: dict[str, tuple[int, ...]] | None,
+    ) -> bytes:
+        w = wire.Writer()
+        w.int32(corr)
+        w.empty_tagged_fields()  # response header v1
+        w.int32(0)  # throttle_time_ms
+        w.int16(wire.ERR_NONE)
+        w.compact_string(None)  # error_message
+        w.compact_string(member_id)
+        w.int32(member_epoch)
+        w.int32(HEARTBEAT_INTERVAL_MS)
+        if assignment is None:
+            w.int8(-1)  # nullable struct: unchanged
+        else:
+            w.int8(1)
+            w.compact_array_len(len(assignment))
+            for topic in sorted(assignment):
+                w.uuid(wire.topic_uuid(topic))
+                parts = assignment[topic]
+                w.compact_array_len(len(parts))
+                for p in parts:
+                    w.int32(p)
+                w.empty_tagged_fields()
+            w.empty_tagged_fields()  # assignment struct
+        w.empty_tagged_fields()
+        return w.bytes()
+
+    def _error(self, corr: int, err: int, msg: str) -> bytes:
+        w = wire.Writer()
+        w.int32(corr)
+        w.empty_tagged_fields()
+        w.int32(0)
+        w.int16(err)
+        w.compact_string(msg)
+        w.compact_string(None)  # member_id
+        w.int32(0)
+        w.int32(HEARTBEAT_INTERVAL_MS)
+        w.int8(-1)  # assignment null
+        w.empty_tagged_fields()
+        return w.bytes()

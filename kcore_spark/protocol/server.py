@@ -49,8 +49,15 @@ class KafkaFrontend:
         self.wire_log = wire_log if wire_log is not None else WireLog()
         from kcore_spark.protocol.coordinator import Coordinator
 
+        from kcore_spark.protocol.consumer_group import ConsumerGroupCoordinator
+
         self.group_store = GroupStore()
         self.coordinator = Coordinator(topic_partitions=self._catalog_partitions)
+        # KIP-848 next-gen groups live beside the classic coordinator —
+        # real brokers likewise run both protocols during migration
+        self.consumer_groups = ConsumerGroupCoordinator(
+            topic_partitions=self._catalog_partitions
+        )
         # credentials != None turns SASL/PLAIN enforcement on: every
         # connection must complete a handshake+authenticate before any
         # API other than ApiVersions/SaslHandshake/SaslAuthenticate
@@ -185,6 +192,8 @@ class KafkaFrontend:
             return self.coordinator.handle_heartbeat(payload)
         if api_key == wire.LEAVE_GROUP_KEY and api_version <= 3:
             return self.coordinator.handle_leave_group(payload)
+        if api_key == wire.CONSUMER_GROUP_HEARTBEAT_KEY and api_version == 0:
+            return self.consumer_groups.handle_heartbeat(payload)
         if api_key == wire.LIST_GROUPS_KEY and api_version == 0:
             return self.coordinator.handle_list_groups(payload)
         if api_key == wire.DESCRIBE_GROUPS_KEY and api_version == 0:

@@ -52,6 +52,7 @@ OFFSET_DELETE_KEY = 47
 DESCRIBE_CLUSTER_KEY = 60
 DESCRIBE_TRANSACTIONS_KEY = 65
 LIST_TRANSACTIONS_KEY = 66
+CONSUMER_GROUP_HEARTBEAT_KEY = 68  # KIP-848 next-gen consumer protocol
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
@@ -89,6 +90,7 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (DESCRIBE_CLUSTER_KEY, 0, 0),
     (DESCRIBE_TRANSACTIONS_KEY, 0, 0),
     (LIST_TRANSACTIONS_KEY, 0, 0),
+    (CONSUMER_GROUP_HEARTBEAT_KEY, 0, 0),
     (API_VERSIONS_KEY, 0, 3),
 )
 
@@ -265,6 +267,8 @@ def is_flexible_request(api_key: int, api_version: int) -> bool:
         return api_version >= 9
     if api_key == FETCH_KEY:
         return api_version >= 12
+    if api_key == CONSUMER_GROUP_HEARTBEAT_KEY:
+        return True  # flexible from v0 (KIP-848 APIs are born flexible)
     return False
 
 

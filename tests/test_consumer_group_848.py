@@ -1,0 +1,185 @@
+"""KIP-848 ConsumerGroupHeartbeat (key 68): join, incremental
+reconciliation with revocation, epoch fencing, subscription change,
+leave, and the error paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from kcore_spark.protocol import wire
+from kcore_spark.protocol.consumer_group import (
+    ERR_FENCED_MEMBER_EPOCH,
+    ERR_UNKNOWN_MEMBER_ID,
+    ERR_UNSUPPORTED_ASSIGNOR,
+    HEARTBEAT_INTERVAL_MS,
+)
+from kcore_spark.protocol.server import KafkaFrontend
+
+
+@pytest.fixture
+def fe():
+    f = KafkaFrontend()
+    f.wire_log.create_topic("ta", 4)
+    f.wire_log.create_topic("tb", 2)
+    return f
+
+
+def _hb_req(
+    group="g848",
+    member="",
+    epoch=0,
+    subs=("ta",),
+    owned=None,
+    assignor=None,
+    corr=70,
+):
+    w = wire.Writer()
+    w.int16(wire.CONSUMER_GROUP_HEARTBEAT_KEY).int16(0).int32(corr)
+    w.nullable_string("cli")
+    w.empty_tagged_fields()  # header v2
+    w.compact_string(group)
+    w.compact_string(member)
+    w.int32(epoch)
+    w.compact_string(None)  # instance_id
+    w.compact_string(None)  # rack_id
+    w.int32(30000)  # rebalance_timeout_ms
+    if subs is None:
+        w.compact_array_len(-1)
+    else:
+        w.compact_array_len(len(subs))
+        for s in subs:
+            w.compact_string(s)
+    w.compact_string(assignor)
+    if owned is None:
+        w.compact_array_len(-1)
+    else:
+        w.compact_array_len(len(owned))
+        for topic, parts in owned.items():
+            w.uuid(wire.topic_uuid(topic))
+            w.compact_array_len(len(parts))
+            for p in parts:
+                w.int32(p)
+            w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+def _parse_hb(resp, catalog=("ta", "tb")):
+    r = wire.Reader(resp)
+    corr = r.int32()
+    r.tagged_fields()
+    r.int32()  # throttle
+    err = r.int16()
+    msg = r.compact_string()
+    member = r.compact_string()
+    epoch = r.int32()
+    interval = r.int32()
+    tag = r.int8()
+    assignment = None
+    if tag == 1:
+        by_id = {wire.topic_uuid(t): t for t in catalog}
+        assignment = {}
+        for _ in range(r.compact_array_len()):
+            tid = r.uuid()
+            parts = tuple(r.int32() for _ in range(r.compact_array_len()))
+            r.tagged_fields()
+            assignment[by_id[tid]] = parts
+        r.tagged_fields()
+    r.tagged_fields()
+    return corr, err, msg, member, epoch, interval, assignment
+
+
+def test_join_gets_id_epoch_and_full_assignment(fe):
+    corr, err, _, member, epoch, interval, asg = _parse_hb(
+        fe.handle_request(_hb_req())
+    )
+    assert (corr, err) == (70, wire.ERR_NONE)
+    assert member and member.startswith("cg-member-")
+    assert epoch == 1 and interval == HEARTBEAT_INTERVAL_MS
+    assert asg == {"ta": (0, 1, 2, 3)}  # sole subscriber owns every partition
+
+
+def test_steady_state_heartbeat_omits_assignment(fe):
+    _, _, _, member, epoch, _, _ = _parse_hb(fe.handle_request(_hb_req()))
+    _, err, _, _, epoch2, _, asg = _parse_hb(
+        fe.handle_request(_hb_req(member=member, epoch=epoch, subs=None))
+    )
+    assert err == wire.ERR_NONE and epoch2 == epoch
+    assert asg is None  # unchanged → null assignment
+
+
+def test_second_join_triggers_incremental_revocation(fe):
+    # m1 joins and owns all 4 partitions of ta
+    _, _, _, m1, e1, _, a1 = _parse_hb(fe.handle_request(_hb_req()))
+    assert a1 == {"ta": (0, 1, 2, 3)}
+    # m2 joins: target splits ta two ways, but m1 still owns everything,
+    # so m2 must NOT be handed m1's partitions yet — it gets only what
+    # is free (nothing), at the new epoch once nothing pends revocation
+    _, _, _, m2, e2, _, a2 = _parse_hb(fe.handle_request(_hb_req(corr=71)))
+    assert e2 == 2
+    assert a2 is not None and all(
+        p in ((0, 2), (1, 3)) for p in a2.values()
+    ) or a2 == {}
+    # m1 heartbeats at its old epoch, reporting it still owns 0-3:
+    # the coordinator answers with the SHRUNK set at the SAME epoch
+    _, err, _, _, e1b, _, a1b = _parse_hb(
+        fe.handle_request(
+            _hb_req(member=m1, epoch=e1, subs=None, owned={"ta": (0, 1, 2, 3)})
+        )
+    )
+    assert err == wire.ERR_NONE
+    assert e1b == e1  # not yet advanced — revocation pending
+    assert a1b is not None and len(a1b.get("ta", ())) == 2  # reduced
+    # m1 confirms the revocation by reporting the reduced ownership →
+    # advances to the group epoch with its final target
+    _, err, _, _, e1c, _, a1c = _parse_hb(
+        fe.handle_request(_hb_req(member=m1, epoch=e1, subs=None, owned=a1b))
+    )
+    assert err == wire.ERR_NONE and e1c == 2
+    assert a1c is not None and len(a1c["ta"]) == 2
+
+
+def test_fenced_epoch_and_unknown_member(fe):
+    _, _, _, member, epoch, _, _ = _parse_hb(fe.handle_request(_hb_req()))
+    _, err, *_ = _parse_hb(
+        fe.handle_request(_hb_req(member=member, epoch=epoch + 7, subs=None))
+    )
+    assert err == ERR_FENCED_MEMBER_EPOCH
+    _, err2, *_ = _parse_hb(fe.handle_request(_hb_req(member="ghost", epoch=1, subs=None)))
+    assert err2 == ERR_UNKNOWN_MEMBER_ID
+
+
+def test_subscription_change_bumps_group_epoch(fe):
+    _, _, _, member, epoch, _, _ = _parse_hb(fe.handle_request(_hb_req()))
+    _, err, _, _, epoch2, _, asg = _parse_hb(
+        fe.handle_request(_hb_req(member=member, epoch=epoch, subs=("ta", "tb")))
+    )
+    assert err == wire.ERR_NONE and epoch2 == epoch + 1
+    assert asg == {"ta": (0, 1, 2, 3), "tb": (0, 1)}
+
+
+def test_leave_removes_member_and_frees_partitions(fe):
+    _, _, _, m1, e1, _, _ = _parse_hb(fe.handle_request(_hb_req()))
+    _, _, _, m2, e2, _, _ = _parse_hb(fe.handle_request(_hb_req(corr=71)))
+    _, err, _, _, epoch, _, _ = _parse_hb(
+        fe.handle_request(_hb_req(member=m1, epoch=-1, subs=None))
+    )
+    assert err == wire.ERR_NONE and epoch == -1
+    g = fe.consumer_groups.groups["g848"]
+    assert m1 not in g.members and m2 in g.members
+    # m2 reconciles to the whole topic now that m1's claim is gone
+    _, _, _, _, e2b, _, a2 = _parse_hb(
+        fe.handle_request(_hb_req(member=m2, epoch=e2, subs=None, owned={}))
+    )
+    assert a2 == {"ta": (0, 1, 2, 3)}
+
+
+def test_unsupported_assignor_rejected(fe):
+    _, err, msg, *_ = _parse_hb(fe.handle_request(_hb_req(assignor="sticky-v9")))
+    assert err == ERR_UNSUPPORTED_ASSIGNOR
+    assert msg and "sticky-v9" in msg
+
+
+def test_advertised_in_api_versions(fe):
+    ranges = {k: (lo, hi) for k, lo, hi in wire.SUPPORTED_APIS}
+    assert ranges[wire.CONSUMER_GROUP_HEARTBEAT_KEY] == (0, 0)
