@@ -180,6 +180,10 @@ def q_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="o_orderdate",
         right_vals=["o_orderkey", "o_totalprice"],
         tiebreak="o_orderkey",
+        # profiled shape: pair blow-up ratio 1.2 (purchases × a user's
+        # orders) — the range join runs 2.8× faster than union-window
+        # here, and declaring it skips the auto probe's two jobs
+        strategy="range",
     )
     return out.select("event_id", "user_id", "o_orderkey", "o_totalprice").orderBy("event_id")
 

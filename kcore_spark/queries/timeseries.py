@@ -138,6 +138,11 @@ def q_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_vals=["obs_value"],
         tiebreak="event_id",
+        # profiled shape: pair blow-up ratio ~48 (169 grid points × a
+        # user's events) — range would pay the quadratic fan-out, the
+        # union-window single sort is 2× faster; declared to skip the
+        # auto probe
+        strategy="union_window",
     )
     return filled.select(
         F.col("u").alias("user_id"),
