@@ -200,19 +200,28 @@ ERR_OFFSET_OUT_OF_RANGE = wire.ERR_OFFSET_OUT_OF_RANGE
 
 
 def handle_delete_records(log: WireLog, payload: bytes) -> bytes:
-    """DeleteRecords (API key 21, v0-v1 — identical non-flexible
-    layouts): advance each partition's log start offset; offset -1
-    means "up to the high watermark". The response reports the new
-    low watermark per partition."""
+    """DeleteRecords (API key 21, v0-v2): advance each partition's log
+    start offset; offset -1 means "up to the high watermark". The
+    response reports the new low watermark per partition. v0/v1 are
+    identical rigid layouts; v2 is the flexible (compact/tagged)
+    re-encoding of the same fields."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 2
     r = wire.Reader(payload)
-    h = wire.decode_request_header(r, flexible=False)
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
     results = []
-    for _ in range(r.int32()):
-        name = r.nullable_string()
+    for _ in range(max(rd_len(), 0)):
+        name = rd_str()
         parts = []
-        for _ in range(r.int32()):
+        for _ in range(max(rd_len(), 0)):
             partition = r.int32()
             before = r.int64()
+            if flex:
+                r.tagged_fields()
             if not log.has(name, partition):
                 parts.append((partition, -1, ERR_UNKNOWN_TOPIC_OR_PARTITION))
                 continue
@@ -222,17 +231,29 @@ def handle_delete_records(log: WireLog, payload: bytes) -> bytes:
                 parts.append((partition, -1, ERR_OFFSET_OUT_OF_RANGE))
                 continue
             parts.append((partition, low, wire.ERR_NONE))
+        if flex:
+            r.tagged_fields()
         results.append((name, parts))
     r.int32()  # timeout_ms (after topics in the request layout)
+    if flex:
+        r.tagged_fields()
     w = wire.Writer()
     w.int32(h.correlation_id)
+    if flex:
+        w.empty_tagged_fields()  # response header v1
     w.int32(0)  # throttle_time_ms
-    w.int32(len(results))
+    w.compact_array_len(len(results)) if flex else w.int32(len(results))
     for name, parts in results:
-        w.nullable_string(name)
-        w.int32(len(parts))
+        w.compact_string(name) if flex else w.nullable_string(name)
+        w.compact_array_len(len(parts)) if flex else w.int32(len(parts))
         for partition, low_watermark, err in parts:
             w.int32(partition).int64(low_watermark).int16(err)
+            if flex:
+                w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()  # response body
     return w.bytes()
 
 

@@ -74,19 +74,32 @@ class Coordinator:
     # -------------------------------------------------- JoinGroup v0
 
     def handle_join_group(self, payload: bytes) -> bytes:
+        import struct as _struct
+
+        v = _struct.unpack(">h", payload[2:4])[0]
+        flex = v >= 6  # flexible encoding cutover per the upstream schema
         r = wire.Reader(payload)
-        h = wire.decode_request_header(r, flexible=False)
-        v = h.api_version
-        group_id = r.nullable_string()
+        h = wire.decode_request_header(r, flexible=flex)
+        rd_str = r.compact_string if flex else r.nullable_string
+        rd_bytes = r.compact_bytes if flex else r.nullable_bytes
+        rd_len = r.compact_array_len if flex else r.int32
+        group_id = rd_str()
         r.int32()  # session_timeout_ms
         if v >= 1:
             r.int32()  # rebalance_timeout_ms
-        member_id = r.nullable_string() or ""
-        group_instance_id = r.nullable_string() if v >= 5 else None
-        protocol_type = r.nullable_string() or ""
+        member_id = rd_str() or ""
+        group_instance_id = rd_str() if v >= 5 else None
+        protocol_type = rd_str() or ""
         protocols = []
-        for _ in range(r.int32()):
-            protocols.append((r.nullable_string(), r.nullable_bytes()))
+        for _ in range(max(rd_len(), 0)):
+            name, meta = rd_str(), rd_bytes()
+            if flex:
+                r.tagged_fields()
+            protocols.append((name, meta))
+        if v >= 8:
+            rd_str()  # reason (KIP-800) — informational, not acted on
+        if flex:
+            r.tagged_fields()
 
         g = self.groups.setdefault(group_id, GroupMembership())
         g.protocol_type = protocol_type
@@ -119,53 +132,106 @@ class Coordinator:
         g.protocol_name = protocols[0][0] if protocols else ""
 
         leader = g.members[0]
-        w = wire.Writer()
-        w.int32(h.correlation_id)
-        if v >= 2:
-            w.int32(0)  # throttle_time_ms
-        w.int16(wire.ERR_NONE)
-        w.int32(g.generation)
-        w.nullable_string(g.protocol_name)
-        w.nullable_string(leader)
-        w.nullable_string(member_id)
         member_list = g.members if member_id == leader else []
-        w.int32(len(member_list))
-        for m in member_list:
-            w.nullable_string(m)
-            if v >= 5:
-                w.nullable_string(None)  # group_instance_id (dynamic member)
-            w.nullable_bytes(g.protocols.get(m, b""))
-        return w.bytes()
+        return self._encode_join_response(
+            h.correlation_id,
+            v,
+            wire.ERR_NONE,
+            generation=g.generation,
+            protocol_type=g.protocol_type,
+            protocol_name=g.protocol_name,
+            leader=leader,
+            member_id=member_id,
+            members=[(m, g.protocols.get(m, b"")) for m in member_list],
+        )
 
     def _join_error(
         self, corr: int, err: int, api_version: int = 0, member_id: str | None = None
     ) -> bytes:
-        w = wire.Writer()
-        w.int32(corr)
-        if api_version >= 2:
-            w.int32(0)  # throttle_time_ms
-        w.int16(err).int32(-1)
-        w.nullable_string(None).nullable_string(None)
         # MEMBER_ID_REQUIRED responses CARRY the assigned member id —
         # that is the whole point of the v4 dance
-        w.nullable_string(member_id)
-        w.int32(0)
+        return self._encode_join_response(
+            corr,
+            api_version,
+            err,
+            generation=-1,
+            protocol_type=None,
+            protocol_name=None,
+            leader=None,
+            member_id=member_id,
+            members=[],
+        )
+
+    @staticmethod
+    def _encode_join_response(
+        corr: int,
+        v: int,
+        err: int,
+        *,
+        generation: int,
+        protocol_type: str | None,
+        protocol_name: str | None,
+        leader: str | None,
+        member_id: str | None,
+        members: list[tuple[str, bytes]],
+    ) -> bytes:
+        flex = v >= 6
+        w = wire.Writer()
+        w.int32(corr)
+        if flex:
+            w.empty_tagged_fields()  # response header v1
+        wr_str = w.compact_string if flex else w.nullable_string
+        wr_bytes = w.compact_bytes if flex else w.nullable_bytes
+        if v >= 2:
+            w.int32(0)  # throttle_time_ms
+        w.int16(err)
+        w.int32(generation)
+        if v >= 7:
+            wr_str(protocol_type)  # nullable ProtocolType (KIP-430)
+        wr_str(protocol_name)
+        wr_str(leader)
+        if v >= 9:
+            w.int8(0)  # skip_assignment: server-side assignment not pushed
+        wr_str(member_id)
+        w.compact_array_len(len(members)) if flex else w.int32(len(members))
+        for m, meta in members:
+            wr_str(m)
+            if v >= 5:
+                wr_str(None)  # group_instance_id (dynamic member)
+            wr_bytes(meta)
+            if flex:
+                w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
         return w.bytes()
 
     # -------------------------------------------------- SyncGroup v0
 
     def handle_sync_group(self, payload: bytes) -> bytes:
+        import struct as _struct
+
+        v = _struct.unpack(">h", payload[2:4])[0]
+        flex = v >= 4  # flexible cutover per the upstream schema
         r = wire.Reader(payload)
-        h = wire.decode_request_header(r, flexible=False)
-        group_id = r.nullable_string()
+        h = wire.decode_request_header(r, flexible=flex)
+        rd_str = r.compact_string if flex else r.nullable_string
+        rd_bytes = r.compact_bytes if flex else r.nullable_bytes
+        rd_len = r.compact_array_len if flex else r.int32
+        group_id = rd_str()
         generation = r.int32()
-        member_id = r.nullable_string()
-        if h.api_version >= 3:
-            r.nullable_string()  # group_instance_id
+        member_id = rd_str()
+        if v >= 3:
+            rd_str()  # group_instance_id
+        proto_type = rd_str() if v >= 5 else None  # KIP-430 echo fields
+        proto_name = rd_str() if v >= 5 else None
         incoming = {}
-        for _ in range(r.int32()):
-            m = r.nullable_string()
-            incoming[m] = r.nullable_bytes()
+        for _ in range(max(rd_len(), 0)):
+            m = rd_str()
+            incoming[m] = rd_bytes()
+            if flex:
+                r.tagged_fields()
+        if flex:
+            r.tagged_fields()
 
         g = self.groups.get(group_id)
         err = wire.ERR_NONE
@@ -191,10 +257,19 @@ class Coordinator:
             assignment = g.assignments.get(member_id, b"")
         w = wire.Writer()
         w.int32(h.correlation_id)
-        if h.api_version >= 1:
+        if flex:
+            w.empty_tagged_fields()  # response header v1
+        if v >= 1:
             w.int32(0)  # throttle_time_ms
         w.int16(err)
-        w.nullable_bytes(assignment)
+        if v >= 5:
+            # the response carries the GROUP's negotiated type/name
+            # (the request fields are a client-side consistency check)
+            w.compact_string(g.protocol_type or None if g is not None else None)
+            w.compact_string(g.protocol_name or None if g is not None else None)
+        w.compact_bytes(assignment) if flex else w.nullable_bytes(assignment)
+        if flex:
+            w.empty_tagged_fields()
         return w.bytes()
 
     def _auto_assign(self, g: GroupMembership) -> None:

@@ -38,6 +38,7 @@ class KafkaFrontend:
         topic_log=None,
         wire_log=None,
         credentials: dict[str, str] | None = None,
+        max_connections: int = 256,
     ):
         from kcore_spark.protocol.broker import WireLog
 
@@ -62,6 +63,19 @@ class KafkaFrontend:
         # connection must complete a handshake+authenticate before any
         # API other than ApiVersions/SaslHandshake/SaslAuthenticate
         self.credentials = credentials
+        # Connection cap (the reference leaves this as a TODO,
+        # `/root/reference/pkg/server/server.go:77`): the accept loop
+        # still accepts the TCP connection, but the N+1th connection's
+        # request loop parks on the semaphore until a slot frees —
+        # back-pressure instead of unbounded per-connection state.
+        # Produce back-pressure needs nothing extra on top: the event
+        # loop is single-threaded and handlers are synchronous, so at
+        # most ONE request body is being processed at any instant, and
+        # per-connection reads pull one ≤MAX_FRAME frame at a time
+        # (asyncio transport flow control bounds what the kernel
+        # buffers beyond that).
+        self.max_connections = max_connections
+        self._conn_sem: asyncio.Semaphore | None = None
         self._server: asyncio.AbstractServer | None = None
 
     def _catalog_partitions(self) -> dict[str, int]:
@@ -74,6 +88,7 @@ class KafkaFrontend:
     # ------------------------------------------------------ lifecycle
 
     async def start(self) -> None:
+        self._conn_sem = asyncio.Semaphore(self.max_connections)
         self._server = await asyncio.start_server(self._handle_conn, self.host, self.port)
         # pick up the OS-assigned port when started with port=0 (tests)
         self.port = self._server.sockets[0].getsockname()[1]
@@ -92,6 +107,11 @@ class KafkaFrontend:
 
         peer = writer.get_extra_info("peername")
         sasl = SaslState()
+        sem = self._conn_sem
+        acquired = False
+        if sem is not None:
+            await sem.acquire()  # over-cap connections queue here
+            acquired = True
         try:
             while True:
                 try:
@@ -118,6 +138,8 @@ class KafkaFrontend:
         except (ConnectionResetError, asyncio.IncompleteReadError):
             return
         finally:
+            if acquired:
+                sem.release()
             writer.close()
 
     # ------------------------------------------------------ dispatch
@@ -184,9 +206,9 @@ class KafkaFrontend:
             from kcore_spark.protocol.groups import handle_find_coordinator
 
             return handle_find_coordinator(payload, self.host, self.port)
-        if api_key == wire.JOIN_GROUP_KEY and api_version <= 5:
+        if api_key == wire.JOIN_GROUP_KEY and api_version <= 9:
             return self.coordinator.handle_join_group(payload)
-        if api_key == wire.SYNC_GROUP_KEY and api_version <= 3:
+        if api_key == wire.SYNC_GROUP_KEY and api_version <= 5:
             return self.coordinator.handle_sync_group(payload)
         if api_key == wire.HEARTBEAT_KEY and api_version <= 4:
             return self.coordinator.handle_heartbeat(payload)
@@ -212,7 +234,7 @@ class KafkaFrontend:
             from kcore_spark.protocol.admin import handle_list_offsets
 
             return handle_list_offsets(self.wire_log, payload)
-        if api_key == wire.DELETE_RECORDS_KEY and api_version <= 1:
+        if api_key == wire.DELETE_RECORDS_KEY and api_version <= 2:
             from kcore_spark.protocol.admin import handle_delete_records
 
             return handle_delete_records(self.wire_log, payload)

@@ -69,13 +69,13 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (OFFSET_COMMIT_KEY, 2, 8),
     (OFFSET_FETCH_KEY, 1, 6),
     (FIND_COORDINATOR_KEY, 0, 4),
-    (JOIN_GROUP_KEY, 0, 5),
+    (JOIN_GROUP_KEY, 0, 9),
     (HEARTBEAT_KEY, 0, 4),
     (LEAVE_GROUP_KEY, 0, 3),
-    (SYNC_GROUP_KEY, 0, 3),
+    (SYNC_GROUP_KEY, 0, 5),
     (CREATE_TOPICS_KEY, 0, 0),
     (DELETE_TOPICS_KEY, 0, 0),
-    (DELETE_RECORDS_KEY, 0, 1),
+    (DELETE_RECORDS_KEY, 0, 2),
     (DESCRIBE_GROUPS_KEY, 0, 0),
     (LIST_GROUPS_KEY, 0, 0),
     (DELETE_GROUPS_KEY, 0, 0),
@@ -269,6 +269,12 @@ def is_flexible_request(api_key: int, api_version: int) -> bool:
         return api_version >= 12
     if api_key == CONSUMER_GROUP_HEARTBEAT_KEY:
         return True  # flexible from v0 (KIP-848 APIs are born flexible)
+    if api_key == JOIN_GROUP_KEY:
+        return api_version >= 6
+    if api_key == SYNC_GROUP_KEY:
+        return api_version >= 4
+    if api_key == DELETE_RECORDS_KEY:
+        return api_version >= 2
     return False
 
 

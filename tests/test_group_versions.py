@@ -183,15 +183,15 @@ def test_api_versions_advertises_group_ranges(fe):
     resp = fe.handle_request(w.bytes())
     _, err, apis, _ = wire.decode_api_versions_response(resp, 0)
     ranges = {k: (lo, hi) for k, lo, hi in apis}
-    assert ranges[wire.JOIN_GROUP_KEY] == (0, 5)
+    assert ranges[wire.JOIN_GROUP_KEY] == (0, 9)
     assert ranges[wire.HEARTBEAT_KEY] == (0, 4)
-    assert ranges[wire.SYNC_GROUP_KEY] == (0, 3)
+    assert ranges[wire.SYNC_GROUP_KEY] == (0, 5)
     assert ranges[wire.LEAVE_GROUP_KEY] == (0, 3)
     assert ranges[wire.OFFSET_COMMIT_KEY] == (2, 8)
     assert ranges[wire.OFFSET_FETCH_KEY] == (1, 6)
     assert ranges[wire.FIND_COORDINATOR_KEY] == (0, 4)
     assert ranges[wire.LIST_OFFSETS_KEY] == (0, 7)
-    assert ranges[wire.DELETE_RECORDS_KEY] == (0, 1)
+    assert ranges[wire.DELETE_RECORDS_KEY] == (0, 2)
 
 
 # ------------------------------------------------ group admin APIs
@@ -401,6 +401,120 @@ def test_join_group_member_id_required_dance(fe, version):
     if version >= 5:
         assert r.nullable_string() is None  # group_instance_id
     assert r.nullable_bytes() == b"\x00\x01"
+
+
+# ---------------------------------------- JoinGroup v6-v9 / SyncGroup v4-v5
+# (flexible encodings; JoinGroup v7+ echoes ProtocolType, v8 adds the
+# KIP-800 reason, v9 adds SkipAssignment; SyncGroup v5 echoes the
+# group's protocol type/name)
+
+
+def _flex_hdr(w, key, version, corr):
+    w.int16(key).int16(version).int32(corr)
+    w.nullable_string("pytest")
+    w.empty_tagged_fields()  # header v2
+    return w
+
+
+def _join_flex_payload(version, group="gf", member="", corr=64):
+    w = _flex_hdr(wire.Writer(), wire.JOIN_GROUP_KEY, version, corr)
+    w.compact_string(group)
+    w.int32(10000)
+    w.int32(30000)
+    w.compact_string(member)
+    w.compact_string(None)  # group_instance_id (v5+)
+    w.compact_string("consumer")
+    w.compact_array_len(1)
+    w.compact_string("range").compact_bytes(b"\x00\x02")
+    w.empty_tagged_fields()  # protocol entry
+    if version >= 8:
+        w.compact_string("rebalance reason")  # KIP-800
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+def _parse_join_flex(resp, version):
+    r = wire.Reader(resp)
+    corr = r.int32()
+    r.tagged_fields()  # response header v1
+    r.int32()  # throttle
+    err = r.int16()
+    gen = r.int32()
+    ptype = r.compact_string() if version >= 7 else None
+    pname = r.compact_string()
+    leader = r.compact_string()
+    skip = r.int8() if version >= 9 else 0
+    member = r.compact_string()
+    members = []
+    for _ in range(max(r.compact_array_len(), 0)):
+        mid = r.compact_string()
+        r.compact_string()  # instance id
+        meta = r.compact_bytes()
+        r.tagged_fields()
+        members.append((mid, meta))
+    r.tagged_fields()
+    return corr, err, gen, ptype, pname, leader, skip, member, members
+
+
+@pytest.mark.parametrize("version", [6, 7, 8, 9])
+def test_join_group_flexible_versions(fe, version):
+    # step 1: KIP-394 dance still applies at v6+
+    corr, err, gen, ptype, pname, leader, skip, assigned, members = _parse_join_flex(
+        fe.handle_request(_join_flex_payload(version, group=f"gf{version}")), version
+    )
+    assert corr == 64 and err == 79 and gen == -1  # MEMBER_ID_REQUIRED
+    assert assigned and assigned.startswith("member-")
+    # step 2: rejoin with the id
+    corr, err, gen, ptype, pname, leader, skip, member, members = _parse_join_flex(
+        fe.handle_request(
+            _join_flex_payload(version, group=f"gf{version}", member=assigned, corr=65)
+        ),
+        version,
+    )
+    assert (corr, err) == (65, wire.ERR_NONE)
+    assert gen >= 1 and pname == "range" and leader == member == assigned
+    if version >= 7:
+        assert ptype == "consumer"
+    assert skip == 0
+    assert members == [(assigned, b"\x00\x02")]
+
+
+def _sync_flex_payload(version, group, generation, member, assignment, corr=66):
+    w = _flex_hdr(wire.Writer(), wire.SYNC_GROUP_KEY, version, corr)
+    w.compact_string(group)
+    w.int32(generation)
+    w.compact_string(member)
+    w.compact_string(None)  # group_instance_id
+    if version >= 5:
+        w.compact_string("consumer").compact_string("range")
+    w.compact_array_len(1)
+    w.compact_string(member).compact_bytes(assignment)
+    w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+@pytest.mark.parametrize("version", [4, 5])
+def test_sync_group_flexible_versions(fe, version):
+    g = f"gs{version}"
+    _, _, _, _, _, _, _, assigned, _ = _parse_join_flex(
+        fe.handle_request(_join_flex_payload(6, group=g)), 6
+    )
+    _, err, gen, *_ = _parse_join_flex(
+        fe.handle_request(_join_flex_payload(6, group=g, member=assigned, corr=65)), 6
+    )
+    assert err == wire.ERR_NONE
+    r = wire.Reader(
+        fe.handle_request(_sync_flex_payload(version, g, gen, assigned, b"parts:0,1"))
+    )
+    assert r.int32() == 66
+    r.tagged_fields()
+    r.int32()  # throttle
+    assert r.int16() == wire.ERR_NONE
+    if version >= 5:
+        assert r.compact_string() == "consumer"
+        assert r.compact_string() == "range"
+    assert r.compact_bytes() == b"parts:0,1"
 
 
 def test_pending_member_ids_are_capped(fe):

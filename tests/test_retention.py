@@ -93,6 +93,36 @@ def test_delete_records_wire_roundtrip():
     assert out[("t", 7)] == (-1, wire.ERR_UNKNOWN_TOPIC_OR_PARTITION)
 
 
+def test_delete_records_v2_flexible_roundtrip():
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("t", 1)
+    fe.wire_log.append("t", 0, [Record(b"k", b"v", 1) for _ in range(5)])
+    w = wire.Writer()
+    w.int16(wire.DELETE_RECORDS_KEY).int16(2).int32(32)
+    w.nullable_string("pytest")
+    w.empty_tagged_fields()  # header v2
+    w.compact_array_len(1)
+    w.compact_string("t")
+    w.compact_array_len(1)
+    w.int32(0).int64(3)
+    w.empty_tagged_fields()  # partition
+    w.empty_tagged_fields()  # topic
+    w.int32(30000)
+    w.empty_tagged_fields()  # body
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 32
+    r.tagged_fields()  # response header v1
+    r.int32()  # throttle
+    assert r.compact_array_len() == 1
+    assert r.compact_string() == "t"
+    assert r.compact_array_len() == 1
+    assert (r.int32(), r.int64(), r.int16()) == (0, 3, wire.ERR_NONE)
+    r.tagged_fields()
+    r.tagged_fields()
+    r.tagged_fields()
+    assert r.pos == len(r.buf)  # fully consumed — no stray bytes
+
+
 def test_fetch_below_log_start_is_out_of_range():
     from tests.test_protocol_versions import _fetch_payload
     from kcore_spark.protocol.broker import decode_fetch_response
