@@ -59,6 +59,56 @@ HEADLINE = [
 ]
 
 
+def _bench_streaming_incremental(spark, sf_dir: str, timings: dict) -> None:
+    """Per-trigger cost with a PERSISTENT checkpoint: run the tumbling
+    aggregation once (cold, whole source), drop a small new batch into
+    the source directory, run again — the second number is what one
+    production trigger over new-data-only costs, versus the replay
+    numbers above. Reported, excluded from the headline total."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kcore_spark.catalog import normalize_event_ts
+    from kcore_spark.streaming.ops import run_to_table_with_ckpt
+
+    work = tempfile.mkdtemp(prefix="kcore_bench_inc_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
+    )
+    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def agg_stream():
+        s = normalize_event_ts(
+            spark.readStream.schema(static.schema).parquet(src)
+        ).withWatermark("ts", "1 hour")
+        return s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    ckpt = os.path.join(work, "ckpt")
+    t0 = time.time()
+    run_to_table_with_ckpt(agg_stream(), ckpt, "bench_inc", "complete").collect()
+    timings["q_stream_tumbling_counts_persist_cold"] = round(time.time() - t0, 3)
+    # a new ~1% batch arrives
+    static.limit(max(static.count() // 100, 1)).write.mode("overwrite").parquet(
+        os.path.join(work, "newbatch")
+    )
+    for f in os.listdir(os.path.join(work, "newbatch")):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(work, "newbatch", f), os.path.join(src, f"new_{f}")
+            )
+    t0 = time.time()
+    run_to_table_with_ckpt(agg_stream(), ckpt, "bench_inc", "complete").collect()
+    timings["q_stream_tumbling_counts_incremental"] = round(time.time() - t0, 3)
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -94,6 +144,7 @@ def main() -> None:
             t0 = time.time()
             qs[name].spark(spark, sf_dir).collect()
             timings[f"{name}_warm"] = round(time.time() - t0, 3)
+    _bench_streaming_incremental(spark, sf_dir, timings)
     # Round-4 operators: reported for visibility, excluded from the
     # headline total (same reason — the total must stay comparable to
     # earlier rounds' 24-query set).
