@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    assume_distinct: bool = False,
+    broadcast_node_limit: int = 4_000_000,
+) -> DataFrame:
     """PageRank over directed ``edges`` (src, dst) in integer fixed-point.
 
     Ranks are BIGINTs scaled by 10^12; each round distributes
@@ -44,58 +49,76 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
     sum, not the relative ordering this operator is used for.
 
     Scale: each iteration is one join (edges ⋈ ranks, shuffled on the
-    edge key) + one aggregate — the standard large-graph pattern; the
-    per-round localCheckpoint truncates the iterative lineage exactly
-    as connected_components does. Returns (id, rank).
+    edge key) + one aggregate — the standard large-graph pattern.
+    Intermediate rounds localCheckpoint (eager) to truncate the
+    iterative lineage exactly as connected_components does; the FINAL
+    round stays lazy so the caller's terminal operator (typically a
+    top-k or aggregate over the ranks) fuses into the last join's job
+    instead of paying one extra full-table materialization round-trip.
+    Returns (id, rank).
     """
+    from kcore_spark.caching import transient_persist
+
     scale = 1_000_000_000_000
-    # persisted: the deduped edge list feeds out_deg, both sides of the
-    # degree join, and the node set — unpersisted, an expensive edge
-    # derivation (e.g. a distinct over a fact join) re-runs per branch
-    e = edges.select("src", "dst").distinct().persist()
+    # persisted (transient registry): the deduped edge list feeds
+    # out_deg, both sides of the degree join, and the node set —
+    # unpersisted, an expensive edge derivation (e.g. a distinct over a
+    # fact join) re-runs per branch. Released by the harness after the
+    # query's terminal action (the lazy final round means the caches
+    # must outlive this function).
+    # assume_distinct skips the defensive dedup shuffle when the caller
+    # can prove edges are already unique (e.g. built from a DISTINCT
+    # projection over disjoint id namespaces) — on a 100 TB edge list
+    # that is one full shuffle of the biggest table in the plan
+    e = edges.select("src", "dst")
+    if not assume_distinct:
+        e = e.distinct()
+    e = transient_persist(e)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # degrees pre-joined ONCE: each iteration is then a single
     # edges⋈ranks join + one aggregate, instead of re-deriving degrees
     # and paying a second join per round
-    ewd = e.join(out_deg, "src").select("src", "dst", "out_deg").persist()
-    nodes = (
+    ewd = transient_persist(e.join(out_deg, "src").select("src", "dst", "out_deg"))
+    nodes = transient_persist(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
-        .persist()
     )
-    ranks = nodes.withColumn("rank", F.lit(scale).cast("long")).localCheckpoint()
+    # cost-based join strategy: the rank table has one row per node.
+    # When it fits in an executor (node count under the broadcast
+    # limit), broadcasting it turns each round's edges⋈ranks into a
+    # map-side join over the PERSISTED edge partitions — the round then
+    # pays exactly one shuffle (the contribution aggregate) instead of
+    # re-shuffling the full edge table every iteration. On a graph too
+    # big to broadcast (billions of nodes at 100 TB) we fall back to
+    # the sort-merge shape. nodes.count() doubles as the action that
+    # materializes the persisted node/edge caches before the loop.
+    small_ranks = nodes.count() <= broadcast_node_limit
+    # no checkpoint on the seed: it is one projection over the persisted
+    # node set, so round 1's checkpoint truncates everything anyway
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     base = (scale * 15) // 100
-    try:
-        for _ in range(iterations):
-            contribs = (
-                ewd.join(ranks, ewd.src == ranks.id)
-                .select("dst", F.expr("rank div out_deg").alias("contrib"))
-                .groupBy("dst")
-                .agg(F.sum("contrib").alias("incoming"))
-            )
-            ranks = (
-                nodes.join(contribs, nodes.id == contribs.dst, "left")
-                .select(
-                    "id",
-                    (
-                        F.lit(base).cast("long")
-                        + F.expr("85 * coalesce(incoming, 0L) div 100")
-                    ).alias("rank"),
-                )
-                # eager by default — the final round's checkpoint doubles
-                # as the materialization barrier that makes it safe to
-                # unpersist the intermediates below before returning
-                .localCheckpoint()
-            )
-    finally:
-        # the returned ranks are fully materialized by the eager
-        # checkpoint, so the cached edge/degree/node tables can be
-        # released here — repeated invocations in a long-lived session
-        # otherwise accumulate cached partitions until eviction
-        # pressure slows every later cache-dependent query
-        for df in (e, ewd, nodes):
-            df.unpersist()
+    for i in range(iterations):
+        rank_side = F.broadcast(ranks) if small_ranks else ranks
+        contribs = (
+            ewd.join(rank_side, ewd.src == rank_side.id)
+            .select("dst", F.expr("rank div out_deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        # contribs is ≤ one row per node — broadcast it under the same
+        # limit so the left join rides the cached node partitions too
+        contrib_side = F.broadcast(contribs) if small_ranks else contribs
+        ranks = nodes.join(contrib_side, nodes.id == contrib_side.dst, "left").select(
+            "id",
+            (
+                F.lit(base).cast("long")
+                + F.expr("85 * coalesce(incoming, 0L) div 100")
+            ).alias("rank"),
+        )
+        if i < iterations - 1:
+            # eager: materializes this round and truncates lineage
+            ranks = ranks.localCheckpoint()
     return ranks
 
 

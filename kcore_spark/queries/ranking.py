@@ -100,7 +100,12 @@ def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ranks = pagerank_fixed_point(_purchase_edges(spark, sf_dir), iterations=3)
+    # assume_distinct: _purchase_edges unions two DISTINCT projections
+    # over disjoint id namespaces (customers → even ids, suppliers →
+    # odd), so the edge list is provably unique — skip the dedup shuffle
+    ranks = pagerank_fixed_point(
+        _purchase_edges(spark, sf_dir), iterations=3, assume_distinct=True
+    )
     return ranks.select(F.col("id").alias("node_id"), "rank").orderBy(
         F.col("rank").desc(), "node_id"
     ).limit(50)

@@ -115,4 +115,7 @@ def test_jaccard_hot_shingle_cutoff_filters_and_broadcasts(spark):
     # only the rare-shingle pair survives; its sizes exclude 'hot'
     assert [(r.id1, r.id2, r.jaccard) for r in got] == [(1, 2, 1.0)]
     plan = _plan(jaccard_pairs(sh, min_jaccard=0.0, max_df=5))
-    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan
+    # the cutoff is a count-over-window on shingle that rides the pair
+    # join's own hash partitioning — no anti-join, no extra exchange
+    assert "windowspecdefinition(shingle" in plan, plan
+    assert "__df" in plan and "LeftAnti" not in plan, plan
