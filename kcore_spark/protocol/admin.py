@@ -4,7 +4,10 @@ AlterConfigs (33).
 
 Completes the reference's declared "Topic Management" roadmap row
 (`/root/reference/README.md:50`) at the wire level; the engine-side
-DDL lives in sources/topic_log.py (non-flexible encodings throughout).
+DDL lives in sources/topic_log.py. CreateTopics/DeleteTopics/
+ListOffsets/DeleteRecords carry their full public version ranges
+(flexible encodings at each API's cutover version); DescribeConfigs/
+AlterConfigs remain v0.
 """
 
 from __future__ import annotations
@@ -21,52 +24,124 @@ LATEST_TIMESTAMP = -1
 MAX_TIMESTAMP = -3  # KIP-734 (v7+)
 
 
-# ------------------------------------------------------ CreateTopics v0
+# --------------------------------------------------- CreateTopics v0-v7
 
 
 def handle_create_topics(log: WireLog, payload: bytes) -> bytes:
+    """CreateTopics v0-v7 (flexible from v5, per the upstream schema).
+
+    Version deltas: v1 adds request validate_only + response
+    error_message; v2 prepends response throttle_time_ms; v5 switches
+    to compact encodings and adds the created topic's effective
+    num_partitions / replication_factor / configs to the response;
+    v7 adds the topic's uuid (KIP-516)."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 5
     r = wire.Reader(payload)
-    h = wire.decode_request_header(r, flexible=False)
-    results = []
-    for _ in range(r.int32()):
-        name = r.nullable_string()
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
+    requested = []
+    for _ in range(max(rd_len(), 0)):
+        name = rd_str()
         num_partitions = r.int32()
         r.int16()  # replication_factor (single node: ignored)
-        for _ in range(r.int32()):  # manual assignments
+        for _ in range(max(rd_len(), 0)):  # manual assignments
             r.int32()
-            for _ in range(r.int32()):
+            for _ in range(max(rd_len(), 0)):
                 r.int32()
+            if flex:
+                r.tagged_fields()
         configs: dict[str, str] = {}
-        for _ in range(r.int32()):  # configs
-            ck = r.nullable_string()
-            cv = r.nullable_string()
+        for _ in range(max(rd_len(), 0)):  # configs
+            ck = rd_str()
+            cv = rd_str()
+            if flex:
+                r.tagged_fields()
             if ck is not None and cv is not None:
                 configs[ck] = cv
-        if name in log.topics:
-            results.append((name, ERR_TOPIC_ALREADY_EXISTS))
-        elif num_partitions < 1:
-            results.append((name, ERR_INVALID_PARTITIONS))
-        else:
-            log.create_topic(name, num_partitions, configs)
-            results.append((name, wire.ERR_NONE))
+        if flex:
+            r.tagged_fields()
+        requested.append((name, num_partitions, configs))
     r.int32()  # timeout_ms
+    validate_only = r.bool_() if v >= 1 else False
+    results = []
+    for name, num_partitions, configs in requested:
+        if name in log.topics:
+            results.append((name, ERR_TOPIC_ALREADY_EXISTS, num_partitions, configs))
+        elif num_partitions < 1:
+            results.append((name, ERR_INVALID_PARTITIONS, num_partitions, configs))
+        else:
+            if not validate_only:
+                log.create_topic(name, num_partitions, configs)
+            results.append((name, wire.ERR_NONE, num_partitions, configs))
     w = wire.Writer()
     w.int32(h.correlation_id)
-    w.int32(len(results))
-    for name, err in results:
-        w.nullable_string(name).int16(err)
+    if flex:
+        w.empty_tagged_fields()  # response header v1
+    if v >= 2:
+        w.int32(0)  # throttle_time_ms
+    w.compact_array_len(len(results)) if flex else w.int32(len(results))
+    for name, err, num_partitions, configs in results:
+        w.compact_string(name) if flex else w.nullable_string(name)
+        if v >= 7:
+            w.uuid(wire.topic_uuid(name or ""))
+        w.int16(err)
+        if v >= 1:
+            w.compact_string(None) if flex else w.nullable_string(None)  # error_message
+        if v >= 5:
+            # effective topic shape (v5+): single-node broker → RF 1
+            w.int32(num_partitions if err == wire.ERR_NONE else -1)
+            w.int16(1 if err == wire.ERR_NONE else -1)
+            w.compact_array_len(len(configs))
+            for ck in sorted(configs):
+                w.compact_string(ck)
+                w.compact_string(configs[ck])
+                w.bool_(False)  # read_only
+                w.int8(1)  # config_source: DYNAMIC_TOPIC_CONFIG
+                w.bool_(False)  # is_sensitive
+                w.empty_tagged_fields()
+            w.empty_tagged_fields()
+        elif flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()
     return w.bytes()
 
 
-# ------------------------------------------------------ DeleteTopics v0
+# --------------------------------------------------- DeleteTopics v0-v6
 
 
 def handle_delete_topics(log: WireLog, payload: bytes) -> bytes:
+    """DeleteTopics v0-v6 (flexible from v4).
+
+    Version deltas: v1 prepends response throttle_time_ms; v5 adds a
+    per-topic error_message; v6 switches the request to (name,
+    topic_id) structs — topics may be addressed by uuid alone
+    (KIP-516) — and echoes both back."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 4
     r = wire.Reader(payload)
-    h = wire.decode_request_header(r, flexible=False)
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
+    names: list[str | None] = []
+    if v >= 6:
+        by_id = {wire.topic_uuid(t): t for t in log.topics}
+        for _ in range(max(rd_len(), 0)):
+            name = rd_str()
+            tid = r.uuid()
+            r.tagged_fields()
+            names.append(name if name is not None else by_id.get(tid))
+    else:
+        names = [rd_str() for _ in range(max(rd_len(), 0))]
+    r.int32()  # timeout_ms
     results = []
-    for _ in range(r.int32()):
-        name = r.nullable_string()
+    for name in names:
         if name not in log.topics:
             results.append((name, ERR_UNKNOWN_TOPIC_OR_PARTITION))
         else:
@@ -74,12 +149,24 @@ def handle_delete_topics(log: WireLog, payload: bytes) -> bytes:
             for p in range(n):
                 log._parts.pop((name, p), None)
             results.append((name, wire.ERR_NONE))
-    r.int32()  # timeout_ms
     w = wire.Writer()
     w.int32(h.correlation_id)
-    w.int32(len(results))
+    if flex:
+        w.empty_tagged_fields()  # response header v1
+    if v >= 1:
+        w.int32(0)  # throttle_time_ms
+    w.compact_array_len(len(results)) if flex else w.int32(len(results))
     for name, err in results:
-        w.nullable_string(name).int16(err)
+        w.compact_string(name) if flex else w.nullable_string(name)
+        if v >= 6:
+            w.uuid(wire.topic_uuid(name or ""))
+        w.int16(err)
+        if v >= 5:
+            w.compact_string(None)  # error_message
+        if flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()
     return w.bytes()
 
 

@@ -39,6 +39,7 @@ CONSUMER_GROUP_HEARTBEAT_KEY = 68
 
 ERR_INVALID_REQUEST = 42
 ERR_UNKNOWN_MEMBER_ID = 25
+ERR_GROUP_ID_NOT_FOUND = 69
 ERR_FENCED_MEMBER_EPOCH = 110
 ERR_UNSUPPORTED_ASSIGNOR = 112
 
@@ -270,5 +271,93 @@ class ConsumerGroupCoordinator:
         w.int32(0)
         w.int32(HEARTBEAT_INTERVAL_MS)
         w.int8(-1)  # assignment null
+        w.empty_tagged_fields()
+        return w.bytes()
+
+    # ------------------------------------------------ describe (k69)
+
+    def _group_state(self, g: ConsumerGroup) -> str:
+        if not g.members:
+            return "Empty"
+        if all(m.member_epoch == g.group_epoch for m in g.members.values()):
+            return "Stable"
+        return "Reconciling"
+
+    def handle_describe(self, payload: bytes) -> bytes:
+        """ConsumerGroupDescribe (API key 69, v0, flexible): the
+        KIP-848 admin read-side — epoch, state, and per-member
+        subscription + confirmed/target assignment for each requested
+        group. Groups this coordinator has never seen report
+        GROUP_ID_NOT_FOUND with a Dead state, matching the upstream
+        contract for describe-on-missing."""
+        r = wire.Reader(payload)
+        h = wire.decode_request_header(r, flexible=True)
+        group_ids = [
+            r.compact_string() or "" for _ in range(max(r.compact_array_len(), 0))
+        ]
+        include_authz = r.bool_()
+        r.tagged_fields()
+
+        def wr_assignment(owned: dict[str, tuple[int, ...]]) -> None:
+            w.compact_array_len(len(owned))
+            for topic in sorted(owned):
+                w.uuid(wire.topic_uuid(topic))
+                w.compact_string(topic)
+                parts = owned[topic]
+                w.compact_array_len(len(parts))
+                for p in parts:
+                    w.int32(p)
+                w.empty_tagged_fields()
+            w.empty_tagged_fields()  # assignment struct
+
+        w = wire.Writer()
+        w.int32(h.correlation_id)
+        w.empty_tagged_fields()  # response header v1
+        w.int32(0)  # throttle_time_ms
+        w.compact_array_len(len(group_ids))
+        for gid in group_ids:
+            g = self.groups.get(gid)
+            if g is None:
+                w.int16(ERR_GROUP_ID_NOT_FOUND)
+                w.compact_string(f"group {gid!r} not found")
+                w.compact_string(gid)
+                w.compact_string("Dead")
+                w.int32(0)  # group_epoch
+                w.int32(0)  # assignment_epoch
+                w.compact_string("")  # assignor_name
+                w.compact_array_len(0)  # members
+                w.int32(0 if include_authz else -2147483648)
+                w.empty_tagged_fields()
+                continue
+            w.int16(wire.ERR_NONE)
+            w.compact_string(None)  # error_message
+            w.compact_string(gid)
+            w.compact_string(self._group_state(g))
+            w.int32(g.group_epoch)
+            # assignment_epoch: the group epoch whose target every
+            # member has reached — min over members, the epoch of the
+            # assignment currently in force
+            w.int32(
+                min((m.member_epoch for m in g.members.values()), default=g.group_epoch)
+            )
+            w.compact_string(SUPPORTED_ASSIGNORS[0])
+            w.compact_array_len(len(g.members))
+            for mid in sorted(g.members):
+                m = g.members[mid]
+                w.compact_string(mid)
+                w.compact_string(m.instance_id)
+                w.compact_string(None)  # rack_id (no rack awareness)
+                w.int32(m.member_epoch)
+                w.compact_string("")  # client_id (not tracked)
+                w.compact_string("")  # client_host
+                w.compact_array_len(len(m.subscriptions))
+                for t in m.subscriptions:
+                    w.compact_string(t)
+                w.compact_string(None)  # subscribed_topic_regex
+                wr_assignment(m.current)  # confirmed ownership
+                wr_assignment(m.target)  # server-side target
+                w.empty_tagged_fields()
+            w.int32(0 if include_authz else -2147483648)
+            w.empty_tagged_fields()
         w.empty_tagged_fields()
         return w.bytes()

@@ -318,20 +318,35 @@ class Coordinator:
             w.empty_tagged_fields()
         return w.bytes()
 
-    # -------------------------------------------------- LeaveGroup v0-v1
+    # -------------------------------------------------- LeaveGroup v0-v5
 
     def handle_leave_group(self, payload: bytes) -> bytes:
+        """LeaveGroup v0-v5: v1 adds throttle_time_ms, v3 batches
+        members (KIP-345 static membership), v4 is the flexible
+        encoding, v5 adds a per-member leave reason (KIP-800,
+        diagnostic only)."""
+        import struct as _struct
+
+        v = _struct.unpack(">h", payload[2:4])[0]
+        flex = v >= 4
         r = wire.Reader(payload)
-        h = wire.decode_request_header(r, flexible=False)
-        v = h.api_version
-        group_id = r.nullable_string()
+        h = wire.decode_request_header(r, flexible=flex)
+        rd_str = r.compact_string if flex else r.nullable_string
+        rd_len = r.compact_array_len if flex else r.int32
+        group_id = rd_str()
         if v >= 3:
             # batched members (KIP-345): [(member_id, group_instance_id)]
             members = []
-            for _ in range(r.int32()):
-                members.append((r.nullable_string(), r.nullable_string()))
+            for _ in range(max(rd_len(), 0)):
+                member_id = rd_str()
+                inst = rd_str()
+                if v >= 5:
+                    rd_str()  # reason (KIP-800): logged by real brokers
+                if flex:
+                    r.tagged_fields()
+                members.append((member_id, inst))
         else:
-            members = [(r.nullable_string(), None)]
+            members = [(rd_str(), None)]
         g = self.groups.get(group_id)
         results: list[tuple[str | None, str | None, int]] = []
         for member_id, inst in members:
@@ -353,30 +368,74 @@ class Coordinator:
             top_err = results[0][2]
         w = wire.Writer()
         w.int32(h.correlation_id)
+        if flex:
+            w.empty_tagged_fields()  # response header v1
         if v >= 1:
             w.int32(0)  # throttle_time_ms
         w.int16(top_err)
         if v >= 3:
-            w.int32(len(results))
+            w.compact_array_len(len(results)) if flex else w.int32(len(results))
             for member_id, inst, err in results:
-                w.nullable_string(member_id)
-                w.nullable_string(inst)
+                w.compact_string(member_id) if flex else w.nullable_string(member_id)
+                w.compact_string(inst) if flex else w.nullable_string(inst)
                 w.int16(err)
+                if flex:
+                    w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
         return w.bytes()
 
     # ------------------------------------------ group admin (15/16/42)
 
     def handle_list_groups(self, payload: bytes) -> bytes:
-        """ListGroups v0: every known group with its protocol type."""
+        """ListGroups v0-v5: v1 adds throttle_time_ms, v3 is the
+        flexible encoding, v4 adds the states_filter (KIP-518) and the
+        per-group state in the response, v5 adds the types_filter
+        (KIP-848 'classic'/'consumer') and per-group type — this
+        coordinator's groups are all classic-protocol."""
+        import struct as _struct
+
+        v = _struct.unpack(">h", payload[2:4])[0]
+        flex = v >= 3
         r = wire.Reader(payload)
-        h = wire.decode_request_header(r, flexible=False)
+        h = wire.decode_request_header(r, flexible=flex)
+        states_filter: list[str] = []
+        types_filter: list[str] = []
+        if v >= 4:
+            states_filter = [
+                r.compact_string() or "" for _ in range(max(r.compact_array_len(), 0))
+            ]
+        if v >= 5:
+            types_filter = [
+                r.compact_string() or "" for _ in range(max(r.compact_array_len(), 0))
+            ]
+        listed = [
+            (gid, self.groups[gid])
+            for gid in sorted(self.groups)
+            if (not states_filter or self._group_state(self.groups[gid]) in states_filter)
+            and (not types_filter or "classic" in types_filter)
+        ]
         w = wire.Writer()
         w.int32(h.correlation_id)
+        if flex:
+            w.empty_tagged_fields()  # response header v1
+        if v >= 1:
+            w.int32(0)  # throttle_time_ms
         w.int16(wire.ERR_NONE)
-        w.int32(len(self.groups))
-        for gid in sorted(self.groups):
-            w.nullable_string(gid)
-            w.nullable_string(self.groups[gid].protocol_type)
+        w.compact_array_len(len(listed)) if flex else w.int32(len(listed))
+        for gid, g in listed:
+            w.compact_string(gid) if flex else w.nullable_string(gid)
+            w.compact_string(g.protocol_type) if flex else w.nullable_string(
+                g.protocol_type
+            )
+            if v >= 4:
+                w.compact_string(self._group_state(g))
+            if v >= 5:
+                w.compact_string("classic")
+            if flex:
+                w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
         return w.bytes()
 
     def _group_state(self, g: GroupMembership) -> str:
@@ -385,35 +444,74 @@ class Coordinator:
         return "Stable" if g.assignments else "CompletingRebalance"
 
     def handle_describe_groups(self, payload: bytes) -> bytes:
-        """DescribeGroups v0: state, protocol, and full member roster
-        (metadata + current assignment) per requested group."""
+        """DescribeGroups v0-v5: state, protocol, and full member
+        roster (metadata + current assignment) per requested group.
+        Version deltas: v1 adds throttle_time_ms, v3 adds the
+        include_authorized_operations flag and the per-group
+        authorized_operations bitfield (all-operations-allowed here —
+        this broker has no ACLs), v4 adds group_instance_id per member
+        (KIP-345), v5 is the flexible encoding."""
+        import struct as _struct
+
+        v = _struct.unpack(">h", payload[2:4])[0]
+        flex = v >= 5
         r = wire.Reader(payload)
-        h = wire.decode_request_header(r, flexible=False)
-        names = [r.nullable_string() for _ in range(r.int32())]
+        h = wire.decode_request_header(r, flexible=flex)
+        rd_str = r.compact_string if flex else r.nullable_string
+        rd_len = r.compact_array_len if flex else r.int32
+        names = [rd_str() for _ in range(max(rd_len(), 0))]
+        include_authz = r.bool_() if v >= 3 else False
         w = wire.Writer()
         w.int32(h.correlation_id)
-        w.int32(len(names))
+        if flex:
+            w.empty_tagged_fields()  # response header v1
+        if v >= 1:
+            w.int32(0)  # throttle_time_ms
+        w.compact_array_len(len(names)) if flex else w.int32(len(names))
+        wr_str = w.compact_string if flex else w.nullable_string
+
+        def wr_authz() -> None:
+            if v >= 3:
+                # INT32_MIN = "not requested"; 0 = no ACL restrictions
+                w.int32(0 if include_authz else -2147483648)
+
         for gid in names:
             g = self.groups.get(gid)
             if g is None:
                 w.int16(ERR_GROUP_ID_NOT_FOUND)
-                w.nullable_string(gid)
-                w.nullable_string("Dead")
-                w.nullable_string("").nullable_string("")
-                w.int32(0)
+                wr_str(gid)
+                wr_str("Dead")
+                wr_str("")
+                wr_str("")
+                w.compact_array_len(0) if flex else w.int32(0)
+                wr_authz()
+                if flex:
+                    w.empty_tagged_fields()
                 continue
             w.int16(wire.ERR_NONE)
-            w.nullable_string(gid)
-            w.nullable_string(self._group_state(g))
-            w.nullable_string(g.protocol_type)
-            w.nullable_string(g.protocol_name if g.members else "")
-            w.int32(len(g.members))
+            wr_str(gid)
+            wr_str(self._group_state(g))
+            wr_str(g.protocol_type)
+            wr_str(g.protocol_name if g.members else "")
+            w.compact_array_len(len(g.members)) if flex else w.int32(len(g.members))
             for m in g.members:
-                w.nullable_string(m)
-                w.nullable_string("")  # client_id (not tracked)
-                w.nullable_string("")  # client_host
-                w.nullable_bytes(g.protocols.get(m, b""))
-                w.nullable_bytes(g.assignments.get(m, b""))
+                wr_str(m)
+                if v >= 4:
+                    wr_str(None)  # group_instance_id (dynamic member)
+                wr_str("")  # client_id (not tracked)
+                wr_str("")  # client_host
+                if flex:
+                    w.compact_bytes(g.protocols.get(m, b""))
+                    w.compact_bytes(g.assignments.get(m, b""))
+                    w.empty_tagged_fields()
+                else:
+                    w.nullable_bytes(g.protocols.get(m, b""))
+                    w.nullable_bytes(g.assignments.get(m, b""))
+            wr_authz()
+            if flex:
+                w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
         return w.bytes()
 
     def handle_delete_groups(self, payload: bytes) -> bytes:

@@ -168,55 +168,99 @@ def handle_offset_commit(store: GroupStore, payload: bytes) -> bytes:
 # ------------------------------------------------------ OffsetFetch v1
 
 
+def _resolve_requested(
+    store: GroupStore, group: str | None, n_topics: int, topics: list
+) -> list:
+    """null topics array → every topic the group has commits for."""
+    if n_topics < 0:
+        by_topic: dict[str, list[int]] = {}
+        for (t, p) in sorted(store.committed(group)):
+            by_topic.setdefault(t, []).append(p)
+        return list(by_topic.items())
+    return topics
+
+
 def handle_offset_fetch(store: GroupStore, payload: bytes) -> bytes:
-    """OffsetFetch v1-v6: v2+ allows a null topics array (= every topic
+    """OffsetFetch v1-v9: v2+ allows a null topics array (= every topic
     the group has commits for) and appends a top-level error_code; v3
     prepends throttle_time_ms; v5 adds committed_leader_epoch per
-    partition; v6 is the flexible encoding."""
+    partition; v6 is the flexible encoding; v7 adds require_stable
+    (KIP-447 — trivially satisfied here: commits are applied
+    synchronously, so every committed offset is stable); v8 batches
+    multiple groups per request (KIP-709) with per-group error codes;
+    v9 adds member_id/member_epoch per group (KIP-848 — this classic
+    store does not fence by epoch, so they are accepted and ignored)."""
     r = wire.Reader(payload)
     v = struct_version(payload)
     flex = v >= 6
     h = wire.decode_request_header(r, flexible=flex)
     rd_str = r.compact_string if flex else r.nullable_string
     rd_len = r.compact_array_len if flex else r.int32
-    group = rd_str()
-    n_topics = rd_len()
-    if n_topics < 0 and v >= 2:
-        by_topic: dict[str, list[int]] = {}
-        for (t, p) in sorted(store.committed(group)):
-            by_topic.setdefault(t, []).append(p)
-        requested = [(t, ps) for t, ps in by_topic.items()]
-    else:
-        requested = []
+
+    def rd_topics() -> tuple[int, list]:
+        n_topics = rd_len()
+        topics = []
         for _ in range(max(n_topics, 0)):
             topic = rd_str()
             parts = [r.int32() for _ in range(max(rd_len(), 0))]
             if flex:
                 r.tagged_fields()
-            requested.append((topic, parts))
+            topics.append((topic, parts))
+        return n_topics, topics
+
+    # group_id → resolved [(topic, [partition])]
+    groups: list[tuple[str | None, list]] = []
+    if v >= 8:
+        for _ in range(max(rd_len(), 0)):
+            gid = rd_str()
+            if v >= 9:
+                rd_str()  # member_id (KIP-848): not fenced here
+                r.int32()  # member_epoch
+            n_topics, topics = rd_topics()
+            r.tagged_fields()
+            groups.append((gid, _resolve_requested(store, gid, n_topics, topics)))
+    else:
+        gid = rd_str()
+        n_topics, topics = rd_topics()
+        groups.append((gid, _resolve_requested(store, gid, n_topics if v >= 2 else 0, topics)))
+    if v >= 7:
+        r.bool_()  # require_stable
+
+    def wr_topics(group: str | None, requested: list) -> None:
+        w.compact_array_len(len(requested)) if flex else w.int32(len(requested))
+        for topic, parts in requested:
+            w.compact_string(topic) if flex else w.nullable_string(topic)
+            w.compact_array_len(len(parts)) if flex else w.int32(len(parts))
+            for partition in parts:
+                w.int32(partition)
+                w.int64(store.fetch(group, topic, partition))
+                if v >= 5:
+                    w.int32(-1)  # committed_leader_epoch: none recorded
+                w.compact_string(None) if flex else w.nullable_string(None)  # metadata
+                w.int16(ERR_NONE)
+                if flex:
+                    w.empty_tagged_fields()
+            if flex:
+                w.empty_tagged_fields()
+
     w = wire.Writer()
     w.int32(h.correlation_id)
     if flex:
         w.empty_tagged_fields()  # response header v1
     if v >= 3:
         w.int32(0)  # throttle_time_ms
-    w.compact_array_len(len(requested)) if flex else w.int32(len(requested))
-    for topic, parts in requested:
-        w.compact_string(topic) if flex else w.nullable_string(topic)
-        w.compact_array_len(len(parts)) if flex else w.int32(len(parts))
-        for partition in parts:
-            w.int32(partition)
-            w.int64(store.fetch(group, topic, partition))
-            if v >= 5:
-                w.int32(-1)  # committed_leader_epoch: none recorded
-            w.compact_string(None) if flex else w.nullable_string(None)  # metadata
-            w.int16(ERR_NONE)
-            if flex:
-                w.empty_tagged_fields()
-        if flex:
+    if v >= 8:
+        w.compact_array_len(len(groups))
+        for gid, requested in groups:
+            w.compact_string(gid)
+            wr_topics(gid, requested)
+            w.int16(ERR_NONE)  # per-group error_code
             w.empty_tagged_fields()
-    if v >= 2:
-        w.int16(ERR_NONE)  # top-level error_code
+    else:
+        gid, requested = groups[0]
+        wr_topics(gid, requested)
+        if v >= 2:
+            w.int16(ERR_NONE)  # top-level error_code
     if flex:
         w.empty_tagged_fields()
     return w.bytes()

@@ -198,7 +198,7 @@ class KafkaFrontend:
             from kcore_spark.protocol.groups import handle_offset_commit
 
             return handle_offset_commit(self.group_store, payload)
-        if api_key == wire.OFFSET_FETCH_KEY and 1 <= api_version <= 6:
+        if api_key == wire.OFFSET_FETCH_KEY and 1 <= api_version <= 9:
             from kcore_spark.protocol.groups import handle_offset_fetch
 
             return handle_offset_fetch(self.group_store, payload)
@@ -212,21 +212,23 @@ class KafkaFrontend:
             return self.coordinator.handle_sync_group(payload)
         if api_key == wire.HEARTBEAT_KEY and api_version <= 4:
             return self.coordinator.handle_heartbeat(payload)
-        if api_key == wire.LEAVE_GROUP_KEY and api_version <= 3:
+        if api_key == wire.LEAVE_GROUP_KEY and api_version <= 5:
             return self.coordinator.handle_leave_group(payload)
         if api_key == wire.CONSUMER_GROUP_HEARTBEAT_KEY and api_version == 0:
             return self.consumer_groups.handle_heartbeat(payload)
-        if api_key == wire.LIST_GROUPS_KEY and api_version == 0:
+        if api_key == wire.CONSUMER_GROUP_DESCRIBE_KEY and api_version == 0:
+            return self.consumer_groups.handle_describe(payload)
+        if api_key == wire.LIST_GROUPS_KEY and api_version <= 5:
             return self.coordinator.handle_list_groups(payload)
-        if api_key == wire.DESCRIBE_GROUPS_KEY and api_version == 0:
+        if api_key == wire.DESCRIBE_GROUPS_KEY and api_version <= 5:
             return self.coordinator.handle_describe_groups(payload)
         if api_key == wire.DELETE_GROUPS_KEY and api_version == 0:
             return self.coordinator.handle_delete_groups(payload)
-        if api_key == wire.CREATE_TOPICS_KEY and api_version == 0:
+        if api_key == wire.CREATE_TOPICS_KEY and api_version <= 7:
             from kcore_spark.protocol.admin import handle_create_topics
 
             return handle_create_topics(self.wire_log, payload)
-        if api_key == wire.DELETE_TOPICS_KEY and api_version == 0:
+        if api_key == wire.DELETE_TOPICS_KEY and api_version <= 6:
             from kcore_spark.protocol.admin import handle_delete_topics
 
             return handle_delete_topics(self.wire_log, payload)

@@ -53,6 +53,7 @@ DESCRIBE_CLUSTER_KEY = 60
 DESCRIBE_TRANSACTIONS_KEY = 65
 LIST_TRANSACTIONS_KEY = 66
 CONSUMER_GROUP_HEARTBEAT_KEY = 68  # KIP-848 next-gen consumer protocol
+CONSUMER_GROUP_DESCRIBE_KEY = 69  # KIP-848 admin read-side
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
@@ -67,17 +68,17 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (LIST_OFFSETS_KEY, 0, 7),
     (METADATA_KEY, 0, 12),
     (OFFSET_COMMIT_KEY, 2, 8),
-    (OFFSET_FETCH_KEY, 1, 6),
+    (OFFSET_FETCH_KEY, 1, 9),
     (FIND_COORDINATOR_KEY, 0, 4),
     (JOIN_GROUP_KEY, 0, 9),
     (HEARTBEAT_KEY, 0, 4),
-    (LEAVE_GROUP_KEY, 0, 3),
+    (LEAVE_GROUP_KEY, 0, 5),
     (SYNC_GROUP_KEY, 0, 5),
-    (CREATE_TOPICS_KEY, 0, 0),
-    (DELETE_TOPICS_KEY, 0, 0),
+    (CREATE_TOPICS_KEY, 0, 7),
+    (DELETE_TOPICS_KEY, 0, 6),
     (DELETE_RECORDS_KEY, 0, 2),
-    (DESCRIBE_GROUPS_KEY, 0, 0),
-    (LIST_GROUPS_KEY, 0, 0),
+    (DESCRIBE_GROUPS_KEY, 0, 5),
+    (LIST_GROUPS_KEY, 0, 5),
     (DELETE_GROUPS_KEY, 0, 0),
     (INIT_PRODUCER_ID_KEY, 0, 1),
     (ADD_PARTITIONS_TO_TXN_KEY, 0, 0),
@@ -91,6 +92,7 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (DESCRIBE_TRANSACTIONS_KEY, 0, 0),
     (LIST_TRANSACTIONS_KEY, 0, 0),
     (CONSUMER_GROUP_HEARTBEAT_KEY, 0, 0),
+    (CONSUMER_GROUP_DESCRIBE_KEY, 0, 0),
     (API_VERSIONS_KEY, 0, 3),
 )
 
@@ -267,7 +269,7 @@ def is_flexible_request(api_key: int, api_version: int) -> bool:
         return api_version >= 9
     if api_key == FETCH_KEY:
         return api_version >= 12
-    if api_key == CONSUMER_GROUP_HEARTBEAT_KEY:
+    if api_key in (CONSUMER_GROUP_HEARTBEAT_KEY, CONSUMER_GROUP_DESCRIBE_KEY):
         return True  # flexible from v0 (KIP-848 APIs are born flexible)
     if api_key == JOIN_GROUP_KEY:
         return api_version >= 6
@@ -275,6 +277,18 @@ def is_flexible_request(api_key: int, api_version: int) -> bool:
         return api_version >= 4
     if api_key == DELETE_RECORDS_KEY:
         return api_version >= 2
+    if api_key == OFFSET_FETCH_KEY:
+        return api_version >= 6
+    if api_key == CREATE_TOPICS_KEY:
+        return api_version >= 5
+    if api_key == DELETE_TOPICS_KEY:
+        return api_version >= 4
+    if api_key == LEAVE_GROUP_KEY:
+        return api_version >= 4
+    if api_key == DESCRIBE_GROUPS_KEY:
+        return api_version >= 5
+    if api_key == LIST_GROUPS_KEY:
+        return api_version >= 3
     return False
 
 
