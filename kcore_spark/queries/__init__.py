@@ -31,6 +31,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from kcore_spark.queries import (
         dedup,
         events,
+        packing_q,
         ranking,
         recursive,
         scale_q,
@@ -71,6 +72,7 @@ def all_queries() -> dict[str, QuerySpec]:
         ranking,
         timeseries,
         scale_q,
+        packing_q,
     ):
         for k, v in mod.QUERIES.items():
             if k in out:

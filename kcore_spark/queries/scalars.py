@@ -332,7 +332,58 @@ GROUP BY o_orderstatus
 """
 
 
+def q_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML function surface: serialize each order to an XML fragment,
+    then recover every field through the XML readers — attribute and
+    text() extraction via xpath_string/xpath_int, full-fragment
+    parsing via from_xml with an explicit schema. The oracle computes
+    the same values straight from the base columns (DuckDB has no XML
+    reader), so a hash match proves the Spark XML round-trip is
+    lossless."""
+    orders = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey"),
+        F.lit('"><status>'),
+        F.col("o_orderstatus"),
+        F.lit("</status><priority>"),
+        F.col("o_orderpriority"),
+        F.lit("</priority><total>"),
+        F.format_string("%.2f", "o_totalprice"),
+        F.lit("</total></order>"),
+    )
+    return (
+        orders.select("o_orderkey", xml.alias("_xml"))
+        .select(
+            "o_orderkey",
+            F.xpath_int("_xml", F.lit("/order/@id")).cast("long").alias("xml_id"),
+            F.xpath_string("_xml", F.lit("/order/status/text()")).alias("xml_status"),
+            F.from_xml("_xml", "status string, priority string, total double").alias("_p"),
+        )
+        .select(
+            "o_orderkey",
+            "xml_id",
+            "xml_status",
+            F.col("_p.priority").alias("xml_priority"),
+            F.col("_p.total").alias("xml_total"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q_XML_SQL = """
+SELECT o_orderkey,
+       o_orderkey AS xml_id,
+       o_orderstatus AS xml_status,
+       o_orderpriority AS xml_priority,
+       CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS xml_total
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
+    "q_xml_funcs": QuerySpec(q_xml_funcs, Q_XML_SQL, "XML round-trip (xpath + from_xml)"),
     "q_string_funcs2": QuerySpec(q_string_funcs2, Q_STRING2_SQL, "string surface, part 2"),
     "q_agg_extras": QuerySpec(q_agg_extras, Q_AGG_EXTRAS_SQL, "max_by/min_by/bool aggs"),
     "q_string_funcs": QuerySpec(q_string_funcs, Q_STRING_SQL, "string function surface"),

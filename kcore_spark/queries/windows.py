@@ -371,7 +371,62 @@ GROUP BY source
 """
 
 
+def q_window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-EXCLUDE parity: each order against the average of the
+    customer's OTHER orders (leave-one-out). Spark has no EXCLUDE
+    clause, so the frame is rewritten algebraically —
+    sum(partition) − current over count − 1 — with decimal-exact sums
+    so the rewrite is bit-identical to DuckDB's native
+    `ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE
+    CURRENT ROW`. Single-order customers get NULLs (empty frame), on
+    both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    total = money("o_totalprice")
+    sum_others = F.sum(total).over(w) - total
+    n_others = F.count(F.lit(1)).over(w) - 1
+    return (
+        orders.withColumn("sum_others", sum_others)
+        .withColumn("n_others", n_others.cast("long"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "n_others",
+            F.when(F.col("n_others") > 0, F.col("sum_others").cast("double")).alias(
+                "sum_others_val"
+            ),
+            F.when(
+                F.col("n_others") > 0,
+                F.col("sum_others").cast("double") / F.col("n_others"),
+            ).alias("avg_others"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q_WINDOW_EXCLUDE_SQL = """
+WITH x AS (
+  SELECT o_orderkey, o_custkey,
+         COUNT(*) OVER (PARTITION BY o_custkey) - 1 AS n_others,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)))
+              OVER (PARTITION BY o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                    EXCLUDE CURRENT ROW) AS DOUBLE) AS sum_others_val
+  FROM orders)
+SELECT o_orderkey, o_custkey, n_others,
+       sum_others_val,
+       sum_others_val / NULLIF(n_others, 0) AS avg_others
+FROM x
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
+    "q_window_exclude_current": QuerySpec(
+        q_window_exclude_current,
+        Q_WINDOW_EXCLUDE_SQL,
+        "leave-one-out frame (EXCLUDE CURRENT ROW parity)",
+    ),
     "q_window_analytics": QuerySpec(
         q_window_analytics, Q_WINDOW_ANALYTICS_SQL, "percent_rank/cume_dist/nth_value"
     ),
