@@ -28,7 +28,9 @@ def pagerank_fixed_point(
     edges: DataFrame,
     iterations: int = 3,
     assume_distinct: bool = False,
+    symmetric: bool = False,
     broadcast_node_limit: int = 4_000_000,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """PageRank over directed ``edges`` (src, dst) in integer fixed-point.
 
@@ -50,11 +52,19 @@ def pagerank_fixed_point(
 
     Scale: each iteration is one join (edges ⋈ ranks, shuffled on the
     edge key) + one aggregate — the standard large-graph pattern.
-    Intermediate rounds localCheckpoint (eager) to truncate the
-    iterative lineage exactly as connected_components does; the FINAL
-    round stays lazy so the caller's terminal operator (typically a
-    top-k or aggregate over the ranks) fuses into the last join's job
-    instead of paying one extra full-table materialization round-trip.
+    Lineage is truncated with an eager localCheckpoint every
+    ``checkpoint_every`` rounds (not every round: for short runs the
+    whole fixed-point then fuses into ONE Spark DAG with no
+    intermediate materialization round-trips, and for long runs the
+    interval bounds plan depth exactly as connected_components'
+    per-round checkpoint does). The final round always stays lazy so
+    the caller's terminal operator (typically a top-k) fuses into the
+    last join's job.
+
+    ``symmetric=True`` declares every vertex appears as a src (true
+    for any undirected/symmetrized edge list): the node set is then
+    the out-degree aggregate's key set, saving the union+distinct
+    shuffle over 2×|E| rows that the general derivation needs.
     Returns (id, rank).
     """
     from kcore_spark.caching import transient_persist
@@ -69,21 +79,29 @@ def pagerank_fixed_point(
     # assume_distinct skips the defensive dedup shuffle when the caller
     # can prove edges are already unique (e.g. built from a DISTINCT
     # projection over disjoint id namespaces) — on a 100 TB edge list
-    # that is one full shuffle of the biggest table in the plan
+    # that is one full shuffle of the biggest table in the plan. In
+    # that case the edge plan is also NOT re-persisted here: a caller
+    # holding a distinct edge list has already materialized it (or it
+    # rides a cache), and writing a second copy of the biggest table
+    # into executor storage costs more than the re-reads it saves.
     e = edges.select("src", "dst")
     if not assume_distinct:
-        e = e.distinct()
-    e = transient_persist(e)
+        e = transient_persist(e.distinct())
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # degrees pre-joined ONCE: each iteration is then a single
     # edges⋈ranks join + one aggregate, instead of re-deriving degrees
     # and paying a second join per round
     ewd = transient_persist(e.join(out_deg, "src").select("src", "dst", "out_deg"))
-    nodes = transient_persist(
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
+    if symmetric:
+        # every vertex has out-edges → the degree table's keys ARE the
+        # node set; no second shuffle over the full edge list
+        nodes = transient_persist(out_deg.select(F.col("src").alias("id")))
+    else:
+        nodes = transient_persist(
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
     # cost-based join strategy: the rank table has one row per node.
     # When it fits in an executor (node count under the broadcast
     # limit), broadcasting it turns each round's edges⋈ranks into a
@@ -116,7 +134,7 @@ def pagerank_fixed_point(
                 + F.expr("85 * coalesce(incoming, 0L) div 100")
             ).alias("rank"),
         )
-        if i < iterations - 1:
+        if i < iterations - 1 and (i + 1) % checkpoint_every == 0:
             # eager: materializes this round and truncates lineage
             ranks = ranks.localCheckpoint()
     return ranks

@@ -39,6 +39,7 @@ class KafkaFrontend:
         wire_log=None,
         credentials: dict[str, str] | None = None,
         max_connections: int = 256,
+        cleaner_interval_ms: int | None = None,
     ):
         from kcore_spark.protocol.broker import WireLog
 
@@ -77,6 +78,14 @@ class KafkaFrontend:
         self.max_connections = max_connections
         self._conn_sem: asyncio.Semaphore | None = None
         self._server: asyncio.AbstractServer | None = None
+        # Background log cleaner (Kafka's log.retention.check.interval.ms
+        # analog): when set and a persistent topic_log is attached, a
+        # periodic task runs retention + compaction per each topic's
+        # cleanup.policy. None keeps cleanup on-demand (the default —
+        # tests and embedded users drive run_cleanup themselves).
+        self.cleaner_interval_ms = cleaner_interval_ms
+        self._cleaner_task: asyncio.Task | None = None
+        self.cleaner_passes = 0  # observability: completed passes
 
     def _catalog_partitions(self) -> dict[str, int]:
         out = dict(self.wire_log.topics)
@@ -92,8 +101,33 @@ class KafkaFrontend:
         self._server = await asyncio.start_server(self._handle_conn, self.host, self.port)
         # pick up the OS-assigned port when started with port=0 (tests)
         self.port = self._server.sockets[0].getsockname()[1]
+        if self.cleaner_interval_ms is not None and self.topic_log is not None:
+            self._cleaner_task = asyncio.create_task(self._cleaner_loop())
+
+    async def _cleaner_loop(self) -> None:
+        """Periodic cleaner: one sequential pass over every topic per
+        interval. The pass itself can rewrite parquet segments (a
+        blocking Spark job), so it runs in the default executor —
+        the event loop keeps serving requests, and the sequential
+        await guarantees passes never overlap."""
+        loop = asyncio.get_running_loop()
+        while True:
+            await asyncio.sleep(self.cleaner_interval_ms / 1000)
+            try:
+                await loop.run_in_executor(None, self.topic_log.run_cleanup_all)
+                self.cleaner_passes += 1
+            except Exception:  # pragma: no cover - a broken topic must
+                # not kill the cleaner; next pass retries
+                log.exception("cleaner pass failed")
 
     async def stop(self) -> None:
+        if self._cleaner_task is not None:
+            self._cleaner_task.cancel()
+            try:
+                await self._cleaner_task
+            except asyncio.CancelledError:
+                pass
+            self._cleaner_task = None
         if self._server:
             self._server.close()
             await self._server.wait_closed()

@@ -239,3 +239,61 @@ def test_truncate_then_compact_stays_consistent(spark, log):
     assert n == log.scan("t").count()
     got = log.fetch("t", 0, 0, 100).select("offset").collect()
     assert all(r["offset"] >= 15 for r in got)
+
+
+# --------------------------------------------- background cleaner
+
+
+class _StubTopicLog:
+    """Records cleaner passes without Spark."""
+
+    def __init__(self):
+        self.passes = 0
+
+    def list_topics(self):
+        return []
+
+    def run_cleanup_all(self, now_ms=None):
+        self.passes += 1
+        return {}
+
+
+def test_background_cleaner_runs_and_stops():
+    import asyncio
+
+    from kcore_spark.protocol.server import KafkaFrontend
+
+    async def scenario():
+        stub = _StubTopicLog()
+        fe = KafkaFrontend(port=0, topic_log=stub, cleaner_interval_ms=20)
+        await fe.start()
+        try:
+            for _ in range(100):
+                await asyncio.sleep(0.02)
+                if fe.cleaner_passes >= 2:
+                    break
+            assert fe.cleaner_passes >= 2, "cleaner never ran"
+        finally:
+            await fe.stop()
+        assert fe._cleaner_task is None
+        settled = fe.cleaner_passes
+        await asyncio.sleep(0.1)
+        assert stub.passes == settled, "cleaner kept running after stop"
+
+    asyncio.run(scenario())
+
+
+def test_cleaner_off_by_default():
+    import asyncio
+
+    from kcore_spark.protocol.server import KafkaFrontend
+
+    async def scenario():
+        fe = KafkaFrontend(port=0, topic_log=_StubTopicLog())
+        await fe.start()
+        try:
+            assert fe._cleaner_task is None
+        finally:
+            await fe.stop()
+
+    asyncio.run(scenario())
