@@ -57,6 +57,7 @@ class MemberState:
     subscriptions: tuple[str, ...] = ()
     instance_id: str | None = None
     rebalance_timeout_ms: int = 30000
+    last_seen: float = 0.0  # monotonic seconds; drives session expiry
     # partition ownership, topic → sorted tuple of partition ids
     current: dict[str, tuple[int, ...]] = field(default_factory=dict)
     target: dict[str, tuple[int, ...]] = field(default_factory=dict)
@@ -70,12 +71,40 @@ class ConsumerGroup:
 
 
 class ConsumerGroupCoordinator:
-    def __init__(self, topic_partitions=None) -> None:
+    def __init__(
+        self, topic_partitions=None, session_timeout_ms: int = 45_000, clock=None
+    ) -> None:
         """``topic_partitions``: zero-arg callable returning the
         current {topic: partition_count} catalog (same contract as
-        coordinator.Coordinator)."""
+        coordinator.Coordinator). ``session_timeout_ms`` is the
+        group-level liveness bound (KIP-848 moves it from a client
+        join field to group config — group.consumer.session.timeout.ms,
+        default 45 s); ``clock`` is an injectable monotonic-seconds
+        source for tests."""
+        import time
+
         self.groups: dict[str, ConsumerGroup] = {}
         self._topic_partitions = topic_partitions or (lambda: {})
+        self.session_timeout_ms = session_timeout_ms
+        self._clock = clock or time.monotonic
+
+    def _expire_stale(self, g: ConsumerGroup) -> None:
+        """Lazy session expiry (the timer-wheel stand-in, same stance
+        as coordinator.Coordinator): drop members whose last heartbeat
+        is older than the group session timeout, bump the group epoch,
+        and recompute targets so survivors absorb the freed
+        partitions on their next heartbeat."""
+        now = self._clock()
+        stale = [
+            mid
+            for mid, m in g.members.items()
+            if (now - m.last_seen) * 1000.0 > self.session_timeout_ms
+        ]
+        for mid in stale:
+            del g.members[mid]
+        if stale:
+            g.group_epoch += 1
+            self._recompute_targets(g)
 
     # ------------------------------------------------ target assignment
 
@@ -151,6 +180,7 @@ class ConsumerGroupCoordinator:
             )
 
         g = self.groups.setdefault(group_id, ConsumerGroup())
+        self._expire_stale(g)
 
         # ---- leave (epoch -1 dynamic, -2 static)
         if member_epoch in (LEAVE_EPOCH, STATIC_LEAVE_EPOCH):
@@ -172,6 +202,7 @@ class ConsumerGroupCoordinator:
                 subscriptions=subscriptions or (),
                 instance_id=instance_id,
                 rebalance_timeout_ms=rebalance_timeout_ms,
+                last_seen=self._clock(),
             )
             # a rejoin with an existing id keeps confirmed ownership
             # (the member is re-reconciled, not restarted)
@@ -190,6 +221,7 @@ class ConsumerGroupCoordinator:
             return self._error(
                 h.correlation_id, ERR_FENCED_MEMBER_EPOCH, "fenced member epoch"
             )
+        m.last_seen = self._clock()
         if subscriptions is not None and subscriptions != m.subscriptions:
             m.subscriptions = subscriptions
             g.group_epoch += 1

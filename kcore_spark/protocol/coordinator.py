@@ -55,6 +55,10 @@ class GroupMembership:
     # forever. Kafka expires these by session timeout; with no timer
     # wheel here, a FIFO cap bounds the same leak.
     pending: dict[str, None] = field(default_factory=dict)
+    # liveness: member → (monotonic last-contact, session_timeout_ms
+    # from its join). Drives lazy session expiry (_expire_stale).
+    last_seen: dict[str, float] = field(default_factory=dict)
+    session_timeout_ms: dict[str, int] = field(default_factory=dict)
 
 
 # Max un-rejoined MEMBER_ID_REQUIRED ids remembered per group. Any real
@@ -64,12 +68,46 @@ MAX_PENDING_MEMBERS = 256
 
 
 class Coordinator:
-    def __init__(self, topic_partitions=None) -> None:
+    def __init__(self, topic_partitions=None, clock=None) -> None:
         """topic_partitions: zero-arg callable returning the current
         {topic: partition_count} catalog — used for the server-side
-        assignment fallback when a leader syncs without assignments."""
+        assignment fallback when a leader syncs without assignments.
+        clock: zero-arg monotonic-seconds callable (injectable for
+        tests); drives lazy session expiry."""
+        import time
+
         self.groups: dict[str, GroupMembership] = {}
         self._topic_partitions = topic_partitions
+        self._clock = clock or time.monotonic
+
+    # ---------------------------------------------- session liveness
+
+    def _touch(self, g: GroupMembership, member_id: str) -> None:
+        g.last_seen[member_id] = self._clock()
+
+    def _expire_stale(self, g: GroupMembership) -> None:
+        """Lazy session expiry — the single-node stand-in for the
+        broker's heartbeat timer wheel: any group access first removes
+        members whose last contact is older than their own
+        session.timeout.ms. Expiry bumps the generation and clears
+        assignments (a rebalance), exactly what the timer would do;
+        'lazy' only shifts WHEN the check runs (next group access),
+        never its outcome."""
+        now = self._clock()
+        stale = [
+            m
+            for m in g.members
+            if m in g.last_seen
+            and (now - g.last_seen[m]) * 1000.0 > g.session_timeout_ms.get(m, 45_000)
+        ]
+        for m in stale:
+            g.members.remove(m)
+            g.protocols.pop(m, None)
+            g.last_seen.pop(m, None)
+            g.session_timeout_ms.pop(m, None)
+        if stale:
+            g.assignments.clear()
+            g.generation += 1
 
     # -------------------------------------------------- JoinGroup v0
 
@@ -84,7 +122,7 @@ class Coordinator:
         rd_bytes = r.compact_bytes if flex else r.nullable_bytes
         rd_len = r.compact_array_len if flex else r.int32
         group_id = rd_str()
-        r.int32()  # session_timeout_ms
+        session_timeout_ms = r.int32()
         if v >= 1:
             r.int32()  # rebalance_timeout_ms
         member_id = rd_str() or ""
@@ -102,6 +140,7 @@ class Coordinator:
             r.tagged_fields()
 
         g = self.groups.setdefault(group_id, GroupMembership())
+        self._expire_stale(g)
         g.protocol_type = protocol_type
         if not member_id and v >= 4:
             # KIP-394 two-step join: hand out an id, demand a rejoin —
@@ -130,6 +169,8 @@ class Coordinator:
             g.assignments.clear()  # membership changed → assignments stale
         g.protocols[member_id] = protocols[0][1] if protocols else b""
         g.protocol_name = protocols[0][0] if protocols else ""
+        g.session_timeout_ms[member_id] = session_timeout_ms
+        self._touch(g, member_id)
 
         leader = g.members[0]
         member_list = g.members if member_id == leader else []
@@ -236,6 +277,8 @@ class Coordinator:
         g = self.groups.get(group_id)
         err = wire.ERR_NONE
         assignment: bytes | None = b""
+        if g is not None:
+            self._expire_stale(g)
         if g is None:
             err = ERR_GROUP_ID_NOT_FOUND
         elif member_id not in g.members:
@@ -243,6 +286,7 @@ class Coordinator:
         elif generation != g.generation:
             err = ERR_ILLEGAL_GENERATION
         else:
+            self._touch(g, member_id)
             if incoming and member_id == g.members[0]:  # leader distributes
                 g.assignments = dict(incoming)
             elif (
@@ -299,6 +343,8 @@ class Coordinator:
         if v >= 3:
             rd_str()  # group_instance_id
         g = self.groups.get(group_id)
+        if g is not None:
+            self._expire_stale(g)
         if g is None:
             err = ERR_GROUP_ID_NOT_FOUND
         elif member_id not in g.members:
@@ -307,6 +353,7 @@ class Coordinator:
             err = ERR_ILLEGAL_GENERATION
         else:
             err = wire.ERR_NONE
+            self._touch(g, member_id)
         w = wire.Writer()
         w.int32(h.correlation_id)
         if flex:
@@ -357,6 +404,8 @@ class Coordinator:
             else:
                 g.members.remove(member_id)
                 g.protocols.pop(member_id, None)
+                g.last_seen.pop(member_id, None)
+                g.session_timeout_ms.pop(member_id, None)
                 g.assignments.clear()
                 g.generation += 1
                 results.append((member_id, inst, wire.ERR_NONE))

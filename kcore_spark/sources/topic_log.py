@@ -71,12 +71,20 @@ class TopicMeta:
 
 
 class TopicLog:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, archive_root: str | None = None):
         from kcore_spark.catalog import ensure_engine_confs
 
         ensure_engine_confs(spark)  # MICROS ts output → footer stats
         self.spark = spark
         self.root = root
+        # Tiered storage: when set, segments aging out of the hot log
+        # are MOVED under archive_root (mirroring the topic/partition
+        # layout) instead of deleted — the model of Kafka tiered
+        # storage's archive-then-delete (KIP-405). The archived
+        # segments stay plain parquet, so a batch backfill can
+        # spark.read them directly. None (default) deletes, matching
+        # classic broker retention.
+        self.archive_root = archive_root
         self._last_commit_seq = 0
         self._commit_seq_seeded = False
         os.makedirs(root, exist_ok=True)
@@ -307,8 +315,10 @@ class TopicLog:
         return starts
 
     def _reclaim_truncated(self, topic: str) -> None:
-        """Delete segment files whose entire offset range is below the
-        partition's log start (manifest-planned, O(candidate files))."""
+        """Reclaim segment files whose entire offset range is below the
+        partition's log start (manifest-planned, O(candidate files)):
+        deleted, or moved to the archive tier when archive_root is
+        configured (archive-then-delete, the KIP-405 shape)."""
         starts = self._log_starts(topic)
         if not any(v > 0 for v in starts.values()):
             return
@@ -318,13 +328,31 @@ class TopicLog:
         for p, lo in starts.items():
             for e in man.get(f"partition={p}", []):
                 if e["max"] < lo:
+                    src = os.path.join(data_dir, e["file"])
                     try:
-                        os.remove(os.path.join(data_dir, e["file"]))
+                        if self.archive_root is not None:
+                            dst = os.path.join(self.archive_root, topic, e["file"])
+                            os.makedirs(os.path.dirname(dst), exist_ok=True)
+                            os.replace(src, dst)
+                        else:
+                            os.remove(src)
                         removed = True
                     except FileNotFoundError:
                         pass  # already reclaimed by a crashed pass
         if removed:
             self._refresh_manifest(topic)
+
+    def scan_archive(self, topic: str):
+        """Batch-read every archived (cold-tier) segment of a topic —
+        the backfill path a 100 TB pipeline uses to replay history that
+        has aged out of the hot log. Plain parquet scan; returns None
+        if nothing has been archived."""
+        if self.archive_root is None:
+            return None
+        d = os.path.join(self.archive_root, topic)
+        if not os.path.isdir(d) or not os.listdir(d):
+            return None
+        return self.spark.read.parquet(d)
 
     def apply_retention(
         self,

@@ -297,3 +297,40 @@ def test_cleaner_off_by_default():
             await fe.stop()
 
     asyncio.run(scenario())
+
+
+# --------------------------------------------- tiered storage (archive)
+
+
+def test_truncate_archives_segments_when_tier_configured(spark):
+    with tempfile.TemporaryDirectory(prefix="kcore_hot_") as hot, tempfile.TemporaryDirectory(
+        prefix="kcore_cold_"
+    ) as cold:
+        log = TopicLog(spark, hot, archive_root=cold)
+        log.create_topic("t", 1)
+        for b in range(2):
+            log.produce("t", _ts_records(spark, 20, b * 20, 1_000_000), order_by=["seq"])
+        assert log.scan_archive("t") is None  # nothing aged out yet
+        log.truncate_before("t", {0: 20})
+        # hot log serves only the retained suffix
+        assert log.scan("t").count() == 20
+        assert log.scan("t").agg(F.min("offset")).collect()[0][0] == 20
+        # the aged-out segment moved to the cold tier, readable as parquet
+        cold_df = log.scan_archive("t")
+        assert cold_df is not None
+        assert cold_df.count() == 20
+        assert cold_df.agg(F.max("offset")).collect()[0][0] == 19
+        # hot+cold = full history (the backfill contract)
+        assert cold_df.count() + log.scan("t").count() == 40
+        archived = glob.glob(os.path.join(cold, "t", "**", "*.parquet"), recursive=True)
+        assert archived, "no files landed in the archive tier"
+
+
+def test_truncate_deletes_without_archive_root(spark, log):
+    log.create_topic("t", 1)
+    for b in range(2):
+        log.produce("t", _ts_records(spark, 20, b * 20, 1_000_000), order_by=["seq"])
+    log.truncate_before("t", {0: 20})
+    assert log.scan_archive("t") is None if log.archive_root else True
+    assert log.archive_root is None
+    assert log.scan("t").count() == 20
