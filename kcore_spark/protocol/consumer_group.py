@@ -54,7 +54,11 @@ STATIC_LEAVE_EPOCH = -2
 @dataclass
 class MemberState:
     member_epoch: int = 0
+    # resolved subscription set: explicit names ∪ catalog topics
+    # matching the member's regex (what the assignor consumes)
     subscriptions: tuple[str, ...] = ()
+    explicit_subs: tuple[str, ...] = ()
+    regex: str | None = None  # v1 subscribed_topic_regex, raw pattern
     instance_id: str | None = None
     rebalance_timeout_ms: int = 30000
     last_seen: float = 0.0  # monotonic seconds; drives session expiry
@@ -87,6 +91,25 @@ class ConsumerGroupCoordinator:
         self._topic_partitions = topic_partitions or (lambda: {})
         self.session_timeout_ms = session_timeout_ms
         self._clock = clock or time.monotonic
+
+    def _resolve_subs(
+        self, explicit: tuple[str, ...], regex: str | None
+    ) -> tuple[str, ...]:
+        """Effective subscription set: explicit names ∪ catalog topics
+        fullmatching the member's regex (v1 subscribed_topic_regex).
+        Sorted for determinism. Raises ValueError on a pattern the
+        engine cannot compile (surfaced as INVALID_REQUEST — this
+        broker predates a dedicated regex error code)."""
+        if not regex:
+            return tuple(explicit)
+        import re as _re
+
+        try:
+            pat = _re.compile(regex)
+        except _re.error as exc:
+            raise ValueError(f"invalid subscribed_topic_regex: {exc}") from None
+        matched = {t for t in self._topic_partitions() if pat.fullmatch(t)}
+        return tuple(sorted(matched.union(explicit)))
 
     def _expire_stale(self, g: ConsumerGroup) -> None:
         """Lazy session expiry (the timer-wheel stand-in, same stance
@@ -145,6 +168,9 @@ class ConsumerGroupCoordinator:
     # ------------------------------------------------ wire handler
 
     def handle_heartbeat(self, payload: bytes) -> bytes:
+        import struct as _struct
+
+        v = _struct.unpack(">h", payload[2:4])[0]
         r = wire.Reader(payload)
         h = wire.decode_request_header(r, flexible=True)
         group_id = r.compact_string() or ""
@@ -157,6 +183,10 @@ class ConsumerGroupCoordinator:
         subscriptions: tuple[str, ...] | None = None
         if n_subs >= 0:
             subscriptions = tuple(r.compact_string() or "" for _ in range(n_subs))
+        # v1 (KIP-848 follow-up, Kafka 4.0): regex subscription — null
+        # = unchanged, "" = clear, else an RE2-style pattern resolved
+        # server-side against the topic catalog
+        subscribed_regex = r.compact_string() if v >= 1 else None
         server_assignor = r.compact_string()
         n_owned = r.compact_array_len()
         owned: dict[str, tuple[int, ...]] | None = None
@@ -198,8 +228,15 @@ class ConsumerGroupCoordinator:
             if not member_id:
                 member_id = f"cg-member-{g.next_member_seq}"
                 g.next_member_seq += 1
+            regex = subscribed_regex or None  # "" and null both mean none at join
+            try:
+                resolved = self._resolve_subs(subscriptions or (), regex)
+            except ValueError as exc:
+                return self._error(h.correlation_id, ERR_INVALID_REQUEST, str(exc))
             m = MemberState(
-                subscriptions=subscriptions or (),
+                subscriptions=resolved,
+                explicit_subs=subscriptions or (),
+                regex=regex,
                 instance_id=instance_id,
                 rebalance_timeout_ms=rebalance_timeout_ms,
                 last_seen=self._clock(),
@@ -222,8 +259,22 @@ class ConsumerGroupCoordinator:
                 h.correlation_id, ERR_FENCED_MEMBER_EPOCH, "fenced member epoch"
             )
         m.last_seen = self._clock()
-        if subscriptions is not None and subscriptions != m.subscriptions:
-            m.subscriptions = subscriptions
+        if subscriptions is not None:
+            m.explicit_subs = subscriptions
+        if subscribed_regex is not None:
+            # null = unchanged; "" = clear; else replace the pattern
+            m.regex = subscribed_regex or None
+        # re-resolve every heartbeat: regex members lazily pick up
+        # topics created after they subscribed (Kafka's coordinator
+        # re-evaluates regexes on its own cadence; the heartbeat IS
+        # this coordinator's cadence). Any change in the effective set
+        # is a subscription change → epoch bump + new targets.
+        try:
+            resolved = self._resolve_subs(m.explicit_subs, m.regex)
+        except ValueError as exc:
+            return self._error(h.correlation_id, ERR_INVALID_REQUEST, str(exc))
+        if resolved != m.subscriptions:
+            m.subscriptions = resolved
             g.group_epoch += 1
             self._recompute_targets(g)
         if owned is not None:

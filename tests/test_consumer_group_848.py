@@ -182,4 +182,4 @@ def test_unsupported_assignor_rejected(fe):
 
 def test_advertised_in_api_versions(fe):
     ranges = {k: (lo, hi) for k, lo, hi in wire.SUPPORTED_APIS}
-    assert ranges[wire.CONSUMER_GROUP_HEARTBEAT_KEY] == (0, 0)
+    assert ranges[wire.CONSUMER_GROUP_HEARTBEAT_KEY] == (0, 1)

@@ -164,3 +164,78 @@ def test_848_live_members_never_expire():
         )
         assert err == wire.ERR_NONE
     assert m1 in coord.groups["g"].members
+
+
+# -------------------------------------------- k68 v1: regex subscription
+
+
+def _hb848_v1(coord, group="g", member="", epoch=0, subs=(), regex=None, corr=9):
+    w = wire.Writer()
+    w.int16(wire.CONSUMER_GROUP_HEARTBEAT_KEY).int16(1).int32(corr)
+    w.nullable_string("cli")
+    w.empty_tagged_fields()
+    w.compact_string(group)
+    w.compact_string(member)
+    w.int32(epoch)
+    w.compact_string(None)
+    w.compact_string(None)
+    w.int32(30000)
+    w.compact_array_len(len(subs))
+    for s in subs:
+        w.compact_string(s)
+    w.compact_string(regex)  # v1 subscribed_topic_regex
+    w.compact_string(None)
+    w.compact_array_len(-1)
+    w.empty_tagged_fields()
+    r = wire.Reader(coord.handle_heartbeat(w.bytes()))
+    r.int32()
+    r.tagged_fields()
+    r.int32()
+    err = r.int16()
+    msg = r.compact_string()
+    member_id = r.compact_string()
+    member_epoch = r.int32()
+    return err, msg, member_id, member_epoch
+
+
+def test_848_v1_regex_resolves_against_catalog():
+    catalog = {"logs.a": 2, "logs.b": 1, "metrics": 4}
+    coord = ConsumerGroupCoordinator(topic_partitions=lambda: catalog)
+    err, _, m1, e1 = _hb848_v1(coord, regex="logs\\..*")
+    assert err == wire.ERR_NONE
+    member = coord.groups["g"].members[m1]
+    assert member.subscriptions == ("logs.a", "logs.b")
+    # full target covers both matched topics, none of metrics
+    assert set(member.target) == {"logs.a", "logs.b"}
+
+
+def test_848_v1_regex_picks_up_new_topics_lazily():
+    catalog = {"logs.a": 2}
+    coord = ConsumerGroupCoordinator(topic_partitions=lambda: catalog)
+    err, _, m1, e1 = _hb848_v1(coord, regex="logs\\..*")
+    assert err == wire.ERR_NONE
+    epoch0 = coord.groups["g"].group_epoch
+    catalog["logs.new"] = 3  # topic created after subscription
+    m = coord.groups["g"].members[m1]
+    err, _, _, _ = _hb848_v1(coord, member=m1, epoch=m.member_epoch, subs=None or ())
+    assert err == wire.ERR_NONE
+    g = coord.groups["g"]
+    assert "logs.new" in g.members[m1].subscriptions
+    assert g.group_epoch == epoch0 + 1  # effective change bumped the epoch
+
+
+def test_848_v1_regex_union_with_explicit_names():
+    coord = ConsumerGroupCoordinator(
+        topic_partitions=lambda: {"a1": 1, "a2": 1, "b": 1}
+    )
+    err, _, m1, _ = _hb848_v1(coord, subs=("b",), regex="a.*")
+    assert err == wire.ERR_NONE
+    assert coord.groups["g"].members[m1].subscriptions == ("a1", "a2", "b")
+
+
+def test_848_v1_invalid_regex_rejected():
+    coord = ConsumerGroupCoordinator(topic_partitions=lambda: {"t": 1})
+    err, msg, _, _ = _hb848_v1(coord, regex="(unclosed")
+    assert err == 42  # INVALID_REQUEST
+    assert "regex" in (msg or "")
+    assert not coord.groups["g"].members  # nothing joined
