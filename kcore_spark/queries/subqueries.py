@@ -279,7 +279,87 @@ ORDER BY l_returnflag
 """
 
 
+# -------------------------------------- approx percentile / tablesample
+# Same accuracy-class stance as the sketch queries: each engine runs
+# ITS OWN approximate operator (different sketch internals, different
+# sampled rows) and the oracle pins the deterministic boolean "within
+# tolerance of that engine's own exact answer" plus the exact columns.
+
+
+def q_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GK/KLL-style sketch) against the exact
+    percentile, per order-status group. On 100 TB the approx sketch is
+    the only option (exact percentiles need a full sort); this query
+    pins that the sketch stays within 2% of truth."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("ap50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("exact_p90"),
+        F.expr("percentile_approx(o_totalprice, 0.9, 10000)").alias("ap90"),
+    )
+    return per.select(
+        "o_orderstatus",
+        F.round("exact_p50", 2).alias("exact_p50"),
+        F.round("exact_p90", 2).alias("exact_p90"),
+        (F.abs(F.col("ap50") - F.col("exact_p50")) / F.col("exact_p50") < 0.02).alias(
+            "p50_within_2pct"
+        ),
+        (F.abs(F.col("ap90") - F.col("exact_p90")) / F.col("exact_p90") < 0.02).alias(
+            "p90_within_2pct"
+        ),
+    ).orderBy("o_orderstatus")
+
+
+Q_APPROX_PCTL_SQL = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS exact_p90,
+       abs(approx_quantile(o_totalprice, 0.5) - quantile_cont(o_totalprice, 0.5))
+         / quantile_cont(o_totalprice, 0.5) < 0.02 AS p50_within_2pct,
+       abs(approx_quantile(o_totalprice, 0.9) - quantile_cont(o_totalprice, 0.9))
+         / quantile_cont(o_totalprice, 0.9) < 0.02 AS p90_within_2pct
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_tablesample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli TABLESAMPLE: each engine draws its own seeded 10%
+    sample (different rows by construction — seeds are not portable),
+    so the oracle pins the exact population count plus the boolean
+    that the seeded sample size lands within ±10% of the expectation
+    (≈4σ at this scale; deterministic per engine because the seed
+    fixes the draw)."""
+    orders = load_table(spark, sf_dir, "orders")
+    n_total = orders.count()
+    sampled = orders.sample(fraction=0.1, seed=42).count()
+    return spark.createDataFrame(
+        [(n_total, abs(sampled - n_total * 0.1) < n_total * 0.01)],
+        "n_rows long, sample_within_band boolean",
+    )
+
+
+Q_TABLESAMPLE_SQL = """
+WITH s AS (SELECT COUNT(*) AS n_sampled
+           FROM (SELECT * FROM orders USING SAMPLE 10 PERCENT (bernoulli, 42))),
+t AS (SELECT COUNT(*) AS n_rows FROM orders)
+SELECT t.n_rows,
+       abs(s.n_sampled - t.n_rows * 0.1) < t.n_rows * 0.01 AS sample_within_band
+FROM t, s
+"""
+
+
 QUERIES = {
+    "q_approx_percentile_check": QuerySpec(
+        q_approx_percentile_check,
+        Q_APPROX_PCTL_SQL,
+        "percentile_approx accuracy band vs exact",
+    ),
+    "q_tablesample_check": QuerySpec(
+        q_tablesample_check, Q_TABLESAMPLE_SQL, "seeded Bernoulli TABLESAMPLE size band"
+    ),
     "q_hll_sketch_union": QuerySpec(
         q_hll_sketch_union, Q_HLL_SQL, "HLL sketch build + merge (accuracy-class oracle)"
     ),
