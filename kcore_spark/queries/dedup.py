@@ -42,6 +42,14 @@ def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SHINGLES:
         docs = load_table(spark, sf_dir, "documents")
+        # The corpus file is small in BYTES but each row fans out into
+        # dozens of shingles, so maxPartitionBytes hands the whole
+        # CPU-heavy tokenize→slice→explode pipeline to ONE input split
+        # (measured: 1 task, 2.5s). Spreading rows across the executors
+        # first costs a tiny 5k-row shuffle and parallelizes everything
+        # downstream — at 100 TB the scan has thousands of splits and
+        # the repartition collapses into the existing exchange.
+        docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         _SHINGLES[key] = word_shingles(docs, "doc_id", "text", n=3).persist()
     return _SHINGLES[key]
 
