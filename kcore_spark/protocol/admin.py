@@ -6,8 +6,9 @@ Completes the reference's declared "Topic Management" roadmap row
 (`/root/reference/README.md:50`) at the wire level; the engine-side
 DDL lives in sources/topic_log.py. CreateTopics/DeleteTopics/
 ListOffsets/DeleteRecords carry their full public version ranges
-(flexible encodings at each API's cutover version); DescribeConfigs/
-AlterConfigs remain v0.
+(flexible encodings at each API's cutover version);
+IncrementalAlterConfigs (44, KIP-339) is the modern per-entry config
+mutation path; DescribeConfigs/AlterConfigs remain v0.
 """
 
 from __future__ import annotations
@@ -458,4 +459,94 @@ def handle_describe_cluster(payload: bytes, host: str, port: int) -> bytes:
     w.empty_tagged_fields()
     w.int32(-2147483648)  # authorized ops omitted (INT32_MIN)
     w.empty_tagged_fields()
+    return w.bytes()
+
+
+# ----------------------------------- IncrementalAlterConfigs v0-v1 (k44)
+
+OP_SET, OP_DELETE, OP_APPEND, OP_SUBTRACT = 0, 1, 2, 3
+ERR_INVALID_CONFIG = 40
+
+
+def handle_incremental_alter_configs(log: WireLog, payload: bytes) -> bytes:
+    """IncrementalAlterConfigs (API key 44, v0-v1, flexible from v1) —
+    the modern per-entry config mutation API (KIP-339; classic
+    AlterConfigs replaces the whole set and modern admin clients stop
+    using it). Operations: SET(0), DELETE(1), APPEND(2), SUBTRACT(3);
+    append/subtract treat the stored value as a comma-separated list,
+    matching the broker's LIST-type config semantics. A resource whose
+    ANY entry fails validates atomically: no partial application."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 1
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
+    resources = []
+    for _ in range(max(rd_len(), 0)):
+        rtype = r.int8()
+        rname = rd_str()
+        entries = []
+        for _ in range(max(rd_len(), 0)):
+            k = rd_str()
+            op = r.int8()
+            val = rd_str()
+            if flex:
+                r.tagged_fields()
+            entries.append((k, op, val))
+        if flex:
+            r.tagged_fields()
+        resources.append((rtype, rname, entries))
+    validate_only = r.bool_()
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    if flex:
+        w.empty_tagged_fields()  # response header v1
+    w.int32(0)  # throttle_time_ms
+    w.compact_array_len(len(resources)) if flex else w.int32(len(resources))
+    for rtype, rname, entries in resources:
+        err, msg = wire.ERR_NONE, None
+        if rtype != RESOURCE_TOPIC:
+            err, msg = ERR_INVALID_REQUEST, "only TOPIC resources supported"
+        elif rname not in log.topics:
+            err, msg = ERR_UNKNOWN_TOPIC_OR_PARTITION, "unknown topic"
+        else:
+            cfg = dict(log.topic_configs.get(rname, {}))
+            for k, op, val in entries:
+                if op == OP_SET:
+                    if val is None:
+                        err, msg = ERR_INVALID_CONFIG, f"SET {k!r} needs a value"
+                        break
+                    cfg[k] = val
+                elif op == OP_DELETE:
+                    cfg.pop(k, None)
+                elif op in (OP_APPEND, OP_SUBTRACT):
+                    if val is None:
+                        err, msg = ERR_INVALID_CONFIG, f"op on {k!r} needs a value"
+                        break
+                    have = [x for x in (cfg.get(k) or "").split(",") if x]
+                    if op == OP_APPEND:
+                        have.extend(x for x in val.split(",") if x and x not in have)
+                    else:
+                        drop = set(val.split(","))
+                        have = [x for x in have if x not in drop]
+                    if have:
+                        cfg[k] = ",".join(have)
+                    else:
+                        cfg.pop(k, None)
+                else:
+                    err, msg = ERR_INVALID_CONFIG, f"unknown op {op}"
+                    break
+            if err == wire.ERR_NONE and not validate_only:
+                log.topic_configs[rname] = cfg
+        w.int16(err)
+        w.compact_string(msg) if flex else w.nullable_string(msg)
+        w.int8(rtype)
+        w.compact_string(rname) if flex else w.nullable_string(rname)
+        if flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()
     return w.bytes()

@@ -294,6 +294,10 @@ class KafkaFrontend:
             from kcore_spark.protocol.admin import handle_alter_configs
 
             return handle_alter_configs(self.wire_log, payload)
+        if api_key == wire.INCREMENTAL_ALTER_CONFIGS_KEY and api_version <= 1:
+            from kcore_spark.protocol.admin import handle_incremental_alter_configs
+
+            return handle_incremental_alter_configs(self.wire_log, payload)
         if api_key == wire.OFFSET_DELETE_KEY and api_version == 0:
             from kcore_spark.protocol.groups import handle_offset_delete
 

@@ -49,6 +49,7 @@ ALTER_CONFIGS_KEY = 33
 SASL_HANDSHAKE_KEY = 17
 SASL_AUTHENTICATE_KEY = 36
 OFFSET_DELETE_KEY = 47
+INCREMENTAL_ALTER_CONFIGS_KEY = 44
 DESCRIBE_CLUSTER_KEY = 60
 DESCRIBE_TRANSACTIONS_KEY = 65
 LIST_TRANSACTIONS_KEY = 66
@@ -88,6 +89,7 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (SASL_HANDSHAKE_KEY, 0, 1),
     (SASL_AUTHENTICATE_KEY, 0, 1),
     (OFFSET_DELETE_KEY, 0, 0),
+    (INCREMENTAL_ALTER_CONFIGS_KEY, 0, 1),
     (DESCRIBE_CLUSTER_KEY, 0, 0),
     (DESCRIBE_TRANSACTIONS_KEY, 0, 0),
     (LIST_TRANSACTIONS_KEY, 0, 0),
@@ -289,6 +291,8 @@ def is_flexible_request(api_key: int, api_version: int) -> bool:
         return api_version >= 5
     if api_key == LIST_GROUPS_KEY:
         return api_version >= 3
+    if api_key == INCREMENTAL_ALTER_CONFIGS_KEY:
+        return api_version >= 1
     return False
 
 

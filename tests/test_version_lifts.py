@@ -536,3 +536,77 @@ def test_apiversions_advertises_lifted_ranges(fe):
     assert advertised[wire.DESCRIBE_GROUPS_KEY] == (0, 5)
     assert advertised[wire.OFFSET_FETCH_KEY] == (1, 9)
     assert advertised[wire.CONSUMER_GROUP_DESCRIBE_KEY] == (0, 0)
+
+
+# ------------------------------------ IncrementalAlterConfigs (k44)
+
+
+def _inc_alter(fe, version, entries, topic="t", validate=False):
+    flex = version >= 1
+    w = _hdr(wire.Writer(), wire.INCREMENTAL_ALTER_CONFIGS_KEY, version)
+    w.compact_array_len(1) if flex else w.int32(1)
+    w.int8(2)  # TOPIC
+    w.compact_string(topic) if flex else w.nullable_string(topic)
+    w.compact_array_len(len(entries)) if flex else w.int32(len(entries))
+    for k, op, val in entries:
+        w.compact_string(k) if flex else w.nullable_string(k)
+        w.int8(op)
+        w.compact_string(val) if flex else w.nullable_string(val)
+        if flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()
+    w.bool_(validate)
+    if flex:
+        w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 77
+    if flex:
+        r.tagged_fields()
+    assert r.int32() == 0  # throttle
+    assert (r.compact_array_len() if flex else r.int32()) == 1
+    err = r.int16()
+    msg = r.compact_string() if flex else r.nullable_string()
+    return err, msg
+
+
+@pytest.mark.parametrize("version", [0, 1])
+def test_incremental_alter_set_and_delete(fe, version):
+    err, _ = _inc_alter(fe, version, [("retention.ms", 0, "1000")])
+    assert err == wire.ERR_NONE
+    assert fe.wire_log.topic_configs["t"]["retention.ms"] == "1000"
+    err, _ = _inc_alter(fe, version, [("retention.ms", 1, None)])
+    assert err == wire.ERR_NONE
+    assert "retention.ms" not in fe.wire_log.topic_configs["t"]
+
+
+def test_incremental_alter_append_subtract(fe):
+    _inc_alter(fe, 1, [("cleanup.policy", 0, "delete")])
+    err, _ = _inc_alter(fe, 1, [("cleanup.policy", 2, "compact")])  # APPEND
+    assert err == wire.ERR_NONE
+    assert fe.wire_log.topic_configs["t"]["cleanup.policy"] == "delete,compact"
+    # appending an existing element is a no-op, not a duplicate
+    _inc_alter(fe, 1, [("cleanup.policy", 2, "compact")])
+    assert fe.wire_log.topic_configs["t"]["cleanup.policy"] == "delete,compact"
+    err, _ = _inc_alter(fe, 1, [("cleanup.policy", 3, "delete")])  # SUBTRACT
+    assert err == wire.ERR_NONE
+    assert fe.wire_log.topic_configs["t"]["cleanup.policy"] == "compact"
+
+
+def test_incremental_alter_atomic_on_error(fe):
+    _inc_alter(fe, 1, [("a", 0, "1")])
+    # second entry invalid (SET without value) → nothing applies
+    err, msg = _inc_alter(fe, 1, [("a", 0, "2"), ("b", 0, None)])
+    assert err == 40  # INVALID_CONFIG
+    assert fe.wire_log.topic_configs["t"]["a"] == "1"
+
+
+def test_incremental_alter_validate_only(fe):
+    err, _ = _inc_alter(fe, 1, [("x", 0, "9")], validate=True)
+    assert err == wire.ERR_NONE
+    assert "x" not in fe.wire_log.topic_configs.get("t", {})
+
+
+def test_incremental_alter_unknown_topic(fe):
+    err, msg = _inc_alter(fe, 1, [("a", 0, "1")], topic="nope")
+    assert err == wire.ERR_UNKNOWN_TOPIC_OR_PARTITION
