@@ -57,6 +57,9 @@ class WireLog:
         self._tids: dict[str, tuple[int, int]] = {}
         self._open_txns: dict[int, dict[tuple[str, int], int]] = {}
         self._aborted: dict[tuple[str, int], list[tuple[int, int]]] = {}
+        # KIP-227 incremental fetch sessions (class defined later in
+        # this module; resolved at construction time, after load)
+        self.fetch_sessions = FetchSessionCache()
 
     def init_producer_id(self, transactional_id: str | None = None) -> tuple[int, int]:
         """InitProducerId (API key 22): allocate a producer id. A
@@ -416,15 +419,19 @@ class FetchRequest:
     isolation_level: int = 0  # 0 = read_uncommitted, 1 = read_committed
     # aligned with `topics`: v13+ id-addressed entries (name is None)
     topic_ids: list[bytes | None] | None = None
+    # KIP-227 incremental fetch sessions (v7+)
+    session_id: int = 0
+    session_epoch: int = -1  # -1 = sessionless full fetch
+    # forgotten topics: [(name | None, topic_id | None, [partition])]
+    forgotten: list[tuple[str | None, bytes | None, list[int]]] | None = None
 
 
 def decode_fetch_request(payload: bytes) -> FetchRequest:
     """FetchRequest v4-v13: rigid through v11, flexible from v12
     (KIP-482), topics addressed by uuid instead of name from v13
     (KIP-516 — id-addressed entries carry name=None + the id in
-    ``topic_ids``). Session fields (v7+) are read and ignored: this
-    broker is sessionless and replies with session_id=0, which per
-    KIP-227 tells the client full responses will always be sent."""
+    ``topic_ids``). Session fields and forgotten topics (v7+, KIP-227)
+    are surfaced on the request for handle_fetch's session cache."""
     import struct
 
     v = struct.unpack(">h", payload[2:4])[0]
@@ -438,9 +445,10 @@ def decode_fetch_request(payload: bytes) -> FetchRequest:
     min_bytes = r.int32()
     max_bytes = r.int32()
     isolation = r.int8()
+    session_id, session_epoch = 0, -1
     if v >= 7:
-        r.int32()  # session_id
-        r.int32()  # session_epoch
+        session_id = r.int32()
+        session_epoch = r.int32()
     topics = []
     topic_ids: list[bytes | None] = []
     for _ in range(max(rd_len(), 0)):
@@ -463,22 +471,26 @@ def decode_fetch_request(payload: bytes) -> FetchRequest:
             r.tagged_fields()
         topics.append((name, parts))
         topic_ids.append(tid)
+    forgotten: list[tuple[str | None, bytes | None, list[int]]] = []
     if v >= 7:
         for _ in range(max(rd_len(), 0)):  # forgotten_topics_data
             if v >= 13:
-                r.uuid()
+                fname, ftid = None, r.uuid()
             else:
-                rd_str()
-            for _ in range(max(rd_len(), 0)):
-                r.int32()
+                fname, ftid = rd_str(), None
+            fparts = [r.int32() for _ in range(max(rd_len(), 0))]
             if flex:
                 r.tagged_fields()
+            forgotten.append((fname, ftid, fparts))
     if v >= 11 and r.pos < len(r.buf):
         rd_str()  # rack_id
     if flex and r.pos < len(r.buf):
         r.tagged_fields()
     req = FetchRequest(h, max_wait, min_bytes, max_bytes, topics, isolation)
     req.topic_ids = topic_ids
+    req.session_id = session_id
+    req.session_epoch = session_epoch
+    req.forgotten = forgotten
     return req
 
 
@@ -487,6 +499,8 @@ def encode_fetch_response(
     results: list[tuple],
     # topic -> [(idx, err, high_watermark[, log_start], record_batch_bytes)]
     api_version: int = 4,
+    session_id: int = 0,
+    error_code: int = 0,
 ) -> bytes:
     """FetchResponse v4-v13: v5+ adds per-partition log_start_offset,
     v7+ adds top-level error_code + session_id (0 = sessionless),
@@ -500,8 +514,8 @@ def encode_fetch_response(
         w.empty_tagged_fields()  # response header v1
     w.int32(0)  # throttle
     if api_version >= 7:
-        w.int16(wire.ERR_NONE)
-        w.int32(0)  # session_id: sessionless
+        w.int16(error_code)
+        w.int32(session_id)  # 0 = sessionless
     w.compact_array_len(len(results)) if flex else w.int32(len(results))
     for result in results:
         name, parts = result[0], result[1]
@@ -631,52 +645,185 @@ def handle_produce(log: WireLog, payload: bytes) -> bytes:
     )
 
 
+# ------------------------------------------- KIP-227 fetch sessions
+
+
+@dataclass
+class FetchSession:
+    """Server-side state of one incremental fetch session: the full
+    partition interest set plus what the last response told the client
+    (so unchanged partitions can be omitted)."""
+
+    epoch: int = 1
+    # (topic, partition) → FetchPartition (latest fetch offset the
+    # client declared; insertion-ordered = client's add order)
+    partitions: dict[tuple[str, int], FetchPartition] = None  # type: ignore[assignment]
+    # (topic, partition) → (hw, log_start) as of the last response
+    last_sent: dict[tuple[str, int], tuple[int, int]] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        self.partitions = self.partitions or {}
+        self.last_sent = self.last_sent or {}
+
+
+class FetchSessionCache:
+    """Bounded session cache (Kafka's max.incremental.fetch.session.
+    cache.slots analog): FIFO-evicts the oldest session at the cap —
+    an evicted client gets FETCH_SESSION_ID_NOT_FOUND and retries with
+    a full fetch, the KIP-227 recovery contract."""
+
+    def __init__(self, max_sessions: int = 1000):
+        self.sessions: dict[int, FetchSession] = {}
+        self._next_id = 1
+        self.max_sessions = max_sessions
+
+    def create(self) -> tuple[int, FetchSession]:
+        sid = self._next_id
+        self._next_id += 1
+        sess = FetchSession()
+        self.sessions[sid] = sess
+        while len(self.sessions) > self.max_sessions:
+            self.sessions.pop(next(iter(self.sessions)))
+        return sid, sess
+
+
+ERR_FETCH_SESSION_ID_NOT_FOUND = 70
+ERR_INVALID_FETCH_SESSION_EPOCH = 71
+
+
+def _read_partition(log: WireLog, name, p, isolation_level, max_records):
+    """One partition's fetch result tuple (idx, err, hw, log_start, batch)."""
+    if not log.has(name, p.index):
+        return (p.index, wire.ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, None)
+    committed_only = isolation_level == 1
+    # read_committed consumers see the log only up to the LSO
+    hw = (
+        log.last_stable_offset(name, p.index)
+        if committed_only
+        else log.high_watermark(name, p.index)
+    )
+    if p.fetch_offset > hw or p.fetch_offset < log.log_start(name, p.index):
+        # below the log start (truncated away) or past the end:
+        # OFFSET_OUT_OF_RANGE, per the Kafka fetch contract
+        return (p.index, wire.ERR_OFFSET_OUT_OF_RANGE, hw, None)
+    recs = (
+        log.read_committed(name, p.index, p.fetch_offset, max_records)
+        if committed_only
+        else log.read(name, p.index, p.fetch_offset, max_records)
+    )
+    batch = encode_record_batch(recs, base_offset=recs[0].offset) if recs else None
+    return (p.index, wire.ERR_NONE, hw, log.log_start(name, p.index), batch)
+
+
 def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 1000) -> bytes:
+    """Fetch v4-v13 with KIP-227 incremental sessions (v7+).
+
+    session_epoch -1 → sessionless full fetch (session_id 0 in the
+    response). epoch 0 → full fetch that ESTABLISHES a session: the
+    request's partition set is cached and a fresh session_id returned.
+    epoch ≥ 1 → incremental: the request carries only partitions to
+    add/update plus forgotten ones to drop; the broker evaluates its
+    CACHED interest set and the response includes only partitions with
+    an error, available records, or a changed hw/log-start since the
+    last response — the constant-size steady-state fetch that lets a
+    10k-partition consumer poll cheaply at scale."""
     req = decode_fetch_request(payload)
+    v = req.header.api_version
     # v13 id-addressed topics: resolve uuid → name (ids are the
     # deterministic md5 of the name, so the catalog IS the index)
     by_id = {wire.topic_uuid(t): t for t in log.topics}
     ids = req.topic_ids or [None] * len(req.topics)
-    results = []
+
+    # resolve requested (name, parts); unknown v13 ids error immediately
+    resolved: list[tuple[str, list[FetchPartition]]] = []
+    id_errors = []
     for (name, parts), tid in zip(req.topics, ids):
         if name is None and tid is not None:
             name = by_id.get(tid)
             if name is None:
-                results.append(
+                id_errors.append(
                     ("", [(p.index, wire.ERR_UNKNOWN_TOPIC_ID, -1, None) for p in parts], tid)
                 )
                 continue
+        resolved.append((name, parts))
+
+    sess: FetchSession | None = None
+    session_id = 0
+    top_err = wire.ERR_NONE
+    if v >= 7 and req.session_epoch == 0:
+        session_id, sess = log.fetch_sessions.create()
+        for name, parts in resolved:
+            for p in parts:
+                sess.partitions[(name, p.index)] = p
+    elif v >= 7 and req.session_epoch >= 1:
+        sess = log.fetch_sessions.sessions.get(req.session_id)
+        if sess is None:
+            top_err = ERR_FETCH_SESSION_ID_NOT_FOUND
+        elif req.session_epoch != sess.epoch:
+            top_err, sess = ERR_INVALID_FETCH_SESSION_EPOCH, None
+        else:
+            session_id = req.session_id
+            # merge: add/update requested partitions, drop forgotten
+            for name, parts in resolved:
+                for p in parts:
+                    sess.partitions[(name, p.index)] = p
+            for fname, ftid, fparts in req.forgotten or []:
+                if fname is None and ftid is not None:
+                    fname = by_id.get(ftid)
+                for idx in fparts:
+                    sess.partitions.pop((fname, idx), None)
+        if top_err != wire.ERR_NONE:
+            return encode_fetch_response(
+                req.header.correlation_id,
+                [],
+                api_version=v,
+                session_id=0,
+                error_code=top_err,
+            )
+
+    incremental = sess is not None and req.session_epoch >= 1
+    if incremental:
+        # evaluate the CACHED interest set, grouped per topic in the
+        # client's add order
+        grouped: dict[str, list[FetchPartition]] = {}
+        for (name, _idx), p in sess.partitions.items():
+            grouped.setdefault(name, []).append(p)
+        work = list(grouped.items())
+    else:
+        work = resolved
+
+    results = list(id_errors)
+    for name, parts in work:
         part_results = []
         for p in parts:
-            if not log.has(name, p.index):
-                part_results.append((p.index, wire.ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, None))
-                continue
-            committed_only = req.isolation_level == 1
-            # read_committed consumers see the log only up to the LSO
-            hw = (
-                log.last_stable_offset(name, p.index)
-                if committed_only
-                else log.high_watermark(name, p.index)
-            )
-            if p.fetch_offset > hw or p.fetch_offset < log.log_start(name, p.index):
-                # below the log start (truncated away) or past the end:
-                # OFFSET_OUT_OF_RANGE, per the Kafka fetch contract
-                part_results.append((p.index, wire.ERR_OFFSET_OUT_OF_RANGE, hw, None))
-                continue
-            recs = (
-                log.read_committed(name, p.index, p.fetch_offset, max_records_per_partition)
-                if committed_only
-                else log.read(name, p.index, p.fetch_offset, max_records_per_partition)
-            )
-            batch = (
-                encode_record_batch(recs, base_offset=recs[0].offset) if recs else None
-            )
-            part_results.append(
-                (p.index, wire.ERR_NONE, hw, log.log_start(name, p.index), batch)
-            )
-        results.append((name, part_results, tid))
+            entry = _read_partition(log, name, p, req.isolation_level, max_records_per_partition)
+            if incremental:
+                # omit unchanged partitions: no error, no records, and
+                # the same hw/log-start the client already saw
+                err, hw = entry[1], entry[2]
+                log_start = entry[3] if len(entry) == 5 else -1
+                batch = entry[4] if len(entry) == 5 else entry[3]
+                if (
+                    err == wire.ERR_NONE
+                    and batch is None
+                    and sess.last_sent.get((name, p.index)) == (hw, log_start)
+                ):
+                    continue
+                sess.last_sent[(name, p.index)] = (hw, log_start)
+            elif sess is not None and len(entry) == 5:
+                sess.last_sent[(name, p.index)] = (entry[2], entry[3])
+            part_results.append(entry)
+        if part_results or not incremental:
+            results.append((name, part_results))
+    if sess is not None:
+        # next expected epoch = this request's epoch + 1 (the establish
+        # request carries epoch 0, so its follow-up must send 1)
+        sess.epoch = req.session_epoch + 1
     return encode_fetch_response(
-        req.header.correlation_id, results, api_version=req.header.api_version
+        req.header.correlation_id,
+        results,
+        api_version=v,
+        session_id=session_id,
     )
 
 
