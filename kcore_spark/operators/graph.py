@@ -140,9 +140,18 @@ def pagerank_fixed_point(
     return ranks
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, broadcast_node_limit: int = 4_000_000
+) -> DataFrame:
     """edges: (src, dst) undirected. Returns (id, component) where
-    component = min vertex id reachable."""
+    component = min vertex id reachable.
+
+    Join strategy mirrors pagerank_fixed_point: the label table is one
+    row per vertex, so under the broadcast limit each round's
+    edges⋈labels becomes a map-side join over the persisted edge
+    partitions (one shuffle per round — the min-aggregate — instead of
+    re-shuffling the edge list every round), with the sort-merge shape
+    as the big-graph fallback."""
     edges_sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
@@ -155,15 +164,19 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    # the checkpoint above materialized labels, so this count is cheap
+    small = labels.count() <= broadcast_node_limit
     try:
         for _ in range(max_iter):
+            label_side = F.broadcast(labels) if small else labels
             neighbor_min = (
-                edges_sym.join(labels, edges_sym.b == labels.id)
+                edges_sym.join(label_side, edges_sym.b == label_side.id)
                 .groupBy("a")
                 .agg(F.min("component").alias("nmin"))
             )
+            nmin_side = F.broadcast(neighbor_min) if small else neighbor_min
             new_labels = (
-                labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+                labels.join(nmin_side, labels.id == nmin_side.a, "left")
                 .select(
                     "id",
                     F.least(

@@ -94,7 +94,33 @@ def q_recursive_order_chains_native(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.sql(_CHAIN_SQL)
 
 
+# ------------------------------------------------- LATERAL subquery
+
+LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table (SQL:1999 surface both engines
+    share verbatim): per-nation top-2 customers by balance. Catalyst
+    decorrelates the LATERAL into a ranked window join — same physical
+    shape as the per-group top-k operator, declared relationally."""
+    register_all(spark, sf_dir)
+    return spark.sql(LATERAL_SQL)
+
+
 QUERIES = {
+    "q_lateral_topk": QuerySpec(
+        q_lateral_topk, LATERAL_SQL, "correlated LATERAL derived table"
+    ),
     "q_recursive_order_chains": QuerySpec(
         q_recursive_order_chains, _CHAIN_SQL, "WITH RECURSIVE chain walk"
     ),
