@@ -352,82 +352,140 @@ ERR_INVALID_REQUEST = 42
 
 
 def handle_describe_configs(log: WireLog, payload: bytes) -> bytes:
-    """DescribeConfigs (API key 32, v0) for TOPIC resources: the
-    topic's stored configs, optionally filtered by requested names."""
+    """DescribeConfigs (API key 32, v0-v4; flexible from v4) for TOPIC
+    resources: the topic's stored configs, optionally filtered by
+    requested names. Version deltas: v1 adds include_synonyms and
+    replaces the per-config is_default bool with config_source(int8)
+    + a synonyms list (empty here — single-tier config store); v3 adds
+    include_documentation and per-config type/documentation."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 4
     r = wire.Reader(payload)
-    h = wire.decode_request_header(r, flexible=False)
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
     resources = []
-    for _ in range(r.int32()):
+    for _ in range(max(rd_len(), 0)):
         rtype = r.int8()
-        rname = r.nullable_string()
-        n = r.int32()
-        names = None if n < 0 else [r.nullable_string() for _ in range(n)]
+        rname = rd_str()
+        n = rd_len()
+        names = None if n < 0 else [rd_str() for _ in range(n)]
+        if flex:
+            r.tagged_fields()
         resources.append((rtype, rname, names))
+    if v >= 1:
+        r.bool_()  # include_synonyms (synonyms are always empty here)
+    if v >= 3:
+        r.bool_()  # include_documentation (none stored)
     w = wire.Writer()
     w.int32(h.correlation_id)
+    if flex:
+        w.empty_tagged_fields()  # response header v1
     w.int32(0)  # throttle_time_ms
-    w.int32(len(resources))
+    w.compact_array_len(len(resources)) if flex else w.int32(len(resources))
+    wr_str = w.compact_string if flex else w.nullable_string
+
+    def wr_config(k: str, val: str) -> None:
+        wr_str(k)
+        wr_str(val)
+        w.bool_(False)  # read_only
+        if v >= 1:
+            w.int8(1)  # config_source: DYNAMIC_TOPIC_CONFIG
+        else:
+            w.bool_(False)  # is_default
+        w.bool_(False)  # is_sensitive
+        if v >= 1:
+            w.compact_array_len(0) if flex else w.int32(0)  # synonyms
+        if v >= 3:
+            w.int8(0)  # config_type: UNKNOWN (types not modeled)
+            wr_str(None)  # documentation
+        if flex:
+            w.empty_tagged_fields()
+
     for rtype, rname, names in resources:
         if rtype != RESOURCE_TOPIC or rname not in log.topics:
             err = ERR_UNKNOWN_TOPIC_OR_PARTITION if rtype == RESOURCE_TOPIC else ERR_INVALID_REQUEST
             w.int16(err)
-            w.nullable_string("unknown resource")
+            wr_str("unknown resource")
             w.int8(rtype)
-            w.nullable_string(rname)
-            w.int32(0)
+            wr_str(rname)
+            w.compact_array_len(0) if flex else w.int32(0)
+            if flex:
+                w.empty_tagged_fields()
             continue
         cfg = log.topic_configs.get(rname, {})
         if names is not None:
-            cfg = {k: v for k, v in cfg.items() if k in names}
+            cfg = {k: val for k, val in cfg.items() if k in names}
         w.int16(wire.ERR_NONE)
-        w.nullable_string(None)
+        wr_str(None)
         w.int8(rtype)
-        w.nullable_string(rname)
-        w.int32(len(cfg))
+        wr_str(rname)
+        w.compact_array_len(len(cfg)) if flex else w.int32(len(cfg))
         for k in sorted(cfg):
-            w.nullable_string(k)
-            w.nullable_string(cfg[k])
-            w.bool_(False)  # read_only
-            w.bool_(False)  # is_default
-            w.bool_(False)  # is_sensitive
+            wr_config(k, cfg[k])
+        if flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()
     return w.bytes()
 
 
 def handle_alter_configs(log: WireLog, payload: bytes) -> bytes:
-    """AlterConfigs (API key 33, v0) for TOPIC resources: replace the
-    resource's config set (the v0 contract — incremental alters are
-    API 44). validate_only skips the mutation."""
+    """AlterConfigs (API key 33, v0-v2; schema-identical through v1,
+    flexible at v2) for TOPIC resources: replace the resource's config
+    set (the whole-set contract — incremental alters are API 44).
+    validate_only skips the mutation."""
+    import struct as _struct
+
+    ver = _struct.unpack(">h", payload[2:4])[0]
+    flex = ver >= 2
     r = wire.Reader(payload)
-    h = wire.decode_request_header(r, flexible=False)
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
     resources = []
-    for _ in range(r.int32()):
+    for _ in range(max(rd_len(), 0)):
         rtype = r.int8()
-        rname = r.nullable_string()
+        rname = rd_str()
         entries = {}
-        for _ in range(r.int32()):
-            k = r.nullable_string()
-            v = r.nullable_string()
+        for _ in range(max(rd_len(), 0)):
+            k = rd_str()
+            v = rd_str()
+            if flex:
+                r.tagged_fields()
             entries[k] = v
+        if flex:
+            r.tagged_fields()
         resources.append((rtype, rname, entries))
     validate_only = r.bool_()
     w = wire.Writer()
     w.int32(h.correlation_id)
+    if flex:
+        w.empty_tagged_fields()  # response header v1
     w.int32(0)  # throttle_time_ms
-    w.int32(len(resources))
+    w.compact_array_len(len(resources)) if flex else w.int32(len(resources))
     for rtype, rname, entries in resources:
         if rtype != RESOURCE_TOPIC or rname not in log.topics:
             err = ERR_UNKNOWN_TOPIC_OR_PARTITION if rtype == RESOURCE_TOPIC else ERR_INVALID_REQUEST
             w.int16(err)
-            w.nullable_string("unknown resource")
+            w.compact_string("unknown resource") if flex else w.nullable_string(
+                "unknown resource"
+            )
         else:
             if not validate_only:
                 log.topic_configs[rname] = {
                     k: v for k, v in entries.items() if v is not None
                 }
             w.int16(wire.ERR_NONE)
-            w.nullable_string(None)
+            w.compact_string(None) if flex else w.nullable_string(None)
         w.int8(rtype)
-        w.nullable_string(rname)
+        w.compact_string(rname) if flex else w.nullable_string(rname)
+        if flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()
     return w.bytes()
 
 

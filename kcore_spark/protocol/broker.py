@@ -57,6 +57,8 @@ class WireLog:
         self._tids: dict[str, tuple[int, int]] = {}
         self._open_txns: dict[int, dict[tuple[str, int], int]] = {}
         self._aborted: dict[tuple[str, int], list[tuple[int, int]]] = {}
+        # KIP-360 epoch bumps for idempotent (non-txn) producers
+        self._idempotent_epochs: dict[int, int] = {}
         # KIP-227 incremental fetch sessions (class defined later in
         # this module; resolved at construction time, after load)
         self.fetch_sessions = FetchSessionCache()
@@ -80,6 +82,17 @@ class WireLog:
         pid = self._next_pid
         self._next_pid += 1
         return pid, 0
+
+    def bump_idempotent_epoch(self, pid: int) -> tuple[int, int]:
+        """KIP-360: an idempotent (non-transactional) producer re-inits
+        with its current pid and receives the SAME pid at a bumped
+        epoch — its sequence state resets without burning a new id."""
+        epoch = self._idempotent_epochs.get(pid, 0) + 1
+        self._idempotent_epochs[pid] = epoch
+        # a bumped epoch starts a fresh sequence history for the pid
+        for key in [k for k in self._producer_seqs if k[2] == pid]:
+            del self._producer_seqs[key]
+        return pid, epoch
 
     # -------------------------------------------------- transactions
 
@@ -831,21 +844,39 @@ def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 
 
 
 def handle_init_producer_id(log: WireLog, payload: bytes) -> bytes:
-    """InitProducerId (API key 22, v0-v1 — identical non-flexible
-    layouts): allocate a producer id for idempotent produce; a
-    transactional id maps to a stable pid with an epoch bump per
-    re-init (zombie fencing)."""
+    """InitProducerId (API key 22, v0-v4; flexible from v2): allocate a
+    producer id for idempotent produce; a transactional id maps to a
+    stable pid with an epoch bump per re-init (zombie fencing). v3+
+    carries the CURRENT (producer_id, producer_epoch) per KIP-360: an
+    idempotent producer hitting a recoverable OUT_OF_ORDER error keeps
+    its pid and gets a bumped epoch instead of a fresh id (sequence
+    state resets without losing the id space)."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 2
     r = wire.Reader(payload)
-    h = wire.decode_request_header(r, flexible=False)
-    tid = r.nullable_string()
+    h = wire.decode_request_header(r, flexible=flex)
+    tid = r.compact_string() if flex else r.nullable_string()
     r.int32()  # transaction_timeout_ms
-    pid, epoch = log.init_producer_id(tid)
+    cur_pid, cur_epoch = -1, -1
+    if v >= 3:
+        cur_pid = r.int64()
+        cur_epoch = r.int16()
+    if tid is None and cur_pid >= 0:
+        pid, epoch = log.bump_idempotent_epoch(cur_pid)
+    else:
+        pid, epoch = log.init_producer_id(tid)
     w = wire.Writer()
     w.int32(h.correlation_id)
+    if flex:
+        w.empty_tagged_fields()  # response header v1
     w.int32(0)  # throttle_time_ms
     w.int16(wire.ERR_NONE)
     w.int64(pid)
     w.int16(epoch)
+    if flex:
+        w.empty_tagged_fields()
     return w.bytes()
 
 
@@ -853,47 +884,75 @@ def handle_init_producer_id(log: WireLog, payload: bytes) -> bytes:
 
 
 def handle_add_partitions_to_txn(log: WireLog, payload: bytes) -> bytes:
-    """AddPartitionsToTxn (API key 24, v0): register the partitions the
-    next transactional batches will touch."""
+    """AddPartitionsToTxn (API key 24, v0-v3; schema-identical through
+    v2, flexible at v3): register the partitions the next
+    transactional batches will touch. (v4+ batches multiple
+    transactions per request, KIP-890 — out of range until a client
+    speaks it.)"""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 3
     r = wire.Reader(payload)
-    h = wire.decode_request_header(r, flexible=False)
-    r.nullable_string()  # transactional_id (pid identifies the txn here)
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
+    rd_str()  # transactional_id (pid identifies the txn here)
     pid = r.int64()
     epoch = r.int16()
     results = []
-    for _ in range(r.int32()):
-        name = r.nullable_string()
+    for _ in range(max(rd_len(), 0)):
+        name = rd_str()
         parts = []
-        for _ in range(r.int32()):
+        for _ in range(max(rd_len(), 0)):
             partition = r.int32()
             err = log.add_partition_to_txn(pid, epoch, name, partition)
             parts.append((partition, err))
+        if flex:
+            r.tagged_fields()
         results.append((name, parts))
     w = wire.Writer()
     w.int32(h.correlation_id)
+    if flex:
+        w.empty_tagged_fields()  # response header v1
     w.int32(0)  # throttle_time_ms
-    w.int32(len(results))
+    w.compact_array_len(len(results)) if flex else w.int32(len(results))
     for name, parts in results:
-        w.nullable_string(name)
-        w.int32(len(parts))
+        w.compact_string(name) if flex else w.nullable_string(name)
+        w.compact_array_len(len(parts)) if flex else w.int32(len(parts))
         for partition, err in parts:
             w.int32(partition).int16(err)
+            if flex:
+                w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()
     return w.bytes()
 
 
 def handle_end_txn(log: WireLog, payload: bytes) -> bytes:
-    """EndTxn (API key 26, v0): commit or abort the open transaction."""
+    """EndTxn (API key 26, v0-v3; schema-identical through v2, flexible
+    at v3): commit or abort the open transaction."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 3
     r = wire.Reader(payload)
-    h = wire.decode_request_header(r, flexible=False)
-    r.nullable_string()  # transactional_id
+    h = wire.decode_request_header(r, flexible=flex)
+    (r.compact_string if flex else r.nullable_string)()  # transactional_id
     pid = r.int64()
     epoch = r.int16()
     committed = r.bool_()
     err = log.end_txn(pid, epoch, committed)
     w = wire.Writer()
     w.int32(h.correlation_id)
+    if flex:
+        w.empty_tagged_fields()  # response header v1
     w.int32(0)  # throttle_time_ms
     w.int16(err)
+    if flex:
+        w.empty_tagged_fields()
     return w.bytes()
 
 

@@ -564,12 +564,19 @@ class Coordinator:
         return w.bytes()
 
     def handle_delete_groups(self, payload: bytes) -> bytes:
-        """DeleteGroups v0: only EMPTY groups are deletable (the Kafka
-        contract — active members must leave first, NON_EMPTY_GROUP
-        error 68 otherwise)."""
+        """DeleteGroups v0-v2 (schema-identical through v1, flexible at
+        v2): only EMPTY groups are deletable (the Kafka contract —
+        active members must leave first, NON_EMPTY_GROUP error 68
+        otherwise)."""
+        import struct as _struct
+
+        v = _struct.unpack(">h", payload[2:4])[0]
+        flex = v >= 2
         r = wire.Reader(payload)
-        h = wire.decode_request_header(r, flexible=False)
-        names = [r.nullable_string() for _ in range(r.int32())]
+        h = wire.decode_request_header(r, flexible=flex)
+        rd_str = r.compact_string if flex else r.nullable_string
+        rd_len = r.compact_array_len if flex else r.int32
+        names = [rd_str() for _ in range(max(rd_len(), 0))]
         results = []
         for gid in names:
             g = self.groups.get(gid)
@@ -582,9 +589,15 @@ class Coordinator:
                 results.append((gid, wire.ERR_NONE))
         w = wire.Writer()
         w.int32(h.correlation_id)
+        if flex:
+            w.empty_tagged_fields()  # response header v1
         w.int32(0)  # throttle_time_ms
-        w.int32(len(results))
+        w.compact_array_len(len(results)) if flex else w.int32(len(results))
         for gid, err in results:
-            w.nullable_string(gid)
+            w.compact_string(gid) if flex else w.nullable_string(gid)
             w.int16(err)
+            if flex:
+                w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
         return w.bytes()

@@ -256,7 +256,7 @@ class KafkaFrontend:
             return self.coordinator.handle_list_groups(payload)
         if api_key == wire.DESCRIBE_GROUPS_KEY and api_version <= 5:
             return self.coordinator.handle_describe_groups(payload)
-        if api_key == wire.DELETE_GROUPS_KEY and api_version == 0:
+        if api_key == wire.DELETE_GROUPS_KEY and api_version <= 2:
             return self.coordinator.handle_delete_groups(payload)
         if api_key == wire.CREATE_TOPICS_KEY and api_version <= 7:
             from kcore_spark.protocol.admin import handle_create_topics
@@ -274,23 +274,23 @@ class KafkaFrontend:
             from kcore_spark.protocol.admin import handle_delete_records
 
             return handle_delete_records(self.wire_log, payload)
-        if api_key == wire.INIT_PRODUCER_ID_KEY and api_version <= 1:
+        if api_key == wire.INIT_PRODUCER_ID_KEY and api_version <= 4:
             from kcore_spark.protocol.broker import handle_init_producer_id
 
             return handle_init_producer_id(self.wire_log, payload)
-        if api_key == wire.ADD_PARTITIONS_TO_TXN_KEY and api_version == 0:
+        if api_key == wire.ADD_PARTITIONS_TO_TXN_KEY and api_version <= 3:
             from kcore_spark.protocol.broker import handle_add_partitions_to_txn
 
             return handle_add_partitions_to_txn(self.wire_log, payload)
-        if api_key == wire.END_TXN_KEY and api_version == 0:
+        if api_key == wire.END_TXN_KEY and api_version <= 3:
             from kcore_spark.protocol.broker import handle_end_txn
 
             return handle_end_txn(self.wire_log, payload)
-        if api_key == wire.DESCRIBE_CONFIGS_KEY and api_version == 0:
+        if api_key == wire.DESCRIBE_CONFIGS_KEY and api_version <= 4:
             from kcore_spark.protocol.admin import handle_describe_configs
 
             return handle_describe_configs(self.wire_log, payload)
-        if api_key == wire.ALTER_CONFIGS_KEY and api_version == 0:
+        if api_key == wire.ALTER_CONFIGS_KEY and api_version <= 2:
             from kcore_spark.protocol.admin import handle_alter_configs
 
             return handle_alter_configs(self.wire_log, payload)

@@ -80,12 +80,12 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (DELETE_RECORDS_KEY, 0, 2),
     (DESCRIBE_GROUPS_KEY, 0, 5),
     (LIST_GROUPS_KEY, 0, 5),
-    (DELETE_GROUPS_KEY, 0, 0),
-    (INIT_PRODUCER_ID_KEY, 0, 1),
-    (ADD_PARTITIONS_TO_TXN_KEY, 0, 0),
-    (END_TXN_KEY, 0, 0),
-    (DESCRIBE_CONFIGS_KEY, 0, 0),
-    (ALTER_CONFIGS_KEY, 0, 0),
+    (DELETE_GROUPS_KEY, 0, 2),
+    (INIT_PRODUCER_ID_KEY, 0, 4),
+    (ADD_PARTITIONS_TO_TXN_KEY, 0, 3),
+    (END_TXN_KEY, 0, 3),
+    (DESCRIBE_CONFIGS_KEY, 0, 4),
+    (ALTER_CONFIGS_KEY, 0, 2),
     (SASL_HANDSHAKE_KEY, 0, 1),
     (SASL_AUTHENTICATE_KEY, 0, 1),
     (OFFSET_DELETE_KEY, 0, 0),
@@ -293,6 +293,16 @@ def is_flexible_request(api_key: int, api_version: int) -> bool:
         return api_version >= 3
     if api_key == INCREMENTAL_ALTER_CONFIGS_KEY:
         return api_version >= 1
+    if api_key == DELETE_GROUPS_KEY:
+        return api_version >= 2
+    if api_key == INIT_PRODUCER_ID_KEY:
+        return api_version >= 2
+    if api_key in (ADD_PARTITIONS_TO_TXN_KEY, END_TXN_KEY):
+        return api_version >= 3
+    if api_key == DESCRIBE_CONFIGS_KEY:
+        return api_version >= 4
+    if api_key == ALTER_CONFIGS_KEY:
+        return api_version >= 2
     return False
 
 

@@ -329,14 +329,16 @@ def q_tablesample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli TABLESAMPLE: each engine draws its own seeded 10%
     sample (different rows by construction — seeds are not portable),
     so the oracle pins the exact population count plus the boolean
-    that the seeded sample size lands within ±10% of the expectation
-    (≈4σ at this scale; deterministic per engine because the seed
-    fixes the draw)."""
+    that the seeded sample size lands within 6σ of the binomial
+    expectation (σ = sqrt(n·p·(1−p)) — the band must scale with √n,
+    not n, or small fixtures sit at ~1σ; deterministic per engine
+    because the seed fixes the draw)."""
     orders = load_table(spark, sf_dir, "orders")
     n_total = orders.count()
     sampled = orders.sample(fraction=0.1, seed=42).count()
+    band = 6.0 * (n_total * 0.1 * 0.9) ** 0.5
     return spark.createDataFrame(
-        [(n_total, abs(sampled - n_total * 0.1) < n_total * 0.01)],
+        [(n_total, abs(sampled - n_total * 0.1) < band)],
         "n_rows long, sample_within_band boolean",
     )
 
@@ -346,7 +348,7 @@ WITH s AS (SELECT COUNT(*) AS n_sampled
            FROM (SELECT * FROM orders USING SAMPLE 10 PERCENT (bernoulli, 42))),
 t AS (SELECT COUNT(*) AS n_rows FROM orders)
 SELECT t.n_rows,
-       abs(s.n_sampled - t.n_rows * 0.1) < t.n_rows * 0.01 AS sample_within_band
+       abs(s.n_sampled - t.n_rows * 0.1) < 6.0 * sqrt(t.n_rows * 0.09) AS sample_within_band
 FROM t, s
 """
 

@@ -610,3 +610,167 @@ def test_incremental_alter_validate_only(fe):
 def test_incremental_alter_unknown_topic(fe):
     err, msg = _inc_alter(fe, 1, [("a", 0, "1")], topic="nope")
     assert err == wire.ERR_UNKNOWN_TOPIC_OR_PARTITION
+
+
+# ---------------------------- txn/config/group mechanical lifts (r5)
+
+
+def test_init_producer_id_v4_kip360_epoch_bump(fe):
+    def init(version, tid=None, pid=-1, epoch=-1):
+        flex = version >= 2
+        w = _hdr(wire.Writer(), wire.INIT_PRODUCER_ID_KEY, version)
+        w.compact_string(tid) if flex else w.nullable_string(tid)
+        w.int32(60000)
+        if version >= 3:
+            w.int64(pid)
+            w.int16(epoch)
+        if flex:
+            w.empty_tagged_fields()
+        r = wire.Reader(fe.handle_request(w.bytes()))
+        assert r.int32() == 77
+        if flex:
+            r.tagged_fields()
+        assert r.int32() == 0
+        assert r.int16() == wire.ERR_NONE
+        return r.int64(), r.int16()
+
+    pid0, e0 = init(0)
+    assert e0 == 0
+    pid2, e2 = init(2)  # flexible allocation
+    assert pid2 != pid0 and e2 == 0
+    # KIP-360: re-init WITH the current pid keeps it, bumps the epoch
+    pid3, e3 = init(4, pid=pid0, epoch=0)
+    assert (pid3, e3) == (pid0, 1)
+    pid4, e4 = init(4, pid=pid0, epoch=1)
+    assert (pid4, e4) == (pid0, 2)
+
+
+@pytest.mark.parametrize("version", [1, 2, 3])
+def test_add_partitions_and_end_txn_versions(fe, version):
+    flex = version >= 3
+    # allocate a transactional pid first (v0 path)
+    w = _hdr(wire.Writer(), wire.INIT_PRODUCER_ID_KEY, 0)
+    w.nullable_string("txl")
+    w.int32(60000)
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    r.int32(), r.int32(), r.int16()
+    pid, epoch = r.int64(), r.int16()
+
+    w = _hdr(wire.Writer(), wire.ADD_PARTITIONS_TO_TXN_KEY, version)
+    w.compact_string("txl") if flex else w.nullable_string("txl")
+    w.int64(pid)
+    w.int16(epoch)
+    w.compact_array_len(1) if flex else w.int32(1)
+    w.compact_string("t") if flex else w.nullable_string("t")
+    w.compact_array_len(1) if flex else w.int32(1)
+    w.int32(0)
+    if flex:
+        w.empty_tagged_fields()
+        w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 77
+    if flex:
+        r.tagged_fields()
+    assert r.int32() == 0
+    assert (r.compact_array_len() if flex else r.int32()) == 1
+    assert (r.compact_string() if flex else r.nullable_string()) == "t"
+    assert (r.compact_array_len() if flex else r.int32()) == 1
+    assert r.int32() == 0
+    assert r.int16() == wire.ERR_NONE
+
+    w = _hdr(wire.Writer(), wire.END_TXN_KEY, version)
+    w.compact_string("txl") if flex else w.nullable_string("txl")
+    w.int64(pid)
+    w.int16(epoch)
+    w.bool_(True)  # commit
+    if flex:
+        w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 77
+    if flex:
+        r.tagged_fields()
+    assert r.int32() == 0
+    assert r.int16() == wire.ERR_NONE
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_delete_groups_versions(fe, version):
+    flex = version >= 2
+    w = _hdr(wire.Writer(), wire.DELETE_GROUPS_KEY, version)
+    w.compact_array_len(1) if flex else w.int32(1)
+    w.compact_string("nope") if flex else w.nullable_string("nope")
+    if flex:
+        w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 77
+    if flex:
+        r.tagged_fields()
+    assert r.int32() == 0
+    assert (r.compact_array_len() if flex else r.int32()) == 1
+    assert (r.compact_string() if flex else r.nullable_string()) == "nope"
+    assert r.int16() == 69  # GROUP_ID_NOT_FOUND
+
+
+@pytest.mark.parametrize("version", [1, 3, 4])
+def test_describe_configs_versions(fe, version):
+    fe.wire_log.topic_configs["t"] = {"retention.ms": "5000"}
+    flex = version >= 4
+    w = _hdr(wire.Writer(), wire.DESCRIBE_CONFIGS_KEY, version)
+    w.compact_array_len(1) if flex else w.int32(1)
+    w.int8(2)  # TOPIC
+    w.compact_string("t") if flex else w.nullable_string("t")
+    w.compact_array_len(-1) if flex else w.int32(-1)  # all keys
+    if flex:
+        w.empty_tagged_fields()
+    if version >= 1:
+        w.bool_(False)  # include_synonyms
+    if version >= 3:
+        w.bool_(False)  # include_documentation
+    if flex:
+        w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 77
+    if flex:
+        r.tagged_fields()
+    assert r.int32() == 0
+    assert (r.compact_array_len() if flex else r.int32()) == 1
+    assert r.int16() == wire.ERR_NONE
+    assert (r.compact_string() if flex else r.nullable_string()) is None
+    assert r.int8() == 2
+    assert (r.compact_string() if flex else r.nullable_string()) == "t"
+    assert (r.compact_array_len() if flex else r.int32()) == 1
+    assert (r.compact_string() if flex else r.nullable_string()) == "retention.ms"
+    assert (r.compact_string() if flex else r.nullable_string()) == "5000"
+    assert r.bool_() is False  # read_only
+    assert r.int8() == 1  # config_source (v1+)
+    assert r.bool_() is False  # is_sensitive
+    assert (r.compact_array_len() if flex else r.int32()) == 0  # synonyms
+    if version >= 3:
+        assert r.int8() == 0  # config_type
+        assert (r.compact_string() if flex else r.nullable_string()) is None
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_alter_configs_versions(fe, version):
+    flex = version >= 2
+    w = _hdr(wire.Writer(), wire.ALTER_CONFIGS_KEY, version)
+    w.compact_array_len(1) if flex else w.int32(1)
+    w.int8(2)
+    w.compact_string("t") if flex else w.nullable_string("t")
+    w.compact_array_len(1) if flex else w.int32(1)
+    w.compact_string("retention.ms") if flex else w.nullable_string("retention.ms")
+    w.compact_string("777") if flex else w.nullable_string("777")
+    if flex:
+        w.empty_tagged_fields()
+        w.empty_tagged_fields()
+    w.bool_(False)  # validate_only
+    if flex:
+        w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 77
+    if flex:
+        r.tagged_fields()
+    assert r.int32() == 0
+    assert (r.compact_array_len() if flex else r.int32()) == 1
+    assert r.int16() == wire.ERR_NONE
+    assert fe.wire_log.topic_configs["t"] == {"retention.ms": "777"}
