@@ -148,7 +148,14 @@ def main() -> None:
     # Round-4 operators: reported for visibility, excluded from the
     # headline total (same reason — the total must stay comparable to
     # earlier rounds' 24-query set).
-    for name in ("q_bm25_topk", "q_pagerank_purchases", "q_embedding_quantize"):
+    for name in (
+        "q_bm25_topk",
+        "q_pagerank_purchases",
+        "q_embedding_quantize",
+        "q_doc_chunks_overlap",
+        "q_pack_sequences",
+        "q_window_exclude_current",
+    ):
         if name in qs:
             t0 = time.time()
             qs[name].spark(spark, sf_dir).collect()

@@ -245,3 +245,65 @@ def quantize_int8(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
         F.aggregate(q, F.lit(0.0), lambda a, v: a + v).cast("long").alias("q_sum"),
         (F.aggregate(err2, F.lit(0.0), lambda a, v: a + v) / F.size(x)).alias("recon_mse"),
     )
+
+
+def signbit_lsh_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cos: float,
+    n_bands: int = 4,
+    bits_per_band: int = 4,
+    stride: int = 4,
+) -> DataFrame:
+    """Embedding near-dup via sign-bit LSH: random-hyperplane hashing
+    with axis-aligned hyperplanes (the bit for dimension d is
+    sign(e[d]) — for unit-ish embeddings two vectors at angle θ agree
+    on a coordinate sign with probability 1 − θ/π, the classic SimHash
+    bound), banded like MinHash-LSH so only pairs colliding in ≥1
+    band's bucket are candidates, then EXACT cosine verification.
+
+    Scale story (why this replaces the all-pairs variant at 100 TB):
+    candidate generation is n_bands equi-joins on small integer bucket
+    keys — work is Σ per-bucket |bucket|², bounded by the bit width,
+    never corpus². Verification touches candidates only. Recall is
+    tunable (more bands → higher recall, more candidates); the
+    signature derivation is one map-side projection that rides the
+    scan. Deterministic on both engines: the "hyperplanes" are fixed
+    coordinate picks, so the DuckDB oracle reproduces the exact same
+    candidate set and verdicts.
+    """
+    from kcore_spark.caching import transient_persist
+
+    n = with_norm(emb, vec_col, id_col)
+    band_cols = []
+    for band in range(n_bands):
+        expr = None
+        for j in range(bits_per_band):
+            d = (band * bits_per_band + j) * stride + 1  # 1-based
+            bit = F.when(F.element_at(F.col("e"), d) >= 0, 2**j).otherwise(0)
+            expr = bit if expr is None else expr + bit
+        band_cols.append(expr.alias(f"b{band}"))
+    # persisted: the signature table feeds both sides of every band
+    # join plus the verification re-join
+    sig = transient_persist(n.select("id", "e", "nrm", *band_cols))
+    keys = sig.select("id", *[f"b{b}" for b in range(n_bands)])
+    cand = None
+    for band in range(n_bands):
+        a = keys.select(F.col("id").alias("id1"), F.col(f"b{band}").alias("k"))
+        b = keys.select(F.col("id").alias("id2"), F.col(f"b{band}").alias("k"))
+        pairs = a.join(b, "k").where(F.col("id1") < F.col("id2")).select("id1", "id2")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    va = sig.select(F.col("id").alias("id1"), F.col("e").alias("e1"), F.col("nrm").alias("n1"))
+    vb = sig.select(F.col("id").alias("id2"), F.col("e").alias("e2"), F.col("nrm").alias("n2"))
+    return (
+        cand.join(va, "id1")
+        .join(vb, "id2")
+        .select(
+            "id1",
+            "id2",
+            cosine(F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cos)
+    )

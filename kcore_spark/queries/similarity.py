@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kcore_spark.catalog import load_table
-from kcore_spark.operators.similarity import cosine_topk, ivf_topk, with_norm
+from kcore_spark.operators.similarity import cosine_topk, ivf_topk, signbit_lsh_pairs, with_norm
 from kcore_spark.queries import QuerySpec
 
 NORM_CTE = """
@@ -162,7 +162,61 @@ GROUP BY label, pos
 """
 
 
+
+
+# ------------------------------------- embedding near-dup, LSH path
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production near-dup path: sign-bit LSH banding for candidate
+    generation + exact cosine verify (operators/similarity.py
+    docstring has the scale argument). The exact all-pairs variant
+    (q_embedding_neardup) stays as the textbook-semantics pin; this
+    one is the plan shape a 100 TB corpus runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return signbit_lsh_pairs(emb, "vec_id", "embedding", min_cos=0.45).orderBy(
+        "id1", "id2"
+    )
+
+
+def _sig_sql(n_bands=4, bits_per_band=4, stride=4):
+    bands = []
+    for band in range(n_bands):
+        bits = []
+        for j in range(bits_per_band):
+            d = (band * bits_per_band + j) * stride + 1
+            bits.append(f"{2**j} * (e[{d}] >= 0)::INT")
+        bands.append(" + ".join(bits) + f" AS b{band}")
+    return ",\n         ".join(bands)
+
+
+Q_EMB_NEARDUP_LSH_SQL = f"""
+WITH {NORM_CTE},
+sig AS (
+  SELECT vec_id, e, nrm,
+         {_sig_sql()}
+  FROM n),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM sig a JOIN sig b
+    ON a.vec_id < b.vec_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+SELECT c.id1, c.id2,
+       list_inner_product(sa.e, sb.e) / (sa.nrm * sb.nrm) AS cos_sim
+FROM cand c
+JOIN sig sa ON sa.vec_id = c.id1
+JOIN sig sb ON sb.vec_id = c.id2
+WHERE list_inner_product(sa.e, sb.e) / (sa.nrm * sb.nrm) >= 0.45
+ORDER BY id1, id2
+"""
+
+
 QUERIES = {
+    "q_embedding_neardup_lsh": QuerySpec(
+        q_embedding_neardup_lsh,
+        Q_EMB_NEARDUP_LSH_SQL,
+        "sign-bit LSH near-dup (banded candidates + exact verify)",
+    ),
     "q_label_centroids": QuerySpec(q_label_centroids, Q_LABEL_CENTROIDS_SQL, "embedding mean-pooling"),
     "q_cosine_topk": QuerySpec(q_cosine_topk, Q_COSINE_TOPK_SQL, "exact cosine top-k"),
     "q_embedding_neardup": QuerySpec(q_embedding_neardup, Q_EMB_NEARDUP_SQL, "cosine near-dup pairs"),
