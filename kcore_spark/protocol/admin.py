@@ -130,26 +130,33 @@ def handle_delete_topics(log: WireLog, payload: bytes) -> bytes:
     h = wire.decode_request_header(r, flexible=flex)
     rd_str = r.compact_string if flex else r.nullable_string
     rd_len = r.compact_array_len if flex else r.int32
-    names: list[str | None] = []
+    # (name | None, requested_or_derived_uuid | None)
+    entries: list[tuple[str | None, bytes | None]] = []
     if v >= 6:
         by_id = {wire.topic_uuid(t): t for t in log.topics}
         for _ in range(max(rd_len(), 0)):
             name = rd_str()
             tid = r.uuid()
             r.tagged_fields()
-            names.append(name if name is not None else by_id.get(tid))
+            entries.append((name if name is not None else by_id.get(tid), tid))
     else:
-        names = [rd_str() for _ in range(max(rd_len(), 0))]
+        entries = [(rd_str(), None) for _ in range(max(rd_len(), 0))]
     r.int32()  # timeout_ms
     results = []
-    for name in names:
-        if name not in log.topics:
-            results.append((name, ERR_UNKNOWN_TOPIC_OR_PARTITION))
+    for name, tid in entries:
+        if name is None:
+            # uuid-only addressing that resolved to nothing: the
+            # uuid-specific error code, echoing the REQUESTED id so the
+            # client can correlate the entry (error 3 with a fabricated
+            # id would be uncorrelatable and mis-classified)
+            results.append((None, tid, wire.ERR_UNKNOWN_TOPIC_ID))
+        elif name not in log.topics:
+            results.append((name, tid, ERR_UNKNOWN_TOPIC_OR_PARTITION))
         else:
             n = log.topics.pop(name)
             for p in range(n):
                 log._parts.pop((name, p), None)
-            results.append((name, wire.ERR_NONE))
+            results.append((name, tid, wire.ERR_NONE))
     w = wire.Writer()
     w.int32(h.correlation_id)
     if flex:
@@ -157,10 +164,10 @@ def handle_delete_topics(log: WireLog, payload: bytes) -> bytes:
     if v >= 1:
         w.int32(0)  # throttle_time_ms
     w.compact_array_len(len(results)) if flex else w.int32(len(results))
-    for name, err in results:
+    for name, tid, err in results:
         w.compact_string(name) if flex else w.nullable_string(name)
         if v >= 6:
-            w.uuid(wire.topic_uuid(name or ""))
+            w.uuid(tid if tid is not None else wire.topic_uuid(name or ""))
         w.int16(err)
         if v >= 5:
             w.compact_string(None)  # error_message

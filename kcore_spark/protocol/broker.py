@@ -630,6 +630,17 @@ def handle_produce(log: WireLog, payload: bytes) -> bytes:
                 # producer has initialized since this one did
                 part_results.append((p.index, ERR_INVALID_PRODUCER_EPOCH, -1))
                 continue
+            if (
+                not transactional
+                and pid >= 0
+                and epoch < log._idempotent_epochs.get(pid, 0)
+            ):
+                # KIP-360 fencing for idempotent producers: an epoch
+                # bump resets the pid's sequence history, so a stale
+                # pre-bump retry MUST be rejected here — otherwise the
+                # wiped dedup state would let the duplicate re-append
+                part_results.append((p.index, ERR_INVALID_PRODUCER_EPOCH, -1))
+                continue
             if pid >= 0 and base_seq >= 0:
                 verdict, dup_base = log.check_sequence(
                     name, p.index, pid, base_seq, len(records)
@@ -783,8 +794,19 @@ def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 
             for fname, ftid, fparts in req.forgotten or []:
                 if fname is None and ftid is not None:
                     fname = by_id.get(ftid)
+                if fname is None:
+                    # the uuid no longer resolves — the topic was
+                    # deleted between fetches. Purge every dead-topic
+                    # entry so the session stops re-erroring on them.
+                    for key in [
+                        k for k in sess.partitions if k[0] not in log.topics
+                    ]:
+                        sess.partitions.pop(key, None)
+                        sess.last_sent.pop(key, None)
+                    continue
                 for idx in fparts:
                     sess.partitions.pop((fname, idx), None)
+                    sess.last_sent.pop((fname, idx), None)
         if top_err != wire.ERR_NONE:
             return encode_fetch_response(
                 req.header.correlation_id,

@@ -241,13 +241,27 @@ class ConsumerGroupCoordinator:
                 rebalance_timeout_ms=rebalance_timeout_ms,
                 last_seen=self._clock(),
             )
-            # a rejoin with an existing id keeps confirmed ownership
-            # (the member is re-reconciled, not restarted)
-            if member_id in g.members:
-                m.current = g.members[member_id].current
+            old = g.members.get(member_id)
+            if old is not None and owned is None:
+                # rejoin without an owned report keeps confirmed
+                # ownership (the member is re-reconciled, not restarted)
+                m.current = old.current
+            elif owned is not None:
+                # the join's owned report is authoritative — a fenced
+                # member rejoining with owned={} has dropped everything,
+                # and ignoring that would deadlock its own revocations
+                m.current = owned
             g.members[member_id] = m
-            g.group_epoch += 1
-            self._recompute_targets(g)
+            # only an actual membership or subscription change bumps
+            # the group epoch; a same-id rejoin with unchanged
+            # subscriptions re-reconciles against the EXISTING targets
+            # (bumping per join heartbeat would re-assign — and churn
+            # the whole group — on every retry of a stuck member)
+            if old is None or old.subscriptions != resolved:
+                g.group_epoch += 1
+                self._recompute_targets(g)
+            else:
+                m.target = old.target  # targets survive the rejoin
             return self._reconcile(h.correlation_id, g, member_id, joined=True)
 
         # ---- steady state
@@ -285,11 +299,37 @@ class ConsumerGroupCoordinator:
 
     # ------------------------------------------------ reconciliation
 
+    @staticmethod
+    def _confirmed_elsewhere(g: ConsumerGroup, mid: str) -> set[tuple[str, int]]:
+        """(topic, partition) pairs another member still CONFIRMS
+        owning — nothing may be granted out of this set, whatever the
+        targets say (the no-concurrent-owner invariant)."""
+        held: set[tuple[str, int]] = set()
+        for other_id, other in g.members.items():
+            if other_id == mid:
+                continue
+            for topic, parts in other.current.items():
+                held.update((topic, p) for p in parts)
+        return held
+
     def _reconcile(self, corr: int, g: ConsumerGroup, mid: str, joined: bool) -> bytes:
         m = g.members[mid]
         if m.member_epoch == g.group_epoch and not joined:
-            # fully reconciled: heartbeat-only, assignment omitted
-            return self._ok(corr, mid, m.member_epoch, None)
+            if m.current == m.target:
+                # fully reconciled: heartbeat-only, assignment omitted
+                return self._ok(corr, mid, m.member_epoch, None)
+            # at the current epoch but still awaiting withheld target
+            # partitions: re-grant whatever has been freed since
+            held = self._confirmed_elsewhere(g, mid)
+            grant = {
+                t: tuple(p for p in parts if (t, p) not in held)
+                for t, parts in m.target.items()
+            }
+            grant = {t: ps for t, ps in grant.items() if ps}
+            if grant == m.current:
+                return self._ok(corr, mid, m.member_epoch, None)
+            m.current = dict(grant)
+            return self._ok(corr, mid, m.member_epoch, grant)
         taken = self._owned_elsewhere(g, mid)
         still_revoking = {
             (t, p) for t, parts in m.current.items() for p in parts
@@ -303,11 +343,21 @@ class ConsumerGroupCoordinator:
             }
             reduced = {t: ps for t, ps in reduced.items() if ps}
             return self._ok(corr, mid, m.member_epoch, reduced)
-        # nothing pending revocation → advance to the group epoch and
-        # hand over the full target
+        # nothing pending revocation on OUR side → advance to the group
+        # epoch, but grant only the target partitions no other member
+        # still CONFIRMS owning (their shrink may not have happened
+        # yet) — the withheld remainder arrives on later heartbeats as
+        # the previous owners report the revocations. This preserves
+        # the no-concurrent-owner invariant across the handover window.
+        held = self._confirmed_elsewhere(g, mid)
+        grant = {
+            t: tuple(p for p in parts if (t, p) not in held)
+            for t, parts in m.target.items()
+        }
+        grant = {t: ps for t, ps in grant.items() if ps}
         m.member_epoch = g.group_epoch
-        m.current = dict(m.target)
-        return self._ok(corr, mid, m.member_epoch, m.target)
+        m.current = dict(grant)
+        return self._ok(corr, mid, m.member_epoch, grant)
 
     # ------------------------------------------------ encoding
 
@@ -356,6 +406,17 @@ class ConsumerGroupCoordinator:
         w.int8(-1)  # assignment null
         w.empty_tagged_fields()
         return w.bytes()
+
+    # ------------------------------------------------ admin read-side
+
+    def group_summaries(self) -> list[tuple[str, str, str, str]]:
+        """(group_id, protocol_type, state, group_type) rows for
+        ListGroups — KIP-848 groups must appear in the same listing as
+        classic ones or admin tooling can never discover them."""
+        return [
+            (gid, "consumer", self._group_state(g), "consumer")
+            for gid, g in self.groups.items()
+        ]
 
     # ------------------------------------------------ describe (k69)
 

@@ -436,12 +436,17 @@ class Coordinator:
 
     # ------------------------------------------ group admin (15/16/42)
 
-    def handle_list_groups(self, payload: bytes) -> bytes:
+    def handle_list_groups(
+        self, payload: bytes, extra_groups: list[tuple[str, str, str, str]] | None = None
+    ) -> bytes:
         """ListGroups v0-v5: v1 adds throttle_time_ms, v3 is the
         flexible encoding, v4 adds the states_filter (KIP-518) and the
         per-group state in the response, v5 adds the types_filter
-        (KIP-848 'classic'/'consumer') and per-group type — this
-        coordinator's groups are all classic-protocol."""
+        (KIP-848 'classic'/'consumer') and per-group type. This
+        coordinator's own groups are classic-protocol; the dispatcher
+        passes the KIP-848 coordinator's groups as ``extra_groups``
+        rows (group_id, protocol_type, state, group_type) so one
+        listing covers both protocols, like a real broker."""
         import struct as _struct
 
         v = _struct.unpack(">h", payload[2:4])[0]
@@ -458,12 +463,15 @@ class Coordinator:
             types_filter = [
                 r.compact_string() or "" for _ in range(max(r.compact_array_len(), 0))
             ]
-        listed = [
-            (gid, self.groups[gid])
-            for gid in sorted(self.groups)
-            if (not states_filter or self._group_state(self.groups[gid]) in states_filter)
-            and (not types_filter or "classic" in types_filter)
-        ]
+        rows = [
+            (gid, g.protocol_type, self._group_state(g), "classic")
+            for gid, g in self.groups.items()
+        ] + list(extra_groups or [])
+        listed = sorted(
+            (row for row in rows
+             if (not states_filter or row[2] in states_filter)
+             and (not types_filter or row[3] in types_filter)),
+        )
         w = wire.Writer()
         w.int32(h.correlation_id)
         if flex:
@@ -472,15 +480,13 @@ class Coordinator:
             w.int32(0)  # throttle_time_ms
         w.int16(wire.ERR_NONE)
         w.compact_array_len(len(listed)) if flex else w.int32(len(listed))
-        for gid, g in listed:
+        for gid, ptype, state, gtype in listed:
             w.compact_string(gid) if flex else w.nullable_string(gid)
-            w.compact_string(g.protocol_type) if flex else w.nullable_string(
-                g.protocol_type
-            )
+            w.compact_string(ptype) if flex else w.nullable_string(ptype)
             if v >= 4:
-                w.compact_string(self._group_state(g))
+                w.compact_string(state)
             if v >= 5:
-                w.compact_string("classic")
+                w.compact_string(gtype)
             if flex:
                 w.empty_tagged_fields()
         if flex:

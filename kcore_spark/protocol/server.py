@@ -253,7 +253,9 @@ class KafkaFrontend:
         if api_key == wire.CONSUMER_GROUP_DESCRIBE_KEY and api_version == 0:
             return self.consumer_groups.handle_describe(payload)
         if api_key == wire.LIST_GROUPS_KEY and api_version <= 5:
-            return self.coordinator.handle_list_groups(payload)
+            return self.coordinator.handle_list_groups(
+                payload, extra_groups=self.consumer_groups.group_summaries()
+            )
         if api_key == wire.DESCRIBE_GROUPS_KEY and api_version <= 5:
             return self.coordinator.handle_describe_groups(payload)
         if api_key == wire.DELETE_GROUPS_KEY and api_version <= 2:

@@ -383,10 +383,16 @@ def decode_api_versions_response(payload: bytes, api_version: int):
 # ------------------------------------------------------ Metadata (v0-v12)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8192)
 def topic_uuid(name: str) -> bytes:
     """Deterministic per-topic UUID (v10+ topic_id): md5 of the name
     with RFC-4122 version/variant bits set, so the same topic always
-    reports the same id across restarts."""
+    reports the same id across restarts. lru_cached: the uuid→name
+    maps rebuilt on hot paths (fetch, KIP-848 heartbeats) hash every
+    catalog topic per request without it."""
     import hashlib
 
     h = bytearray(hashlib.md5(name.encode("utf-8")).digest())

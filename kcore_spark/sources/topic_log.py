@@ -87,9 +87,32 @@ class TopicLog:
         self.archive_root = archive_root
         self._last_commit_seq = 0
         self._commit_seq_seeded = False
+        # Serializes MUTATING operations (produce / truncate / compact /
+        # retention / topic DDL) against each other — required once the
+        # background cleaner (protocol/server.py::_cleaner_loop) runs
+        # on an executor thread next to an embedding process that keeps
+        # producing. Readers are lock-free: they resolve files through
+        # the manifest, and a concurrent reclaim can at worst surface a
+        # FileNotFoundError for a segment already logically truncated —
+        # the same visibility a cloud object store gives. RLock because
+        # cleanup entry points nest (run_cleanup → apply_retention →
+        # truncate_before).
+        import threading
+
+        self._mutate_lock = threading.RLock()
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------ control plane
+
+    def _locked(fn):  # noqa: N805 - descriptor-style decorator
+        import functools
+
+        @functools.wraps(fn)
+        def inner(self, *a, **k):
+            with self._mutate_lock:
+                return fn(self, *a, **k)
+
+        return inner
 
     def _topic_dir(self, topic: str) -> str:
         return os.path.join(self.root, topic)
@@ -100,6 +123,7 @@ class TopicLog:
     def _wm_path(self, topic: str) -> str:
         return os.path.join(self._topic_dir(topic), "_watermarks.json")
 
+    @_locked
     def create_topic(
         self, name: str, num_partitions: int, configs: dict[str, str] | None = None
     ) -> TopicMeta:
@@ -157,6 +181,7 @@ class TopicLog:
             now_ms=now_ms,
         )
 
+    @_locked
     def delete_topic(self, name: str) -> None:
         """DeleteTopics (API key 20) analog."""
         import shutil
@@ -291,6 +316,7 @@ class TopicLog:
             json.dump({str(k): v for k, v in starts.items()}, f)
         os.replace(tmp, self._log_start_path(topic))
 
+    @_locked
     def truncate_before(self, topic: str, offsets: dict[int, int]) -> dict[int, int]:
         """DeleteRecords (API key 21) analog: advance log start offsets.
         offsets: {partition: first offset to KEEP}. Monotonic (a lower
@@ -354,6 +380,7 @@ class TopicLog:
             return None
         return self.spark.read.parquet(d)
 
+    @_locked
     def apply_retention(
         self,
         topic: str,
@@ -401,6 +428,7 @@ class TopicLog:
             return self.truncate_before(topic, cut)
         return self._log_starts(topic)
 
+    @_locked
     def run_cleanup(self, topic: str, now_ms: int | None = None) -> dict:
         """One cleaner pass for a topic, driven by its configs — the
         engine-side analog of Kafka's log-cleaner thread:
@@ -435,6 +463,7 @@ class TopicLog:
 
     # ------------------------------------------------------ produce
 
+    @_locked
     def produce(
         self,
         topic: str,
@@ -653,6 +682,7 @@ class TopicLog:
 
     # ------------------------------------------------------ compaction
 
+    @_locked
     def compact(self, topic: str) -> int:
         """Log compaction: keep only the latest record per (partition,
         key); null keys are always retained (Kafka's contract).

@@ -183,3 +183,61 @@ def test_unsupported_assignor_rejected(fe):
 def test_advertised_in_api_versions(fe):
     ranges = {k: (lo, hi) for k, lo, hi in wire.SUPPORTED_APIS}
     assert ranges[wire.CONSUMER_GROUP_HEARTBEAT_KEY] == (0, 1)
+
+
+# -------------------------- no-concurrent-owner across handover (r5)
+
+
+def _hb(fe, **kw):
+    corr, err, msg, member, epoch, interval, asg = _parse_hb(
+        fe.handle_request(_hb_req(**kw))
+    )
+    return {"err": err, "member": member, "epoch": epoch, "assignment": asg}
+
+
+def _owned_of(fe, group, member):
+    return fe.consumer_groups.groups[group].members[member].current
+
+
+def test_handover_never_grants_partitions_still_confirmed_elsewhere(fe):
+    # A joins alone and confirms ownership of all 4 partitions of "ta"
+    ra = _hb(fe, subs=("ta",))
+    a = ra["member"]
+    ra = _hb(fe, member=a, epoch=ra["epoch"], owned={"ta": (0, 1, 2, 3)})
+    assert _owned_of(fe, "g848", a) == {"ta": (0, 1, 2, 3)}
+    # B joins: its grant must EXCLUDE everything A still confirms
+    rb = _hb(fe, subs=("ta",))
+    b = rb["member"]
+    assert not rb["assignment"], (
+        f"B was granted {rb['assignment']} while A still confirms ownership"
+    )
+    # A's next contact is fenced (B's join bumped the epoch) → it
+    # rejoins reporting its shrink to {0,1}; B then receives the rest
+    ra = _hb(fe, member=a, epoch=0, subs=("ta",), owned={"ta": (0, 1)})
+    assert ra["err"] == 0
+    rb = _hb(fe, member=b, epoch=rb["epoch"])
+    got_a = _owned_of(fe, "g848", a)
+    got_b = _owned_of(fe, "g848", b)
+    overlap = {(t, p) for t, ps in got_a.items() for p in ps} & {
+        (t, p) for t, ps in got_b.items() for p in ps
+    }
+    assert overlap == set(), f"concurrent owners of {overlap}"
+    # B did receive the freed partitions
+    assert got_b.get("ta"), f"B never received freed partitions: {got_b}"
+
+
+def test_rejoin_with_empty_owned_does_not_livelock(fe):
+    ra = _hb(fe, subs=("ta",))
+    a = ra["member"]
+    _hb(fe, member=a, epoch=ra["epoch"], owned={"ta": (0, 1, 2, 3)})
+    _hb(fe, subs=("ta",))  # B joins
+    # A crashes and rejoins from scratch, reporting it owns NOTHING
+    ra = _hb(fe, member=a, epoch=0, subs=("ta",), owned={})
+    assert ra["err"] == 0
+    # owned={} means no pending revocation: A must advance past epoch 0
+    g = fe.consumer_groups.groups["g848"]
+    assert ra["epoch"] == g.group_epoch > 0
+    # and a repeated identical rejoin must NOT bump the group epoch
+    before = g.group_epoch
+    _hb(fe, member=a, epoch=0, subs=("ta",), owned={})
+    assert g.group_epoch == before

@@ -774,3 +774,119 @@ def test_alter_configs_versions(fe, version):
     assert (r.compact_array_len() if flex else r.int32()) == 1
     assert r.int16() == wire.ERR_NONE
     assert fe.wire_log.topic_configs["t"] == {"retention.ms": "777"}
+
+
+# ------------------------------------ review follow-ups (r5)
+
+
+def test_delete_topics_v6_unknown_uuid_gets_uuid_error_and_echo(fe):
+    bogus = bytes(range(16))
+    w = _hdr(wire.Writer(), wire.DELETE_TOPICS_KEY, 6)
+    w.compact_array_len(1)
+    w.compact_string(None)  # uuid-only addressing
+    w.uuid(bogus)
+    w.empty_tagged_fields()
+    w.int32(5000)
+    w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    r.int32()
+    r.tagged_fields()
+    r.int32()
+    assert r.compact_array_len() == 1
+    assert r.compact_string() is None  # name unknown
+    assert r.uuid() == bogus  # REQUESTED id echoed for correlation
+    assert r.int16() == wire.ERR_UNKNOWN_TOPIC_ID
+
+
+def test_list_groups_includes_kip848_groups(fe):
+    # create one classic and one KIP-848 group
+    _join(fe, group="classic-g")
+    w = wire.Writer()
+    w.int16(wire.CONSUMER_GROUP_HEARTBEAT_KEY).int16(0).int32(5)
+    w.nullable_string("cli")
+    w.empty_tagged_fields()
+    w.compact_string("g848")
+    w.compact_string("")
+    w.int32(0)
+    w.compact_string(None)
+    w.compact_string(None)
+    w.int32(30000)
+    w.compact_array_len(1)
+    w.compact_string("t")
+    w.compact_string(None)
+    w.compact_array_len(-1)
+    w.empty_tagged_fields()
+    fe.handle_request(w.bytes())
+
+    w = _hdr(wire.Writer(), wire.LIST_GROUPS_KEY, 5)
+    w.compact_array_len(0)  # states filter
+    w.compact_array_len(0)  # types filter
+    w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    r.int32()
+    r.tagged_fields()
+    r.int32()
+    assert r.int16() == wire.ERR_NONE
+    rows = {}
+    for _ in range(r.compact_array_len()):
+        gid = r.compact_string()
+        ptype = r.compact_string()
+        state = r.compact_string()
+        gtype = r.compact_string()
+        r.tagged_fields()
+        rows[gid] = (ptype, state, gtype)
+    assert rows["classic-g"][2] == "classic"
+    assert rows["g848"] == ("consumer", "Stable", "consumer")
+    # types filter narrows to the 848 group only
+    w = _hdr(wire.Writer(), wire.LIST_GROUPS_KEY, 5)
+    w.compact_array_len(0)
+    w.compact_array_len(1)
+    w.compact_string("consumer")
+    w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    r.int32(), r.tagged_fields(), r.int32()
+    assert r.int16() == wire.ERR_NONE
+    assert r.compact_array_len() == 1
+    assert r.compact_string() == "g848"
+
+
+def test_idempotent_stale_epoch_produce_is_fenced(fe):
+    """KIP-360: after an epoch bump, a retry carrying the OLD epoch
+    must be rejected — the bump wiped the sequence-dedup state, so
+    without fencing the duplicate would re-append."""
+    from kcore_spark.protocol.broker import ERR_INVALID_PRODUCER_EPOCH
+    from kcore_spark.protocol.records import Record, encode_record_batch
+
+    log = fe.wire_log
+    pid, _ = log.init_producer_id()
+    batch = encode_record_batch(
+        [Record(b"k", b"v", 100)], base_offset=0, producer_id=pid,
+        producer_epoch=0, base_sequence=0,
+    )
+
+    def produce(b):
+        w = _hdr(wire.Writer(), wire.PRODUCE_KEY, 3, flex=False)
+        w.nullable_string(None)  # transactional_id
+        w.int16(-1)  # acks
+        w.int32(1000)
+        w.int32(1)
+        w.nullable_string("t")
+        w.int32(1)
+        w.int32(0)
+        w.nullable_bytes(b)
+        r = wire.Reader(fe.handle_request(w.bytes()))
+        r.int32()
+        r.int32()  # topics len
+        r.nullable_string()
+        r.int32()
+        r.int32()  # partition idx
+        return r.int16()  # error
+
+    assert produce(batch) == wire.ERR_NONE
+    log.bump_idempotent_epoch(pid)  # client re-initialized (KIP-360)
+    assert produce(batch) == ERR_INVALID_PRODUCER_EPOCH  # stale retry fenced
+    new_batch = encode_record_batch(
+        [Record(b"k", b"v2", 101)], base_offset=0, producer_id=pid,
+        producer_epoch=1, base_sequence=0,
+    )
+    assert produce(new_batch) == wire.ERR_NONE  # bumped epoch proceeds
