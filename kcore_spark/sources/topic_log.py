@@ -453,12 +453,39 @@ class TopicLog:
 
     def _watermarks(self, topic: str) -> dict[int, int]:
         with open(self._wm_path(topic)) as f:
-            return {int(k): v for k, v in json.load(f).items()}
+            return {
+                int(k): v for k, v in json.load(f).items() if not k.startswith("__")
+            }
 
-    def _set_watermarks(self, topic: str, wm: dict[int, int]) -> None:
+    def sink_committed(self, topic: str, sink_id: str) -> int:
+        """Last streaming-sink batch id committed into this topic by
+        ``sink_id`` (-1 if none). Rides the watermark control file, so
+        it is exactly as durable and atomic as the offsets
+        themselves."""
+        with open(self._wm_path(topic)) as f:
+            return json.load(f).get("__sinks", {}).get(sink_id, -1)
+
+    def _set_watermarks(
+        self, topic: str, wm: dict[int, int], sink_commit: tuple[str, int] | None = None
+    ) -> None:
+        # preserve sink commits across unrelated flips (retention,
+        # plain produce) — they live in the SAME file so that a
+        # produce carrying a sink_commit advances offsets and records
+        # the batch id in ONE atomic os.replace (the exactly-once
+        # commit point for streaming sinks)
+        try:
+            with open(self._wm_path(topic)) as f:
+                sinks = json.load(f).get("__sinks", {})
+        except FileNotFoundError:
+            sinks = {}
+        if sink_commit is not None:
+            sinks[sink_commit[0]] = sink_commit[1]
+        payload: dict = {str(k): v for k, v in wm.items()}
+        if sinks:
+            payload["__sinks"] = sinks
         tmp = self._wm_path(topic) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({str(k): v for k, v in wm.items()}, f)
+            json.dump(payload, f)
         os.replace(tmp, self._wm_path(topic))
 
     # ------------------------------------------------------ produce
@@ -470,6 +497,7 @@ class TopicLog:
         records: DataFrame,
         partition_expr: Column | None = None,
         order_by: list[str] | None = None,
+        sink_commit: tuple[str, int] | None = None,
     ) -> dict[int, int]:
         """Produce (API key 0) analog: assign partitions + dense offsets,
         atomic parquet append. Returns new high watermarks.
@@ -510,9 +538,15 @@ class TopicLog:
         if "headers" not in df.columns:
             df = df.withColumn("headers", F.lit(None).cast("map<string,binary>"))
         out = df.select("key", "value", "partition", "offset", "timestamp", "timestampType", "headers")
-        return self._write_and_advance(topic, wm, out)
+        return self._write_and_advance(topic, wm, out, sink_commit=sink_commit)
 
-    def _write_and_advance(self, topic: str, wm: dict[int, int], out: DataFrame) -> dict[int, int]:
+    def _write_and_advance(
+        self,
+        topic: str,
+        wm: dict[int, int],
+        out: DataFrame,
+        sink_commit: tuple[str, int] | None = None,
+    ) -> dict[int, int]:
         out.write.mode("append").partitionBy("partition").parquet(self._topic_dir(topic) + "/data")
         new_wm = {
             r["partition"]: r["hi"] + 1
@@ -531,7 +565,7 @@ class TopicLog:
         merged = {
             p: max(wm.get(p, 0), new_wm.get(p, 0)) for p in set(wm) | set(new_wm)
         }
-        self._set_watermarks(topic, merged)
+        self._set_watermarks(topic, merged, sink_commit=sink_commit)
         self._refresh_manifest(topic)  # index just-written segments
         return merged
 

@@ -70,3 +70,90 @@ def test_foreach_batch_upsert_latest_event_per_user(spark):
         for r in ev.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
     }
     assert got == want
+
+
+def test_topic_sink_exactly_once_across_redelivery(spark):
+    """topic_sink skips a re-delivered batchId (foreachBatch's
+    at-least-once contract) because the commit rode produce's atomic
+    watermark flip."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kcore_spark.sources.topic_log import TopicLog
+    from kcore_spark.streaming.sinks import topic_sink
+
+    log = TopicLog(spark, tempfile.mkdtemp(prefix="kcore_sink_"))
+    log.create_topic("out", 2)
+    sink = topic_sink(log, "out", sink_id="q1", order_by=["seq"])
+
+    def batch(n, start):
+        return spark.range(n).select(
+            F.encode((F.col("id") % 3).cast("string"), "utf-8").alias("key"),
+            F.encode((F.col("id") + start).cast("string"), "utf-8").alias("value"),
+            (F.col("id") + start).alias("seq"),
+        )
+
+    sink(batch(10, 0), 0)
+    assert log.scan("out").count() == 10
+    # failure redelivery: same batchId arrives again → skipped
+    sink(batch(10, 0), 0)
+    assert log.scan("out").count() == 10
+    assert log.sink_committed("out", "q1") == 0
+    # next batch applies normally
+    sink(batch(5, 10), 1)
+    assert log.scan("out").count() == 15
+    assert log.sink_committed("out", "q1") == 1
+    # an unrelated plain produce must not disturb the sink commit
+    log.produce("out", batch(2, 100).drop("seq"), order_by=["value"])
+    assert log.sink_committed("out", "q1") == 1
+    # a second logical sink has its own id sequence
+    sink2 = topic_sink(log, "out", sink_id="q2", order_by=["seq"])
+    sink2(batch(3, 20), 0)
+    assert log.sink_committed("out", "q2") == 0
+    assert log.sink_committed("out", "q1") == 1
+
+
+def test_topic_sink_from_real_stream(spark):
+    """End-to-end: a rate-less availableNow stream lands in the topic
+    through the sink; rerunning the SAME checkpoint adds nothing."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kcore_spark.sources.topic_log import TopicLog
+    from kcore_spark.streaming.sinks import topic_sink
+
+    src = tempfile.mkdtemp(prefix="kcore_sinksrc_")
+    spark.range(20).select(
+        F.col("id").alias("seq"), (F.col("id") * 2).alias("v")
+    ).write.mode("overwrite").parquet(src)
+
+    log = TopicLog(spark, tempfile.mkdtemp(prefix="kcore_sink2_"))
+    log.create_topic("out", 1)
+    ckpt = tempfile.mkdtemp(prefix="kcore_sink_ckpt_")
+
+    def to_records(df):
+        return df.select(
+            F.encode(F.col("seq").cast("string"), "utf-8").alias("key"),
+            F.encode(F.col("v").cast("string"), "utf-8").alias("value"),
+            "seq",
+        )
+
+    def run():
+        q = (
+            spark.readStream.schema("seq long, v long")
+            .parquet(src)
+            .writeStream.foreachBatch(
+                topic_sink(log, "out", sink_id="s", order_by=["seq"], transform=to_records)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert log.scan("out").count() == 20
+    run()  # same checkpoint: no new source data, no duplicates
+    assert log.scan("out").count() == 20
