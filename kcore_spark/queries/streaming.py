@@ -238,7 +238,68 @@ GROUP BY user_id
 """
 
 
+# ------------------------------------ exactly-once topic sink e2e
+
+
+def q_stream_topic_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → streaming foreachBatch topic sink (exactly-once batch
+    commits riding the produce watermark flip) → batch scan of the
+    sunk topic → per-type counts. The oracle computes the same counts
+    straight from the events table, so a hash match proves the full
+    stream→topic→scan loop is lossless AND duplicate-free — the replay
+    of the stream from a fresh checkpoint re-delivers every batch, and
+    only the sink's batch-id commits keep the topic exact."""
+    import tempfile
+
+    from kcore_spark.sources.topic_log import TopicLog
+    from kcore_spark.streaming.ops import events_stream
+    from kcore_spark.streaming.sinks import topic_sink
+
+    log = TopicLog(spark, tempfile.mkdtemp(prefix="kcore_q_sink_"))
+    log.create_topic("sunk", 2)
+
+    def to_records(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
+            F.encode(F.col("event_type"), "utf-8").alias("value"),
+            F.col("ts").alias("timestamp"),
+            "event_id",
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="kcore_q_sink_ckpt_")
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(
+            topic_sink(log, "sunk", sink_id="q", order_by=["event_id"], transform=to_records)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        log.scan("sunk")
+        .select(F.decode("value", "utf-8").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+Q_STREAM_TOPIC_SINK_SQL = """
+SELECT event_type, COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "q_stream_topic_sink_roundtrip": QuerySpec(
+        q_stream_topic_sink_roundtrip,
+        Q_STREAM_TOPIC_SINK_SQL,
+        "stream → exactly-once topic sink → scan round-trip",
+    ),
     "q_stream_stateful_user_stats": QuerySpec(
         q_stream_stateful_user_stats, Q_STREAM_STATEFUL_SQL, "applyInPandasWithState"
     ),
