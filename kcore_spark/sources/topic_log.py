@@ -368,6 +368,50 @@ class TopicLog:
         if removed:
             self._refresh_manifest(topic)
 
+    def apply_archive_retention(
+        self, topic: str, retention_ms: int, now_ms: int | None = None
+    ) -> int:
+        """Age out the COLD tier too: delete archived segments whose
+        newest record timestamp is older than ``retention_ms``. The
+        archive has no manifest, so the decision reads each candidate
+        file's parquet footer statistics (driver-side, O(archived
+        files) footer reads — no data scan). Returns files deleted.
+        Files without timestamp stats are kept (can't prove they aged
+        out)."""
+        import time
+
+        import pyarrow.parquet as pq
+
+        if self.archive_root is None:
+            return 0
+        d = os.path.join(self.archive_root, topic)
+        if not os.path.isdir(d):
+            return 0
+        cutoff = (time.time() * 1000 if now_ms is None else now_ms) - retention_ms
+        deleted = 0
+        for base, _dirs, files in os.walk(d):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                path = os.path.join(base, fname)
+                md = pq.ParquetFile(path).metadata
+                cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                ti = cols.get("timestamp")
+                if ti is None:
+                    continue
+                hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ti).statistics
+                    if st is None or not st.has_min_max:
+                        hi = None
+                        break
+                    b = _epoch_ms(st.max)
+                    hi = b if hi is None else max(hi, b)
+                if hi is not None and hi < cutoff:
+                    os.remove(path)
+                    deleted += 1
+        return deleted
+
     def scan_archive(self, topic: str):
         """Batch-read every archived (cold-tier) segment of a topic —
         the backfill path a 100 TB pipeline uses to replay history that

@@ -334,3 +334,29 @@ def test_truncate_deletes_without_archive_root(spark, log):
     assert log.scan_archive("t") is None if log.archive_root else True
     assert log.archive_root is None
     assert log.scan("t").count() == 20
+
+
+def test_archive_tier_retention_ages_out_cold_files(spark):
+    with tempfile.TemporaryDirectory(prefix="kcore_hot2_") as hot, tempfile.TemporaryDirectory(
+        prefix="kcore_cold2_"
+    ) as cold:
+        log = TopicLog(spark, hot, archive_root=cold)
+        log.create_topic("t", 1)
+        # two segments an hour apart; both age into the archive
+        log.produce("t", _ts_records(spark, 10, 0, 1_000_000), order_by=["seq"])
+        log.produce("t", _ts_records(spark, 10, 10, 4_600_000), order_by=["seq"])
+        log.truncate_before("t", {0: 20})
+        assert log.scan_archive("t").count() == 20
+        # cutoff between the two segments' timestamps: only the older dies
+        n = log.apply_archive_retention("t", retention_ms=3_600_000, now_ms=6_000_000)
+        assert n >= 1
+        remaining = log.scan_archive("t")
+        assert remaining is not None and remaining.count() == 10
+        assert remaining.agg(F.min("offset")).collect()[0][0] == 10
+        # idempotent second pass
+        assert log.apply_archive_retention("t", retention_ms=3_600_000, now_ms=6_000_000) == 0
+
+
+def test_archive_retention_noop_without_tier(spark, log):
+    log.create_topic("t", 1)
+    assert log.apply_archive_retention("t", retention_ms=1) == 0
