@@ -33,6 +33,7 @@ def all_queries() -> dict[str, QuerySpec]:
         events,
         packing_q,
         ranking,
+        sampling_q,
         recursive,
         scale_q,
         scalars,
@@ -73,6 +74,7 @@ def all_queries() -> dict[str, QuerySpec]:
         timeseries,
         scale_q,
         packing_q,
+        sampling_q,
     ):
         for k, v in mod.QUERIES.items():
             if k in out:

@@ -170,7 +170,77 @@ ORDER BY user_id, grid_epoch
 """
 
 
+# -------------------------------------------- rolling z-score anomalies
+
+ZWIN = 20  # trailing window size (rows), excludes the current row
+
+
+def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per event type: each event's
+    value against the mean/std of its 20 predecessors (the standard
+    streaming-metrics shape). The moments come from exact decimal
+    sums over the frame — Σv and Σv² as DECIMAL — so variance =
+    (Σv² − (Σv)²/n)/(n−1) is the same algebra on both engines
+    bit-for-bit (engine-native stddev uses different incremental
+    formulas and drifts in the last ulps). Output: anomaly counts per
+    type, so the hash pins every per-row verdict."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-ZWIN, -1)
+    )
+    dv = F.col("value").cast("decimal(18,6)")
+    s1 = F.sum(dv).over(w).cast("double")
+    s2 = F.sum((dv * dv).cast("decimal(38,12)")).over(w).cast("double")
+    n = F.count(dv).over(w).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - 1.0)
+    z = (F.col("value") - s1 / n) / F.sqrt(var)
+    scored = ev.select(
+        "event_type",
+        F.when((n >= ZWIN) & (F.sqrt(var) > 0), z).alias("z"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("z").alias("n_scored"),
+        F.sum(F.when(F.abs("z") > 3.0, 1).otherwise(0)).cast("long").alias("n_anomalies"),
+    ).orderBy("event_type")
+
+
+Q_ROLLING_ZSCORE_SQL = f"""
+WITH framed AS (
+  SELECT event_type, value,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)))
+              OVER (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN {ZWIN} PRECEDING AND 1 PRECEDING) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+              OVER (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN {ZWIN} PRECEDING AND 1 PRECEDING) AS DOUBLE) AS s2,
+         CAST(COUNT(value)
+              OVER (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN {ZWIN} PRECEDING AND 1 PRECEDING) AS DOUBLE) AS n
+  FROM events),
+scored AS (
+  SELECT event_type,
+         CASE WHEN n >= {ZWIN} AND sqrt((s2 - s1*s1/n)/(n-1.0)) > 0
+              THEN (value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1.0)) END AS z
+  FROM framed)
+SELECT event_type,
+       COUNT(z) AS n_scored,
+       CAST(SUM(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "q_rolling_zscore_anomalies": QuerySpec(
+        q_rolling_zscore_anomalies,
+        Q_ROLLING_ZSCORE_SQL,
+        "rolling z-score anomaly detection (exact-decimal moments)",
+    ),
     "q_funnel_conversions": QuerySpec(
         q_funnel_conversions, Q_FUNNEL_SQL, "view→click→purchase funnel (sequential pattern)"
     ),
