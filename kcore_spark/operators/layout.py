@@ -1,0 +1,99 @@
+"""Clustered file layout: range-sorted parquet with a min/max manifest
+for file-level data skipping.
+
+Why: at 100 TB, partition pruning handles the coarse dimension (date,
+tenant) but point/range predicates on a sort-friendly key (order id,
+user id, timestamp) still scan every file unless the layout clusters
+by that key. ``cluster_write`` produces non-overlapping sorted runs —
+``repartitionByRange`` gives disjoint key ranges per output file,
+``sortWithinPartitions`` makes row groups internally ordered so
+parquet min/max stats are tight — and records each file's key range in
+a manifest. ``pruned_scan`` then plans a range read over only the
+files whose range intersects the predicate, the same
+footer-stats-driven skipping the topic log's fetch path uses
+(sources/topic_log.py) generalized to any table.
+
+The skipped-file decision is driver-side over the manifest —
+O(files), no data touched — and the residual predicate still applies
+in the scan, so pruning is an optimization, never a semantics change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_layout_manifest.json"
+
+
+def cluster_write(
+    df: DataFrame, path: str, key: str, num_files: int | None = None
+) -> dict:
+    """Write ``df`` clustered by ``key``: range-partitioned into
+    ``num_files`` non-overlapping sorted runs + a min/max manifest.
+    Returns the manifest ({file: {"min": .., "max": ..}}). Numeric
+    sort keys only (json-representable footer stats)."""
+    import pyarrow.parquet as pq
+
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    man: dict[str, dict] = {}
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fname)).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        ki = cols[key]
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ki).statistics
+            if st is None or not st.has_min_max:
+                lo, hi = None, None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            man[fname] = {"min": lo, "max": hi}
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump({"key": key, "files": man}, f)
+    return man
+
+
+def pruned_scan(spark: SparkSession, path: str, key: str, lo, hi) -> DataFrame:
+    """Range scan reading ONLY the files whose [min, max] intersects
+    [lo, hi] per the manifest, with the residual predicate applied on
+    top. Equivalent to a full scan + filter; touches O(selectivity)
+    files instead of all of them."""
+    with open(os.path.join(path, MANIFEST)) as f:
+        man = json.load(f)
+    assert man["key"] == key, f"layout clustered by {man['key']!r}, not {key!r}"
+    picked = [
+        os.path.join(path, fname)
+        for fname, rng in sorted(man["files"].items())
+        if not (rng["max"] < lo or rng["min"] > hi)
+    ]
+    if not picked:
+        return spark.read.parquet(path).where(F.lit(False))
+    return (
+        spark.read.parquet(*picked)
+        .where((F.col(key) >= lo) & (F.col(key) <= hi))
+    )
+
+
+def files_for_range(path: str, lo, hi) -> list[str]:
+    """The manifest-pruned file list for a range (observability/tests)."""
+    with open(os.path.join(path, MANIFEST)) as f:
+        man = json.load(f)
+    return [
+        fname
+        for fname, rng in sorted(man["files"].items())
+        if not (rng["max"] < lo or rng["min"] > hi)
+    ]

@@ -83,7 +83,53 @@ ORDER BY c_nationkey
 """
 
 
+# ------------------------------------- clustered layout + pruned scan
+
+RANGE_LO, RANGE_HI = 2000, 5000
+
+
+def q_clustered_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping layout parity: orders rewritten as range-sorted
+    runs with a min/max manifest (operators/layout.py), then a range
+    query served by the manifest-pruned scan. The aggregate must match
+    the oracle's plain filter over the original table — pruning is an
+    optimization, never a semantics change. The pruning itself (subset
+    of files touched, disjoint runs) is asserted in tests/test_layout."""
+    import tempfile
+
+    from kcore_spark.operators.layout import cluster_write, pruned_scan
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="kcore_q_layout_")
+    cluster_write(orders, path, "o_orderkey", num_files=8)
+    got = pruned_scan(spark, path, "o_orderkey", RANGE_LO, RANGE_HI)
+    return got.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)")).cast("double").alias("sum_total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    ).orderBy("o_orderstatus")
+
+
+Q_CLUSTERED_SQL = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_total,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderkey BETWEEN {RANGE_LO} AND {RANGE_HI}
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "q_clustered_range_scan": QuerySpec(
+        q_clustered_range_scan,
+        Q_CLUSTERED_SQL,
+        "range-clustered layout + manifest-pruned scan, result parity",
+    ),
     "q_salted_join_segments": QuerySpec(
         q_salted_join_segments, Q_SALTED_SQL, "skew-salted join, result parity"
     ),

@@ -1,0 +1,54 @@
+"""Clustered layout + manifest-pruned range scans: results identical to
+a full-scan filter, while touching only the intersecting files."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kcore_spark.operators.layout import cluster_write, files_for_range, pruned_scan
+
+
+def _write(spark, n=10_000, files=8):
+    path = tempfile.mkdtemp(prefix="kcore_layout_")
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    man = cluster_write(df, path, "k", num_files=files)
+    return path, man
+
+
+def test_cluster_write_produces_disjoint_sorted_runs(spark):
+    path, man = _write(spark)
+    ranges = sorted((r["min"], r["max"]) for r in man.values())
+    assert len(ranges) >= 2
+    for (al, ah), (bl, bh) in zip(ranges, ranges[1:]):
+        assert ah < bl, f"overlapping runs: ({al},{ah}) vs ({bl},{bh})"
+
+
+def test_pruned_scan_matches_full_filter_and_skips_files(spark):
+    path, man = _write(spark)
+    got = sorted(
+        r.k for r in pruned_scan(spark, path, "k", 2500, 3500).collect()
+    )
+    assert got == list(range(2500, 3501))
+    touched = files_for_range(path, 2500, 3500)
+    assert 0 < len(touched) < len(man), (
+        f"no skipping: {len(touched)}/{len(man)} files touched"
+    )
+
+
+def test_pruned_scan_empty_range(spark):
+    path, _ = _write(spark, n=1000)
+    assert pruned_scan(spark, path, "k", 10_000, 20_000).count() == 0
+    assert files_for_range(path, 10_000, 20_000) == []
+
+
+def test_pruned_scan_boundary_inclusive(spark):
+    path, man = _write(spark, n=1000, files=4)
+    # pick an exact file boundary: max of the first run
+    first_hi = sorted(r["max"] for r in man.values())[0]
+    got = sorted(r.k for r in pruned_scan(spark, path, "k", first_hi, first_hi + 1).collect())
+    assert got == [first_hi, first_hi + 1]
