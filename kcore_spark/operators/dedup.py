@@ -123,6 +123,60 @@ def jaccard_pairs(
     return jac.where(F.col("jaccard") >= min_jaccard).select("id1", "id2", "jaccard")
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    min_containment: float,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Asymmetric n-gram containment: |A∩B| / |A| for the smaller doc.
+
+    Jaccard misses subset duplication — a paragraph quoted inside a
+    10× longer document scores J ≈ 0.1 but containment ≈ 1.0. This is
+    the standard second dedup signal for training corpora (quotes,
+    boilerplate-wrapped reposts, partial scrapes).
+
+    Same candidate generation as jaccard_pairs (self-equi-join on
+    shared shingles, hot-shingle df cutoff bounds any key's quadratic
+    contribution), then each unordered pair is emitted once, directed
+    smaller-doc → larger-doc (ties broken src_id < dst_id), and scored
+    inter / sz_src. Returns (src_id, dst_id, containment, sz_src,
+    sz_dst) with containment >= min_containment.
+    """
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        dfc = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        shingles = (
+            shingles.withColumn("__df", dfc).where(F.col("__df") <= max_df).drop("__df")
+        )
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sized = inter.join(
+        sizes.withColumnsRenamed({"id": "id1", "sz": "sz1"}), "id1"
+    ).join(sizes.withColumnsRenamed({"id": "id2", "sz": "sz2"}), "id2")
+    # direct each pair smaller → larger so the score is the subset side's
+    fwd = F.col("sz1") < F.col("sz2")
+    tie = (F.col("sz1") == F.col("sz2")) & (F.col("id1") < F.col("id2"))
+    directed = sized.select(
+        F.when(fwd | tie, F.col("id1")).otherwise(F.col("id2")).alias("src_id"),
+        F.when(fwd | tie, F.col("id2")).otherwise(F.col("id1")).alias("dst_id"),
+        F.col("inter"),
+        F.least("sz1", "sz2").alias("sz_src"),
+        F.greatest("sz1", "sz2").alias("sz_dst"),
+    )
+    return directed.withColumn(
+        "containment", F.col("inter").cast("double") / F.col("sz_src")
+    ).where(F.col("containment") >= min_containment).select(
+        "src_id", "dst_id", "containment", "sz_src", "sz_dst"
+    )
+
+
 def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame, min_jaccard: float) -> DataFrame:
     """Exact Jaccard computed ONLY for a given candidate pair list.
 

@@ -32,6 +32,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         events,
         packing_q,
+        quality_q,
         ranking,
         sampling_q,
         recursive,
@@ -75,6 +76,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scale_q,
         packing_q,
         sampling_q,
+        quality_q,
     ):
         for k, v in mod.QUERIES.items():
             if k in out:

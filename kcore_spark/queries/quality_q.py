@@ -1,0 +1,419 @@
+"""Data-quality / curation queries (SURVEY §2 block M extensions):
+TF-IDF salient terms, asymmetric containment dedup, char-class
+entropy, unigram KL source drift, MAD robust outliers, MERGE-style
+snapshot upsert.
+
+These are the corpus-health signals a training-data pipeline computes
+next to dedup: per-document salience (TF-IDF), subset duplication
+(containment — what Jaccard misses), gibberish detection (entropy),
+distribution drift between sources (KL divergence), robust outlier
+flagging (median/MAD, immune to the outliers themselves), and the
+upsert that folds a correction batch into a snapshot.
+
+Determinism: every floating aggregate either sums decimals (exact,
+order-free) or is an order-free min/max/count; ln() appears only in
+per-row expressions whose integer inputs are identical on both
+engines. See FIXTURES.md for the general rules.
+
+Provenance: declared surface of OUR engine (SURVEY §2.3/§2-M). The
+reference implements no relational/data operators — its one dispatch
+arm is ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`);
+this module realizes the driver-mandated query surface over the
+reference's declared event-streaming data model
+(`/root/reference/README.md:17,27`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kcore_spark.caching import transient_persist
+from kcore_spark.catalog import load_table
+from kcore_spark.operators.dedup import containment_pairs
+from kcore_spark.operators.text import words
+from kcore_spark.queries import QuerySpec
+from kcore_spark.queries.dedup import SHINGLES_CTE, shared_shingles
+
+# -------------------------------------------------- TF-IDF top terms
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by TF-IDF (tf · ln(N/df)).
+
+    Plan: explode → (doc, term) counts → term df aggregate (vocab-
+    sized, broadcast back) → per-doc top-k window. At 100 TB the only
+    big shuffles are the two aggregations, both partial-aggregated
+    map-side; the df table is vocabulary-sized (≪ corpus) so the join
+    back is a broadcast, and the top-k window repartitions by doc_id
+    only the (doc, term) count table, never raw tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
+
+
+Q_TFIDF_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, t.term, tf, df, ROUND(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf t JOIN dfq USING (term) CROSS JOIN tot),
+rk AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS INT) AS rk
+  FROM scored)
+SELECT doc_id, rk, term, tf, df, tfidf
+FROM rk WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+# -------------------------------------------------- asymmetric containment
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplication pairs: smaller doc ≥60%-contained in larger.
+
+    The production df cutoff (max_df) is applied on BOTH engines —
+    unlike the oracle-pinned exact Jaccard, this query pins the
+    bounded production path itself."""
+    sh = shared_shingles(spark, sf_dir)
+    return containment_pairs(sh, min_containment=0.6, max_df=10_000).orderBy(
+        "src_id", "dst_id"
+    )
+
+
+Q_CONTAINMENT_SQL = f"""
+WITH {SHINGLES_CTE},
+shf AS (
+  SELECT id, shingle FROM sh
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 10000),
+sizes AS (SELECT id, COUNT(*) AS sz FROM shf GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+dir AS (
+  SELECT CASE WHEN sa.sz <= sb.sz THEN id1 ELSE id2 END AS src_id,
+         CASE WHEN sa.sz <= sb.sz THEN id2 ELSE id1 END AS dst_id,
+         i, LEAST(sa.sz, sb.sz) AS sz_src, GREATEST(sa.sz, sb.sz) AS sz_dst
+  FROM inter JOIN sizes sa ON sa.id = id1 JOIN sizes sb ON sb.id = id2)
+SELECT src_id, dst_id, CAST(i AS DOUBLE) / sz_src AS containment, sz_src, sz_dst
+FROM dir
+WHERE CAST(i AS DOUBLE) / sz_src >= 0.6
+ORDER BY src_id, dst_id
+"""
+
+# -------------------------------------------------- char-class entropy
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-class entropy profile (gibberish signal).
+
+    Entropy over {letter, digit, whitespace, other} per document —
+    natural-text entropy sits in a narrow band; binary junk and
+    repeated-char spam fall outside it. The per-doc entropy is pure
+    per-row arithmetic riding the scan; the per-language aggregate
+    sums decimals (exact, order-free) so the answer is bit-stable
+    under any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    a = F.regexp_count("text", F.lit("[A-Za-z]")).cast("double")
+    d = F.regexp_count("text", F.lit("[0-9]")).cast("double")
+    s = F.regexp_count("text", F.lit("\\s")).cast("double")
+    o = n - a - d - s
+
+    def term(c: F.Column) -> F.Column:
+        p = c / n
+        return F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+
+    ent = term(a) + term(d) + term(s) + term(o)
+    per_doc = docs.select("lang", F.round(ent, 9).alias("ent"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ent").alias("min_ent"),
+            F.max("ent").alias("max_ent"),
+            F.sum(F.col("ent").cast("decimal(28,9)")).cast("double").alias("sum_ent"),
+        )
+        .withColumn("avg_ent", F.round(F.col("sum_ent") / F.col("n_docs"), 6))
+        .orderBy("lang")
+    )
+
+
+Q_CHAR_ENTROPY_SQL = """
+WITH cls AS (
+  SELECT lang,
+         CAST(LENGTH(text) AS DOUBLE) AS n,
+         CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS a,
+         CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS d,
+         CAST(LEN(regexp_extract_all(text, '\\s')) AS DOUBLE) AS s
+  FROM documents),
+ent AS (
+  SELECT lang,
+         ROUND(
+           (CASE WHEN a > 0 THEN -(a/n) * ln(a/n) ELSE 0.0 END)
+         + (CASE WHEN d > 0 THEN -(d/n) * ln(d/n) ELSE 0.0 END)
+         + (CASE WHEN s > 0 THEN -(s/n) * ln(s/n) ELSE 0.0 END)
+         + (CASE WHEN (n-a-d-s) > 0 THEN -((n-a-d-s)/n) * ln((n-a-d-s)/n) ELSE 0.0 END),
+         9) AS ent
+  FROM cls)
+SELECT lang, COUNT(*) AS n_docs, MIN(ent) AS min_ent, MAX(ent) AS max_ent,
+       CAST(SUM(CAST(ent AS DECIMAL(28,9))) AS DOUBLE) AS sum_ent,
+       ROUND(CAST(SUM(CAST(ent AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS avg_ent
+FROM ent
+GROUP BY lang
+ORDER BY lang
+"""
+
+# -------------------------------------------------- unigram KL drift
+
+
+def q_unigram_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over word unigrams — distribution drift of
+    each source against the corpus mixture.
+
+    Every source term exists in the corpus by construction, so q > 0
+    always. Per-term contributions are per-row doubles rounded then
+    summed as decimals (exact, order-free). Plan: one explode, two
+    partial-aggregated shuffles; the corpus term table is vocabulary-
+    sized and broadcasts into the per-source join."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("source", F.explode(words("text")).alias("t"))
+    # persisted: the (source, term) count table feeds FOUR plan branches
+    # (per-source totals, corpus term counts, grand total, contribution
+    # join) — unpersisted, each branch re-runs the corpus explode+agg.
+    # The table itself is vocabulary × sources, tiny at any corpus size.
+    sc = transient_persist(
+        terms.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    )
+    stot = sc.groupBy("source").agg(F.sum("c").alias("s_tot"))
+    ct = sc.groupBy("t").agg(F.sum("c").alias("c_t"))
+    tot = ct.agg(F.sum("c_t").cast("double").alias("t_tot"))
+    p = F.col("c") / F.col("s_tot")
+    q = F.col("c_t") / F.col("t_tot")
+    contrib = F.round(p * F.log(p / q), 12)
+    joined = (
+        sc.join(F.broadcast(stot), "source")
+        .join(F.broadcast(ct), "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("c"),
+            contrib.cast("decimal(30,12)").alias("contrib"),
+        )
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("c").alias("total_words"),
+            F.round(F.sum("contrib").cast("double"), 9).alias("kl"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_KL_DRIFT_SQL = """
+WITH w AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+  FROM documents),
+sc AS (SELECT source, t, COUNT(*) AS c FROM w GROUP BY 1, 2),
+stot AS (SELECT source, SUM(c) AS s_tot FROM sc GROUP BY 1),
+ct AS (SELECT t, SUM(c) AS c_t FROM sc GROUP BY 1),
+tot AS (SELECT CAST(SUM(c_t) AS DOUBLE) AS t_tot FROM ct),
+contribs AS (
+  SELECT source, c,
+         CAST(ROUND((c / CAST(s_tot AS DOUBLE))
+               * ln((c / CAST(s_tot AS DOUBLE)) / (c_t / t_tot)), 12)
+              AS DECIMAL(30,12)) AS contrib
+  FROM sc JOIN stot USING (source) JOIN ct USING (t) CROSS JOIN tot)
+SELECT source, COUNT(*) AS n_terms, CAST(SUM(c) AS BIGINT) AS total_words,
+       ROUND(CAST(SUM(contrib) AS DOUBLE), 9) AS kl
+FROM contribs
+GROUP BY source
+ORDER BY source
+"""
+
+# -------------------------------------------------- MAD robust outliers
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier counts on events.value via median/MAD.
+
+    Median and MAD are immune to the outliers being hunted (unlike
+    mean/stddev, which the outliers drag). Threshold: |v − med| >
+    3.5 · 1.4826 · MAD (the 1.4826 factor makes MAD σ-consistent for
+    normal data). Exact medians — both engines interpolate even
+    counts identically; threshold comparisons use the raw medians,
+    rounding applies only to the surfaced columns."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    j = ev.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type", "med").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+    )
+    out = (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3.5 * 1.4826 * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        mad.join(out, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_MAD_SQL = """
+WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+mad AS (
+  SELECT e.event_type, med, COUNT(*) AS n,
+         median(abs(value - med)) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY 1, 2),
+outl AS (
+  SELECT e.event_type,
+         CAST(SUM(CASE WHEN abs(value - med) > 3.5 * 1.4826 * mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM events e JOIN mad USING (event_type)
+  GROUP BY 1)
+SELECT m.event_type, n, ROUND(med, 6) AS med, ROUND(mad, 6) AS mad, n_outliers
+FROM mad m JOIN outl USING (event_type)
+ORDER BY event_type
+"""
+
+# -------------------------------------------------- MERGE-style upsert
+
+
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics over the orders snapshot: a correction batch of
+    updates (repriced, re-statused) and inserts folded in with
+    last-writer-wins, then summarized by status.
+
+    The batch is derived deterministically from the snapshot itself
+    (keys ≡ 0 mod 37 → update; keys ≡ 0 mod 41 → insert under a new
+    key) so the oracle can rebuild the identical batch. The merge is
+    the batch expression of the foreachBatch upsert sink
+    (streaming/sinks.py): full-outer join on the key, COALESCE picks
+    the update. All money arithmetic in DECIMAL(15,2) — exact and
+    order-free under any aggregation order."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(15,2)")
+    updates = orders.where(F.col("o_orderkey") % 37 == 0).select(
+        F.col("o_orderkey").alias("u_key"),
+        F.lit("X").alias("u_status"),
+        F.round(price * F.lit(1.10), 2).cast("decimal(15,2)").alias("u_price"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 41 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("u_key"),
+        F.lit("N").alias("u_status"),
+        price.alias("u_price"),
+    )
+    batch = updates.unionByName(inserts)
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        price.alias("price"),
+    )
+    merged = base.join(batch, base.key == batch.u_key, "full_outer").select(
+        F.coalesce(F.col("u_key"), F.col("key")).alias("key"),
+        F.coalesce(F.col("u_status"), F.col("status")).alias("status"),
+        F.coalesce(F.col("u_price"), F.col("price")).alias("price"),
+    )
+    return (
+        merged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast("double").alias("sum_price"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
+        .orderBy("status")
+    )
+
+
+Q_MERGE_SQL = """
+WITH batch AS (
+  SELECT o_orderkey AS u_key, 'X' AS u_status,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(15,2)) * 1.10, 2)
+              AS DECIMAL(15,2)) AS u_price
+  FROM orders WHERE o_orderkey % 37 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'N',
+         CAST(o_totalprice AS DECIMAL(15,2))
+  FROM orders WHERE o_orderkey % 41 = 0),
+base AS (
+  SELECT o_orderkey AS key, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(15,2)) AS price
+  FROM orders),
+merged AS (
+  SELECT COALESCE(u_key, key) AS key,
+         COALESCE(u_status, status) AS status,
+         COALESCE(u_price, price) AS price
+  FROM base FULL OUTER JOIN batch ON key = u_key)
+SELECT status, COUNT(*) AS n,
+       CAST(SUM(price) AS DOUBLE) AS sum_price,
+       MIN(key) AS min_key, MAX(key) AS max_key
+FROM merged
+GROUP BY status
+ORDER BY status
+"""
+
+
+QUERIES = {
+    "q_tfidf_top_terms": QuerySpec(
+        q_tfidf_top_terms, Q_TFIDF_SQL, "TF-IDF top-3 salient terms per doc"
+    ),
+    "q_ngram_containment": QuerySpec(
+        q_ngram_containment, Q_CONTAINMENT_SQL, "asymmetric n-gram containment dedup"
+    ),
+    "q_char_entropy": QuerySpec(
+        q_char_entropy, Q_CHAR_ENTROPY_SQL, "char-class entropy per language"
+    ),
+    "q_unigram_kl_drift": QuerySpec(
+        q_unigram_kl_drift, Q_KL_DRIFT_SQL, "unigram KL divergence per source"
+    ),
+    "q_mad_outliers": QuerySpec(
+        q_mad_outliers, Q_MAD_SQL, "median/MAD robust outlier counts"
+    ),
+    "q_merge_upsert_orders": QuerySpec(
+        q_merge_upsert_orders, Q_MERGE_SQL, "MERGE-style snapshot upsert summary"
+    ),
+}

@@ -33,6 +33,8 @@ ALLOWED_NLJ = {
     "q_bm25_topk",  # 1-row corpus-stats broadcast cross
     "q_hll_sketch_union",  # 1-row global-exact broadcast cross
     "q_supplier_triangles",  # 1-row triangle-count broadcast cross
+    "q_tfidf_top_terms",  # 1-row corpus-size broadcast cross
+    "q_unigram_kl_drift",  # 1-row corpus-total broadcast cross
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
@@ -54,6 +56,8 @@ KNOWN_UNPUSHABLE = {
     "q_cdc_chunk_dups",
     "q_resample_hourly_ffill",
     "q_multimodal_router",  # routes on the sniffed-magic-bytes column
+    "q_tfidf_top_terms",  # only filter is the post-window rank cut
+    "q_ngram_containment",  # filters on derived containment/df only
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}
