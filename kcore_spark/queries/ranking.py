@@ -77,6 +77,78 @@ ORDER BY score DESC, doc_id
 LIMIT 20
 """
 
+# -------------------------------------------------- two-stage retrieval
+
+
+def q_two_stage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: BM25 lexical shortlist (top-50) re-ranked by
+    embedding cosine against a query vector (top-10).
+
+    The production retrieval shape: a cheap one-scan lexical stage
+    bounds the candidate set, so the vector stage touches 50 rows, not
+    the corpus — the cosine join is a broadcast of the 50-row
+    shortlist into the embeddings scan, and the query vector is a
+    1-row broadcast. doc_id and vec_id share an id space in the
+    fixtures (both dense 0..N), which is what lets the two stages
+    join. Scores on both stages rounded to 6 decimals before ranking
+    (same ulp argument as q_bm25_topk)."""
+    from kcore_spark.operators.similarity import cosine, with_norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    shortlist = (
+        bm25_scores(docs, QUERY_TERMS)
+        .select(F.col("id").alias("doc_id"), F.round("score_raw", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = with_norm(emb, "embedding", "vec_id")
+    qv = norms.where(F.col("id") == 7).select(
+        F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    reranked = (
+        F.broadcast(shortlist)
+        .join(norms, shortlist.doc_id == norms.id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(cosine(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    return reranked.orderBy(F.col("sim").desc(), "doc_id").limit(10)
+
+
+Q_TWO_STAGE_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS DOUBLE) AS dl,
+         {_TF}
+  FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         SUM(dl) / COUNT(*) AS avgdl,
+         {_DF}
+  FROM per_doc),
+bm AS (
+  SELECT doc_id, ROUND({_SCORE}, 6) AS bm25
+  FROM per_doc, stats
+  ORDER BY bm25 DESC, doc_id
+  LIMIT 50),
+n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings),
+q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 7)
+SELECT b.doc_id, b.bm25,
+       ROUND(list_inner_product(n.e, qe) / (n.nrm * qn), 6) AS sim
+FROM bm b JOIN n ON n.vec_id = b.doc_id CROSS JOIN q
+ORDER BY sim DESC, doc_id
+LIMIT 10
+"""
+
 # -------------------------------------------------- fixed-point PageRank
 # Purchase graph: customer ↔ supplier edges from lineitem×orders, node
 # ids disambiguated by parity (customer = 2k, supplier = 2k+1). Three
@@ -259,6 +331,9 @@ QUERIES = {
         q_supplier_triangles, Q_TRIANGLES_SQL, "ordered 3-join triangle counting"
     ),
     "q_bm25_topk": QuerySpec(q_bm25_topk, Q_BM25_SQL, "Okapi BM25 top-k retrieval"),
+    "q_two_stage_retrieval": QuerySpec(
+        q_two_stage_retrieval, Q_TWO_STAGE_SQL, "BM25 shortlist + cosine rerank"
+    ),
     "q_pagerank_purchases": QuerySpec(
         q_pagerank_purchases, Q_PAGERANK_SQL, "fixed-point PageRank (3 iterations)"
     ),

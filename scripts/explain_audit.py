@@ -35,6 +35,7 @@ ALLOWED_NLJ = {
     "q_supplier_triangles",  # 1-row triangle-count broadcast cross
     "q_tfidf_top_terms",  # 1-row corpus-size broadcast cross
     "q_unigram_kl_drift",  # 1-row corpus-total broadcast cross
+    "q_two_stage_retrieval",  # 1-row query-vector broadcast cross
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
