@@ -155,6 +155,11 @@ def main() -> None:
         "q_doc_chunks_overlap",
         "q_pack_sequences",
         "q_window_exclude_current",
+        # round-5 curation/retrieval operators
+        "q_tfidf_top_terms",
+        "q_ngram_containment",
+        "q_unigram_kl_drift",
+        "q_two_stage_retrieval",
     ):
         if name in qs:
             t0 = time.time()

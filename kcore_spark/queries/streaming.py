@@ -186,6 +186,78 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 GROUP BY p.user_id
 """
 
+# -------------------------------------------------- stream-stream OUTER join
+# The outer variant is a genuinely different operator from the inner
+# join: unmatched left rows are held in state and emitted with nulls
+# only when the watermark proves no match can still arrive — i.e. the
+# null rows are produced by state EVICTION, not by the join probe.
+# Determinism vs the batch oracle: at end-of-stream the final no-data
+# batch advances the watermark to max(ts) − 30 min, which evicts (and
+# emits) every unmatched purchase with p_ts below that line; purchases
+# in the last half hour may still be parked in state when the replay
+# stops. Both engines therefore cut the result at max(ts) − 2 h — well
+# inside the provably-evicted region — so the comparison covers only
+# rows whose emission is guaranteed.
+
+
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.catalog import load_table
+
+    views = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "30 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user AND v_ts >= p_ts - INTERVAL 10 MINUTES AND v_ts < p_ts"
+        ),
+        "leftOuter",
+    )
+    out = run_to_table(joined.select("p_user", "p_ts", "v_ts"), "append")
+    # control-plane scalar: the eviction-safe cutoff (1-row aggregate)
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("c")
+    ).first()[0]
+    return (
+        out.where(F.col("p_ts") <= F.lit(cutoff))
+        .groupBy("p_user")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v_ts").isNull().cast("long")).alias("n_unmatched"),
+        )
+        .orderBy("p_user")
+    )
+
+
+Q_STREAM_STREAM_LEFT_SQL = """
+WITH cut AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR AS c FROM events),
+p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id AS vu, CAST(ts AS TIMESTAMP) AS vts FROM events WHERE event_type = 'view')
+SELECT p.user_id AS p_user, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN vts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+FROM p LEFT JOIN v
+  ON p.user_id = vu
+ AND vts >= p.ts - INTERVAL 10 MINUTE
+ AND vts < p.ts
+WHERE p.ts <= (SELECT c FROM cut)
+GROUP BY p.user_id
+ORDER BY p_user
+"""
+
 
 # -------------------------------------------------- custom stateful op
 # applyInPandasWithState: arbitrary per-key state kept by the engine
@@ -317,4 +389,9 @@ QUERIES = {
     ),
     "q_stream_static_join": QuerySpec(q_stream_static_join, Q_STREAM_STATIC_SQL, "stream-static join"),
     "q_stream_stream_join": QuerySpec(q_stream_stream_join, Q_STREAM_STREAM_SQL, "stream-stream join"),
+    "q_stream_stream_left_join": QuerySpec(
+        q_stream_stream_left_join,
+        Q_STREAM_STREAM_LEFT_SQL,
+        "stream-stream LEFT OUTER join (watermark state eviction)",
+    ),
 }
