@@ -60,6 +60,10 @@ class MemberState:
     explicit_subs: tuple[str, ...] = ()
     regex: str | None = None  # v1 subscribed_topic_regex, raw pattern
     instance_id: str | None = None
+    rack: str | None = None  # client.rack, echoed in describe; assignment
+    # stays rack-neutral on a single-node broker (no replica racks to
+    # match against — same reason upstream's rack-aware path no-ops
+    # when every replica is on one rack)
     rebalance_timeout_ms: int = 30000
     last_seen: float = 0.0  # monotonic seconds; drives session expiry
     # partition ownership, topic → sorted tuple of partition ids
@@ -72,6 +76,12 @@ class ConsumerGroup:
     group_epoch: int = 0
     members: dict[str, MemberState] = field(default_factory=dict)
     next_member_seq: int = 0
+    # server-side assignor in force: None until a joining member states
+    # a preference (describe reports the default until then). A join
+    # declaring a DIFFERENT assignor switches the group (last join
+    # wins) and re-targets — the single-coordinator analog of
+    # group.consumer.assignors precedence.
+    assignor: str | None = None
 
 
 class ConsumerGroupCoordinator:
@@ -132,11 +142,17 @@ class ConsumerGroupCoordinator:
     # ------------------------------------------------ target assignment
 
     def _recompute_targets(self, g: ConsumerGroup) -> None:
-        """Uniform server-side assignor: for every topic, the
-        subscribed members (sorted by id for determinism) receive the
-        topic's partitions round-robin. O(members + partitions); runs
-        once per group-epoch bump, never per heartbeat."""
+        """Server-side assignors (dispatch on the group's selected
+        assignor): "uniform" hands each topic's partitions to the
+        subscribed members (sorted by id for determinism) round-robin;
+        "range" hands each member one CONTIGUOUS chunk per topic (the
+        RangeAssignor shape — co-partitioned topics land the same
+        partition numbers on the same member, which is what keeps
+        partition-aligned joins local on the consumer side). Both are
+        O(members + partitions); runs once per group-epoch bump, never
+        per heartbeat."""
         catalog = self._topic_partitions()
+        use_range = g.assignor == "range"
         for m in g.members.values():
             m.target = {}
         for topic in sorted(catalog):
@@ -147,8 +163,17 @@ class ConsumerGroupCoordinator:
             if not subscribers:
                 continue
             per: dict[str, list[int]] = {mid: [] for mid in subscribers}
-            for p in range(n_parts):
-                per[subscribers[p % len(subscribers)]].append(p)
+            if use_range:
+                k = len(subscribers)
+                base, extra = divmod(n_parts, k)
+                start = 0
+                for i, mid in enumerate(subscribers):
+                    width = base + (1 if i < extra else 0)
+                    per[mid] = list(range(start, start + width))
+                    start += width
+            else:
+                for p in range(n_parts):
+                    per[subscribers[p % len(subscribers)]].append(p)
             for mid, parts in per.items():
                 if parts:
                     g.members[mid].target[topic] = tuple(parts)
@@ -177,7 +202,7 @@ class ConsumerGroupCoordinator:
         member_id = r.compact_string() or ""
         member_epoch = r.int32()
         instance_id = r.compact_string()
-        r.compact_string()  # rack_id (no rack-aware assignment)
+        rack_id = r.compact_string()
         rebalance_timeout_ms = r.int32()
         n_subs = r.compact_array_len()
         subscriptions: tuple[str, ...] | None = None
@@ -238,6 +263,7 @@ class ConsumerGroupCoordinator:
                 explicit_subs=subscriptions or (),
                 regex=regex,
                 instance_id=instance_id,
+                rack=rack_id,
                 rebalance_timeout_ms=rebalance_timeout_ms,
                 last_seen=self._clock(),
             )
@@ -252,12 +278,20 @@ class ConsumerGroupCoordinator:
                 # and ignoring that would deadlock its own revocations
                 m.current = owned
             g.members[member_id] = m
-            # only an actual membership or subscription change bumps
-            # the group epoch; a same-id rejoin with unchanged
-            # subscriptions re-reconciles against the EXISTING targets
-            # (bumping per join heartbeat would re-assign — and churn
-            # the whole group — on every retry of a stuck member)
-            if old is None or old.subscriptions != resolved:
+            # a join declaring an assignor selects it for the group
+            # (last join wins; a switch re-targets everyone)
+            assignor_changed = (
+                server_assignor is not None and server_assignor != g.assignor
+            )
+            if server_assignor is not None:
+                g.assignor = server_assignor
+            # only an actual membership, subscription, or assignor
+            # change bumps the group epoch; a same-id rejoin with
+            # unchanged subscriptions re-reconciles against the
+            # EXISTING targets (bumping per join heartbeat would
+            # re-assign — and churn the whole group — on every retry
+            # of a stuck member)
+            if old is None or old.subscriptions != resolved or assignor_changed:
                 g.group_epoch += 1
                 self._recompute_targets(g)
             else:
@@ -273,6 +307,8 @@ class ConsumerGroupCoordinator:
                 h.correlation_id, ERR_FENCED_MEMBER_EPOCH, "fenced member epoch"
             )
         m.last_seen = self._clock()
+        if rack_id is not None:
+            m.rack = rack_id
         if subscriptions is not None:
             m.explicit_subs = subscriptions
         if subscribed_regex is not None:
@@ -484,20 +520,20 @@ class ConsumerGroupCoordinator:
             w.int32(
                 min((m.member_epoch for m in g.members.values()), default=g.group_epoch)
             )
-            w.compact_string(SUPPORTED_ASSIGNORS[0])
+            w.compact_string(g.assignor or SUPPORTED_ASSIGNORS[0])
             w.compact_array_len(len(g.members))
             for mid in sorted(g.members):
                 m = g.members[mid]
                 w.compact_string(mid)
                 w.compact_string(m.instance_id)
-                w.compact_string(None)  # rack_id (no rack awareness)
+                w.compact_string(m.rack)
                 w.int32(m.member_epoch)
                 w.compact_string("")  # client_id (not tracked)
                 w.compact_string("")  # client_host
                 w.compact_array_len(len(m.subscriptions))
                 for t in m.subscriptions:
                     w.compact_string(t)
-                w.compact_string(None)  # subscribed_topic_regex
+                w.compact_string(m.regex)
                 wr_assignment(m.current)  # confirmed ownership
                 wr_assignment(m.target)  # server-side target
                 w.empty_tagged_fields()

@@ -31,6 +31,7 @@ def _hb_req(
     subs=("ta",),
     owned=None,
     assignor=None,
+    rack=None,
     corr=70,
 ):
     w = wire.Writer()
@@ -41,7 +42,7 @@ def _hb_req(
     w.compact_string(member)
     w.int32(epoch)
     w.compact_string(None)  # instance_id
-    w.compact_string(None)  # rack_id
+    w.compact_string(rack)  # rack_id
     w.int32(30000)  # rebalance_timeout_ms
     if subs is None:
         w.compact_array_len(-1)
@@ -241,3 +242,75 @@ def test_rejoin_with_empty_owned_does_not_livelock(fe):
     before = g.group_epoch
     _hb(fe, member=a, epoch=0, subs=("ta",), owned={})
     assert g.group_epoch == before
+
+
+# -------------------------- server-side assignors + rack echo (r5)
+
+
+def test_range_assignor_contiguous_chunks(fe):
+    """The range assignor hands each member one contiguous chunk per
+    topic — co-partitioned topics land the same partition numbers on
+    the same member."""
+    ra = _hb(fe, subs=("ta", "tb"), assignor="range")
+    assert ra["assignment"] == {"ta": (0, 1, 2, 3), "tb": (0, 1)}
+    _hb(fe, corr=71, subs=("ta", "tb"), assignor="range")
+    g = fe.consumer_groups.groups["g848"]
+    assert g.assignor == "range"
+    first, second = sorted(g.members)
+    assert g.members[first].target == {"ta": (0, 1), "tb": (0,)}
+    assert g.members[second].target == {"ta": (2, 3), "tb": (1,)}
+
+
+def test_uniform_assignor_round_robin_two_members(fe):
+    _hb(fe, subs=("ta",))
+    _hb(fe, corr=71, subs=("ta",))
+    g = fe.consumer_groups.groups["g848"]
+    first, second = sorted(g.members)
+    assert g.members[first].target == {"ta": (0, 2)}
+    assert g.members[second].target == {"ta": (1, 3)}
+
+
+def test_assignor_switch_retargets_group(fe):
+    _hb(fe, subs=("ta", "tb"), assignor="range")
+    g = fe.consumer_groups.groups["g848"]
+    e_before = g.group_epoch
+    # a later join declaring a different assignor switches the group
+    _hb(fe, corr=71, subs=("ta", "tb"), assignor="uniform")
+    assert g.assignor == "uniform"
+    assert g.group_epoch > e_before
+    first, second = sorted(g.members)
+    # round-robin, not contiguous
+    assert g.members[first].target == {"ta": (0, 2), "tb": (0,)}
+    assert g.members[second].target == {"ta": (1, 3), "tb": (1,)}
+
+
+def test_rack_stored_and_echoed_in_describe(fe):
+    ra = _hb(fe, subs=("ta",), rack="rack-7")
+    member = ra["member"]
+    g = fe.consumer_groups.groups["g848"]
+    assert g.members[member].rack == "rack-7"
+
+    # describe (k69) echoes the member's rack and the group assignor
+    w = wire.Writer()
+    w.int16(wire.CONSUMER_GROUP_DESCRIBE_KEY).int16(0).int32(9)
+    w.nullable_string("cli")
+    w.empty_tagged_fields()
+    w.compact_array_len(1)
+    w.compact_string("g848")
+    w.bool_(False)
+    w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    r.int32()
+    r.tagged_fields()
+    r.int32()  # throttle
+    assert r.compact_array_len() == 1
+    assert r.int16() == wire.ERR_NONE
+    r.compact_string()  # error_message
+    assert r.compact_string() == "g848"
+    r.compact_string()  # state
+    r.int32(), r.int32()  # epochs
+    assert r.compact_string() == "uniform"  # default when none declared
+    assert r.compact_array_len() == 1
+    assert r.compact_string() == member
+    r.compact_string()  # instance_id
+    assert r.compact_string() == "rack-7"
