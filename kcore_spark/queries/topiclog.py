@@ -164,7 +164,80 @@ GROUP BY user_id % 3
 """
 
 
+# -------------------------------------------------- time travel
+
+
+def q_topic_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned (time-travel) topic reads: two produce
+    commits create versions 1 and 2; scan_at(1) must see EXACTLY the
+    first batch, scan_at(2) the full log. The oracle rebuilds both
+    states relationally, so the whole snapshot mechanism — version
+    history riding the atomic watermark flip, per-partition offset
+    cut, segment pruning — is value-checked, not just smoke-tested."""
+    ev = load_table(spark, sf_dir, "events")
+    records = ev.select(
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.to_json(F.struct("event_id", "user_id")), "utf-8").alias("value"),
+        F.col("ts").alias("timestamp"),
+        (F.col("user_id") % 3).cast("int").alias("part"),
+        "event_id",
+    )
+    root = tempfile.mkdtemp(prefix="kcore_topic_tt_", dir=os.environ.get("TMPDIR", "/tmp"))
+    log = TopicLog(spark, root)
+    topic = f"events_tt_{uuid.uuid4().hex[:8]}"
+    log.create_topic(topic, 3)
+    log.produce(
+        topic,
+        records.where(F.col("event_id") % 5 != 0),
+        partition_expr=F.col("part"),
+        order_by=["event_id"],
+    )
+    log.produce(
+        topic,
+        records.where(F.col("event_id") % 5 == 0),
+        partition_expr=F.col("part"),
+        order_by=["event_id"],
+    )
+    versions = [v for v, _ in log.snapshot_versions(topic)]
+    assert versions == [1, 2], versions
+
+    def summarize(df: DataFrame, v: int) -> DataFrame:
+        eid = F.get_json_object(F.decode("value", "utf-8"), "$.event_id").cast("long")
+        return (
+            df.select(F.col("partition").cast("long").alias("partition"), eid.alias("eid"))
+            .groupBy("partition")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("eid").alias("sum_ids"))
+            .select(F.lit(v).alias("version"), "partition", "n", "sum_ids")
+        )
+
+    return (
+        summarize(log.scan_at(topic, 1), 1)
+        .unionByName(summarize(log.scan_at(topic, 2), 2))
+        .orderBy("version", "partition")
+    )
+
+
+Q_TOPIC_TIME_TRAVEL_SQL = """
+WITH base AS (SELECT event_id, user_id % 3 AS partition FROM events),
+v1 AS (
+  SELECT 1 AS version, partition, COUNT(*) AS n,
+         CAST(SUM(event_id) AS BIGINT) AS sum_ids
+  FROM base WHERE event_id % 5 <> 0 GROUP BY partition),
+v2 AS (
+  SELECT 2 AS version, partition, COUNT(*) AS n,
+         CAST(SUM(event_id) AS BIGINT) AS sum_ids
+  FROM base GROUP BY partition)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2
+ORDER BY version, partition
+"""
+
+
 QUERIES = {
+    "q_topic_time_travel": QuerySpec(
+        q_topic_time_travel,
+        Q_TOPIC_TIME_TRAVEL_SQL,
+        "snapshot-versioned time-travel topic read",
+    ),
     "q_stream_topic_source_counts": QuerySpec(
         q_stream_topic_source_counts,
         Q_STREAM_TOPIC_SOURCE_SQL,

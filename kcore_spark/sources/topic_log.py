@@ -509,6 +509,12 @@ class TopicLog:
         with open(self._wm_path(topic)) as f:
             return json.load(f).get("__sinks", {}).get(sink_id, -1)
 
+    # snapshot-history bound: the Iceberg-snapshot-expiration analog.
+    # Each produce appends one {version, offsets} entry; only the most
+    # recent MAX_SNAPSHOTS stay readable via scan_at. Bounds the control
+    # file at O(MAX_SNAPSHOTS × partitions) regardless of topic age.
+    MAX_SNAPSHOTS = 64
+
     def _set_watermarks(
         self, topic: str, wm: dict[int, int], sink_commit: tuple[str, int] | None = None
     ) -> None:
@@ -519,18 +525,71 @@ class TopicLog:
         # commit point for streaming sinks)
         try:
             with open(self._wm_path(topic)) as f:
-                sinks = json.load(f).get("__sinks", {})
+                prev = json.load(f)
         except FileNotFoundError:
-            sinks = {}
+            prev = {}
+        sinks = prev.get("__sinks", {})
         if sink_commit is not None:
             sinks[sink_commit[0]] = sink_commit[1]
-        payload: dict = {str(k): v for k, v in wm.items()}
+        # snapshot history: every flip that ADVANCES offsets appends a
+        # version (the time-travel read points of scan_at). Written in
+        # the same atomic os.replace as the offsets, so a version is
+        # readable exactly iff its produce committed.
+        history: list = prev.get("__history", [])
+        prev_wm = {k: v for k, v in prev.items() if not k.startswith("__")}
+        new_wm = {str(k): v for k, v in wm.items()}
+        if new_wm != prev_wm:
+            next_v = (history[-1]["v"] + 1) if history else 1
+            history = (history + [{"v": next_v, "wm": new_wm}])[-self.MAX_SNAPSHOTS:]
+        payload: dict = dict(new_wm)
         if sinks:
             payload["__sinks"] = sinks
+        if history:
+            payload["__history"] = history
         tmp = self._wm_path(topic) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(payload, f)
         os.replace(tmp, self._wm_path(topic))
+
+    def snapshot_versions(self, topic: str) -> list[tuple[int, dict[int, int]]]:
+        """Readable snapshot versions, oldest→newest: (version, the
+        per-partition next-offset map at that version's commit)."""
+        try:
+            with open(self._wm_path(topic)) as f:
+                history = json.load(f).get("__history", [])
+        except FileNotFoundError:
+            return []
+        return [
+            (h["v"], {int(p): o for p, o in h["wm"].items()}) for h in history
+        ]
+
+    def scan_at(self, topic: str, version: int) -> DataFrame:
+        """Time-travel scan: the topic exactly as of snapshot
+        ``version`` (each produce commit = one version; list them with
+        snapshot_versions). Implemented as the current scan with a
+        per-partition ``offset < snapshot next-offset`` predicate — a
+        map-literal scan-side filter, no join, and segments wholly
+        above the snapshot watermark are pruned by their footer offset
+        ranges like any other offset-bounded read. Data physically
+        reclaimed since (retention/truncation) is NOT resurrected:
+        the current log-start filter still applies, matching the
+        lakehouse contract that snapshot reads outlive data files only
+        until expiration."""
+        versions = dict(self.snapshot_versions(topic))
+        if version not in versions:
+            raise ValueError(
+                f"unknown snapshot version {version} for topic {topic!r}; "
+                f"readable: {sorted(versions)}"
+            )
+        hw = versions[version]
+        df = self.scan(topic)
+        pairs: list = []
+        for p, hi in hw.items():
+            pairs += [F.lit(p), F.lit(hi)]
+        return df.where(
+            F.col("offset")
+            < F.coalesce(F.create_map(*pairs)[F.col("partition")], F.lit(0))
+        )
 
     # ------------------------------------------------------ produce
 

@@ -1,0 +1,86 @@
+"""Snapshot-versioned (time-travel) topic reads: every produce commit
+is a readable version, scan_at reconstructs exactly the state at that
+commit, history is bounded (snapshot expiration), and truncated data
+is never resurrected."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kcore_spark.sources.topic_log import TopicLog
+
+
+@pytest.fixture()
+def log(spark):
+    with tempfile.TemporaryDirectory(prefix="kcore_tt_") as d:
+        yield TopicLog(spark, d)
+
+
+def _records(spark, n, start_seq):
+    return spark.range(n).select(
+        F.encode((F.col("id") % 5).cast("string"), "utf-8").alias("key"),
+        F.encode((F.col("id") + start_seq).cast("string"), "utf-8").alias("value"),
+        F.timestamp_millis(F.lit(1_000_000) + F.col("id") * 10).alias("timestamp"),
+        (F.col("id") + start_seq).alias("seq"),
+    )
+
+
+def test_each_produce_is_a_readable_version(spark, log):
+    log.create_topic("t", 2)
+    for b in range(3):
+        log.produce("t", _records(spark, 10, b * 10), order_by=["seq"])
+    versions = log.snapshot_versions("t")
+    assert [v for v, _ in versions] == [1, 2, 3]
+    # each version sees exactly the prefix committed by then
+    for v, _wm in versions:
+        assert log.scan_at("t", v).count() == 10 * v
+    # version watermarks are the per-partition next offsets at commit
+    assert sum(versions[0][1].values()) == 10
+    # current scan == newest version
+    assert log.scan("t").count() == log.scan_at("t", 3).count()
+
+
+def test_unknown_version_rejected(spark, log):
+    log.create_topic("t", 1)
+    log.produce("t", _records(spark, 5, 0), order_by=["seq"])
+    with pytest.raises(ValueError, match="unknown snapshot version"):
+        log.scan_at("t", 99)
+
+
+def test_history_is_bounded(spark, log):
+    log.create_topic("t", 1)
+    log.MAX_SNAPSHOTS = 4
+    for b in range(6):
+        log.produce("t", _records(spark, 2, b * 2), order_by=["seq"])
+    versions = [v for v, _ in log.snapshot_versions("t")]
+    # oldest versions expired, numbering preserved
+    assert versions == [3, 4, 5, 6]
+    with pytest.raises(ValueError):
+        log.scan_at("t", 1)
+
+
+def test_time_travel_does_not_resurrect_truncated_data(spark, log):
+    log.create_topic("t", 1)
+    log.produce("t", _records(spark, 10, 0), order_by=["seq"])
+    log.produce("t", _records(spark, 10, 10), order_by=["seq"])
+    log.truncate_before("t", {0: 15})
+    # v1 covered offsets [0, 10); all of them are below the log start
+    # now — the snapshot is readable but its reclaimed rows are gone
+    assert log.scan_at("t", 1).count() == 0
+    assert log.scan_at("t", 2).where(F.col("offset") >= 15).count() == 5
+
+
+def test_snapshot_survives_sink_commit_flips(spark, log):
+    """Sink commits ride the same control file; recording one must not
+    corrupt or drop the snapshot history."""
+    log.create_topic("t", 1)
+    log.produce("t", _records(spark, 4, 0), order_by=["seq"])
+    log.produce(
+        "t", _records(spark, 4, 4), order_by=["seq"], sink_commit=("sink-a", 7)
+    )
+    assert log.sink_committed("t", "sink-a") == 7
+    assert [v for v, _ in log.snapshot_versions("t")] == [1, 2]
+    assert log.scan_at("t", 1).count() == 4
