@@ -103,6 +103,39 @@ def quality_score(text: str | Column, n_chars: str | Column) -> Column:
     return len_score * 0.5 + (1.0 - punct_penalty) * 0.2 + stop_density * 0.3
 
 
+def blocked_fuzzy_pairs(
+    df,
+    id_col: str,
+    name_col: str,
+    block: Column,
+    max_dist: int,
+):
+    """Entity-resolution candidate pairs: blocking key + edit-distance
+    verify — the classic record-linkage plan (all-pairs comparison is
+    quadratic in the TABLE; blocked comparison is quadratic only in
+    the BLOCK, and blocks are bounded by the key's selectivity).
+
+    The self-join on the block key is a plain shuffle equi-join
+    Catalyst can plan; levenshtein runs only inside blocks. Returns
+    (id1, id2, blk, dist) for every intra-block pair (id1 < id2) —
+    callers filter/aggregate on dist (returning unfiltered pairs lets
+    a caller count candidates vs matches in one pass).
+    """
+    b = df.select(
+        F.col(id_col).alias("id"), F.col(name_col).alias("nm"), block.alias("blk")
+    )
+    return (
+        b.alias("x")
+        .join(b.alias("y"), (F.col("x.blk") == F.col("y.blk")) & (F.col("x.id") < F.col("y.id")))
+        .select(
+            F.col("x.id").alias("id1"),
+            F.col("y.id").alias("id2"),
+            F.col("x.blk").alias("blk"),
+            F.levenshtein(F.col("x.nm"), F.col("y.nm")).alias("dist"),
+        )
+    )
+
+
 def bm25_scores(
     docs,
     query_terms: tuple[str, ...],

@@ -319,6 +319,53 @@ FROM mad m JOIN outl USING (event_type)
 ORDER BY event_type
 """
 
+# -------------------------------------------------- blocked fuzzy matching
+
+
+def q_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage over part names: block on the noun (last word),
+    verify candidates with Levenshtein distance — per block, how many
+    candidate pairs were compared, how many are fuzzy matches (d ≤ 4)
+    and exact duplicates (d = 0).
+
+    The blocked shape is the 100 TB story: comparisons are quadratic
+    per block, never per table, and the block key's selectivity bounds
+    the largest block (a skewed block is the max_df analog — cap or
+    sub-block it)."""
+    from kcore_spark.operators.text import blocked_fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    block = F.element_at(F.split("p_name", " "), 2)
+    pairs = blocked_fuzzy_pairs(part, "p_partkey", "p_name", block, max_dist=4)
+    return (
+        pairs.groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("dist") <= 4).cast("long")).alias("n_matches"),
+            F.sum((F.col("dist") == 0).cast("long")).alias("n_exact"),
+            F.min("dist").alias("min_dist"),
+        )
+        .orderBy("blk")
+    )
+
+
+Q_FUZZY_BLOCKED_SQL = """
+WITH b AS (
+  SELECT p_partkey AS id, p_name AS nm, string_split(p_name, ' ')[2] AS blk
+  FROM part),
+pairs AS (
+  SELECT x.blk, levenshtein(x.nm, y.nm) AS dist
+  FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id)
+SELECT blk,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN dist <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       MIN(dist) AS min_dist
+FROM pairs
+GROUP BY blk
+ORDER BY blk
+"""
+
 # -------------------------------------------------- MERGE-style upsert
 
 
@@ -415,5 +462,8 @@ QUERIES = {
     ),
     "q_merge_upsert_orders": QuerySpec(
         q_merge_upsert_orders, Q_MERGE_SQL, "MERGE-style snapshot upsert summary"
+    ),
+    "q_fuzzy_blocked_match": QuerySpec(
+        q_fuzzy_blocked_match, Q_FUZZY_BLOCKED_SQL, "blocked Levenshtein record linkage"
     ),
 }
