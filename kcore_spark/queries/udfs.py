@@ -20,7 +20,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import DoubleType, LongType
 
 from kcore_spark.caching import transient_persist
 from kcore_spark.catalog import load_table
@@ -319,4 +319,59 @@ WHERE LENGTH(text) > 0
 
 QUERIES["q_audio_energy"] = QuerySpec(
     q_audio_energy, Q_AUDIO_ENERGY_SQL, "windowed waveform energy via mapInPandas"
+)
+
+
+# -------------------------------------------------- grouped-agg pandas UDF
+# The fifth-and-a-half UDF kind: a vectorized AGGREGATE (one Arrow
+# batch of group values in, one scalar out) — completes the surface
+# next to scalar pandas_udf, applyInPandas, mapInPandas, row udf, UDTF.
+# Determinism: the weighted sum runs in int64 (values are 2-decimal
+# fixtures, ×100 is exact), so group order cannot perturb the result;
+# only the final division is floating point, on identical operands.
+
+
+@F.pandas_udf(DoubleType())
+def _wavg_cents(v: pd.Series, w: pd.Series) -> float:
+    num = int((v.mul(100).round().astype("int64") * w).sum())
+    den = int(w.sum())
+    return num / den / 100.0
+
+
+# grouped-agg pandas UDFs cannot mix with non-pandas aggregates in one
+# agg() (INVALID_PANDAS_UDF_PLACEMENT) — the row count is a second
+# pandas aggregate for that reason, not a plain count()
+@F.pandas_udf(LongType())
+def _n_rows(v: pd.Series) -> int:
+    return len(v)
+
+
+def q_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weighted = ev.select(
+        "event_type", "value", (F.col("user_id") % 10 + 1).alias("w")
+    )
+    return (
+        weighted.groupBy("event_type")
+        .agg(
+            F.round(_wavg_cents("value", "w"), 6).alias("wavg_value"),
+            _n_rows("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_PANDAS_GROUPED_AGG_SQL = """
+SELECT event_type,
+       ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * (user_id % 10 + 1)) AS DOUBLE)
+             / CAST(SUM(user_id % 10 + 1) AS DOUBLE) / 100.0, 6) AS wavg_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES["q_pandas_udf_grouped_agg"] = QuerySpec(
+    q_pandas_udf_grouped_agg, Q_PANDAS_GROUPED_AGG_SQL, "grouped-agg pandas UDF (Arrow)"
 )

@@ -521,3 +521,57 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 QUERIES["q_grouping_sets"] = QuerySpec(
     q_grouping_sets, Q_GROUPING_SETS_SQL, "explicit grouping sets + grouping_id"
 )
+
+
+# -------------------------------------------------- time-interval RANGE frame
+
+
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user rolling aggregate via a RANGE frame on
+    event time — the window-function way to get time-based sliding
+    aggregates without exploding rows into overlapping buckets.
+
+    RANGE frames are bounded by VALUE, not row position, so the result
+    is independent of tie order — deterministic without a full
+    tie-break — and the decimal frame sum is order-free. One shuffle
+    (by user), one sort (by time): the plan a 100 TB event log wants,
+    because each user's timeline sorts independently."""
+    from kcore_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q_WINDOW_TIME_RANGE_SQL = """
+SELECT event_id, user_id,
+       CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+QUERIES["q_window_time_range"] = QuerySpec(
+    q_window_time_range, Q_WINDOW_TIME_RANGE_SQL, "trailing-1h RANGE frame aggregate"
+)
