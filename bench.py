@@ -58,6 +58,25 @@ HEADLINE = [
     "q_stream_tumbling_counts",
 ]
 
+# Newer operators benched outside the headline total (kept separate so
+# round-over-round totals stay comparable to the original 24-query set).
+EXTRAS = [
+    "q_bm25_topk",
+    "q_pagerank_purchases",
+    "q_embedding_quantize",
+    "q_doc_chunks_overlap",
+    "q_pack_sequences",
+    "q_window_exclude_current",
+    # round-5 curation/retrieval operators
+    "q_tfidf_top_terms",
+    "q_ngram_containment",
+    "q_unigram_kl_drift",
+    "q_two_stage_retrieval",
+    "q_fuzzy_blocked_match",
+    "q_window_time_range",
+    "q_topic_time_travel",
+]
+
 
 def _bench_streaming_incremental(spark, sf_dir: str, timings: dict) -> None:
     """Per-trigger cost with a PERSISTENT checkpoint: run the tumbling
@@ -145,22 +164,10 @@ def main() -> None:
             qs[name].spark(spark, sf_dir).collect()
             timings[f"{name}_warm"] = round(time.time() - t0, 3)
     _bench_streaming_incremental(spark, sf_dir, timings)
-    # Round-4 operators: reported for visibility, excluded from the
+    # Round-4/5 operators: reported for visibility, excluded from the
     # headline total (same reason — the total must stay comparable to
     # earlier rounds' 24-query set).
-    for name in (
-        "q_bm25_topk",
-        "q_pagerank_purchases",
-        "q_embedding_quantize",
-        "q_doc_chunks_overlap",
-        "q_pack_sequences",
-        "q_window_exclude_current",
-        # round-5 curation/retrieval operators
-        "q_tfidf_top_terms",
-        "q_ngram_containment",
-        "q_unigram_kl_drift",
-        "q_two_stage_retrieval",
-    ):
+    for name in EXTRAS:
         if name in qs:
             t0 = time.time()
             qs[name].spark(spark, sf_dir).collect()

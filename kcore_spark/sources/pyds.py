@@ -169,8 +169,15 @@ class TopicLogStreamReader(SimpleDataSourceStreamReader):
         self._tdir = os.path.join(self.root, self.topic)
 
     def _watermarks(self) -> dict[str, int]:
+        # "__"-prefixed keys are control entries (sink commits,
+        # snapshot history), not partition offsets — same convention
+        # as TopicLog._watermarks
         with open(os.path.join(self._tdir, "_watermarks.json")) as f:
-            return {str(k): int(v) for k, v in json.load(f).items()}
+            return {
+                str(k): int(v)
+                for k, v in json.load(f).items()
+                if not str(k).startswith("__")
+            }
 
     def initialOffset(self) -> dict:
         return {p: 0 for p in self._watermarks()}
