@@ -112,6 +112,29 @@ class WireLog:
         self._open_txns.setdefault(pid, {}).setdefault((topic, partition), -1)
         return wire.ERR_NONE
 
+    def verify_partition_in_txn(
+        self, pid: int, epoch: int, topic: str, partition: int
+    ) -> int:
+        """KIP-890 broker-side verification (AddPartitionsToTxn v4+
+        verify_only): succeed only if the partition is ALREADY part of
+        the open transaction — the check a data-plane broker performs
+        before accepting a transactional append, closing the hanging-
+        transaction window. Returns a Kafka error code."""
+        if self.producer_epoch(pid) != epoch:
+            return ERR_INVALID_PRODUCER_EPOCH
+        if (topic, partition) not in self._open_txns.get(pid, {}):
+            return ERR_INVALID_TXN_STATE
+        return wire.ERR_NONE
+
+    def bump_epoch_for_tid(self, transactional_id: str) -> tuple[int, int]:
+        """KIP-890 end-of-transaction epoch bump: every completed
+        commit/abort advances the producer epoch so a zombie writing
+        under the old epoch is fenced by construction. Returns the
+        (pid, new_epoch) the client must use for its next transaction."""
+        pid, epoch = self._tids[transactional_id]
+        self._tids[transactional_id] = (pid, epoch + 1)
+        return pid, epoch + 1
+
     def note_transactional_append(
         self, topic: str, partition: int, pid: int, base_offset: int
     ) -> None:
@@ -906,11 +929,15 @@ def handle_init_producer_id(log: WireLog, payload: bytes) -> bytes:
 
 
 def handle_add_partitions_to_txn(log: WireLog, payload: bytes) -> bytes:
-    """AddPartitionsToTxn (API key 24, v0-v3; schema-identical through
-    v2, flexible at v3): register the partitions the next
-    transactional batches will touch. (v4+ batches multiple
-    transactions per request, KIP-890 — out of range until a client
-    speaks it.)"""
+    """AddPartitionsToTxn (API key 24, v0-v5): register the partitions
+    the next transactional batches will touch. Schema-identical v0-v2,
+    flexible at v3; v4-v5 (KIP-890) switch to a BATCHED request — a
+    transactions array, each entry carrying its own
+    (transactional_id, pid, epoch, verify_only, topics) — with a
+    nested per-transaction response and a top-level error code.
+    verify_only=true performs broker-side verification: succeed only
+    for partitions ALREADY in the open transaction (the hanging-
+    transaction defense), never adding anything."""
     import struct as _struct
 
     v = _struct.unpack(">h", payload[2:4])[0]
@@ -919,6 +946,47 @@ def handle_add_partitions_to_txn(log: WireLog, payload: bytes) -> bytes:
     h = wire.decode_request_header(r, flexible=flex)
     rd_str = r.compact_string if flex else r.nullable_string
     rd_len = r.compact_array_len if flex else r.int32
+
+    if v >= 4:
+        txns = []
+        for _ in range(max(r.compact_array_len(), 0)):
+            tid = r.compact_string() or ""
+            pid = r.int64()
+            epoch = r.int16()
+            verify_only = r.bool_()
+            topics = []
+            for _ in range(max(r.compact_array_len(), 0)):
+                name = r.compact_string()
+                parts = [r.int32() for _ in range(max(r.compact_array_len(), 0))]
+                r.tagged_fields()
+                topics.append((name, parts))
+            r.tagged_fields()
+            txns.append((tid, pid, epoch, verify_only, topics))
+        r.tagged_fields()
+        w = wire.Writer()
+        w.int32(h.correlation_id)
+        w.empty_tagged_fields()  # response header v1
+        w.int32(0)  # throttle_time_ms
+        w.int16(wire.ERR_NONE)  # top-level error
+        w.compact_array_len(len(txns))
+        for tid, pid, epoch, verify_only, topics in txns:
+            w.compact_string(tid)
+            w.compact_array_len(len(topics))
+            for name, parts in topics:
+                w.compact_string(name)
+                w.compact_array_len(len(parts))
+                for partition in parts:
+                    if verify_only:
+                        err = log.verify_partition_in_txn(pid, epoch, name, partition)
+                    else:
+                        err = log.add_partition_to_txn(pid, epoch, name, partition)
+                    w.int32(partition).int16(err)
+                    w.empty_tagged_fields()
+                w.empty_tagged_fields()
+            w.empty_tagged_fields()
+        w.empty_tagged_fields()
+        return w.bytes()
+
     rd_str()  # transactional_id (pid identifies the txn here)
     pid = r.int64()
     epoch = r.int16()
@@ -954,25 +1022,36 @@ def handle_add_partitions_to_txn(log: WireLog, payload: bytes) -> bytes:
 
 
 def handle_end_txn(log: WireLog, payload: bytes) -> bytes:
-    """EndTxn (API key 26, v0-v3; schema-identical through v2, flexible
-    at v3): commit or abort the open transaction."""
+    """EndTxn (API key 26, v0-v5): commit or abort the open
+    transaction. Schema-identical through v2, flexible at v3; v4-v5
+    (KIP-890) bump the producer epoch on every completed transaction —
+    the response returns the (producer_id, producer_epoch) the client
+    must use next, so a zombie writing under the pre-bump epoch is
+    fenced by construction (v0-v3 respond with -1/-1 placeholders
+    omitted entirely)."""
     import struct as _struct
 
     v = _struct.unpack(">h", payload[2:4])[0]
     flex = v >= 3
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=flex)
-    (r.compact_string if flex else r.nullable_string)()  # transactional_id
+    tid = (r.compact_string if flex else r.nullable_string)()
     pid = r.int64()
     epoch = r.int16()
     committed = r.bool_()
     err = log.end_txn(pid, epoch, committed)
+    new_pid, new_epoch = pid, epoch
+    if v >= 4 and err == wire.ERR_NONE and tid in log._tids:
+        new_pid, new_epoch = log.bump_epoch_for_tid(tid)
     w = wire.Writer()
     w.int32(h.correlation_id)
     if flex:
         w.empty_tagged_fields()  # response header v1
     w.int32(0)  # throttle_time_ms
     w.int16(err)
+    if v >= 4:
+        w.int64(new_pid if err == wire.ERR_NONE else -1)
+        w.int16(new_epoch if err == wire.ERR_NONE else -1)
     if flex:
         w.empty_tagged_fields()
     return w.bytes()

@@ -280,11 +280,11 @@ class KafkaFrontend:
             from kcore_spark.protocol.broker import handle_init_producer_id
 
             return handle_init_producer_id(self.wire_log, payload)
-        if api_key == wire.ADD_PARTITIONS_TO_TXN_KEY and api_version <= 3:
+        if api_key == wire.ADD_PARTITIONS_TO_TXN_KEY and api_version <= 5:
             from kcore_spark.protocol.broker import handle_add_partitions_to_txn
 
             return handle_add_partitions_to_txn(self.wire_log, payload)
-        if api_key == wire.END_TXN_KEY and api_version <= 3:
+        if api_key == wire.END_TXN_KEY and api_version <= 5:
             from kcore_spark.protocol.broker import handle_end_txn
 
             return handle_end_txn(self.wire_log, payload)

@@ -82,8 +82,8 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (LIST_GROUPS_KEY, 0, 5),
     (DELETE_GROUPS_KEY, 0, 2),
     (INIT_PRODUCER_ID_KEY, 0, 4),
-    (ADD_PARTITIONS_TO_TXN_KEY, 0, 3),
-    (END_TXN_KEY, 0, 3),
+    (ADD_PARTITIONS_TO_TXN_KEY, 0, 5),
+    (END_TXN_KEY, 0, 5),
     (DESCRIBE_CONFIGS_KEY, 0, 4),
     (ALTER_CONFIGS_KEY, 0, 2),
     (SASL_HANDSHAKE_KEY, 0, 1),

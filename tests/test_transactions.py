@@ -276,3 +276,130 @@ def test_describe_transactions_partitions_and_unknown():
     # ghost
     assert r.int16() == 105  # TRANSACTIONAL_ID_NOT_FOUND
     assert r.compact_string() == "ghost"
+
+
+# -------------------------- KIP-890 (v4+): batched add, verify, epoch bump
+
+
+def _add_partitions_v4(fe, txns, corr=95, version=4):
+    """txns: [(tid, pid, epoch, verify_only, {topic: [parts]})]."""
+    w = wire.Writer()
+    w.int16(wire.ADD_PARTITIONS_TO_TXN_KEY).int16(version).int32(corr)
+    w.nullable_string("pytest")
+    w.empty_tagged_fields()  # header v2
+    w.compact_array_len(len(txns))
+    for tid, pid, epoch, verify_only, topics in txns:
+        w.compact_string(tid)
+        w.int64(pid).int16(epoch)
+        w.bool_(verify_only)
+        w.compact_array_len(len(topics))
+        for name, parts in topics.items():
+            w.compact_string(name)
+            w.compact_array_len(len(parts))
+            for p in parts:
+                w.int32(p)
+            w.empty_tagged_fields()
+        w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    r.int32()
+    r.tagged_fields()
+    r.int32()  # throttle
+    top_err = r.int16()
+    out = {}
+    for _ in range(r.compact_array_len()):
+        tid = r.compact_string()
+        for _ in range(r.compact_array_len()):
+            name = r.compact_string()
+            for _ in range(r.compact_array_len()):
+                partition = r.int32()
+                out[(tid, name, partition)] = r.int16()
+                r.tagged_fields()
+            r.tagged_fields()
+        r.tagged_fields()
+    return top_err, out
+
+
+def _end_txn_v4(fe, tid, pid, epoch, commit, corr=96, version=4):
+    w = wire.Writer()
+    w.int16(wire.END_TXN_KEY).int16(version).int32(corr)
+    w.nullable_string("pytest")
+    w.empty_tagged_fields()  # header v2
+    w.compact_string(tid)
+    w.int64(pid).int16(epoch)
+    w.bool_(commit)
+    w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    r.int32()
+    r.tagged_fields()
+    r.int32()  # throttle
+    err = r.int16()
+    new_pid = r.int64()
+    new_epoch = r.int16()
+    return err, new_pid, new_epoch
+
+
+def test_add_partitions_v4_batches_multiple_transactions():
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("alpha", 2)
+    pid_a, ep_a = _init_txn_pid(fe, "tid-a")
+    pid_b, ep_b = _init_txn_pid(fe, "tid-b", corr=88)
+    top, out = _add_partitions_v4(
+        fe,
+        [
+            ("tid-a", pid_a, ep_a, False, {"alpha": [0, 1]}),
+            ("tid-b", pid_b, ep_b, False, {"alpha": [0]}),
+        ],
+    )
+    assert top == wire.ERR_NONE
+    assert out == {
+        ("tid-a", "alpha", 0): wire.ERR_NONE,
+        ("tid-a", "alpha", 1): wire.ERR_NONE,
+        ("tid-b", "alpha", 0): wire.ERR_NONE,
+    }
+    assert ("alpha", 0) in fe.wire_log._open_txns[pid_a]
+    assert ("alpha", 0) in fe.wire_log._open_txns[pid_b]
+
+
+def test_add_partitions_v4_verify_only_never_adds():
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("alpha", 2)
+    pid, ep = _init_txn_pid(fe, "tid-v")
+    # verification of a partition NOT in the txn fails and adds nothing
+    top, out = _add_partitions_v4(fe, [("tid-v", pid, ep, True, {"alpha": [0]})])
+    assert top == wire.ERR_NONE
+    assert out[("tid-v", "alpha", 0)] == ERR_INVALID_TXN_STATE
+    assert pid not in fe.wire_log._open_txns
+    # after a real add, verification of the same partition succeeds
+    _add_partitions_v4(fe, [("tid-v", pid, ep, False, {"alpha": [0]})])
+    top, out = _add_partitions_v4(fe, [("tid-v", pid, ep, True, {"alpha": [0]})])
+    assert out[("tid-v", "alpha", 0)] == wire.ERR_NONE
+    # wrong epoch is rejected on the verify path too
+    _, out = _add_partitions_v4(fe, [("tid-v", pid, ep + 3, True, {"alpha": [0]})])
+    assert out[("tid-v", "alpha", 0)] == ERR_INVALID_PRODUCER_EPOCH
+
+
+def test_end_txn_v4_bumps_epoch_and_fences_old():
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("alpha", 1)
+    pid, ep = _init_txn_pid(fe, "tid-e")
+    _add_partitions_v4(fe, [("tid-e", pid, ep, False, {"alpha": [0]})])
+    err, new_pid, new_epoch = _end_txn_v4(fe, "tid-e", pid, ep, True)
+    assert err == wire.ERR_NONE
+    assert (new_pid, new_epoch) == (pid, ep + 1)
+    # the pre-bump epoch is now fenced for the next transaction
+    _, out = _add_partitions_v4(fe, [("tid-e", pid, ep, False, {"alpha": [0]})])
+    assert out[("tid-e", "alpha", 0)] == ERR_INVALID_PRODUCER_EPOCH
+    # the bumped epoch works
+    _, out = _add_partitions_v4(fe, [("tid-e", pid, new_epoch, False, {"alpha": [0]})])
+    assert out[("tid-e", "alpha", 0)] == wire.ERR_NONE
+    # failed EndTxn reports -1/-1 and does NOT bump
+    err, bad_pid, bad_epoch = _end_txn_v4(fe, "tid-e", pid, ep, True)  # stale epoch
+    assert err == ERR_INVALID_PRODUCER_EPOCH
+    assert (bad_pid, bad_epoch) == (-1, -1)
+
+
+def test_txn_version_ranges_advertised():
+    ranges = {k: (lo, hi) for k, lo, hi in wire.SUPPORTED_APIS}
+    assert ranges[wire.ADD_PARTITIONS_TO_TXN_KEY] == (0, 5)
+    assert ranges[wire.END_TXN_KEY] == (0, 5)
