@@ -319,6 +319,93 @@ FROM mad m JOIN outl USING (event_type)
 ORDER BY event_type
 """
 
+# -------------------------------------------------- table checksums
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints — the data-integrity
+    primitive for validating a 100 TB migration/replication without
+    sorting anything: per-row portable hash (md5-prefix of a canonical
+    string form), folded with the two classic order-free combiners
+    (sum — catches any value change; xor — catches duplicate-row
+    swaps sum can miss when paired with a compensating change). One
+    scan per table, pure map-side until a 1-row aggregate.
+
+    Canonical form uses only types whose string rendering is identical
+    on both engines (ints, strings, DECIMAL(15,2)); NULLs coalesce to
+    '' explicitly rather than relying on concat_ws skipping."""
+
+    def table_sum(df: DataFrame, name: str, cols: list) -> DataFrame:
+        canon = F.concat_ws("|", *[F.coalesce(c.cast("string"), F.lit("")) for c in cols])
+        h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+        return df.select(h.alias("h")).agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").alias("hash_sum"),
+            F.bit_xor("h").alias("hash_xor"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    money = lambda c: F.col(c).cast("decimal(15,2)")  # noqa: E731
+    return (
+        table_sum(
+            li,
+            "lineitem",
+            [F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey"),
+             money("l_quantity"), F.col("l_returnflag")],
+        )
+        .unionByName(
+            table_sum(
+                orders,
+                "orders",
+                [F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus"),
+                 money("o_totalprice")],
+            )
+        )
+        .unionByName(
+            table_sum(
+                cust,
+                "customer",
+                [F.col("c_custkey"), F.col("c_name"), F.col("c_nationkey")],
+            )
+        )
+        .orderBy("tbl")
+    )
+
+
+Q_TABLE_CHECKSUM_SQL = """
+WITH li AS (
+  SELECT ('0x' || substring(md5(
+           concat_ws('|', COALESCE(CAST(l_orderkey AS VARCHAR), ''),
+                          COALESCE(CAST(l_partkey AS VARCHAR), ''),
+                          COALESCE(CAST(l_suppkey AS VARCHAR), ''),
+                          COALESCE(CAST(CAST(l_quantity AS DECIMAL(15,2)) AS VARCHAR), ''),
+                          COALESCE(l_returnflag, ''))), 1, 8))::BIGINT AS h
+  FROM lineitem),
+ord AS (
+  SELECT ('0x' || substring(md5(
+           concat_ws('|', COALESCE(CAST(o_orderkey AS VARCHAR), ''),
+                          COALESCE(CAST(o_custkey AS VARCHAR), ''),
+                          COALESCE(o_orderstatus, ''),
+                          COALESCE(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR), ''))), 1, 8))::BIGINT AS h
+  FROM orders),
+cst AS (
+  SELECT ('0x' || substring(md5(
+           concat_ws('|', COALESCE(CAST(c_custkey AS VARCHAR), ''),
+                          COALESCE(c_name, ''),
+                          COALESCE(CAST(c_nationkey AS VARCHAR), ''))), 1, 8))::BIGINT AS h
+  FROM customer)
+SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+       CAST(SUM(h) AS BIGINT) AS hash_sum, bit_xor(h) AS hash_xor FROM cst
+UNION ALL
+SELECT 'lineitem', COUNT(*), CAST(SUM(h) AS BIGINT), bit_xor(h) FROM li
+UNION ALL
+SELECT 'orders', COUNT(*), CAST(SUM(h) AS BIGINT), bit_xor(h) FROM ord
+ORDER BY tbl
+"""
+
 # -------------------------------------------------- blocked fuzzy matching
 
 
@@ -465,5 +552,8 @@ QUERIES = {
     ),
     "q_fuzzy_blocked_match": QuerySpec(
         q_fuzzy_blocked_match, Q_FUZZY_BLOCKED_SQL, "blocked Levenshtein record linkage"
+    ),
+    "q_table_checksum": QuerySpec(
+        q_table_checksum, Q_TABLE_CHECKSUM_SQL, "order-independent table fingerprints"
     ),
 }
