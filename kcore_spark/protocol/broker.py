@@ -1057,10 +1057,87 @@ def handle_end_txn(log: WireLog, payload: bytes) -> bytes:
     return w.bytes()
 
 
-# ------------------------------------------ txn admin (k65 / k66)
+# ------------------------------------------ txn admin (k61 / k65 / k66)
 
 LIST_TRANSACTIONS_KEY = 66
 DESCRIBE_TRANSACTIONS_KEY = 65
+DESCRIBE_PRODUCERS_KEY = 61
+
+
+def handle_describe_producers(log: WireLog, payload: bytes) -> bytes:
+    """DescribeProducers (key 61, v0 — flexible-only, KIP-664): the
+    per-partition active-producer inventory the admin client uses to
+    find hanging transactions. For each requested (topic, partition):
+    every producer id with idempotent sequence state there, its
+    epoch, last base sequence, and — if it holds an open transaction
+    touching the partition — the txn's first offset there (-1 when the
+    txn has declared the partition but written nothing yet, matching
+    the unknown-start contract)."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=True)
+    topics = []
+    for _ in range(max(r.compact_array_len(), 0)):
+        name = r.compact_string() or ""
+        parts = [r.int32() for _ in range(max(r.compact_array_len(), 0))]
+        r.tagged_fields()
+        topics.append((name, parts))
+    r.tagged_fields()
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.empty_tagged_fields()
+    w.int32(0)  # throttle
+    w.compact_array_len(len(topics))
+    for name, parts in topics:
+        w.compact_string(name)
+        w.compact_array_len(len(parts))
+        for partition in parts:
+            w.int32(partition)
+            if not log.has(name, partition):
+                w.int16(wire.ERR_UNKNOWN_TOPIC_OR_PARTITION)
+                w.compact_string(f"unknown partition {name}/{partition}")
+                w.compact_array_len(0)
+                w.empty_tagged_fields()
+                continue
+            def pid_epoch(pid: int) -> int:
+                # transactional pids track epochs in _tids; plain
+                # idempotent pids in the KIP-360 fencing floor (the
+                # lowest currently-acceptable epoch — exact after any
+                # bump, 0 for a never-bumped producer)
+                e = log.producer_epoch(pid)
+                return e if e >= 0 else log._idempotent_epochs.get(pid, 0)
+
+            producers = []
+            for (t, p, pid), (base_seq, n, _off) in log._producer_seqs.items():
+                if (t, p) != (name, partition):
+                    continue
+                txn_start = log._open_txns.get(pid, {}).get((name, partition))
+                producers.append(
+                    (pid, pid_epoch(pid), base_seq + n - 1,
+                     -1 if txn_start is None else txn_start)
+                )
+            # a txn can DECLARE a partition before writing to it — it
+            # must still show up (that is the hanging-txn case)
+            seen = {pid for pid, *_ in producers}
+            for pid, txn in log._open_txns.items():
+                if (name, partition) in txn and pid not in seen:
+                    producers.append(
+                        (pid, pid_epoch(pid), -1, txn[(name, partition)])
+                    )
+            w.int16(wire.ERR_NONE)
+            w.compact_string(None)  # error_message
+            w.compact_array_len(len(producers))
+            for pid, epoch, last_seq, txn_start in sorted(producers):
+                w.int64(pid)
+                w.int32(epoch)  # producer_epoch is int32 in this schema
+                w.int32(last_seq)
+                w.int64(-1)  # last_timestamp (not tracked)
+                w.int32(-1)  # coordinator_epoch
+                w.int64(txn_start)
+                w.empty_tagged_fields()
+            w.empty_tagged_fields()
+        w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    return w.bytes()
 
 
 def _txn_state(log: WireLog, tid: str) -> str:

@@ -308,6 +308,10 @@ class KafkaFrontend:
             from kcore_spark.protocol.admin import handle_describe_cluster
 
             return handle_describe_cluster(payload, self.host, self.port)
+        if api_key == wire.DESCRIBE_PRODUCERS_KEY and api_version == 0:
+            from kcore_spark.protocol.broker import handle_describe_producers
+
+            return handle_describe_producers(self.wire_log, payload)
         if api_key == wire.LIST_TRANSACTIONS_KEY and api_version == 0:
             from kcore_spark.protocol.broker import handle_list_transactions
 

@@ -51,6 +51,7 @@ SASL_AUTHENTICATE_KEY = 36
 OFFSET_DELETE_KEY = 47
 INCREMENTAL_ALTER_CONFIGS_KEY = 44
 DESCRIBE_CLUSTER_KEY = 60
+DESCRIBE_PRODUCERS_KEY = 61
 DESCRIBE_TRANSACTIONS_KEY = 65
 LIST_TRANSACTIONS_KEY = 66
 CONSUMER_GROUP_HEARTBEAT_KEY = 68  # KIP-848 next-gen consumer protocol
@@ -91,6 +92,7 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (OFFSET_DELETE_KEY, 0, 0),
     (INCREMENTAL_ALTER_CONFIGS_KEY, 0, 1),
     (DESCRIBE_CLUSTER_KEY, 0, 0),
+    (DESCRIBE_PRODUCERS_KEY, 0, 0),
     (DESCRIBE_TRANSACTIONS_KEY, 0, 0),
     (LIST_TRANSACTIONS_KEY, 0, 0),
     (CONSUMER_GROUP_HEARTBEAT_KEY, 0, 1),

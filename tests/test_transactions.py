@@ -403,3 +403,86 @@ def test_txn_version_ranges_advertised():
     ranges = {k: (lo, hi) for k, lo, hi in wire.SUPPORTED_APIS}
     assert ranges[wire.ADD_PARTITIONS_TO_TXN_KEY] == (0, 5)
     assert ranges[wire.END_TXN_KEY] == (0, 5)
+
+
+# -------------------------- DescribeProducers (k61, KIP-664)
+
+
+def _describe_producers(fe, topics, corr=97):
+    """topics: {name: [partitions]} → {(topic, partition): (err, [(pid, epoch, last_seq, txn_start)])}"""
+    w = wire.Writer()
+    w.int16(wire.DESCRIBE_PRODUCERS_KEY).int16(0).int32(corr)
+    w.nullable_string("pytest")
+    w.empty_tagged_fields()
+    w.compact_array_len(len(topics))
+    for name, parts in topics.items():
+        w.compact_string(name)
+        w.compact_array_len(len(parts))
+        for p in parts:
+            w.int32(p)
+        w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    r.int32()
+    r.tagged_fields()
+    r.int32()  # throttle
+    out = {}
+    for _ in range(r.compact_array_len()):
+        name = r.compact_string()
+        for _ in range(r.compact_array_len()):
+            partition = r.int32()
+            err = r.int16()
+            r.compact_string()  # error_message
+            producers = []
+            for _ in range(r.compact_array_len()):
+                pid = r.int64()
+                epoch = r.int32()
+                last_seq = r.int32()
+                r.int64()  # last_timestamp
+                r.int32()  # coordinator_epoch
+                txn_start = r.int64()
+                r.tagged_fields()
+                producers.append((pid, epoch, last_seq, txn_start))
+            r.tagged_fields()
+            out[(name, partition)] = (err, producers)
+        r.tagged_fields()
+    return out
+
+
+def test_describe_producers_reports_declared_and_written_txns():
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("alpha", 2)
+    pid, ep = _init_txn_pid(fe, "tid-dp")
+    _add_partitions(fe, "tid-dp", pid, ep, "alpha", [0, 1])
+    # partition 0: declared AND written; partition 1: declared only
+    err, base = _produce(fe, _txn_batch(pid, ep, 0, [b"a", b"b"]))
+    assert err == wire.ERR_NONE
+    out = _describe_producers(fe, {"alpha": [0, 1]})
+    err0, prods0 = out[("alpha", 0)]
+    assert err0 == wire.ERR_NONE
+    assert prods0 == [(pid, ep, 1, base)]  # last_seq = base_seq + n - 1
+    err1, prods1 = out[("alpha", 1)]
+    # declared-but-unwritten: the hanging-transaction signature
+    assert prods1 == [(pid, ep, -1, -1)]
+    # unknown partition errors per-partition, not per-request
+    out = _describe_producers(fe, {"alpha": [7]})
+    assert out[("alpha", 7)][0] == wire.ERR_UNKNOWN_TOPIC_OR_PARTITION
+
+
+def test_describe_producers_idempotent_only():
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("alpha", 1)
+    pid, ep = _init_pid(fe)
+    from kcore_spark.protocol.records import encode_record_batch
+
+    batch = encode_record_batch(
+        [Record(b"k", b"v", 1)], producer_id=pid, producer_epoch=ep, base_sequence=0
+    )
+    assert _produce(fe, batch)[0] == wire.ERR_NONE
+    out = _describe_producers(fe, {"alpha": [0]})
+    err, prods = out[("alpha", 0)]
+    # non-transactional idempotent producer: no txn start offset
+    assert prods == [(pid, ep, 0, -1)]
+    assert wire.SUPPORTED_APIS and {k: (lo, hi) for k, lo, hi in wire.SUPPORTED_APIS}[
+        wire.DESCRIBE_PRODUCERS_KEY
+    ] == (0, 0)
