@@ -499,29 +499,55 @@ def handle_alter_configs(log: WireLog, payload: bytes) -> bytes:
 # ------------------------------------------------------ DescribeCluster v0
 
 
+ERR_MISMATCHED_ENDPOINT_TYPE = 114  # KIP-919
+
+
 def handle_describe_cluster(payload: bytes, host: str, port: int) -> bytes:
-    """DescribeCluster (key 60, v0 — flexible-only API): the modern
+    """DescribeCluster (key 60, v0-v1 — flexible-only API): the modern
     admin-client bootstrap call (cluster id, controller, broker list)
     without Metadata's topic payload. Single-node constants mirror the
-    Metadata response (node 0, cluster 'kcore-spark')."""
+    Metadata response (node 0, cluster 'kcore-spark'). v1 (KIP-919)
+    adds endpoint_type: this is a broker, so a request addressed to
+    the controller endpoint (type 2) gets MISMATCHED_ENDPOINT_TYPE —
+    the contract that lets admin clients distinguish broker vs
+    controller listeners."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    BROKER_ENDPOINT = 1
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=True)
+    requested_endpoint = BROKER_ENDPOINT
     if r.pos < len(r.buf):
         r.bool_()  # include_cluster_authorized_operations
+    if v >= 1 and r.pos < len(r.buf):
+        requested_endpoint = r.int8()
+    mismatched = v >= 1 and requested_endpoint != BROKER_ENDPOINT
     w = wire.Writer()
     w.int32(h.correlation_id)
     w.empty_tagged_fields()  # response header v1
     w.int32(0)  # throttle_time_ms
-    w.int16(wire.ERR_NONE)
-    w.compact_string(None)  # error_message
+    if mismatched:
+        w.int16(ERR_MISMATCHED_ENDPOINT_TYPE)
+        w.compact_string(
+            f"this is a broker endpoint; requested type {requested_endpoint}"
+        )
+    else:
+        w.int16(wire.ERR_NONE)
+        w.compact_string(None)  # error_message
+    if v >= 1:
+        w.int8(BROKER_ENDPOINT)  # endpoint_type
     w.compact_string("kcore-spark")  # cluster_id
     w.int32(0)  # controller_id
-    w.compact_array_len(1)  # brokers
-    w.int32(0)  # broker_id
-    w.compact_string(host)
-    w.int32(port)
-    w.compact_string(None)  # rack
-    w.empty_tagged_fields()
+    if mismatched:
+        w.compact_array_len(0)  # brokers withheld on endpoint mismatch
+    else:
+        w.compact_array_len(1)  # brokers
+        w.int32(0)  # broker_id
+        w.compact_string(host)
+        w.int32(port)
+        w.compact_string(None)  # rack
+        w.empty_tagged_fields()
     w.int32(-2147483648)  # authorized ops omitted (INT32_MIN)
     w.empty_tagged_fields()
     return w.bytes()

@@ -304,7 +304,7 @@ class KafkaFrontend:
             from kcore_spark.protocol.groups import handle_offset_delete
 
             return handle_offset_delete(self.group_store, payload)
-        if api_key == wire.DESCRIBE_CLUSTER_KEY and api_version == 0:
+        if api_key == wire.DESCRIBE_CLUSTER_KEY and api_version <= 1:
             from kcore_spark.protocol.admin import handle_describe_cluster
 
             return handle_describe_cluster(payload, self.host, self.port)

@@ -91,7 +91,7 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (SASL_AUTHENTICATE_KEY, 0, 1),
     (OFFSET_DELETE_KEY, 0, 0),
     (INCREMENTAL_ALTER_CONFIGS_KEY, 0, 1),
-    (DESCRIBE_CLUSTER_KEY, 0, 0),
+    (DESCRIBE_CLUSTER_KEY, 0, 1),
     (DESCRIBE_PRODUCERS_KEY, 0, 0),
     (DESCRIBE_TRANSACTIONS_KEY, 0, 0),
     (LIST_TRANSACTIONS_KEY, 0, 0),

@@ -312,6 +312,51 @@ def test_describe_cluster_v0():
     assert r.int32() == -2147483648
 
 
+def test_describe_cluster_v1_endpoint_type():
+    from kcore_spark.protocol.server import KafkaFrontend
+
+    fe = KafkaFrontend(host="127.0.0.1", port=9092)
+
+    def req(endpoint_type, corr):
+        w = wire.Writer()
+        w.int16(wire.DESCRIBE_CLUSTER_KEY).int16(1).int32(corr)
+        w.nullable_string("pytest")
+        w.empty_tagged_fields()
+        w.bool_(False)
+        w.int8(endpoint_type)
+        w.empty_tagged_fields()
+        return wire.Reader(fe.handle_request(w.bytes()))
+
+    # broker endpoint (type 1): full answer, endpoint_type echoed
+    r = req(1, 82)
+    assert r.int32() == 82
+    r.tagged_fields()
+    assert r.int32() == 0  # throttle
+    assert r.int16() == wire.ERR_NONE
+    assert r.compact_string() is None
+    assert r.int8() == 1  # endpoint_type
+    assert r.compact_string() == "kcore-spark"
+    assert r.int32() == 0
+    assert r.compact_array_len() == 1
+
+    # controller endpoint (type 2) on a broker: MISMATCHED_ENDPOINT_TYPE
+    from kcore_spark.protocol.admin import ERR_MISMATCHED_ENDPOINT_TYPE
+
+    r = req(2, 83)
+    assert r.int32() == 83
+    r.tagged_fields()
+    r.int32()
+    assert r.int16() == ERR_MISMATCHED_ENDPOINT_TYPE
+    assert r.compact_string()  # error message present
+    assert r.int8() == 1  # we still say what we are
+    assert r.compact_string() == "kcore-spark"
+    r.int32()
+    assert r.compact_array_len() == 0  # brokers withheld
+
+    ranges = {k: (lo, hi) for k, lo, hi in wire.SUPPORTED_APIS}
+    assert ranges[wire.DESCRIBE_CLUSTER_KEY] == (0, 1)
+
+
 # ------------------------------------------------ ListOffsets v6/v7
 
 
