@@ -31,9 +31,17 @@ range deterministically from the immutable segments, so checkpoint
 recovery is exact (tested: incremental availableNow runs pick up only
 new records, no replay duplicates).
 
-Writes intentionally go through ``TopicLog.produce`` — offset
-assignment is a log-wide transaction (dense per-partition offsets +
-watermark advance) that a blind per-task writer cannot do safely.
+The source also WRITES (``df.write.format("kcore_topic")``), but
+two-phase: offset assignment is a log-wide transaction (dense
+per-partition offsets + watermark advance) that a blind per-task
+writer cannot do safely, so executors only STAGE rows (parquet files
+in a scratch dir, no offsets), and the driver-side ``commit`` runs
+the one safe sequencer — ``TopicLog.produce`` over the staged files —
+then clears the staging dir. A failed job aborts by deleting staged
+files; nothing becomes visible until the produce's atomic watermark
+flip, so the sink is exactly-once by construction. Input contract:
+``key binary, value binary, timestamp timestamp, part int, seq
+bigint`` (part = target partition, seq = within-partition order key).
 
 Provenance: realizes the reference's declared topic read surface
 (`/root/reference/README.md:48` Consumer API roadmap row) as a Spark
@@ -50,8 +58,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 RECORD_DDL = (
@@ -221,6 +231,199 @@ class TopicLogStreamReader(SimpleDataSourceStreamReader):
         pass  # offsets live in the stream checkpoint; the log is immutable
 
 
+# ---------------------------------------------------- batch writer
+
+WRITE_DDL = "key binary, value binary, timestamp timestamp, part int, seq bigint"
+
+
+class StagedFiles(WriterCommitMessage):
+    """One entry per (this task, target partition): (partition,
+    path, n_rows, min_seq)."""
+
+    def __init__(self, entries: list[tuple[int, str, int, int]]):
+        self.entries = entries
+
+
+class TopicLogWriter(DataSourceWriter):
+    """Two-phase topic write (``df.write.format("kcore_topic")``).
+
+    Executor half (``write``): split this task's rows by target
+    partition, sort each slice by ``seq``, stage one parquet file per
+    (task, partition) in the staging dir — NO offsets yet; staged
+    files are invisible to every reader.
+
+    Driver half (``commit``): the single sequencer. Per partition,
+    staged files are ordered by (min_seq, path) and offsets assigned
+    densely from the current watermark; segments land in the native
+    layout with manifest entries, and the watermark flip (atomic
+    os.replace, snapshot-history preserving — the same commit point
+    TopicLog.produce uses) publishes everything at once. Runs in the
+    data-source Python runner WITHOUT a Spark session, so sequencing
+    is pure pyarrow — per-file metadata + streamed rewrites, never a
+    row-by-row driver loop.
+
+    Ordering contract: exact ``seq`` order within each staged file;
+    across files of one partition, file order by min_seq. For exact
+    global per-partition seq order, pre-shuffle the input with
+    ``df.repartition("part")`` so each partition stages exactly one
+    file. Nothing becomes visible unless commit completes — abort
+    deletes the staging dir — so the sink is exactly-once.
+    """
+
+    def __init__(self, options: dict, input_schema):
+        self.root = options["root"]
+        self.topic = options["topic"]
+        self.cols = [f.name for f in input_schema.fields]
+        required = {"key", "value", "timestamp", "part", "seq"}
+        missing = required - set(self.cols)
+        if missing:
+            raise ValueError(
+                f"kcore_topic writer input must carry {sorted(required)}; "
+                f"missing {sorted(missing)}"
+            )
+        self.tdir = os.path.join(self.root, self.topic)
+        self.staging = os.path.join(self.tdir, "_staging")
+
+    # ------------------------------------------------ executor side
+
+    def write(self, iterator) -> StagedFiles:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        idx = {c: i for i, c in enumerate(self.cols)}
+        by_part: dict[int, list[tuple]] = {}
+        for r in iterator:
+            t = tuple(r)
+            by_part.setdefault(int(t[idx["part"]]), []).append(t)
+        if not by_part:
+            return StagedFiles([])
+        tc = TaskContext.get()
+        task = tc.taskAttemptId() if tc is not None else 0
+        os.makedirs(self.staging, exist_ok=True)
+        entries = []
+        for p, rows in by_part.items():
+            rows.sort(key=lambda t: t[idx["seq"]])
+            table = pa.table(
+                {
+                    "key": pa.array([t[idx["key"]] for t in rows], pa.binary()),
+                    "value": pa.array([t[idx["value"]] for t in rows], pa.binary()),
+                    "timestamp": pa.array(
+                        [t[idx["timestamp"]] for t in rows], pa.timestamp("us")
+                    ),
+                    "seq": pa.array([t[idx["seq"]] for t in rows], pa.int64()),
+                }
+            )
+            path = os.path.join(
+                self.staging, f"stage-{task}-p{p}-{_uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(table, path)
+            entries.append((p, path, len(rows), int(rows[0][idx["seq"]])))
+        return StagedFiles(entries)
+
+    # ------------------------------------------------ driver side
+
+    def commit(self, messages) -> None:
+        import shutil
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        entries = [e for m in messages if m is not None for e in m.entries]
+        if not entries:
+            return
+        with open(os.path.join(self.tdir, "_meta.json")) as f:
+            n_parts = json.load(f)["num_partitions"]
+        bad = sorted({p for p, *_ in entries if not 0 <= p < n_parts})
+        if bad:
+            raise ValueError(
+                f"topic {self.topic!r} declares {n_parts} partitions; "
+                f"staged rows target partition(s) {bad}"
+            )
+        wm_path = os.path.join(self.tdir, "_watermarks.json")
+        try:
+            with open(wm_path) as f:
+                raw = json.load(f)
+        except FileNotFoundError:
+            raw = {}
+        wm = {k: int(v) for k, v in raw.items() if not str(k).startswith("__")}
+        man_path = os.path.join(self.tdir, "_manifest.json")
+        try:
+            with open(man_path) as f:
+                man = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            man = {}
+        data_dir = os.path.join(self.tdir, "data")
+        by_part: dict[int, list[tuple]] = {}
+        for e in entries:
+            by_part.setdefault(e[0], []).append(e)
+        new_wm = dict(wm)
+        for p, ents in sorted(by_part.items()):
+            base = int(wm.get(str(p), 0))
+            pdir = os.path.join(data_dir, f"partition={p}")
+            os.makedirs(pdir, exist_ok=True)
+            for _, path, n, _min_seq in sorted(ents, key=lambda e: (e[3], e[1])):
+                t = pq.read_table(path)
+                offs = pa.array(range(base, base + n), pa.int64())
+                out = pa.table(
+                    {
+                        "key": t["key"],
+                        "value": t["value"],
+                        "offset": offs,
+                        "timestamp": t["timestamp"],
+                        "timestampType": pa.array([0] * n, pa.int32()),
+                        "headers": pa.nulls(
+                            n, pa.map_(pa.string(), pa.binary())
+                        ),
+                    }
+                )
+                rel = f"partition={p}/part-w-{_uuid.uuid4().hex}.parquet"
+                seg = os.path.join(data_dir, rel)
+                pq.write_table(out, seg)
+                ts = t["timestamp"]
+                entry = {
+                    "file": rel,
+                    "min": base,
+                    "max": base + n - 1,
+                    "bytes": os.path.getsize(seg),
+                }
+                if n and ts.null_count < n:
+                    import pyarrow.compute as pc
+
+                    lo = pc.min(ts).as_py()
+                    hi = pc.max(ts).as_py()
+                    if lo is not None:
+                        entry["ts_min"] = int(lo.timestamp() * 1000)
+                        entry["ts_max"] = int(hi.timestamp() * 1000)
+                man.setdefault(f"partition={p}", []).append(entry)
+                base += n
+            new_wm[str(p)] = base
+        # manifest first, watermarks last: the watermark flip is the
+        # commit point (readers never trust offsets past the watermark)
+        tmp = man_path + f".tmp.{_uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, man_path)
+        payload = {k: v for k, v in raw.items() if str(k).startswith("__")}
+        payload.update(new_wm)
+        history = payload.get("__history", [])
+        next_v = (history[-1]["v"] + 1) if history else 1
+        payload["__history"] = (history + [{"v": next_v, "wm": dict(new_wm)}])[-64:]
+        tmp = wm_path + f".tmp.{_uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, wm_path)
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class TopicLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -234,3 +437,11 @@ class TopicLogDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> TopicLogStreamReader:
         return TopicLogStreamReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool) -> TopicLogWriter:
+        if overwrite:
+            raise ValueError(
+                "kcore_topic is an append-only log; overwrite is not supported "
+                "(use TopicLog retention/truncation to remove data)"
+            )
+        return TopicLogWriter(dict(self.options), schema)

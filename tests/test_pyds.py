@@ -162,3 +162,121 @@ def test_corrupt_manifest_falls_back_to_listing(spark):
         .load()
     )
     assert df.count() == 60
+
+
+# ---------------------------------------------------- batch writer
+
+
+def test_writer_roundtrip_two_phase(spark):
+    """df.write.format('kcore_topic') stages on executors, sequences
+    through TopicLog.produce on commit — offsets dense per partition
+    in seq order, staging cleared, data identical to the native path."""
+    import glob
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="kcore_pyds_w_")
+    log = TopicLog(spark, root)
+    log.create_topic("w", 2)
+    spark.dataSource.register(TopicLogDataSource)
+    df = spark.range(0, 50).select(
+        F.encode(F.col("id").cast("string"), "utf-8").alias("key"),
+        F.encode((F.col("id") * 3).cast("string"), "utf-8").alias("value"),
+        F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("id")).alias("timestamp"),
+        (F.col("id") % 2).cast("int").alias("part"),
+        F.col("id").alias("seq"),
+    ).repartition("part")  # one staged file per partition → exact seq order
+    (
+        df.write.format("kcore_topic")
+        .option("root", root)
+        .option("topic", "w")
+        .mode("append")
+        .save()
+    )
+    # staging cleared after commit
+    assert not glob.glob(os.path.join(root, "w", "_staging", "*"))
+    # dense offsets per partition, ordered by seq
+    out = log.scan("w").select("partition", "offset", "key").collect()
+    by_part = {}
+    for r in sorted(out, key=lambda r: (r["partition"], r["offset"])):
+        by_part.setdefault(r["partition"], []).append(int(r["key"].decode()))
+    assert sorted(by_part) == [0, 1]
+    for p, ids in by_part.items():
+        assert ids == sorted(ids)  # seq order preserved
+        assert len(ids) == 25
+    # offsets are dense 0..24 in each partition
+    offs = {}
+    for r in out:
+        offs.setdefault(r["partition"], []).append(r["offset"])
+    for p in (0, 1):
+        assert sorted(offs[p]) == list(range(25))
+    # a second write APPENDS at the watermark
+    (
+        df.limit(4).write.format("kcore_topic")
+        .option("root", root).option("topic", "w").mode("append").save()
+    )
+    lo = {r["partition"]: r["next_offset"] for r in log.list_offsets("w").collect()}
+    assert sum(lo.values()) == 54
+
+
+def test_writer_rejects_overwrite_and_bad_schema(spark):
+    import tempfile
+
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="kcore_pyds_w2_")
+    log = TopicLog(spark, root)
+    log.create_topic("w", 1)
+    spark.dataSource.register(TopicLogDataSource)
+    df = spark.range(3).select(F.col("id").alias("seq"))
+    with pytest.raises(Exception, match="append-only|not supported"):
+        (
+            df.write.format("kcore_topic")
+            .option("root", root).option("topic", "w")
+            .mode("overwrite").save()
+        )
+    with pytest.raises(Exception, match="missing"):
+        (
+            df.write.format("kcore_topic")
+            .option("root", root).option("topic", "w")
+            .mode("append").save()
+        )
+
+
+def test_writer_multitask_dense_and_manifest_pruned(spark):
+    """Many writer tasks per partition: offsets stay dense per
+    partition (file order by min_seq), the manifest indexes the new
+    segments (fetch's pruned path sees them), and a kcore_topic READ
+    of the written topic round-trips."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="kcore_pyds_w3_")
+    log = TopicLog(spark, root)
+    log.create_topic("m", 2)
+    spark.dataSource.register(TopicLogDataSource)
+    df = spark.range(0, 80).select(
+        F.encode(F.col("id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("value"),
+        F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("id")).alias("timestamp"),
+        (F.col("id") % 2).cast("int").alias("part"),
+        F.col("id").alias("seq"),
+    ).repartition(5)  # several tasks stage files for BOTH partitions
+    (
+        df.write.format("kcore_topic")
+        .option("root", root).option("topic", "m").mode("append").save()
+    )
+    for p in (0, 1):
+        # manifest-pruned fetch sees every offset, densely
+        got = sorted(r["offset"] for r in log.fetch("m", p, 0, 1000).collect())
+        assert got == list(range(40))
+    # reading back through the DataSource matches the native scan
+    via_ds = (
+        spark.read.format("kcore_topic")
+        .option("root", root).option("topic", "m").load()
+    )
+    assert via_ds.count() == 80
+    native_keys = {bytes(r["key"]) for r in log.scan("m").collect()}
+    ds_keys = {bytes(r["key"]) for r in via_ds.collect()}
+    assert ds_keys == native_keys
+    # a snapshot version was recorded by the write commit
+    assert [v for v, _ in log.snapshot_versions("m")] == [1]
