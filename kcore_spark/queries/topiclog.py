@@ -232,7 +232,69 @@ ORDER BY version, partition
 """
 
 
+# -------------------------------------------------- DataSource writer
+
+
+def q_topic_pyds_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-phase kcore_topic WRITER under the oracle: events are
+    written through df.write.format("kcore_topic") (executors stage,
+    the driver-side commit sequences offsets with pure pyarrow), then
+    read back through the native scan and summarized. The oracle
+    recomputes the same per-partition offsets relationally, so the
+    whole staged-write → sequence → publish path is value-checked."""
+    from kcore_spark.sources.pyds import TopicLogDataSource
+
+    ev = load_table(spark, sf_dir, "events")
+    records = ev.select(
+        F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.to_json(F.struct("event_id", "user_id")), "utf-8").alias("value"),
+        F.col("ts").alias("timestamp"),
+        (F.col("user_id") % 3).cast("int").alias("part"),
+        F.col("event_id").alias("seq"),
+    ).repartition("part")
+    root = tempfile.mkdtemp(prefix="kcore_topic_pw_", dir=os.environ.get("TMPDIR", "/tmp"))
+    log = TopicLog(spark, root)
+    topic = f"events_pw_{uuid.uuid4().hex[:8]}"
+    log.create_topic(topic, 3)
+    spark.dataSource.register(TopicLogDataSource)
+    (
+        records.write.format("kcore_topic")
+        .option("root", root)
+        .option("topic", topic)
+        .mode("append")
+        .save()
+    )
+    eid = F.get_json_object(F.decode("value", "utf-8"), "$.event_id").cast("long")
+    return (
+        log.scan(topic)
+        .select(F.col("partition").cast("long").alias("partition"), "offset", eid.alias("eid"))
+        .groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("offset").alias("max_offset"),
+            F.sum("eid").alias("sum_ids"),
+        )
+        .orderBy("partition")
+    )
+
+
+Q_TOPIC_PYDS_WRITE_SQL = """
+SELECT user_id % 3 AS partition,
+       COUNT(*) AS n,
+       COUNT(*) - 1 AS max_offset,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM events
+GROUP BY user_id % 3
+ORDER BY partition
+"""
+
+
 QUERIES = {
+    "q_topic_pyds_write": QuerySpec(
+        q_topic_pyds_write,
+        Q_TOPIC_PYDS_WRITE_SQL,
+        "two-phase DataSource topic write (staged + sequenced)",
+    ),
     "q_topic_time_travel": QuerySpec(
         q_topic_time_travel,
         Q_TOPIC_TIME_TRAVEL_SQL,
