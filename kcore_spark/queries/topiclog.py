@@ -289,7 +289,63 @@ ORDER BY partition
 """
 
 
+# -------------------------------------------------- compaction
+
+
+def q_topic_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction under the value oracle: events keyed by user_id
+    are produced (many records per key), the log is compacted to
+    latest-per-key (offsets preserved, Kafka's cleaner contract), and
+    the surviving records are summarized. The oracle recomputes
+    latest-per-key relationally — the event with the max (event_id)
+    per user, since offsets were assigned in event_id order — so the
+    whole produce → compact → swap → scan path is value-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    records = ev.select(
+        F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.to_json(F.struct("event_id", "user_id")), "utf-8").alias("value"),
+        F.col("ts").alias("timestamp"),
+        (F.col("user_id") % 3).cast("int").alias("part"),
+        "event_id",
+    )
+    root = tempfile.mkdtemp(prefix="kcore_topic_cq_", dir=os.environ.get("TMPDIR", "/tmp"))
+    log = TopicLog(spark, root)
+    topic = f"events_cq_{uuid.uuid4().hex[:8]}"
+    log.create_topic(topic, 3)
+    log.produce(topic, records, partition_expr=F.col("part"), order_by=["event_id"])
+    log.compact(topic)
+    eid = F.get_json_object(F.decode("value", "utf-8"), "$.event_id").cast("long")
+    return (
+        log.scan(topic)
+        .select(F.col("partition").cast("long").alias("partition"), eid.alias("eid"))
+        .groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("eid").alias("sum_latest_ids"),
+        )
+        .orderBy("partition")
+    )
+
+
+Q_TOPIC_COMPACTED_SQL = """
+WITH latest AS (
+  SELECT user_id % 3 AS partition, user_id, MAX(event_id) AS latest_id
+  FROM events
+  GROUP BY user_id % 3, user_id)
+SELECT partition, COUNT(*) AS n_keys,
+       CAST(SUM(latest_id) AS BIGINT) AS sum_latest_ids
+FROM latest
+GROUP BY partition
+ORDER BY partition
+"""
+
+
 QUERIES = {
+    "q_topic_compacted_read": QuerySpec(
+        q_topic_compacted_read,
+        Q_TOPIC_COMPACTED_SQL,
+        "log compaction (latest-per-key) value-checked",
+    ),
     "q_topic_pyds_write": QuerySpec(
         q_topic_pyds_write,
         Q_TOPIC_PYDS_WRITE_SQL,
