@@ -235,7 +235,75 @@ ORDER BY event_type
 """
 
 
+# -------------------------------------------------- sequence-pattern regex
+# MATCH_RECOGNIZE-style behavioral patterns without the clause (Spark
+# has none): each user's event history becomes one ordered symbol
+# string (v/c/p/s/e per event, fully tie-broken by (ts, event_id)),
+# and patterns are plain regexes over it. One shuffle (groupBy user),
+# then per-row regex — the string is bounded by a user's event count,
+# and at 100 TB the per-user history that fits MATCH_RECOGNIZE fits
+# this. Sorted-struct-array fold, not bare collect_list (whose order
+# is partition-dependent).
+
+
+def q_event_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sym = F.substring("event_type", 1, 1)  # v c p s e — distinct initials
+    packed = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), sym.alias("s")
+            ).alias("evt"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("evt")), lambda x: x["s"]
+                ),
+                "",
+            ).alias("seq"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return packed.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("seq").rlike("vc*p").cast("long")).alias("n_view_then_purchase"),
+        F.sum(F.col("seq").rlike("^v").cast("long")).alias("n_start_with_view"),
+        F.sum(F.col("seq").rlike("e.*e.*e").cast("long")).alias("n_three_errors"),
+        F.sum(F.col("seq").rlike("p[^e]*$").cast("long")).alias("n_purchase_no_later_error"),
+        F.sum("n_events").alias("n_events_total"),
+    )
+
+
+Q_EVENT_PATTERN_SQL = """
+WITH packed AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN regexp_matches(seq, 'vc*p') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_then_purchase,
+       CAST(SUM(CASE WHEN regexp_matches(seq, '^v') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_start_with_view,
+       CAST(SUM(CASE WHEN regexp_matches(seq, 'e.*e.*e') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_three_errors,
+       CAST(SUM(CASE WHEN regexp_matches(seq, 'p[^e]*$') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchase_no_later_error,
+       CAST(SUM(n_events) AS BIGINT) AS n_events_total
+FROM packed
+"""
+
+
 QUERIES = {
+    "q_event_pattern_regex": QuerySpec(
+        q_event_pattern_regex,
+        Q_EVENT_PATTERN_SQL,
+        "MATCH_RECOGNIZE-style regex over ordered event sequences",
+    ),
     "q_rolling_zscore_anomalies": QuerySpec(
         q_rolling_zscore_anomalies,
         Q_ROLLING_ZSCORE_SQL,
