@@ -250,6 +250,17 @@ class ConsumerGroupCoordinator:
 
         # ---- join (epoch 0): new member, or a known member rejoining
         if member_epoch == 0:
+            if not member_id and instance_id:
+                # static membership (KIP-848 carries KIP-345 forward):
+                # a restarted static instance joins with an EMPTY
+                # member id — it must take over its old member entry
+                # (same id, same confirmed ownership) instead of
+                # ghosting it until session expiry, which would both
+                # double-count the group and park the old assignment
+                for mid, existing in g.members.items():
+                    if existing.instance_id == instance_id:
+                        member_id = mid
+                        break
             if not member_id:
                 member_id = f"cg-member-{g.next_member_seq}"
                 g.next_member_seq += 1

@@ -32,6 +32,7 @@ def _hb_req(
     owned=None,
     assignor=None,
     rack=None,
+    instance=None,
     corr=70,
 ):
     w = wire.Writer()
@@ -41,7 +42,7 @@ def _hb_req(
     w.compact_string(group)
     w.compact_string(member)
     w.int32(epoch)
-    w.compact_string(None)  # instance_id
+    w.compact_string(instance)  # instance_id
     w.compact_string(rack)  # rack_id
     w.int32(30000)  # rebalance_timeout_ms
     if subs is None:
@@ -314,3 +315,23 @@ def test_rack_stored_and_echoed_in_describe(fe):
     assert r.compact_string() == member
     r.compact_string()  # instance_id
     assert r.compact_string() == "rack-7"
+
+
+def test_static_instance_takeover_reclaims_member(fe):
+    """A restarted static instance (same instance_id, empty member_id)
+    takes over its old member entry — same member id, same confirmed
+    ownership, no ghost double-membership."""
+    ra = _hb(fe, subs=("ta",), instance="inst-1")
+    a = ra["member"]
+    _hb(fe, member=a, epoch=ra["epoch"], owned={"ta": (0, 1, 2, 3)})
+    g = fe.consumer_groups.groups["g848"]
+    epoch_before = g.group_epoch
+    # the process restarts: empty member_id, same instance_id
+    rb = _hb(fe, subs=("ta",), instance="inst-1")
+    assert rb["member"] == a  # took over the SAME member id
+    assert len(g.members) == 1  # no ghost
+    assert g.group_epoch == epoch_before  # unchanged subscription: no churn
+    # a DIFFERENT instance still gets a fresh member
+    rc = _hb(fe, subs=("ta",), instance="inst-2")
+    assert rc["member"] != a
+    assert len(g.members) == 2
