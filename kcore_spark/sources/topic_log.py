@@ -861,6 +861,61 @@ class TopicLog:
         shutil.rmtree(old_dir)
         return n
 
+    def erase_keys(self, topic: str, keys: list[bytes]) -> int:
+        """Targeted key erasure (the right-to-be-forgotten path): every
+        record whose key is in ``keys`` is physically removed from the
+        log, across all partitions and segments — unlike a compaction
+        tombstone, which leaves prior copies on disk until the cleaner
+        reaches them. Offsets of surviving records are preserved
+        (holes, like compaction) and watermarks don't move, so
+        consumers' positions stay valid.
+
+        Plan: one scan with a broadcast isin filter (the key list is
+        an erasure request — always tiny), then the same crash-safe
+        rewrite-and-swap machinery as compact(); a crash between the
+        renames is healed by _recover_compaction. Also scrubs the
+        ARCHIVE tier when one is attached — erasure that skipped cold
+        segments wouldn't be erasure. Returns records removed."""
+        self._recover_compaction(topic)
+        df = self.scan(topic)
+        before = df.count()
+        kept = df.where(~F.col("key").isin([bytes(k) for k in keys]))
+        data_dir = self._topic_dir(topic) + "/data"
+        tmp_dir = self._topic_dir(topic) + f"/data.compact.{uuid.uuid4().hex}"
+        kept.write.mode("overwrite").partitionBy("partition").parquet(tmp_dir)
+        after = self.spark.read.schema(RECORD_SCHEMA).parquet(tmp_dir).count()
+        import shutil
+
+        old_dir = self._topic_dir(topic) + f"/data.old-{uuid.uuid4().hex}"
+        os.rename(data_dir, old_dir)
+        os.rename(tmp_dir, data_dir)
+        self._refresh_manifest(topic)
+        shutil.rmtree(old_dir)
+        removed = before - after
+        # cold tier: rewrite archived segments in place (immutable files
+        # swapped whole — readers of scan_archive list the directory)
+        if self.archive_root is not None:
+            adir = os.path.join(self.archive_root, topic)
+            if os.path.isdir(adir) and os.listdir(adir):
+                cold = self.spark.read.schema(RECORD_SCHEMA).parquet(adir)
+                n_cold = cold.count()
+                cold_kept = cold.where(
+                    ~F.col("key").isin([bytes(k) for k in keys])
+                )
+                tmp_cold = adir + f".erase.{uuid.uuid4().hex}"
+                cold_kept.write.mode("overwrite").partitionBy("partition").parquet(
+                    tmp_cold
+                )
+                n_cold_kept = self.spark.read.schema(RECORD_SCHEMA).parquet(
+                    tmp_cold
+                ).count()
+                old_cold = adir + f".old-{uuid.uuid4().hex}"
+                os.rename(adir, old_cold)
+                os.rename(tmp_cold, adir)
+                shutil.rmtree(old_cold)
+                removed += n_cold - n_cold_kept
+        return removed
+
     def _recover_compaction(self, topic: str) -> None:
         """Heal a crashed compaction swap. Invariants of compact():
         data/ missing + data.old-* present → crashed between renames:

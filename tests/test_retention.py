@@ -360,3 +360,54 @@ def test_archive_tier_retention_ages_out_cold_files(spark):
 def test_archive_retention_noop_without_tier(spark, log):
     log.create_topic("t", 1)
     assert log.apply_archive_retention("t", retention_ms=1) == 0
+
+
+# ------------------------------------------------------ key erasure (GDPR)
+
+
+def test_erase_keys_removes_across_hot_and_cold(spark):
+    import tempfile as tf
+
+    from pyspark.sql import functions as F2
+
+    with tf.TemporaryDirectory(prefix="kcore_erase_h_") as hot, tf.TemporaryDirectory(
+        prefix="kcore_erase_c_"
+    ) as cold:
+        log = TopicLog(spark, hot, archive_root=cold)
+        log.create_topic("t", 2)
+        for b in range(2):
+            log.produce(
+                "t", _ts_records(spark, 20, b * 20, 1_000_000 + b * 10_000), order_by=["seq"]
+            )
+        # age the first batch's segments into the cold tier
+        log.alter_topic_config("t", {"retention.ms": "1"})
+        log.apply_retention_from_config("t", now_ms=10_000_000_000)
+        assert log.scan_archive("t") is not None
+        # keys are id%5 strings; erase key b"3" everywhere
+        total_before = log.scan("t").count() + log.scan_archive("t").count()
+        k3_hot = log.scan("t").where(F2.col("key") == b"3").count()
+        k3_cold = log.scan_archive("t").where(F2.col("key") == b"3").count()
+        assert k3_hot + k3_cold > 0
+        removed = log.erase_keys("t", [b"3"])
+        assert removed == k3_hot + k3_cold
+        assert log.scan("t").where(F2.col("key") == b"3").count() == 0
+        arch = log.scan_archive("t")
+        assert arch is None or arch.where(F2.col("key") == b"3").count() == 0
+        # surviving records keep their offsets (holes, like compaction)
+        total_after = log.scan("t").count() + (arch.count() if arch is not None else 0)
+        assert total_after == total_before - removed
+        # watermarks unmoved: appends continue at the old high watermark
+        wm = log._watermarks("t")
+        log.produce("t", _ts_records(spark, 2, 100, 2_000_000), order_by=["seq"])
+        wm2 = log._watermarks("t")
+        assert all(wm2[p] >= wm[p] for p in wm)
+
+
+def test_erase_keys_no_archive_tier(spark, log):
+    log.create_topic("t", 1)
+    log.produce("t", _ts_records(spark, 10, 0, 1_000_000), order_by=["seq"])
+    n = log.scan("t").where(F.col("key").isin([b"1", b"2"])).count()
+    assert log.erase_keys("t", [b"1", b"2"]) == n
+    assert log.scan("t").where(F.col("key").isin([b"1", b"2"])).count() == 0
+    # fetch path still healthy after the swap (manifest refreshed)
+    assert log.fetch("t", 0, 0, 100).count() == 10 - n
