@@ -251,3 +251,46 @@ def sessionize(
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+
+
+def range_join_binned(
+    left: DataFrame,
+    value_col: str,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Scalable range join with NO equi key: match each left row to the
+    intervals containing its value (``lo <= v < hi``).
+
+    The naive plan for this shape is a broadcast-nested-loop/cartesian
+    — the classic 100 TB range-join killer. The standard fix is
+    interval binning: every interval explodes into the fixed-width
+    bins it covers, the fact side computes its single bin, and the
+    join becomes a plain shuffle EQUI-join on the bin id with the
+    range predicate as a residual filter. Each (row, interval) pair
+    can meet through exactly ONE bin (the row's), so no dedup step is
+    needed. Cost: interval side grows by width/bin_width copies —
+    choose bin_width near the median interval width so the blowup is
+    O(1) per interval; the fact side never grows.
+
+    Returns left columns + the matched interval's columns (inner join;
+    rows matching no interval drop — wrap the intervals to cover the
+    domain if totality is required).
+    """
+    b = F.lit(float(bin_width))
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / b).cast("long"),
+                F.floor((F.col(hi_col) - F.lit(1e-9)) / b).cast("long"),
+            )
+        ),
+    )
+    lf = left.withColumn("__bin", F.floor(F.col(value_col) / b).cast("long"))
+    out = lf.join(iv, "__bin").where(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    )
+    return out.drop("__bin")

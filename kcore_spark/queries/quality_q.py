@@ -319,6 +319,65 @@ FROM mad m JOIN outl USING (event_type)
 ORDER BY event_type
 """
 
+# -------------------------------------------------- binned range join
+
+# Irregular price bands (no equi key anywhere): the shape that forces
+# a nested-loop join unless binned. lo <= price < hi.
+PRICE_BANDS = [
+    ("tiny", 0.0, 950.0),
+    ("small", 950.0, 2000.0),
+    ("mid", 2000.0, 5000.0),
+    ("large", 5000.0, 20000.0),
+    ("xl", 20000.0, 60000.0),
+    ("xxl", 60000.0, 150000.0),
+    ("whale", 150000.0, 600000.0),
+]
+
+
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key-free range join via interval binning: orders classified
+    into irregular price bands through a plain shuffle equi-join on
+    bin ids (plan-audited: NO nested-loop join), with the range
+    predicate as a residual filter. The oracle runs the same join as a
+    naive BETWEEN theta join — same answer, different physical plan."""
+    from kcore_spark.operators.relational import range_join_binned
+
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    joined = range_join_binned(
+        orders.select("o_orderkey", "o_totalprice"),
+        "o_totalprice",
+        bands,
+        "lo",
+        "hi",
+        bin_width=1000.0,
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("band")
+    )
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{b}' AS band, {lo} AS lo, {hi} AS hi" for b, lo, hi in PRICE_BANDS
+)
+
+Q_RANGE_JOIN_SQL = f"""
+WITH bands AS ({_BANDS_SQL})
+SELECT band, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN bands
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
 # -------------------------------------------------- table checksums
 
 
@@ -555,5 +614,8 @@ QUERIES = {
     ),
     "q_table_checksum": QuerySpec(
         q_table_checksum, Q_TABLE_CHECKSUM_SQL, "order-independent table fingerprints"
+    ),
+    "q_range_join_binned": QuerySpec(
+        q_range_join_binned, Q_RANGE_JOIN_SQL, "equi-key-free range join via interval binning"
     ),
 }
