@@ -307,3 +307,67 @@ def signbit_lsh_pairs(
         )
         .where(F.col("cos_sim") >= min_cos)
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+) -> DataFrame:
+    """Product quantization encode: split each vector into ``m``
+    subvectors and replace each with the id of the nearest codebook
+    entry's matching subvector (L2, ties → lowest code id) — the
+    compression format behind IVF-PQ indexes (each vector becomes m
+    small codes instead of d floats).
+
+    ``codebook``: (code, vector) rows — k rows, one shared codebook
+    whose j-th subvector quantizes subspace j (the oracle-pinned
+    analog of a trained per-subspace codebook, same pinning stance as
+    the IVF query's fixed centroids).
+
+    Plan shape: corpus × broadcast(codebook × m subspaces) — work is
+    O(n · k · m) map-side arithmetic, the true PQ encode cost; the
+    only shuffles are the per-(vector, subspace) argmin and the final
+    per-vector pack. Distances are sequential folds (bit-equal to the
+    DuckDB oracle); per-vector distortion sums decimals (order-free).
+
+    Returns (id, pq_codes '<c0>|<c1>|...', distortion).
+    """
+    from pyspark.sql import Window
+
+    d_sub = F.expr(
+        "aggregate(zip_with(slice(e, j * sub + 1, sub), slice(ce, j * sub + 1, sub),"
+        " (a, b) -> (a - b) * (a - b)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    n = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("e"))
+    cb = codebook.select(
+        F.col("code"), as_double(F.col("vector")).alias("ce")
+    )
+    dims = len(corpus.select(vec_col).first()[0])
+    assert dims % m == 0, f"dim {dims} must split into {m} subspaces"
+    sub = dims // m
+    pairs = (
+        n.crossJoin(F.broadcast(cb))
+        .withColumn("sub", F.lit(sub))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(m - 1))))
+        .withColumn("dist", d_sub)
+    )
+    w = Window.partitionBy("id", "j").orderBy(F.col("dist").asc(), F.col("code").asc())
+    best = pairs.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    return (
+        best.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "code"))),
+                    lambda x: x["code"].cast("string"),
+                ),
+                "|",
+            ).alias("pq_codes"),
+            F.round(
+                F.sum(F.round("dist", 12).cast("decimal(30,12)")).cast("double"), 9
+            ).alias("distortion"),
+        )
+    )

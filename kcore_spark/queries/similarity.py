@@ -222,3 +222,73 @@ QUERIES = {
     "q_embedding_neardup": QuerySpec(q_embedding_neardup, Q_EMB_NEARDUP_SQL, "cosine near-dup pairs"),
     "q_ann_ivf_topk": QuerySpec(q_ann_ivf_topk, Q_ANN_IVF_SQL, "IVF-Flat ANN (probe-1)"),
 }
+
+
+# -------------------------------------------------- product quantization
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the corpus against an oracle-pinned codebook (the
+    first 8 vectors — same pinning stance as the IVF query's fixed
+    centroids): per label, how many vectors, the total distortion,
+    and how many distinct code words got used (codebook utilization,
+    the quality signal a real PQ index monitors)."""
+    from kcore_spark.operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("code"), F.col("embedding").alias("vector")
+    )
+    corpus = emb.where(F.col("vec_id") >= 8)
+    enc = pq_encode(corpus, codebook, "embedding", "vec_id", m=8)
+    labeled = enc.join(
+        emb.select(F.col("vec_id").alias("id"), "label"), "id"
+    )
+    return (
+        labeled.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("distortion").cast("decimal(30,9)")).cast("double"), 6
+            ).alias("sum_distortion"),
+            F.count_distinct("pq_codes").alias("n_distinct_codes"),
+        )
+        .orderBy("label")
+    )
+
+
+Q_PQ_ENCODE_SQL = """
+WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+cb AS (SELECT vec_id AS code, e AS ce FROM n WHERE vec_id < 8),
+corpus AS (SELECT vec_id AS id, label, e FROM n WHERE vec_id >= 8),
+dists AS (
+  SELECT id, label, code, j,
+         list_reduce(list_prepend(0.0,
+             list_transform(list_zip(e[j*8+1 : j*8+8], ce[j*8+1 : j*8+8]),
+                            p -> (p[1] - p[2]) * (p[1] - p[2]))),
+             (a, b) -> a + b) AS dist
+  FROM corpus CROSS JOIN cb CROSS JOIN (SELECT unnest(range(8)) AS j)),
+best AS (
+  SELECT id, label, j, code, dist
+  FROM dists
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY id, j ORDER BY dist, code) = 1),
+encoded AS (
+  SELECT id, label,
+         string_agg(code, '|' ORDER BY j) AS pq_codes,
+         ROUND(CAST(SUM(CAST(ROUND(dist, 12) AS DECIMAL(30,12))) AS DOUBLE), 9)
+           AS distortion
+  FROM best
+  GROUP BY id, label)
+SELECT label, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(distortion AS DECIMAL(30,9))) AS DOUBLE), 6)
+         AS sum_distortion,
+       COUNT(DISTINCT pq_codes) AS n_distinct_codes
+FROM encoded
+GROUP BY label
+ORDER BY label
+"""
+
+
+QUERIES["q_pq_encode"] = QuerySpec(
+    q_pq_encode, Q_PQ_ENCODE_SQL, "product-quantization encode + distortion"
+)

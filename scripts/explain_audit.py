@@ -36,6 +36,7 @@ ALLOWED_NLJ = {
     "q_tfidf_top_terms",  # 1-row corpus-size broadcast cross
     "q_unigram_kl_drift",  # 1-row corpus-total broadcast cross
     "q_two_stage_retrieval",  # 1-row query-vector broadcast cross
+    "q_pq_encode",  # k-row codebook broadcast cross (the PQ encode shape)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
