@@ -512,6 +512,63 @@ GROUP BY blk
 ORDER BY blk
 """
 
+# -------------------------------------------------- winsorized mean
+
+
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type statistics on events.value: clip to the
+    exact [p10, p90] band, then average — the standard way to stop a
+    handful of outliers from dragging a metric, complementing
+    q_mad_outliers (which FLAGS them). Exact percentiles (both engines
+    interpolate identically); the clipped mean sums rounded decimals
+    so the answer is bit-stable under any aggregation order."""
+    ev = load_table(spark, sf_dir, "events")
+    pcts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.1)").alias("p10"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    clipped = ev.join(F.broadcast(pcts), "event_type").select(
+        "event_type",
+        "n",
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("p10")), F.col("p90")), 6
+        ).alias("cv"),
+    )
+    return (
+        clipped.groupBy("event_type", "n")
+        .agg(
+            F.round(
+                F.sum(F.col("cv").cast("decimal(24,6)")).cast("double") / F.col("n"), 6
+            ).alias("winsorized_mean"),
+            F.round(F.min("cv"), 6).alias("clip_lo"),
+            F.round(F.max("cv"), 6).alias("clip_hi"),
+        )
+        .select("event_type", "n", "winsorized_mean", "clip_lo", "clip_hi")
+        .orderBy("event_type")
+    )
+
+
+Q_WINSORIZED_SQL = """
+WITH pcts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.1) AS p10,
+         quantile_cont(value, 0.9) AS p90,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type),
+clipped AS (
+  SELECT e.event_type, n,
+         ROUND(LEAST(GREATEST(value, p10), p90), 6) AS cv
+  FROM events e JOIN pcts USING (event_type))
+SELECT event_type, n,
+       ROUND(CAST(SUM(CAST(cv AS DECIMAL(24,6))) AS DOUBLE) / n, 6) AS winsorized_mean,
+       ROUND(MIN(cv), 6) AS clip_lo,
+       ROUND(MAX(cv), 6) AS clip_hi
+FROM clipped
+GROUP BY event_type, n
+ORDER BY event_type
+"""
+
 # -------------------------------------------------- MERGE-style upsert
 
 
@@ -614,6 +671,9 @@ QUERIES = {
     ),
     "q_table_checksum": QuerySpec(
         q_table_checksum, Q_TABLE_CHECKSUM_SQL, "order-independent table fingerprints"
+    ),
+    "q_winsorized_mean": QuerySpec(
+        q_winsorized_mean, Q_WINSORIZED_SQL, "winsorized per-group robust means"
     ),
     "q_range_join_binned": QuerySpec(
         q_range_join_binned, Q_RANGE_JOIN_SQL, "equi-key-free range join via interval binning"
