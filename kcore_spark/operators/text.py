@@ -109,29 +109,68 @@ def blocked_fuzzy_pairs(
     name_col: str,
     block: Column,
     max_dist: int,
+    salt: int = 16,
 ):
     """Entity-resolution candidate pairs: blocking key + edit-distance
     verify — the classic record-linkage plan (all-pairs comparison is
     quadratic in the TABLE; blocked comparison is quadratic only in
-    the BLOCK, and blocks are bounded by the key's selectivity).
+    the BLOCK).
 
-    The self-join on the block key is a plain shuffle equi-join
-    Catalyst can plan; levenshtein runs only inside blocks. Returns
-    (id1, id2, blk, dist) for every intra-block pair (id1 < id2) —
-    callers filter/aggregate on dist (returning unfiltered pairs lets
-    a caller count candidates vs matches in one pass).
+    Three things make this survive a skewed block key at scale (a
+    low-cardinality key otherwise caps parallelism at #blocks and
+    parks one straggler task on the hottest block — measured: one
+    35-minute task on an 8-noun key at 200k rows):
+
+    - **sub-bucket salting**: rows get a stable sub-bucket
+      ``hash(id) % salt``; one join side is replicated across all
+      ``salt`` sub-buckets and the other keeps its own, so the join
+      key is (block, sub-bucket) — parallelism is blocks × salt and
+      each pair is still formed exactly once (the replicated side
+      meets the keyed side at the keyed row's bucket; id1 < id2
+      orients the pair).
+    - **length-band prefilter**: edit distance ≤ d implies length
+      difference ≤ d, so ``|len(a) − len(b)| ≤ max_dist`` rides the
+      join condition — candidates that cannot match are never scored.
+    - **thresholded Levenshtein**: the verify uses the bounded
+      algorithm (O(max_dist · min_len), early exit) — ``dist`` is the
+      true distance when ≤ max_dist, else −1.
+
+    Returns (id1, id2, blk, dist) for every length-banded intra-block
+    pair (id1 < id2); callers count candidates (all rows) vs matches
+    (dist ≥ 0) in one pass.
     """
     b = df.select(
-        F.col(id_col).alias("id"), F.col(name_col).alias("nm"), block.alias("blk")
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("nm"),
+        block.alias("blk"),
+        F.length(F.col(name_col)).alias("ln"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).alias("sb"),
+    )
+    x = b.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    # spread the keyed (probe) side across executors: a small dimension
+    # file arrives as ONE input split, and with the replicated side
+    # broadcast the whole quadratic probe would run in that single task
+    # (measured: 52s single-core vs ~4s spread). The partition count is
+    # EXPLICIT because AQE coalesces by bytes — this stage is tiny in
+    # bytes but quadratic in CPU, the one shape byte-based coalescing
+    # gets wrong. The shuffle carries the un-replicated side once.
+    y = b.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col("blk"), F.col("sb")
     )
     return (
-        b.alias("x")
-        .join(b.alias("y"), (F.col("x.blk") == F.col("y.blk")) & (F.col("x.id") < F.col("y.id")))
+        x.alias("x")
+        .join(
+            y.alias("y"),
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.j") == F.col("y.sb"))
+            & (F.col("x.id") < F.col("y.id"))
+            & (F.abs(F.col("x.ln") - F.col("y.ln")) <= max_dist),
+        )
         .select(
             F.col("x.id").alias("id1"),
             F.col("y.id").alias("id2"),
             F.col("x.blk").alias("blk"),
-            F.levenshtein(F.col("x.nm"), F.col("y.nm")).alias("dist"),
+            F.levenshtein(F.col("x.nm"), F.col("y.nm"), max_dist).alias("dist"),
         )
     )
 
