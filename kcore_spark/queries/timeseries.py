@@ -298,7 +298,143 @@ FROM packed
 """
 
 
+# -------------------------------------------------- cohort retention
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-active
+    week, retention = distinct users active k weeks later. Two
+    aggregations (first-seen per user, then distinct-per-cell) and a
+    broadcast of the per-user cohort table — the standard cohort plan;
+    at 100 TB the (user, week) activity table is the only big shuffle
+    and it partial-aggregates map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.floor(F.unix_timestamp("ts") / (7 * 86400)).cast("long")
+    activity = ev.select("user_id", wk.alias("week")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = activity.join(F.broadcast(cohorts), "user_id").select(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"), "user_id"
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+Q_COHORT_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / (7 * 86400)) AS BIGINT) AS week
+  FROM events),
+cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN cohorts USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+# -------------------------------------------------- CUPED variance reduction
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled experiments using pre-experiment data): per
+    event_type, how much variance the pre-period covariate removes
+    from the post-period metric — θ = cov(x,y)/var(x), reduced
+    variance = var(y) − cov²/var(x).
+
+    Every moment (Σx, Σy, Σx², Σy², Σxy) is an exact DECIMAL sum of
+    per-user decimal aggregates, so the θ and variance arithmetic runs
+    on bit-identical operands on both engines — the experimentation
+    math is reproducible to the last digit, which is what you want
+    when a launch decision hangs on it. Period boundary = the exact
+    midpoint of the event-time range (1-row control-plane aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    bounds = ev.agg(
+        ((F.min(es) + F.max(es)) / 2).cast("long").alias("mid")
+    )
+    val = F.col("value").cast("decimal(18,2)")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(es < F.col("mid"), val)), F.lit(0).cast("decimal(18,2)")).alias("x"),
+            F.coalesce(F.sum(F.when(es >= F.col("mid"), val)), F.lit(0).cast("decimal(18,2)")).alias("y"),
+        )
+    )
+    mom = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n")
+    theta = cov / var_x
+    var_cuped = var_y - cov * cov / var_x
+    return mom.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.round(theta, 9).alias("theta"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(var_cuped, 6).alias("var_cuped"),
+        F.round((F.lit(1.0) - var_cuped / var_y) * 100.0, 6).alias("reduction_pct"),
+    ).orderBy("event_type")
+
+
+Q_CUPED_SQL = """
+WITH bounds AS (
+  SELECT CAST((MIN(epoch(CAST(ts AS TIMESTAMP))) + MAX(epoch(CAST(ts AS TIMESTAMP)))) / 2 AS BIGINT) AS mid
+  FROM events),
+per_user AS (
+  SELECT event_type, user_id,
+         COALESCE(SUM(CASE WHEN epoch(CAST(ts AS TIMESTAMP)) < mid
+                           THEN CAST(value AS DECIMAL(18,2)) END),
+                  CAST(0 AS DECIMAL(18,2))) AS x,
+         COALESCE(SUM(CASE WHEN epoch(CAST(ts AS TIMESTAMP)) >= mid
+                           THEN CAST(value AS DECIMAL(18,2)) END),
+                  CAST(0 AS DECIMAL(18,2))) AS y
+  FROM events CROSS JOIN bounds
+  GROUP BY event_type, user_id),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM per_user
+  GROUP BY event_type)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_users,
+       ROUND(((sxy - sx * sy / n) / n) / ((sxx - sx * sx / n) / n), 9) AS theta,
+       ROUND((syy - sy * sy / n) / n, 6) AS var_y,
+       ROUND((syy - sy * sy / n) / n
+             - ((sxy - sx * sy / n) / n) * ((sxy - sx * sy / n) / n)
+               / ((sxx - sx * sx / n) / n), 6) AS var_cuped,
+       ROUND((1.0 - ((syy - sy * sy / n) / n
+                     - ((sxy - sx * sy / n) / n) * ((sxy - sx * sy / n) / n)
+                       / ((sxx - sx * sx / n) / n))
+                   / ((syy - sy * sy / n) / n)) * 100.0, 6) AS reduction_pct
+FROM mom
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "q_cuped_adjustment": QuerySpec(
+        q_cuped_adjustment, Q_CUPED_SQL, "CUPED variance reduction (exact moments)"
+    ),
+    "q_cohort_retention": QuerySpec(
+        q_cohort_retention, Q_COHORT_SQL, "weekly cohort retention matrix"
+    ),
     "q_event_pattern_regex": QuerySpec(
         q_event_pattern_regex,
         Q_EVENT_PATTERN_SQL,
