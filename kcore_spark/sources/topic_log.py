@@ -861,6 +861,65 @@ class TopicLog:
         shutil.rmtree(old_dir)
         return n
 
+    def optimize(self, topic: str, target_bytes: int = 128 * 1024 * 1024) -> dict:
+        """File compaction (the lakehouse OPTIMIZE / Kafka segment-merge
+        analog): rewrite each partition's many small segments into few
+        target-sized ones. Records, offsets, and watermarks are all
+        unchanged — this is purely a layout fix for the small-files
+        problem (every produce makes ≥1 file per partition; a
+        high-frequency producer degrades scans and planning with
+        thousands of tiny segments and manifest entries).
+
+        Partitions whose segments already average ≥ half the target are
+        left alone (rewriting well-sized files is wasted I/O). Rewrite
+        is per-partition via the existing crash-safe swap: write merged
+        segments to a scratch dir, swap, refresh the manifest, delete
+        the old dir. Returns {partition: (files_before, files_after)}
+        for the rewritten partitions."""
+        self._recover_compaction(topic)
+        man = self._load_manifest(topic)
+        data_dir = self._topic_dir(topic) + "/data"
+        out: dict[int, tuple[int, int]] = {}
+        for pdir, entries in man.items():
+            p = int(pdir.split("=", 1)[1])
+            n_files = len(entries)
+            total = sum(e.get("bytes", 0) for e in entries)
+            if n_files <= 1 or total / n_files >= target_bytes / 2:
+                continue
+            want = max(1, -(-total // target_bytes))  # ceil
+            seg_schema = T.StructType(
+                [f for f in RECORD_SCHEMA.fields if f.name != "partition"]
+            )
+            part_df = self.spark.read.schema(seg_schema).parquet(
+                *[os.path.join(data_dir, e["file"]) for e in entries]
+            )
+            tmp_dir = self._topic_dir(topic) + f"/opt.{p}.{uuid.uuid4().hex}"
+            # range-repartition by offset: merged segments stay offset-
+            # clustered so footer min/max pruning keeps its selectivity
+            part_df.repartitionByRange(want, "offset").write.mode(
+                "overwrite"
+            ).parquet(tmp_dir)
+            import shutil
+
+            live = os.path.join(data_dir, pdir)
+            old = self._topic_dir(topic) + f"/data.old-{uuid.uuid4().hex}"
+            os.rename(live, old)
+            os.makedirs(live, exist_ok=True)
+            moved = 0
+            for fn in sorted(os.listdir(tmp_dir)):
+                if fn.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(tmp_dir, fn),
+                        os.path.join(live, f"part-opt-{moved}-{uuid.uuid4().hex}.parquet"),
+                    )
+                    moved += 1
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            shutil.rmtree(old)
+            out[p] = (n_files, moved)
+        if out:
+            self._refresh_manifest(topic)
+        return out
+
     def erase_keys(self, topic: str, keys: list[bytes]) -> int:
         """Targeted key erasure (the right-to-be-forgotten path): every
         record whose key is in ``keys`` is physically removed from the

@@ -84,3 +84,53 @@ def test_snapshot_survives_sink_commit_flips(spark, log):
     assert log.sink_committed("t", "sink-a") == 7
     assert [v for v, _ in log.snapshot_versions("t")] == [1, 2]
     assert log.scan_at("t", 1).count() == 4
+
+
+# ------------------------------------------------------ OPTIMIZE (file compaction)
+
+
+def test_optimize_merges_small_segments(spark, log):
+    """Many tiny produces → many tiny segments; optimize() bin-packs
+    them per partition without changing a single record, offset, or
+    watermark — and pruned reads still work off the refreshed
+    manifest."""
+    from pyspark.sql import functions as F
+
+    log.create_topic("t", 2)
+    for b in range(6):
+        log.produce("t", _records(spark, 10, b * 10), order_by=["seq"])
+    man_before = log._load_manifest("t")
+    files_before = {p: len(es) for p, es in man_before.items()}
+    assert all(n >= 6 for n in files_before.values())
+    rows_before = sorted(
+        (r["partition"], r["offset"], bytes(r["value"]))
+        for r in log.scan("t").collect()
+    )
+    wm_before = log._watermarks("t")
+
+    result = log.optimize("t", target_bytes=10 * 1024 * 1024)
+    assert set(result) == {0, 1}
+    for p, (before, after) in result.items():
+        assert before >= 6 and after == 1  # tiny segments → one file
+    man_after = log._load_manifest("t")
+    assert {p: len(es) for p, es in man_after.items()} == {p: 1 for p in man_before}
+    # records, offsets, watermarks all identical
+    rows_after = sorted(
+        (r["partition"], r["offset"], bytes(r["value"]))
+        for r in log.scan("t").collect()
+    )
+    assert rows_after == rows_before
+    assert log._watermarks("t") == wm_before
+    # pruned fetch still correct
+    assert sorted(r["offset"] for r in log.fetch("t", 0, 5, 10).collect()) == list(
+        range(5, 15)
+    )
+    # a second optimize is a no-op (already well-packed)
+    assert log.optimize("t", target_bytes=10 * 1024 * 1024) == {}
+
+
+def test_optimize_skips_well_sized_partitions(spark, log):
+    log.create_topic("t", 1)
+    log.produce("t", _records(spark, 20, 0), order_by=["seq"])
+    # single segment → nothing to do
+    assert log.optimize("t") == {}
