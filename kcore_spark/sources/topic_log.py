@@ -488,7 +488,19 @@ class TopicLog:
         starts = self._log_starts(topic)
         if "delete" in policy:
             starts = self.apply_retention_from_config(topic, now_ms=now_ms)
-        return {"policy": policy, "log_starts": starts, "retained": retained}
+        # optional file compaction: optimize.target.bytes opts a topic
+        # into small-segment bin-packing on the cleaner cadence (after
+        # retention, so just-reclaimed segments aren't rewritten first)
+        optimized = None
+        tgt = cfg.get("optimize.target.bytes")
+        if tgt is not None:
+            optimized = self.optimize(topic, target_bytes=int(tgt))
+        return {
+            "policy": policy,
+            "log_starts": starts,
+            "retained": retained,
+            "optimized": optimized,
+        }
 
     def run_cleanup_all(self, now_ms: int | None = None) -> dict[str, dict]:
         """Cleaner pass over every topic — the loop a scheduler (cron,

@@ -134,3 +134,18 @@ def test_optimize_skips_well_sized_partitions(spark, log):
     log.produce("t", _records(spark, 20, 0), order_by=["seq"])
     # single segment → nothing to do
     assert log.optimize("t") == {}
+
+
+def test_cleaner_runs_optimize_when_configured(spark, log):
+    log.create_topic(
+        "t", 1, configs={"optimize.target.bytes": str(10 * 1024 * 1024)}
+    )
+    for b in range(4):
+        log.produce("t", _records(spark, 5, b * 5), order_by=["seq"])
+    out = log.run_cleanup("t")
+    assert out["optimized"] == {0: (4, 1)}
+    assert log.scan("t").count() == 20
+    # topics without the config are untouched
+    log.create_topic("u", 1)
+    log.produce("u", _records(spark, 5, 0), order_by=["seq"])
+    assert log.run_cleanup("u")["optimized"] is None
