@@ -25,7 +25,7 @@ from make_scale_data import ensure
 from kcore_spark.queries import all_queries
 from kcore_spark.session import get_spark
 
-from bench import HEADLINE  # same headline set as the driver bench
+from bench import EXTRAS, HEADLINE  # same sets as the driver bench
 
 SFS = [
     ("0.01", "/root/testdata/sf0.01"),
@@ -40,13 +40,21 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
     qs = all_queries()
     times: dict[str, dict[str, float]] = {}
+    # Excluded from the derived-sf1 sweep: ops whose cost is quadratic
+    # in a BLOCK whose size grows with the data because the fixture's
+    # blocking key is degenerate (8 nouns). The operator is bounded by
+    # key choice in production (see operators/text.py docstring); a
+    # 10x fixture makes every block 10x → 100x pairs, which would read
+    # as super-linear when it is the key, not the plan, that is wrong.
+    skip_at_scale = {"q_fuzzy_blocked_match"}
+    measured = HEADLINE + [n for n in EXTRAS if n in qs and n not in skip_at_scale]
     for label, d in sfs:
-        for name in HEADLINE:
+        for name in measured:
             t0 = time.time()
             qs[name].spark(spark, d).collect()
             times.setdefault(name, {})[label] = round(time.time() - t0, 2)
     lines = [
-        "# Scaling curve — headline queries at sf0.01 / sf0.1 / sf1 (derived 10x)",
+        "# Scaling curve — headline + extra operators at sf0.01 / sf0.1 / sf1 (derived 10x)",
         "",
         "sf1 is a deterministic 10x derivation of sf0.1 (key-shifted copies,",
         "per-copy disjoint document vocabulary — scripts/make_scale_data.py);",
@@ -59,7 +67,7 @@ def main() -> None:
         "|---|---|---|---|---|---|",
     ]
     flagged = []
-    for name in HEADLINE:
+    for name in measured:
         t001, t01 = times[name]["0.01"], times[name]["0.1"]
         t1 = times[name]["1 (derived 10x)"]
         ratio = t1 / t01 if t01 > 0 else float("inf")
@@ -72,7 +80,7 @@ def main() -> None:
             f"| {name} | {t001:.2f}s | {t01:.2f}s | {t1:.2f}s | {ratio:.1f}x | {verdict} |"
         )
     totals = {
-        lbl: round(sum(times[n][lbl] for n in HEADLINE), 1) for lbl, _ in sfs
+        lbl: round(sum(times[n][lbl] for n in measured), 1) for lbl, _ in sfs
     }
     lines += [
         "",
