@@ -37,6 +37,7 @@ ALLOWED_NLJ = {
     "q_unigram_kl_drift",  # 1-row corpus-total broadcast cross
     "q_two_stage_retrieval",  # 1-row query-vector broadcast cross
     "q_pq_encode",  # k-row codebook broadcast cross (the PQ encode shape)
+    "q_cuped_adjustment",  # 1-row period-boundary broadcast cross
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
