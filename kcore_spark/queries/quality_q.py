@@ -465,6 +465,123 @@ SELECT 'orders', COUNT(*), CAST(SUM(h) AS BIGINT), bit_xor(h) FROM ord
 ORDER BY tbl
 """
 
+# -------------------------------------------------- SCD2 history build
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse a change stream into
+    validity intervals (valid_from / valid_to, NULL = current). The
+    change stream is derived deterministically from orders — each
+    order's (custkey, orderdate, orderpriority) is a priority-change
+    event for that customer — so the oracle can rebuild it. Dedup of
+    same-instant changes keeps the highest order key (last writer).
+
+    One shuffle (by key), one ordered window pass — the standard SCD2
+    build; at 100 TB the window partitions by entity key so each
+    customer's history sorts independently."""
+    orders = load_table(spark, sf_dir, "orders")
+    changes = (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderpriority").alias("attr"),
+            F.col("o_orderkey").alias("ord"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("custkey", "ts").orderBy(F.col("ord").desc())
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "ord")
+    )
+    w = Window.partitionBy("custkey").orderBy("ts")
+    hist = changes.select(
+        "custkey",
+        F.col("attr"),
+        F.unix_timestamp("ts").alias("valid_from"),
+        F.unix_timestamp(F.lead("ts").over(w)).alias("valid_to"),
+    )
+    return (
+        hist.groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(F.col("valid_to").isNull().cast("long")).alias("n_current"),
+            F.max(F.col("valid_to") - F.col("valid_from")).alias("longest_s"),
+        )
+        .orderBy("custkey")
+    )
+
+
+Q_SCD2_SQL = """
+WITH changes AS (
+  SELECT o_custkey AS custkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
+         o_orderpriority AS attr
+  FROM orders
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) = 1),
+hist AS (
+  SELECT custkey,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from,
+         CAST(FLOOR(epoch(LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts))) AS BIGINT)
+           AS valid_to
+  FROM changes)
+SELECT custkey, COUNT(*) AS n_versions,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+       MAX(valid_to - valid_from) AS longest_s
+FROM hist
+GROUP BY custkey
+ORDER BY custkey
+"""
+
+# -------------------------------------------------- survivorship
+
+
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution step 2 (after matching): collapse each
+    duplicate cluster to one golden record by survivorship rules —
+    longest text wins, ties to the lowest doc_id; the survivor also
+    aggregates cluster-level facts (copies, sources represented).
+    Clusters here are exact-text duplicates (sha2 groups), the same
+    clustering q_dedup_exact pins; the rules are where this query adds
+    semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text_hash").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    clustered = docs.withColumn("text_hash", F.sha2("text", 256))
+    ranked = clustered.withColumn("__rn", F.row_number().over(w))
+    facts = clustered.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    survivors = ranked.where(F.col("__rn") == 1).select(
+        "text_hash", F.col("doc_id").alias("survivor_id"), "n_chars", "lang"
+    )
+    return (
+        survivors.join(facts, "text_hash")
+        .select("survivor_id", "n_copies", "n_sources", "n_chars", "lang")
+        .orderBy("survivor_id")
+    )
+
+
+Q_SURVIVORSHIP_SQL = """
+WITH clustered AS (SELECT *, sha256(text) AS text_hash FROM documents),
+ranked AS (
+  SELECT doc_id, text_hash, n_chars, lang,
+         ROW_NUMBER() OVER (PARTITION BY text_hash
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM clustered),
+facts AS (
+  SELECT text_hash, COUNT(*) AS n_copies, COUNT(DISTINCT source) AS n_sources
+  FROM clustered GROUP BY text_hash)
+SELECT r.doc_id AS survivor_id, n_copies, n_sources, n_chars, lang
+FROM ranked r JOIN facts USING (text_hash)
+WHERE rn = 1
+ORDER BY survivor_id
+"""
+
 # -------------------------------------------------- blocked fuzzy matching
 
 
@@ -671,6 +788,12 @@ QUERIES = {
     ),
     "q_table_checksum": QuerySpec(
         q_table_checksum, Q_TABLE_CHECKSUM_SQL, "order-independent table fingerprints"
+    ),
+    "q_scd2_history": QuerySpec(
+        q_scd2_history, Q_SCD2_SQL, "SCD2 validity intervals from a change stream"
+    ),
+    "q_dedup_survivorship": QuerySpec(
+        q_dedup_survivorship, Q_SURVIVORSHIP_SQL, "duplicate-cluster survivorship rules"
     ),
     "q_winsorized_mean": QuerySpec(
         q_winsorized_mean, Q_WINSORIZED_SQL, "winsorized per-group robust means"
