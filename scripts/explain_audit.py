@@ -61,6 +61,8 @@ KNOWN_UNPUSHABLE = {
     "q_multimodal_router",  # routes on the sniffed-magic-bytes column
     "q_tfidf_top_terms",  # only filter is the post-window rank cut
     "q_ngram_containment",  # filters on derived containment/df only
+    "q_scd2_history",  # only filter is the post-window dedup rank cut
+    "q_dedup_survivorship",  # only filter is the post-window survivor cut
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}
