@@ -393,11 +393,16 @@ class TopicLogWriter(DataSourceWriter):
                 if n and ts.null_count < n:
                     import pyarrow.compute as pc
 
+                    # naive → UTC, matching TopicLog._epoch_ms: the ts
+                    # index must mean the same instant to every reader
+                    # regardless of the committing host's timezone
+                    from kcore_spark.sources.topic_log import _epoch_ms
+
                     lo = pc.min(ts).as_py()
                     hi = pc.max(ts).as_py()
                     if lo is not None:
-                        entry["ts_min"] = int(lo.timestamp() * 1000)
-                        entry["ts_max"] = int(hi.timestamp() * 1000)
+                        entry["ts_min"] = _epoch_ms(lo)
+                        entry["ts_max"] = _epoch_ms(hi)
                 man.setdefault(f"partition={p}", []).append(entry)
                 base += n
             new_wm[str(p)] = base
