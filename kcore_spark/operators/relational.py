@@ -280,6 +280,11 @@ def range_join_binned(
     domain if totality is required).
     """
     b = F.lit(float(bin_width))
+    # empty intervals (hi <= lo) match nothing by the lo <= v < hi
+    # contract — and must be dropped BEFORE binning, because sequence()
+    # silently reverses direction when its end < start and would emit
+    # bogus descending bins for them
+    intervals = intervals.where(F.col(hi_col) > F.col(lo_col))
     iv = intervals.withColumn(
         "__bin",
         F.explode(
