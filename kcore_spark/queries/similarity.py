@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kcore_spark.catalog import load_table
-from kcore_spark.operators.similarity import cosine_topk, ivf_topk, signbit_lsh_pairs, with_norm
+from kcore_spark.operators.similarity import as_double, cosine_topk, ivf_topk, signbit_lsh_pairs, with_norm
 from kcore_spark.queries import QuerySpec
 
 NORM_CTE = """
@@ -291,4 +291,67 @@ ORDER BY label
 
 QUERIES["q_pq_encode"] = QuerySpec(
     q_pq_encode, Q_PQ_ENCODE_SQL, "product-quantization encode + distortion"
+)
+
+
+# -------------------------------------------------- batch model inference
+
+
+def q_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch inference with a linear scorer over embeddings — the
+    quality-classifier pass of a curation pipeline (fastText-style
+    linear heads are the standard web-scale quality filter). The
+    model is an oracle-pinned weight vector (deterministic integer
+    arithmetic → small doubles); score = sigmoid(w·x + b), bucketed
+    into a calibration histogram plus per-bucket label mix.
+
+    Plan: pure map-side fold per row (the dot product rides the scan,
+    no shuffle until the 10-row histogram) — exactly how a 100 TB
+    scoring pass should look: embarrassingly parallel, output tiny."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = 64
+    # pinned weights: w_i = ((7i+3) mod 19 − 9) / 30 — integer-derived,
+    # identical on both engines
+    w = F.array(*[F.lit(((7 * i + 3) % 19 - 9) / 30.0) for i in range(dims)])
+    x = as_double(F.col("embedding"))
+    logit = F.aggregate(
+        F.zip_with(x, w, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    ) + F.lit(0.1)
+    score = 1.0 / (1.0 + F.exp(-logit))
+    bucket = F.least(F.floor(score * 10).cast("long"), F.lit(9))
+    return (
+        emb.select("label", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("label").alias("n_labels"),
+            F.min("label").alias("min_label"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_W_SQL = ", ".join(str(((7 * i + 3) % 19 - 9) / 30.0) for i in range(64))
+
+Q_BATCH_INFERENCE_SQL = f"""
+WITH scored AS (
+  SELECT label,
+         1.0 / (1.0 + exp(-(
+           list_reduce(list_prepend(0.0,
+             list_transform(list_zip(embedding::DOUBLE[], [{_W_SQL}]),
+                            p -> p[1] * p[2])),
+             (a, b) -> a + b) + 0.1))) AS score
+  FROM embeddings)
+SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bucket,
+       COUNT(*) AS n,
+       COUNT(DISTINCT label) AS n_labels,
+       MIN(label) AS min_label
+FROM scored
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+QUERIES["q_batch_inference"] = QuerySpec(
+    q_batch_inference, Q_BATCH_INFERENCE_SQL, "linear-head batch inference + calibration"
 )
