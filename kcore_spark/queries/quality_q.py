@@ -465,6 +465,67 @@ SELECT 'orders', COUNT(*), CAST(SUM(h) AS BIGINT), bit_xor(h) FROM ord
 ORDER BY tbl
 """
 
+# -------------------------------------------------- split leakage
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit: after a deterministic hash split
+    (portable md5 arithmetic — the same rows land in the same split on
+    any engine, any run), how many documents in EVAL share exact text
+    with a TRAIN document. The leak join is a semi-join on the text
+    hash — one aggregation plus a broadcast-sized eval side, never a
+    pairwise comparison. Complements q_decontaminate_ngram (which
+    catches PARTIAL overlap); this is the exact-copy gate every split
+    pipeline runs first."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 10
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.sha2("text", 256).alias("h"),
+        (bucket < 8).alias("is_train"),  # 80/20 split
+    )
+    train_h = hashed.where("is_train").select("h").distinct()
+    evals = hashed.where(~F.col("is_train"))
+    leaked = evals.join(train_h, "h", "left_semi")
+    return (
+        evals.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_eval"))
+        .join(
+            leaked.groupBy("source").agg(F.count(F.lit(1)).alias("n_leaked")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_eval",
+            F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_SPLIT_LEAKAGE_SQL = """
+WITH hashed AS (
+  SELECT doc_id, source, sha256(text) AS h,
+         (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10) < 8
+           AS is_train
+  FROM documents),
+train_h AS (SELECT DISTINCT h FROM hashed WHERE is_train),
+evals AS (SELECT * FROM hashed WHERE NOT is_train),
+leaked AS (
+  SELECT source, COUNT(*) AS n_leaked
+  FROM evals WHERE h IN (SELECT h FROM train_h)
+  GROUP BY source)
+SELECT e.source, COUNT(*) AS n_eval,
+       COALESCE(MAX(n_leaked), 0) AS n_leaked
+FROM evals e LEFT JOIN leaked USING (source)
+GROUP BY e.source
+ORDER BY e.source
+"""
+
 # -------------------------------------------------- SCD2 history build
 
 
@@ -788,6 +849,9 @@ QUERIES = {
     ),
     "q_table_checksum": QuerySpec(
         q_table_checksum, Q_TABLE_CHECKSUM_SQL, "order-independent table fingerprints"
+    ),
+    "q_split_leakage": QuerySpec(
+        q_split_leakage, Q_SPLIT_LEAKAGE_SQL, "train/eval exact-copy leakage audit"
     ),
     "q_scd2_history": QuerySpec(
         q_scd2_history, Q_SCD2_SQL, "SCD2 validity intervals from a change stream"
