@@ -75,6 +75,10 @@ EXTRAS = [
     "q_fuzzy_blocked_match",
     "q_window_time_range",
     "q_topic_time_travel",
+    "q_pq_encode",
+    "q_event_pattern_regex",
+    "q_range_join_binned",
+    "q_cohort_retention",
 ]
 
 
