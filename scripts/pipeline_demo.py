@@ -6,7 +6,10 @@ way a 100 TB curation job would run them.
       → exact dedup (sha256 canonical pick)
       → near-dup removal (MinHash LSH candidates + Jaccard verify,
         keep lowest doc_id per duplicate cluster)
+      → containment sweep (subset duplication Jaccard misses)
       → quality filter (length/punctuation/stopword score)
+      → classifier gate (linear-head batch inference over embeddings)
+      → train/eval split + exact-copy leakage audit
       → language balance report + token accounting
       → embedding join + per-label centroids (for downstream sampling)
 
@@ -63,10 +66,55 @@ def run(sf_dir: str) -> dict[str, int]:
     deduped = exact.join(dups, "doc_id", "left_anti")
     stats["after_near_dedup"] = deduped.count()
 
+    # 2b. containment sweep: drop docs ≥60%-contained in a surviving
+    #     larger doc (the subset-duplication Jaccard's symmetric score
+    #     under-counts)
+    from kcore_spark.operators.dedup import containment_pairs
+
+    sh_left = sh.join(
+        deduped.select(F.col("doc_id").alias("id")), "id", "left_semi"
+    )
+    contained = (
+        containment_pairs(sh_left, min_containment=0.6, max_df=10_000)
+        .select(F.col("src_id").alias("doc_id"))
+        .distinct()
+    )
+    deduped = deduped.join(contained, "doc_id", "left_anti")
+    stats["after_containment"] = deduped.count()
+
     # 3. quality filter
     scored = deduped.withColumn("q", quality_score("text", "n_chars"))
     kept = scored.where(F.col("q") >= 0.5)
     stats["after_quality_filter"] = kept.count()
+
+    # 3b. classifier gate: linear-head sigmoid over embeddings (the
+    #     fastText-style quality model), keep score ≥ 0.3
+    emb_all = load_table(sf_dir=sf_dir, spark=spark, name="embeddings")
+    w = F.array(*[F.lit(((7 * i + 3) % 19 - 9) / 30.0) for i in range(64)])
+    logit = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), w, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) + F.lit(0.1)
+    passed = emb_all.select(
+        F.col("vec_id").alias("doc_id"),
+        (1.0 / (1.0 + F.exp(-logit))).alias("clf"),
+    ).where(F.col("clf") >= 0.3)
+    kept = kept.join(passed, "doc_id", "left_semi")
+    stats["after_classifier_gate"] = kept.count()
+
+    # 3c. split + leakage audit: deterministic hash split, then count
+    #     eval docs sharing exact text with train (must be 0 after the
+    #     dedup stages — the pipeline's own consistency check)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 10
+    split = kept.withColumn("is_train", bucket < 8).withColumn(
+        "h", F.sha2("text", 256)
+    )
+    train_h = split.where("is_train").select("h").distinct()
+    leaked = split.where(~F.col("is_train")).join(train_h, "h", "left_semi")
+    stats["eval_leaked"] = leaked.count()
 
     # 4. language balance + token accounting
     report = (
