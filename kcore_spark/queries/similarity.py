@@ -355,3 +355,186 @@ ORDER BY bucket
 QUERIES["q_batch_inference"] = QuerySpec(
     q_batch_inference, Q_BATCH_INFERENCE_SQL, "linear-head batch inference + calibration"
 )
+
+
+# -------------------------------------------------- IVF-PQ-ADC retrieval
+
+
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN pipeline end-to-end: IVF probe (query →
+    nearest centroid → candidates = that centroid's bucket only), PQ
+    asymmetric distance computation (candidates' subvectors quantized
+    against a codebook, distance measured query-subvector → code — the
+    ADC trick that never decompresses the corpus), then exact cosine
+    rerank of the ADC top-8 down to top-3.
+
+    Scale shape: the corpus is touched once to assign buckets + encode
+    (both map-side vs broadcast centroids/codebook); each query then
+    probes ~1/K of the corpus with m·k-sized lookup arithmetic and
+    reranks a constant-sized shortlist. Centroids (vec_id<16) and
+    codebook (16..24) are oracle-pinned like q_ann_ivf_topk's."""
+    from kcore_spark.operators.similarity import as_double, cosine, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 16)
+    codebook = emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 24)).select(
+        (F.col("vec_id") - 16).alias("code"), F.col("embedding").alias("vector")
+    )
+    queries = emb.where((F.col("vec_id") >= 24) & (F.col("vec_id") < 32))
+    corpus = emb.where(F.col("vec_id") >= 32)
+
+    # 1. bucket assignment (corpus AND queries → argmax-cosine centroid)
+    cn = with_norm(cents, "embedding", "vec_id").withColumnsRenamed(
+        {"id": "centroid_id", "e": "ce", "nrm": "cn"}
+    )
+
+    def assign(df, id_alias):
+        n = with_norm(df, "embedding", "vec_id").withColumnsRenamed({"id": id_alias})
+        sims = n.crossJoin(F.broadcast(cn)).withColumn(
+            "csim", cosine(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn"))
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.col("csim").desc(), F.col("centroid_id")
+        )
+        return (
+            sims.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(id_alias, "e", "nrm", "centroid_id")
+        )
+
+    from pyspark.sql import Window
+
+    corpus_a = assign(corpus, "neighbor_id")
+    queries_a = assign(queries, "query_id")
+
+    # 2. PQ-encode candidates: per subspace j, nearest codebook code
+    cb = codebook.select("code", as_double(F.col("vector")).alias("ce2"))
+    sub = 8
+    d_sub = F.expr(
+        "aggregate(zip_with(slice(e, j * 8 + 1, 8), slice(ce2, j * 8 + 1, 8),"
+        " (a, b) -> (a - b) * (a - b)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    pairs = (
+        corpus_a.crossJoin(F.broadcast(cb))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .withColumn("dist", d_sub)
+    )
+    wbest = Window.partitionBy("neighbor_id", "j").orderBy(
+        F.col("dist").asc(), F.col("code").asc()
+    )
+    codes = (
+        pairs.withColumn("__rn", F.row_number().over(wbest))
+        .where(F.col("__rn") == 1)
+        .select("neighbor_id", "centroid_id", "j", "code")
+    )
+
+    # 3. ADC: query joins its bucket's candidates, distance = sum over
+    #    subspaces of ||q_sub − code_sub||² (code vector from codebook)
+    qd = F.expr(
+        "aggregate(zip_with(slice(qe, j * 8 + 1, 8), slice(ce2, j * 8 + 1, 8),"
+        " (a, b) -> (a - b) * (a - b)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    adc_terms = (
+        queries_a.withColumnsRenamed({"e": "qe", "nrm": "qn"})
+        .join(codes, "centroid_id")
+        .join(F.broadcast(cb), "code")
+        .withColumn("qdist", F.round(qd, 12).cast("decimal(30,12)"))
+    )
+    adc = adc_terms.groupBy("query_id", "neighbor_id", "qn").agg(
+        F.round(F.sum("qdist").cast("double"), 9).alias("adc_dist")
+    )
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("__rn", F.row_number().over(wshort))
+        .where(F.col("__rn") <= 8)
+        .drop("__rn")
+    )
+
+    # 4. exact rerank of the shortlist
+    exact = shortlist.join(
+        corpus_a.select("neighbor_id", F.col("e").alias("ne"), F.col("nrm").alias("nn")),
+        "neighbor_id",
+    ).join(
+        queries_a.select("query_id", F.col("e").alias("qe2")), "query_id"
+    )
+    # recompute the query norm from qe2 to keep the fold sequential
+    sim = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qe2"), F.col("ne"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / (F.col("qn") * F.col("nn")),
+        6,
+    )
+    wfin = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        exact.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(wfin).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "sim", "adc_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+Q_IVF_PQ_SQL = f"""
+WITH {NORM_CTE},
+cent AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+cb AS (SELECT vec_id - 16 AS code, e AS ce2 FROM n WHERE vec_id >= 16 AND vec_id < 24),
+corpus_a AS (
+  SELECT vec_id AS neighbor_id, e, nrm, centroid_id
+  FROM (SELECT v.vec_id, v.e, v.nrm, cent.centroid_id,
+               list_inner_product(v.e, cent.ce) / (v.nrm * cent.cn) AS csim
+        FROM n v CROSS JOIN cent WHERE v.vec_id >= 32)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1),
+queries_a AS (
+  SELECT vec_id AS query_id, e AS qe, nrm AS qn, centroid_id
+  FROM (SELECT v.vec_id, v.e, v.nrm, cent.centroid_id,
+               list_inner_product(v.e, cent.ce) / (v.nrm * cent.cn) AS csim
+        FROM n v CROSS JOIN cent WHERE v.vec_id >= 24 AND v.vec_id < 32)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1),
+codes AS (
+  SELECT neighbor_id, centroid_id, j, code
+  FROM (SELECT c.neighbor_id, c.centroid_id, b.code, t.j,
+               list_reduce(list_prepend(0.0,
+                 list_transform(list_zip(c.e[j*8+1 : j*8+8], b.ce2[j*8+1 : j*8+8]),
+                                p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                 (a, bb) -> a + bb) AS dist
+        FROM corpus_a c CROSS JOIN cb b
+        CROSS JOIN (SELECT unnest(range(8)) AS j) t)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY neighbor_id, j ORDER BY dist, code) = 1),
+adc AS (
+  SELECT q.query_id, k.neighbor_id, q.qn,
+         ROUND(CAST(SUM(CAST(ROUND(
+           list_reduce(list_prepend(0.0,
+             list_transform(list_zip(q.qe[k.j*8+1 : k.j*8+8], b.ce2[k.j*8+1 : k.j*8+8]),
+                            p -> (p[1] - p[2]) * (p[1] - p[2]))),
+             (a, bb) -> a + bb), 12) AS DECIMAL(30,12))) AS DOUBLE), 9) AS adc_dist
+  FROM queries_a q JOIN codes k USING (centroid_id) JOIN cb b USING (code)
+  GROUP BY q.query_id, k.neighbor_id, q.qn),
+shortlist AS (
+  SELECT query_id, neighbor_id, qn, adc_dist
+  FROM adc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY adc_dist, neighbor_id) <= 8),
+exact AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_dist,
+         ROUND(list_inner_product(q.qe, c.e) / (s.qn * c.nrm), 6) AS sim
+  FROM shortlist s
+  JOIN corpus_a c USING (neighbor_id)
+  JOIN queries_a q USING (query_id))
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+       sim, adc_dist
+FROM exact
+QUALIFY rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+QUERIES["q_ivf_pq_search"] = QuerySpec(
+    q_ivf_pq_search, Q_IVF_PQ_SQL, "IVF-PQ-ADC retrieval + exact rerank"
+)

@@ -38,6 +38,7 @@ ALLOWED_NLJ = {
     "q_two_stage_retrieval",  # 1-row query-vector broadcast cross
     "q_pq_encode",  # k-row codebook broadcast cross (the PQ encode shape)
     "q_cuped_adjustment",  # 1-row period-boundary broadcast cross
+    "q_ivf_pq_search",  # centroid/codebook broadcast crosses (ANN assign+encode)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
