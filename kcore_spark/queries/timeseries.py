@@ -428,7 +428,89 @@ ORDER BY event_type
 """
 
 
+# -------------------------------------------------- multi-touch attribution
+
+
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits one unit of
+    credit equally across the user's view/click touches in the prior
+    30 minutes; credit totals roll up per touch channel.
+
+    The per-touch credit 1/n is rounded then summed as DECIMAL —
+    fractional credits are exactly where naive double sums drift under
+    re-partitioning, and attribution reports get audited. Join shape:
+    per-user interval join (equi key bounds the fan-out) → per-purchase
+    touch counts → credit explode — the funnel machinery pointed at
+    revenue accounting."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("tid"),
+        F.col("ts").alias("tts"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("pu") == F.col("tu"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    # touch count per purchase — distinct touch events (fixture has
+    # duplicate rows; the attribution grain is the touch EVENT)
+    per_purchase = joined.select("pid", "channel", "tid").distinct()
+    counts = per_purchase.groupBy("pid").agg(F.count(F.lit(1)).alias("n_touches"))
+    credited = per_purchase.join(counts, "pid").select(
+        "channel",
+        F.round(F.lit(1.0) / F.col("n_touches"), 12)
+        .cast("decimal(24,12)")
+        .alias("credit"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches_credited"),
+            F.round(F.sum("credit").cast("double"), 6).alias("total_credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+Q_MULTI_TOUCH_SQL = """
+WITH purchases AS (
+  SELECT user_id AS pu, event_id AS pid, CAST(ts AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'purchase'),
+touches AS (
+  SELECT user_id AS tu, event_type AS channel, event_id AS tid,
+         CAST(ts AS TIMESTAMP) AS tts
+  FROM events WHERE event_type IN ('view', 'click')),
+per_purchase AS (
+  SELECT DISTINCT pid, channel, tid
+  FROM purchases JOIN touches
+    ON pu = tu AND tts < pts AND tts >= pts - INTERVAL 30 MINUTE),
+counts AS (SELECT pid, COUNT(*) AS n_touches FROM per_purchase GROUP BY pid),
+credited AS (
+  SELECT channel,
+         CAST(ROUND(1.0 / n_touches, 12) AS DECIMAL(24,12)) AS credit
+  FROM per_purchase JOIN counts USING (pid))
+SELECT channel, COUNT(*) AS n_touches_credited,
+       ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS total_credit
+FROM credited
+GROUP BY channel
+ORDER BY channel
+"""
+
+
 QUERIES = {
+    "q_multi_touch_attribution": QuerySpec(
+        q_multi_touch_attribution,
+        Q_MULTI_TOUCH_SQL,
+        "linear multi-touch attribution (decimal-exact credits)",
+    ),
     "q_cuped_adjustment": QuerySpec(
         q_cuped_adjustment, Q_CUPED_SQL, "CUPED variance reduction (exact moments)"
     ),
