@@ -378,6 +378,60 @@ GROUP BY band
 ORDER BY band
 """
 
+# -------------------------------------------------- fuzzy clustering
+
+
+def q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution step 3: transitive clusters over the fuzzy
+    match graph (blocked Levenshtein pairs → connected components →
+    per-cluster membership counts). A matched to B and B to C puts all
+    three in one cluster even when A↮C directly — the step that turns
+    pairwise linkage into dedupable entities. Oracle: the same closure
+    as a recursive CTE."""
+    from kcore_spark.operators.graph import connected_components
+    from kcore_spark.operators.text import blocked_fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    block = F.element_at(F.split("p_name", " "), 2)
+    pairs = blocked_fuzzy_pairs(part, "p_partkey", "p_name", block, max_dist=4)
+    edges = pairs.where(F.col("dist") >= 0).select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    )
+    cc = connected_components(edges)
+    return (
+        cc.groupBy(F.col("component").alias("canonical_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("canonical_id")
+    )
+
+
+Q_FUZZY_CLUSTERS_SQL = """
+WITH RECURSIVE b AS (
+  SELECT p_partkey AS id, p_name AS nm, length(p_name) AS ln,
+         string_split(p_name, ' ')[2] AS blk
+  FROM part),
+pairs AS (
+  SELECT x.id AS id1, y.id AS id2
+  FROM b x JOIN b y
+    ON x.blk = y.blk AND x.id < y.id AND abs(x.ln - y.ln) <= 4
+  WHERE levenshtein(x.nm, y.nm) <= 4),
+edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+assign AS (
+  SELECT a AS id, LEAST(a, MIN(b)) AS canonical_id
+  FROM reach
+  GROUP BY a)
+SELECT canonical_id, COUNT(*) AS n_members
+FROM assign
+GROUP BY canonical_id
+ORDER BY canonical_id
+"""
+
 # -------------------------------------------------- table checksums
 
 
@@ -846,6 +900,9 @@ QUERIES = {
     ),
     "q_fuzzy_blocked_match": QuerySpec(
         q_fuzzy_blocked_match, Q_FUZZY_BLOCKED_SQL, "blocked Levenshtein record linkage"
+    ),
+    "q_fuzzy_clusters": QuerySpec(
+        q_fuzzy_clusters, Q_FUZZY_CLUSTERS_SQL, "transitive fuzzy-match clusters"
     ),
     "q_table_checksum": QuerySpec(
         q_table_checksum, Q_TABLE_CHECKSUM_SQL, "order-independent table fingerprints"
