@@ -274,6 +274,78 @@ ORDER BY vec_id
 """
 
 
+# -------------------------------------------------- basket PMI
+
+
+def q_basket_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between parts co-occurring in the
+    same order — the association-mining primitive behind
+    co-purchase recommendations: PMI = ln( p(a,b) / (p(a)·p(b)) ),
+    positive = bought together more than chance.
+
+    Pair generation is bounded per BASKET (an order holds ≤7 line
+    items), so the self-join fans out O(basket²) per order — constant
+    — never corpus². Support floor (pair seen ≥ 3 times) keeps the
+    output meaningful; ln() runs per aggregated row on identical
+    integer counts, so both engines see bit-equal operands. Top-20 by
+    (rounded PMI, pair) with full tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", F.col("l_partkey").alias("p")).distinct()
+    n_orders = items.select("l_orderkey").distinct().count()  # control-plane scalar
+    singles = items.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    scored = (
+        pairs.join(F.broadcast(singles.withColumnsRenamed({"p": "pa", "n_p": "na"})), "pa")
+        .join(F.broadcast(singles.withColumnsRenamed({"p": "pb", "n_p": "nb"})), "pb")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.lit(float(n_orders)))
+                    / (F.col("na").cast("double") * F.col("nb").cast("double"))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select("pa", "pb", "n_ab", "pmi")
+        .orderBy(F.col("pmi").desc(), "pa", "pb")
+        .limit(20)
+    )
+
+
+Q_BASKET_PMI_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey AS p FROM lineitem),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM items),
+singles AS (SELECT p, COUNT(*) AS n_p FROM items GROUP BY p),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3)
+SELECT pa, pb, n_ab,
+       ROUND(ln((CAST(n_ab AS DOUBLE) * n) / (CAST(sa.n_p AS DOUBLE) * sb.n_p)), 6)
+         AS pmi
+FROM pairs
+JOIN singles sa ON sa.p = pa
+JOIN singles sb ON sb.p = pb
+CROSS JOIN n_orders
+ORDER BY pmi DESC, pa, pb
+LIMIT 20
+"""
+
 # -------------------------------------------------- triangle counting
 # Co-purchase supplier graph: suppliers are linked when at least one
 # customer bought from both. Triangle counting is the classic
@@ -327,6 +399,9 @@ SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
 
 
 QUERIES = {
+    "q_basket_pmi": QuerySpec(
+        q_basket_pmi, Q_BASKET_PMI_SQL, "co-purchase PMI (basket-bounded pairs)"
+    ),
     "q_supplier_triangles": QuerySpec(
         q_supplier_triangles, Q_TRIANGLES_SQL, "ordered 3-join triangle counting"
     ),
