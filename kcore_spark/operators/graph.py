@@ -31,6 +31,7 @@ def pagerank_fixed_point(
     symmetric: bool = False,
     broadcast_node_limit: int = 4_000_000,
     checkpoint_every: int = 4,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over directed ``edges`` (src, dst) in integer fixed-point.
 
@@ -84,14 +85,25 @@ def pagerank_fixed_point(
     # holding a distinct edge list has already materialized it (or it
     # rides a cache), and writing a second copy of the biggest table
     # into executor storage costs more than the re-reads it saves.
-    e = edges.select("src", "dst")
+    # weighted variant: contribution along an edge is
+    # (rank * w) div out_w — still pure integer arithmetic (weights
+    # must be integral), so the bit-identical-on-any-engine argument
+    # is unchanged; unweighted is the w = 1 special case
+    if weight_col is not None:
+        e = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
+    else:
+        e = edges.select("src", "dst")
     if not assume_distinct:
         e = transient_persist(e.distinct())
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    if weight_col is not None:
+        out_deg = e.groupBy("src").agg(F.sum("w").alias("out_deg"))
+    else:
+        out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # degrees pre-joined ONCE: each iteration is then a single
     # edges⋈ranks join + one aggregate, instead of re-deriving degrees
     # and paying a second join per round
-    ewd = transient_persist(e.join(out_deg, "src").select("src", "dst", "out_deg"))
+    ew_cols = ["src", "dst", "out_deg"] + (["w"] if weight_col is not None else [])
+    ewd = transient_persist(e.join(out_deg, "src").select(*ew_cols))
     if symmetric:
         # every vertex has out-edges → the degree table's keys ARE the
         # node set; no second shuffle over the full edge list
@@ -118,9 +130,12 @@ def pagerank_fixed_point(
     base = (scale * 15) // 100
     for i in range(iterations):
         rank_side = F.broadcast(ranks) if small_ranks else ranks
+        contrib_expr = (
+            "rank * w div out_deg" if weight_col is not None else "rank div out_deg"
+        )
         contribs = (
             ewd.join(rank_side, ewd.src == rank_side.id)
-            .select("dst", F.expr("rank div out_deg").alias("contrib"))
+            .select("dst", F.expr(contrib_expr).alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("incoming"))
         )

@@ -274,6 +274,81 @@ ORDER BY vec_id
 """
 
 
+# -------------------------------------------------- weighted PageRank
+
+
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted PageRank over the purchase graph: an edge's
+    share of its source's rank is proportional to the QUANTITY traded
+    across it, not just its existence — the importance prior a
+    marketplace actually wants. Same integer fixed-point machinery as
+    the unweighted query ((rank · w) div Σw per source — exact, order-
+    free, bit-identical on both engines); oracle = the weighted
+    iterations unrolled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = transient_persist(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    ranks = pagerank_fixed_point(
+        edges, iterations=3, assume_distinct=True, symmetric=True, weight_col="w"
+    )
+    return (
+        ranks.select(F.col("id").alias("node_id"), "rank")
+        .orderBy(F.col("rank").desc(), "node_id")
+        .limit(50)
+    )
+
+
+_PRW_EDGES = """
+pairs AS (
+  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+edges AS (SELECT c AS src, s AS dst, w FROM pairs
+          UNION ALL SELECT s, c, w FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS od FROM edges GROUP BY src)
+"""
+
+
+def _prw_iter(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT n.id,
+         CAST(150000000000 + (85 * COALESCE(inc.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, SUM((r.rank * e.w) // d.od) AS s
+    FROM edges e JOIN {prev} r ON e.src = r.id JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) inc ON n.id = inc.dst)
+"""
+
+
+Q_PAGERANK_WEIGHTED_SQL = (
+    "WITH "
+    + _PRW_EDGES.strip().rstrip(",")
+    + ",\nr0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),"
+    + _prw_iter("r0", "r1").strip().rstrip(",")
+    + ","
+    + _prw_iter("r1", "r2").strip().rstrip(",")
+    + ","
+    + _prw_iter("r2", "r3").strip().rstrip(",")
+    + """
+SELECT id AS node_id, rank FROM r3
+ORDER BY rank DESC, node_id
+LIMIT 50
+"""
+)
+
 # -------------------------------------------------- basket PMI
 
 
@@ -399,6 +474,9 @@ SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
 
 
 QUERIES = {
+    "q_pagerank_weighted": QuerySpec(
+        q_pagerank_weighted, Q_PAGERANK_WEIGHTED_SQL, "quantity-weighted fixed-point PageRank"
+    ),
     "q_basket_pmi": QuerySpec(
         q_basket_pmi, Q_BASKET_PMI_SQL, "co-purchase PMI (basket-bounded pairs)"
     ),
