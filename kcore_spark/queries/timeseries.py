@@ -14,7 +14,7 @@ ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:84-97`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kcore_spark.catalog import load_table
@@ -505,7 +505,61 @@ ORDER BY channel
 """
 
 
+# -------------------------------------------------- transition matrix
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence (lag window per user, fully tie-broken) — the statistic
+    behind next-action models and anomaly scoring on behavior. Pure
+    integer counts plus a rounded probability derived from them, so
+    there is nothing floating to drift. One shuffle (by user) for the
+    lag, one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("cur"),
+    ).where(F.col("prev").isNotNull())
+    counts = steps.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("prev").agg(F.sum("n").alias("n_from"))
+    return (
+        counts.join(F.broadcast(totals), "prev")
+        .select(
+            "prev",
+            "cur",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("p"),
+        )
+        .orderBy("prev", "cur")
+    )
+
+
+Q_EVENT_TRANSITIONS_SQL = """
+WITH steps AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         event_type AS cur
+  FROM events),
+counts AS (
+  SELECT prev, cur, COUNT(*) AS n
+  FROM steps WHERE prev IS NOT NULL
+  GROUP BY prev, cur),
+totals AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS n_from FROM counts GROUP BY prev)
+SELECT c.prev, c.cur, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / t.n_from, 6) AS p
+FROM counts c JOIN totals t USING (prev)
+ORDER BY prev, cur
+"""
+
+
 QUERIES = {
+    "q_event_transitions": QuerySpec(
+        q_event_transitions,
+        Q_EVENT_TRANSITIONS_SQL,
+        "first-order Markov transition matrix",
+    ),
     "q_multi_touch_attribution": QuerySpec(
         q_multi_touch_attribution,
         Q_MULTI_TOUCH_SQL,
