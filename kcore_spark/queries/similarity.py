@@ -538,3 +538,69 @@ ORDER BY query_id, rank
 QUERIES["q_ivf_pq_search"] = QuerySpec(
     q_ivf_pq_search, Q_IVF_PQ_SQL, "IVF-PQ-ADC retrieval + exact rerank"
 )
+
+
+# -------------------------------------------------- semantic dedup clusters
+
+
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup clusters: cosine ≥ τ pairs from
+    the sign-bit LSH production path → connected components → cluster
+    membership counts. The modern corpus-dedup step that catches
+    paraphrases exact/n-gram dedup can't; candidate generation is the
+    banded LSH equi-join (never all-pairs), verification is exact
+    cosine, and transitivity comes from the same HashToMin components
+    machinery the text-dedup clusters use. Oracle: the SAME banded
+    candidate generation + exact verify replicated in SQL, then the
+    recursive closure — so the probabilistic-recall banding is pinned
+    bit-for-bit, not assumed complete (its recall vs exact all-pairs
+    is what q_embedding_neardup_lsh vs q_embedding_neardup shows)."""
+    from kcore_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = signbit_lsh_pairs(emb, "vec_id", "embedding", min_cos=0.45)
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    cc = connected_components(edges)
+    return (
+        cc.groupBy(F.col("component").alias("canonical_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("canonical_id")
+    )
+
+
+Q_SEMANTIC_CLUSTERS_SQL = f"""
+WITH RECURSIVE {NORM_CTE},
+sig AS (
+  SELECT vec_id, e, nrm,
+         {_sig_sql()}
+  FROM n),
+pairs AS (
+  SELECT c.id1, c.id2
+  FROM (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        FROM sig a JOIN sig b
+          ON a.vec_id < b.vec_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)) c
+  JOIN sig sa ON sa.vec_id = c.id1
+  JOIN sig sb ON sb.vec_id = c.id2
+  WHERE list_inner_product(sa.e, sb.e) / (sa.nrm * sb.nrm) >= 0.45),
+edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+assign AS (
+  SELECT a AS id, LEAST(a, MIN(b)) AS canonical_id
+  FROM reach
+  GROUP BY a)
+SELECT canonical_id, COUNT(*) AS n_members
+FROM assign
+GROUP BY canonical_id
+ORDER BY canonical_id
+"""
+
+
+QUERIES["q_semantic_clusters"] = QuerySpec(
+    q_semantic_clusters, Q_SEMANTIC_CLUSTERS_SQL, "semantic dedup clusters (LSH + components)"
+)
