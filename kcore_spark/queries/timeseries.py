@@ -588,3 +588,189 @@ QUERIES = {
         q_resample_hourly_ffill, Q_RESAMPLE_SQL, "hourly resample + as-of forward fill"
     ),
 }
+
+
+# -------------------------------------------------- hypertable rollup
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level continuous-aggregate rollup (the hypertable shape):
+    raw events → 1-minute buckets → hourly aggregates computed FROM
+    THE MINUTE BUCKETS, never re-touching raw data. The decomposition
+    works because every aggregate here is reaggregable (count = sum of
+    counts, sum = sum of sums, max = max of maxes) — at 100 TB the
+    hourly (and daily, weekly...) grains all derive from the tiny
+    minute-grain table, which is what makes continuous aggregates
+    cheap to maintain. Decimal sums keep every level exact."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = (
+        ev.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("m"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_v"),
+            F.max(F.col("value")).alias("max_v"),
+        )
+    )
+    hourly = (
+        minute.groupBy(
+            F.date_trunc("hour", F.col("m")).alias("h"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").cast("double").alias("sum_v"),
+            F.max("max_v").alias("max_v"),
+            F.count(F.lit(1)).alias("n_minute_buckets"),
+        )
+    )
+    return hourly.select(
+        F.unix_timestamp("h").alias("hour_epoch"),
+        "event_type",
+        "n",
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("max_v", 6).alias("max_v"),
+        "n_minute_buckets",
+    ).orderBy("hour_epoch", "event_type")
+
+
+Q_HYPERTABLE_SQL = """
+WITH minute AS (
+  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m, event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sum_v,
+         MAX(value) AS max_v
+  FROM events
+  GROUP BY 1, 2),
+hourly AS (
+  SELECT date_trunc('hour', m) AS h, event_type,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(sum_v) AS DOUBLE) AS sum_v,
+         MAX(max_v) AS max_v,
+         COUNT(*) AS n_minute_buckets
+  FROM minute
+  GROUP BY 1, 2)
+SELECT CAST(FLOOR(epoch(h)) AS BIGINT) AS hour_epoch, event_type, n,
+       ROUND(sum_v, 6) AS sum_v, ROUND(max_v, 6) AS max_v, n_minute_buckets
+FROM hourly
+ORDER BY hour_epoch, event_type
+"""
+
+# -------------------------------------------------- gaps and islands
+
+
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over per-user activity minutes: consecutive-
+    minute runs collapse into islands via the classic row_number
+    difference trick (minute − rank is constant within a run), then
+    islands summarize per user. One shuffle (by user), one window
+    pass — the uptime/streak/outage primitive."""
+    ev = load_table(spark, sf_dir, "events")
+    minutes = ev.select(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / 60)).cast("long").alias("minute"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("minute")
+    grouped = minutes.withColumn(
+        "grp", F.col("minute") - F.row_number().over(w)
+    )
+    islands = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("minute").alias("start_minute"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.max("len").alias("longest_run"),
+            F.min("start_minute").alias("first_minute"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_ISLANDS_SQL = """
+WITH minutes AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 60) AS BIGINT) AS minute
+  FROM events),
+grouped AS (
+  SELECT user_id, minute,
+         minute - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY minute) AS grp
+  FROM minutes),
+islands AS (
+  SELECT user_id, grp, COUNT(*) AS len, MIN(minute) AS start_minute
+  FROM grouped GROUP BY user_id, grp)
+SELECT user_id, COUNT(*) AS n_islands, MAX(len) AS longest_run,
+       MIN(start_minute) AS first_minute
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+# -------------------------------------------------- cumulative distinct
+
+
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve metric SQL
+    windows can't express directly (COUNT(DISTINCT) OVER a running
+    frame is unsupported on both engines). The standard rewrite: flag
+    each user's FIRST day (min per user), then a running sum of
+    first-appearances — integers end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    daily = ev.select("user_id", day.alias("d")).distinct()
+    firsts = daily.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    per_day = (
+        daily.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(
+            firsts.groupBy(F.col("first_d").alias("d")).agg(
+                F.count(F.lit(1)).alias("n_new")
+            ),
+            "d",
+            "left",
+        )
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        F.unix_timestamp("d").alias("day_epoch"),
+        "n_active",
+        "n_new",
+        F.sum("n_new").over(w).alias("cum_distinct_users"),
+    ).orderBy("day_epoch")
+
+
+Q_CUMULATIVE_DISTINCT_SQL = """
+WITH daily AS (
+  SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+  FROM events),
+firsts AS (SELECT user_id, MIN(d) AS first_d FROM daily GROUP BY user_id),
+per_day AS (
+  SELECT d, COUNT(*) AS n_active,
+         COALESCE((SELECT COUNT(*) FROM firsts f WHERE f.first_d = daily.d), 0) AS n_new
+  FROM daily
+  GROUP BY d)
+SELECT CAST(FLOOR(epoch(d)) AS BIGINT) AS day_epoch, n_active,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(SUM(n_new) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_distinct_users
+FROM per_day
+ORDER BY day_epoch
+"""
+
+
+QUERIES["q_hypertable_rollup"] = QuerySpec(
+    q_hypertable_rollup, Q_HYPERTABLE_SQL, "two-level continuous-aggregate rollup"
+)
+QUERIES["q_activity_islands"] = QuerySpec(
+    q_activity_islands, Q_ISLANDS_SQL, "gaps-and-islands activity runs"
+)
+QUERIES["q_cumulative_distinct_users"] = QuerySpec(
+    q_cumulative_distinct_users,
+    Q_CUMULATIVE_DISTINCT_SQL,
+    "cumulative distinct users (first-seen rewrite)",
+)

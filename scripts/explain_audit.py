@@ -65,6 +65,7 @@ KNOWN_UNPUSHABLE = {
     "q_scd2_history",  # only filter is the post-window dedup rank cut
     "q_dedup_survivorship",  # only filter is the post-window survivor cut
     "q_event_transitions",  # only filter is the post-lag NULL drop
+    "q_cumulative_distinct_users",  # join-key null guard on a derived day column
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}
