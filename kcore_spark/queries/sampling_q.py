@@ -120,3 +120,65 @@ QUERIES = {
         q_source_quota_sample, Q_SOURCE_QUOTA_SQL, "per-source quota cap"
     ),
 }
+
+
+# -------------------------------------------------- sample-ratio mismatch
+
+
+def q_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check — the first guardrail of any
+    A/B system: assign users to arms with the portable hash split
+    (expected 50/50), then the chi-square statistic of observed vs
+    expected arm sizes. Deterministic end to end: integer counts, the
+    statistic computed from them in one expression on both engines. A
+    healthy split yields a small statistic; the query surfaces it per
+    event_type so a skewed logging path shows up immediately."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    counts = (
+        ev.select("event_type", "user_id").distinct()
+        .groupBy("event_type")
+        .agg(
+            F.sum((arm == 0).cast("long")).alias("n_a"),
+            F.sum((arm == 1).cast("long")).alias("n_b"),
+        )
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    exp = n / 2.0
+    chi2 = (
+        (F.col("n_a").cast("double") - exp) * (F.col("n_a").cast("double") - exp) / exp
+        + (F.col("n_b").cast("double") - exp) * (F.col("n_b").cast("double") - exp) / exp
+    )
+    return counts.select(
+        "event_type", "n_a", "n_b", F.round(chi2, 9).alias("chi2")
+    ).orderBy("event_type")
+
+
+Q_SRM_SQL = """
+WITH assigned AS (
+  SELECT DISTINCT event_type, user_id,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+  FROM events),
+counts AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM assigned
+  GROUP BY event_type)
+SELECT event_type, n_a, n_b,
+       ROUND(
+         (CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0) * (CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0)
+           / ((n_a + n_b) / 2.0)
+       + (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0) * (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0)
+           / ((n_a + n_b) / 2.0), 9) AS chi2
+FROM counts
+ORDER BY event_type
+"""
+
+
+QUERIES["q_sample_ratio_mismatch"] = QuerySpec(
+    q_sample_ratio_mismatch, Q_SRM_SQL, "chi-square sample-ratio-mismatch guardrail"
+)
