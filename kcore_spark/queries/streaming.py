@@ -395,3 +395,131 @@ QUERIES = {
         "stream-stream LEFT OUTER join (watermark state eviction)",
     ),
 }
+
+
+# ------------------------------ timeout-driven sessionization
+# The event-time-timeout half of the custom-stateful surface
+# (q_stream_stateful_user_stats covers NoTimeout accumulation): open
+# sessions live in state with a timeout at last_event + gap; the
+# engine fires hasTimedOut when the WATERMARK passes that instant —
+# i.e. session closing is driven by event-time progress, exactly how a
+# production sessionizer works. The fixture streams as 6 chronological
+# chunks (events_stream_chunked) so watermarks genuinely advance and
+# timeouts fire mid-stream, not just at shutdown. In-batch gaps are
+# split inside the function (a chunk can contain a 30-minute silence);
+# the state machinery handles the CROSS-batch continuations and the
+# final eviction. Determinism cut: sessions ending in the last 2 hours
+# may still be open when the replay stops (watermark delay + gap ≈ 1 h
+# eviction lag), so both engines compare only sessions ending before
+# max(ts) − 2 h — same stance as the stream-stream outer join.
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def q_stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from kcore_spark.streaming.ops import events_stream_chunked
+
+    def track(key, pdf_iter, state: GroupState):
+        closed = []  # (start_ms, end_ms, n)
+        if state.hasTimedOut:
+            start, last, n = state.get
+            closed.append((start, last, n))
+            state.remove()
+        else:
+            cur = list(state.get) if state.exists else None
+            ts_all = []
+            for pdf in pdf_iter:
+                ts_all.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+            ts_all.sort()
+            for t in ts_all:
+                if cur is None:
+                    cur = [t, t, 0]
+                elif t - cur[1] > SESSION_GAP_MS:
+                    closed.append(tuple(cur))
+                    cur = [t, t, 0]
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+            if cur is not None:
+                state.update(tuple(cur))
+                state.setTimeoutTimestamp(cur[1] + SESSION_GAP_MS)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "start_ms": [c[0] for c in closed],
+                    "end_ms": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    s = events_stream_chunked(spark, sf_dir).withWatermark("ts", "30 minutes")
+    out = s.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, start_ms long, end_ms long, n_events long",
+        stateStructType="start long, last long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    res = run_to_table(out, "append")
+    # eviction-safe cutoff (control-plane 1-row aggregate)
+    from kcore_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff_ms = ev.agg(
+        (F.unix_timestamp(F.max("ts")) * 1000 - 2 * 3600 * 1000).alias("c")
+    ).first()[0]
+    return (
+        res.where(F.col("end_ms") <= F.lit(cutoff_ms))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max(
+                F.expr("(end_ms - start_ms) div 1000")
+            ).alias("longest_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_STREAM_TIMEOUT_SESSIONS_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) * 1000) AS BIGINT) AS ts_ms
+  FROM events),
+cutoff AS (SELECT MAX(ts_ms) - 2 * 3600 * 1000 AS c FROM ev),
+marked AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+                   > 30 * 60 * 1000
+              OR LAG(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev),
+sess AS (
+  SELECT user_id, ts_ms,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked),
+sessions AS (
+  SELECT user_id, sid, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+         COUNT(*) AS n
+  FROM sess
+  GROUP BY user_id, sid)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       MAX((end_ms - start_ms) // 1000) AS longest_s
+FROM sessions
+WHERE end_ms <= (SELECT c FROM cutoff)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES["q_stream_timeout_sessions"] = QuerySpec(
+    q_stream_timeout_sessions,
+    Q_STREAM_TIMEOUT_SESSIONS_SQL,
+    "event-time-timeout sessionization (applyInPandasWithState)",
+)

@@ -120,3 +120,56 @@ def run_incremental(
         .start()
     )
     q.awaitTermination()
+
+
+_CHUNKED: dict[tuple[str, int], str] = {}
+
+
+def events_stream_chunked(spark: SparkSession, sf_dir: str, n_chunks: int = 6) -> DataFrame:
+    """readStream over the events fixture split into ``n_chunks``
+    CHRONOLOGICAL files consumed one per micro-batch
+    (maxFilesPerTrigger=1, ascending mtimes) — the staging that makes
+    event-time semantics observable: watermarks advance batch by
+    batch, so state timeouts actually fire mid-stream instead of the
+    whole fixture arriving as one batch. Chunks are time-partitioned
+    (chunk i holds an ntile of the time-sorted events), so the
+    watermark is monotone across batches."""
+    import time as _time
+
+    from kcore_spark.catalog import ensure_engine_confs, normalize_event_ts
+
+    ensure_engine_confs(spark)
+    key = (sf_dir, n_chunks)
+    if key not in _CHUNKED:
+        d = tempfile.mkdtemp(prefix="kcore_events_chunks_")
+        static = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        from pyspark.sql import Window as _W
+
+        from pyspark.sql import functions as F
+        ranked = static.withColumn(
+            "__c", F.ntile(n_chunks).over(_W.orderBy("ts", "event_id"))
+        )
+        for c in range(1, n_chunks + 1):
+            chunk_dir = os.path.join(d, f"stage_{c}")
+            ranked.where(F.col("__c") == c).drop("__c").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(chunk_dir)
+            part = next(
+                f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(d, f"chunk_{c:02d}.parquet")
+            os.rename(os.path.join(chunk_dir, part), dst)
+            # ascending mtimes: the file source processes oldest-first
+            ts = _time.time() - (n_chunks - c) * 10
+            os.utime(dst, (ts, ts))
+            import shutil as _shutil
+
+            _shutil.rmtree(chunk_dir, ignore_errors=True)
+        _CHUNKED[key] = d
+    d = _CHUNKED[key]
+    schema = spark.read.parquet(os.path.join(d, "chunk_01.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
