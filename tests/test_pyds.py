@@ -280,3 +280,65 @@ def test_writer_multitask_dense_and_manifest_pruned(spark):
     assert ds_keys == native_keys
     # a snapshot version was recorded by the write commit
     assert [v for v, _ in log.snapshot_versions("m")] == [1]
+
+
+def test_writer_unknown_topic_fails_before_publishing(spark):
+    """A write to a topic that was never created must fail at commit
+    (no _meta.json) and leave NOTHING visible — no data dir, no
+    watermark flip."""
+    import os
+    import tempfile
+
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="kcore_pyds_w4_")
+    spark.dataSource.register(TopicLogDataSource)
+    df = spark.range(3).select(
+        F.encode(F.col("id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("value"),
+        F.timestamp_millis(F.lit(1_700_000_000_000)).alias("timestamp"),
+        F.lit(0).cast("int").alias("part"),
+        F.col("id").alias("seq"),
+    )
+    with pytest.raises(Exception, match="ghost|No such file|meta"):
+        (
+            df.write.format("kcore_topic")
+            .option("root", root).option("topic", "ghost").mode("append").save()
+        )
+    assert not os.path.isdir(os.path.join(root, "ghost", "data"))
+
+
+def test_writer_rejects_out_of_range_partition(spark):
+    """Rows targeting a partition the topic does not declare must fail
+    the COMMIT atomically: the valid rows of the same batch must not
+    be half-published."""
+    import tempfile
+
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="kcore_pyds_w5_")
+    log = TopicLog(spark, root)
+    log.create_topic("t", 2)
+    spark.dataSource.register(TopicLogDataSource)
+    df = spark.range(4).select(
+        F.encode(F.col("id").cast("string"), "utf-8").alias("key"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("value"),
+        F.timestamp_millis(F.lit(1_700_000_000_000)).alias("timestamp"),
+        (F.col("id") % 5).cast("int").alias("part"),  # partitions 0..4 vs declared 2
+        F.col("id").alias("seq"),
+    )
+    with pytest.raises(Exception, match="declares 2 partitions|partition"):
+        (
+            df.write.format("kcore_topic")
+            .option("root", root).option("topic", "t").mode("append").save()
+        )
+    # nothing became visible — watermarks still at zero, no segments
+    import os
+
+    assert all(v == 0 for v in log._watermarks("t").values())
+    data_dir = os.path.join(root, "t", "data")
+    assert not os.path.isdir(data_dir) or not any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(data_dir)
+        for f in files
+    )
