@@ -27,6 +27,35 @@ class QuerySpec:
     doc: str = ""
 
 
+# Names that already carry a driver-signed correctness row (union of
+# CORRECTNESS_r01..r05). The driver snapshots only the FIRST 50 registry
+# entries each round, so all_queries() orders never-driver-verified queries
+# first — rotating the window until every family has an external signature
+# (VERDICT r5 "Next round #1"). Append each round's newly-signed names here.
+_DRIVER_VERIFIED: frozenset[str] = frozenset({
+    "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
+    "q06_forecast_revenue", "q07_nation_volume", "q08_market_share",
+    "q09_profit_by_nation_year", "q10_returned_items", "q12_priority_by_shipyear",
+    "q13_customer_distribution", "q14_promo_revenue_share", "q15_top_supplier",
+    "q16_supplier_counts", "q19_disjunctive_revenue", "q_agg_extras",
+    "q_anti_join_never_bought", "q_array_funcs", "q_asof_event_order",
+    "q_brand_volume", "q_case_null", "q_cube_orders", "q_date_funcs",
+    "q_datediff_fulfillment", "q_distinct_flags", "q_events_corrupt_json",
+    "q_events_dedup_first", "q_events_enriched", "q_events_json_props",
+    "q_events_props_map", "q_events_sessions", "q_events_sliding_10m",
+    "q_events_tumbling_1h", "q_events_variant", "q_except_buyers",
+    "q_filter_predicates", "q_grouped_lists", "q_grouping_sets",
+    "q_hash_sample", "q_intersect_all_quantities", "q_intersect_buyers",
+    "q_like_filters", "q_math_funcs", "q_percentiles", "q_pivot_status",
+    "q_rollup_returns", "q_semi_join_buyers", "q_stratified_sample",
+    "q_string_agg_nations", "q_string_funcs", "q_string_funcs2",
+    "q_topk_orders", "q_union_all_counts", "q_unpivot_metrics",
+    "q_window_analytics", "q_window_exclude_current", "q_window_ranks",
+    "q_window_running_totals", "q_window_time_range", "q_window_topk_orders",
+    "q_xml_funcs",
+})
+
+
 def all_queries() -> dict[str, QuerySpec]:
     from kcore_spark.queries import (
         dedup,
@@ -54,32 +83,37 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     out: dict[str, QuerySpec] = {}
+    # Module order sets the driver's 50-query window: never-driver-verified
+    # families first (dedup/similarity/quality/streaming/topiclog are the
+    # headline LLM-pipeline blocks with no external signature yet).
     for mod in (
+        dedup,
+        similarity,
+        quality_q,
+        streaming,
+        topiclog,
+        text,
+        timeseries,
+        ranking,
+        udfs,
+        subqueries,
+        sources_q,
+        recursive,
+        tpch3,
+        scale_q,
+        packing_q,
+        sampling_q,
         tpch,
         tpch2,
         windows,
         setops,
         scalars,
         events,
-        dedup,
-        similarity,
-        text,
-        streaming,
-        topiclog,
-        udfs,
-        subqueries,
-        sources_q,
-        recursive,
-        tpch3,
-        ranking,
-        timeseries,
-        scale_q,
-        packing_q,
-        sampling_q,
-        quality_q,
     ):
         for k, v in mod.QUERIES.items():
             if k in out:
                 raise ValueError(f"duplicate query name: {k}")
             out[k] = v
-    return out
+    unverified = {k: v for k, v in out.items() if k not in _DRIVER_VERIFIED}
+    verified = {k: v for k, v in out.items() if k in _DRIVER_VERIFIED}
+    return {**unverified, **verified}
