@@ -282,7 +282,16 @@ class TopicLogWriter(DataSourceWriter):
                 f"missing {sorted(missing)}"
             )
         self.tdir = os.path.join(self.root, self.topic)
-        self.staging = os.path.join(self.tdir, "_staging")
+        # Per-JOB staging subdir: the writer object (and this id) is
+        # pickled to every task of this job, so all its stages land in
+        # one dir — but a second concurrent write job (or a streaming
+        # sink beside a batch write) stages elsewhere, and commit/abort
+        # below remove only THIS job's dir, never another job's
+        # in-flight files.
+        import uuid as _uuid
+
+        self.job_id = _uuid.uuid4().hex
+        self.staging = os.path.join(self.tdir, "_staging", self.job_id)
 
     # ------------------------------------------------ executor side
 
@@ -343,84 +352,92 @@ class TopicLogWriter(DataSourceWriter):
                 f"topic {self.topic!r} declares {n_parts} partitions; "
                 f"staged rows target partition(s) {bad}"
             )
-        wm_path = os.path.join(self.tdir, "_watermarks.json")
-        try:
-            with open(wm_path) as f:
-                raw = json.load(f)
-        except FileNotFoundError:
-            raw = {}
-        wm = {k: int(v) for k, v in raw.items() if not str(k).startswith("__")}
-        man_path = os.path.join(self.tdir, "_manifest.json")
-        try:
-            with open(man_path) as f:
-                man = json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
-            man = {}
-        data_dir = os.path.join(self.tdir, "data")
-        by_part: dict[int, list[tuple]] = {}
-        for e in entries:
-            by_part.setdefault(e[0], []).append(e)
-        new_wm = dict(wm)
-        for p, ents in sorted(by_part.items()):
-            base = int(wm.get(str(p), 0))
-            pdir = os.path.join(data_dir, f"partition={p}")
-            os.makedirs(pdir, exist_ok=True)
-            for _, path, n, _min_seq in sorted(ents, key=lambda e: (e[3], e[1])):
-                t = pq.read_table(path)
-                offs = pa.array(range(base, base + n), pa.int64())
-                out = pa.table(
-                    {
-                        "key": t["key"],
-                        "value": t["value"],
-                        "offset": offs,
-                        "timestamp": t["timestamp"],
-                        "timestampType": pa.array([0] * n, pa.int32()),
-                        "headers": pa.nulls(
-                            n, pa.map_(pa.string(), pa.binary())
-                        ),
+        from kcore_spark.sources.topic_log import topic_commit_lock
+
+        # Cross-process commit lock: the read-watermark -> assign-offsets
+        # -> flip sequence below must not interleave with a concurrent
+        # TopicLog.produce (or another writer job) on the same topic, or
+        # both assign offsets from the same base and one os.replace
+        # clobbers the other.
+        with topic_commit_lock(self.tdir):
+            wm_path = os.path.join(self.tdir, "_watermarks.json")
+            try:
+                with open(wm_path) as f:
+                    raw = json.load(f)
+            except FileNotFoundError:
+                raw = {}
+            wm = {k: int(v) for k, v in raw.items() if not str(k).startswith("__")}
+            man_path = os.path.join(self.tdir, "_manifest.json")
+            try:
+                with open(man_path) as f:
+                    man = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                man = {}
+            data_dir = os.path.join(self.tdir, "data")
+            by_part: dict[int, list[tuple]] = {}
+            for e in entries:
+                by_part.setdefault(e[0], []).append(e)
+            new_wm = dict(wm)
+            for p, ents in sorted(by_part.items()):
+                base = int(wm.get(str(p), 0))
+                pdir = os.path.join(data_dir, f"partition={p}")
+                os.makedirs(pdir, exist_ok=True)
+                for _, path, n, _min_seq in sorted(ents, key=lambda e: (e[3], e[1])):
+                    t = pq.read_table(path)
+                    offs = pa.array(range(base, base + n), pa.int64())
+                    out = pa.table(
+                        {
+                            "key": t["key"],
+                            "value": t["value"],
+                            "offset": offs,
+                            "timestamp": t["timestamp"],
+                            "timestampType": pa.array([0] * n, pa.int32()),
+                            "headers": pa.nulls(
+                                n, pa.map_(pa.string(), pa.binary())
+                            ),
+                        }
+                    )
+                    rel = f"partition={p}/part-w-{_uuid.uuid4().hex}.parquet"
+                    seg = os.path.join(data_dir, rel)
+                    pq.write_table(out, seg)
+                    ts = t["timestamp"]
+                    entry = {
+                        "file": rel,
+                        "min": base,
+                        "max": base + n - 1,
+                        "bytes": os.path.getsize(seg),
                     }
-                )
-                rel = f"partition={p}/part-w-{_uuid.uuid4().hex}.parquet"
-                seg = os.path.join(data_dir, rel)
-                pq.write_table(out, seg)
-                ts = t["timestamp"]
-                entry = {
-                    "file": rel,
-                    "min": base,
-                    "max": base + n - 1,
-                    "bytes": os.path.getsize(seg),
-                }
-                if n and ts.null_count < n:
-                    import pyarrow.compute as pc
+                    if n and ts.null_count < n:
+                        import pyarrow.compute as pc
 
-                    # naive → UTC, matching TopicLog._epoch_ms: the ts
-                    # index must mean the same instant to every reader
-                    # regardless of the committing host's timezone
-                    from kcore_spark.sources.topic_log import _epoch_ms
+                        # naive → UTC, matching TopicLog._epoch_ms: the ts
+                        # index must mean the same instant to every reader
+                        # regardless of the committing host's timezone
+                        from kcore_spark.sources.topic_log import _epoch_ms
 
-                    lo = pc.min(ts).as_py()
-                    hi = pc.max(ts).as_py()
-                    if lo is not None:
-                        entry["ts_min"] = _epoch_ms(lo)
-                        entry["ts_max"] = _epoch_ms(hi)
-                man.setdefault(f"partition={p}", []).append(entry)
-                base += n
-            new_wm[str(p)] = base
-        # manifest first, watermarks last: the watermark flip is the
-        # commit point (readers never trust offsets past the watermark)
-        tmp = man_path + f".tmp.{_uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, man_path)
-        payload = {k: v for k, v in raw.items() if str(k).startswith("__")}
-        payload.update(new_wm)
-        history = payload.get("__history", [])
-        next_v = (history[-1]["v"] + 1) if history else 1
-        payload["__history"] = (history + [{"v": next_v, "wm": dict(new_wm)}])[-64:]
-        tmp = wm_path + f".tmp.{_uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, wm_path)
+                        lo = pc.min(ts).as_py()
+                        hi = pc.max(ts).as_py()
+                        if lo is not None:
+                            entry["ts_min"] = _epoch_ms(lo)
+                            entry["ts_max"] = _epoch_ms(hi)
+                    man.setdefault(f"partition={p}", []).append(entry)
+                    base += n
+                new_wm[str(p)] = base
+            # manifest first, watermarks last: the watermark flip is the
+            # commit point (readers never trust offsets past the watermark)
+            tmp = man_path + f".tmp.{_uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            os.replace(tmp, man_path)
+            payload = {k: v for k, v in raw.items() if str(k).startswith("__")}
+            payload.update(new_wm)
+            history = payload.get("__history", [])
+            next_v = (history[-1]["v"] + 1) if history else 1
+            payload["__history"] = (history + [{"v": next_v, "wm": dict(new_wm)}])[-64:]
+            tmp = wm_path + f".tmp.{_uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, wm_path)
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages) -> None:

@@ -64,6 +64,36 @@ def _epoch_ms(ts) -> int:
     return int(ts.timestamp() * 1000)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def topic_commit_lock(topic_dir: str):
+    """Cross-PROCESS commit lock for one topic (advisory flock on a
+    lock file inside the topic dir). The in-process RLock serializes
+    this TopicLog instance's own mutators; this lock serializes the
+    read-watermark → assign-offsets → flip sequence across *any* mix
+    of writers on the same root — a second TopicLog in another
+    process, or a DataSource batch writer commit (pyds.TopicLogWriter)
+    running beside a streaming sink. Without it, two writers can both
+    read the same base watermark and assign duplicate offsets, and the
+    loser's os.replace silently clobbers the winner's flip.
+
+    flock serializes even two fds within one process, so it is safe
+    (and redundant) under the thread lock. Not reentrant — callers
+    must not nest it for the same topic."""
+    import fcntl
+
+    os.makedirs(topic_dir, exist_ok=True)
+    fd = os.open(os.path.join(topic_dir, "_commit.lock"), os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
 @dataclass
 class TopicMeta:
     name: str
@@ -111,6 +141,21 @@ class TopicLog:
         def inner(self, *a, **k):
             with self._mutate_lock:
                 return fn(self, *a, **k)
+
+        return inner
+
+    def _commit_locked(fn):  # noqa: N805 - descriptor-style decorator
+        """Hold the cross-process topic_commit_lock for the duration of
+        a mutator whose first argument is the topic name. Stacked UNDER
+        @_locked (thread lock first, then flock). Must not decorate a
+        function reachable from another @_commit_locked function for
+        the same topic (flock is not reentrant)."""
+        import functools
+
+        @functools.wraps(fn)
+        def inner(self, topic, *a, **k):
+            with topic_commit_lock(self._topic_dir(topic)):
+                return fn(self, topic, *a, **k)
 
         return inner
 
@@ -606,6 +651,7 @@ class TopicLog:
     # ------------------------------------------------------ produce
 
     @_locked
+    @_commit_locked
     def produce(
         self,
         topic: str,
@@ -684,6 +730,8 @@ class TopicLog:
         self._refresh_manifest(topic)  # index just-written segments
         return merged
 
+    @_locked
+    @_commit_locked
     def append_raw(self, topic: str, records: DataFrame) -> dict[int, int]:
         """Append records that already carry (partition, offset) — the
         flush path from the wire log, which assigned offsets at accept
@@ -832,6 +880,7 @@ class TopicLog:
     # ------------------------------------------------------ compaction
 
     @_locked
+    @_commit_locked
     def compact(self, topic: str) -> int:
         """Log compaction: keep only the latest record per (partition,
         key); null keys are always retained (Kafka's contract).
@@ -873,6 +922,8 @@ class TopicLog:
         shutil.rmtree(old_dir)
         return n
 
+    @_locked
+    @_commit_locked
     def optimize(self, topic: str, target_bytes: int = 128 * 1024 * 1024) -> dict:
         """File compaction (the lakehouse OPTIMIZE / Kafka segment-merge
         analog): rewrite each partition's many small segments into few
@@ -884,10 +935,16 @@ class TopicLog:
 
         Partitions whose segments already average ≥ half the target are
         left alone (rewriting well-sized files is wasted I/O). Rewrite
-        is per-partition via the existing crash-safe swap: write merged
-        segments to a scratch dir, swap, refresh the manifest, delete
-        the old dir. Returns {partition: (files_before, files_after)}
-        for the rewritten partitions."""
+        is per-partition with a partition-SCOPED crash-safe swap: the
+        merged segments are fully staged (final file names, no
+        sidecars) in a scratch dir, the live partition dir is renamed
+        to a `data.part-old-<p>-*` marker, and the scratch dir takes
+        its place in a single rename — so at every instant either the
+        live dir or the marker holds a complete copy of the partition.
+        A crash between the renames is healed by _recover_compaction
+        (restore the marker when the live dir is missing; otherwise
+        finish deleting it). Returns {partition: (files_before,
+        files_after)} for the rewritten partitions."""
         self._recover_compaction(topic)
         man = self._load_manifest(topic)
         data_dir = self._topic_dir(topic) + "/data"
@@ -913,25 +970,34 @@ class TopicLog:
             ).parquet(tmp_dir)
             import shutil
 
-            live = os.path.join(data_dir, pdir)
-            old = self._topic_dir(topic) + f"/data.old-{uuid.uuid4().hex}"
-            os.rename(live, old)
-            os.makedirs(live, exist_ok=True)
+            # stage FULLY inside tmp: final names, sidecars stripped —
+            # so the move-in below is one atomic rename, never a
+            # partially-populated live dir
             moved = 0
             for fn in sorted(os.listdir(tmp_dir)):
-                if fn.endswith(".parquet"):
+                src = os.path.join(tmp_dir, fn)
+                if fn.endswith(".parquet") and not fn.startswith((".", "_")):
                     os.rename(
-                        os.path.join(tmp_dir, fn),
-                        os.path.join(live, f"part-opt-{moved}-{uuid.uuid4().hex}.parquet"),
+                        src,
+                        os.path.join(
+                            tmp_dir, f"part-opt-{moved}-{uuid.uuid4().hex}.parquet"
+                        ),
                     )
                     moved += 1
-            shutil.rmtree(tmp_dir, ignore_errors=True)
+                else:
+                    os.remove(src)  # _SUCCESS / .crc sidecars
+            live = os.path.join(data_dir, pdir)
+            old = self._topic_dir(topic) + f"/data.part-old-{p}-{uuid.uuid4().hex}"
+            os.rename(live, old)
+            os.rename(tmp_dir, live)
             shutil.rmtree(old)
             out[p] = (n_files, moved)
         if out:
             self._refresh_manifest(topic)
         return out
 
+    @_locked
+    @_commit_locked
     def erase_keys(self, topic: str, keys: list[bytes]) -> int:
         """Targeted key erasure (the right-to-be-forgotten path): every
         record whose key is in ``keys`` is physically removed from the
@@ -950,7 +1016,14 @@ class TopicLog:
         self._recover_compaction(topic)
         df = self.scan(topic)
         before = df.count()
-        kept = df.where(~F.col("key").isin([bytes(k) for k in keys]))
+        # null-SAFE keep filter: key is nullable, and for a null key
+        # `~isin(...)` evaluates to NULL, which where() drops — that
+        # would silently erase every null-keyed record (compaction's
+        # contract is that null keys are always retained; erasure of
+        # keys the request never named would be data loss, not GDPR).
+        erase_set = [bytes(k) for k in keys]
+        keep = F.col("key").isNull() | ~F.col("key").isin(erase_set)
+        kept = df.where(keep)
         data_dir = self._topic_dir(topic) + "/data"
         tmp_dir = self._topic_dir(topic) + f"/data.compact.{uuid.uuid4().hex}"
         kept.write.mode("overwrite").partitionBy("partition").parquet(tmp_dir)
@@ -970,8 +1043,9 @@ class TopicLog:
             if os.path.isdir(adir) and os.listdir(adir):
                 cold = self.spark.read.schema(RECORD_SCHEMA).parquet(adir)
                 n_cold = cold.count()
+                # same null-safe keep predicate as the hot tier
                 cold_kept = cold.where(
-                    ~F.col("key").isin([bytes(k) for k in keys])
+                    F.col("key").isNull() | ~F.col("key").isin(erase_set)
                 )
                 tmp_cold = adir + f".erase.{uuid.uuid4().hex}"
                 cold_kept.write.mode("overwrite").partitionBy("partition").parquet(
@@ -988,13 +1062,26 @@ class TopicLog:
         return removed
 
     def _recover_compaction(self, topic: str) -> None:
-        """Heal a crashed compaction swap. Invariants of compact():
+        """Heal a crashed compaction / optimize / erasure swap.
+
+        compact()/erase_keys() hot-tier invariants:
         data/ missing + data.old-* present → crashed between renames:
         restore the old dir (the compacted tmp is discarded — offsets
         it holds are a subset of the old log, nothing is lost).
         data/ present + data.old-* present → crashed mid-rmtree:
         finish deleting. Leftover data.compact.* tmp dirs are removed
-        either way."""
+        either way.
+
+        optimize() partition-scoped invariants (data.part-old-<p>-*):
+        live partition dir missing → crashed between renames: restore
+        the marker (the only complete copy); live present → crashed
+        mid-rmtree: finish deleting the marker. opt.* staging dirs are
+        always discarded.
+
+        erase_keys() archive-tier invariants (<topic>.old-* /
+        <topic>.erase.* under archive_root): archive dir missing +
+        .old-* present → restore it (the erasure simply didn't happen
+        and must be re-run); otherwise both leftovers are deleted."""
         import shutil
 
         tdir = self._topic_dir(topic)
@@ -1008,8 +1095,27 @@ class TopicLog:
         for d in olds:
             shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
         for d in os.listdir(tdir):
-            if d.startswith("data.compact."):
+            if d.startswith("data.compact.") or d.startswith("opt."):
                 shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+            elif d.startswith("data.part-old-"):
+                p = d[len("data.part-old-"):].split("-", 1)[0]
+                live = os.path.join(data_dir, f"partition={p}")
+                if not os.path.isdir(live):
+                    os.makedirs(data_dir, exist_ok=True)
+                    os.rename(os.path.join(tdir, d), live)
+                else:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+        if self.archive_root is not None and os.path.isdir(self.archive_root):
+            adir = os.path.join(self.archive_root, topic)
+            for d in sorted(os.listdir(self.archive_root)):
+                full = os.path.join(self.archive_root, d)
+                if d.startswith(topic + ".old-"):
+                    if not os.path.isdir(adir):
+                        os.rename(full, adir)
+                    else:
+                        shutil.rmtree(full, ignore_errors=True)
+                elif d.startswith(topic + ".erase."):
+                    shutil.rmtree(full, ignore_errors=True)
         # the restored dir may not match the manifest written before the
         # crash — re-index so fetch never plans against missing files
         self._refresh_manifest(topic)

@@ -1,0 +1,232 @@
+"""Round-6 durability fixes (ADVICE r5): null-key-safe erasure, a
+crash-safe partition-scoped optimize swap, archive-tier swap healing,
+per-job writer staging, and the cross-process commit lock."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kcore_spark.sources.topic_log import TopicLog, topic_commit_lock
+
+
+@pytest.fixture()
+def log(spark):
+    with tempfile.TemporaryDirectory(prefix="kcore_r6_") as d:
+        yield TopicLog(spark, d)
+
+
+def _records(spark, n, base_ms=1_000_000, null_every: int | None = None):
+    key = F.encode((F.col("id") % 5).cast("string"), "utf-8")
+    if null_every:
+        key = F.when(F.col("id") % null_every == 0, F.lit(None).cast("binary")).otherwise(key)
+    return spark.range(n).select(
+        key.alias("key"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("value"),
+        F.timestamp_millis((F.lit(base_ms) + F.col("id")).cast("long")).alias("timestamp"),
+        F.col("id").alias("seq"),
+    )
+
+
+# ------------------------------------------------- null-key-safe erasure
+
+
+def test_erase_keys_retains_null_keyed_records(spark, log):
+    log.create_topic("t", 1)
+    log.produce("t", _records(spark, 20, null_every=4), partition_expr=F.lit(0), order_by=["seq"])
+    n_null = log.scan("t").where(F.col("key").isNull()).count()
+    n_k3 = log.scan("t").where(F.col("key") == b"3").count()
+    assert n_null > 0 and n_k3 > 0
+    removed = log.erase_keys("t", [b"3"])
+    assert removed == n_k3
+    # the erasure must not touch null-keyed records (compaction contract)
+    assert log.scan("t").where(F.col("key").isNull()).count() == n_null
+    assert log.scan("t").where(F.col("key") == b"3").count() == 0
+
+
+def test_erase_keys_retains_null_keys_in_archive(spark):
+    with tempfile.TemporaryDirectory(prefix="kcore_r6_h_") as hot, tempfile.TemporaryDirectory(
+        prefix="kcore_r6_c_"
+    ) as cold:
+        log = TopicLog(spark, hot, archive_root=cold)
+        log.create_topic("t", 1)
+        log.produce("t", _records(spark, 20, null_every=4), partition_expr=F.lit(0), order_by=["seq"])
+        log.alter_topic_config("t", {"retention.ms": "1"})
+        log.apply_retention_from_config("t", now_ms=10_000_000_000)
+        arch = log.scan_archive("t")
+        assert arch is not None
+        n_null_cold = arch.where(F.col("key").isNull()).count()
+        n_k3_cold = arch.where(F.col("key") == b"3").count()
+        assert n_null_cold > 0 and n_k3_cold > 0
+        removed = log.erase_keys("t", [b"3"])
+        assert removed == n_k3_cold
+        arch = log.scan_archive("t")
+        assert arch.where(F.col("key").isNull()).count() == n_null_cold
+        assert arch.where(F.col("key") == b"3").count() == 0
+
+
+# ------------------------------------------------- optimize crash safety
+
+
+def _small_segments(spark, log, n_batches=4, rows=5):
+    log.create_topic("t", 1)
+    for b in range(n_batches):
+        log.produce(
+            "t",
+            _records(spark, rows, base_ms=1_000_000 + b * 1000),
+            partition_expr=F.lit(0),
+            order_by=["seq"],
+        )
+
+
+def test_optimize_swap_survives_crash_between_renames(spark, log):
+    """Simulate dying after `rename(live, marker)` but before
+    `rename(tmp, live)`: the marker holds the only copy and recovery
+    must restore it — NOT classify it as mid-rmtree garbage."""
+    _small_segments(spark, log)
+    before = log.scan("t").orderBy("offset").collect()
+    tdir = log._topic_dir("t")
+    live = os.path.join(tdir, "data", "partition=0")
+    marker = os.path.join(tdir, "data.part-old-0-deadbeef")
+    os.rename(live, marker)  # crash state: live gone, marker present
+    log._recover_compaction("t")
+    assert not os.path.exists(marker)
+    assert os.path.isdir(live)
+    assert log.scan("t").orderBy("offset").collect() == before
+    # fetch path healthy after heal (manifest re-indexed)
+    assert log.fetch("t", 0, 0, 10_000).count() == len(before)
+
+
+def test_optimize_swap_crash_after_swap_deletes_marker(spark, log):
+    """Crash state after both renames but before rmtree(marker): live
+    dir is complete, recovery finishes the delete."""
+    _small_segments(spark, log)
+    before = log.scan("t").orderBy("offset").collect()
+    tdir = log._topic_dir("t")
+    live = os.path.join(tdir, "data", "partition=0")
+    marker = os.path.join(tdir, "data.part-old-0-deadbeef")
+    shutil.copytree(live, marker)  # both present — live is authoritative
+    log._recover_compaction("t")
+    assert not os.path.exists(marker)
+    assert log.scan("t").orderBy("offset").collect() == before
+
+
+def test_optimize_end_to_end_under_marker_scheme(spark, log):
+    _small_segments(spark, log, n_batches=5)
+    before = log.scan("t").orderBy("offset").collect()
+    out = log.optimize("t", target_bytes=64 * 1024 * 1024)
+    assert 0 in out and out[0][1] < out[0][0]
+    assert log.scan("t").orderBy("offset").collect() == before
+    # no stray staging/marker dirs survive a clean run
+    tdir = log._topic_dir("t")
+    stray = [d for d in os.listdir(tdir) if d.startswith(("opt.", "data.part-old-"))]
+    assert stray == []
+
+
+# ------------------------------------------------- archive swap healing
+
+
+def test_archive_erase_swap_healed(spark):
+    with tempfile.TemporaryDirectory(prefix="kcore_r6_h_") as hot, tempfile.TemporaryDirectory(
+        prefix="kcore_r6_c_"
+    ) as cold:
+        log = TopicLog(spark, hot, archive_root=cold)
+        log.create_topic("t", 1)
+        log.produce("t", _records(spark, 10), partition_expr=F.lit(0), order_by=["seq"])
+        log.alter_topic_config("t", {"retention.ms": "1"})
+        log.apply_retention_from_config("t", now_ms=10_000_000_000)
+        n_cold = log.scan_archive("t").count()
+        assert n_cold > 0
+        adir = os.path.join(cold, "t")
+        # crash state: archive dir renamed aside, erase tmp half-written
+        os.rename(adir, adir + ".old-deadbeef")
+        os.makedirs(adir + ".erase.cafe")
+        assert log.scan_archive("t") is None  # cold tier invisible pre-heal
+        log._recover_compaction("t")
+        assert log.scan_archive("t").count() == n_cold
+        assert not os.path.exists(adir + ".old-deadbeef")
+        assert not os.path.exists(adir + ".erase.cafe")
+
+
+# ------------------------------------------------- per-job writer staging
+
+
+def test_writer_staging_is_per_job(spark):
+    with tempfile.TemporaryDirectory(prefix="kcore_r6_w_") as root:
+        log = TopicLog(spark, root)
+        log.create_topic("t", 2)
+        # a foreign job's in-flight staged file must survive this job's
+        # commit (the old shared-staging design rmtree'd it mid-flight)
+        foreign = os.path.join(root, "t", "_staging", "other-job")
+        os.makedirs(foreign)
+        foreign_file = os.path.join(foreign, "stage-1-p0-x.parquet")
+        with open(foreign_file, "wb") as f:
+            f.write(b"inflight")
+        from kcore_spark.sources.pyds import TopicLogDataSource
+
+        spark.dataSource.register(TopicLogDataSource)
+        df = spark.range(6).select(
+            F.encode(F.col("id").cast("string"), "utf-8").alias("key"),
+            F.encode(F.col("id").cast("string"), "utf-8").alias("value"),
+            F.timestamp_millis(F.lit(1_000_000) + F.col("id")).alias("timestamp"),
+            (F.col("id") % 2).cast("int").alias("part"),
+            F.col("id").alias("seq"),
+        )
+        (
+            df.write.format("kcore_topic")
+            .option("root", root)
+            .option("topic", "t")
+            .mode("append")
+            .save()
+        )
+        assert log.scan("t").count() == 6
+        assert os.path.exists(foreign_file), "commit deleted another job's staging"
+        # watermarks advanced atomically
+        assert sum(log._watermarks("t").values()) == 6
+
+
+# ------------------------------------------------- cross-process commit lock
+
+
+def test_topic_commit_lock_excludes_other_process():
+    """The flock must hold against a second PROCESS: the child tries to
+    enter the lock while the parent holds it and records whether it had
+    to wait."""
+    import multiprocessing as mp
+    import time
+
+    with tempfile.TemporaryDirectory(prefix="kcore_r6_l_") as tdir:
+
+        def child(path, q):
+            t0 = time.monotonic()
+            with topic_commit_lock(path):
+                q.put(time.monotonic() - t0)
+
+        ctx = mp.get_context("fork")
+        q = ctx.Queue()
+        with topic_commit_lock(tdir):
+            p = ctx.Process(target=child, args=(tdir, q))
+            p.start()
+            time.sleep(0.5)  # child should be blocked on the flock now
+        p.join(timeout=10)
+        waited = q.get(timeout=5)
+        assert waited >= 0.3, f"child acquired the lock while parent held it ({waited:.3f}s)"
+
+
+def test_produce_serialized_by_commit_lock(spark, log):
+    """Offsets stay dense when a produce runs while another holder has
+    the topic's commit lock released just before (sanity of the produce
+    path under the decorator)."""
+    log.create_topic("t", 1)
+    log.produce("t", _records(spark, 5), partition_expr=F.lit(0), order_by=["seq"])
+    log.produce("t", _records(spark, 5), partition_expr=F.lit(0), order_by=["seq"])
+    offs = [r.offset for r in log.scan("t").orderBy("offset").collect()]
+    assert offs == list(range(10))
+    wm_path = log._wm_path("t")
+    with open(wm_path) as f:
+        assert {k: v for k, v in json.load(f).items() if not k.startswith("__")} == {"0": 10}
