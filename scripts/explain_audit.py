@@ -55,6 +55,11 @@ KNOWN_UNPUSHABLE = {
     # applied after the persisted shingle explode) — nothing pushable
     "q_simhash_neardup",
     "q_incremental_dedup",
+    # adjudicated VERDICT r5 "What's wrong #3" — each filters only on
+    # derived columns, so nothing can reach the parquet scan:
+    "q_embedding_neardup_lsh",  # LSH band-key equi-join + hamming cut
+    "q_source_quota_sample",  # post-window per-source rank cut
+    "q_unigram_kl_drift",  # filters on per-token KL contributions
     # filters only on derived columns: chunk duplicate counts / the
     # post-as-of-join inner-match null drop — nothing reaches the scan
     "q_cdc_chunk_dups",
@@ -95,14 +100,16 @@ def audit(name: str, plan: str) -> list[str]:
     return flags
 
 
-def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    full = "--full" in sys.argv
+def run_audit(name_filters: list[str] | None = None, full: bool = False) -> dict[str, list[str]]:
+    """Audit every (or the filtered) registered query's executed plan.
+    Returns {query_name: flags} for queries that flagged — a FAILING
+    gate for callers (main exits non-zero; tests assert empty)."""
     spark = shared_spark()
+    flagged: dict[str, list[str]] = {}
     for name, spec in all_queries().items():
         if name in SKIP:
             continue
-        if args and not any(f in name for f in args):
+        if name_filters and not any(f in name for f in name_filters):
             continue
         df = spec.spark(spark, SF_DIR)
         df.collect()  # materialize so AQE finalizes the plan (codegen visible)
@@ -111,11 +118,25 @@ def main() -> None:
         if "== Initial Plan ==" in plan:
             plan = plan.split("== Initial Plan ==")[0]
         flags = audit(name, plan)
+        if flags:
+            flagged[name] = flags
         n_exch = plan.count("Exchange")
         print(f"{name}: exchanges={n_exch} flags={flags or 'none'}")
         if full or flags:
             print(df._jdf.queryExecution().simpleString()[:4000])
             print("-" * 70)
+    return flagged
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flagged = run_audit(args, full="--full" in sys.argv)
+    if flagged:
+        print(f"\nPLAN AUDIT FAILED: {len(flagged)} flagged query(ies):")
+        for n, fl in flagged.items():
+            print(f"  {n}: {fl}")
+        sys.exit(1)
+    print("\nplan audit clean")
 
 
 if __name__ == "__main__":
