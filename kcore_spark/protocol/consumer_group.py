@@ -25,8 +25,10 @@ Epoch model (per the KIP):
 
 Single-broker simplifications, matching coordinator.py's stance: no
 session-timeout timer wheel (a member leaves via epoch -1/-2 or is
-replaced on id reuse), and the only server assignor is the uniform
-round-robin one ("uniform"; "range" accepted as an alias).
+replaced on id reuse). Two server assignors are implemented (see
+``_compute_assignment``): "uniform" (round-robin per topic, KIP-848's
+default) and "range" (one contiguous chunk per member per topic, the
+co-partitioned-join-friendly layout).
 """
 
 from __future__ import annotations
@@ -475,12 +477,20 @@ class ConsumerGroupCoordinator:
         return "Reconciling"
 
     def handle_describe(self, payload: bytes) -> bytes:
-        """ConsumerGroupDescribe (API key 69, v0, flexible): the
+        """ConsumerGroupDescribe (API key 69, v0-v1, flexible): the
         KIP-848 admin read-side — epoch, state, and per-member
         subscription + confirmed/target assignment for each requested
         group. Groups this coordinator has never seen report
         GROUP_ID_NOT_FOUND with a Dead state, matching the upstream
-        contract for describe-on-missing."""
+        contract for describe-on-missing.
+
+        v1 (the request body is unchanged) appends MemberType int8 to
+        each member in the response — -1 unknown, 0 classic, 1
+        consumer (the KIP-848 protocol). Every member this coordinator
+        serves joined via ConsumerGroupHeartbeat, so it always reports
+        1. Field layout pinned by spec-derived golden bytes
+        (tests/test_golden_bytes.py) — no live client in this
+        environment to cross-verify, as with every other API here."""
         r = wire.Reader(payload)
         h = wire.decode_request_header(r, flexible=True)
         group_ids = [
@@ -547,6 +557,8 @@ class ConsumerGroupCoordinator:
                 w.compact_string(m.regex)
                 wr_assignment(m.current)  # confirmed ownership
                 wr_assignment(m.target)  # server-side target
+                if h.api_version >= 1:
+                    w.int8(1)  # MemberType: 1 = KIP-848 consumer member
                 w.empty_tagged_fields()
             w.int32(0 if include_authz else -2147483648)
             w.empty_tagged_fields()

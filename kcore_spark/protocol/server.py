@@ -250,7 +250,7 @@ class KafkaFrontend:
             return self.coordinator.handle_leave_group(payload)
         if api_key == wire.CONSUMER_GROUP_HEARTBEAT_KEY and api_version <= 1:
             return self.consumer_groups.handle_heartbeat(payload)
-        if api_key == wire.CONSUMER_GROUP_DESCRIBE_KEY and api_version == 0:
+        if api_key == wire.CONSUMER_GROUP_DESCRIBE_KEY and api_version <= 1:
             return self.consumer_groups.handle_describe(payload)
         if api_key == wire.LIST_GROUPS_KEY and api_version <= 5:
             return self.coordinator.handle_list_groups(

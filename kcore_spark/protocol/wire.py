@@ -96,7 +96,7 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (DESCRIBE_TRANSACTIONS_KEY, 0, 0),
     (LIST_TRANSACTIONS_KEY, 0, 0),
     (CONSUMER_GROUP_HEARTBEAT_KEY, 0, 1),
-    (CONSUMER_GROUP_DESCRIBE_KEY, 0, 0),
+    (CONSUMER_GROUP_DESCRIBE_KEY, 0, 1),
     (API_VERSIONS_KEY, 0, 3),
 )
 

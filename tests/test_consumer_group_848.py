@@ -335,3 +335,94 @@ def test_static_instance_takeover_reclaims_member(fe):
     rc = _hb(fe, subs=("ta",), instance="inst-2")
     assert rc["member"] != a
     assert len(g.members) == 2
+
+
+def _describe(fe, version: int, gid: str = "g848") -> wire.Reader:
+    w = wire.Writer()
+    w.int16(wire.CONSUMER_GROUP_DESCRIBE_KEY).int16(version).int32(9)
+    w.nullable_string("cli")
+    w.empty_tagged_fields()
+    w.compact_array_len(1)
+    w.compact_string(gid)
+    w.bool_(False)
+    w.empty_tagged_fields()
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    r.int32()
+    r.tagged_fields()
+    r.int32()  # throttle
+    return r
+
+
+def _read_assignment(r: wire.Reader) -> dict[str, tuple[int, ...]]:
+    out = {}
+    for _ in range(max(r.compact_array_len(), 0)):
+        r.uuid()
+        t = r.compact_string()
+        out[t] = tuple(r.int32() for _ in range(max(r.compact_array_len(), 0)))
+        r.tagged_fields()
+    r.tagged_fields()
+    return out
+
+
+def _read_member(r: wire.Reader, version: int) -> dict:
+    m = {"id": r.compact_string()}
+    m["instance"] = r.compact_string()
+    m["rack"] = r.compact_string()
+    m["epoch"] = r.int32()
+    r.compact_string(), r.compact_string()  # client id/host
+    m["subs"] = tuple(
+        r.compact_string() for _ in range(max(r.compact_array_len(), 0))
+    )
+    m["regex"] = r.compact_string()
+    m["current"] = _read_assignment(r)
+    m["target"] = _read_assignment(r)
+    if version >= 1:
+        m["member_type"] = r.int8()
+    r.tagged_fields()
+    return m
+
+
+def test_describe_v1_member_type(fe):
+    """ConsumerGroupDescribe v1 appends MemberType int8 per member
+    (1 = KIP-848 consumer member — the only kind this coordinator
+    serves). The full member struct must decode EXACTLY through the
+    trailing tagged fields in both versions, which pins that v0 does
+    NOT carry the byte and v1 does."""
+    ra = _hb(fe, subs=("ta",), rack="rack-1")
+    for version in (0, 1):
+        r = _describe(fe, version)
+        assert r.compact_array_len() == 1
+        assert r.int16() == wire.ERR_NONE
+        r.compact_string()  # error_message
+        assert r.compact_string() == "g848"
+        assert r.compact_string() in ("Stable", "Reconciling")
+        r.int32(), r.int32()  # epochs
+        r.compact_string()  # assignor
+        assert r.compact_array_len() == 1
+        m = _read_member(r, version)
+        assert m["id"] == ra["member"]
+        assert m["rack"] == "rack-1"
+        assert m["subs"] == ("ta",)
+        assert ("member_type" in m) == (version == 1)
+        if version == 1:
+            assert m["member_type"] == 1
+        r.int32()  # authorized_operations
+        r.tagged_fields()  # group struct
+        r.tagged_fields()  # response tail
+        assert r.pos == len(r.buf)
+
+
+def test_describe_v1_missing_group_decodes(fe):
+    r = _describe(fe, 1, gid="ghost")
+    assert r.compact_array_len() == 1
+    assert r.int16() == 69  # GROUP_ID_NOT_FOUND
+    r.compact_string()
+    assert r.compact_string() == "ghost"
+    assert r.compact_string() == "Dead"
+    r.int32(), r.int32()
+    r.compact_string()
+    assert r.compact_array_len() == 0  # no members → no MemberType bytes
+    r.int32()
+    r.tagged_fields()
+    r.tagged_fields()
+    assert r.pos == len(r.buf)

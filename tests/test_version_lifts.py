@@ -535,7 +535,7 @@ def test_apiversions_advertises_lifted_ranges(fe):
     assert advertised[wire.LIST_GROUPS_KEY] == (0, 5)
     assert advertised[wire.DESCRIBE_GROUPS_KEY] == (0, 5)
     assert advertised[wire.OFFSET_FETCH_KEY] == (1, 9)
-    assert advertised[wire.CONSUMER_GROUP_DESCRIBE_KEY] == (0, 0)
+    assert advertised[wire.CONSUMER_GROUP_DESCRIBE_KEY] == (0, 1)
 
 
 # ------------------------------------ IncrementalAlterConfigs (k44)
