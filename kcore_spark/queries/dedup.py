@@ -88,18 +88,30 @@ GROUP BY sha256(text)
 
 
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over a BOUNDED candidate set: the hot-shingle
+    cutoff (max_df=4 — tight enough to bite at sf0.01, where shingle
+    df tops out at 7, so the oracle genuinely pins the cutoff
+    semantics, not just the happy path). No registered plan is
+    all-pairs: any shingle key's pair contribution is ≤ max_df². The
+    production default cutoff (10k) is exercised by
+    q_near_dup_jaccard_df_filtered; the unbounded max_df=None form is
+    deliberately NOT registered (VERDICT r5 #7 — a plan that would not
+    survive 100×)."""
     sh = shared_shingles(spark, sf_dir)
-    # max_df=None: the oracle-pinned exact textbook variant; production
-    # callers get the hot-shingle cutoff by default (operators/dedup.py)
-    return jaccard_pairs(sh, min_jaccard=0.8, max_df=None).orderBy("id1", "id2")
+    return jaccard_pairs(sh, min_jaccard=0.8, max_df=4).orderBy("id1", "id2")
 
 
+# the oracle applies the IDENTICAL df cutoff, and sizes are computed
+# post-cutoff, matching operators/dedup.py::jaccard_pairs exactly
 Q_NEAR_DUP_SQL = f"""
 WITH {SHINGLES_CTE},
-sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+shd AS (
+  SELECT id, shingle FROM sh
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 4),
+sizes AS (SELECT id, COUNT(*) AS sz FROM shd GROUP BY id),
 inter AS (
   SELECT a.id AS id1, b.id AS id2, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2)
 SELECT id1, id2, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
 FROM inter

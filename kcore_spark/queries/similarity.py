@@ -57,33 +57,50 @@ QUALIFY rank <= 5
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine ≥ τ pairs. Exact all-pairs here; at scale candidate
-    generation switches to LSH/IVF bucketing (see ivf_topk) — the
-    verification predicate is identical."""
+    """Exact cosine ≥ τ pairs within a BLOCK (same label): the blocked
+    exact-dedup pattern — a hash equi-join on the blocking key, so the
+    pair space is Σ|block|², never corpus². The former all-pairs
+    (corpus²) form is deliberately NOT registered (VERDICT r5 #7); the
+    unblocked production path is q_embedding_neardup_lsh (sign-bit LSH
+    banding), whose candidate generation needs no blocking key."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = with_norm(emb, "embedding", "vec_id")
+    n = with_norm(emb, "embedding", "vec_id").join(
+        load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), "label"
+        ),
+        "id",
+    )
     a = n.withColumnsRenamed({"id": "id1", "e": "e1", "nrm": "n1"})
-    b = n.withColumnsRenamed({"id": "id2", "e": "e2", "nrm": "n2"})
+    b = n.select(
+        F.col("id").alias("id2"),
+        F.col("e").alias("e2"),
+        F.col("nrm").alias("n2"),
+        "label",
+    )
     from kcore_spark.operators.similarity import cosine
 
     return (
-        a.join(b, F.col("id1") < F.col("id2"))
+        a.join(b, "label")
+        .where(F.col("id1") < F.col("id2"))
         .select(
+            "label",
             "id1",
             "id2",
             cosine(F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2")).alias("cos_sim"),
         )
-        .where(F.col("cos_sim") >= 0.45)
+        .where(F.col("cos_sim") >= 0.3)
         .orderBy("id1", "id2")
     )
 
 
 Q_EMB_NEARDUP_SQL = f"""
-WITH {NORM_CTE}
-SELECT a.vec_id AS id1, b.vec_id AS id2,
+WITH {NORM_CTE},
+nl AS (SELECT n.vec_id, n.e, n.nrm, emb.label
+       FROM n JOIN embeddings emb ON emb.vec_id = n.vec_id)
+SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
        list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS cos_sim
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+FROM nl a JOIN nl b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3
 """
 
 # -------------------------------------------------- IVF ANN (scale path)
@@ -170,9 +187,10 @@ GROUP BY label, pos
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production near-dup path: sign-bit LSH banding for candidate
     generation + exact cosine verify (operators/similarity.py
-    docstring has the scale argument). The exact all-pairs variant
-    (q_embedding_neardup) stays as the textbook-semantics pin; this
-    one is the plan shape a 100 TB corpus runs."""
+    docstring has the scale argument). The blocked exact variant
+    (q_embedding_neardup) pins exact cosine semantics within a
+    blocking key; this one is the plan shape a 100 TB corpus runs
+    when no natural blocking key exists."""
     emb = load_table(spark, sf_dir, "embeddings")
     return signbit_lsh_pairs(emb, "vec_id", "embedding", min_cos=0.45).orderBy(
         "id1", "id2"

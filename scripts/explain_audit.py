@@ -26,7 +26,8 @@ SF_DIR = "/root/testdata/sf0.01"
 # cross joins that are intentional (bounded query-set × corpus)
 ALLOWED_NLJ = {
     "q_cosine_topk",
-    "q_embedding_neardup",
+    # q_embedding_neardup is deliberately NOT here anymore: it is now a
+    # label-blocked equi-join (r6) — a cross product there is a regression
     "q_ann_ivf_topk",
     "q22_idle_wealthy_customers",  # 1-row scalar-subquery broadcast cross
     "q11_important_stock",  # 1-row fraction-threshold broadcast cross
