@@ -79,6 +79,11 @@ EXTRAS = [
     "q_event_pattern_regex",
     "q_range_join_binned",
     "q_cohort_retention",
+    # round-6: the iterative/multi-join heavyweights (VERDICT r5 #5)
+    "q_ivf_pq_search",
+    "q_semantic_clusters",
+    "q_fuzzy_clusters",
+    "q_stream_timeout_sessions",
 ]
 
 

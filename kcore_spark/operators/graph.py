@@ -161,56 +161,142 @@ def connected_components(
     """edges: (src, dst) undirected. Returns (id, component) where
     component = min vertex id reachable.
 
-    Join strategy mirrors pagerank_fixed_point: the label table is one
-    row per vertex, so under the broadcast limit each round's
-    edges⋈labels becomes a map-side join over the persisted edge
-    partitions (one shuffle per round — the min-aggregate — instead of
-    re-shuffling the edge list every round), with the sort-merge shape
-    as the big-graph fallback."""
-    edges_sym = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    Two-level plan (r6):
+
+    1. **Star contraction.** One pass computes m(v) = min(v ∪ N(v))
+       and rewrites every edge to (m(a), m(b)), dropping loops and
+       duplicates. Dedup-linkage graphs are clumpy — dense near-clique
+       blow-ups around popular keys (the fuzzy-linkage fixture is 18M
+       edges over 20k vertices) — and contraction collapses each dense
+       neighborhood to (nearly) a point, so the iteration below runs
+       on a graph orders of magnitude smaller than the input instead
+       of shuffling the full edge list every round.
+    2. **Min-label iteration with pointer jumping** on the contracted
+       graph (O(log diameter) rounds), then one join maps every
+       original vertex through m(v) to its component.
+
+    Correctness: m(v) is reachable from v, so contraction never merges
+    across components; the global min vertex w of any component has
+    m(w) = w, so component ids (min reachable vertex) are preserved.
+
+    Join strategy mirrors pagerank_fixed_point: label/mapping tables
+    are one row per vertex, so under the broadcast limit every
+    edges⋈labels is a map-side join over persisted edge partitions,
+    with the sort-merge shape as the big-graph fallback."""
+    # Materialize the INPUT edge list before symmetrizing: the union
+    # below references `edges` twice, and without a materialized cache
+    # both branches re-evaluate the upstream plan — which for linkage
+    # graphs is the expensive part (a blocked quadratic verify join).
+    # persist() alone is not enough: within the one job that fills the
+    # cache, the second branch's tasks can race the fill and recompute.
+    edges_in = edges.select("src", "dst").persist()
+    edges_in.count()  # bounded control-plane action: fills the cache
+    # star contraction WITHOUT materializing the symmetric closure: the
+    # full-edge-list distinct is the single biggest shuffle of the old
+    # plan (2|E| wide rows sorted for dedup) and contributes nothing —
+    # min() is dedup-insensitive, and the contracted graph is
+    # distinct-ed AFTER shrinking. One groupBy over the (un-deduped)
+    # two-orientation union computes m(v) = min(v ∪ N(v)).
+    m = (
+        edges_in.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges_in.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select("a", F.least(F.col("a"), F.col("mb")).alias("m"))
+        .localCheckpoint()
+    )
+    small = m.count() <= broadcast_node_limit
+    ma = m.select(F.col("a").alias("__a"), F.col("m").alias("__ma"))
+    mb = m.select(F.col("a").alias("__b"), F.col("m").alias("__mb"))
+    # contracted, normalized to undirected (least, greatest) pairs —
+    # the distinct here runs over already-collapsed labels with
+    # map-side partial dedup, so its shuffle is |contracted|, not |E|
+    contracted = (
+        edges_in.join(F.broadcast(ma) if small else ma, edges_in.src == ma.__a)
+        .join(F.broadcast(mb) if small else mb, edges_in.dst == mb.__b)
+        .select(
+            F.least(F.col("__ma"), F.col("__mb")).alias("lo"),
+            F.greatest(F.col("__ma"), F.col("__mb")).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
         .distinct()
         .persist()
     )
+    try:
+        if contracted.limit(1).count() == 0:
+            # every component was a star: m IS the component map
+            return m.select(F.col("a").alias("id"), F.col("m").alias("component"))
+        contracted_sym = (
+            contracted.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+            .unionByName(
+                contracted.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+            )
+            .persist()
+        )
+        try:
+            labels2 = _min_label_iterate(contracted_sym, max_iter, small)
+        finally:
+            contracted_sym.unpersist()
+        l2 = labels2.select(F.col("id").alias("__m"), F.col("component").alias("__c"))
+        return (
+            m.join(F.broadcast(l2) if small else l2, m.m == l2.__m, "left")
+            .select(
+                F.col("a").alias("id"),
+                F.coalesce(F.col("__c"), F.col("m")).alias("component"),
+            )
+        )
+    finally:
+        contracted.unpersist()
+        edges_in.unpersist()
+
+
+def _min_label_iterate(edges_sym: DataFrame, max_iter: int, small: bool) -> DataFrame:
+    """Min-label fixpoint over an already-symmetric persisted edge
+    list: each round takes the min of (own label, neighbors' labels),
+    then pointer-jumps (follows the label to that vertex's own label —
+    valid because label(v) is always reachable from v), converging in
+    O(log diameter) rounds instead of O(diameter)."""
     labels = (
         edges_sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
-    # the checkpoint above materialized labels, so this count is cheap
-    small = labels.count() <= broadcast_node_limit
-    try:
-        for _ in range(max_iter):
-            label_side = F.broadcast(labels) if small else labels
-            neighbor_min = (
-                edges_sym.join(label_side, edges_sym.b == label_side.id)
-                .groupBy("a")
-                .agg(F.min("component").alias("nmin"))
+    for _ in range(max_iter):
+        label_side = F.broadcast(labels) if small else labels
+        neighbor_min = (
+            edges_sym.join(label_side, edges_sym.b == label_side.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        nmin_side = F.broadcast(neighbor_min) if small else neighbor_min
+        stepped = labels.join(nmin_side, labels.id == nmin_side.a, "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        jump = stepped.select(
+            F.col("id").alias("cid"), F.col("component").alias("cmin")
+        )
+        jump_side = F.broadcast(jump) if small else jump
+        new_labels = (
+            stepped.join(jump_side, stepped.component == jump_side.cid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("cmin"), F.col("component"))
+                ).alias("component"),
             )
-            nmin_side = F.broadcast(neighbor_min) if small else neighbor_min
-            new_labels = (
-                labels.join(nmin_side, labels.id == nmin_side.a, "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                    ).alias("component"),
-                )
-                .localCheckpoint()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                break
-    finally:
-        # labels are materialized by the eager checkpoint each round;
-        # the cached symmetric edge list is no longer needed
-        edges_sym.unpersist()
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
     return labels

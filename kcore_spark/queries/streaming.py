@@ -463,7 +463,12 @@ def q_stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    res = run_to_table(out, "append")
+    # state_partitions=None: unlike the small-state windowed aggs, the
+    # bottleneck here is per-GROUP Python stateful processing (150 users
+    # × 7 micro-batches through the pandas state server), which
+    # parallelizes with partitions — measured 10.4s at 32 vs 13.7s at 8
+    # at sf0.1. Inherit the session's full parallelism.
+    res = run_to_table(out, "append", state_partitions=None)
     # eviction-safe cutoff (control-plane 1-row aggregate)
     from kcore_spark.catalog import load_table
 

@@ -156,6 +156,7 @@ def events_stream_chunked(spark: SparkSession, sf_dir: str, n_chunks: int = 6) -
     whole fixture arriving as one batch. Chunks are time-partitioned
     (chunk i holds an ntile of the time-sorted events), so the
     watermark is monotone across batches."""
+    import shutil as _shutil
     import time as _time
 
     from kcore_spark.catalog import ensure_engine_confs, normalize_event_ts
@@ -165,31 +166,41 @@ def events_stream_chunked(spark: SparkSession, sf_dir: str, n_chunks: int = 6) -
     if key not in _CHUNKED:
         d = tempfile.mkdtemp(prefix="kcore_events_chunks_")
         static = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
-        from pyspark.sql import Window as _W
-
-        from pyspark.sql import functions as F
-        ranked = static.withColumn(
-            "__c", F.ntile(n_chunks).over(_W.orderBy("ts", "event_id"))
-        )
-        for c in range(1, n_chunks + 1):
-            chunk_dir = os.path.join(d, f"stage_{c}")
-            ranked.where(F.col("__c") == c).drop("__c").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(chunk_dir)
-            part = next(
-                f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
-            )
-            dst = os.path.join(d, f"chunk_{c:02d}.parquet")
+        # Chronological chunk assignment WITHOUT a single-task global
+        # window (the former ntile-over-everything sort, re-run once
+        # per chunk, dominated staging cost): exact ts quantile
+        # boundaries from one aggregate, then a fully parallel
+        # comparison against the broadcast boundary list. Boundary
+        # ties all land in the lower chunk — deterministic, and chunk
+        # PLACEMENT can't change results: chunks stay time-ordered, so
+        # the watermark is monotone and nothing ever arrives late.
+        qfracs = ", ".join(str(i / n_chunks) for i in range(1, n_chunks))
+        bounds = static.agg(
+            F.expr(f"percentile(unix_micros(ts), array({qfracs}))").alias("b")
+        ).first()[0]
+        c = F.lit(1)
+        for b in bounds:
+            c = c + (F.unix_micros("ts") > F.lit(int(b))).cast("int")
+        stage = os.path.join(d, "stage")
+        # repartition on __c → each chunk is one task → one file per dir
+        static.withColumn("__c", c).repartition(n_chunks, "__c").write.partitionBy(
+            "__c"
+        ).parquet(stage)
+        for ci in range(1, n_chunks + 1):
+            chunk_dir = os.path.join(stage, f"__c={ci}")
+            if not os.path.isdir(chunk_dir):
+                continue  # degenerate tie pile-up emptied this chunk
+            part = next(f for f in os.listdir(chunk_dir) if f.endswith(".parquet"))
+            dst = os.path.join(d, f"chunk_{ci:02d}.parquet")
             os.rename(os.path.join(chunk_dir, part), dst)
             # ascending mtimes: the file source processes oldest-first
-            ts = _time.time() - (n_chunks - c) * 10
+            ts = _time.time() - (n_chunks - ci) * 10
             os.utime(dst, (ts, ts))
-            import shutil as _shutil
-
-            _shutil.rmtree(chunk_dir, ignore_errors=True)
+        _shutil.rmtree(stage, ignore_errors=True)
         _CHUNKED[key] = d
     d = _CHUNKED[key]
-    schema = spark.read.parquet(os.path.join(d, "chunk_01.parquet")).schema
+    first = sorted(f for f in os.listdir(d) if f.startswith("chunk_"))[0]
+    schema = spark.read.parquet(os.path.join(d, first)).schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

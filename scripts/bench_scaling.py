@@ -46,7 +46,18 @@ def main() -> None:
     # key choice in production (see operators/text.py docstring); a
     # 10x fixture makes every block 10x → 100x pairs, which would read
     # as super-linear when it is the key, not the plan, that is wrong.
-    skip_at_scale = {"q_fuzzy_blocked_match"}
+    skip_at_scale = {
+        "q_fuzzy_blocked_match",
+        # same degenerate-blocking-key argument (built on blocked_fuzzy_pairs)
+        "q_fuzzy_clusters",
+        # derived-fixture caveat (make_scale_data.py header): cross-copy
+        # embedding vectors are VERBATIM copies, so every vector gains
+        # K-1 exact cosine-1.0 twins — near-dup pair/cluster counts grow
+        # quadratically because the derived TRUTH is quadratic, not the
+        # plan. The LSH candidate generation itself is measured at scale
+        # via q_ivf_pq_search (same bucketed join shape, k-bounded output).
+        "q_semantic_clusters",
+    }
     measured = HEADLINE + [n for n in EXTRAS if n in qs and n not in skip_at_scale]
     for label, d in sfs:
         for name in measured:
