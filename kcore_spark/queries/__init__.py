@@ -58,6 +58,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 
 def all_queries() -> dict[str, QuerySpec]:
     from kcore_spark.queries import (
+        curation_q,
         dedup,
         events,
         packing_q,
@@ -103,6 +104,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scale_q,
         packing_q,
         sampling_q,
+        curation_q,
         tpch,
         tpch2,
         windows,

@@ -39,6 +39,7 @@ ALLOWED_NLJ = {
     "q_two_stage_retrieval",  # 1-row query-vector broadcast cross
     "q_pq_encode",  # k-row codebook broadcast cross (the PQ encode shape)
     "q_cuped_adjustment",  # 1-row period-boundary broadcast cross
+    "q_profile_orders",  # 1-row min/max-bounds broadcast cross (histogram bounds)
     "q_ivf_pq_search",  # centroid/codebook broadcast crosses (ANN assign+encode)
 }
 # filters that legitimately can't reach parquet: post-window rank
@@ -61,6 +62,9 @@ KNOWN_UNPUSHABLE = {
     "q_embedding_neardup_lsh",  # LSH band-key equi-join + hamming cut
     "q_source_quota_sample",  # post-window per-source rank cut
     "q_unigram_kl_drift",  # filters on per-token KL contributions
+    "q_countmin_heavy_hitters",  # joins/filters on derived sketch buckets only
+    "q_minhash_error",  # filters on derived signature/band columns only
+    "q_next_event_pairs",  # only filter is the post-lag NULL drop
     # filters only on derived columns: chunk duplicate counts / the
     # post-as-of-join inner-match null drop — nothing reaches the scan
     "q_cdc_chunk_dups",
