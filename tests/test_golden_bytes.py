@@ -463,3 +463,70 @@ def test_golden_sasl_plain_flow_exact_bytes():
     resp2 = fe.handle_request(SASL_AUTH_V1_REQ, sasl=st)
     assert resp2 == SASL_AUTH_V1_RESP
     assert st.authenticated and st.authorization_id == "alice"
+
+
+# ------------------------------- ConsumerGroupDescribe v0/v1 (KIP-848)
+# Spec-derived request bytes (flexible; v1 request body = v0):
+#   api_key=69, version, corr=42, client_id "cli", tagged;
+#   groups=["g"], include_authorized_operations=false, tagged.
+CGDESCRIBE_V0_REQ = bytes.fromhex("004500000000002a0003636c6900020267" "0000")
+CGDESCRIBE_V1_REQ = bytes.fromhex("004500010000002a0003636c6900020267" "0000")
+
+# Expected response for a group this coordinator has never seen —
+# derived from the ConsumerGroupDescribeResponse schema, not from the
+# implementation: corr, header tagged, throttle, groups[1]:
+# err=69 GROUP_ID_NOT_FOUND, message, gid, state "Dead", epochs 0/0,
+# assignor "", members[0], authorized_operations INT32_MIN, tagged ×2.
+_CGD_MISSING = (
+    "0000002a"  # correlation id
+    "00"        # response header v1 tagged fields
+    "00000000"  # throttle_time_ms
+    "02"        # groups: compact len 1
+    "0045"      # error_code 69
+    "14" + "group 'g' not found".encode().hex()  # compact error_message
+    + "0267"        # group_id "g"
+    "05" + "Dead".encode().hex()
+    + "00000000"  # group_epoch
+    "00000000"  # assignment_epoch
+    "01"        # assignor_name ""
+    "01"        # members: compact len 0
+    "80000000"  # authorized_operations: INT32_MIN (not requested)
+    "00"        # group tagged fields
+    "00"        # response tail tagged fields
+)
+
+
+def test_golden_consumer_group_describe_missing_group(fe):
+    # with zero members, v1's only schema delta (per-member MemberType)
+    # vanishes: both versions must produce the identical golden bytes
+    assert fe.handle_request(CGDESCRIBE_V0_REQ).hex() == _CGD_MISSING
+    assert fe.handle_request(CGDESCRIBE_V1_REQ).hex() == _CGD_MISSING
+
+
+def test_describe_v1_adds_exactly_one_byte_per_member(fe):
+    """Schema pin independent of decode logic: MemberType int8 is the
+    ONLY v0→v1 delta, so for any group state the v1 response is exactly
+    n_members bytes longer than v0."""
+    from tests.test_consumer_group_848 import _hb
+
+    _hb(fe, subs=("ta",))
+    _hb(fe, subs=("ta",))  # second member
+    w0 = wire.Writer()
+    w0.int16(69).int16(0).int32(7)
+    w0.nullable_string("cli")
+    w0.empty_tagged_fields()
+    w0.compact_array_len(1)
+    w0.compact_string("g848")
+    w0.bool_(False)
+    w0.empty_tagged_fields()
+    v0 = fe.handle_request(w0.bytes())
+    w1 = wire.Writer()
+    w1.int16(69).int16(1).int32(7)
+    w1.nullable_string("cli")
+    w1.empty_tagged_fields()
+    w1.compact_array_len(1)
+    w1.compact_string("g848")
+    w1.bool_(False)
+    w1.empty_tagged_fields()
+    v1 = fe.handle_request(w1.bytes())
+    assert len(v1) == len(v0) + 2  # two members → two MemberType bytes
