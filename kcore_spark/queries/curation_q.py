@@ -648,3 +648,146 @@ QUERIES = {
         q_next_event_pairs, Q_NEXT_EVENT_SQL, "next-event training-pair assembly"
     ),
 }
+
+# ------------------------------------------- per-dimension feature scaling
+
+
+def q_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score normalization audit — the embedding
+    preprocessing step before quantization/indexing. One posexplode →
+    one partial-aggregated groupBy per dimension computing mean/std
+    via decimal-exact sums (bit-stable under any accumulation order,
+    the FIXTURES.md determinism rule), plus the |z| > 3 outlier-entry
+    count a feature-drift monitor alarms on. Dimensions scale the
+    GROUP count, not the shuffle width — at 100 TB this is one scan
+    and one shuffle of (dim, partial-sums) rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    stats = x.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).alias("s2"),
+    )
+    m = (F.col("s").cast("double") / F.col("n")).alias("mean")
+    var = (F.col("s2").cast("double") / F.col("n")) - (
+        F.col("s").cast("double") / F.col("n")
+    ) * (F.col("s").cast("double") / F.col("n"))
+    stats = stats.select(
+        "pos", "n", m, F.sqrt(var).alias("std")
+    )
+    z = x.join(F.broadcast(stats), "pos").select(
+        "pos", ((F.col("x") - F.col("mean")) / F.col("std")).alias("z")
+    )
+    return (
+        z.groupBy("pos")
+        .agg(F.sum((F.abs(F.col("z")) > 3).cast("int")).alias("n_outliers"))
+        .join(stats, "pos")
+        .select("pos", "n", "mean", "std", "n_outliers")
+        .orderBy("pos")
+    )
+
+
+Q_FEATURE_SCALING_SQL = """
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+         UNNEST(embedding::DOUBLE[]) AS x
+  FROM embeddings),
+stats AS (
+  SELECT pos, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean,
+         sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*))
+              * (CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*))) AS std
+  FROM x GROUP BY pos)
+SELECT s.pos, s.n, s.mean, s.std,
+       CAST(SUM(CASE WHEN abs((x.x - s.mean) / s.std) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM x JOIN stats s ON s.pos = x.pos
+GROUP BY s.pos, s.n, s.mean, s.std
+ORDER BY s.pos
+"""
+
+# ------------------------------------------------ inter-rater agreement
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa) between two derived
+    'raters' of order value — the label-quality gate an annotation
+    pipeline runs before training on labels. Rater A: price tercile by
+    fixed thresholds; rater B: the order priority collapsed to 3
+    buckets. One groupBy builds the confusion matrix; kappa =
+    (po − pe) / (1 − pe) from its margins (1-row reduction)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ra = (
+        F.when(F.col("o_totalprice") < 75000, F.lit(0))
+        .when(F.col("o_totalprice") < 150000, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    rb = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(0))
+        .when(F.col("o_orderpriority") == "3-MEDIUM", F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    conf = (
+        orders.select(ra.alias("a"), rb.alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = conf.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n")).otherwise(0)).alias("agree"),
+    )
+    ma = conf.groupBy("a").agg(F.sum("n").alias("na"))
+    mb = conf.groupBy("b").agg(F.sum("n").alias("nb"))
+    pe = (
+        ma.join(mb, ma.a == mb.b)
+        .select(F.sum(F.col("na") * F.col("nb")).alias("pe_num"))
+    )
+    return (
+        tot.crossJoin(pe)
+        .select(
+            F.col("n_total"),
+            (F.col("agree") / F.col("n_total")).alias("po"),
+            (F.col("pe_num") / (F.col("n_total") * F.col("n_total"))).alias("pe"),
+            (
+                (
+                    (F.col("agree") / F.col("n_total"))
+                    - (F.col("pe_num") / (F.col("n_total") * F.col("n_total")))
+                )
+                / (1 - (F.col("pe_num") / (F.col("n_total") * F.col("n_total"))))
+            ).alias("kappa"),
+        )
+    )
+
+
+Q_COHENS_KAPPA_SQL = """
+WITH lab AS (
+  SELECT CASE WHEN o_totalprice < 75000 THEN 0
+              WHEN o_totalprice < 150000 THEN 1 ELSE 2 END AS a,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0
+              WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 2 END AS b
+  FROM orders),
+conf AS (SELECT a, b, COUNT(*) AS n FROM lab GROUP BY a, b),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         SUM(CASE WHEN a = b THEN n ELSE 0 END) AS agree
+  FROM conf),
+ma AS (SELECT a, SUM(n) AS na FROM conf GROUP BY a),
+mb AS (SELECT b, SUM(n) AS nb FROM conf GROUP BY b),
+pe AS (SELECT SUM(na * nb) AS pe_num FROM ma JOIN mb ON ma.a = mb.b)
+SELECT n_total,
+       agree / CAST(n_total AS DOUBLE) AS po,
+       pe_num / (CAST(n_total AS DOUBLE) * n_total) AS pe,
+       ((agree / CAST(n_total AS DOUBLE)) - pe_num / (CAST(n_total AS DOUBLE) * n_total))
+       / (1 - pe_num / (CAST(n_total AS DOUBLE) * n_total)) AS kappa
+FROM tot, pe
+"""
+
+
+QUERIES["q_feature_scaling"] = QuerySpec(
+    q_feature_scaling, Q_FEATURE_SCALING_SQL, "per-dimension z-score audit"
+)
+QUERIES["q_cohens_kappa"] = QuerySpec(
+    q_cohens_kappa, Q_COHENS_KAPPA_SQL, "inter-annotator agreement (Cohen's kappa)"
+)

@@ -40,6 +40,7 @@ ALLOWED_NLJ = {
     "q_pq_encode",  # k-row codebook broadcast cross (the PQ encode shape)
     "q_cuped_adjustment",  # 1-row period-boundary broadcast cross
     "q_profile_orders",  # 1-row min/max-bounds broadcast cross (histogram bounds)
+    "q_cohens_kappa",  # 1-row totals × 1-row pe broadcast cross (kappa margins)
     "q_ivf_pq_search",  # centroid/codebook broadcast crosses (ANN assign+encode)
 }
 # filters that legitimately can't reach parquet: post-window rank
