@@ -57,6 +57,11 @@ class WireLog:
         self._tids: dict[str, tuple[int, int]] = {}
         self._open_txns: dict[int, dict[tuple[str, int], int]] = {}
         self._aborted: dict[tuple[str, int], list[tuple[int, int]]] = {}
+        # EOS consume-transform-produce state (k25/k28): groups a txn
+        # has declared, and offsets staged to commit WITH the txn —
+        # invisible to OffsetFetch until EndTxn(commit) applies them
+        self._txn_groups: dict[int, set[str]] = {}
+        self._txn_offsets: dict[int, dict[tuple[str, str, int], int]] = {}
         # KIP-360 epoch bumps for idempotent (non-txn) producers
         self._idempotent_epochs: dict[int, int] = {}
         # KIP-227 incremental fetch sessions (class defined later in
@@ -74,6 +79,8 @@ class WireLog:
                 pid, epoch = self._tids[transactional_id]
                 self._tids[transactional_id] = (pid, epoch + 1)
                 self._open_txns.pop(pid, None)  # fencing aborts zombies
+                self._txn_groups.pop(pid, None)  # staged offsets die too
+                self._txn_offsets.pop(pid, None)
                 return pid, epoch + 1
             pid = self._next_pid
             self._next_pid += 1
@@ -142,21 +149,61 @@ class WireLog:
         if txn.get((topic, partition), -1) < 0:
             txn[(topic, partition)] = base_offset
 
+    def add_offsets_to_txn(self, pid: int, epoch: int, group: str) -> int:
+        """AddOffsetsToTxn (API key 25): declare that this transaction
+        will commit consumer offsets for ``group`` — the first half of
+        the consume-transform-produce EOS handshake. Opens the txn if
+        it has no data partitions yet (a pure offsets-commit
+        transaction is legal). Returns a Kafka error code."""
+        if self.producer_epoch(pid) != epoch:
+            return ERR_INVALID_PRODUCER_EPOCH
+        self._open_txns.setdefault(pid, {})
+        self._txn_groups.setdefault(pid, set()).add(group)
+        return wire.ERR_NONE
+
+    def txn_offset_commit(
+        self, pid: int, epoch: int, group: str, topic: str, partition: int, offset: int
+    ) -> int:
+        """TxnOffsetCommit (API key 28): STAGE a consumer offset inside
+        the open transaction. Staged offsets are invisible to
+        OffsetFetch until EndTxn(commit) applies them atomically with
+        the txn's records; abort discards them. Requires a prior
+        AddOffsetsToTxn for the group (INVALID_TXN_STATE otherwise,
+        Kafka's ordering contract)."""
+        if self.producer_epoch(pid) != epoch:
+            return ERR_INVALID_PRODUCER_EPOCH
+        if group not in self._txn_groups.get(pid, set()):
+            return ERR_INVALID_TXN_STATE
+        self._txn_offsets.setdefault(pid, {})[(group, topic, partition)] = offset
+        return wire.ERR_NONE
+
     def end_txn(self, pid: int, epoch: int, commit: bool) -> int:
         """EndTxn (API key 26): commit makes the txn's records visible
         to read_committed consumers; abort hides them forever (their
         offset ranges join the aborted filter). Returns an error code."""
+        err, _ = self.end_txn_with_offsets(pid, epoch, commit)
+        return err
+
+    def end_txn_with_offsets(
+        self, pid: int, epoch: int, commit: bool
+    ) -> tuple[int, dict[tuple[str, str, int], int]]:
+        """end_txn plus the staged consumer offsets to APPLY on commit
+        (empty on abort or error) — the caller owns the group store and
+        applies them, completing the atomic read-process-write."""
         if self.producer_epoch(pid) != epoch:
-            return ERR_INVALID_PRODUCER_EPOCH
+            return ERR_INVALID_PRODUCER_EPOCH, {}
         txn = self._open_txns.pop(pid, None)
         if txn is None:
-            return ERR_INVALID_TXN_STATE
+            return ERR_INVALID_TXN_STATE, {}
+        staged = self._txn_offsets.pop(pid, {})
+        self._txn_groups.pop(pid, None)
         if not commit:
             for (topic, partition), start in txn.items():
                 if start >= 0:
                     end = self.high_watermark(topic, partition)
                     self._aborted.setdefault((topic, partition), []).append((start, end))
-        return wire.ERR_NONE
+            return wire.ERR_NONE, {}
+        return wire.ERR_NONE, staged
 
     def last_stable_offset(self, topic: str, partition: int) -> int:
         """First offset still owned by an OPEN transaction; read_committed
@@ -1021,14 +1068,16 @@ def handle_add_partitions_to_txn(log: WireLog, payload: bytes) -> bytes:
     return w.bytes()
 
 
-def handle_end_txn(log: WireLog, payload: bytes) -> bytes:
+def handle_end_txn(log: WireLog, payload: bytes, group_store=None) -> bytes:
     """EndTxn (API key 26, v0-v5): commit or abort the open
     transaction. Schema-identical through v2, flexible at v3; v4-v5
     (KIP-890) bump the producer epoch on every completed transaction —
     the response returns the (producer_id, producer_epoch) the client
     must use next, so a zombie writing under the pre-bump epoch is
     fenced by construction (v0-v3 respond with -1/-1 placeholders
-    omitted entirely)."""
+    omitted entirely). Offsets staged via TxnOffsetCommit are applied
+    to ``group_store`` on commit — atomically with record visibility,
+    the EOS contract."""
     import struct as _struct
 
     v = _struct.unpack(">h", payload[2:4])[0]
@@ -1039,7 +1088,10 @@ def handle_end_txn(log: WireLog, payload: bytes) -> bytes:
     pid = r.int64()
     epoch = r.int16()
     committed = r.bool_()
-    err = log.end_txn(pid, epoch, committed)
+    err, staged = log.end_txn_with_offsets(pid, epoch, committed)
+    if err == wire.ERR_NONE and group_store is not None:
+        for (group, topic, partition), offset in sorted(staged.items()):
+            group_store.commit(group, topic, partition, offset)
     new_pid, new_epoch = pid, epoch
     if v >= 4 and err == wire.ERR_NONE and tid in log._tids:
         new_pid, new_epoch = log.bump_epoch_for_tid(tid)
@@ -1052,6 +1104,94 @@ def handle_end_txn(log: WireLog, payload: bytes) -> bytes:
     if v >= 4:
         w.int64(new_pid if err == wire.ERR_NONE else -1)
         w.int16(new_epoch if err == wire.ERR_NONE else -1)
+    if flex:
+        w.empty_tagged_fields()
+    return w.bytes()
+
+
+def handle_add_offsets_to_txn(log: WireLog, payload: bytes) -> bytes:
+    """AddOffsetsToTxn (API key 25, v0-v3): declare the consumer group
+    whose offsets the transaction will commit — the EOS handshake's
+    first half. Schema-identical v0-v2, flexible at v3. Response:
+    throttle + error code."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 3
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_str()  # transactional_id (pid identifies the txn here)
+    pid = r.int64()
+    epoch = r.int16()
+    group = rd_str() or ""
+    err = log.add_offsets_to_txn(pid, epoch, group)
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    if flex:
+        w.empty_tagged_fields()  # response header v1
+    w.int32(0)  # throttle_time_ms
+    w.int16(err)
+    if flex:
+        w.empty_tagged_fields()
+    return w.bytes()
+
+
+def handle_txn_offset_commit(log: WireLog, payload: bytes) -> bytes:
+    """TxnOffsetCommit (API key 28, v0-v3): stage per-partition
+    consumer offsets inside the open transaction. v2 adds the
+    committed_leader_epoch field; v3 goes flexible and adds the group
+    generation/member fields (decoded, not enforced — this coordinator
+    fences by producer epoch, the transactional half of the contract).
+    Offsets become visible only when EndTxn commits."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 3
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
+    rd_str()  # transactional_id
+    group = rd_str() or ""
+    pid = r.int64()
+    epoch = r.int16()
+    if v >= 3:
+        r.int32()  # generation_id
+        r.compact_string()  # member_id
+        r.compact_string()  # group_instance_id (nullable)
+    results = []
+    for _ in range(max(rd_len(), 0)):
+        name = rd_str() or ""
+        parts = []
+        for _ in range(max(rd_len(), 0)):
+            partition = r.int32()
+            offset = r.int64()
+            if v >= 2:
+                r.int32()  # committed_leader_epoch
+            rd_str()  # metadata
+            if flex:
+                r.tagged_fields()
+            err = log.txn_offset_commit(pid, epoch, group, name, partition, offset)
+            parts.append((partition, err))
+        if flex:
+            r.tagged_fields()
+        results.append((name, parts))
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    if flex:
+        w.empty_tagged_fields()  # response header v1
+    w.int32(0)  # throttle_time_ms
+    w.compact_array_len(len(results)) if flex else w.int32(len(results))
+    for name, parts in results:
+        w.compact_string(name) if flex else w.nullable_string(name)
+        w.compact_array_len(len(parts)) if flex else w.int32(len(parts))
+        for partition, err in parts:
+            w.int32(partition).int16(err)
+            if flex:
+                w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
     if flex:
         w.empty_tagged_fields()
     return w.bytes()

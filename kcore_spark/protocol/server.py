@@ -284,10 +284,18 @@ class KafkaFrontend:
             from kcore_spark.protocol.broker import handle_add_partitions_to_txn
 
             return handle_add_partitions_to_txn(self.wire_log, payload)
+        if api_key == wire.ADD_OFFSETS_TO_TXN_KEY and api_version <= 3:
+            from kcore_spark.protocol.broker import handle_add_offsets_to_txn
+
+            return handle_add_offsets_to_txn(self.wire_log, payload)
+        if api_key == wire.TXN_OFFSET_COMMIT_KEY and api_version <= 3:
+            from kcore_spark.protocol.broker import handle_txn_offset_commit
+
+            return handle_txn_offset_commit(self.wire_log, payload)
         if api_key == wire.END_TXN_KEY and api_version <= 5:
             from kcore_spark.protocol.broker import handle_end_txn
 
-            return handle_end_txn(self.wire_log, payload)
+            return handle_end_txn(self.wire_log, payload, group_store=self.group_store)
         if api_key == wire.DESCRIBE_CONFIGS_KEY and api_version <= 4:
             from kcore_spark.protocol.admin import handle_describe_configs
 

@@ -43,6 +43,8 @@ LIST_GROUPS_KEY = 16
 DELETE_GROUPS_KEY = 42
 INIT_PRODUCER_ID_KEY = 22
 ADD_PARTITIONS_TO_TXN_KEY = 24
+ADD_OFFSETS_TO_TXN_KEY = 25
+TXN_OFFSET_COMMIT_KEY = 28
 END_TXN_KEY = 26
 DESCRIBE_CONFIGS_KEY = 32
 ALTER_CONFIGS_KEY = 33
@@ -84,6 +86,8 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (DELETE_GROUPS_KEY, 0, 2),
     (INIT_PRODUCER_ID_KEY, 0, 4),
     (ADD_PARTITIONS_TO_TXN_KEY, 0, 5),
+    (ADD_OFFSETS_TO_TXN_KEY, 0, 3),
+    (TXN_OFFSET_COMMIT_KEY, 0, 3),
     (END_TXN_KEY, 0, 5),
     (DESCRIBE_CONFIGS_KEY, 0, 4),
     (ALTER_CONFIGS_KEY, 0, 2),
@@ -297,6 +301,8 @@ def is_flexible_request(api_key: int, api_version: int) -> bool:
         return api_version >= 1
     if api_key == DELETE_GROUPS_KEY:
         return api_version >= 2
+    if api_key in (ADD_OFFSETS_TO_TXN_KEY, TXN_OFFSET_COMMIT_KEY):
+        return api_version >= 3
     if api_key == INIT_PRODUCER_ID_KEY:
         return api_version >= 2
     if api_key in (ADD_PARTITIONS_TO_TXN_KEY, END_TXN_KEY):
