@@ -641,3 +641,131 @@ def handle_incremental_alter_configs(log: WireLog, payload: bytes) -> bytes:
     if flex:
         w.empty_tagged_fields()
     return w.bytes()
+
+
+# ------------------------------------------------ CreatePartitions v0-v3
+
+
+def handle_create_partitions(log: WireLog, payload: bytes) -> bytes:
+    """CreatePartitions (API key 37, v0-v3; flexible from v2): grow a
+    topic's partition count. Shrinking (count ≤ current) answers
+    INVALID_PARTITIONS with a message; unknown topics answer
+    UNKNOWN_TOPIC_OR_PARTITION — per-topic errors, like CreateTopics.
+    validate_only performs the checks without mutating."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 2
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
+    requested: list[tuple[str, int]] = []
+    for _ in range(max(rd_len(), 0)):
+        name = rd_str() or ""
+        count = r.int32()
+        n_assign = rd_len()  # nullable array of manual assignments
+        for _ in range(max(n_assign, 0)):
+            for _ in range(max(rd_len(), 0)):  # broker_ids
+                r.int32()
+            if flex:
+                r.tagged_fields()
+        if flex:
+            r.tagged_fields()
+        requested.append((name, count))
+    r.int32()  # timeout_ms
+    validate_only = r.bool_()
+    results = []
+    for name, count in requested:
+        if name not in log.topics:
+            results.append((name, ERR_UNKNOWN_TOPIC_OR_PARTITION, f"unknown topic {name!r}"))
+        elif count <= log.topics[name]:
+            results.append(
+                (
+                    name,
+                    ERR_INVALID_PARTITIONS,
+                    f"topic {name!r} has {log.topics[name]} partitions; "
+                    f"cannot reduce to {count}",
+                )
+            )
+        else:
+            if not validate_only:
+                log.create_partitions(name, count)
+            results.append((name, wire.ERR_NONE, None))
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    if flex:
+        w.empty_tagged_fields()
+    w.int32(0)  # throttle_time_ms
+    w.compact_array_len(len(results)) if flex else w.int32(len(results))
+    for name, err, msg in results:
+        w.compact_string(name) if flex else w.nullable_string(name)
+        w.int16(err)
+        w.compact_string(msg) if flex else w.nullable_string(msg)
+        if flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()
+    return w.bytes()
+
+
+# ------------------------------------------------ DescribeLogDirs v0-v2
+
+
+def handle_describe_log_dirs(log: WireLog, payload: bytes) -> bytes:
+    """DescribeLogDirs (API key 35, v0-v2; flexible from v2): report
+    per-partition on-log sizes under the single logical log dir. A
+    null topics array means every topic (the admin-tool default);
+    offset_lag is 0 (nothing in-flight on a single node) and
+    is_future_key false (no reassignment)."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 2
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
+    n_topics = rd_len()
+    wanted: dict[str, list[int]] | None
+    if n_topics < 0:
+        wanted = None  # null = all topics, all partitions
+    else:
+        wanted = {}
+        for _ in range(n_topics):
+            name = rd_str() or ""
+            parts = [r.int32() for _ in range(max(rd_len(), 0))]
+            if flex:
+                r.tagged_fields()
+            wanted[name] = parts
+    if wanted is None:
+        wanted = {
+            t: list(range(n)) for t, n in sorted(log.topics.items())
+        }
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    if flex:
+        w.empty_tagged_fields()
+    w.int32(0)  # throttle_time_ms
+    w.compact_array_len(1) if flex else w.int32(1)  # one log dir
+    w.int16(wire.ERR_NONE)
+    w.compact_string("/data/kcore-logs") if flex else w.nullable_string("/data/kcore-logs")
+    w.compact_array_len(len(wanted)) if flex else w.int32(len(wanted))
+    for name in sorted(wanted):
+        w.compact_string(name) if flex else w.nullable_string(name)
+        parts = wanted[name]
+        w.compact_array_len(len(parts)) if flex else w.int32(len(parts))
+        for p in parts:
+            w.int32(p)
+            w.int64(log.partition_size_bytes(name, p))
+            w.int64(0)  # offset_lag
+            w.bool_(False)  # is_future_key
+            if flex:
+                w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()  # log dir struct
+    if flex:
+        w.empty_tagged_fields()  # response tail
+    return w.bytes()

@@ -266,6 +266,30 @@ class WireLog:
         for p in range(num_partitions):
             self._parts[(name, p)] = _Partition()
 
+    def create_partitions(self, topic: str, new_count: int) -> int:
+        """CreatePartitions (API key 37): grow a topic's partition
+        count (Kafka never shrinks — keyed hashing would orphan data).
+        Returns a Kafka error code."""
+        if topic not in self.topics:
+            return wire.ERR_UNKNOWN_TOPIC_OR_PARTITION
+        cur = self.topics[topic]
+        if new_count <= cur:
+            return 37  # INVALID_PARTITIONS
+        for p in range(cur, new_count):
+            self._parts[(topic, p)] = _Partition()
+        self.topics[topic] = new_count
+        return wire.ERR_NONE
+
+    def partition_size_bytes(self, topic: str, partition: int) -> int:
+        """Approximate on-log size of a partition's records (key +
+        value payload bytes) — the DescribeLogDirs size metric."""
+        part = self._parts.get((topic, partition))
+        if part is None:
+            return 0
+        return sum(
+            len(r.key or b"") + len(r.value or b"") for r in part.records
+        )
+
     def has(self, topic: str, partition: int) -> bool:
         return (topic, partition) in self._parts
 

@@ -328,6 +328,16 @@ class KafkaFrontend:
             from kcore_spark.protocol.broker import handle_describe_transactions
 
             return handle_describe_transactions(self.wire_log, payload)
+        if api_key == wire.CREATE_PARTITIONS_KEY and api_version <= 3:
+            from kcore_spark.protocol.admin import handle_create_partitions
+
+            return handle_create_partitions(self.wire_log, payload)
+        if api_key == wire.DESCRIBE_LOG_DIRS_KEY and api_version <= 2:
+            from kcore_spark.protocol.admin import handle_describe_log_dirs
+
+            return handle_describe_log_dirs(self.wire_log, payload)
+        if api_key == wire.GET_TELEMETRY_SUBSCRIPTIONS_KEY and api_version == 0:
+            return self._handle_telemetry_subscriptions(payload)
         # Kafka answers an unsupported API with an ApiVersions-shaped
         # error so clients can renegotiate; the reference kills the
         # connection here (kafka_api.go:95-96) — deliberate deviation.
@@ -349,6 +359,37 @@ class KafkaFrontend:
             "ApiVersions from %s/%s", req.client_software_name, req.client_software_version
         )
         return wire.encode_api_versions_response(req.header.correlation_id, api_version)
+
+    def _handle_telemetry_subscriptions(self, payload: bytes) -> bytes:
+        """GetTelemetrySubscriptions (API key 71, v0, KIP-714): modern
+        clients (librdkafka 2.x, Java 3.7+) send this right after
+        ApiVersions. This broker collects no client metrics, so it
+        answers a valid empty subscription — client_instance_id echoed
+        (or assigned when the client sends the all-zero uuid), zero
+        requested metrics, a long push interval — which tells the
+        client to stand down cleanly instead of erroring per connect."""
+        import uuid as _uuid
+
+        r = wire.Reader(payload)
+        h = wire.decode_request_header(r, flexible=True)
+        cid = r.uuid()
+        r.tagged_fields()
+        if cid == b"\x00" * 16:
+            cid = _uuid.uuid4().bytes  # broker-assigned instance id
+        w = wire.Writer()
+        w.int32(h.correlation_id)
+        w.empty_tagged_fields()  # response header v1
+        w.int32(0)  # throttle_time_ms
+        w.int16(wire.ERR_NONE)
+        w.uuid(cid)
+        w.int32(0)  # subscription_id
+        w.compact_array_len(0)  # accepted_compression_types
+        w.int32(300_000)  # push_interval_ms
+        w.int32(1024 * 1024)  # telemetry_max_bytes
+        w.bool_(True)  # delta_temporality
+        w.compact_array_len(0)  # requested_metrics: none subscribed
+        w.empty_tagged_fields()
+        return w.bytes()
 
     def _handle_metadata(self, payload: bytes, api_version: int, correlation_id: int) -> bytes:
         req = wire.decode_metadata_request(payload)

@@ -51,6 +51,9 @@ ALTER_CONFIGS_KEY = 33
 SASL_HANDSHAKE_KEY = 17
 SASL_AUTHENTICATE_KEY = 36
 OFFSET_DELETE_KEY = 47
+CREATE_PARTITIONS_KEY = 37
+DESCRIBE_LOG_DIRS_KEY = 35
+GET_TELEMETRY_SUBSCRIPTIONS_KEY = 71  # KIP-714 client metrics
 INCREMENTAL_ALTER_CONFIGS_KEY = 44
 DESCRIBE_CLUSTER_KEY = 60
 DESCRIBE_PRODUCERS_KEY = 61
@@ -94,6 +97,9 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (SASL_HANDSHAKE_KEY, 0, 1),
     (SASL_AUTHENTICATE_KEY, 0, 1),
     (OFFSET_DELETE_KEY, 0, 0),
+    (CREATE_PARTITIONS_KEY, 0, 3),
+    (DESCRIBE_LOG_DIRS_KEY, 0, 2),
+    (GET_TELEMETRY_SUBSCRIPTIONS_KEY, 0, 0),
     (INCREMENTAL_ALTER_CONFIGS_KEY, 0, 1),
     (DESCRIBE_CLUSTER_KEY, 0, 1),
     (DESCRIBE_PRODUCERS_KEY, 0, 0),
@@ -303,6 +309,12 @@ def is_flexible_request(api_key: int, api_version: int) -> bool:
         return api_version >= 2
     if api_key in (ADD_OFFSETS_TO_TXN_KEY, TXN_OFFSET_COMMIT_KEY):
         return api_version >= 3
+    if api_key == CREATE_PARTITIONS_KEY:
+        return api_version >= 2
+    if api_key == DESCRIBE_LOG_DIRS_KEY:
+        return api_version >= 2
+    if api_key == GET_TELEMETRY_SUBSCRIPTIONS_KEY:
+        return True  # born flexible (KIP-714)
     if api_key == INIT_PRODUCER_ID_KEY:
         return api_version >= 2
     if api_key in (ADD_PARTITIONS_TO_TXN_KEY, END_TXN_KEY):
