@@ -366,7 +366,92 @@ ORDER BY event_type
 """
 
 
+
+def q_stream_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue routing — the production ingest shape: one
+    streaming pass splits records into a MAIN topic (parseable
+    payloads) and a DLQ topic (corrupt payloads, kept for replay after
+    a parser fix), both through the exactly-once foreachBatch topic
+    sink, then audits both topics with a batch scan. Corruption is the
+    same deterministic mangling q_events_corrupt_json pins (event_id %
+    7 truncates the JSON), so the oracle recomputes the split
+    relationally: a hash match proves the router sent every record to
+    exactly one topic with no loss and no duplicates."""
+    import tempfile
+
+    from kcore_spark.sources.topic_log import TopicLog
+    from kcore_spark.streaming.ops import events_stream
+    from kcore_spark.streaming.sinks import topic_sink
+
+    log = TopicLog(spark, tempfile.mkdtemp(prefix="kcore_q_dlq_"))
+    log.create_topic("main", 2)
+    log.create_topic("dlq", 1)
+
+    bad = F.when(
+        F.col("event_id") % 7 == 0, F.substring("props", 1, 4)
+    ).otherwise(F.col("props"))
+
+    def route(df: DataFrame, batch_id: int) -> None:
+        routed = df.withColumn("payload", bad).withColumn(
+            "parsed", F.from_json(F.col("payload"), "map<string,string>")
+        )
+        main_sink = topic_sink(
+            log,
+            "main",
+            sink_id="dlq_main",
+            order_by=["event_id"],
+            transform=lambda d: d.where(F.col("parsed").isNotNull()).select(
+                F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+                F.encode(F.col("event_type"), "utf-8").alias("value"),
+                F.col("ts").alias("timestamp"),
+                "event_id",
+            ),
+        )
+        dlq_sink = topic_sink(
+            log,
+            "dlq",
+            sink_id="dlq_dead",
+            order_by=["event_id"],
+            transform=lambda d: d.where(F.col("parsed").isNull()).select(
+                F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+                F.encode(F.col("payload"), "utf-8").alias("value"),
+                F.col("ts").alias("timestamp"),
+                "event_id",
+            ),
+        )
+        main_sink(routed, batch_id)
+        dlq_sink(routed, batch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="kcore_q_dlq_ckpt_")
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(route)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    main_n = log.scan("main").count()
+    dlq_n = log.scan("dlq").count()
+    return spark.createDataFrame(
+        [("dlq", dlq_n), ("main", main_n)], "topic string, n long"
+    ).orderBy("topic")
+
+
+Q_STREAM_DLQ_SQL = """
+SELECT 'dlq' AS topic, COUNT(*) AS n FROM events WHERE event_id % 7 = 0
+UNION ALL
+SELECT 'main', COUNT(*) FROM events WHERE event_id % 7 <> 0
+ORDER BY topic
+"""
+
+
 QUERIES = {
+    "q_stream_dlq_split": QuerySpec(
+        q_stream_dlq_split,
+        Q_STREAM_DLQ_SQL,
+        "DLQ routing: one stream, two exactly-once topic sinks",
+    ),
     "q_stream_topic_sink_roundtrip": QuerySpec(
         q_stream_topic_sink_roundtrip,
         Q_STREAM_TOPIC_SINK_SQL,

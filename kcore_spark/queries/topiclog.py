@@ -340,7 +340,56 @@ ORDER BY partition
 """
 
 
+def q_topic_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-lag monitoring (the #1 Kafka operations dashboard
+    metric): per-partition high watermark minus the group's committed
+    offset. A group is committed at exactly half of each partition's
+    records (floor division — deterministic), so the oracle recomputes
+    the same lag relationally from the fixture. Control plane only:
+    list_offsets is manifest arithmetic and fetch_offsets reads the
+    tiny commit log; the data path is never scanned."""
+    log, topic = _produce_events_topic(spark, sf_dir)
+    wm = {r["partition"]: r["next_offset"] for r in log.list_offsets(topic).collect()}
+    for p, hi in sorted(wm.items()):
+        log.commit_offset("dash", topic, int(p), int(hi) // 2)
+    committed = log.fetch_offsets("dash").select(
+        F.col("partition").cast("long").alias("partition"),
+        "committed_offset",
+    )
+    offsets = log.list_offsets(topic).select(
+        F.col("partition").cast("long").alias("partition"), "next_offset"
+    )
+    return (
+        offsets.join(committed, "partition")
+        .select(
+            "partition",
+            "committed_offset",
+            F.col("next_offset").alias("high_watermark"),
+            (F.col("next_offset") - F.col("committed_offset")).alias("lag"),
+        )
+        .orderBy("partition")
+    )
+
+
+Q_TOPIC_CONSUMER_LAG_SQL = """
+WITH wm AS (
+  SELECT user_id % 3 AS partition, COUNT(*) AS next_offset
+  FROM events GROUP BY user_id % 3)
+SELECT partition,
+       next_offset // 2 AS committed_offset,
+       next_offset AS high_watermark,
+       next_offset - next_offset // 2 AS lag
+FROM wm
+ORDER BY partition
+"""
+
+
 QUERIES = {
+    "q_topic_consumer_lag": QuerySpec(
+        q_topic_consumer_lag,
+        Q_TOPIC_CONSUMER_LAG_SQL,
+        "per-partition consumer lag (watermark minus committed)",
+    ),
     "q_topic_compacted_read": QuerySpec(
         q_topic_compacted_read,
         Q_TOPIC_COMPACTED_SQL,
