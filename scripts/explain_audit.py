@@ -66,6 +66,9 @@ KNOWN_UNPUSHABLE = {
     "q_countmin_heavy_hitters",  # joins/filters on derived sketch buckets only
     "q_minhash_error",  # filters on derived signature/band columns only
     "q_next_event_pairs",  # only filter is the post-lag NULL drop
+    # control-plane query: filters hit the tiny __consumer_offsets JSON
+    # commit log (group_id + last-writer-wins rank), never the data path
+    "q_topic_consumer_lag",
     # filters only on derived columns: chunk duplicate counts / the
     # post-as-of-join inner-match null drop — nothing reaches the scan
     "q_cdc_chunk_dups",
