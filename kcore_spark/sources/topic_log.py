@@ -677,6 +677,7 @@ class TopicLog:
         counts accordingly (as in Kafka).
         """
         meta = self.topic_meta(topic)
+        self._reclaim_uncommitted(topic)
         wm = self._watermarks(topic)
         if partition_expr is None:
             partition_expr = F.pmod(F.xxhash64(F.col("key")), F.lit(meta.num_partitions))
@@ -700,6 +701,60 @@ class TopicLog:
             df = df.withColumn("headers", F.lit(None).cast("map<string,binary>"))
         out = df.select("key", "value", "partition", "offset", "timestamp", "timestampType", "headers")
         return self._write_and_advance(topic, wm, out, sink_commit=sink_commit)
+
+    def _reclaim_uncommitted(self, topic: str) -> int:
+        """Delete segment files whose offsets lie entirely at/after the
+        committed watermark — debris from a produce that crashed
+        between the parquet append and the watermark flip. Runs under
+        the commit locks at the start of every produce, BEFORE new
+        offsets are assigned from the watermark, so a reassignment can
+        never coexist on disk with its crashed predecessor (duplicate
+        offsets below the next flip). O(unindexed files): committed
+        files are in the manifest and skipped without a footer read;
+        files missing offset stats are left alone (can't prove them
+        uncommitted — the read-side watermark bound still hides any
+        uncommitted rows they hold)."""
+        import pyarrow.parquet as pq
+
+        data_dir = self._topic_dir(topic) + "/data"
+        if not os.path.isdir(data_dir):
+            return 0
+        try:
+            wm = self._watermarks(topic)
+        except FileNotFoundError:
+            return 0
+        known = {
+            e["file"]
+            for entries in self._load_manifest(topic).values()
+            for e in entries
+        }
+        removed = 0
+        for pdir in os.listdir(data_dir):
+            if not pdir.startswith("partition="):
+                continue
+            hi = wm.get(int(pdir.split("=", 1)[1]))
+            if hi is None:
+                continue
+            for fn in os.listdir(os.path.join(data_dir, pdir)):
+                rel = f"{pdir}/{fn}"
+                if not fn.endswith(".parquet") or rel in known:
+                    continue
+                path = os.path.join(data_dir, rel)
+                md = pq.ParquetFile(path).metadata
+                cols = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                lo = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(cols["offset"]).statistics
+                    if st is None or not st.has_min_max:
+                        lo = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                if lo is not None and lo >= hi:
+                    os.remove(path)
+                    removed += 1
+        return removed
 
     def _write_and_advance(
         self,
@@ -737,6 +792,7 @@ class TopicLog:
         flush path from the wire log, which assigned offsets at accept
         time. The caller owns offset density; watermarks advance to
         max(offset)+1 per partition."""
+        self._reclaim_uncommitted(topic)
         wm = self._watermarks(topic)
         out = records.select(
             "key", "value", "partition", "offset", "timestamp", "timestampType", "headers"
@@ -749,7 +805,16 @@ class TopicLog:
         """Full-log scan (batch); partition column from the dir layout.
         Records below a partition's log start offset (truncated via
         truncate_before / retention) are filtered out — they may still
-        exist physically inside segments that straddle the boundary."""
+        exist physically inside segments that straddle the boundary.
+
+        Reads are also bounded ABOVE by the committed watermark (r6):
+        the watermark flip is the produce commit point, so offsets at
+        or past it belong to a produce that never committed — a crash
+        between the parquet append and the flip must not leak
+        uncommitted records to readers (nor let compact() launder them
+        into committed data). Both bounds are map-literal scan-side
+        predicates, no join; partitions absent from the control file
+        (foreign writers) stay unbounded."""
         data_dir = self._topic_dir(topic) + "/data"
         if not os.path.isdir(data_dir):
             self._recover_compaction(topic)
@@ -765,6 +830,20 @@ class TopicLog:
                 F.col("offset")
                 >= F.coalesce(
                     F.create_map(*pairs)[F.col("partition")], F.lit(0)
+                )
+            )
+        try:
+            wm = self._watermarks(topic)
+        except FileNotFoundError:
+            wm = {}
+        if wm:
+            hi_pairs: list = []
+            for p, hi in wm.items():
+                hi_pairs += [F.lit(p), F.lit(hi)]
+            df = df.where(
+                F.col("offset")
+                < F.coalesce(
+                    F.create_map(*hi_pairs)[F.col("partition")], F.lit(2**62)
                 )
             )
         return df

@@ -230,3 +230,70 @@ def test_produce_serialized_by_commit_lock(spark, log):
     wm_path = log._wm_path("t")
     with open(wm_path) as f:
         assert {k: v for k, v in json.load(f).items() if not k.startswith("__")} == {"0": 10}
+
+
+# --------------------------------------- crashed-produce orphan safety
+
+
+def _orphan_file(log, topic, partition, offsets, base_ms=9_000_000):
+    """Simulate a produce that wrote its parquet but died before the
+    watermark flip: a segment with the given (uncommitted) offsets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdir = os.path.join(log._topic_dir(topic), "data", f"partition={partition}")
+    os.makedirs(pdir, exist_ok=True)
+    n = len(offsets)
+    t = pa.table(
+        {
+            "key": pa.array([b"orphan"] * n, type=pa.binary()),
+            "value": pa.array([b"ghost"] * n, type=pa.binary()),
+            "offset": pa.array(offsets, pa.int64()),
+            "timestamp": pa.array([base_ms * 1000] * n, pa.timestamp("us")),
+            "timestampType": pa.array([0] * n, pa.int32()),
+            "headers": pa.nulls(n, pa.map_(pa.string(), pa.binary())),
+        }
+    )
+    path = os.path.join(pdir, "part-crashed-0000.parquet")
+    pq.write_table(t, path)
+    return path
+
+
+def test_uncommitted_produce_is_invisible_to_readers(spark, log):
+    log.create_topic("t", 1)
+    log.produce("t", _records(spark, 10), partition_expr=F.lit(0), order_by=["seq"])
+    _orphan_file(log, "t", 0, list(range(10, 15)))
+    # the crashed produce never flipped the watermark: its records must
+    # not be readable (scan) nor compactable into committed data
+    assert log.scan("t").count() == 10
+    assert log.scan("t").agg(F.max("offset")).first()[0] == 9
+    log.compact("t")
+    vals = {r.value for r in log.scan("t").collect()}
+    assert b"ghost" not in vals
+
+
+def test_next_produce_reclaims_crashed_predecessor(spark, log):
+    log.create_topic("t", 1)
+    log.produce("t", _records(spark, 10), partition_expr=F.lit(0), order_by=["seq"])
+    orphan = _orphan_file(log, "t", 0, list(range(10, 15)))
+    # the next produce reassigns offsets 10..: the orphan holding the
+    # same offsets must be deleted BEFORE the write, or both copies
+    # would be visible below the new watermark (duplicate offsets)
+    log.produce("t", _records(spark, 5, base_ms=2_000_000), partition_expr=F.lit(0), order_by=["seq"])
+    assert not os.path.exists(orphan)
+    rows = log.scan("t").orderBy("offset").collect()
+    assert [r.offset for r in rows] == list(range(15))  # dense, no dupes
+    assert all(r.value != b"ghost" for r in rows)
+
+
+def test_reclaim_spares_committed_but_unindexed_files(spark, log):
+    """Crash between the watermark flip and the manifest refresh leaves
+    committed files unindexed — reclaim must keep them (their offsets
+    are below the watermark)."""
+    log.create_topic("t", 1)
+    log.produce("t", _records(spark, 10), partition_expr=F.lit(0), order_by=["seq"])
+    # wipe the manifest: every committed file is now unindexed
+    os.remove(log._manifest_path("t"))
+    assert log._reclaim_uncommitted("t") == 0
+    log.produce("t", _records(spark, 2, base_ms=3_000_000), partition_expr=F.lit(0), order_by=["seq"])
+    assert log.scan("t").count() == 12
