@@ -549,8 +549,12 @@ class TopicLog:
 
     def run_cleanup_all(self, now_ms: int | None = None) -> dict[str, dict]:
         """Cleaner pass over every topic — the loop a scheduler (cron,
-        streaming-listener hook) calls periodically."""
-        return {t: self.run_cleanup(t, now_ms=now_ms) for t in self.list_topics()}
+        streaming-listener hook) calls periodically. Also compacts the
+        __consumer_offsets analog (latest commit per key), the same
+        cleaner Kafka runs on its offsets topic."""
+        out = {t: self.run_cleanup(t, now_ms=now_ms) for t in self.list_topics()}
+        self.compact_offsets()
+        return out
 
     def _watermarks(self, topic: str) -> dict[int, int]:
         with open(self._wm_path(topic)) as f:
@@ -1278,3 +1282,81 @@ class TopicLog:
             .where(F.col("rn") == 1)
             .select("group_id", "topic", "partition", "committed_offset")
         )
+
+    @_locked
+    def compact_offsets(self) -> tuple[int, int]:
+        """Compact the ``__consumer_offsets`` analog: keep only the
+        latest commit per (group, topic, partition) — exactly the
+        cleaner pass Kafka runs on its offsets topic. Without it the
+        commit dir grows one file per commit_offset call forever, and
+        every fetch_offsets pays O(all commits ever made).
+
+        Control plane: the files are tiny JSON; read, reduce, rewrite
+        driver-side (no Spark job). Crash-safe by write-then-delete
+        ordering — the winning records are rewritten first (fresh
+        names, same last-writer-wins commit_seq), then stale files are
+        removed; a crash in between leaves duplicates that the
+        last-writer-wins read resolves identically. Returns
+        (files_before, files_after)."""
+        d = self._offsets_dir()
+        if not os.path.isdir(d):
+            return (0, 0)
+        files = [f for f in os.listdir(d) if f.startswith("commit-") and f.endswith(".json")]
+        latest: dict[tuple[str, str, int], dict] = {}
+        readable: list[str] = []
+        for fn in files:
+            try:
+                with open(os.path.join(d, fn)) as f:
+                    rec = json.load(f)
+                key = (rec["group_id"], rec["topic"], int(rec["partition"]))
+            except (ValueError, KeyError, OSError):
+                continue  # torn in-flight commit: never delete it
+            readable.append(fn)
+            if key not in latest or rec["commit_seq"] > latest[key]["commit_seq"]:
+                latest[key] = rec
+        if len(readable) <= len(latest):
+            return (len(files), len(files))
+        for rec in latest.values():
+            path = os.path.join(d, f"commit-{uuid.uuid4().hex}.json")
+            with open(path, "w") as f:
+                json.dump(rec, f)
+        for fn in readable:
+            try:
+                os.remove(os.path.join(d, fn))
+            except FileNotFoundError:
+                pass
+        return (len(files), len(latest))
+
+    @_locked
+    def reset_offsets(
+        self, group: str, topic: str, to: str | int = "earliest"
+    ) -> dict[int, int]:
+        """Consumer-group offset reset (the kafka-consumer-groups.sh
+        --reset-offsets analog): rewrite the group's committed offset
+        for every partition of ``topic`` to "earliest" (the log start),
+        "latest" (the high watermark), or — given an int — the first
+        offset at/after that epoch-ms timestamp (−1 partitions reset to
+        the watermark, matching ListOffsets by-timestamp semantics).
+        Plain commit_offset appends: last-writer-wins makes the reset
+        take effect atomically per partition, and the offsets-topic
+        history keeps the audit trail until compaction."""
+        wm = self._watermarks(topic)
+        if to == "earliest":
+            starts = self._log_starts(topic)
+            targets = {p: starts.get(p, 0) for p in wm}
+        elif to == "latest":
+            targets = dict(wm)
+        elif isinstance(to, int):
+            by_ts = {
+                r["partition"]: r["offset"]
+                for r in self.offsets_for_timestamp(topic, to).collect()
+            }
+            targets = {
+                p: (by_ts.get(p, -1) if by_ts.get(p, -1) >= 0 else wm[p])
+                for p in wm
+            }
+        else:
+            raise ValueError(f"unsupported reset target {to!r}")
+        for p, off in sorted(targets.items()):
+            self.commit_offset(group, topic, p, int(off))
+        return targets

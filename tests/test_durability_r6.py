@@ -297,3 +297,67 @@ def test_reclaim_spares_committed_but_unindexed_files(spark, log):
     assert log._reclaim_uncommitted("t") == 0
     log.produce("t", _records(spark, 2, base_ms=3_000_000), partition_expr=F.lit(0), order_by=["seq"])
     assert log.scan("t").count() == 12
+
+
+# --------------------------------------- offsets compaction + reset
+
+
+def test_compact_offsets_keeps_latest_per_key(spark, log):
+    log.create_topic("t", 2)
+    log.produce("t", _records(spark, 10), partition_expr=(F.col("seq") % 2).cast("int"), order_by=["seq"])
+    for off in (1, 2, 3):
+        log.commit_offset("g", "t", 0, off)
+        log.commit_offset("g", "t", 1, off + 10)
+    log.commit_offset("other", "t", 0, 99)
+    before = {
+        (r.partition): r.committed_offset for r in log.fetch_offsets("g").collect()
+    }
+    n_before, n_after = log.compact_offsets()
+    assert n_before == 7 and n_after == 3  # (g,t,0), (g,t,1), (other,t,0)
+    after = {
+        (r.partition): r.committed_offset for r in log.fetch_offsets("g").collect()
+    }
+    assert after == before == {0: 3, 1: 13}
+    assert log.fetch_offsets("other").collect()[0].committed_offset == 99
+    # idempotent second pass
+    assert log.compact_offsets() == (3, 3)
+
+
+def test_compact_offsets_spares_torn_files(spark, log):
+    log.create_topic("t", 1)
+    log.commit_offset("g", "t", 0, 5)
+    torn = os.path.join(log._offsets_dir(), "commit-torn.json")
+    with open(torn, "w") as f:
+        f.write('{"group_id": "g", "topi')  # in-flight write
+    log.commit_offset("g", "t", 0, 6)
+    log.compact_offsets()
+    assert os.path.exists(torn)  # never deletes what it can't read
+    assert log.fetch_offsets("g").collect()[0].committed_offset == 6
+
+
+def test_reset_offsets_earliest_latest_and_timestamp(spark, log):
+    log.create_topic("t", 1)
+    log.produce("t", _records(spark, 10, base_ms=1_000_000), partition_expr=F.lit(0), order_by=["seq"])
+    log.commit_offset("g", "t", 0, 4)
+    assert log.reset_offsets("g", "t", "latest") == {0: 10}
+    assert log.fetch_offsets("g").collect()[0].committed_offset == 10
+    assert log.reset_offsets("g", "t", "earliest") == {0: 0}
+    # truncate, then earliest = new log start
+    log.truncate_before("t", {0: 3})
+    assert log.reset_offsets("g", "t", "earliest") == {0: 3}
+    # timestamp reset: first offset at/after ts of seq 7 (1_000_007)
+    targets = log.reset_offsets("g", "t", 1_000_007)
+    assert targets == {0: 7}
+    assert log.fetch_offsets("g").collect()[0].committed_offset == 7
+    # a timestamp past the end resets to the watermark
+    assert log.reset_offsets("g", "t", 99_000_000) == {0: 10}
+
+
+def test_cleaner_compacts_offsets(spark, log):
+    log.create_topic("t", 1)
+    log.produce("t", _records(spark, 4), partition_expr=F.lit(0), order_by=["seq"])
+    for off in range(4):
+        log.commit_offset("g", "t", 0, off)
+    log.run_cleanup_all()
+    d = log._offsets_dir()
+    assert len([f for f in os.listdir(d) if f.startswith("commit-")]) == 1
