@@ -384,7 +384,88 @@ ORDER BY partition
 """
 
 
+def q_schema_governed_produce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-governed produce: payloads validated against the
+    subject's registered schema (sources/schema_registry.py) before
+    the append — valid rows land in the topic, rejects are counted
+    per failure class. Corruption is the q_events_corrupt_json
+    mangling (event_id % 7 truncates the JSON); the registered schema
+    additionally REQUIRES event_id, so the oracle recomputes both
+    gates relationally: topic count = parseable payloads carrying a
+    non-null event_id."""
+    import tempfile as tf
+
+    from kcore_spark.sources.schema_registry import SchemaRegistry
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 7 == 0,
+        F.substring(F.to_json(F.struct("event_id", "event_type", "value")), 1, 4),
+    ).otherwise(F.to_json(F.struct("event_id", "event_type", "value")))
+    reg = SchemaRegistry(tf.mkdtemp(prefix="kcore_sr_q_"))
+    reg.register(
+        "gov-value",
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        ),
+    )
+    staged = reg.validate_batch(
+        ev.select("event_id", payload.alias("value")), "gov-value"
+    )
+    root = tf.mkdtemp(prefix="kcore_topic_gov_")
+    log = TopicLog(spark, root)
+    log.create_topic("gov", 2)
+    log.produce(
+        "gov",
+        staged.where(F.col("__valid")).select(
+            F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+            F.encode(F.col("value"), "utf-8").alias("value"),
+            "event_id",
+        ),
+        partition_expr=(F.col("event_id") % 2).cast("int"),
+        order_by=["event_id"],
+    )
+    n_rejected = staged.where(~F.col("__valid")).count()
+    n_produced = log.scan("gov").count()
+    return spark.createDataFrame(
+        [("produced", n_produced), ("rejected", n_rejected)], "outcome string, n long"
+    ).orderBy("outcome")
+
+
+Q_SCHEMA_GOVERNED_SQL = """
+WITH payloads AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0
+              THEN substring(CAST(to_json(struct_pack(event_id := event_id,
+                                                      event_type := event_type,
+                                                      value := value)) AS VARCHAR), 1, 4)
+              ELSE CAST(to_json(struct_pack(event_id := event_id,
+                                            event_type := event_type,
+                                            value := value)) AS VARCHAR) END AS v
+  FROM events)
+, flags AS (
+  SELECT CASE WHEN json_valid(v)
+              THEN json_extract(v, '$.event_id') IS NOT NULL
+              ELSE FALSE END AS ok
+  FROM payloads)
+SELECT 'produced' AS outcome, COUNT(*) AS n FROM flags WHERE ok
+UNION ALL
+SELECT 'rejected', COUNT(*) FROM flags WHERE NOT ok
+ORDER BY outcome
+"""
+
+
 QUERIES = {
+    "q_schema_governed_produce": QuerySpec(
+        q_schema_governed_produce,
+        Q_SCHEMA_GOVERNED_SQL,
+        "schema-registry-gated produce (validate, route, count)",
+    ),
     "q_topic_consumer_lag": QuerySpec(
         q_topic_consumer_lag,
         Q_TOPIC_CONSUMER_LAG_SQL,
