@@ -791,3 +791,76 @@ QUERIES["q_feature_scaling"] = QuerySpec(
 QUERIES["q_cohens_kappa"] = QuerySpec(
     q_cohens_kappa, Q_COHENS_KAPPA_SQL, "inter-annotator agreement (Cohen's kappa)"
 )
+
+# ------------------------------------------------ data-quality expectations
+
+
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ suite over orders (operators/expectations.py):
+    seven checks — null/duplicate/domain/range/format/referential —
+    where the scan-able ones fold into ONE aggregate pass and only
+    uniqueness/referential pay their own (necessary) shuffles. The
+    oracle recomputes every violation count relationally; the fixture
+    is clean, so the interesting content is the check algebra itself
+    (null-aware accepted_values, composite-key uniqueness, anti-join
+    referential integrity), each pinned exactly."""
+    from kcore_spark.operators.expectations import ExpectationSuite
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    suite = (
+        ExpectationSuite(orders)
+        .not_null("o_orderkey")
+        .not_null("o_orderdate")
+        .accepted_values("o_orderstatus", ["O", "F", "P"])
+        .in_range("o_totalprice", 0, 1_000_000)
+        .matches("o_orderpriority", r"^[1-5]-[A-Z ]+$")
+        .unique("o_orderkey")
+        .relationship("o_custkey", customer, "c_custkey")
+    )
+    return suite.run().orderBy("expectation", "column")
+
+
+Q_DQ_EXPECTATIONS_SQL = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+SELECT * FROM (
+  SELECT 'accepted_values' AS expectation, 'o_orderstatus' AS "column",
+         CAST(COUNT(*) FILTER (o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL) AS BIGINT) AS violations,
+         (SELECT n_rows FROM n) AS n_rows
+  FROM orders
+  UNION ALL
+  SELECT 'in_range', 'o_totalprice',
+         CAST(COUNT(*) FILTER (o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 1000000) AS BIGINT),
+         (SELECT n_rows FROM n)
+  FROM orders
+  UNION ALL
+  SELECT 'matches', 'o_orderpriority',
+         CAST(COUNT(*) FILTER (o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')) AS BIGINT),
+         (SELECT n_rows FROM n)
+  FROM orders
+  UNION ALL
+  SELECT 'not_null', 'o_orderdate',
+         CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS BIGINT), (SELECT n_rows FROM n)
+  FROM orders
+  UNION ALL
+  SELECT 'not_null', 'o_orderkey',
+         CAST(COUNT(*) FILTER (o_orderkey IS NULL) AS BIGINT), (SELECT n_rows FROM n)
+  FROM orders
+  UNION ALL
+  SELECT 'relationship', 'o_custkey',
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE o.o_custkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+         (SELECT n_rows FROM n)
+  UNION ALL
+  SELECT 'unique', 'o_orderkey',
+         CAST(COALESCE((SELECT SUM(cnt - 1) FROM
+               (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)), 0) AS BIGINT),
+         (SELECT n_rows FROM n)
+)
+ORDER BY expectation, "column"
+"""
+
+QUERIES["q_dq_expectations"] = QuerySpec(
+    q_dq_expectations, Q_DQ_EXPECTATIONS_SQL, "one-pass declarative DQ suite"
+)

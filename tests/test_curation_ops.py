@@ -135,3 +135,40 @@ def test_minhash_error_estimates_bounded(spark):
         assert 0.0 <= r["true_jaccard"] <= 1.0
         # 6-component signatures quantize estimates to sixths
         assert abs(r["est_jaccard"] * 6 - round(r["est_jaccard"] * 6)) < 1e-9
+
+
+def test_expectations_catch_planted_violations(spark):
+    from kcore_spark.operators.expectations import ExpectationSuite
+
+    rows = [
+        (1, "O", 10.0, "ok@x"),
+        (1, "O", 20.0, "ok@x"),     # duplicate id
+        (2, "Z", -5.0, "bad"),      # bad status, out of range, bad format
+        (3, None, 30.0, None),      # null status + null email
+        (9, "F", 40.0, "ok@x"),     # orphan ref (no dim row 9)
+    ]
+    df = spark.createDataFrame(rows, "id long, status string, amt double, email string")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "ref long")
+    out = {
+        (r["expectation"], r["column"]): r["violations"]
+        for r in (
+            ExpectationSuite(df)
+            .not_null("status")
+            .accepted_values("status", ["O", "F"])
+            .in_range("amt", 0, 100)
+            .matches("email", r"^[a-z]+@[a-z]+$")
+            .unique("id")
+            .relationship("id", dim, "ref")
+            .run()
+            .collect()
+        )
+    }
+    assert out[("not_null", "status")] == 1
+    assert out[("accepted_values", "status")] == 2  # 'Z' and NULL
+    assert out[("in_range", "amt")] == 1
+    assert out[("matches", "email")] == 2  # 'bad' and NULL
+    assert out[("unique", "id")] == 1  # one extra copy of id=1
+    assert out[("relationship", "id")] == 1  # id=9 orphan
+    # every row also reports the table size
+    n = {r for r in out}  # keys sanity
+    assert len(n) == 6
