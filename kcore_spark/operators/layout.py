@@ -97,3 +97,127 @@ def files_for_range(path: str, lo, hi) -> list[str]:
         for fname, rng in sorted(man["files"].items())
         if not (rng["max"] < lo or rng["min"] > hi)
     ]
+
+
+# ------------------------------------------------------- Z-order layout
+
+
+def _interleave_bits(a: F.Column, b: F.Column, bits: int = 16) -> F.Column:
+    """Morton code: interleave the low `bits` bits of two non-negative
+    ints — pure JVM bit arithmetic (shiftleft/shiftright riding
+    codegen), no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        # Column `|` is logical OR in PySpark; bit math needs bitwiseOR
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_write(
+    df: DataFrame, path: str, key_a: str, key_b: str, num_files: int | None = None
+) -> dict:
+    """Two-dimensional clustering (the Delta OPTIMIZE ZORDER analog):
+    rank each key into 16-bit buckets (ntile — rank-based so skewed
+    value ranges still spread), interleave into a Morton code, and
+    range-write sorted by it. Each output file then covers a compact
+    REGION of (a, b) space, so min/max footer stats stay tight on BOTH
+    columns and a predicate on either (or both) prunes files — the
+    property a single-key sort gives only its leading column.
+
+    The per-file manifest records both columns' ranges; ``zorder_scan``
+    prunes with a 2-dim rectangle test. The ntile ranking is one
+    global-ordering window per key — at 100 TB replace with
+    approx-quantile bucket boundaries (the q-digest shape) to avoid
+    the single-task sort; the layout contract is unchanged."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    ra = F.ntile(1 << 16).over(Window.orderBy(F.col(key_a))) - 1
+    rb = F.ntile(1 << 16).over(Window.orderBy(F.col(key_b))) - 1
+    z = df.withColumn("__z", _interleave_bits(ra.cast("long"), rb.cast("long")))
+    (
+        z.repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    man: dict[str, dict] = {}
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fname)).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        rng: dict[str, float] = {}
+        ok = True
+        for key, tag in ((key_a, "a"), (key_b, "b")):
+            ki = cols[key]
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ki).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not ok or lo is None:
+                ok = False
+                break
+            rng[f"{tag}_min"], rng[f"{tag}_max"] = lo, hi
+        if ok:
+            man[fname] = rng
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump({"zorder": [key_a, key_b], "files": man}, f)
+    return man
+
+
+def zorder_scan(
+    spark: SparkSession,
+    path: str,
+    key_a: str,
+    a_lo,
+    a_hi,
+    key_b: str,
+    b_lo,
+    b_hi,
+) -> DataFrame:
+    """Rectangle scan over a Z-ordered layout: read only files whose
+    (a, b) bounding box intersects the query rectangle, then apply the
+    residual predicate."""
+    with open(os.path.join(path, MANIFEST)) as f:
+        man = json.load(f)
+    assert man.get("zorder") == [key_a, key_b], (
+        f"layout z-ordered by {man.get('zorder')}, not [{key_a}, {key_b}]"
+    )
+    picked = [
+        os.path.join(path, fname)
+        for fname, r in sorted(man["files"].items())
+        if not (
+            r["a_max"] < a_lo or r["a_min"] > a_hi
+            or r["b_max"] < b_lo or r["b_min"] > b_hi
+        )
+    ]
+    if not picked:
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*picked).where(
+        (F.col(key_a) >= a_lo) & (F.col(key_a) <= a_hi)
+        & (F.col(key_b) >= b_lo) & (F.col(key_b) <= b_hi)
+    )
+
+
+def zorder_files_for_rect(path: str, a_lo, a_hi, b_lo, b_hi) -> list[str]:
+    with open(os.path.join(path, MANIFEST)) as f:
+        man = json.load(f)
+    return [
+        fname
+        for fname, r in sorted(man["files"].items())
+        if not (
+            r["a_max"] < a_lo or r["a_min"] > a_hi
+            or r["b_max"] < b_lo or r["b_min"] > b_hi
+        )
+    ]

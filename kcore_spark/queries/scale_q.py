@@ -124,7 +124,50 @@ ORDER BY o_orderstatus
 """
 
 
+
+def q_zorder_rect_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional data skipping: orders Z-ORDERED on (o_orderkey,
+    o_custkey) — Morton-interleaved rank buckets, range-written — then
+    a rectangle query served by the 2-dim manifest-pruned scan. The
+    aggregate must match the oracle's plain 2-predicate filter (pruning
+    is never a semantics change); that BOTH dimensions actually prune
+    files is asserted in tests/test_layout."""
+    import tempfile
+
+    from kcore_spark.operators.layout import zorder_scan, zorder_write
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="kcore_q_zorder_")
+    zorder_write(orders, path, "o_orderkey", "o_custkey", num_files=16)
+    got = zorder_scan(
+        spark, path, "o_orderkey", 1000, 20000, "o_custkey", 100, 600
+    )
+    return got.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)")).cast("double").alias("sum_total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_custkey").alias("max_cust"),
+    ).orderBy("o_orderstatus")
+
+
+Q_ZORDER_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_total,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_custkey) AS max_cust
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 20000
+  AND o_custkey BETWEEN 100 AND 600
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "q_zorder_rect_scan": QuerySpec(
+        q_zorder_rect_scan, Q_ZORDER_SQL, "Z-order 2-dim manifest-pruned rectangle scan"
+    ),
     "q_clustered_range_scan": QuerySpec(
         q_clustered_range_scan,
         Q_CLUSTERED_SQL,

@@ -52,3 +52,46 @@ def test_pruned_scan_boundary_inclusive(spark):
     first_hi = sorted(r["max"] for r in man.values())[0]
     got = sorted(r.k for r in pruned_scan(spark, path, "k", first_hi, first_hi + 1).collect())
     assert got == [first_hi, first_hi + 1]
+
+
+# ------------------------------------------------------- Z-order layout
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    from kcore_spark.operators.layout import (
+        zorder_files_for_rect,
+        zorder_scan,
+        zorder_write,
+    )
+
+    df = spark.range(40_000).select(
+        F.col("id").alias("a"),
+        F.pmod(F.col("id") * 7919, F.lit(40_000)).alias("b"),  # decorrelated dim
+        (F.col("id") % 97).alias("v"),
+    )
+    path = str(tmp_path / "z")
+    man = zorder_write(df, path, "a", "b", num_files=16)
+    assert len(man) == 16
+    n_all = len(man)
+    # a narrow rectangle in BOTH dims prunes most files
+    picked = zorder_files_for_rect(path, 0, 2500, 0, 2500)
+    assert 0 < len(picked) < n_all / 2
+    # a slice constrained ONLY on b (the non-leading dim of a plain
+    # sort) still prunes — the property z-ordering buys
+    picked_b = zorder_files_for_rect(path, 0, 40_000, 0, 2500)
+    assert len(picked_b) < n_all
+    # correctness: pruned rectangle scan == full filter
+    got = zorder_scan(spark, path, "a", 0, 2500, "b", 0, 2500)
+    want = df.where((F.col("a") <= 2500) & (F.col("b") <= 2500))
+    assert sorted(r["a"] for r in got.collect()) == sorted(
+        r["a"] for r in want.collect()
+    )
+
+
+def test_zorder_empty_rectangle(spark, tmp_path):
+    from kcore_spark.operators.layout import zorder_scan, zorder_write
+
+    df = spark.range(100).select(F.col("id").alias("a"), F.col("id").alias("b"))
+    path = str(tmp_path / "z2")
+    zorder_write(df, path, "a", "b", num_files=4)
+    assert zorder_scan(spark, path, "a", 1000, 2000, "b", 0, 10).count() == 0
