@@ -864,3 +864,162 @@ ORDER BY expectation, "column"
 QUERIES["q_dq_expectations"] = QuerySpec(
     q_dq_expectations, Q_DQ_EXPECTATIONS_SQL, "one-pass declarative DQ suite"
 )
+
+# ------------------------------------------------- rolling-origin backtest
+
+
+def q_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin cross-validation folds — the leakage-safe
+    time-series evaluation protocol: fold k trains on everything
+    before a cutoff and tests on the next window. Four monthly
+    cutoffs over the events range; each fold reports train/test sizes
+    and the train-vs-test mean-value shift (the drift signal that
+    invalidates a fold). One scan crossed with a 4-row broadcast fold
+    table — never one job per fold."""
+    ev = load_table(spark, sf_dir, "events")
+    folds = spark.createDataFrame(
+        [(1, "2024-01-08"), (2, "2024-01-15"), (3, "2024-01-22"), (4, "2024-01-29")],
+        "fold int, cutoff string",
+    ).select("fold", F.to_timestamp("cutoff").alias("cutoff"))
+    tagged = ev.crossJoin(F.broadcast(folds)).withColumn(
+        "role",
+        F.when(F.col("ts") < F.col("cutoff"), F.lit("train"))
+        .when(F.col("ts") < F.col("cutoff") + F.expr("INTERVAL 7 DAYS"), F.lit("test"))
+        .otherwise(F.lit(None)),
+    ).where(F.col("role").isNotNull())
+    per_role = tagged.groupBy("fold", "role").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("mean_value"),
+    )
+    train = per_role.where(F.col("role") == "train").select(
+        "fold", F.col("n").alias("n_train"), F.col("mean_value").alias("train_mean")
+    )
+    test = per_role.where(F.col("role") == "test").select(
+        "fold", F.col("n").alias("n_test"), F.col("mean_value").alias("test_mean")
+    )
+    return (
+        train.join(test, "fold")
+        .select(
+            "fold",
+            "n_train",
+            "n_test",
+            "train_mean",
+            "test_mean",
+            (F.col("test_mean") - F.col("train_mean")).alias("mean_shift"),
+        )
+        .orderBy("fold")
+    )
+
+
+Q_BACKTEST_SQL = """
+WITH folds AS (
+  SELECT * FROM (VALUES (1, TIMESTAMP '2024-01-08'), (2, TIMESTAMP '2024-01-15'),
+                        (3, TIMESTAMP '2024-01-22'), (4, TIMESTAMP '2024-01-29'))
+  t(fold, cutoff)),
+tagged AS (
+  SELECT f.fold,
+         CASE WHEN CAST(e.ts AS TIMESTAMP) < f.cutoff THEN 'train'
+              WHEN CAST(e.ts AS TIMESTAMP) < f.cutoff + INTERVAL 7 DAY THEN 'test'
+              END AS role,
+         e.value
+  FROM events e CROSS JOIN folds f),
+per_role AS (
+  SELECT fold, role, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_value
+  FROM tagged WHERE role IS NOT NULL
+  GROUP BY fold, role)
+SELECT tr.fold, tr.n AS n_train, te.n AS n_test,
+       tr.mean_value AS train_mean, te.mean_value AS test_mean,
+       te.mean_value - tr.mean_value AS mean_shift
+FROM per_role tr JOIN per_role te
+  ON tr.fold = te.fold AND tr.role = 'train' AND te.role = 'test'
+ORDER BY tr.fold
+"""
+
+QUERIES["q_backtest_folds"] = QuerySpec(
+    q_backtest_folds, Q_BACKTEST_SQL, "rolling-origin backtest folds + drift"
+)
+
+# ------------------------------------------------- embedding truncation
+
+
+def q_matryoshka_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dimension ablation (the Matryoshka/MRL question: how
+    much similarity signal survives truncating vectors to the first k
+    dims). For each budget k, the mean and worst absolute gap between
+    truncated-dim cosine and full cosine over the label-blocked pair
+    set of q_embedding_neardup — pure array-slice folds riding the
+    same equi-join, no extra shuffles per budget."""
+    from kcore_spark.operators.similarity import as_double, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        F.col("vec_id").alias("id"),
+        as_double(F.col("embedding")).alias("e"),
+        "label",
+    )
+    a = n.select(F.col("id").alias("id1"), F.col("e").alias("e1"), "label")
+    b = n.select(F.col("id").alias("id2"), F.col("e").alias("e2"), "label")
+    pairs = a.join(b, "label").where(F.col("id1") < F.col("id2"))
+
+    def cos_k(k: int | None):
+        e1 = F.col("e1") if k is None else F.slice(F.col("e1"), 1, k)
+        e2 = F.col("e2") if k is None else F.slice(F.col("e2"), 1, k)
+        return dot(e1, e2) / (F.sqrt(dot(e1, e1)) * F.sqrt(dot(e2, e2)))
+
+    budgets = [4, 8, 16, 32]
+    scored = pairs.select(
+        *[F.abs(cos_k(k) - cos_k(None)).alias(f"gap{k}") for k in budgets]
+    )
+    rows = scored.agg(
+        *[F.avg(f"gap{k}").alias(f"avg{k}") for k in budgets],
+        *[F.max(f"gap{k}").alias(f"max{k}") for k in budgets],
+    )
+    out = rows.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("dims"),
+                        F.col(f"avg{k}").alias("mean_abs_gap"),
+                        F.col(f"max{k}").alias("max_abs_gap"),
+                    )
+                    for k in budgets
+                ]
+            )
+        ).alias("r")
+    )
+    return out.select("r.dims", "r.mean_abs_gap", "r.max_abs_gap").orderBy("dims")
+
+
+def _matryoshka_sql():
+    budgets = [4, 8, 16, 32]
+    arms = []
+    for k in budgets:
+        arms.append(f"""
+  SELECT {k} AS dims,
+         AVG(ABS(list_inner_product(e1[1:{k}], e2[1:{k}])
+                 / (sqrt(list_inner_product(e1[1:{k}], e1[1:{k}]))
+                    * sqrt(list_inner_product(e2[1:{k}], e2[1:{k}])))
+                 - full_cos)) AS mean_abs_gap,
+         MAX(ABS(list_inner_product(e1[1:{k}], e2[1:{k}])
+                 / (sqrt(list_inner_product(e1[1:{k}], e1[1:{k}]))
+                    * sqrt(list_inner_product(e2[1:{k}], e2[1:{k}])))
+                 - full_cos)) AS max_abs_gap
+  FROM pairs""")
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+pairs AS (
+  SELECT a.e AS e1, b.e AS e2,
+         list_inner_product(a.e, b.e)
+         / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) AS full_cos
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+{" UNION ALL ".join(arms)}
+ORDER BY dims
+"""
+
+
+QUERIES["q_matryoshka_ablation"] = QuerySpec(
+    q_matryoshka_ablation, _matryoshka_sql(), "embedding truncation ablation (MRL)"
+)

@@ -41,6 +41,7 @@ ALLOWED_NLJ = {
     "q_cuped_adjustment",  # 1-row period-boundary broadcast cross
     "q_profile_orders",  # 1-row min/max-bounds broadcast cross (histogram bounds)
     "q_cohens_kappa",  # 1-row totals × 1-row pe broadcast cross (kappa margins)
+    "q_backtest_folds",  # 4-row fold table broadcast cross (one scan, all folds)
     "q_ivf_pq_search",  # centroid/codebook broadcast crosses (ANN assign+encode)
 }
 # filters that legitimately can't reach parquet: post-window rank
@@ -69,6 +70,7 @@ KNOWN_UNPUSHABLE = {
     # control-plane query: filters hit the tiny __consumer_offsets JSON
     # commit log (group_id + last-writer-wins rank), never the data path
     "q_topic_consumer_lag",
+    "q_backtest_folds",  # role filter is on the derived train/test tag
     # filters only on derived columns: chunk duplicate counts / the
     # post-as-of-join inner-match null drop — nothing reaches the scan
     "q_cdc_chunk_dups",
