@@ -774,3 +774,157 @@ QUERIES["q_cumulative_distinct_users"] = QuerySpec(
     Q_CUMULATIVE_DISTINCT_SQL,
     "cumulative distinct users (first-seen rewrite)",
 )
+
+
+# ------------------------------------------------- CUSUM change point
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: daily mean values,
+    centered by the series' own global mean, accumulated as a running
+    sum — the day where |S| peaks is the most likely level-shift
+    point, and the peak magnitude is the shift evidence. All sums are
+    decimal-exact before the double surface (order-free, the
+    FIXTURES.md rule); one scan, one daily rollup, one window per
+    type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("day_mean", F.col("s").cast("double") / F.col("n"))
+    )
+    g = Window.partitionBy("event_type")
+    seq = Window.partitionBy("event_type").orderBy("d")
+    centered = daily.withColumn(
+        "dev",
+        (
+            F.col("day_mean")
+            - F.sum(F.col("s")).over(g).cast("double") / F.sum(F.col("n")).over(g)
+        ),
+    )
+    cusum = centered.withColumn(
+        "s_cum",
+        F.sum(F.col("dev").cast("decimal(28,10)")).over(
+            seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("double"),
+    )
+    peak = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_cum")).desc(), F.col("d").asc()
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(peak))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.unix_timestamp("d").alias("change_day_epoch"),
+            F.col("s_cum").alias("peak_cusum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         SUM(CAST(value AS DECIMAL(28,10))) AS s, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+centered AS (
+  SELECT event_type, d,
+         CAST(s AS DOUBLE) / n
+           - CAST(SUM(s) OVER (PARTITION BY event_type) AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY event_type) AS dev
+  FROM daily),
+cusum AS (
+  SELECT event_type, d,
+         CAST(SUM(CAST(dev AS DECIMAL(28,10))) OVER (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS s_cum
+  FROM centered)
+SELECT event_type,
+       CAST(FLOOR(epoch(d)) AS BIGINT) AS change_day_epoch,
+       s_cum AS peak_cusum
+FROM cusum
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(s_cum) DESC, d) = 1
+ORDER BY event_type
+"""
+
+QUERIES["q_cusum_changepoint"] = QuerySpec(
+    q_cusum_changepoint, Q_CUSUM_SQL, "CUSUM level-shift change-point per series"
+)
+
+
+# ------------------------------------------------- windowed EWMA smoothing
+
+
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed EWMA (10-tap, α=0.3) over the daily mean series per
+    event type — the smoothing pass a monitoring pipeline runs before
+    thresholding. The infinite recursion is truncated to 10 taps so
+    the weights are a FIXED multiply-add chain, written in the
+    identical order on both engines (bit-stable — the same stance as
+    the decimal-sum rule; a true infinite-memory EWMA is inherently
+    order-recursive and pins poorly). Emits the final 5 smoothed
+    points per type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d")
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(28,10)")).cast("double") / F.count(F.lit(1))).alias("m")
+        )
+    )
+    seq = Window.partitionBy("event_type").orderBy("d")
+    alpha = 0.3
+    taps = [alpha * (1 - alpha) ** j for j in range(10)]
+    expr = F.lit(0.0)
+    wsum = F.lit(0.0)
+    for j, wj in enumerate(taps):
+        x = F.lag("m", j).over(seq)
+        expr = expr + F.when(x.isNotNull(), F.lit(wj) * x).otherwise(F.lit(0.0))
+        wsum = wsum + F.when(x.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+    sm = daily.withColumn("ewma", expr / wsum).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy(F.col("d").desc()))
+    )
+    return (
+        sm.where(F.col("rn") <= 5)
+        .select("event_type", F.unix_timestamp("d").alias("day_epoch"), "m", "ewma")
+        .orderBy("event_type", "day_epoch")
+    )
+
+
+def _ewma_sql():
+    alpha = 0.3
+    taps = [alpha * (1 - alpha) ** j for j in range(10)]
+    num = " + ".join(
+        f"CASE WHEN LAG(m, {j}) OVER w IS NOT NULL THEN {w!r} * LAG(m, {j}) OVER w ELSE 0.0 END"
+        for j, w in enumerate(taps)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG(m, {j}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END"
+        for j, w in enumerate(taps)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS m
+  FROM events GROUP BY 1, 2),
+sm AS (
+  SELECT event_type, d, m,
+         (0.0 + {num}) / (0.0 + {den}) AS ewma,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d DESC) AS rn
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d))
+SELECT event_type, CAST(FLOOR(epoch(d)) AS BIGINT) AS day_epoch, m, ewma
+FROM sm WHERE rn <= 5
+ORDER BY event_type, day_epoch
+"""
+
+
+QUERIES["q_ewma_smoothing"] = QuerySpec(
+    q_ewma_smoothing, _ewma_sql(), "10-tap windowed EWMA smoothing"
+)
