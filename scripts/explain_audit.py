@@ -71,6 +71,8 @@ KNOWN_UNPUSHABLE = {
     # commit log (group_id + last-writer-wins rank), never the data path
     "q_topic_consumer_lag",
     "q_backtest_folds",  # role filter is on the derived train/test tag
+    "q_cusum_changepoint",  # only filter is the post-window peak-rank cut
+    "q_ewma_smoothing",  # only filter is the post-window recency-rank cut
     # filters only on derived columns: chunk duplicate counts / the
     # post-as-of-join inner-match null drop — nothing reaches the scan
     "q_cdc_chunk_dups",
