@@ -84,6 +84,13 @@ EXTRAS = [
     "q_semantic_clusters",
     "q_fuzzy_clusters",
     "q_stream_timeout_sessions",
+    # round-6 curation/profiling block
+    "q_countmin_heavy_hitters",
+    "q_pii_redact",
+    "q_dataset_split",
+    "q_dq_expectations",
+    "q_zorder_rect_scan",
+    "q_max_concurrent",
 ]
 
 
