@@ -698,11 +698,18 @@ def decode_fetch_response(payload: bytes, api_version: int = 4):
 # ------------------------------------------------------ handlers
 
 
-def handle_produce(log: WireLog, payload: bytes) -> bytes:
+def handle_produce(log: WireLog, payload: bytes, authorize=None) -> bytes:
     req = decode_produce_request(payload)
     results = []
     for name, parts in req.topics:
         part_results = []
+        if authorize is not None and not authorize("WRITE", "TOPIC", name):
+            # per-topic authorization failure (error 29), same placement
+            # as a real broker: other topics in the request proceed
+            results.append(
+                (name, [(p.index, 29, -1) for p in parts])
+            )
+            continue
         for p in parts:
             if not log.has(name, p.index):
                 part_results.append((p.index, wire.ERR_UNKNOWN_TOPIC_OR_PARTITION, -1))
@@ -833,7 +840,7 @@ def _read_partition(log: WireLog, name, p, isolation_level, max_records):
     return (p.index, wire.ERR_NONE, hw, log.log_start(name, p.index), batch)
 
 
-def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 1000) -> bytes:
+def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 1000, authorize=None) -> bytes:
     """Fetch v4-v13 with KIP-227 incremental sessions (v7+).
 
     session_epoch -1 → sessionless full fetch (session_id 0 in the
@@ -924,6 +931,10 @@ def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 
     results = list(id_errors)
     for name, parts in work:
         part_results = []
+        if authorize is not None and not authorize("READ", "TOPIC", name):
+            # per-topic TOPIC_AUTHORIZATION_FAILED (29), like a real broker
+            results.append((name, [(p.index, 29, -1, None) for p in parts]))
+            continue
         for p in parts:
             entry = _read_partition(log, name, p, req.isolation_level, max_records_per_partition)
             if incremental:

@@ -40,6 +40,7 @@ class KafkaFrontend:
         credentials: dict[str, str] | None = None,
         max_connections: int = 256,
         cleaner_interval_ms: int | None = None,
+        acl_store=None,
     ):
         from kcore_spark.protocol.broker import WireLog
 
@@ -54,6 +55,11 @@ class KafkaFrontend:
         from kcore_spark.protocol.consumer_group import ConsumerGroupCoordinator
 
         self.group_store = GroupStore()
+        # Optional ACL authorizer (protocol/acl.py): when set, Produce
+        # and Fetch are gated per topic by the connection's SASL
+        # principal (ANONYMOUS when unauthenticated), and the ACL CRUD
+        # APIs (29/30/31) operate on this store.
+        self.acl_store = acl_store
         self.coordinator = Coordinator(topic_partitions=self._catalog_partitions)
         # KIP-848 next-gen groups live beside the classic coordinator —
         # real brokers likewise run both protocols during migration
@@ -223,11 +229,15 @@ class KafkaFrontend:
         if api_key == wire.PRODUCE_KEY and 3 <= api_version <= 11:
             from kcore_spark.protocol.broker import handle_produce
 
-            return handle_produce(self.wire_log, payload)
+            return handle_produce(
+                self.wire_log, payload, authorize=self._authorizer(sasl)
+            )
         if api_key == wire.FETCH_KEY and 4 <= api_version <= 13:
             from kcore_spark.protocol.broker import handle_fetch
 
-            return handle_fetch(self.wire_log, payload)
+            return handle_fetch(
+                self.wire_log, payload, authorize=self._authorizer(sasl)
+            )
         if api_key == wire.OFFSET_COMMIT_KEY and 2 <= api_version <= 8:
             from kcore_spark.protocol.groups import handle_offset_commit
 
@@ -338,6 +348,18 @@ class KafkaFrontend:
             return handle_describe_log_dirs(self.wire_log, payload)
         if api_key == wire.GET_TELEMETRY_SUBSCRIPTIONS_KEY and api_version == 0:
             return self._handle_telemetry_subscriptions(payload)
+        if api_key == wire.DESCRIBE_ACLS_KEY and api_version <= 1:
+            from kcore_spark.protocol import acl
+
+            return acl.handle_describe_acls(self._acls(), payload)
+        if api_key == wire.CREATE_ACLS_KEY and api_version <= 1:
+            from kcore_spark.protocol import acl
+
+            return acl.handle_create_acls(self._acls(), payload)
+        if api_key == wire.DELETE_ACLS_KEY and api_version <= 1:
+            from kcore_spark.protocol import acl
+
+            return acl.handle_delete_acls(self._acls(), payload)
         # Kafka answers an unsupported API with an ApiVersions-shaped
         # error so clients can renegotiate; the reference kills the
         # connection here (kafka_api.go:95-96) — deliberate deviation.
@@ -359,6 +381,27 @@ class KafkaFrontend:
             "ApiVersions from %s/%s", req.client_software_name, req.client_software_version
         )
         return wire.encode_api_versions_response(req.header.correlation_id, api_version)
+
+    def _acls(self):
+        from kcore_spark.protocol.acl import AclStore
+
+        if self.acl_store is None:
+            self.acl_store = AclStore()
+        return self.acl_store
+
+    def _authorizer(self, sasl):
+        """Per-connection authorize callback for the data path, or
+        None when no ACL store is configured (authorization off — the
+        default, like a broker without an authorizer.class.name)."""
+        if self.acl_store is None:
+            return None
+        principal = (
+            f"User:{sasl.authorization_id}"
+            if sasl is not None and sasl.authenticated and sasl.authorization_id
+            else "User:ANONYMOUS"
+        )
+        store = self.acl_store
+        return lambda op, rtype, rname: store.authorize(principal, op, rtype, rname)
 
     def _handle_telemetry_subscriptions(self, payload: bytes) -> bytes:
         """GetTelemetrySubscriptions (API key 71, v0, KIP-714): modern

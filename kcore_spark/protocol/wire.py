@@ -51,6 +51,9 @@ ALTER_CONFIGS_KEY = 33
 SASL_HANDSHAKE_KEY = 17
 SASL_AUTHENTICATE_KEY = 36
 OFFSET_DELETE_KEY = 47
+DESCRIBE_ACLS_KEY = 29
+CREATE_ACLS_KEY = 30
+DELETE_ACLS_KEY = 31
 CREATE_PARTITIONS_KEY = 37
 DESCRIBE_LOG_DIRS_KEY = 35
 GET_TELEMETRY_SUBSCRIPTIONS_KEY = 71  # KIP-714 client metrics
@@ -97,6 +100,9 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (SASL_HANDSHAKE_KEY, 0, 1),
     (SASL_AUTHENTICATE_KEY, 0, 1),
     (OFFSET_DELETE_KEY, 0, 0),
+    (DESCRIBE_ACLS_KEY, 0, 1),
+    (CREATE_ACLS_KEY, 0, 1),
+    (DELETE_ACLS_KEY, 0, 1),
     (CREATE_PARTITIONS_KEY, 0, 3),
     (DESCRIBE_LOG_DIRS_KEY, 0, 2),
     (GET_TELEMETRY_SUBSCRIPTIONS_KEY, 0, 0),

@@ -1,0 +1,204 @@
+"""ACL authorizer: matching semantics (literal/prefixed, deny-over-
+allow, super users), CRUD wire APIs (29/30/31), and data-path
+enforcement on Produce/Fetch by SASL principal."""
+
+from __future__ import annotations
+
+import pytest
+
+from kcore_spark.protocol import wire
+from kcore_spark.protocol.acl import (
+    OP_ALL,
+    OP_READ,
+    OP_WRITE,
+    PAT_LITERAL,
+    PAT_PREFIXED,
+    PERM_ALLOW,
+    PERM_DENY,
+    RES_TOPIC,
+    AclBinding,
+    AclStore,
+)
+from kcore_spark.protocol.records import Record, encode_record_batch
+from kcore_spark.protocol.server import KafkaFrontend
+
+
+def b(
+    name, principal, op, perm, pattern=PAT_LITERAL, host="*", rtype=RES_TOPIC
+) -> AclBinding:
+    return AclBinding(rtype, name, pattern, principal, host, op, perm)
+
+
+# ------------------------------------------------- matching semantics
+
+
+def test_default_deny_and_literal_allow():
+    store = AclStore()
+    assert not store.authorize("User:alice", "WRITE", "TOPIC", "t")
+    store.create(b("t", "User:alice", OP_WRITE, PERM_ALLOW))
+    assert store.authorize("User:alice", "WRITE", "TOPIC", "t")
+    assert not store.authorize("User:alice", "READ", "TOPIC", "t")
+    assert not store.authorize("User:bob", "WRITE", "TOPIC", "t")
+    assert not store.authorize("User:alice", "WRITE", "TOPIC", "other")
+
+
+def test_deny_overrides_allow():
+    store = AclStore()
+    store.create(b("*", "User:alice", OP_ALL, PERM_ALLOW))
+    store.create(b("secret", "User:alice", OP_READ, PERM_DENY))
+    assert store.authorize("User:alice", "READ", "TOPIC", "public")
+    assert not store.authorize("User:alice", "READ", "TOPIC", "secret")
+    assert store.authorize("User:alice", "WRITE", "TOPIC", "secret")  # only READ denied
+
+
+def test_prefixed_pattern_and_wildcard_principal():
+    store = AclStore()
+    store.create(b("logs-", "User:*", OP_READ, PERM_ALLOW, pattern=PAT_PREFIXED))
+    assert store.authorize("User:anyone", "READ", "TOPIC", "logs-app1")
+    assert not store.authorize("User:anyone", "READ", "TOPIC", "metrics-app1")
+
+
+def test_super_user_bypasses_everything():
+    store = AclStore(super_users={"User:admin"})
+    store.create(b("*", "User:admin", OP_ALL, PERM_DENY))
+    assert store.authorize("User:admin", "WRITE", "TOPIC", "anything")
+
+
+def test_all_operation_covers_specific():
+    store = AclStore()
+    store.create(b("t", "User:alice", OP_ALL, PERM_ALLOW))
+    assert store.authorize("User:alice", "READ", "TOPIC", "t")
+    assert store.authorize("User:alice", "WRITE", "TOPIC", "t")
+
+
+# ------------------------------------------------- wire CRUD
+
+
+@pytest.fixture()
+def fe():
+    f = KafkaFrontend(acl_store=AclStore())
+    f.wire_log.create_topic("alpha", 1)
+    return f
+
+
+def _create_acls(fe, creations, version=1, corr=50):
+    w = wire.Writer()
+    w.int16(wire.CREATE_ACLS_KEY).int16(version).int32(corr)
+    w.nullable_string("pytest")
+    w.int32(len(creations))
+    for c in creations:
+        w.int8(c.resource_type)
+        w.nullable_string(c.resource_name)
+        if version >= 1:
+            w.int8(c.pattern_type)
+        w.nullable_string(c.principal)
+        w.nullable_string(c.host)
+        w.int8(c.operation)
+        w.int8(c.permission)
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == corr
+    r.int32()  # throttle
+    return [
+        (r.int16(), r.nullable_string()) for _ in range(r.int32())
+    ]
+
+
+def _describe_acls(fe, version=1, resource_name=None, principal=None, corr=51):
+    w = wire.Writer()
+    w.int16(wire.DESCRIBE_ACLS_KEY).int16(version).int32(corr)
+    w.nullable_string("pytest")
+    w.int8(1)  # resource_type ANY
+    w.nullable_string(resource_name)
+    if version >= 1:
+        w.int8(1)  # pattern_type ANY
+    w.nullable_string(principal)
+    w.nullable_string(None)  # host
+    w.int8(1)  # operation ANY
+    w.int8(1)  # permission ANY
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == corr
+    r.int32()  # throttle
+    assert r.int16() == wire.ERR_NONE
+    r.nullable_string()
+    out = []
+    for _ in range(r.int32()):
+        rt = r.int8()
+        rn = r.nullable_string()
+        pt = r.int8() if version >= 1 else PAT_LITERAL
+        for _ in range(r.int32()):
+            out.append(
+                (rn, pt, r.nullable_string(), r.nullable_string(), r.int8(), r.int8())
+            )
+    return out
+
+
+def test_create_describe_delete_roundtrip(fe):
+    acls = [
+        b("alpha", "User:alice", OP_WRITE, PERM_ALLOW),
+        b("logs-", "User:bob", OP_READ, PERM_ALLOW, pattern=PAT_PREFIXED),
+    ]
+    assert _create_acls(fe, acls) == [(0, None), (0, None)]
+    got = _describe_acls(fe)
+    assert len(got) == 2
+    assert ("alpha", PAT_LITERAL, "User:alice", "*", OP_WRITE, PERM_ALLOW) in got
+    # filtered describe
+    got_alice = _describe_acls(fe, principal="User:alice")
+    assert len(got_alice) == 1
+    # delete by principal filter
+    w = wire.Writer()
+    w.int16(wire.DELETE_ACLS_KEY).int16(1).int32(52)
+    w.nullable_string("pytest")
+    w.int32(1)
+    w.int8(1)  # ANY resource type
+    w.nullable_string(None)
+    w.int8(1)  # ANY pattern
+    w.nullable_string("User:bob")
+    w.nullable_string(None)
+    w.int8(1)
+    w.int8(1)
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    assert r.int32() == 52
+    r.int32()
+    assert r.int32() == 1  # one filter result
+    assert r.int16() == wire.ERR_NONE
+    r.nullable_string()
+    assert r.int32() == 1  # one matching acl deleted
+    assert len(_describe_acls(fe)) == 1
+
+
+# ------------------------------------------------- data-path enforcement
+
+
+def _produce(fe, topic, corr=60):
+    batch = encode_record_batch([Record(b"k", b"v", 100)])
+    w = wire.Writer()
+    w.int16(wire.PRODUCE_KEY).int16(3).int32(corr)
+    w.nullable_string("pytest")
+    w.nullable_string(None)  # transactional_id
+    w.int16(-1).int32(30000)
+    w.int32(1)
+    w.nullable_string(topic)
+    w.int32(1)
+    w.int32(0)
+    w.int32(len(batch))
+    w.raw(batch)
+    r = wire.Reader(fe.handle_request(w.bytes()))
+    r.int32()
+    r.int32()  # one topic
+    r.nullable_string()
+    r.int32()  # one partition
+    r.int32()  # index
+    return r.int16()  # error code
+
+
+def test_produce_denied_without_acl_and_allowed_with(fe):
+    # authorization on, no bindings: ANONYMOUS is denied
+    assert _produce(fe, "alpha") == 29  # TOPIC_AUTHORIZATION_FAILED
+    fe.acl_store.create(b("alpha", "User:ANONYMOUS", OP_WRITE, PERM_ALLOW))
+    assert _produce(fe, "alpha") == wire.ERR_NONE
+
+
+def test_no_acl_store_means_authorization_off():
+    f = KafkaFrontend()  # default: no authorizer configured
+    f.wire_log.create_topic("alpha", 1)
+    assert _produce(f, "alpha") == wire.ERR_NONE
