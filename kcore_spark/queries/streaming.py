@@ -259,6 +259,81 @@ ORDER BY p_user
 """
 
 
+def q_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join: null rows on BOTH sides come
+    from state eviction — an unmatched purchase emits (p, null) and an
+    unmatched view emits (null, v) only when the watermark proves no
+    partner can still arrive. Determinism vs the batch oracle uses the
+    same end-of-stream cutoff argument as the LEFT variant, applied on
+    both sides (a row whose event time is ≤ max(ts) − 2h has had its
+    full join window watermark-closed by the final no-data batch)."""
+    from kcore_spark.catalog import load_table
+
+    views = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "30 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user AND v_ts >= p_ts - INTERVAL 10 MINUTES AND v_ts < p_ts"
+        ),
+        "fullOuter",
+    )
+    out = run_to_table(joined.select("p_user", "p_ts", "v_user", "v_ts"), "append")
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("c")).first()[0]
+    # classify each emitted row; user key comes from whichever side is present
+    keyed = out.where(
+        F.coalesce(F.col("p_ts"), F.col("v_ts")) <= F.lit(cutoff)
+    ).select(
+        F.coalesce(F.col("p_user"), F.col("v_user")).alias("user_id"),
+        F.when(F.col("p_ts").isNull(), F.lit("view_only"))
+        .when(F.col("v_ts").isNull(), F.lit("purchase_only"))
+        .otherwise(F.lit("matched"))
+        .alias("kind"),
+    )
+    return (
+        keyed.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("kind")
+    )
+
+
+Q_STREAM_STREAM_FULL_SQL = """
+WITH cut AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR AS c FROM events),
+p AS (SELECT user_id AS pu, CAST(ts AS TIMESTAMP) AS pts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id AS vu, CAST(ts AS TIMESTAMP) AS vts FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT pu, pts, vu, vts
+  FROM p FULL OUTER JOIN v
+    ON pu = vu AND vts >= pts - INTERVAL 10 MINUTE AND vts < pts),
+keyed AS (
+  SELECT COALESCE(pu, vu) AS user_id,
+         CASE WHEN pts IS NULL THEN 'view_only'
+              WHEN vts IS NULL THEN 'purchase_only'
+              ELSE 'matched' END AS kind
+  FROM j
+  WHERE COALESCE(pts, vts) <= (SELECT c FROM cut))
+SELECT kind, COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users
+FROM keyed
+GROUP BY kind
+ORDER BY kind
+"""
+
+
+
 # -------------------------------------------------- custom stateful op
 # applyInPandasWithState: arbitrary per-key state kept by the engine
 # across micro-batches (the "custom stateful operator" row of §2.3 I).
@@ -447,6 +522,11 @@ ORDER BY topic
 
 
 QUERIES = {
+    "q_stream_stream_full_join": QuerySpec(
+        q_stream_stream_full_join,
+        Q_STREAM_STREAM_FULL_SQL,
+        "stream-stream FULL OUTER join (two-sided eviction nulls)",
+    ),
     "q_stream_dlq_split": QuerySpec(
         q_stream_dlq_split,
         Q_STREAM_DLQ_SQL,

@@ -375,3 +375,71 @@ ORDER BY event_type
 QUERIES["q_pandas_udf_grouped_agg"] = QuerySpec(
     q_pandas_udf_grouped_agg, Q_PANDAS_GROUPED_AGG_SQL, "grouped-agg pandas UDF (Arrow)"
 )
+
+
+# -------------------------------------------------- mapInArrow
+
+
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy end of the Python UDF matrix: batches
+    arrive as raw pyarrow RecordBatches (no pandas conversion at all),
+    the transform runs vectorized pyarrow compute kernels, and batches
+    stream back. Here: per-document byte length and ASCII-ratio
+    features over the raw text bytes — the shape a tokenizer-adjacent
+    preprocessor uses when pandas object-dtype overhead matters. The
+    oracle recomputes the same features in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def featurize(batches):
+        for batch in batches:
+            t = pa.table(
+                {
+                    "doc_id": batch.column(batch.schema.get_field_index("doc_id")),
+                    "n_bytes": pc.binary_length(
+                        pc.cast(
+                            batch.column(batch.schema.get_field_index("text")),
+                            pa.binary(),
+                        )
+                    ),
+                    "n_chars": pc.utf8_length(
+                        batch.column(batch.schema.get_field_index("text"))
+                    ),
+                    "source": batch.column(batch.schema.get_field_index("source")),
+                }
+            )
+            yield from t.to_batches()
+
+    feats = docs.mapInArrow(
+        featurize, "doc_id long, n_bytes int, n_chars int, source string"
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum((F.col("n_bytes") > F.col("n_chars")).cast("long")).alias(
+                "n_multibyte_docs"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+Q_MAP_IN_ARROW_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN octet_length(encode(text)) > length(text) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multibyte_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["q_map_in_arrow"] = QuerySpec(
+    q_map_in_arrow, Q_MAP_IN_ARROW_SQL, "mapInArrow zero-copy featurization"
+)
