@@ -460,7 +460,57 @@ ORDER BY outcome
 """
 
 
+def q_topic_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-topic pattern consumption (the ``subscribePattern`` /
+    KIP-848 regex-subscription analog, engine-side): events split into
+    one topic per event type (``ev_<type>``), then every ``ev_.*``
+    topic scanned as ONE DataFrame with a topic column. The oracle
+    recomputes the per-topic counts straight off the fixture, so the
+    fan-in union (plan-level only, no shuffle) is value-checked."""
+    import tempfile as tf
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tf.mkdtemp(prefix="kcore_topic_pat_")
+    log = TopicLog(spark, root)
+    for t in ["view", "purchase", "click"]:
+        log.create_topic(f"ev_{t}", 2)
+        log.produce(
+            f"ev_{t}",
+            ev.where(F.col("event_type") == t).select(
+                F.encode(F.col("event_id").cast("string"), "utf-8").alias("key"),
+                F.encode(F.col("event_type"), "utf-8").alias("value"),
+                "event_id",
+            ),
+            partition_expr=(F.col("event_id") % 2).cast("int"),
+            order_by=["event_id"],
+        )
+    return (
+        log.scan_pattern(r"ev_.*")
+        .groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("partition").alias("n_partitions"),
+        )
+        .orderBy("topic")
+    )
+
+
+Q_TOPIC_PATTERN_SQL = """
+SELECT 'ev_' || event_type AS topic, COUNT(*) AS n,
+       COUNT(DISTINCT event_id % 2) AS n_partitions
+FROM events
+WHERE event_type IN ('view', 'purchase', 'click')
+GROUP BY event_type
+ORDER BY topic
+"""
+
+
 QUERIES = {
+    "q_topic_pattern_scan": QuerySpec(
+        q_topic_pattern_scan,
+        Q_TOPIC_PATTERN_SQL,
+        "multi-topic regex fan-in scan (subscribePattern analog)",
+    ),
     "q_schema_governed_produce": QuerySpec(
         q_schema_governed_produce,
         Q_SCHEMA_GOVERNED_SQL,

@@ -954,6 +954,28 @@ class TopicLog:
             .orderBy("partition")
         )
 
+    def scan_pattern(self, pattern: str) -> DataFrame:
+        """Multi-topic scan (the consumer ``subscribePattern`` analog,
+        and the engine-side mirror of the KIP-848 regex subscription):
+        every topic whose name matches the anchored regex, unioned with
+        a ``topic`` column — the shape a fan-in consumer or a
+        cross-topic audit reads. Per-topic reads keep their own
+        watermark/log-start bounds and pruned planning; the union is
+        plan-level only (no shuffle)."""
+        import re as _re
+
+        rx = _re.compile(pattern)
+        names = [t for t in self.list_topics() if rx.fullmatch(t)]
+        if not names:
+            return self.spark.createDataFrame(
+                [], RECORD_SCHEMA.add("topic", T.StringType())
+            )
+        out = None
+        for t in names:
+            df = self.scan(t).withColumn("topic", F.lit(t))
+            out = df if out is None else out.unionByName(df)
+        return out
+
     def read_stream(self, topic: str) -> DataFrame:
         """Streaming topic source (micro-batch file source over the log)."""
         return self.spark.readStream.schema(RECORD_SCHEMA).parquet(
