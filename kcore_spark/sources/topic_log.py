@@ -870,6 +870,19 @@ class TopicLog:
         # predicate still pushes down to parquet row-group stats)
         start_offset = max(start_offset, self._log_starts(topic).get(partition, 0))
         end = start_offset + max_records
+        # never serve past the committed watermark: segments from a
+        # produce that crashed before its flip can become manifest-
+        # indexed by an unrelated refresh, and the range clamp (a
+        # constant, still row-group-pushable) keeps them invisible —
+        # the same bound scan() applies via its map-literal filter
+        try:
+            hi = self._watermarks(topic).get(partition)
+        except FileNotFoundError:
+            hi = None
+        if hi is not None:
+            end = min(end, hi)
+        if end <= start_offset:
+            return self.spark.createDataFrame([], RECORD_SCHEMA)
         files = self._manifest_files(topic, partition, start_offset, end)
         if files is not None and any(not os.path.exists(f) for f in files):
             # stale manifest (read concurrently with a compaction swap):

@@ -361,3 +361,15 @@ def test_cleaner_compacts_offsets(spark, log):
     log.run_cleanup_all()
     d = log._offsets_dir()
     assert len([f for f in os.listdir(d) if f.startswith("commit-")]) == 1
+
+
+def test_fetch_never_serves_uncommitted_even_if_manifest_indexed(spark, log):
+    """An unrelated manifest refresh can index a crashed produce's
+    segments; fetch must still clamp to the committed watermark."""
+    log.create_topic("t", 1)
+    log.produce("t", _records(spark, 10), partition_expr=F.lit(0), order_by=["seq"])
+    _orphan_file(log, "t", 0, list(range(10, 15)))
+    log._refresh_manifest("t")  # simulates e.g. a truncate-path refresh
+    assert log.fetch("t", 0, 0, 100).count() == 10
+    assert log.fetch("t", 0, 8, 100).count() == 2  # offsets 8, 9 only
+    assert log.fetch("t", 0, 12, 100).count() == 0  # fully past the wm
