@@ -24,11 +24,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket(key: F.Column, j: int, width: int) -> F.Column:
+def _bucket(digest: F.Column, j: int, width: int) -> F.Column:
+    """Row j's bucket from ONE shared md5 digest: the 128-bit digest
+    yields four independent 32-bit words (hex windows), so the sketch
+    costs one hash per input row instead of depth hashes — the
+    standard multi-hash-from-one-digest construction."""
     return F.pmod(
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}|"), key)), 1, 8), 16, 10).cast(
-            "long"
-        ),
+        F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long"),
         F.lit(width),
     )
 
@@ -39,12 +41,14 @@ def count_min_sketch(
     """Build the sketch: (row j, bucket, cnt) — at most depth×width
     rows after one partial-aggregated shuffle. `key` must be a string
     column/expression (hashing is over its exact text)."""
+    assert depth <= 4, "one md5 digest supplies at most four 32-bit rows"
+    digest = F.md5(key)
     rows = df.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(j).alias("j"), _bucket(key, j, width).alias("bucket")
+                        F.lit(j).alias("j"), _bucket(digest, j, width).alias("bucket")
                     )
                     for j in range(depth)
                 ]
@@ -63,13 +67,14 @@ def cms_estimate(
     the key's bucket counters. The sketch is depth×width rows — always
     broadcast; the keys side streams, so estimating any number of keys
     is map-side work plus one tiny aggregate."""
+    digest = F.md5(key)
     probes = keys.select(
         key.alias("k"),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(j).alias("j"), _bucket(key, j, width).alias("bucket")
+                        F.lit(j).alias("j"), _bucket(digest, j, width).alias("bucket")
                     )
                     for j in range(depth)
                 ]

@@ -190,7 +190,7 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_COUNTMIN_SQL = """
 WITH hashes AS (
   SELECT l_partkey, j,
-         ('0x' || substring(md5(j || '|' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket
+         ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1 + 8 * j, 8))::BIGINT % 256 AS bucket
   FROM lineitem, UNNEST([0, 1, 2, 3]) t(j)),
 sketch AS (
   SELECT j, bucket, COUNT(*) AS cnt FROM hashes GROUP BY j, bucket),
@@ -200,7 +200,7 @@ truth AS (
   ORDER BY true_cnt DESC, l_partkey LIMIT 20),
 probes AS (
   SELECT t.l_partkey, t.true_cnt, h.j,
-         ('0x' || substring(md5(h.j || '|' || CAST(t.l_partkey AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket
+         ('0x' || substring(md5(CAST(t.l_partkey AS VARCHAR)), 1 + 8 * h.j, 8))::BIGINT % 256 AS bucket
   FROM truth t, UNNEST([0, 1, 2, 3]) h(j))
 SELECT p.l_partkey, p.true_cnt, MIN(s.cnt) AS est
 FROM probes p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
