@@ -42,7 +42,15 @@ def count_min_sketch(
     rows after one partial-aggregated shuffle. `key` must be a string
     column/expression (hashing is over its exact text)."""
     assert depth <= 4, "one md5 digest supplies at most four 32-bit rows"
-    digest = F.md5(key)
+    # project the key FIRST, then spread: the hash+explode stage is
+    # CPU-bound but byte-light, so it inherits the scan's few input
+    # splits unless explicitly repartitioned (the same byte-vs-CPU
+    # mismatch blocked_fuzzy_pairs documents) — the shuffle moves one
+    # narrow column, the win is full-core hashing
+    digest = F.md5("__cms_key")
+    df = df.select(key.alias("__cms_key")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     rows = df.select(
         F.explode(
             F.array(
