@@ -300,3 +300,50 @@ def _min_label_iterate(edges_sym: DataFrame, max_iter: int, small: bool) -> Data
         if changed == 0:
             break
     return labels
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    broadcast_frontier_limit: int = 4_000_000,
+) -> DataFrame:
+    """Multi-hop reachability: (id, hops) = the minimum number of
+    directed edges from any seed, up to ``max_hops`` (unreached
+    vertices are absent). The BFS frontier expansion — the traversal
+    primitive behind blast-radius / influence / lineage queries.
+
+    Plan per hop: frontier ⋈ edges on src (frontier broadcast under
+    the limit — the visited/frontier tables are one row per vertex,
+    the same switch the rank/label iterations use), anti-join against
+    visited, localCheckpoint to cut the lineage. Edges are persisted
+    once; one shuffle per hop (the distinct), early exit on an empty
+    frontier."""
+    e = edges.select("src", "dst").persist()
+    e.count()
+    visited = seeds.select(F.col("id").cast("long").alias("id")).distinct().withColumn(
+        "hops", F.lit(0)
+    ).localCheckpoint()
+    frontier = visited
+    try:
+        for hop in range(1, max_hops + 1):
+            f_side = (
+                F.broadcast(frontier)
+                if frontier.count() <= broadcast_frontier_limit
+                else frontier
+            )
+            nxt = (
+                e.join(f_side, e.src == f_side.id)
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited.select("id"), "id", "left_anti")
+                .withColumn("hops", F.lit(hop))
+                .localCheckpoint()
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            visited = visited.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+    finally:
+        e.unpersist()
+    return visited

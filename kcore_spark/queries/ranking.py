@@ -473,7 +473,64 @@ SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
 """
 
 
+
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius traversal over the co-purchase graph: hop layers
+    from the 5 lowest-numbered parts through directed part→part edges
+    (ordered co-occurrence in an order, bounded per basket). Oracle:
+    the same layered expansion as a recursive CTE with min-hop
+    semantics. Per-hop plan is broadcast-frontier ⋈ persisted edges
+    (operators/graph.py::bfs_layers)."""
+    from kcore_spark.operators.graph import bfs_layers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    x = b.withColumnsRenamed({"l_partkey": "src"})
+    y = b.withColumnsRenamed({"l_partkey": "dst"})
+    edges = (
+        x.join(y, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .orderBy("p_partkey")
+        .limit(5)
+        .select(F.col("p_partkey").alias("id"))
+    )
+    layers = bfs_layers(edges, seeds, max_hops=3)
+    return (
+        layers.groupBy("hops")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.min("id").alias("min_part"))
+        .orderBy("hops")
+    )
+
+
+Q_BFS_REACH_SQL = """
+WITH RECURSIVE b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+seeds AS (SELECT p_partkey AS id FROM part ORDER BY p_partkey LIMIT 5),
+reach AS (
+  SELECT id, 0 AS hops FROM seeds
+  UNION
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.hops < 3),
+layered AS (
+  SELECT id, MIN(hops) AS hops FROM reach GROUP BY id)
+SELECT hops, COUNT(*) AS n_parts, MIN(id) AS min_part
+FROM layered
+GROUP BY hops
+ORDER BY hops
+"""
+
+
 QUERIES = {
+    "q_bfs_reach": QuerySpec(q_bfs_reach, Q_BFS_REACH_SQL, "BFS hop layers (blast radius)"),
     "q_pagerank_weighted": QuerySpec(
         q_pagerank_weighted, Q_PAGERANK_WEIGHTED_SQL, "quantity-weighted fixed-point PageRank"
     ),
