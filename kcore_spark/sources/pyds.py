@@ -177,6 +177,14 @@ class TopicLogStreamReader(SimpleDataSourceStreamReader):
         self.root = options["root"]
         self.topic = options["topic"]
         self._tdir = os.path.join(self.root, self.topic)
+        # maxOffsetsPerTrigger analog (the Kafka source's backpressure
+        # knob): cap the TOTAL offsets a micro-batch may advance,
+        # spread across partitions proportionally to their backlog —
+        # a restarted stream over a deep log then catches up in
+        # bounded, evenly-paced batches instead of one giant batch
+        # that overwhelms the sink.
+        cap = options.get("max_offsets_per_trigger")
+        self.max_offsets_per_trigger = int(cap) if cap is not None else None
 
     def _watermarks(self) -> dict[str, int]:
         # "__"-prefixed keys are control entries (sink commits,
@@ -196,6 +204,32 @@ class TopicLogStreamReader(SimpleDataSourceStreamReader):
         end = self._watermarks()
         # partitions created after the stream started begin at 0
         merged_start = {p: int(start.get(p, 0)) for p in end}
+        cap = self.max_offsets_per_trigger
+        if cap is not None:
+            backlog = {
+                p: end[p] - merged_start[p]
+                for p in end
+                if end[p] > merged_start[p]
+            }
+            total = sum(backlog.values())
+            if total > cap:
+                # proportional allocation, ≥1 offset per lagging
+                # partition so no partition starves; remainder goes to
+                # the deepest backlogs (deterministic order)
+                alloc = {p: max(1, (b * cap) // total) for p, b in backlog.items()}
+                spare = cap - sum(alloc.values())
+                for p, _b in sorted(
+                    backlog.items(), key=lambda kv: (-kv[1], kv[0])
+                ):
+                    if spare <= 0:
+                        break
+                    take = min(spare, backlog[p] - alloc[p])
+                    if take > 0:
+                        alloc[p] += take
+                        spare -= take
+                end = dict(merged_start)
+                for p, a in alloc.items():
+                    end[p] = min(merged_start[p] + a, self._watermarks()[p])
         # materialized list, not a generator: the runtime caches this
         # batch for replay (copy.copy per plan) and a generator is not
         # copyable; a micro-batch is bounded by definition

@@ -342,3 +342,48 @@ def test_writer_rejects_out_of_range_partition(spark):
         for _, _, files in os.walk(data_dir)
         for f in files
     )
+
+
+def test_stream_reader_max_offsets_per_trigger(spark, tmp_path):
+    """Backpressure: a deep log is consumed in bounded micro-batches
+    (total offsets per trigger ≤ the cap, spread across partitions),
+    and the union of all batches equals the whole log."""
+    import pyspark.sql.functions as F
+
+    from kcore_spark.sources.pyds import TopicLogStreamReader
+    from kcore_spark.sources.topic_log import TopicLog
+
+    root = str(tmp_path / "logs")
+    log = TopicLog(spark, root)
+    log.create_topic("deep", 2)
+    log.produce(
+        "deep",
+        spark.range(40).select(
+            F.encode(F.col("id").cast("string"), "utf-8").alias("key"),
+            F.encode(F.col("id").cast("string"), "utf-8").alias("value"),
+            F.col("id").alias("seq"),
+        ),
+        partition_expr=(F.col("seq") % 2).cast("int"),
+        order_by=["seq"],
+    )
+    rdr = TopicLogStreamReader(
+        {"root": root, "topic": "deep", "max_offsets_per_trigger": "12"}
+    )
+    pos = rdr.initialOffset()
+    seen = []
+    batches = 0
+    while True:
+        rows, end = rdr.read(pos)
+        if end == pos:
+            break
+        advanced = sum(int(end[p]) - int(pos.get(p, 0)) for p in end)
+        assert advanced <= 12
+        seen.extend(rows)
+        pos = end
+        batches += 1
+        assert batches < 50, "did not converge"
+    assert batches >= 4  # 40 offsets / 12 per trigger
+    assert len(seen) == 40
+    # both partitions advanced every full batch (proportional split)
+    assert {int(p) for p in pos} == {0, 1}
+    assert all(int(v) == 20 for v in pos.values())
