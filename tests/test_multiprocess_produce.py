@@ -1,0 +1,99 @@
+"""Two-PROCESS produce safety: a second Python process with its own
+SparkSession produces into the same topic root while this session
+produces too. The cross-process flock (topic_commit_lock) must
+serialize the read-watermark → assign → flip sequences so offsets
+stay dense and unique — the failure mode without it is both writers
+assigning from the same base watermark (duplicate offsets) or one
+os.replace clobbering the other's flip (invisible records)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+import textwrap
+
+from pyspark.sql import functions as F
+
+from kcore_spark.sources.topic_log import TopicLog
+
+_CHILD = textwrap.dedent(
+    """
+    import sys
+    root, n = sys.argv[1], int(sys.argv[2])
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import SparkSession, functions as F
+    from kcore_spark.sources.topic_log import TopicLog
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("producer-b")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "1g")
+        .getOrCreate()
+    )
+    log = TopicLog(spark, root)
+    for batch in range(4):
+        log.produce(
+            "t",
+            spark.range(n).select(
+                F.encode(F.lit("B").cast("string"), "utf-8").alias("key"),
+                F.encode(
+                    F.concat(F.lit(f"b{batch}-"), F.col("id").cast("string")), "utf-8"
+                ).alias("value"),
+                F.col("id").alias("seq"),
+            ),
+            partition_expr=F.lit(0),
+            order_by=["seq"],
+        )
+    print("CHILD_OK")
+    spark.stop()
+    """
+)
+
+
+def test_two_process_produce_keeps_offsets_dense(spark):
+    root = tempfile.mkdtemp(prefix="kcore_mp_")
+    log = TopicLog(spark, root)
+    log.create_topic("t", 1)
+    n = 25
+    child = subprocess.Popen(
+        [sys.executable, "-c", _CHILD, root, str(n)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        env={**os.environ, "PYSPARK_PYTHON": sys.executable},
+    )
+    try:
+        # produce from THIS session while the child's batches land
+        for batch in range(4):
+            log.produce(
+                "t",
+                spark.range(n).select(
+                    F.encode(F.lit("A"), "utf-8").alias("key"),
+                    F.encode(
+                        F.concat(F.lit(f"a{batch}-"), F.col("id").cast("string")),
+                        "utf-8",
+                    ).alias("value"),
+                    F.col("id").alias("seq"),
+                ),
+                partition_expr=F.lit(0),
+                order_by=["seq"],
+            )
+        out, _ = child.communicate(timeout=300)
+        assert b"CHILD_OK" in out, "child producer failed"
+    finally:
+        if child.poll() is None:
+            child.kill()
+    rows = log.scan("t").orderBy("offset").collect()
+    total = 8 * n  # 4 batches from each side
+    # dense, duplicate-free offsets: the commit-lock contract
+    assert [r.offset for r in rows] == list(range(total))
+    # no record lost from either writer
+    values = [bytes(r.value).decode() for r in rows]
+    assert sum(1 for v in values if v.startswith("a")) == 4 * n
+    assert sum(1 for v in values if v.startswith("b")) == 4 * n
+    # every batch arrived intact (25 contiguous seqs each, any interleave)
+    wm = log._watermarks("t")
+    assert wm == {0: total}
