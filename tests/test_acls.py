@@ -202,3 +202,72 @@ def test_no_acl_store_means_authorization_off():
     f = KafkaFrontend()  # default: no authorizer configured
     f.wire_log.create_topic("alpha", 1)
     assert _produce(f, "alpha") == wire.ERR_NONE
+
+
+# ------------------------------------ e2e: SASL principal drives ACLs
+
+
+def test_e2e_sasl_principal_gates_produce():
+    """Full TCP path: two users authenticate via SASL/PLAIN; only the
+    one granted WRITE may produce, and the grant follows the
+    PRINCIPAL, not the connection."""
+    import asyncio
+    import struct as _struct
+
+    from tests.test_auth import _auth_req, _handshake_req, _plain_token, _talk
+
+    creds = {"alice": "wonderland", "bob": "builder"}
+
+    def produce_frame(topic, corr):
+        batch = encode_record_batch([Record(b"k", b"v", 100)])
+        w = wire.Writer()
+        w.int16(wire.PRODUCE_KEY).int16(3).int32(corr)
+        w.nullable_string("e2e")
+        w.nullable_string(None)
+        w.int16(-1).int32(30000)
+        w.int32(1)
+        w.nullable_string(topic)
+        w.int32(1)
+        w.int32(0)
+        w.int32(len(batch))
+        w.raw(batch)
+        return w.bytes()
+
+    def produce_err(resp):
+        r = wire.Reader(resp)
+        r.int32(), r.int32()
+        r.nullable_string()
+        r.int32(), r.int32()
+        return r.int16()
+
+    async def run():
+        store = AclStore()
+        store.create(b("alpha", "User:alice", OP_WRITE, PERM_ALLOW))
+        fe = KafkaFrontend(port=0, credentials=creds, acl_store=store)
+        fe.wire_log.create_topic("alpha", 1)
+        await fe.start()
+        try:
+            alice = await _talk(
+                fe.host,
+                fe.port,
+                [
+                    _handshake_req(1, "PLAIN"),
+                    _auth_req(_plain_token("alice", "wonderland")),
+                    produce_frame("alpha", 70),
+                ],
+            )
+            assert produce_err(alice[2]) == wire.ERR_NONE
+            bob = await _talk(
+                fe.host,
+                fe.port,
+                [
+                    _handshake_req(1, "PLAIN"),
+                    _auth_req(_plain_token("bob", "builder")),
+                    produce_frame("alpha", 71),
+                ],
+            )
+            assert produce_err(bob[2]) == 29  # TOPIC_AUTHORIZATION_FAILED
+        finally:
+            await fe.stop()
+
+    asyncio.run(run())
