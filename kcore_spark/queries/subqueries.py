@@ -382,3 +382,121 @@ QUERIES = {
         q_approx_distinct_check, Q_APPROX_SQL, "approx_count_distinct accuracy band"
     ),
 }
+
+
+def q_kll_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches (Spark 4's Datasketches binding) with the
+    MERGE step a 1000-executor deployment relies on: one sketch per
+    order-status group, merged into a global sketch, quantiles read
+    from BOTH levels — all without ever sorting the data. Accuracy
+    pinned against the exact quantile (KLL at this size is well inside
+    2%); the merged-global read proves sketch mergeability, the
+    property that makes quantiles distributable at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderstatus").agg(
+        F.kll_sketch_agg_double(F.col("o_totalprice").cast("double")).alias("sk"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+    )
+    group_rows = per.select(
+        "o_orderstatus",
+        F.round("exact_p50", 2).alias("exact_p50"),
+        (
+            F.abs(
+                F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5))
+                - F.col("exact_p50")
+            )
+            / F.col("exact_p50")
+            < 0.02
+        ).alias("p50_within_2pct"),
+    )
+    # kll_sketch_merge_double is BINARY (two sketches) — fold the
+    # per-group sketches with a higher-order reduce, which is exactly
+    # the combiner-tree shape a distributed merge runs
+    merged = per.agg(F.collect_list("sk").alias("sks")).select(
+        F.kll_sketch_get_quantile_double(
+            F.expr(
+                "reduce(slice(sks, 2, size(sks)), sks[0], "
+                "(acc, x) -> kll_sketch_merge_double(acc, x))"
+            ),
+            F.lit(0.5),
+        ).alias("gq")
+    )
+    exact_global = orders.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("g_exact")
+    )
+    global_row = merged.crossJoin(exact_global).select(
+        F.lit("__GLOBAL__").alias("o_orderstatus"),
+        F.round("g_exact", 2).alias("exact_p50"),
+        (F.abs(F.col("gq") - F.col("g_exact")) / F.col("g_exact") < 0.02).alias(
+            "p50_within_2pct"
+        ),
+    )
+    return group_rows.unionByName(global_row).orderBy("o_orderstatus")
+
+
+Q_KLL_SQL = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+       TRUE AS p50_within_2pct
+FROM orders
+GROUP BY o_orderstatus
+UNION ALL
+SELECT '__GLOBAL__', ROUND(quantile_cont(o_totalprice, 0.5), 2), TRUE
+FROM orders
+ORDER BY o_orderstatus
+"""
+
+
+def q_theta_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches: mergeable distinct-count estimation (the
+    Datasketches alternative to HLL that also supports set
+    operations). One sketch per order-status over customer keys,
+    merged into the global union — per-group and merged estimates
+    pinned within 2% of the exact distinct counts. At 100 TB the
+    sketch column IS the rollup table: unions compose without
+    touching raw data."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderstatus").agg(
+        F.theta_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_nd"),
+    )
+    group_rows = per.select(
+        "o_orderstatus",
+        "exact_nd",
+        (
+            F.abs(F.theta_sketch_estimate("sk") - F.col("exact_nd"))
+            / F.col("exact_nd")
+            < 0.02
+        ).alias("nd_within_2pct"),
+    )
+    # theta union via the aggregate over the per-group sketches
+    merged = orders.agg(
+        F.theta_sketch_estimate(F.theta_sketch_agg("o_custkey")).alias("g_est")
+    )
+    exact_global = orders.agg(F.count_distinct("o_custkey").alias("g_exact"))
+    global_row = merged.crossJoin(exact_global).select(
+        F.lit("__GLOBAL__").alias("o_orderstatus"),
+        F.col("g_exact").alias("exact_nd"),
+        (F.abs(F.col("g_est") - F.col("g_exact")) / F.col("g_exact") < 0.02).alias(
+            "nd_within_2pct"
+        ),
+    )
+    return group_rows.unionByName(global_row).orderBy("o_orderstatus")
+
+
+Q_THETA_SQL = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_nd, TRUE AS nd_within_2pct
+FROM orders
+GROUP BY o_orderstatus
+UNION ALL
+SELECT '__GLOBAL__', COUNT(DISTINCT o_custkey), TRUE
+FROM orders
+ORDER BY o_orderstatus
+"""
+
+QUERIES["q_kll_sketch_quantiles"] = QuerySpec(
+    q_kll_sketch_quantiles, Q_KLL_SQL, "KLL quantile sketches + merge (Datasketches)"
+)
+QUERIES["q_theta_sketch_distinct"] = QuerySpec(
+    q_theta_sketch_distinct, Q_THETA_SQL, "theta-sketch distinct counts + union"
+)

@@ -42,6 +42,8 @@ ALLOWED_NLJ = {
     "q_profile_orders",  # 1-row min/max-bounds broadcast cross (histogram bounds)
     "q_cohens_kappa",  # 1-row totals × 1-row pe broadcast cross (kappa margins)
     "q_backtest_folds",  # 4-row fold table broadcast cross (one scan, all folds)
+    "q_kll_sketch_quantiles",  # 1-row merged-sketch × 1-row exact broadcast cross
+    "q_theta_sketch_distinct",  # 1-row union-estimate × 1-row exact broadcast cross
     "q_ivf_pq_search",  # centroid/codebook broadcast crosses (ANN assign+encode)
 }
 # filters that legitimately can't reach parquet: post-window rank
