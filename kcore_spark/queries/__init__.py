@@ -28,11 +28,32 @@ class QuerySpec:
 
 
 # Names that already carry a driver-signed correctness row (union of
-# CORRECTNESS_r01..r05). The driver snapshots only the FIRST 50 registry
+# CORRECTNESS_r01..r06). The driver snapshots only the FIRST 50 registry
 # entries each round, so all_queries() orders never-driver-verified queries
 # first — rotating the window until every family has an external signature
 # (VERDICT r5 "Next round #1"). Append each round's newly-signed names here.
 _DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # CORRECTNESS_r06 window (dedup/similarity/quality/streaming block):
+    "q_ann_ivf_topk", "q_batch_inference", "q_cdc_chunk_dups",
+    "q_char_entropy", "q_cosine_topk", "q_decontaminate_ngram",
+    "q_dedup_clusters", "q_dedup_exact", "q_dedup_survivorship",
+    "q_embedding_neardup", "q_embedding_neardup_lsh", "q_fuzzy_blocked_match",
+    "q_fuzzy_clusters", "q_incremental_dedup", "q_ivf_pq_search",
+    "q_label_centroids", "q_mad_outliers", "q_merge_upsert_orders",
+    "q_minhash_lsh_pairs", "q_near_dup_jaccard",
+    "q_near_dup_jaccard_df_filtered", "q_ngram_containment", "q_pq_encode",
+    "q_range_join_binned", "q_scd2_history", "q_schema_governed_produce",
+    "q_semantic_clusters", "q_simhash_fingerprints", "q_simhash_neardup",
+    "q_split_leakage", "q_stream_dedup_counts", "q_stream_dlq_split",
+    "q_stream_session_windows", "q_stream_sliding_10m",
+    "q_stream_stateful_user_stats", "q_stream_static_join",
+    "q_stream_stream_full_join", "q_stream_stream_join",
+    "q_stream_stream_left_join", "q_stream_timeout_sessions",
+    "q_stream_topic_sink_roundtrip", "q_stream_tumbling_counts",
+    "q_table_checksum", "q_tfidf_top_terms", "q_topic_compacted_read",
+    "q_topic_consumer_lag", "q_topic_pattern_scan", "q_topic_pyds_write",
+    "q_unigram_kl_drift", "q_winsorized_mean",
+    # CORRECTNESS_r01..r05 union:
     "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
     "q06_forecast_revenue", "q07_nation_volume", "q08_market_share",
     "q09_profit_by_nation_year", "q10_returned_items", "q12_priority_by_shipyear",
