@@ -1,0 +1,135 @@
+"""transformWithState sessionization — the Spark 4.x forward API for
+custom keyed streaming state (SPARK-49070 "transformWithState").
+
+An object-oriented ``StatefulProcessor`` with NAMED state variables
+(ValueState/ListState/MapState) and first-class event-time TIMERS
+replaces applyInPandasWithState's single state tuple +
+``setTimeoutTimestamp``. The reference only declares the surface
+(kcore README.md:25 "stateful consumers"); this is the idiomatic
+Spark realization. Scale properties that make it the 100 TB path:
+
+- state lives in column-family-backed named variables and the API
+  requires the RocksDB state-store provider, so state volume is
+  bounded by executor DISK, not heap;
+- timers are per-key and multi-shot; we keep exactly one live timer
+  per key (delete+register) so an expiry is authoritative;
+- ``handleExpiredTimer`` fires when the WATERMARK passes the timer —
+  session eviction is event-time-driven, identical semantics to the
+  GroupState EventTimeTimeout form in queries/streaming.py.
+
+ENVIRONMENT GATE (documented, like operators/multimodal.py): the
+PySpark side of transformWithState speaks protobuf to the JVM state
+server (``pyspark/sql/streaming/proto/StateMessage_pb2``), and the
+``protobuf`` wheel is not installed in this container. ``HAVE_TWS``
+reflects that; when False the query entry computes the identical
+result through the applyInPandasWithState engine while the processor
+class itself is exercised by tests/test_tws.py against a pure-Python
+fake of the engine's state+timer contract (watermark advance, timer
+fire, multi-batch replay). One import-flip away from the real engine.
+"""
+
+from __future__ import annotations
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def have_tws() -> bool:
+    """True when the transformWithState Python<->JVM bridge can run
+    (protobuf generated stubs importable)."""
+    try:  # pragma: no cover - env probe
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+HAVE_TWS = have_tws()
+
+
+def fold_sessions(ts_sorted: list[int], cur: list[int] | None, gap_ms: int = SESSION_GAP_MS):
+    """Fold a SORTED list of epoch-ms event times into gap-separated
+    sessions. ``cur`` is the open session carried across micro-batches
+    as ``[start_ms, last_ms, n_events]`` (or None). Returns
+    ``(closed, cur)`` where closed is a list of finished
+    ``(start_ms, last_ms, n)`` tuples. Shared by the GroupState and
+    StatefulProcessor engines so both are the same state machine."""
+    closed: list[tuple[int, int, int]] = []
+    for t in ts_sorted:
+        if cur is None:
+            cur = [t, t, 0]
+        elif t - cur[1] > gap_ms:
+            closed.append(tuple(cur))
+            cur = [t, t, 0]
+        cur[1] = max(cur[1], t)
+        cur[2] += 1
+    return closed, cur
+
+
+def make_session_processor(gap_ms: int = SESSION_GAP_MS):
+    """Build the StatefulProcessor class for gap sessionization.
+
+    Defined via factory (not at module top level) so importing this
+    module never touches the pyspark streaming-state modules unless a
+    processor is actually requested — keeps batch-only sessions light.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        """Gap-based sessionizer on the transformWithState contract.
+
+        State: one ValueState ``sess = (start_ms, last_ms, n)`` per
+        key — the open session. Timer: exactly one per key at
+        ``last_ms + gap``; when the watermark passes it the session is
+        emitted and cleared. In-batch gaps close sessions inline;
+        cross-batch continuation and final eviction ride the engine.
+        """
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.sess = handle.getValueState("sess", "start long, last long, n long")
+
+        def _emit(self, uid, closed):
+            return pd.DataFrame(
+                {
+                    "user_id": [uid] * len(closed),
+                    "start_ms": [c[0] for c in closed],
+                    "end_ms": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = list(self.sess.get()) if self.sess.exists() else None
+            ts_all: list[int] = []
+            for pdf in rows:
+                ts_all.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+            ts_all.sort()
+            closed, cur = fold_sessions(ts_all, cur, gap_ms)
+            if cur is not None:
+                self.sess.update(tuple(cur))
+                # exactly one live timer per key: replace, never accumulate
+                for old in list(self.handle.listTimers()):
+                    self.handle.deleteTimer(old)
+                self.handle.registerTimer(cur[1] + gap_ms)
+            if closed:
+                yield self._emit(key[0], closed)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            # Single-timer discipline makes every expiry authoritative,
+            # but stay defensive: only close when the watermark really
+            # passed the open session's deadline.
+            if self.sess.exists():
+                start, last, n = self.sess.get()
+                if expired_timer_info.getExpiryTimeInMs() >= last + gap_ms:
+                    self.sess.clear()
+                    yield self._emit(key[0], [(start, last, n)])
+
+        def close(self) -> None:
+            pass
+
+    return SessionProcessor

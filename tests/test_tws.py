@@ -1,0 +1,221 @@
+"""transformWithState SessionProcessor — engine-contract unit tests.
+
+The container lacks the protobuf wheel the tWS Python<->JVM bridge
+needs (kcore_spark/streaming/tws.py docstring), so the processor is
+driven here against a pure-Python fake of the engine's contract:
+keyed named-state variables, one implicit key at a time, event-time
+timers that fire when the WATERMARK passes them, multi-batch replay.
+The assertions pin the processor to the batch-global fold — i.e. the
+same invariant the sf0.01 oracle pins for the GroupState engine.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from kcore_spark.streaming.tws import (
+    SESSION_GAP_MS,
+    fold_sessions,
+    make_session_processor,
+)
+
+GAP = SESSION_GAP_MS
+MIN = 60 * 1000
+
+
+class FakeValueState:
+    def __init__(self, engine, name):
+        self.engine, self.name = engine, name
+
+    def _slot(self):
+        return (self.name, self.engine.current_key)
+
+    def exists(self):
+        return self._slot() in self.engine.values
+
+    def get(self):
+        return self.engine.values.get(self._slot())
+
+    def update(self, v):
+        self.engine.values[self._slot()] = tuple(v)
+
+    def clear(self):
+        self.engine.values.pop(self._slot(), None)
+
+
+class FakeHandle:
+    def __init__(self, engine):
+        self.engine = engine
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return FakeValueState(self.engine, name)
+
+    def registerTimer(self, ts):
+        self.engine.timers.setdefault(self.engine.current_key, set()).add(ts)
+
+    def deleteTimer(self, ts):
+        self.engine.timers.get(self.engine.current_key, set()).discard(ts)
+
+    def listTimers(self):
+        return iter(sorted(self.engine.timers.get(self.engine.current_key, set())))
+
+
+class _TimerValues:
+    def __init__(self, wm):
+        self.wm = wm
+
+    def getCurrentWatermarkInMs(self):
+        return self.wm
+
+    def getCurrentProcessingTimeInMs(self):
+        return -1
+
+
+class _ExpiredTimerInfo:
+    def __init__(self, ts):
+        self.ts = ts
+
+    def getExpiryTimeInMs(self):
+        return self.ts
+
+
+class FakeTwsEngine:
+    """Replays micro-batches through a StatefulProcessor the way the
+    transformWithState operator does: per-key handleInputRows, then —
+    once the watermark advances past a registered timer — per-key
+    handleExpiredTimer. Watermark = max event time seen so far minus
+    the delay, evaluated AFTER each batch (Spark updates the watermark
+    at batch boundaries)."""
+
+    def __init__(self, processor_cls, delay_ms):
+        self.values: dict = {}
+        self.timers: dict = {}
+        self.current_key = None
+        self.delay_ms = delay_ms
+        self.watermark = -1
+        self.proc = processor_cls()
+        self.proc.init(FakeHandle(self))
+        self.out: list[tuple] = []
+
+    def _collect(self, it):
+        for pdf in it or []:
+            self.out.extend(map(tuple, pdf.itertuples(index=False)))
+
+    def process_batch(self, pdf: pd.DataFrame):
+        tv = _TimerValues(self.watermark)
+        for uid, g in pdf.groupby("user_id"):
+            self.current_key = (int(uid),)
+            self._collect(self.proc.handleInputRows(self.current_key, iter([g]), tv))
+        # watermark advances after the batch, then due timers fire
+        self.watermark = max(self.watermark, int(pdf["ts"].astype("int64").max() // 1_000_000 - self.delay_ms))
+        tv = _TimerValues(self.watermark)
+        for key in list(self.timers):
+            due = [t for t in self.timers.get(key, set()) if t <= self.watermark]
+            for t in sorted(due):
+                self.timers[key].discard(t)
+                self.current_key = key
+                self._collect(self.proc.handleExpiredTimer(key, tv, _ExpiredTimerInfo(t)))
+
+
+def _pdf(rows):
+    return pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="ms", utc=True).tz_localize(None),
+        }
+    )
+
+
+def _global_fold(events_ms_by_key):
+    sessions = []
+    for uid, ts in events_ms_by_key.items():
+        closed, cur = fold_sessions(sorted(ts), None, GAP)
+        sessions.extend((uid, c[0], c[1], c[2]) for c in closed)
+        if cur is not None:
+            sessions.append((uid, cur[0], cur[1], cur[2]))
+    return sorted(sessions)
+
+
+def test_fold_sessions_gap_boundary():
+    # exactly GAP apart stays one session; GAP+1 splits
+    closed, cur = fold_sessions([0, GAP], None, GAP)
+    assert closed == [] and cur == [0, GAP, 2]
+    closed, cur = fold_sessions([0, GAP + 1], None, GAP)
+    assert closed == [(0, 0, 1)] and cur == [GAP + 1, GAP + 1, 1]
+
+
+def test_fold_sessions_carries_open_session():
+    closed, cur = fold_sessions([5 * MIN], [0, 0, 3], GAP)
+    assert closed == [] and cur == [0, 5 * MIN, 4]
+
+
+def test_session_processor_multi_batch_replay():
+    T0 = 1_700_000_000_000
+    ev = {
+        1: [T0, T0 + 5 * MIN, T0 + 90 * MIN, T0 + 95 * MIN, T0 + 300 * MIN],
+        2: [T0 + 2 * MIN, T0 + 200 * MIN, T0 + 201 * MIN],
+    }
+    engine = FakeTwsEngine(make_session_processor(GAP), delay_ms=30 * MIN)
+    # three chronological batches (cut at 60m and 250m)
+    batches = []
+    for lo, hi in ((0, 60), (60, 250), (250, 10**6)):
+        rows = [
+            (u, t)
+            for u, ts in ev.items()
+            for t in ts
+            if T0 + lo * MIN <= t < T0 + hi * MIN
+        ]
+        batches.append(_pdf(sorted(rows, key=lambda r: r[1])))
+    for b in batches:
+        engine.process_batch(b)
+    emitted = sorted(engine.out)
+    # everything closed by the final watermark must be emitted...
+    expect_closed = [
+        s
+        for s in _global_fold(ev)
+        if s[2] + GAP <= engine.watermark
+    ]
+    assert emitted == expect_closed
+    # ...and the still-open tails are in state, not lost
+    open_sessions = sorted(
+        (k[0], *v) for (name, k), v in engine.values.items() if name == "sess"
+    )
+    expect_open = [s for s in _global_fold(ev) if s[2] + GAP > engine.watermark]
+    assert open_sessions == expect_open
+
+
+def test_session_processor_single_live_timer_per_key():
+    T0 = 1_700_000_000_000
+    engine = FakeTwsEngine(make_session_processor(GAP), delay_ms=30 * MIN)
+    for i in range(4):
+        engine.process_batch(_pdf([(7, T0 + i * 5 * MIN)]))
+    assert len(engine.timers.get((7,), set())) == 1
+    (t,) = engine.timers[(7,)]
+    assert t == T0 + 15 * MIN + GAP
+
+
+def test_session_processor_ignores_stale_timer():
+    # a spurious expiry below the session deadline must not close it
+    T0 = 1_700_000_000_000
+    engine = FakeTwsEngine(make_session_processor(GAP), delay_ms=30 * MIN)
+    engine.process_batch(_pdf([(3, T0)]))
+    engine.current_key = (3,)
+    out = list(
+        engine.proc.handleExpiredTimer(
+            (3,), _TimerValues(T0), _ExpiredTimerInfo(T0 + GAP - 1)
+        )
+    )
+    assert out == []
+    assert ("sess", (3,)) in engine.values
+
+
+def test_have_tws_matches_protobuf_presence():
+    from kcore_spark.streaming.tws import have_tws
+
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        assert have_tws()
+    except Exception:
+        assert not have_tws()
