@@ -386,14 +386,19 @@ class TopicLogWriter(DataSourceWriter):
                 f"topic {self.topic!r} declares {n_parts} partitions; "
                 f"staged rows target partition(s) {bad}"
             )
-        from kcore_spark.sources.topic_log import topic_commit_lock
+        from kcore_spark.sources.topic_log import flip_lock, partition_commit_locks
 
-        # Cross-process commit lock: the read-watermark -> assign-offsets
-        # -> flip sequence below must not interleave with a concurrent
-        # TopicLog.produce (or another writer job) on the same topic, or
-        # both assign offsets from the same base and one os.replace
-        # clobbers the other.
-        with topic_commit_lock(self.tdir):
+        # Cross-process commit locks for exactly the partitions this job
+        # staged (known precisely at commit time): the read-watermark ->
+        # assign-offsets -> segment-write sequence below must not
+        # interleave with a concurrent TopicLog.produce or another
+        # writer job ON THE SAME PARTITIONS (both would assign offsets
+        # from one base), but jobs on disjoint partitions of this topic
+        # commit in parallel — Kafka's per-partition write concurrency.
+        by_part: dict[int, list[tuple]] = {}
+        for e in entries:
+            by_part.setdefault(e[0], []).append(e)
+        with partition_commit_locks(self.tdir, by_part.keys()):
             wm_path = os.path.join(self.tdir, "_watermarks.json")
             try:
                 with open(wm_path) as f:
@@ -401,18 +406,12 @@ class TopicLogWriter(DataSourceWriter):
             except FileNotFoundError:
                 raw = {}
             wm = {k: int(v) for k, v in raw.items() if not str(k).startswith("__")}
-            man_path = os.path.join(self.tdir, "_manifest.json")
-            try:
-                with open(man_path) as f:
-                    man = json.load(f)
-            except (FileNotFoundError, json.JSONDecodeError):
-                man = {}
             data_dir = os.path.join(self.tdir, "data")
-            by_part: dict[int, list[tuple]] = {}
-            for e in entries:
-                by_part.setdefault(e[0], []).append(e)
-            new_wm = dict(wm)
+            new_wm: dict[str, int] = {}
+            new_man_entries: dict[str, list[dict]] = {}
             for p, ents in sorted(by_part.items()):
+                # our partitions' bases are stable while we hold their
+                # locks; other partitions' values are never used
                 base = int(wm.get(str(p), 0))
                 pdir = os.path.join(data_dir, f"partition={p}")
                 os.makedirs(pdir, exist_ok=True)
@@ -454,24 +453,51 @@ class TopicLogWriter(DataSourceWriter):
                         if lo is not None:
                             entry["ts_min"] = _epoch_ms(lo)
                             entry["ts_max"] = _epoch_ms(hi)
-                    man.setdefault(f"partition={p}", []).append(entry)
+                    new_man_entries.setdefault(f"partition={p}", []).append(entry)
                     base += n
                 new_wm[str(p)] = base
-            # manifest first, watermarks last: the watermark flip is the
-            # commit point (readers never trust offsets past the watermark)
-            tmp = man_path + f".tmp.{_uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(man, f)
-            os.replace(tmp, man_path)
-            payload = {k: v for k, v in raw.items() if str(k).startswith("__")}
-            payload.update(new_wm)
-            history = payload.get("__history", [])
-            next_v = (history[-1]["v"] + 1) if history else 1
-            payload["__history"] = (history + [{"v": next_v, "wm": dict(new_wm)}])[-64:]
-            tmp = wm_path + f".tmp.{_uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(payload, f)
-            os.replace(tmp, wm_path)
+            # Control-file flips under the SHORT flip lock: the manifest
+            # and watermark files are shared across partitions, so the
+            # read-merge-replace must not interleave with a concurrent
+            # disjoint-partition commit (its flip would be lost).
+            # Manifest first, watermarks last: the watermark flip is the
+            # commit point (readers never trust offsets past the
+            # watermark). Both files are RE-read inside the lock — the
+            # copies above predate any concurrent flips.
+            man_path = os.path.join(self.tdir, "_manifest.json")
+            with flip_lock(self.tdir):
+                try:
+                    with open(man_path) as f:
+                        man = json.load(f)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    man = {}
+                for pdir, es in new_man_entries.items():
+                    man.setdefault(pdir, []).extend(es)
+                tmp = man_path + f".tmp.{_uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    json.dump(man, f)
+                os.replace(tmp, man_path)
+                try:
+                    with open(wm_path) as f:
+                        raw = json.load(f)
+                except FileNotFoundError:
+                    raw = {}
+                payload = {k: v for k, v in raw.items() if str(k).startswith("__")}
+                merged_wm = {
+                    k: int(v) for k, v in raw.items() if not str(k).startswith("__")
+                }
+                for k, v in new_wm.items():
+                    merged_wm[k] = max(v, merged_wm.get(k, 0))
+                payload.update(merged_wm)
+                history = payload.get("__history", [])
+                next_v = (history[-1]["v"] + 1) if history else 1
+                payload["__history"] = (
+                    history + [{"v": next_v, "wm": dict(merged_wm)}]
+                )[-64:]
+                tmp = wm_path + f".tmp.{_uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    json.dump(payload, f)
+                os.replace(tmp, wm_path)
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages) -> None:

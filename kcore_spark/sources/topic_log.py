@@ -21,11 +21,18 @@ those semantics Spark-first (SURVEY §1.2, §2.2):
 - Consumer-group offsets are an idempotent key-value state table
   (`__consumer_offsets`-analog), last-writer-wins by commit index.
 
-Concurrency contract (matches the reference's one-in-flight-per-
-connection model, `kafka_connectian_handler.go:63-108`): one producer
-per topic at a time; produces are atomic (files land, then the
-watermark file flips — a failed produce before the flip leaves
-orphaned files that the next produce overwrites logically by offset).
+Concurrency contract (r7 — Kafka's own unit of write concurrency):
+one producer per PARTITION at a time, enforced by per-partition
+cross-process flocks (partition_commit_locks); producers declaring
+disjoint partition sets of one topic run fully in parallel, including
+their Spark writes. The shared control files (_watermarks.json,
+_manifest.json) are updated by short flip-locked read-merge-replace
+sections, so concurrent disjoint flips compose instead of clobbering.
+Produces stay atomic (files land, then the watermark flips — a
+failed produce before the flip leaves orphaned files that the same
+partition's next produce reclaims). The reference's model is
+one-in-flight-per-connection (`kafka_connectian_handler.go:63-108`);
+per-partition serialization is the broker-side contract it relies on.
 """
 
 from __future__ import annotations
@@ -68,24 +75,60 @@ import contextlib
 
 
 @contextlib.contextmanager
-def topic_commit_lock(topic_dir: str):
-    """Cross-PROCESS commit lock for one topic (advisory flock on a
-    lock file inside the topic dir). The in-process RLock serializes
-    this TopicLog instance's own mutators; this lock serializes the
-    read-watermark → assign-offsets → flip sequence across *any* mix
-    of writers on the same root — a second TopicLog in another
-    process, or a DataSource batch writer commit (pyds.TopicLogWriter)
-    running beside a streaming sink. Without it, two writers can both
-    read the same base watermark and assign duplicate offsets, and the
-    loser's os.replace silently clobbers the winner's flip.
+def partition_commit_locks(topic_dir: str, partitions):
+    """Cross-PROCESS commit locks for a SET of partitions of one topic
+    (advisory flocks on per-partition lock files). Kafka's unit of
+    write concurrency is the partition, and so is ours (r6 VERDICT:
+    a single per-topic flock bounded a hot topic's produce throughput
+    by one lock): a producer takes the locks for exactly the
+    partitions it targets, so produces to disjoint partition sets of
+    the same topic proceed fully in parallel — including the expensive
+    Spark write — while two writers on a shared partition still
+    serialize their read-watermark → assign-offsets → flip sequences.
+    Without that serialization both writers assign duplicate offsets
+    from the same base watermark.
 
-    flock serializes even two fds within one process, so it is safe
-    (and redundant) under the thread lock. Not reentrant — callers
-    must not nest it for the same topic."""
+    Locks are acquired in ascending partition order (writers with
+    overlapping sets can never deadlock) and released in reverse.
+    flock serializes even two fds within one process, so this is safe
+    (and redundant) under the instance thread lock. Not reentrant —
+    callers must not nest acquisitions overlapping the same
+    partitions."""
+    import fcntl
+
+    lock_dir = os.path.join(topic_dir, "_locks")
+    os.makedirs(lock_dir, exist_ok=True)
+    fds: list[int] = []
+    try:
+        for p in sorted(set(int(p) for p in partitions)):
+            fd = os.open(
+                os.path.join(lock_dir, f"p{p}.lock"), os.O_CREAT | os.O_RDWR, 0o644
+            )
+            fds.append(fd)
+            fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        for fd in reversed(fds):
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+
+@contextlib.contextmanager
+def flip_lock(topic_dir: str):
+    """Short cross-process lock guarding read-merge-replace updates of
+    the topic's SHARED control files (_watermarks.json,
+    _manifest.json). Per-partition data independence does not extend
+    to these single files: two concurrent commits on disjoint
+    partitions each read-modify-write the same JSON, and the loser's
+    os.replace would drop the winner's update. Held only for the
+    control-file RMW itself (microseconds), never across a Spark job,
+    so it is not a throughput bound the way the old per-topic commit
+    lock was. Not reentrant; never acquire partition locks while
+    holding it (lock order: partitions, then flip)."""
     import fcntl
 
     os.makedirs(topic_dir, exist_ok=True)
-    fd = os.open(os.path.join(topic_dir, "_commit.lock"), os.O_CREAT | os.O_RDWR, 0o644)
+    fd = os.open(os.path.join(topic_dir, "_flip.lock"), os.O_CREAT | os.O_RDWR, 0o644)
     try:
         fcntl.flock(fd, fcntl.LOCK_EX)
         yield
@@ -145,16 +188,19 @@ class TopicLog:
         return inner
 
     def _commit_locked(fn):  # noqa: N805 - descriptor-style decorator
-        """Hold the cross-process topic_commit_lock for the duration of
-        a mutator whose first argument is the topic name. Stacked UNDER
-        @_locked (thread lock first, then flock). Must not decorate a
-        function reachable from another @_commit_locked function for
-        the same topic (flock is not reentrant)."""
+        """Hold the cross-process commit locks for ALL partitions of
+        the topic (first positional arg) for the duration of a
+        whole-topic mutator — compaction, OPTIMIZE, key erasure
+        rewrite every partition, so they exclude every producer.
+        Stacked UNDER @_locked (thread lock first, then flocks). Must
+        not decorate a function reachable from another @_commit_locked
+        function for the same topic (flocks are not reentrant)."""
         import functools
 
         @functools.wraps(fn)
         def inner(self, topic, *a, **k):
-            with topic_commit_lock(self._topic_dir(topic)):
+            n = self.topic_meta(topic).num_partitions
+            with partition_commit_locks(self._topic_dir(topic), range(n)):
                 return fn(self, topic, *a, **k)
 
         return inner
@@ -260,14 +306,29 @@ class TopicLog:
             json.dump(man, f)
         os.replace(tmp, self._manifest_path(topic))
 
-    def _refresh_manifest(self, topic: str) -> dict[str, list[dict]]:
+    def _refresh_manifest(
+        self, topic: str, partitions: set[int] | None = None
+    ) -> dict[str, list[dict]]:
         """Incrementally index new segment files: for every parquet file
         not yet in the manifest, read its footer's offset min/max (one
         driver-side footer read per NEW file — never a rescan of known
         segments, so append cost is O(files just written) no matter how
-        many segments the log has accumulated)."""
+        many segments the log has accumulated).
+
+        ``partitions`` scopes the scan to the partitions the caller
+        holds commit locks for: an unlocked partition's unindexed files
+        may be another producer's in-flight write, and indexing them
+        early would shield its crash debris from _reclaim_uncommitted
+        (manifest membership is the "committed" signal there). The
+        whole read-merge-save runs under the flip lock because the
+        manifest is a shared single file (same RMW hazard as the
+        watermark flip)."""
         import pyarrow.parquet as pq
 
+        with flip_lock(self._topic_dir(topic)):
+            return self._refresh_manifest_unlocked(topic, partitions, pq)
+
+    def _refresh_manifest_unlocked(self, topic, partitions, pq) -> dict[str, list[dict]]:
         man = self._load_manifest(topic)
         data_dir = self._topic_dir(topic) + "/data"
         if not os.path.isdir(data_dir):
@@ -276,6 +337,8 @@ class TopicLog:
         seen_files: set[str] = set()
         for pdir in os.listdir(data_dir):
             if not pdir.startswith("partition="):
+                continue
+            if partitions is not None and int(pdir.split("=", 1)[1]) not in partitions:
                 continue
             for fn in os.listdir(os.path.join(data_dir, pdir)):
                 if not fn.endswith(".parquet"):
@@ -318,8 +381,15 @@ class TopicLog:
                     # the answer and are pruned without being opened
                     entry["ts_min"], entry["ts_max"] = ts_lo, ts_hi
                 man.setdefault(pdir, []).append(entry)
-        # drop entries whose files disappeared (compaction swap)
+        # drop entries whose files disappeared (compaction swap) —
+        # only within the scoped partition set, or a scoped refresh
+        # would purge every other partition's entries (their files were
+        # never scanned into seen_files). A partition dir that vanished
+        # entirely still drops: it is in scope but contributed nothing
+        # to seen_files.
         for pdir in list(man):
+            if partitions is not None and int(pdir.split("=", 1)[1]) not in partitions:
+                continue
             man[pdir] = [e for e in man[pdir] if e["file"] in seen_files]
             if not man[pdir]:
                 del man[pdir]
@@ -579,38 +649,52 @@ class TopicLog:
     def _set_watermarks(
         self, topic: str, wm: dict[int, int], sink_commit: tuple[str, int] | None = None
     ) -> None:
-        # preserve sink commits across unrelated flips (retention,
-        # plain produce) — they live in the SAME file so that a
-        # produce carrying a sink_commit advances offsets and records
-        # the batch id in ONE atomic os.replace (the exactly-once
-        # commit point for streaming sinks)
-        try:
-            with open(self._wm_path(topic)) as f:
-                prev = json.load(f)
-        except FileNotFoundError:
-            prev = {}
-        sinks = prev.get("__sinks", {})
-        if sink_commit is not None:
-            sinks[sink_commit[0]] = sink_commit[1]
-        # snapshot history: every flip that ADVANCES offsets appends a
-        # version (the time-travel read points of scan_at). Written in
-        # the same atomic os.replace as the offsets, so a version is
-        # readable exactly iff its produce committed.
-        history: list = prev.get("__history", [])
-        prev_wm = {k: v for k, v in prev.items() if not k.startswith("__")}
-        new_wm = {str(k): v for k, v in wm.items()}
-        if new_wm != prev_wm:
-            next_v = (history[-1]["v"] + 1) if history else 1
-            history = (history + [{"v": next_v, "wm": new_wm}])[-self.MAX_SNAPSHOTS:]
-        payload: dict = dict(new_wm)
-        if sinks:
-            payload["__sinks"] = sinks
-        if history:
-            payload["__history"] = history
-        tmp = self._wm_path(topic) + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, self._wm_path(topic))
+        # The whole read-merge-replace runs under the short flip lock:
+        # with per-PARTITION commit locks, a concurrent producer on a
+        # disjoint partition set may flip between our read and our
+        # os.replace, and an unlocked RMW would silently roll its
+        # partitions back. Offsets only ever advance (the sole caller
+        # is _write_and_advance), so the merge is a per-partition max —
+        # our own partitions are stable because we hold their locks.
+        with flip_lock(self._topic_dir(topic)):
+            # preserve sink commits across unrelated flips (retention,
+            # plain produce) — they live in the SAME file so that a
+            # produce carrying a sink_commit advances offsets and
+            # records the batch id in ONE atomic os.replace (the
+            # exactly-once commit point for streaming sinks)
+            try:
+                with open(self._wm_path(topic)) as f:
+                    prev = json.load(f)
+            except FileNotFoundError:
+                prev = {}
+            sinks = prev.get("__sinks", {})
+            if sink_commit is not None:
+                sinks[sink_commit[0]] = sink_commit[1]
+            prev_wm = {k: v for k, v in prev.items() if not k.startswith("__")}
+            new_wm = {
+                str(k): max(int(v), int(prev_wm.get(str(k), 0)))
+                for k, v in wm.items()
+            }
+            merged_wm = {**prev_wm, **new_wm}
+            # snapshot history: every flip that ADVANCES offsets appends
+            # a version (the time-travel read points of scan_at).
+            # Written in the same atomic os.replace as the offsets, so
+            # a version is readable exactly iff its produce committed.
+            history: list = prev.get("__history", [])
+            if merged_wm != prev_wm:
+                next_v = (history[-1]["v"] + 1) if history else 1
+                history = (history + [{"v": next_v, "wm": merged_wm}])[
+                    -self.MAX_SNAPSHOTS:
+                ]
+            payload: dict = dict(merged_wm)
+            if sinks:
+                payload["__sinks"] = sinks
+            if history:
+                payload["__history"] = history
+            tmp = self._wm_path(topic) + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, self._wm_path(topic))
 
     def snapshot_versions(self, topic: str) -> list[tuple[int, dict[int, int]]]:
         """Readable snapshot versions, oldest→newest: (version, the
@@ -655,7 +739,6 @@ class TopicLog:
     # ------------------------------------------------------ produce
 
     @_locked
-    @_commit_locked
     def produce(
         self,
         topic: str,
@@ -663,6 +746,7 @@ class TopicLog:
         partition_expr: Column | None = None,
         order_by: list[str] | None = None,
         sink_commit: tuple[str, int] | None = None,
+        partitions: list[int] | None = None,
     ) -> dict[int, int]:
         """Produce (API key 0) analog: assign partitions + dense offsets,
         atomic parquet append. Returns new high watermarks.
@@ -674,6 +758,14 @@ class TopicLog:
         intra-batch offset order (required for deterministic replay;
         defaults to the incoming order of (key, value) hashes).
 
+        partitions declares the partition set this batch targets;
+        only THOSE partitions' cross-process commit locks are taken,
+        so concurrent producers on disjoint declared sets of one
+        topic run fully in parallel (Kafka's per-partition write
+        concurrency). The declaration is enforced in-plan: a record
+        routed outside the declared set fails the write before any
+        file lands. Default None targets (and locks) all partitions.
+
         Scale: one shuffle on `partition`, then a per-partition
         row_number window — exactly the minimal work offset density
         requires. The window's partition count equals the topic's,
@@ -681,10 +773,53 @@ class TopicLog:
         counts accordingly (as in Kafka).
         """
         meta = self.topic_meta(topic)
-        self._reclaim_uncommitted(topic)
+        if partitions is None:
+            pset = set(range(meta.num_partitions))
+        else:
+            pset = {int(p) for p in partitions}
+            bad = sorted(p for p in pset if not 0 <= p < meta.num_partitions)
+            if bad:
+                raise ValueError(
+                    f"topic {topic!r} declares {meta.num_partitions} partitions; "
+                    f"cannot target partition(s) {bad}"
+                )
+        with partition_commit_locks(self._topic_dir(topic), pset):
+            return self._produce_locked(
+                topic, meta, records, partition_expr, order_by, sink_commit, pset
+            )
+
+    def _produce_locked(
+        self,
+        topic: str,
+        meta: TopicMeta,
+        records: DataFrame,
+        partition_expr: Column | None,
+        order_by: list[str] | None,
+        sink_commit: tuple[str, int] | None,
+        pset: set[int],
+    ) -> dict[int, int]:
+        self._reclaim_uncommitted(topic, pset)
         wm = self._watermarks(topic)
         if partition_expr is None:
             partition_expr = F.pmod(F.xxhash64(F.col("key")), F.lit(meta.num_partitions))
+        if len(pset) < meta.num_partitions:
+            # enforce the declared set inside the plan: routing a record
+            # to an unlocked partition must fail the job BEFORE its file
+            # lands next to another producer's in-flight data
+            partition_expr = F.when(
+                partition_expr.cast("int").isin(*[F.lit(p) for p in sorted(pset)]),
+                partition_expr.cast("int"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"produce to {topic!r} declared partitions "
+                            f"{sorted(pset)} but a record routed to partition "
+                        ),
+                        partition_expr.cast("int").cast("string"),
+                    )
+                ).cast("int")
+            )
         df = records.withColumn("partition", partition_expr.cast("int"))
         order_cols = [F.col(c).asc() for c in (order_by or [])] or [
             F.xxhash64("key", "value").asc()
@@ -704,20 +839,24 @@ class TopicLog:
         if "headers" not in df.columns:
             df = df.withColumn("headers", F.lit(None).cast("map<string,binary>"))
         out = df.select("key", "value", "partition", "offset", "timestamp", "timestampType", "headers")
-        return self._write_and_advance(topic, wm, out, sink_commit=sink_commit)
+        return self._write_and_advance(topic, wm, out, sink_commit=sink_commit, allowed=pset)
 
-    def _reclaim_uncommitted(self, topic: str) -> int:
+    def _reclaim_uncommitted(self, topic: str, partitions: set[int] | None = None) -> int:
         """Delete segment files whose offsets lie entirely at/after the
         committed watermark — debris from a produce that crashed
         between the parquet append and the watermark flip. Runs under
         the commit locks at the start of every produce, BEFORE new
         offsets are assigned from the watermark, so a reassignment can
         never coexist on disk with its crashed predecessor (duplicate
-        offsets below the next flip). O(unindexed files): committed
-        files are in the manifest and skipped without a footer read;
-        files missing offset stats are left alone (can't prove them
-        uncommitted — the read-side watermark bound still hides any
-        uncommitted rows they hold)."""
+        offsets below the next flip). Scoped to ``partitions`` when the
+        caller holds only those commit locks — an unlocked partition's
+        above-watermark files may be another producer's IN-FLIGHT
+        write, not debris (that partition's own next produce reclaims
+        its real debris). O(unindexed files): committed files are in
+        the manifest and skipped without a footer read; files missing
+        offset stats are left alone (can't prove them uncommitted —
+        the read-side watermark bound still hides any uncommitted rows
+        they hold)."""
         import pyarrow.parquet as pq
 
         data_dir = self._topic_dir(topic) + "/data"
@@ -736,7 +875,10 @@ class TopicLog:
         for pdir in os.listdir(data_dir):
             if not pdir.startswith("partition="):
                 continue
-            hi = wm.get(int(pdir.split("=", 1)[1]))
+            pnum = int(pdir.split("=", 1)[1])
+            if partitions is not None and pnum not in partitions:
+                continue
+            hi = wm.get(pnum)
             if hi is None:
                 continue
             for fn in os.listdir(os.path.join(data_dir, pdir)):
@@ -766,6 +908,7 @@ class TopicLog:
         wm: dict[int, int],
         out: DataFrame,
         sink_commit: tuple[str, int] | None = None,
+        allowed: set[int] | None = None,
     ) -> dict[int, int]:
         out.write.mode("append").partitionBy("partition").parquet(self._topic_dir(topic) + "/data")
         new_wm = {
@@ -773,35 +916,53 @@ class TopicLog:
             for r in out.groupBy("partition").agg(F.max("offset").alias("hi")).collect()
         }
         n_parts = self.topic_meta(topic).num_partitions
-        bad = sorted(p for p in new_wm if not 0 <= p < n_parts)
+        ok = allowed if allowed is not None else set(range(n_parts))
+        bad = sorted(p for p in new_wm if not 0 <= p < n_parts or p not in ok)
         if bad:
             raise ValueError(
-                f"topic {topic!r} declares {n_parts} partitions; "
+                f"topic {topic!r} declares {n_parts} partitions "
+                f"(this produce locked {sorted(ok)}); "
                 f"records arrived for partition(s) {bad}"
             )
         # merge over the UNION of keys: a partition present in the data
         # but missing from the control file (e.g. created by an older
-        # writer) must not lose its watermark.
+        # writer) must not lose its watermark. Values for partitions we
+        # don't hold locks for may be stale — _set_watermarks max-merges
+        # against the fresh file under the flip lock, so stale entries
+        # can never roll a concurrent producer's flip back.
         merged = {
             p: max(wm.get(p, 0), new_wm.get(p, 0)) for p in set(wm) | set(new_wm)
         }
         self._set_watermarks(topic, merged, sink_commit=sink_commit)
-        self._refresh_manifest(topic)  # index just-written segments
+        # index just-written segments (scoped: an unlocked partition may
+        # hold another producer's in-flight files, which must stay OUT
+        # of the manifest until their own flip so their crash path
+        # stays reclaimable)
+        self._refresh_manifest(topic, partitions=ok if allowed is not None else None)
         return merged
 
     @_locked
-    @_commit_locked
-    def append_raw(self, topic: str, records: DataFrame) -> dict[int, int]:
+    def append_raw(
+        self, topic: str, records: DataFrame, partitions: list[int] | None = None
+    ) -> dict[int, int]:
         """Append records that already carry (partition, offset) — the
         flush path from the wire log, which assigned offsets at accept
         time. The caller owns offset density; watermarks advance to
-        max(offset)+1 per partition."""
-        self._reclaim_uncommitted(topic)
-        wm = self._watermarks(topic)
-        out = records.select(
-            "key", "value", "partition", "offset", "timestamp", "timestampType", "headers"
-        )
-        return self._write_and_advance(topic, wm, out)
+        max(offset)+1 per partition. ``partitions`` declares (and
+        locks) the target set, like produce()."""
+        if partitions is None:
+            pset = set(range(self.topic_meta(topic).num_partitions))
+        else:
+            pset = {int(p) for p in partitions}
+        with partition_commit_locks(self._topic_dir(topic), pset):
+            self._reclaim_uncommitted(topic, pset)
+            wm = self._watermarks(topic)
+            out = records.select(
+                "key", "value", "partition", "offset", "timestamp", "timestampType", "headers"
+            )
+            return self._write_and_advance(
+                topic, wm, out, allowed=pset if partitions is not None else None
+            )
 
     # ------------------------------------------------------ fetch / offsets
 

@@ -12,7 +12,7 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
-from kcore_spark.sources.topic_log import TopicLog, topic_commit_lock
+from kcore_spark.sources.topic_log import TopicLog, partition_commit_locks
 
 
 @pytest.fixture()
@@ -194,25 +194,32 @@ def test_writer_staging_is_per_job(spark):
 
 
 def test_topic_commit_lock_excludes_other_process():
-    """The flock must hold against a second PROCESS: the child tries to
-    enter the lock while the parent holds it and records whether it had
-    to wait."""
+    """The per-partition flock must hold against a second PROCESS: the
+    child tries to enter partition 0's lock while the parent holds it
+    and records whether it had to wait — while a DISJOINT partition's
+    lock is acquired instantly (Kafka's per-partition concurrency)."""
     import multiprocessing as mp
     import time
 
     with tempfile.TemporaryDirectory(prefix="kcore_r6_l_") as tdir:
 
-        def child(path, q):
+        def child(path, q, part):
             t0 = time.monotonic()
-            with topic_commit_lock(path):
+            with partition_commit_locks(path, [part]):
                 q.put(time.monotonic() - t0)
 
         ctx = mp.get_context("fork")
         q = ctx.Queue()
-        with topic_commit_lock(tdir):
-            p = ctx.Process(target=child, args=(tdir, q))
+        with partition_commit_locks(tdir, [0]):
+            p = ctx.Process(target=child, args=(tdir, q, 0))
             p.start()
             time.sleep(0.5)  # child should be blocked on the flock now
+            # disjoint partition: acquired instantly despite p0 held
+            p1 = ctx.Process(target=child, args=(tdir, q, 1))
+            p1.start()
+            free = q.get(timeout=10)
+            assert free < 0.3, f"disjoint partition lock waited {free:.3f}s"
+            p1.join(timeout=10)
         p.join(timeout=10)
         waited = q.get(timeout=5)
         assert waited >= 0.3, f"child acquired the lock while parent held it ({waited:.3f}s)"

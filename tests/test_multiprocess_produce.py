@@ -97,3 +97,104 @@ def test_two_process_produce_keeps_offsets_dense(spark):
     # every batch arrived intact (25 contiguous seqs each, any interleave)
     wm = log._watermarks("t")
     assert wm == {0: total}
+
+
+# ------------------------------------------------- per-partition parallelism
+
+_CHILD_P1 = textwrap.dedent(
+    """
+    import sys
+    root, n = sys.argv[1], int(sys.argv[2])
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import SparkSession, functions as F
+    from kcore_spark.sources.topic_log import TopicLog
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("producer-p1")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "1g")
+        .getOrCreate()
+    )
+    log = TopicLog(spark, root)
+    log.produce(
+        "t2",
+        spark.range(n).select(
+            F.encode(F.lit("B"), "utf-8").alias("key"),
+            F.encode(F.col("id").cast("string"), "utf-8").alias("value"),
+            F.col("id").alias("seq"),
+        ),
+        partition_expr=F.lit(1),
+        order_by=["seq"],
+        partitions=[1],
+    )
+    print("CHILD_OK")
+    spark.stop()
+    """
+)
+
+
+def test_disjoint_partition_produce_is_parallel(spark):
+    """Kafka's unit of write concurrency is the partition (r6 VERDICT
+    #4): while THIS process holds partition 0's commit lock — exactly
+    what an in-flight p0 produce holds — a child process must complete
+    an entire produce (Spark job included) into partition 1 of the
+    same topic. Under the old per-topic flock the child would block
+    until the lock was released and the timeout below would fire."""
+    from kcore_spark.sources.topic_log import TopicLog, partition_commit_locks
+
+    root = tempfile.mkdtemp(prefix="kcore_mp2_")
+    log = TopicLog(spark, root)
+    log.create_topic("t2", 2)
+    n = 25
+    tdir = os.path.join(root, "t2")
+    with partition_commit_locks(tdir, [0]):
+        child = subprocess.Popen(
+            [sys.executable, "-c", _CHILD_P1, root, str(n)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            env={**os.environ, "PYSPARK_PYTHON": sys.executable},
+        )
+        try:
+            out, _ = child.communicate(timeout=300)
+        finally:
+            if child.poll() is None:
+                child.kill()
+        assert b"CHILD_OK" in out, (
+            "child produce to partition 1 did not complete while "
+            "partition 0's lock was held"
+        )
+    # the parallel commit is fully visible and dense
+    rows = log.scan("t2").where(F.col("partition") == 1).orderBy("offset").collect()
+    assert [r.offset for r in rows] == list(range(n))
+    assert log._watermarks("t2") == {0: 0, 1: n}
+
+
+def test_declared_partition_set_enforced_in_plan(spark):
+    """A record routed outside the declared partition set must fail the
+    write job before anything commits — the declaration is what makes
+    taking only those partitions' locks safe."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    from kcore_spark.sources.topic_log import TopicLog
+
+    root = tempfile.mkdtemp(prefix="kcore_mp3_")
+    log = TopicLog(spark, root)
+    log.create_topic("t3", 2)
+    recs = spark.range(4).select(
+        F.encode(F.lit("k"), "utf-8").alias("key"),
+        F.encode(F.col("id").cast("string"), "utf-8").alias("value"),
+        F.col("id").alias("seq"),
+    )
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)):
+        log.produce("t3", recs, partition_expr=F.lit(1), order_by=["seq"], partitions=[0])
+    # nothing committed — not even a data dir (the raise_error guard
+    # fails the job before any file lands)
+    assert log._watermarks("t3") == {0: 0, 1: 0}
+    data_dir = os.path.join(root, "t3", "data")
+    assert not os.path.isdir(data_dir) or not any(
+        f for _, _, fs in os.walk(data_dir) for f in fs if f.endswith(".parquet")
+    )
