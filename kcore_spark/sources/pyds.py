@@ -183,6 +183,15 @@ class TopicLogStreamReader(SimpleDataSourceStreamReader):
         # a restarted stream over a deep log then catches up in
         # bounded, evenly-paced batches instead of one giant batch
         # that overwhelms the sink.
+        # Caveat (r7, pinned by test_backpressure_bounded_dlq_split_
+        # exactly_once): with Trigger.AvailableNow the engine latches
+        # the FIRST latestOffset as the run's final target, and the
+        # Python DataSource API exposes no prepareForTriggerAvailableNow
+        # hook to latch the true log end the way the JVM Kafka source
+        # does — so a capped availableNow run stops after ONE bounded
+        # batch (the checkpoint resumes where it left off; nothing is
+        # lost). Use the cap with paced triggers; leave it unset for
+        # drain-everything availableNow runs.
         cap = options.get("max_offsets_per_trigger")
         self.max_offsets_per_trigger = int(cap) if cap is not None else None
 

@@ -157,3 +157,115 @@ def test_topic_sink_from_real_stream(spark):
     assert log.scan("out").count() == 20
     run()  # same checkpoint: no new source data, no duplicates
     assert log.scan("out").count() == 20
+
+
+def test_backpressure_bounded_dlq_split_exactly_once(spark):
+    """r6 VERDICT #9: the kcore_topic source's max_offsets_per_trigger
+    cap exercised END-TO-END through the two-sink DLQ split — every
+    micro-batch is bounded by the cap, the stream takes several
+    triggers instead of one giant batch, both topic sinks stay
+    exactly-once (no loss, no duplicates, idempotent re-run), and the
+    main/dlq totals reproduce the batch split."""
+    from kcore_spark.sources.pyds import TopicLogDataSource
+    from kcore_spark.sources.topic_log import TopicLog
+    from kcore_spark.streaming.sinks import topic_sink
+
+    spark.dataSource.register(TopicLogDataSource)
+    root = tempfile.mkdtemp(prefix="kcore_bp_dlq_")
+    src = TopicLog(spark, root)
+    src.create_topic("in", 2)
+    n = 300
+    recs = spark.range(n).select(
+        F.encode(F.col("id").cast("string"), "utf-8").alias("key"),
+        F.encode(
+            F.when(F.col("id") % 7 == 0, F.lit("corrupt"))
+            .otherwise(F.lit('{"ok":"1"}')),
+            "utf-8",
+        ).alias("value"),
+        F.col("id").alias("seq"),
+    )
+    src.produce("in", recs, order_by=["seq"])
+
+    out_log = TopicLog(spark, tempfile.mkdtemp(prefix="kcore_bp_out_"))
+    out_log.create_topic("main", 2)
+    out_log.create_topic("dlq", 1)
+
+    cap = 80
+    batch_sizes: list[int] = []
+
+    def route(df, batch_id):
+        rows = df.withColumn("payload", F.decode(F.col("value"), "utf-8")).withColumn(
+            "parsed", F.from_json(F.col("payload"), "map<string,string>")
+        )
+        rows = rows.localCheckpoint()  # count + two sinks, one evaluation
+        batch_sizes.append(rows.count())
+        topic_sink(
+            out_log,
+            "main",
+            sink_id="bp_main",
+            order_by=["offset"],
+            transform=lambda d: d.where(F.col("parsed").isNotNull()).select(
+                "key", "value", F.col("timestamp"), "offset"
+            ),
+        )(rows, batch_id)
+        topic_sink(
+            out_log,
+            "dlq",
+            sink_id="bp_dlq",
+            order_by=["offset"],
+            transform=lambda d: d.where(F.col("parsed").isNull()).select(
+                "key", "value", F.col("timestamp"), "offset"
+            ),
+        )(rows, batch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="kcore_bp_ckpt_")
+
+    # Paced trigger, not availableNow: Spark's availableNow wrapper for
+    # Python stream sources latches the FIRST latestOffset as the run's
+    # final target, and a Python reader has no prepareForTriggerAvailable-
+    # Now hook to latch the true log end the way the JVM Kafka source
+    # does — so cap + availableNow stops after one bounded batch (the
+    # checkpoint resumes correctly; documented on the option). Bounded
+    # pacing is a steady-stream feature; drive it as one.
+    def run(stop_at_total: int):
+        import time as _time
+
+        q = (
+            spark.readStream.format("kcore_topic")
+            .option("root", root)
+            .option("topic", "in")
+            .option("max_offsets_per_trigger", str(cap))
+            .load()
+            .writeStream.foreachBatch(route)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline and sum(batch_sizes) < stop_at_total:
+                _time.sleep(0.3)
+            # one extra beat so an in-flight empty batch can finish
+            _time.sleep(1.0)
+        finally:
+            q.stop()
+
+    run(n)
+    # bounded pacing: several triggers, each within the cap, no loss
+    data_batches = [b for b in batch_sizes if b > 0]
+    assert len(data_batches) >= n // cap, f"batches: {batch_sizes}"
+    assert all(b <= cap for b in data_batches), f"cap exceeded: {batch_sizes}"
+    assert sum(batch_sizes) == n
+    # exact split, no loss, no duplicates
+    n_bad = len([i for i in range(n) if i % 7 == 0])
+    assert out_log.scan("dlq").count() == n_bad
+    main = out_log.scan("main")
+    assert main.count() == n - n_bad
+    keys = [bytes(r.key).decode() for r in main.select("key").collect()]
+    assert len(set(keys)) == n - n_bad
+    # idempotent re-delivery: a second run over the same checkpoint
+    # commits nothing new into either sink
+    before = len(batch_sizes)
+    run(0)
+    assert out_log.scan("main").count() == n - n_bad
+    assert out_log.scan("dlq").count() == n_bad
+    assert sum(batch_sizes[before:]) == 0  # no new data batches
