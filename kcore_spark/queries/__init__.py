@@ -80,6 +80,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 def all_queries() -> dict[str, QuerySpec]:
     from kcore_spark.queries import (
         curation_q,
+        extensions_r7,
         dedup,
         events,
         packing_q,
@@ -110,6 +111,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # headline LLM-pipeline blocks with no external signature yet).
     for mod in (
         dedup,
+        extensions_r7,
         similarity,
         quality_q,
         streaming,
