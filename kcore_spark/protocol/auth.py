@@ -19,8 +19,10 @@ Semantics notes (matching the public protocol spec):
 
 Provenance: the reference declares "Encryption & Auth" as an unchecked
 roadmap row (`/root/reference/README.md:51`) with no implementation;
-this realizes the authentication half at the wire level. TLS/SCRAM
-stay out of scope (SCALE.md "Replication & durability" note).
+this module realizes SASL/PLAIN and the SASL framing; the
+challenge-response mechanisms (SCRAM-SHA-256/512) and TLS live in
+protocol/scram.py and the server's ssl_context (r7), completing the
+roadmap row.
 """
 
 from __future__ import annotations
@@ -37,7 +39,11 @@ ERR_UNSUPPORTED_SASL_MECHANISM = 33
 ERR_ILLEGAL_SASL_STATE = 34
 ERR_SASL_AUTHENTICATION_FAILED = 58
 
+# Mechanisms advertised by handshake responses. PLAIN is always on;
+# the SCRAM pair is appended by the server when a SCRAM credential
+# store is configured (protocol/scram.py).
 MECHANISMS: tuple[str, ...] = ("PLAIN",)
+SCRAM_MECHANISMS: tuple[str, ...] = ("SCRAM-SHA-256", "SCRAM-SHA-512")
 
 # Session lifetime advertised on successful v1 authenticate: 0 means
 # "no re-authentication required" (KIP-368 re-auth not implemented).
@@ -56,6 +62,8 @@ class SaslState:
     # a failed authenticate: deliver the error response, then close
     failed: bool = False
     handshake_version: int | None = None
+    # in-flight SCRAM conversation (protocol/scram.py), None for PLAIN
+    scram_exchange: object | None = None
 
 
 def parse_plain_token(token: bytes) -> tuple[str, str, str]:
@@ -92,18 +100,28 @@ def check_plain(credentials: dict[str, str], token: bytes, state: SaslState) -> 
     return wire.ERR_NONE, None
 
 
-def handle_sasl_handshake(state: SaslState, payload: bytes) -> bytes:
+def handle_sasl_handshake(
+    state: SaslState, payload: bytes, mechanisms: tuple[str, ...] = MECHANISMS
+) -> bytes:
     """SaslHandshake v0/v1 (rigid encoding at every version)."""
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=False)
     mechanism = r.nullable_string() or ""
     w = wire.Writer()
     w.int32(h.correlation_id)
-    if mechanism in MECHANISMS and not state.authenticated:
+    if mechanism in mechanisms and not state.authenticated:
         state.mechanism = mechanism
         state.handshake_version = h.api_version
-        state.expect_raw_token = h.api_version == 0
-        w.int16(wire.ERR_NONE)
+        # SCRAM needs multiple authenticate round-trips; only the
+        # KIP-152 wrapped flow carries them (deviation documented in
+        # protocol/scram.py) — v0 raw-token stays PLAIN-only.
+        state.expect_raw_token = h.api_version == 0 and mechanism == "PLAIN"
+        if h.api_version == 0 and mechanism != "PLAIN":
+            state.failed = True
+            state.mechanism = None
+            w.int16(ERR_ILLEGAL_SASL_STATE)
+        else:
+            w.int16(wire.ERR_NONE)
     elif state.authenticated:
         # Real brokers deliver the handshake error and then close the
         # connection — without this an attacker gets unlimited retries
@@ -113,30 +131,56 @@ def handle_sasl_handshake(state: SaslState, payload: bytes) -> bytes:
     else:
         state.failed = True
         w.int16(ERR_UNSUPPORTED_SASL_MECHANISM)
-    w.int32(len(MECHANISMS))
-    for m in MECHANISMS:
+    w.int32(len(mechanisms))
+    for m in mechanisms:
         w.nullable_string(m)
     return w.bytes()
 
 
 def handle_sasl_authenticate(
-    state: SaslState, credentials: dict[str, str], payload: bytes
+    state: SaslState,
+    credentials: dict[str, str],
+    payload: bytes,
+    scram_credentials: dict | None = None,
 ) -> bytes:
-    """SaslAuthenticate v0/v1 (rigid; the KIP-152 wrapped flow)."""
+    """SaslAuthenticate v0/v1 (rigid; the KIP-152 wrapped flow).
+
+    PLAIN completes in one round; SCRAM runs two rounds through the
+    same API — the server challenge travels in auth_bytes and the
+    final response carries the server signature beside ERR_NONE."""
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=False)
     token = r.nullable_bytes() or b""
+    server_token = b""
     if state.mechanism is None or state.expect_raw_token:
         # no (v1) handshake on this connection → illegal state
         err, msg = ERR_ILLEGAL_SASL_STATE, "SaslHandshake v1 must precede authenticate"
         state.failed = True
+    elif state.mechanism.startswith("SCRAM-"):
+        from kcore_spark.protocol.scram import ScramExchange
+
+        if state.scram_exchange is None:
+            state.scram_exchange = ScramExchange(
+                state.mechanism, scram_credentials or {}
+            )
+        ex = state.scram_exchange
+        out = ex.server_first(token) if ex.stage == 0 else ex.server_final(token)
+        if out is None:
+            err, msg = ERR_SASL_AUTHENTICATION_FAILED, ex.error
+            state.failed = True
+        else:
+            err, msg, server_token = wire.ERR_NONE, None, out
+            if ex.stage == 2:  # proof verified
+                state.authenticated = True
+                state.authorization_id = ex.username
     else:
         err, msg = check_plain(credentials, token, state)
     w = wire.Writer()
     w.int32(h.correlation_id)
     w.int16(err)
     w.nullable_string(msg)
-    w.int32(0)  # auth_bytes: empty server token (PLAIN has no challenge)
+    w.int32(len(server_token))
+    w.raw(server_token)
     if h.api_version >= 1:
         w.int64(SESSION_LIFETIME_MS)
     return w.bytes()

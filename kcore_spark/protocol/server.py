@@ -41,6 +41,8 @@ class KafkaFrontend:
         max_connections: int = 256,
         cleaner_interval_ms: int | None = None,
         acl_store=None,
+        scram_credentials: dict | None = None,
+        ssl_context=None,
     ):
         from kcore_spark.protocol.broker import WireLog
 
@@ -68,8 +70,20 @@ class KafkaFrontend:
         )
         # credentials != None turns SASL/PLAIN enforcement on: every
         # connection must complete a handshake+authenticate before any
-        # API other than ApiVersions/SaslHandshake/SaslAuthenticate
+        # API other than ApiVersions/SaslHandshake/SaslAuthenticate.
+        # scram_credentials ({(user, mechanism) -> ScramCredential},
+        # protocol/scram.py) adds SCRAM-SHA-256/512 to the offered
+        # mechanisms and enables the k50/k51 credential admin APIs;
+        # either store alone is enough to turn enforcement on.
         self.credentials = credentials
+        self.scram_credentials = scram_credentials
+        # TLS (the encryption half of the reference's roadmap row):
+        # an ssl.SSLContext here makes the listener TLS-only —
+        # asyncio wraps every accepted connection before the first
+        # frame, so SASL tokens (and PLAIN passwords in particular)
+        # never cross the wire unencrypted. Combine both for
+        # SASL_SSL, the deployment posture real clusters run.
+        self.ssl_context = ssl_context
         # Connection cap (the reference leaves this as a TODO,
         # `/root/reference/pkg/server/server.go:77`): the accept loop
         # still accepts the TCP connection, but the N+1th connection's
@@ -104,7 +118,9 @@ class KafkaFrontend:
 
     async def start(self) -> None:
         self._conn_sem = asyncio.Semaphore(self.max_connections)
-        self._server = await asyncio.start_server(self._handle_conn, self.host, self.port)
+        self._server = await asyncio.start_server(
+            self._handle_conn, self.host, self.port, ssl=self.ssl_context
+        )
         # pick up the OS-assigned port when started with port=0 (tests)
         self.port = self._server.sockets[0].getsockname()[1]
         if self.cleaner_interval_ms is not None and self.topic_log is not None:
@@ -216,14 +232,34 @@ class KafkaFrontend:
         if api_key == wire.API_VERSIONS_KEY:
             return self._handle_api_versions(payload, api_version, correlation_id)
         if api_key == auth.SASL_HANDSHAKE_KEY and api_version <= 1:
-            return auth.handle_sasl_handshake(sasl if sasl is not None else auth.SaslState(), payload)
+            mechs = auth.MECHANISMS
+            if self.scram_credentials is not None:
+                mechs = mechs + auth.SCRAM_MECHANISMS
+            return auth.handle_sasl_handshake(
+                sasl if sasl is not None else auth.SaslState(), payload, mechanisms=mechs
+            )
         if api_key == auth.SASL_AUTHENTICATE_KEY and api_version <= 1:
             return auth.handle_sasl_authenticate(
-                sasl if sasl is not None else auth.SaslState(), self.credentials or {}, payload
+                sasl if sasl is not None else auth.SaslState(),
+                self.credentials or {},
+                payload,
+                scram_credentials=self.scram_credentials,
             )
-        if self.credentials is not None and (sasl is None or not sasl.authenticated):
+        if (self.credentials is not None or self.scram_credentials is not None) and (
+            sasl is None or not sasl.authenticated
+        ):
             log.warning("unauthenticated api_key=%d from connection; closing", api_key)
             return None
+        if api_key == 50 and api_version == 0:
+            from kcore_spark.protocol.scram import handle_describe_user_scram
+
+            return handle_describe_user_scram(self.scram_credentials or {}, payload)
+        if api_key == 51 and api_version == 0:
+            from kcore_spark.protocol.scram import handle_alter_user_scram
+
+            if self.scram_credentials is None:
+                self.scram_credentials = {}
+            return handle_alter_user_scram(self.scram_credentials, payload)
         if api_key == wire.METADATA_KEY and api_version <= 12:
             return self._handle_metadata(payload, api_version, correlation_id)
         if api_key == wire.PRODUCE_KEY and 3 <= api_version <= 11:

@@ -62,6 +62,8 @@ DESCRIBE_CLUSTER_KEY = 60
 DESCRIBE_PRODUCERS_KEY = 61
 DESCRIBE_TRANSACTIONS_KEY = 65
 LIST_TRANSACTIONS_KEY = 66
+DESCRIBE_USER_SCRAM_CREDENTIALS_KEY = 50
+ALTER_USER_SCRAM_CREDENTIALS_KEY = 51
 CONSUMER_GROUP_HEARTBEAT_KEY = 68  # KIP-848 next-gen consumer protocol
 CONSUMER_GROUP_DESCRIBE_KEY = 69  # KIP-848 admin read-side
 ERR_NONE = 0
@@ -111,6 +113,8 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (DESCRIBE_PRODUCERS_KEY, 0, 0),
     (DESCRIBE_TRANSACTIONS_KEY, 0, 0),
     (LIST_TRANSACTIONS_KEY, 0, 0),
+    (DESCRIBE_USER_SCRAM_CREDENTIALS_KEY, 0, 0),
+    (ALTER_USER_SCRAM_CREDENTIALS_KEY, 0, 0),
     (CONSUMER_GROUP_HEARTBEAT_KEY, 0, 1),
     (CONSUMER_GROUP_DESCRIBE_KEY, 0, 1),
     (API_VERSIONS_KEY, 0, 3),
