@@ -66,6 +66,88 @@ def fold_sessions(ts_sorted: list[int], cur: list[int] | None, gap_ms: int = SES
     return closed, cur
 
 
+def make_topk_processor(k: int = 3):
+    """StatefulProcessor exercising the LIST-state variable: per key,
+    maintain the running top-k ``value``s seen (ListState holds the
+    current top-k tuples, rewritten per batch) and emit the updated
+    top-k after every batch — the streaming leaderboard shape.
+
+    ListState semantics under test: ``get()`` iterates tuples,
+    ``put()`` replaces the whole list, ``appendValue`` adds one —
+    bounded state (≤ k rows per key) regardless of stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.top = handle.getListState("top", "v double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = [t[0] for t in self.top.get()] if self.top.exists() else []
+            for pdf in rows:
+                cur.extend(float(v) for v in pdf["value"].tolist())
+            cur = sorted(cur, reverse=True)[:k]
+            self.top.put([(v,) for v in cur])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(cur),
+                    "rank": list(range(1, len(cur) + 1)),
+                    "value": cur,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TopKProcessor
+
+
+def make_distinct_counter_processor(ttl_events: int = 0):
+    """StatefulProcessor exercising the MAP-state variable: per key,
+    count occurrences per event_type in a MapState (one map entry per
+    type — the engine stores entries individually, so a wide map never
+    rewrites whole-state like a ValueState would) and emit the updated
+    per-type counts each batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DistinctCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.counts = handle.getMapState("counts", "et string", "n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            seen: dict[str, int] = {}
+            for pdf in rows:
+                for et in pdf["event_type"].tolist():
+                    seen[et] = seen.get(et, 0) + 1
+            for et, n in seen.items():
+                prev = (
+                    self.counts.getValue((et,))[0]
+                    if self.counts.containsKey((et,))
+                    else 0
+                )
+                self.counts.updateValue((et,), (prev + n,))
+            ets = sorted(k2[0] for k2 in self.counts.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(ets),
+                    "event_type": ets,
+                    "n": [self.counts.getValue((et,))[0] for et in ets],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return DistinctCounter
+
+
 def make_session_processor(gap_ms: int = SESSION_GAP_MS):
     """Build the StatefulProcessor class for gap sessionization.
 

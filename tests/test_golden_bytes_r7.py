@@ -341,3 +341,61 @@ def test_golden_consumer_group_heartbeat_v1_join(fe):
     member_id = r.compact_string()
     assert member_id  # server assigned one
     assert r.int32() == 1  # member_epoch after join
+
+
+# AlterUserScramCredentials v0 (flexible): deletions[] empty,
+# upsertions[name, mechanism int8, iterations int32, salt, salted_pw,
+# tags], tags. Salted password = PBKDF2-SHA256("pw9", salt, 4096).
+import hashlib
+
+_SALT = b"0123456789abcdef"
+_SALTED = hashlib.pbkdf2_hmac("sha256", b"pw9", _SALT, 4096)
+
+
+def cbytes(b: bytes) -> bytes:  # COMPACT_BYTES
+    return uv(len(b) + 1) + b
+
+
+ALTER_SCRAM_V0 = (
+    hdr2(51, 0, 60)
+    + carr(0)         # no deletions
+    + carr(1)         # one upsertion
+    + cstr("erin")
+    + i8(1)           # SCRAM_SHA_256
+    + i32(4096)
+    + cbytes(_SALT)
+    + cbytes(_SALTED)
+    + TAG
+    + TAG
+)
+
+DESCRIBE_SCRAM_V0 = hdr2(50, 0, 61) + carr(None) + TAG  # null users = all
+
+
+def test_golden_alter_then_describe_user_scram(fe):
+    from kcore_spark.protocol.scram import ScramClient, ScramExchange
+
+    sess = __import__("kcore_spark.protocol.auth", fromlist=["SaslState"]).SaslState()
+    sess.authenticated = True
+    r = _resp_reader_flex(fe.handle_request(ALTER_SCRAM_V0, sasl=sess), 60)
+    assert r.int32() == 0  # throttle
+    assert r.compact_array_len() == 1
+    assert r.compact_string() == "erin"
+    assert r.int16() == wire.ERR_NONE
+    assert r.compact_string() is None
+
+    r = _resp_reader_flex(fe.handle_request(DESCRIBE_SCRAM_V0, sasl=sess), 61)
+    assert r.int32() == 0
+    assert r.int16() == wire.ERR_NONE  # top-level
+    assert r.compact_string() is None
+    assert r.compact_array_len() == 1
+    assert r.compact_string() == "erin"
+    assert r.int16() == wire.ERR_NONE
+    assert r.compact_string() is None
+    assert r.compact_array_len() == 1
+    assert r.int8() == 1 and r.int32() == 4096
+
+    # the provisioned verifier really authenticates pw9
+    ex = ScramExchange("SCRAM-SHA-256", fe.scram_credentials)
+    cl = ScramClient("erin", "pw9")
+    assert ex.server_final(cl.final(ex.server_first(cl.first()))) is not None

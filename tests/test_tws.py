@@ -219,3 +219,114 @@ def test_have_tws_matches_protobuf_presence():
         assert have_tws()
     except Exception:
         assert not have_tws()
+
+
+# ------------------------------------------------ list/map state
+
+class FakeListState:
+    def __init__(self, engine, name):
+        self.engine, self.name = engine, name
+
+    def _slot(self):
+        return (self.name, self.engine.current_key)
+
+    def exists(self):
+        return self._slot() in self.engine.values
+
+    def get(self):
+        return iter(self.engine.values.get(self._slot(), []))
+
+    def put(self, rows):
+        self.engine.values[self._slot()] = [tuple(r) for r in rows]
+
+    def appendValue(self, v):
+        self.engine.values.setdefault(self._slot(), []).append(tuple(v))
+
+    def appendList(self, rows):
+        self.engine.values.setdefault(self._slot(), []).extend(map(tuple, rows))
+
+    def clear(self):
+        self.engine.values.pop(self._slot(), None)
+
+
+class FakeMapState:
+    def __init__(self, engine, name):
+        self.engine, self.name = engine, name
+
+    def _map(self):
+        return self.engine.values.setdefault((self.name, self.engine.current_key), {})
+
+    def exists(self):
+        return bool(self.engine.values.get((self.name, self.engine.current_key)))
+
+    def containsKey(self, k):
+        return tuple(k) in self._map()
+
+    def getValue(self, k):
+        return self._map()[tuple(k)]
+
+    def updateValue(self, k, v):
+        self._map()[tuple(k)] = tuple(v)
+
+    def keys(self):
+        return iter(list(self._map().keys()))
+
+    def values(self):
+        return iter(list(self._map().values()))
+
+    def iterator(self):
+        return iter(list(self._map().items()))
+
+    def removeKey(self, k):
+        self._map().pop(tuple(k), None)
+
+    def clear(self):
+        self.engine.values.pop((self.name, self.engine.current_key), None)
+
+
+# widen the fake handle with the other named-state variables
+FakeHandle.getListState = lambda self, name, schema, ttlDurationMs=None: FakeListState(
+    self.engine, name
+)
+FakeHandle.getMapState = (
+    lambda self, name, key_schema, value_schema, ttlDurationMs=None: FakeMapState(
+        self.engine, name
+    )
+)
+
+
+def test_topk_processor_bounded_list_state():
+    from kcore_spark.streaming.tws import make_topk_processor
+
+    engine = FakeTwsEngine(make_topk_processor(3), delay_ms=0)
+    batches = [
+        pd.DataFrame({"user_id": [1, 1, 1], "value": [5.0, 1.0, 9.0]}),
+        pd.DataFrame({"user_id": [1, 1], "value": [7.0, 2.0]}),
+        pd.DataFrame({"user_id": [1], "value": [8.5]}),
+    ]
+    for b in batches:
+        b["ts"] = pd.to_datetime([0] * len(b), unit="ms")
+        engine.process_batch(b)
+    # last emission is the running top-3 across all batches, rank-ordered
+    last = sorted(engine.out[-3:], key=lambda t: t[1])
+    assert [(r, v) for (_u, r, v) in last] == [(1, 9.0), (2, 8.5), (3, 7.0)]
+    # state is bounded at k rows regardless of stream length
+    assert len(engine.values[("top", (1,))]) == 3
+
+
+def test_distinct_counter_map_state_accumulates():
+    from kcore_spark.streaming.tws import make_distinct_counter_processor
+
+    engine = FakeTwsEngine(make_distinct_counter_processor(), delay_ms=0)
+    b1 = pd.DataFrame({"user_id": [2, 2, 2], "event_type": ["a", "b", "a"]})
+    b2 = pd.DataFrame({"user_id": [2, 2], "event_type": ["a", "c"]})
+    for b in (b1, b2):
+        b["ts"] = pd.to_datetime([0] * len(b), unit="ms")
+        engine.process_batch(b)
+    final = {et: n for (_u, et, n) in engine.out[-3:]}
+    assert final == {"a": 3, "b": 1, "c": 1}
+    # map entries are individually addressable (removeKey semantics)
+    engine.current_key = (2,)
+    ms = FakeMapState(engine, "counts")
+    ms.removeKey(("a",))
+    assert not ms.containsKey(("a",)) and ms.containsKey(("b",))
