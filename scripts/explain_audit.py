@@ -79,6 +79,12 @@ KNOWN_UNPUSHABLE = {
     # post-as-of-join inner-match null drop — nothing reaches the scan
     "q_cdc_chunk_dups",
     "q_resample_hourly_ffill",
+    # r7 extensions — whole-table aggregations by design; every Filter
+    # in the plan is on a derived column, so nothing can reach the scan:
+    "q_k_anonymity",  # HAVING on the aggregated group size only
+    "q_setsim_ppjoin",  # prefix-rank / jaccard cuts on derived shingles
+    "q_bigram_lm_score",  # post-lead NULL drop on the derived bigram
+    "q_bpe_pair_stats",  # length>=2 guard on the derived word explode
     "q_multimodal_router",  # routes on the sniffed-magic-bytes column
     "q_tfidf_top_terms",  # only filter is the post-window rank cut
     "q_ngram_containment",  # filters on derived containment/df only
