@@ -92,6 +92,12 @@ EXTRAS = [
     "q_dq_expectations",
     "q_zorder_rect_scan",
     "q_max_concurrent",
+    # round-7 extensions (q_setsim_ppjoin excluded: 13s of exact-verify
+    # CPU at sf0.1 — correctness-pinned at sf0.01, not a bench shape)
+    "q_kcore_subgraph",
+    "q_bloom_prefilter_join",
+    "q_incremental_agg_maintenance",
+    "q_bigram_lm_score",
 ]
 
 

@@ -392,22 +392,38 @@ def q_kll_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned against the exact quantile (KLL at this size is well inside
     2%); the merged-global read proves sketch mergeability, the
     property that makes quantiles distributable at all."""
+    # Accuracy contract (fixed r7 after a full-suite flake): KLL's
+    # published guarantee bounds RANK error (~1.65% at k=200), not
+    # VALUE error — on a wide value distribution a 1.65% rank slip can
+    # move the p50 VALUE by several percent, and the sketch is
+    # randomized + merge-order-dependent (collect_list order is not
+    # deterministic), so the old |est−exact|/exact < 2% pin was
+    # tight-by-luck. The pin now checks the estimate's actual rank:
+    # frac(values ≤ est) must sit within ±5% of 0.5 — the property KLL
+    # guarantees, robust to merge order at any scale.
     orders = load_table(spark, sf_dir, "orders")
     per = orders.groupBy("o_orderstatus").agg(
         F.kll_sketch_agg_double(F.col("o_totalprice").cast("double")).alias("sk"),
         F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
     )
-    group_rows = per.select(
+    est = per.select(
         "o_orderstatus",
-        F.round("exact_p50", 2).alias("exact_p50"),
-        (
-            F.abs(
-                F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5))
-                - F.col("exact_p50")
-            )
-            / F.col("exact_p50")
-            < 0.02
-        ).alias("p50_within_2pct"),
+        "exact_p50",
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("est"),
+    )
+    group_rows = (
+        orders.join(F.broadcast(est), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.first("exact_p50"), 2).alias("exact_p50"),
+            (
+                F.abs(
+                    F.avg((F.col("o_totalprice") <= F.col("est")).cast("double"))
+                    - 0.5
+                )
+                <= 0.05
+            ).alias("p50_rank_ok"),
+        )
     )
     # kll_sketch_merge_double is BINARY (two sketches) — fold the
     # per-group sketches with a higher-order reduce, which is exactly
@@ -421,15 +437,20 @@ def q_kll_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.5),
         ).alias("gq")
     )
-    exact_global = orders.agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("g_exact")
-    )
-    global_row = merged.crossJoin(exact_global).select(
-        F.lit("__GLOBAL__").alias("o_orderstatus"),
-        F.round("g_exact", 2).alias("exact_p50"),
-        (F.abs(F.col("gq") - F.col("g_exact")) / F.col("g_exact") < 0.02).alias(
-            "p50_within_2pct"
-        ),
+    global_row = (
+        orders.crossJoin(F.broadcast(merged))
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_p50"),
+            (
+                F.abs(
+                    F.avg((F.col("o_totalprice") <= F.col("gq")).cast("double")) - 0.5
+                )
+                <= 0.05
+            ).alias("p50_rank_ok"),
+        )
+        .select(
+            F.lit("__GLOBAL__").alias("o_orderstatus"), "exact_p50", "p50_rank_ok"
+        )
     )
     return group_rows.unionByName(global_row).orderBy("o_orderstatus")
 
@@ -437,7 +458,7 @@ def q_kll_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_KLL_SQL = """
 SELECT o_orderstatus,
        ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
-       TRUE AS p50_within_2pct
+       TRUE AS p50_rank_ok
 FROM orders
 GROUP BY o_orderstatus
 UNION ALL
