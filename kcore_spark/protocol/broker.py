@@ -439,6 +439,7 @@ def encode_produce_response(
     correlation_id: int,
     results: list[tuple],  # topic → [(idx, err, base_offset[, log_start])]
     api_version: int = 3,
+    throttle_ms: int = 0,
 ) -> bytes:
     """ProduceResponse v3-v9 (flexible from v9). v5+ appends
     per-partition log_start_offset (real: the wire log truncates via
@@ -467,7 +468,7 @@ def encode_produce_response(
                 w.empty_tagged_fields()
         if flex:
             w.empty_tagged_fields()
-    w.int32(0)  # throttle
+    w.int32(throttle_ms)  # throttle: client quota backoff (protocol/quotas.py)
     if flex:
         w.empty_tagged_fields()
     return w.bytes()
@@ -608,6 +609,7 @@ def encode_fetch_response(
     api_version: int = 4,
     session_id: int = 0,
     error_code: int = 0,
+    throttle_ms: int = 0,
 ) -> bytes:
     """FetchResponse v4-v13: v5+ adds per-partition log_start_offset,
     v7+ adds top-level error_code + session_id (0 = sessionless),
@@ -619,7 +621,7 @@ def encode_fetch_response(
     w.int32(correlation_id)
     if flex:
         w.empty_tagged_fields()  # response header v1
-    w.int32(0)  # throttle
+    w.int32(throttle_ms)  # throttle: client quota backoff (protocol/quotas.py)
     if api_version >= 7:
         w.int16(error_code)
         w.int32(session_id)  # 0 = sessionless
@@ -698,7 +700,7 @@ def decode_fetch_response(payload: bytes, api_version: int = 4):
 # ------------------------------------------------------ handlers
 
 
-def handle_produce(log: WireLog, payload: bytes, authorize=None) -> bytes:
+def handle_produce(log: WireLog, payload: bytes, authorize=None, throttle_ms: int = 0) -> bytes:
     req = decode_produce_request(payload)
     results = []
     for name, parts in req.topics:
@@ -766,7 +768,10 @@ def handle_produce(log: WireLog, payload: bytes, authorize=None) -> bytes:
             part_results.append((p.index, wire.ERR_NONE, base, log.log_start(name, p.index)))
         results.append((name, part_results))
     return encode_produce_response(
-        req.header.correlation_id, results, api_version=req.header.api_version
+        req.header.correlation_id,
+        results,
+        api_version=req.header.api_version,
+        throttle_ms=throttle_ms,
     )
 
 
@@ -840,7 +845,7 @@ def _read_partition(log: WireLog, name, p, isolation_level, max_records):
     return (p.index, wire.ERR_NONE, hw, log.log_start(name, p.index), batch)
 
 
-def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 1000, authorize=None) -> bytes:
+def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 1000, authorize=None, throttle_ms: int = 0) -> bytes:
     """Fetch v4-v13 with KIP-227 incremental sessions (v7+).
 
     session_epoch -1 → sessionless full fetch (session_id 0 in the
@@ -963,6 +968,7 @@ def handle_fetch(log: WireLog, payload: bytes, max_records_per_partition: int = 
         req.header.correlation_id,
         results,
         api_version=v,
+        throttle_ms=throttle_ms,
         session_id=session_id,
     )
 

@@ -84,6 +84,13 @@ class KafkaFrontend:
         # never cross the wire unencrypted. Combine both for
         # SASL_SSL, the deployment posture real clusters run.
         self.ssl_context = ssl_context
+        # Client quotas (KIP-124 semantics, protocol/quotas.py): byte-
+        # rate limits per user/client-id surfaced as throttle_time_ms
+        # in Produce/Fetch responses; configured over the wire with
+        # AlterClientQuotas (49) / DescribeClientQuotas (48).
+        from kcore_spark.protocol.quotas import QuotaManager
+
+        self.quota_manager = QuotaManager()
         # Connection cap (the reference leaves this as a TODO,
         # `/root/reference/pkg/server/server.go:77`): the accept loop
         # still accepts the TCP connection, but the N+1th connection's
@@ -266,14 +273,33 @@ class KafkaFrontend:
             from kcore_spark.protocol.broker import handle_produce
 
             return handle_produce(
-                self.wire_log, payload, authorize=self._authorizer(sasl)
+                self.wire_log,
+                payload,
+                authorize=self._authorizer(sasl),
+                throttle_ms=self._quota_throttle("producer_byte_rate", payload, sasl),
             )
         if api_key == wire.FETCH_KEY and 4 <= api_version <= 13:
             from kcore_spark.protocol.broker import handle_fetch
 
-            return handle_fetch(
-                self.wire_log, payload, authorize=self._authorizer(sasl)
+            resp = handle_fetch(
+                self.wire_log,
+                payload,
+                authorize=self._authorizer(sasl),
+                throttle_ms=self._quota_throttle(
+                    "consumer_byte_rate", payload, sasl, nbytes=0
+                ),
             )
+            # fetched bytes count toward the NEXT request's penalty
+            self._quota_throttle("consumer_byte_rate", payload, sasl, nbytes=len(resp))
+            return resp
+        if api_key == 49 and api_version == 0:
+            from kcore_spark.protocol.quotas import handle_alter_client_quotas
+
+            return handle_alter_client_quotas(self.quota_manager, payload)
+        if api_key == 48 and api_version == 0:
+            from kcore_spark.protocol.quotas import handle_describe_client_quotas
+
+            return handle_describe_client_quotas(self.quota_manager, payload)
         if api_key == wire.OFFSET_COMMIT_KEY and 2 <= api_version <= 8:
             from kcore_spark.protocol.groups import handle_offset_commit
 
@@ -438,6 +464,31 @@ class KafkaFrontend:
         )
         store = self.acl_store
         return lambda op, rtype, rname: store.authorize(principal, op, rtype, rname)
+
+    def _quota_throttle(self, key: str, payload: bytes, sasl, nbytes: int | None = None) -> int:
+        """Record traffic against the connection's quota entities and
+        return the throttle_time_ms for this response. Produce records
+        the REQUEST size up front (the batch dominates); Fetch calls
+        with nbytes=0 to surface the standing penalty, then records the
+        response size afterwards (Kafka likewise throttles the request
+        FOLLOWING an overage — the response size isn't known sooner)."""
+        import time as _time
+
+        # header layout: key i16, version i16, corr i32, then client_id
+        # as a CLASSIC nullable string at every header version (the
+        # flexible header only appends tagged fields after it)
+        try:
+            client_id = wire.Reader(payload[8:]).nullable_string()
+        except Exception:
+            client_id = None
+        user = sasl.authorization_id if sasl is not None else None
+        return self.quota_manager.record_and_throttle(
+            key,
+            len(payload) if nbytes is None else nbytes,
+            int(_time.time() * 1000),
+            user=user,
+            client_id=client_id,
+        )
 
     def _handle_telemetry_subscriptions(self, payload: bytes) -> bytes:
         """GetTelemetrySubscriptions (API key 71, v0, KIP-714): modern

@@ -62,6 +62,8 @@ DESCRIBE_CLUSTER_KEY = 60
 DESCRIBE_PRODUCERS_KEY = 61
 DESCRIBE_TRANSACTIONS_KEY = 65
 LIST_TRANSACTIONS_KEY = 66
+DESCRIBE_CLIENT_QUOTAS_KEY = 48
+ALTER_CLIENT_QUOTAS_KEY = 49
 DESCRIBE_USER_SCRAM_CREDENTIALS_KEY = 50
 ALTER_USER_SCRAM_CREDENTIALS_KEY = 51
 CONSUMER_GROUP_HEARTBEAT_KEY = 68  # KIP-848 next-gen consumer protocol
@@ -113,6 +115,8 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (DESCRIBE_PRODUCERS_KEY, 0, 0),
     (DESCRIBE_TRANSACTIONS_KEY, 0, 0),
     (LIST_TRANSACTIONS_KEY, 0, 0),
+    (DESCRIBE_CLIENT_QUOTAS_KEY, 0, 0),
+    (ALTER_CLIENT_QUOTAS_KEY, 0, 0),
     (DESCRIBE_USER_SCRAM_CREDENTIALS_KEY, 0, 0),
     (ALTER_USER_SCRAM_CREDENTIALS_KEY, 0, 0),
     (CONSUMER_GROUP_HEARTBEAT_KEY, 0, 1),
@@ -144,6 +148,9 @@ class Reader:
 
     def int8(self) -> int:
         return self.read(1)[0]
+
+    def float64(self) -> float:
+        return struct.unpack(">d", self.read(8))[0]
 
     def nullable_bytes(self) -> bytes | None:
         n = self.int32()
@@ -216,6 +223,9 @@ class Writer:
 
     def int8(self, v: int) -> "Writer":
         return self.raw(bytes([v & 0xFF]))
+
+    def float64(self, v: float) -> "Writer":
+        return self.raw(struct.pack(">d", v))
 
     def nullable_bytes(self, b: bytes | None) -> "Writer":
         if b is None:
