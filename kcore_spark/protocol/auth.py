@@ -45,8 +45,12 @@ ERR_SASL_AUTHENTICATION_FAILED = 58
 MECHANISMS: tuple[str, ...] = ("PLAIN",)
 SCRAM_MECHANISMS: tuple[str, ...] = ("SCRAM-SHA-256", "SCRAM-SHA-512")
 
-# Session lifetime advertised on successful v1 authenticate: 0 means
-# "no re-authentication required" (KIP-368 re-auth not implemented).
+# Default session lifetime advertised on successful v1 authenticate:
+# 0 means "no re-authentication required". A nonzero lifetime turns on
+# KIP-368 re-authentication: the client must re-run the SASL flow on
+# the SAME connection before the advertised lifetime elapses, or the
+# broker treats the session as unauthenticated (and closes on the next
+# non-SASL request, like a real broker's expired-session kill).
 SESSION_LIFETIME_MS = 0
 
 
@@ -64,6 +68,9 @@ class SaslState:
     handshake_version: int | None = None
     # in-flight SCRAM conversation (protocol/scram.py), None for PLAIN
     scram_exchange: object | None = None
+    # KIP-368: epoch-ms when the current authentication was granted
+    # (re-auth refreshes it); None until first success
+    authenticated_at_ms: float | None = None
 
 
 def parse_plain_token(token: bytes) -> tuple[str, str, str]:
@@ -95,21 +102,36 @@ def check_plain(credentials: dict[str, str], token: bytes, state: SaslState) -> 
     if not hmac.compare_digest(expected.encode("utf-8"), passwd.encode("utf-8")):
         state.failed = True
         return ERR_SASL_AUTHENTICATION_FAILED, "invalid credentials"
+    import time as _time
+
     state.authenticated = True
     state.authorization_id = authzid or user
+    state.authenticated_at_ms = _time.time() * 1000
     return wire.ERR_NONE, None
 
 
 def handle_sasl_handshake(
-    state: SaslState, payload: bytes, mechanisms: tuple[str, ...] = MECHANISMS
+    state: SaslState,
+    payload: bytes,
+    mechanisms: tuple[str, ...] = MECHANISMS,
+    allow_reauth: bool = False,
 ) -> bytes:
-    """SaslHandshake v0/v1 (rigid encoding at every version)."""
+    """SaslHandshake v0/v1 (rigid encoding at every version).
+
+    ``allow_reauth`` (KIP-368, set when the broker advertises a nonzero
+    session lifetime) permits a handshake on an ALREADY-authenticated
+    connection — the re-authentication entry point. The current
+    principal stays valid until the new flow succeeds; a FAILED re-auth
+    closes the connection like any auth failure."""
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=False)
     mechanism = r.nullable_string() or ""
     w = wire.Writer()
     w.int32(h.correlation_id)
-    if mechanism in mechanisms and not state.authenticated:
+    if mechanism in mechanisms and (not state.authenticated or allow_reauth):
+        if state.authenticated:
+            # fresh exchange for the re-auth (SCRAM state is per-flow)
+            state.scram_exchange = None
         state.mechanism = mechanism
         state.handshake_version = h.api_version
         # SCRAM needs multiple authenticate round-trips; only the
@@ -123,9 +145,9 @@ def handle_sasl_handshake(
         else:
             w.int16(wire.ERR_NONE)
     elif state.authenticated:
-        # Real brokers deliver the handshake error and then close the
-        # connection — without this an attacker gets unlimited retries
-        # on a single pre-auth connection.
+        # lifetime=0 broker: re-auth not offered — deliver the error
+        # and close (without this an attacker gets unlimited retries
+        # on a single connection).
         state.failed = True
         w.int16(ERR_ILLEGAL_SASL_STATE)
     else:
@@ -142,6 +164,7 @@ def handle_sasl_authenticate(
     credentials: dict[str, str],
     payload: bytes,
     scram_credentials: dict | None = None,
+    session_lifetime_ms: int = SESSION_LIFETIME_MS,
 ) -> bytes:
     """SaslAuthenticate v0/v1 (rigid; the KIP-152 wrapped flow).
 
@@ -171,8 +194,12 @@ def handle_sasl_authenticate(
         else:
             err, msg, server_token = wire.ERR_NONE, None, out
             if ex.stage == 2:  # proof verified
+                import time as _time
+
                 state.authenticated = True
                 state.authorization_id = ex.username
+                state.authenticated_at_ms = _time.time() * 1000
+                state.scram_exchange = None  # flow complete
     else:
         err, msg = check_plain(credentials, token, state)
     w = wire.Writer()
@@ -182,7 +209,7 @@ def handle_sasl_authenticate(
     w.int32(len(server_token))
     w.raw(server_token)
     if h.api_version >= 1:
-        w.int64(SESSION_LIFETIME_MS)
+        w.int64(session_lifetime_ms)
     return w.bytes()
 
 

@@ -43,6 +43,7 @@ class KafkaFrontend:
         acl_store=None,
         scram_credentials: dict | None = None,
         ssl_context=None,
+        session_lifetime_ms: int = 0,
     ):
         from kcore_spark.protocol.broker import WireLog
 
@@ -91,6 +92,12 @@ class KafkaFrontend:
         from kcore_spark.protocol.quotas import QuotaManager
 
         self.quota_manager = QuotaManager()
+        # KIP-368: nonzero advertises a session lifetime on successful
+        # authenticate and turns on re-authentication — an expired
+        # session is treated as unauthenticated (connection closed on
+        # its next data request) unless the client re-runs the SASL
+        # flow on the same connection first.
+        self.session_lifetime_ms = session_lifetime_ms
         # Connection cap (the reference leaves this as a TODO,
         # `/root/reference/pkg/server/server.go:77`): the accept loop
         # still accepts the TCP connection, but the N+1th connection's
@@ -243,7 +250,10 @@ class KafkaFrontend:
             if self.scram_credentials is not None:
                 mechs = mechs + auth.SCRAM_MECHANISMS
             return auth.handle_sasl_handshake(
-                sasl if sasl is not None else auth.SaslState(), payload, mechanisms=mechs
+                sasl if sasl is not None else auth.SaslState(),
+                payload,
+                mechanisms=mechs,
+                allow_reauth=self.session_lifetime_ms > 0,
             )
         if api_key == auth.SASL_AUTHENTICATE_KEY and api_version <= 1:
             return auth.handle_sasl_authenticate(
@@ -251,12 +261,20 @@ class KafkaFrontend:
                 self.credentials or {},
                 payload,
                 scram_credentials=self.scram_credentials,
+                session_lifetime_ms=self.session_lifetime_ms,
             )
-        if (self.credentials is not None or self.scram_credentials is not None) and (
-            sasl is None or not sasl.authenticated
-        ):
-            log.warning("unauthenticated api_key=%d from connection; closing", api_key)
-            return None
+        if self.credentials is not None or self.scram_credentials is not None:
+            if sasl is None or not sasl.authenticated:
+                log.warning("unauthenticated api_key=%d from connection; closing", api_key)
+                return None
+            if self.session_lifetime_ms > 0 and sasl.authenticated_at_ms is not None:
+                import time as _time
+
+                if _time.time() * 1000 - sasl.authenticated_at_ms > self.session_lifetime_ms:
+                    # KIP-368: expired session without re-auth → the
+                    # broker kills the connection on its next request
+                    log.warning("expired SASL session api_key=%d; closing", api_key)
+                    return None
         if api_key == 50 and api_version == 0:
             from kcore_spark.protocol.scram import handle_describe_user_scram
 

@@ -211,6 +211,22 @@ def make_session_processor(gap_ms: int = SESSION_GAP_MS):
                     self.sess.clear()
                     yield self._emit(key[0], [(start, last, n)])
 
+        def handleInitialState(self, key, initial_state, timer_values) -> None:
+            # transformWithState's warm-start path (initialState= on the
+            # operator): seed the open session from a prior run's state
+            # snapshot — e.g. the sessions table of a checkpoint being
+            # migrated — and arm its eviction timer exactly as if the
+            # events had flowed through this query. One row per key:
+            # (start_ms, last_ms, n_events).
+            row = initial_state
+            start = int(row["start_ms"]) if "start_ms" in row else int(row[0])
+            last = int(row["last_ms"]) if "last_ms" in row else int(row[1])
+            n = int(row["n_events"]) if "n_events" in row else int(row[2])
+            self.sess.update((start, last, n))
+            for old in list(self.handle.listTimers()):
+                self.handle.deleteTimer(old)
+            self.handle.registerTimer(last + gap_ms)
+
         def close(self) -> None:
             pass
 

@@ -391,3 +391,75 @@ def test_sasl_ssl_scram_over_tls(tls_pair):
             await fe.stop()
 
     asyncio.run(run())
+
+
+# ------------------------------------------------------ KIP-368 re-auth
+
+
+def test_reauth_extends_session_and_expiry_closes():
+    """KIP-368 over the wire: a broker advertising a session lifetime
+    accepts a second SASL flow on the SAME connection (refreshing the
+    deadline), and a connection that lets its session lapse is closed
+    on its next data request."""
+    import time as _time
+
+    async def run():
+        fe = KafkaFrontend(
+            port=0, scram_credentials=dict(SCRAM_CREDS), session_lifetime_ms=600
+        )
+        fe.wire_log.create_topic("alpha", 1)
+        await fe.start()
+        try:
+            cl1 = ScramClient("alice", "wonderland")
+            reader, writer = await asyncio.open_connection(fe.host, fe.port)
+            try:
+
+                async def rt(frame):
+                    writer.write(struct.pack(">I", len(frame)) + frame)
+                    await writer.drain()
+                    (size,) = struct.unpack(">I", await reader.readexactly(4))
+                    return await reader.readexactly(size)
+
+                _parse_handshake_resp(await rt(_handshake_req(1, cl1.mechanism)))
+                _, err, _, ch, _ = _parse_auth_resp(await rt(_auth_req(cl1.first(), corr=2)))
+                _, err, _, _, lifetime = _parse_auth_resp(
+                    await rt(_auth_req(cl1.final(ch), corr=3))
+                )
+                assert err == wire.ERR_NONE and lifetime == 600
+                # metadata works while fresh
+                r = wire.Reader(await rt(_metadata_req(corr=4)))
+                assert r.int32() == 4
+                # re-auth on the SAME connection before expiry
+                _time.sleep(0.35)
+                cl2 = ScramClient("alice", "wonderland")
+                _, herr, _ = _parse_handshake_resp(await rt(_handshake_req(1, cl2.mechanism)))
+                assert herr == wire.ERR_NONE  # re-auth permitted
+                _, err, _, ch, _ = _parse_auth_resp(await rt(_auth_req(cl2.first(), corr=5)))
+                _, err, _, _, _ = _parse_auth_resp(await rt(_auth_req(cl2.final(ch), corr=6)))
+                assert err == wire.ERR_NONE
+                # past the ORIGINAL deadline but inside the refreshed one
+                _time.sleep(0.35)
+                r = wire.Reader(await rt(_metadata_req(corr=7)))
+                assert r.int32() == 7  # still authenticated
+                # now let the refreshed session lapse → closed
+                _time.sleep(0.75)
+                with pytest.raises(asyncio.IncompleteReadError):
+                    await rt(_metadata_req(corr=8))
+            finally:
+                writer.close()
+        finally:
+            await fe.stop()
+
+    asyncio.run(run())
+
+
+def test_reauth_refused_when_lifetime_zero():
+    """lifetime=0 keeps the historical contract: a second handshake on
+    an authenticated connection is ILLEGAL_SASL_STATE and closes."""
+    state = auth.SaslState()
+    state.authenticated = True
+    resp = auth.handle_sasl_handshake(
+        state, _handshake_req(1, "PLAIN"), allow_reauth=False
+    )
+    _, err, _ = _parse_handshake_resp(resp)
+    assert err == auth.ERR_ILLEGAL_SASL_STATE and state.failed

@@ -330,3 +330,27 @@ def test_distinct_counter_map_state_accumulates():
     ms = FakeMapState(engine, "counts")
     ms.removeKey(("a",))
     assert not ms.containsKey(("a",)) and ms.containsKey(("b",))
+
+
+def test_session_processor_initial_state_warm_start():
+    """handleInitialState seeds open sessions from a prior run's
+    snapshot: new events continue the seeded session when inside the
+    gap, and the seeded eviction timer closes it when the watermark
+    passes — the checkpoint-migration contract of transformWithState's
+    initialState parameter."""
+    T0 = 1_700_000_000_000
+    engine = FakeTwsEngine(make_session_processor(GAP), delay_ms=0)
+    # seed user 5 with an open session ending at T0
+    engine.current_key = (5,)
+    engine.proc.handleInitialState(
+        (5,), {"start_ms": T0 - 10 * MIN, "last_ms": T0, "n_events": 4}, _TimerValues(-1)
+    )
+    assert engine.values[("sess", (5,))] == (T0 - 10 * MIN, T0, 4)
+    assert engine.timers[(5,)] == {T0 + GAP}
+    # an event 5 minutes later CONTINUES the seeded session
+    engine.process_batch(_pdf([(5, T0 + 5 * MIN)]))
+    assert engine.values[("sess", (5,))] == (T0 - 10 * MIN, T0 + 5 * MIN, 5)
+    # an event far beyond the gap first lets the watermark close it
+    engine.process_batch(_pdf([(5, T0 + 500 * MIN)]))
+    closed = [t for t in engine.out if t[0] == 5]
+    assert closed == [(5, T0 - 10 * MIN, T0 + 5 * MIN, 5)]
