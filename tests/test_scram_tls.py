@@ -463,3 +463,60 @@ def test_reauth_refused_when_lifetime_zero():
     )
     _, err, _ = _parse_handshake_resp(resp)
     assert err == auth.ERR_ILLEGAL_SASL_STATE and state.failed
+
+
+# ------------------------------------------------------ adversarial fuzz
+
+
+def test_scram_exchange_never_crashes_or_authenticates_on_garbage():
+    """Property: arbitrary bytes at either stage of the exchange must
+    yield a clean failure (None + error), never an exception and never
+    stage 2 — the pre-auth surface is attacker-controlled input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=200))
+    def fuzz_first(data):
+        ex = ScramExchange("SCRAM-SHA-256", SCRAM_CREDS)
+        out = ex.server_first(data)
+        assert ex.stage in (0, 1)
+        if out is None:
+            assert ex.error
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=200))
+    def fuzz_final(data):
+        ex = ScramExchange("SCRAM-SHA-256", SCRAM_CREDS)
+        cl = ScramClient("alice", "wonderland")
+        ex.server_first(cl.first())
+        out = ex.server_final(data)
+        # garbage can never complete the proof
+        assert out is None and ex.stage != 2 and ex.error
+
+    fuzz_first()
+    fuzz_final()
+
+
+def test_scram_proof_bitflip_never_authenticates():
+    """Flipping any single bit of a VALID proof must fail verification
+    (the forged ClientKey hashes to a different StoredKey)."""
+    ex0 = ScramExchange("SCRAM-SHA-256", SCRAM_CREDS)
+    cl = ScramClient("alice", "wonderland")
+    sf = ex0.server_first(cl.first())
+    final = cl.final(sf).decode()
+    head, proof_b64 = final.rsplit(",p=", 1)
+    proof = bytearray(base64.b64decode(proof_b64))
+    for byte_idx in (0, len(proof) // 2, len(proof) - 1):
+        for bit in (0, 7):
+            forged = bytearray(proof)
+            forged[byte_idx] ^= 1 << bit
+            ex = ScramExchange("SCRAM-SHA-256", SCRAM_CREDS)
+            cl2 = ScramClient("alice", "wonderland")
+            sf2 = ex.server_first(cl2.first())
+            good_final = cl2.final(sf2).decode()
+            h2, p2 = good_final.rsplit(",p=", 1)
+            pb = bytearray(base64.b64decode(p2))
+            pb[byte_idx] ^= 1 << bit
+            bad = f"{h2},p={base64.b64encode(bytes(pb)).decode()}".encode()
+            assert ex.server_final(bad) is None
