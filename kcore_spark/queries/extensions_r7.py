@@ -623,3 +623,213 @@ QUERIES["q_bpe_pair_stats"] = QuerySpec(
     Q_BPE_SQL,
     "BPE tokenizer training inner loop: corpus symbol-pair frequencies",
 )
+
+
+# --------------------------------------------- WOE feature binning
+# Feature-engineering staple: equal-frequency (decile) binning of a
+# numeric feature + per-bin Weight of Evidence against a binary label
+# — the supervised discretization step credit/risk pipelines run
+# before model training. One window for the binning (ntile), one
+# aggregate for the WOE; smoothing (+0.5) keeps empty cells finite.
+
+WOE_BINS = 10
+
+
+def q_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning WITHOUT the single-partition global
+    sort: a naive NTILE over an unpartitioned window moves the whole
+    table through one task (Spark warns exactly this), which is the
+    one shape that cannot survive 100×. Instead the global rank is
+    computed distributed — range-repartition on the sort key, per-
+    partition row_number (parallel windows), plus broadcast cumulative
+    partition offsets (32-row control-plane collect, the same pattern
+    as topic-log offset assignment) — and NTILE's exact fill semantics
+    (first n mod k bins get one extra row) are reproduced from the
+    rank arithmetically, so the oracle can still say NTILE."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    n = orders.count()
+    # localCheckpoint pins the range partitioning: repartitionByRange
+    # SAMPLES its boundaries per job, so without materialization the
+    # offsets job and the rank job would see different partitionings
+    ranked_src = (
+        orders.repartitionByRange(
+            32, F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["pid"]: r["c"]
+        for r in ranked_src.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = ranked_src.withColumn(
+        "rk", F.row_number().over(w) + F.element_at(off_map, F.col("pid"))
+    )
+    q, r = divmod(n, WOE_BINS)
+    binned = ranked.select(
+        F.when(
+            F.col("rk") <= r * (q + 1), (F.col("rk") - 1) / (q + 1)
+        )
+        .otherwise(r + (F.col("rk") - r * (q + 1) - 1) / q)
+        .cast("long")
+        .alias("bin0"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("bad"),
+    ).select((F.col("bin0") + 1).alias("bin"), "bad")
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bad").alias("n_bad"),
+    )
+    totals = per_bin.agg(F.sum("n").alias("t_n"), F.sum("n_bad").alias("t_bad"))
+    return (
+        per_bin.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n",
+            F.col("n_bad").cast("long").alias("n_bad"),
+            F.round(
+                F.log(
+                    ((F.col("n") - F.col("n_bad") + 0.5) / (F.col("t_n") - F.col("t_bad")))
+                    / ((F.col("n_bad") + 0.5) / F.col("t_bad"))
+                ),
+                6,
+            ).alias("woe"),
+        )
+        .orderBy("bin")
+    )
+
+
+Q_WOE_SQL = f"""
+WITH binned AS (
+  SELECT NTILE({WOE_BINS}) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bin,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+  FROM orders),
+per_bin AS (
+  SELECT bin, COUNT(*) AS n, SUM(bad) AS n_bad FROM binned GROUP BY bin),
+totals AS (SELECT SUM(n) AS t_n, SUM(n_bad) AS t_bad FROM per_bin)
+SELECT bin, n, CAST(n_bad AS BIGINT) AS n_bad,
+       ROUND(LN(((n - n_bad + 0.5) / (t_n - t_bad)) / ((n_bad + 0.5) / t_bad)), 6) AS woe
+FROM per_bin CROSS JOIN totals
+ORDER BY bin
+"""
+
+QUERIES["q_woe_binning"] = QuerySpec(
+    q_woe_binning,
+    Q_WOE_SQL,
+    "equal-frequency binning + Weight-of-Evidence supervised discretization",
+)
+
+
+# --------------------------------------- local clustering coefficient
+# Per-node clustering coefficient over the same thresholded co-purchase
+# graph as the k-core: closed-wedge fraction cc(v) = 2·tri(v) /
+# (deg(v)·(deg(v)−1)). Triangles via the ordered two-path + closing
+# semi-join (never per-node neighborhood materialization); the output
+# is the per-degree average coefficient — the graph-topology profile
+# (hub locality) at a size the oracle can recompute exactly.
+
+
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
+    )
+    deg = sym.groupBy(F.col("p1").alias("n")).agg(F.count(F.lit(1)).alias("deg"))
+    # triangles per node: count closed ordered wedges through each vertex
+    tri = (
+        sym.alias("e1")
+        .join(
+            sym.alias("e2"),
+            (F.col("e1.p2") == F.col("e2.p1")) & (F.col("e1.p1") < F.col("e2.p2")),
+        )
+        .join(
+            edges.alias("e3"),
+            (F.col("e1.p1") == F.col("e3.p1")) & (F.col("e2.p2") == F.col("e3.p2")),
+            "left_semi",
+        )
+        .groupBy(F.col("e1.p2").alias("n"))
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    cc = (
+        deg.join(tri, "n", "left")
+        .where(F.col("deg") >= 2)
+        .select(
+            "n",
+            "deg",
+            (
+                2.0
+                * F.coalesce(F.col("tri"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1))
+            ).alias("cc"),
+        )
+    )
+    return (
+        cc.groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.round(
+                F.sum(F.round(F.col("cc"), 9).cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cc"),
+        )
+        .orderBy("deg")
+    )
+
+
+Q_CLUSTERING_SQL = """
+WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+edges AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+sym AS MATERIALIZED (
+  SELECT p1, p2 FROM edges UNION ALL SELECT p2, p1 FROM edges),
+deg AS (SELECT p1 AS n, COUNT(*) AS deg FROM sym GROUP BY p1),
+tri AS (
+  SELECT e1.p2 AS n, COUNT(*) AS tri
+  FROM sym e1 JOIN sym e2 ON e1.p2 = e2.p1 AND e1.p1 < e2.p2
+  WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+  GROUP BY e1.p2),
+cc AS (
+  SELECT deg.n, deg.deg,
+         2.0 * COALESCE(tri.tri, 0) / (deg.deg * (deg.deg - 1)) AS cc
+  FROM deg LEFT JOIN tri ON deg.n = tri.n
+  WHERE deg.deg >= 2)
+SELECT deg, COUNT(*) AS n_nodes,
+       ROUND(CAST(SUM(CAST(ROUND(cc, 9) AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS avg_cc
+FROM cc
+GROUP BY deg
+ORDER BY deg
+"""
+
+QUERIES["q_clustering_coefficient"] = QuerySpec(
+    q_clustering_coefficient,
+    Q_CLUSTERING_SQL,
+    "per-degree average local clustering coefficient (ordered wedge close)",
+)

@@ -45,6 +45,7 @@ ALLOWED_NLJ = {
     "q_kll_sketch_quantiles",  # 1-row merged-sketch × 1-row exact broadcast cross
     "q_theta_sketch_distinct",  # 1-row union-estimate × 1-row exact broadcast cross
     "q_ivf_pq_search",  # centroid/codebook broadcast crosses (ANN assign+encode)
+    "q_woe_binning",  # 1-row bin-totals broadcast cross (WOE margins)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
