@@ -2,12 +2,20 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 The image/audio decode libraries are not in this container, so the
-decode step is STUBBED (deterministic byte-level features instead of
-pixels — see ``decode_stub``). Everything around the stub is real:
+decode step HERE is STUBBED (deterministic byte-level features instead
+of pixels — see ``decode_stub``). Everything around the stub is real:
 the binary column schema, the mapInPandas batch shape (pandas
 DataFrames of bytes), partition preservation, and the typed metadata
 struct. Swapping ``decode_stub`` for PIL/librosa is a one-function
 change, and the Spark plan is identical.
+
+r7 addendum: for the two formats decodable with the STDLIB alone the
+stub excuse is gone — operators/media.py implements REAL WAV/PCM and
+PNG (all five scanline filters) decoding from the public specs, with
+the same mapInPandas plumbing (``media_features``) and round-trip
+tests. This module's fake-payload queries stay as the oracle-checked
+plumbing pins (their outputs are SQL-replicable; zlib inflation is
+not), media.py is the real-decode path.
 
 Scale: mapInPandas streams Arrow batches through Python — the only
 sane shape for per-payload native decode at 100 TB (one Python worker
