@@ -428,13 +428,33 @@ def q_setsim_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = (
         ranked.join(sized, "doc_id")
         .where(F.col("rk") <= F.col("sz") - F.ceil(F.lit(SETSIM_T) * F.col("sz")) + 1)
-        .select("doc_id", "tok")
+        .select("doc_id", "tok", "rk", "sz")
+    )
+    # POSITIONAL bound (the second P in PPJoin): at a pair's first
+    # shared token — positions (i, j) in the df-sorted orders — every
+    # common token sits at/after those positions, so
+    # overlap ≤ 1 + min(s1−i, s2−j); a true match needs overlap ≥
+    # α = ⌈t/(1+t)·(s1+s2)⌉, so occurrences violating the bound can't
+    # be a pair's first shared token and pairs with NO satisfying
+    # occurrence are complete to prune (the first-token occurrence of
+    # any true match satisfies it). Complete, so the quadratic oracle
+    # still matches exactly.
+    alpha = F.ceil(
+        F.lit(SETSIM_T / (1.0 + SETSIM_T)) * (F.col("x.sz") + F.col("y.sz"))
     )
     cand = (
         prefix.alias("x")
         .join(
             prefix.alias("y"),
-            (F.col("x.tok") == F.col("y.tok")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+            (F.col("x.tok") == F.col("y.tok"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (
+                1
+                + F.least(
+                    F.col("x.sz") - F.col("x.rk"), F.col("y.sz") - F.col("y.rk")
+                )
+                >= alpha
+            ),
         )
         .select(F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2"))
         .distinct()
