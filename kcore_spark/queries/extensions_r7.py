@@ -67,6 +67,7 @@ def q_kcore_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # materialize once; 8 peels re-read it
     )
     e = edges
+    prev_nodes = None
     for _ in range(KCORE_PEELS):
         deg = (
             e.select(F.col("p1").alias("n"))
@@ -74,7 +75,16 @@ def q_kcore_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        keep = F.broadcast(deg.where(F.col("d") >= KCORE_K).select("n"))
+        kept = deg.where(F.col("d") >= KCORE_K).select("n").localCheckpoint()
+        n_nodes = kept.count()
+        if n_nodes == prev_nodes:
+            # fixpoint: no node dropped, so the remaining peels are
+            # no-ops — the RESULT is identical to running all
+            # KCORE_PEELS (which is what the unrolled oracle does),
+            # only the wasted rounds are skipped
+            break
+        prev_nodes = n_nodes
+        keep = F.broadcast(kept)
         e = (
             e.join(keep, e.p1 == keep.n, "left_semi")
             .join(keep, F.col("p2") == keep.n, "left_semi")
