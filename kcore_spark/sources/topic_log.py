@@ -910,7 +910,38 @@ class TopicLog:
         sink_commit: tuple[str, int] | None = None,
         allowed: set[int] | None = None,
     ) -> dict[int, int]:
-        out.write.mode("append").partitionBy("partition").parquet(self._topic_dir(topic) + "/data")
+        # Stage the Spark write in a PRIVATE scratch dir, then move the
+        # segment files into the live partition dirs (unique names).
+        # A direct mode("append") into data/ is NOT safe under the
+        # per-partition lock model (r7): two concurrent produces to
+        # DISJOINT partitions would share the Hadoop committer's
+        # _temporary staging under one output path, and one job's
+        # commit/cleanup eats the other's files (measured: a concurrent
+        # partition-1 produce vanished entirely). Private staging is
+        # the same isolation the DataSource writer and optimize() use.
+        # Crash mid-move leaves above-watermark files that the target
+        # partition's next produce reclaims — strictly safer than the
+        # old committer window.
+        import shutil
+
+        data_dir = self._topic_dir(topic) + "/data"
+        stage = self._topic_dir(topic) + f"/.produce.{uuid.uuid4().hex}"
+        out.write.mode("overwrite").partitionBy("partition").parquet(stage)
+        try:
+            for pdir in os.listdir(stage):
+                if not pdir.startswith("partition="):
+                    continue
+                os.makedirs(os.path.join(data_dir, pdir), exist_ok=True)
+                for fn in os.listdir(os.path.join(stage, pdir)):
+                    if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                        os.rename(
+                            os.path.join(stage, pdir, fn),
+                            os.path.join(
+                                data_dir, pdir, f"part-pr-{uuid.uuid4().hex}.parquet"
+                            ),
+                        )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
         new_wm = {
             r["partition"]: r["hi"] + 1
             for r in out.groupBy("partition").agg(F.max("offset").alias("hi")).collect()
