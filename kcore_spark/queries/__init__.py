@@ -33,6 +33,25 @@ class QuerySpec:
 # first — rotating the window until every family has an external signature
 # (VERDICT r5 "Next round #1"). Append each round's newly-signed names here.
 _DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # CORRECTNESS_r07 window (graph/extensions/topiclog/text block):
+    "q_activity_islands", "q_apply_in_pandas_gaps", "q_basket_pmi",
+    "q_bfs_reach", "q_bigram_lm_score", "q_bloom_prefilter_join",
+    "q_bm25_topk", "q_bpe_pair_stats", "q_clustering_coefficient",
+    "q_cohort_retention", "q_corpus_curation", "q_cumulative_distinct_users",
+    "q_cuped_adjustment", "q_cusum_changepoint", "q_dp_noisy_counts",
+    "q_embedding_quantize", "q_event_pattern_regex", "q_event_transitions",
+    "q_ewma_smoothing", "q_fingerprints", "q_frame_sample",
+    "q_funnel_conversions", "q_gopher_repetition", "q_hypertable_rollup",
+    "q_incremental_agg_maintenance", "q_k_anonymity", "q_kcore_subgraph",
+    "q_lang_id_confusion", "q_multi_touch_attribution",
+    "q_multimodal_features", "q_multimodal_router", "q_pagerank_purchases",
+    "q_pagerank_weighted", "q_pandas_udf_tokens", "q_resample_hourly_ffill",
+    "q_rolling_zscore_anomalies", "q_setsim_ppjoin",
+    "q_stream_topic_source_counts", "q_stream_tws_sessions",
+    "q_supplier_triangles", "q_text_quality", "q_text_stats",
+    "q_token_totals", "q_topic_fetch_range", "q_topic_list_offsets",
+    "q_topic_offsets_for_ts", "q_topic_pyds_read", "q_topic_time_travel",
+    "q_two_stage_retrieval", "q_woe_binning",
     # CORRECTNESS_r06 window (dedup/similarity/quality/streaming block):
     "q_ann_ivf_topk", "q_batch_inference", "q_cdc_chunk_dups",
     "q_char_entropy", "q_cosine_topk", "q_decontaminate_ngram",
