@@ -712,7 +712,7 @@ def q_stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcore_spark.streaming.ops import events_stream_chunked
 
     s = events_stream_chunked(spark, sf_dir).withWatermark("ts", "30 minutes")
-    if HAVE_TWS:  # pragma: no cover - needs protobuf in the container
+    if HAVE_TWS:  # real engine: vendored protobuf runtime (kcore_spark.vendor)
         from kcore_spark.streaming.tws import make_session_processor
 
         out = s.groupBy("user_id").transformWithStateInPandas(
@@ -741,8 +741,8 @@ def q_stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     else:
-        # Container lacks the protobuf wheel the tWS Python<->JVM state
-        # bridge needs (streaming/tws.py docstring): run the SAME fold
+        # Neither a real protobuf wheel nor the vendored runtime
+        # imported (streaming/tws.py docstring): run the SAME fold
         # through the GroupState engine so the oracle entry stays
         # honest about semantics while the processor class itself is
         # covered by tests/test_tws.py.

@@ -39,6 +39,13 @@ def get_spark(
     so shuffle_partitions here is a floor for local runs, not a cap for
     the cluster.
     """
+    # Activate the vendored protobuf runtime (kcore_spark.vendor) BEFORE
+    # the JVM gateway launches: workers inherit the gateway's
+    # $PYTHONPATH, and transformWithStateInPandas imports
+    # StateMessage_pb2 inside every Python worker.
+    from kcore_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)

@@ -17,15 +17,20 @@ Spark realization. Scale properties that make it the 100 TB path:
   session eviction is event-time-driven, identical semantics to the
   GroupState EventTimeTimeout form in queries/streaming.py.
 
-ENVIRONMENT GATE (documented, like operators/multimodal.py): the
-PySpark side of transformWithState speaks protobuf to the JVM state
-server (``pyspark/sql/streaming/proto/StateMessage_pb2``), and the
-``protobuf`` wheel is not installed in this container. ``HAVE_TWS``
-reflects that; when False the query entry computes the identical
-result through the applyInPandasWithState engine while the processor
-class itself is exercised by tests/test_tws.py against a pure-Python
-fake of the engine's state+timer contract (watermark advance, timer
-fire, multi-batch replay). One import-flip away from the real engine.
+ENVIRONMENT GATE: the PySpark side of transformWithState speaks
+protobuf to the JVM state server
+(``pyspark/sql/streaming/proto/StateMessage_pb2``). When the real
+protobuf wheel is absent, ``kcore_spark.vendor.ensure_protobuf``
+activates a vendored pure-Python wire-format runtime
+(kcore_spark/vendor/protoshim, pinned by tests/test_protoshim.py), so
+``HAVE_TWS`` is True in bare containers too and the REAL engine runs:
+tests/test_tws.py drives all three named-state kinds
+(ValueState+timers / ListState / MapState) end-to-end through Spark's
+state server with the RocksDB provider, alongside the pure-Python
+engine-fake contract tests (watermark advance, timer fire,
+multi-batch replay). If neither runtime imports, the query entry
+falls back to the identical fold on the applyInPandasWithState
+engine.
 """
 
 from __future__ import annotations
@@ -35,8 +40,14 @@ SESSION_GAP_MS = 30 * 60 * 1000
 
 def have_tws() -> bool:
     """True when the transformWithState Python<->JVM bridge can run
-    (protobuf generated stubs importable)."""
+    (protobuf generated stubs importable). ``ensure_protobuf`` first
+    activates the vendored pure-Python runtime
+    (kcore_spark/vendor/protoshim) when no real protobuf wheel is
+    installed, so this is True in bare containers too."""
     try:  # pragma: no cover - env probe
+        from kcore_spark.vendor import ensure_protobuf
+
+        ensure_protobuf()
         import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
 
         return True
@@ -85,7 +96,7 @@ def make_topk_processor(k: int = 3):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self.top = handle.getListState("top", "v double")
 
-        def handleInputRows(self, key, rows, timer_values):
+        def handleInputRows(self, key, rows, timerValues):
             cur = [t[0] for t in self.top.get()] if self.top.exists() else []
             for pdf in rows:
                 cur.extend(float(v) for v in pdf["value"].tolist())
@@ -121,7 +132,7 @@ def make_distinct_counter_processor(ttl_events: int = 0):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self.counts = handle.getMapState("counts", "et string", "n long")
 
-        def handleInputRows(self, key, rows, timer_values):
+        def handleInputRows(self, key, rows, timerValues):
             seen: dict[str, int] = {}
             for pdf in rows:
                 for et in pdf["event_type"].tolist():
@@ -185,7 +196,7 @@ def make_session_processor(gap_ms: int = SESSION_GAP_MS):
                 }
             )
 
-        def handleInputRows(self, key, rows, timer_values):
+        def handleInputRows(self, key, rows, timerValues):
             cur = list(self.sess.get()) if self.sess.exists() else None
             ts_all: list[int] = []
             for pdf in rows:
@@ -201,24 +212,24 @@ def make_session_processor(gap_ms: int = SESSION_GAP_MS):
             if closed:
                 yield self._emit(key[0], closed)
 
-        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             # Single-timer discipline makes every expiry authoritative,
             # but stay defensive: only close when the watermark really
             # passed the open session's deadline.
             if self.sess.exists():
                 start, last, n = self.sess.get()
-                if expired_timer_info.getExpiryTimeInMs() >= last + gap_ms:
+                if expiredTimerInfo.getExpiryTimeInMs() >= last + gap_ms:
                     self.sess.clear()
                     yield self._emit(key[0], [(start, last, n)])
 
-        def handleInitialState(self, key, initial_state, timer_values) -> None:
+        def handleInitialState(self, key, initialState, timerValues) -> None:
             # transformWithState's warm-start path (initialState= on the
             # operator): seed the open session from a prior run's state
             # snapshot — e.g. the sessions table of a checkpoint being
             # migrated — and arm its eviction timer exactly as if the
             # events had flowed through this query. One row per key:
             # (start_ms, last_ms, n_events).
-            row = initial_state
+            row = initialState
             start = int(row["start_ms"]) if "start_ms" in row else int(row[0])
             last = int(row["last_ms"]) if "last_ms" in row else int(row[1])
             n = int(row["n_events"]) if "n_events" in row else int(row[2])

@@ -354,3 +354,169 @@ def test_session_processor_initial_state_warm_start():
     engine.process_batch(_pdf([(5, T0 + 500 * MIN)]))
     closed = [t for t in engine.out if t[0] == 5]
     assert closed == [(5, T0 - 10 * MIN, T0 + 5 * MIN, 5)]
+
+
+# --------------------------------------------------------------------
+# REAL-ENGINE e2e: the vendored protobuf runtime
+# (kcore_spark/vendor/protoshim) makes the actual
+# transformWithStateInPandas JVM bridge runnable — these tests drive
+# the same processors through Spark's state server with the RocksDB
+# provider, covering all three named-state kinds (ValueState+timers,
+# ListState, MapState) end-to-end.
+
+import contextlib
+import os
+import tempfile
+import time
+
+
+@contextlib.contextmanager
+def _rocksdb_provider(spark):
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _write_chunks(spark, chunks):
+    """Write each chunk (list of (user_id, ts_ms, event_type, value))
+    as one parquet file with ascending mtimes; return (dir, schema)."""
+    import pyspark.sql.functions as F
+
+    d = tempfile.mkdtemp(prefix="kcore_tws_e2e_")
+    for i, rows in enumerate(chunks):
+        df = spark.createDataFrame(
+            [(u, t, et, v) for (u, t, et, v) in rows],
+            "user_id long, ts_ms long, event_type string, value double",
+        ).select(
+            "user_id",
+            (F.col("ts_ms") / 1000.0).cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+        )
+        sub = os.path.join(d, f"part_{i:03d}")
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        files = [
+            os.path.join(sub, f) for f in os.listdir(sub) if f.endswith(".parquet")
+        ]
+        out = os.path.join(d, f"chunk_{i:03d}.parquet")
+        os.rename(files[0], out)
+        os.utime(out, (time.time() + i, time.time() + i))
+        import shutil
+
+        shutil.rmtree(sub)
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    return d, schema
+
+
+def _stream(spark, d, schema):
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+
+
+@pytest.mark.slow
+def test_real_engine_session_processor_value_state_and_timers(spark):
+    from kcore_spark.streaming.ops import run_to_table
+    from kcore_spark.streaming.tws import HAVE_TWS
+
+    if not HAVE_TWS:
+        pytest.skip("protobuf bridge unavailable")
+    T0 = 1_700_000_000_000
+    # user 1: two events 10min apart (one session), then 2h later two
+    # more (second session). user 2: one event. A final far-future
+    # sentinel (user 99) pushes the watermark so eviction timers fire.
+    chunks = [
+        [(1, T0, "a", 0.0), (1, T0 + 10 * MIN, "a", 0.0), (2, T0 + 1 * MIN, "a", 0.0)],
+        [(1, T0 + 130 * MIN, "a", 0.0), (1, T0 + 132 * MIN, "a", 0.0)],
+        [(99, T0 + 1000 * MIN, "a", 0.0)],
+    ]
+    d, schema = _write_chunks(spark, chunks)
+    from kcore_spark.streaming.tws import make_session_processor
+
+    s = _stream(spark, d, schema).withWatermark("ts", "30 minutes")
+    with _rocksdb_provider(spark):
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            make_session_processor(GAP)(),
+            outputStructType="user_id long, start_ms long, end_ms long, n_events long",
+            outputMode="append",
+            timeMode="eventTime",
+        )
+        res = run_to_table(out, "append", state_partitions=4)
+    got = {
+        (r.user_id, r.start_ms, r.end_ms, r.n_events)
+        for r in res.collect()
+        if r.user_id != 99
+    }
+    assert got == {
+        (1, T0, T0 + 10 * MIN, 2),
+        (1, T0 + 130 * MIN, T0 + 132 * MIN, 2),
+        (2, T0 + 1 * MIN, T0 + 1 * MIN, 1),
+    }
+
+
+@pytest.mark.slow
+def test_real_engine_topk_list_state(spark):
+    from kcore_spark.streaming.ops import run_to_table
+    from kcore_spark.streaming.tws import HAVE_TWS, make_topk_processor
+
+    if not HAVE_TWS:
+        pytest.skip("protobuf bridge unavailable")
+    T0 = 1_700_000_000_000
+    chunks = [
+        [(1, T0, "a", 5.0), (1, T0, "a", 1.0), (1, T0, "a", 9.0), (1, T0, "a", 7.0)]
+    ]
+    d, schema = _write_chunks(spark, chunks)
+    s = _stream(spark, d, schema).withWatermark("ts", "10 minutes")
+    with _rocksdb_provider(spark):
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            make_topk_processor(3)(),
+            outputStructType="user_id long, rank int, value double",
+            outputMode="append",
+            timeMode="eventTime",
+        )
+        res = run_to_table(out, "append", state_partitions=4)
+    got = sorted((r.rank, r.value) for r in res.collect())
+    assert got == [(1, 9.0), (2, 7.0), (3, 5.0)]
+
+
+@pytest.mark.slow
+def test_real_engine_distinct_counter_map_state(spark):
+    from kcore_spark.streaming.ops import run_to_table
+    from kcore_spark.streaming.tws import (
+        HAVE_TWS,
+        make_distinct_counter_processor,
+    )
+
+    if not HAVE_TWS:
+        pytest.skip("protobuf bridge unavailable")
+    T0 = 1_700_000_000_000
+    # two batches: MapState must carry counts across the trigger gap
+    chunks = [
+        [(2, T0, "a", 0.0), (2, T0, "b", 0.0), (2, T0, "a", 0.0)],
+        [(2, T0 + MIN, "a", 0.0), (2, T0 + MIN, "c", 0.0)],
+    ]
+    d, schema = _write_chunks(spark, chunks)
+    s = _stream(spark, d, schema).withWatermark("ts", "10 minutes")
+    with _rocksdb_provider(spark):
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            make_distinct_counter_processor()(),
+            outputStructType="user_id long, event_type string, n long",
+            outputMode="append",
+            timeMode="eventTime",
+        )
+        res = run_to_table(out, "append", state_partitions=4)
+    rows = {(r.event_type, r.n) for r in res.collect()}
+    # cumulative counts after batch 2 must be present (state carried)
+    assert {("a", 3), ("c", 1)} <= rows
+    # batch-1 snapshot too
+    assert {("a", 2), ("b", 1)} <= rows
