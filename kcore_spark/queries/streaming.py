@@ -636,7 +636,15 @@ def _timeout_sessions_groupstate(stream_df: DataFrame) -> DataFrame:
 def q_stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcore_spark.streaming.ops import events_stream_chunked
 
-    s = events_stream_chunked(spark, sf_dir).withWatermark("ts", "30 minutes")
+    # 3 replay chunks: the session fold is chunk-count invariant (gaps
+    # close sessions inline; the final no-data batch fires every timer
+    # the end-of-stream watermark passes), so replay cost scales with
+    # trigger count alone — 6 chunks measured 14.3s, 3 chunks 5.4s at
+    # sf0.1 with identical output. 3 keeps a genuine multi-batch replay
+    # (two watermark advances + final batch) for the state machinery.
+    s = events_stream_chunked(spark, sf_dir, n_chunks=3).withWatermark(
+        "ts", "30 minutes"
+    )
     res = _timeout_sessions_groupstate(s)
     # eviction-safe cutoff (control-plane 1-row aggregate)
     from kcore_spark.catalog import load_table
@@ -711,7 +719,13 @@ def q_stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcore_spark.streaming.tws import HAVE_TWS, SESSION_GAP_MS as GAP
     from kcore_spark.streaming.ops import events_stream_chunked
 
-    s = events_stream_chunked(spark, sf_dir).withWatermark("ts", "30 minutes")
+    # 3 chunks for the same chunk-invariance reason as
+    # q_stream_timeout_sessions; with the real TWS engine each trigger
+    # re-opens one RocksDB store per state partition, so trigger count
+    # is the dominant cost (6 chunks 14.8s / 3 chunks 6.2s at sf0.1).
+    s = events_stream_chunked(spark, sf_dir, n_chunks=3).withWatermark(
+        "ts", "30 minutes"
+    )
     if HAVE_TWS:  # real engine: vendored protobuf runtime (kcore_spark.vendor)
         from kcore_spark.streaming.tws import make_session_processor
 
@@ -737,7 +751,11 @@ def q_stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "RocksDBStateStoreProvider",
         )
         try:
-            res = run_to_table(out, "append", state_partitions=None)
+            # 16 state partitions: each trigger opens one RocksDB
+            # instance per partition, so 32 is store-setup overhead at
+            # this state volume (32→19.6s, 16→14.4s, 8→14.7s at sf0.1
+            # with the 6-chunk replay; same ordering at 3).
+            res = run_to_table(out, "append", state_partitions=16)
         finally:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     else:
