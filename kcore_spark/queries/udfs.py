@@ -118,6 +118,75 @@ SELECT doc_id,
 FROM documents
 """
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec decode under the oracle (operators/media.py): every
+    17th document becomes a deterministic synthetic WAV (even doc_id:
+    constant-amplitude PCM16) or PNG (odd doc_id: solid-color RGB,
+    filter-0 scanlines), encoded executor-side with the stdlib
+    encoders, then decoded back by ``media_features``'s RIFF/RFC-2083
+    decoders in one Arrow-batched mapInPandas pass. Because the
+    payloads derive arithmetically from doc_id, DuckDB can compute the
+    expected decoded features (rate/samples/RMS, dims/pixel mean)
+    without any codec — so a wrong chunk walk, scanline unfilter, or
+    RMS scale breaks the value hash, not just a unit test.
+
+    Constant-amplitude RMS and solid-color means are chosen to be
+    IEEE-exact on both sides: sqrt(n*a^2/n)=a and integer channel
+    means, so no rounding fuzz enters the hash. At 100 TB this is the
+    same map-side embarrassingly-parallel shape as the stub pipeline —
+    encode+decode ride one scan with no shuffle."""
+    import pandas as pd
+
+    from kcore_spark.operators.media import encode_png, encode_wav, media_features
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 17 == 0)
+    )
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                if d % 2 == 0:
+                    amp = 1000 + (d % 20) * 250
+                    n = 160 + (d % 5) * 40
+                    payloads.append(encode_wav([amp] * n, sample_rate=8000))
+                else:
+                    w, h = 8 + (d % 9), 4 + (d % 7)
+                    r, g, b = d % 256, (7 * d) % 256, (13 * d) % 256
+                    payloads.append(
+                        encode_png(w, h, bytes([r, g, b]) * (w * h), color_type=2)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return media_features(media).select(
+        "doc_id", "kind", "sample_rate", "n_samples", "rms",
+        "width", "height", "mean_px",
+    ).orderBy("doc_id")
+
+
+Q_MEDIA_DECODE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'png' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN 8000 END AS sample_rate,
+       CASE WHEN doc_id % 2 = 0 THEN 160 + (doc_id % 5) * 40 END AS n_samples,
+       CASE WHEN doc_id % 2 = 0
+            THEN (1000 + (doc_id % 20) * 250) / 32768.0 END AS rms,
+       CASE WHEN doc_id % 2 = 1 THEN 8 + (doc_id % 9) END AS width,
+       CASE WHEN doc_id % 2 = 1 THEN 4 + (doc_id % 7) END AS height,
+       CASE WHEN doc_id % 2 = 1
+            THEN ((doc_id % 256) + ((7 * doc_id) % 256) + ((13 * doc_id) % 256)) / 3.0
+       END AS mean_px
+FROM documents
+WHERE doc_id % 17 = 0
+ORDER BY doc_id
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: each payload yields 4 evenly-spaced
     16-byte frames via a 1→N mapInPandas expansion. The oracle slices
@@ -286,6 +355,10 @@ QUERIES = {
     ),
     "q_multimodal_router": QuerySpec(
         q_multimodal_router, Q_MULTIMODAL_ROUTER_SQL, "magic-byte modality routing + per-type extract"
+    ),
+    "q_media_decode": QuerySpec(
+        q_media_decode, Q_MEDIA_DECODE_SQL,
+        "real WAV/PNG codec decode vs arithmetic oracle",
     ),
     "q_row_udf_bucket": QuerySpec(q_row_udf_bucket, Q_ROW_UDF_SQL, "row udf (surface only)"),
     "q_udtf_explode_words": QuerySpec(q_udtf_explode_words, Q_UDTF_SQL, "Python UDTF"),
