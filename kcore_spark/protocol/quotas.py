@@ -92,7 +92,20 @@ class QuotaManager:
     ) -> int:
         """Record ``nbytes`` against every matching entity and return
         the throttle_time_ms the response must carry (max over
-        entities; 0 when under every quota)."""
+        entities; 0 when under every quota).
+
+        Windows for entities that stopped sending are evicted once
+        expired (client-id is attacker-controlled request-header text,
+        so with a default quota configured the window dict would
+        otherwise grow one entry per distinct client-id forever —
+        ADVICE r7). Amortized: prune only past a size threshold."""
+        if len(self._windows) > 4096:
+            stale = [
+                k for k, w in self._windows.items()
+                if now_ms - w.start_ms >= WINDOW_MS
+            ]
+            for k in stale:
+                del self._windows[k]
         throttle = 0
         for etype, ename in (("user", user), ("client-id", client_id)):
             if ename is None:
@@ -115,9 +128,17 @@ class QuotaManager:
 # ------------------------------------------------------ wire handlers
 
 
-def handle_alter_client_quotas(qm: QuotaManager, payload: bytes) -> bytes:
+ERR_CLUSTER_AUTHORIZATION_FAILED = 31
+
+
+def handle_alter_client_quotas(
+    qm: QuotaManager, payload: bytes, authorized: bool = True
+) -> bytes:
     """AlterClientQuotas v0 (classic): entries[entity[], ops[key,
-    value float64, remove bool]], validate_only."""
+    value float64, remove bool]], validate_only. ``authorized`` is the
+    caller's ALTER-on-Cluster verdict (ADVICE r7: quota limits gate
+    the data plane, so mutating them is a cluster-level privilege);
+    False answers every entry with error 31 and mutates nothing."""
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=False)
     entries = []
@@ -140,7 +161,10 @@ def handle_alter_client_quotas(qm: QuotaManager, payload: bytes) -> bytes:
         err, msg = wire.ERR_NONE, None
         bad_type = [t for t, _ in entity if t not in VALID_ENTITY_TYPES]
         bad_key = [k for k, _, _ in ops if k not in VALID_KEYS]
-        if bad_type or bad_key or not entity:
+        if not authorized:
+            err = ERR_CLUSTER_AUTHORIZATION_FAILED
+            msg = "Cluster authorization failed"
+        elif bad_type or bad_key or not entity:
             err = ERR_INVALID_REQUEST
             msg = f"unsupported entity/key: {bad_type or bad_key or 'empty entity'}"
         elif not validate_only:
@@ -162,10 +186,13 @@ def handle_alter_client_quotas(qm: QuotaManager, payload: bytes) -> bytes:
     return w.bytes()
 
 
-def handle_describe_client_quotas(qm: QuotaManager, payload: bytes) -> bytes:
+def handle_describe_client_quotas(
+    qm: QuotaManager, payload: bytes, authorized: bool = True
+) -> bytes:
     """DescribeClientQuotas v0 (classic): components[entity_type,
     match_type int8, match], strict. Returns every configured entity
-    matching ALL components."""
+    matching ALL components. ``authorized`` is the caller's
+    DESCRIBE-on-Cluster verdict."""
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=False)
     components = []
@@ -177,7 +204,10 @@ def handle_describe_client_quotas(qm: QuotaManager, payload: bytes) -> bytes:
     r.bool_()  # strict (single-entity-type model: no transitive entities)
     err, msg = wire.ERR_NONE, None
     bad = [t for t, _, _ in components if t not in VALID_ENTITY_TYPES]
-    if bad:
+    if not authorized:
+        err, msg = ERR_CLUSTER_AUTHORIZATION_FAILED, "Cluster authorization failed"
+        matched = []
+    elif bad:
         err, msg = ERR_INVALID_REQUEST, f"unsupported entity type(s): {bad}"
         matched: list[tuple[str, str | None]] = []
     else:

@@ -50,6 +50,7 @@ ERR_SASL_AUTHENTICATION_FAILED = 58
 ERR_UNSUPPORTED_SASL_MECHANISM = 33
 ERR_RESOURCE_NOT_FOUND = 91
 ERR_UNACCEPTABLE_CREDENTIAL = 93
+ERR_INVALID_REQUEST = 42
 
 
 @dataclass(frozen=True)
@@ -115,6 +116,7 @@ class ScramExchange:
         self._server_first = ""
         self._full_nonce = ""
         self._cred: ScramCredential | None = None
+        self._gs2_header = b"n,,"
 
     # ------------------------------------------------ round 1
 
@@ -124,8 +126,17 @@ class ScramExchange:
         except UnicodeDecodeError:
             self.error = "client-first not UTF-8"
             return None
-        # gs2 header: 'n,,' (no channel binding), optional authzid ignored
-        if not (text.startswith("n,,") or text.startswith("y,,")):
+        # gs2 header: 'n,,' (no channel binding) or 'y,,' (client
+        # doesn't know whether we support it — legal since we never
+        # advertise -PLUS, RFC 5802 §6). Remember which one so the
+        # c= echo in client-final can be checked against the header
+        # the client actually sent (ADVICE r7: requiring 'biws' for a
+        # 'y,,' client made that flow unauthenticatable).
+        if text.startswith("n,,"):
+            self._gs2_header = b"n,,"
+        elif text.startswith("y,,"):
+            self._gs2_header = b"y,,"
+        else:
             self.error = "unsupported gs2 channel binding"
             return None
         bare = text.split(",,", 1)[1]
@@ -169,7 +180,9 @@ class ScramExchange:
             return None
         attrs = _parse_attrs(text)
         cb, nonce, proof_b64 = attrs.get("c"), attrs.get("r"), attrs.get("p")
-        if cb != base64.b64encode(b"n,,").decode():  # 'biws'
+        # c= must echo the exact gs2 header from client-first
+        # ('biws' for 'n,,', 'eSws' for 'y,,')
+        if cb != base64.b64encode(self._gs2_header).decode():
             self.error = "channel-binding mismatch"
             return None
         if nonce != self._full_nonce:
@@ -247,13 +260,31 @@ DESCRIBE_USER_SCRAM_KEY = 50
 ALTER_USER_SCRAM_KEY = 51
 
 
+ERR_CLUSTER_AUTHORIZATION_FAILED = 31
+
+
 def handle_describe_user_scram(
-    store: dict[tuple[str, str], ScramCredential], payload: bytes
+    store: dict[tuple[str, str], ScramCredential],
+    payload: bytes,
+    authorized: bool = True,
 ) -> bytes:
     """DescribeUserScramCredentials v0: per-user mechanism+iteration
-    inventory (never key material). Null users array = all users."""
+    inventory (never key material). Null users array = all users.
+    ``authorized`` is the caller's DESCRIBE-on-Cluster verdict (real
+    brokers gate this API the same way); False answers the top-level
+    error without touching the store."""
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=True)
+    if not authorized:
+        w = wire.Writer()
+        w.int32(h.correlation_id)
+        w.empty_tagged_fields()
+        w.int32(0)  # throttle
+        w.int16(ERR_CLUSTER_AUTHORIZATION_FAILED)
+        w.compact_string("Cluster authorization failed")
+        w.compact_array_len(0)
+        w.empty_tagged_fields()
+        return w.bytes()
     n = r.compact_array_len()
     wanted: list[str] | None
     if n < 0:
@@ -296,12 +327,22 @@ def handle_describe_user_scram(
 
 
 def handle_alter_user_scram(
-    store: dict[tuple[str, str], ScramCredential], payload: bytes
+    store: dict[tuple[str, str], ScramCredential] | None,
+    payload: bytes,
+    authorized: bool = True,
 ) -> bytes:
     """AlterUserScramCredentials v0: deletions then upsertions, each
     result per (user). Upsertions carry (mechanism, iterations, salt,
     SALTED password) — the broker derives and stores only the verifier
-    keys, like a real broker."""
+    keys, like a real broker.
+
+    Security posture (ADVICE r7): ``authorized`` is the caller's
+    ALTER-on-Cluster verdict — without it, an authenticated principal
+    could upsert another user's password and assume their ACLs. And
+    ``store=None`` means SCRAM was not configured at construction:
+    the request is REJECTED rather than lazily creating a store,
+    because a data-plane request must never flip the listener's
+    authentication posture."""
     code_to_mech = {v: k for k, v in MECH_CODES.items()}
     r = wire.Reader(payload)
     h = wire.decode_request_header(r, flexible=True)
@@ -322,6 +363,28 @@ def handle_alter_user_scram(
         r.tagged_fields()
         upsertions.append((user, mech_code, iterations, salt, salted_password))
     r.tagged_fields()
+    if not authorized or store is None:
+        err, msg = (
+            (ERR_CLUSTER_AUTHORIZATION_FAILED, "Cluster authorization failed")
+            if not authorized
+            else (ERR_INVALID_REQUEST, "SCRAM not enabled on this listener")
+        )
+        for user, _mech in deletions:
+            results.append((user, err, msg))
+        for user, _mech, _i, _s, _p in upsertions:
+            results.append((user, err, msg))
+        w = wire.Writer()
+        w.int32(h.correlation_id)
+        w.empty_tagged_fields()
+        w.int32(0)  # throttle
+        w.compact_array_len(len(results))
+        for user, e, m in results:
+            w.compact_string(user)
+            w.int16(e)
+            w.compact_string(m)
+            w.empty_tagged_fields()
+        w.empty_tagged_fields()
+        return w.bytes()
     for user, mech_code in deletions:
         mech = code_to_mech.get(mech_code)
         if mech is None:

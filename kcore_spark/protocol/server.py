@@ -278,13 +278,21 @@ class KafkaFrontend:
         if api_key == 50 and api_version == 0:
             from kcore_spark.protocol.scram import handle_describe_user_scram
 
-            return handle_describe_user_scram(self.scram_credentials or {}, payload)
+            return handle_describe_user_scram(
+                self.scram_credentials or {},
+                payload,
+                authorized=self._cluster_authorized(sasl, "DESCRIBE"),
+            )
         if api_key == 51 and api_version == 0:
             from kcore_spark.protocol.scram import handle_alter_user_scram
 
-            if self.scram_credentials is None:
-                self.scram_credentials = {}
-            return handle_alter_user_scram(self.scram_credentials, payload)
+            # never lazily create the store: a data-plane request must
+            # not flip SASL enforcement on an open listener (ADVICE r7)
+            return handle_alter_user_scram(
+                self.scram_credentials,
+                payload,
+                authorized=self._cluster_authorized(sasl, "ALTER"),
+            )
         if api_key == wire.METADATA_KEY and api_version <= 12:
             return self._handle_metadata(payload, api_version, correlation_id)
         if api_key == wire.PRODUCE_KEY and 3 <= api_version <= 11:
@@ -313,11 +321,19 @@ class KafkaFrontend:
         if api_key == 49 and api_version == 0:
             from kcore_spark.protocol.quotas import handle_alter_client_quotas
 
-            return handle_alter_client_quotas(self.quota_manager, payload)
+            return handle_alter_client_quotas(
+                self.quota_manager,
+                payload,
+                authorized=self._cluster_authorized(sasl, "ALTER"),
+            )
         if api_key == 48 and api_version == 0:
             from kcore_spark.protocol.quotas import handle_describe_client_quotas
 
-            return handle_describe_client_quotas(self.quota_manager, payload)
+            return handle_describe_client_quotas(
+                self.quota_manager,
+                payload,
+                authorized=self._cluster_authorized(sasl, "DESCRIBE"),
+            )
         if api_key == wire.OFFSET_COMMIT_KEY and 2 <= api_version <= 8:
             from kcore_spark.protocol.groups import handle_offset_commit
 
@@ -469,19 +485,34 @@ class KafkaFrontend:
             self.acl_store = AclStore()
         return self.acl_store
 
+    def _principal(self, sasl) -> str:
+        return (
+            f"User:{sasl.authorization_id}"
+            if sasl is not None and sasl.authenticated and sasl.authorization_id
+            else "User:ANONYMOUS"
+        )
+
     def _authorizer(self, sasl):
         """Per-connection authorize callback for the data path, or
         None when no ACL store is configured (authorization off — the
         default, like a broker without an authorizer.class.name)."""
         if self.acl_store is None:
             return None
-        principal = (
-            f"User:{sasl.authorization_id}"
-            if sasl is not None and sasl.authenticated and sasl.authorization_id
-            else "User:ANONYMOUS"
-        )
+        principal = self._principal(sasl)
         store = self.acl_store
         return lambda op, rtype, rname: store.authorize(principal, op, rtype, rname)
+
+    def _cluster_authorized(self, sasl, operation: str) -> bool:
+        """Cluster-resource gate for the admin control plane (keys
+        48-51): ALTER on Cluster to mutate quotas/SCRAM credentials,
+        DESCRIBE to read them — the same resource a real broker checks.
+        Without an ACL store, authorization is off (matching the data
+        path's stance)."""
+        if self.acl_store is None:
+            return True
+        return self.acl_store.authorize(
+            self._principal(sasl), operation, "CLUSTER", "kafka-cluster"
+        )
 
     def _quota_throttle(self, key: str, payload: bytes, sasl, nbytes: int | None = None) -> int:
         """Record traffic against the connection's quota entities and

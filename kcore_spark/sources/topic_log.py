@@ -333,6 +333,17 @@ class TopicLog:
         data_dir = self._topic_dir(topic) + "/data"
         if not os.path.isdir(data_dir):
             return man
+        # UNSCOPED refresh (read path, no commit locks held): stay
+        # conservative and skip files whose offsets start at/above the
+        # committed watermark — they are either another producer's
+        # in-flight write or crash debris, and indexing them would
+        # shield them from _reclaim_uncommitted (manifest membership is
+        # its "committed" signal), letting the partition's next produce
+        # reassign the same offsets below the watermark (ADVICE r8).
+        # Scoped refreshes skip this: the producer indexes its own
+        # above-watermark files moments before flipping the watermark,
+        # under the partitions' commit locks.
+        wm = self._watermarks(topic) if partitions is None else None
         known = {e["file"] for entries in man.values() for e in entries}
         seen_files: set[str] = set()
         for pdir in os.listdir(data_dir):
@@ -369,6 +380,8 @@ class TopicLog:
                             ts_hi = b if ts_hi is None else max(ts_hi, b)
                 if lo is None:
                     continue  # zero-row file
+                if wm is not None and lo >= wm.get(int(pdir.split("=", 1)[1]), 0):
+                    continue  # not committed yet (see unscoped note above)
                 entry = {
                     "file": rel,
                     "min": lo,

@@ -271,3 +271,127 @@ def test_e2e_sasl_principal_gates_produce():
             await fe.stop()
 
     asyncio.run(run())
+
+
+# ------------------------------- control-plane authorization (keys 48-51)
+# ADVICE r8: mutating SCRAM credentials / client quotas is a
+# cluster-level privilege — an authenticated principal without ALTER on
+# the Cluster resource must get error 31 and no mutation; and key 51 on
+# a listener with no SCRAM store configured must be rejected rather
+# than lazily creating one (which would flip SASL enforcement on).
+
+import hashlib as _hashlib
+import struct as _struct
+
+from kcore_spark.protocol.acl import OP_ALTER, RES_CLUSTER
+
+
+def _uv(n: int) -> bytes:
+    out = b""
+    while True:
+        bb = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([bb | 0x80])
+        else:
+            return out + bytes([bb])
+
+
+def _cstr(s: str) -> bytes:
+    e = s.encode()
+    return _uv(len(e) + 1) + e
+
+
+def _cbytes(b: bytes) -> bytes:
+    return _uv(len(b) + 1) + b
+
+
+def _hdr2(key, ver, corr, client="cli"):
+    e = client.encode()
+    return (
+        _struct.pack(">hhi", key, ver, corr)
+        + _struct.pack(">h", len(e))
+        + e
+        + _uv(0)
+    )
+
+
+_SALT51 = b"fedcba9876543210"
+_SALTED51 = _hashlib.pbkdf2_hmac("sha256", b"hijack", _SALT51, 4096)
+
+ALTER_SCRAM_FRAME = (
+    _hdr2(51, 0, 70)
+    + _uv(1)  # no deletions (compact array len 0 -> uv(1))
+    + _uv(2)  # one upsertion
+    + _cstr("victim")
+    + bytes([1])  # SCRAM_SHA_256
+    + _struct.pack(">i", 4096)
+    + _cbytes(_SALT51)
+    + _cbytes(_SALTED51)
+    + _uv(0)
+    + _uv(0)
+)
+
+
+def _sasl_session(user="mallory"):
+    from kcore_spark.protocol.auth import SaslState
+
+    s = SaslState()
+    s.authenticated = True
+    s.authorization_id = user
+    return s
+
+
+def test_alter_scram_requires_cluster_alter():
+    store = AclStore()
+    fe = KafkaFrontend(acl_store=store, scram_credentials={})
+    resp = fe.handle_request(ALTER_SCRAM_FRAME, sasl=_sasl_session())
+    # per-result error 31, nothing stored
+    assert fe.scram_credentials == {}
+    assert _struct.pack(">h", 31) in resp
+    # grant ALTER on Cluster -> same request now provisions the verifier
+    store.create(
+        AclBinding(RES_CLUSTER, "kafka-cluster", PAT_LITERAL,
+                   "User:mallory", "*", OP_ALTER, PERM_ALLOW)
+    )
+    resp2 = fe.handle_request(ALTER_SCRAM_FRAME, sasl=_sasl_session())
+    assert ("victim", "SCRAM-SHA-256") in fe.scram_credentials
+    assert _struct.pack(">h", 31) not in resp2
+
+
+def test_alter_scram_rejected_when_store_unconfigured():
+    fe = KafkaFrontend()  # open listener: no credentials, no SCRAM
+    assert fe.scram_credentials is None
+    resp = fe.handle_request(ALTER_SCRAM_FRAME, sasl=None)
+    # INVALID_REQUEST per result; posture unchanged (store NOT created)
+    assert fe.scram_credentials is None
+    assert _struct.pack(">h", 42) in resp
+
+
+def test_alter_quotas_requires_cluster_alter():
+    store = AclStore()
+    fe = KafkaFrontend(acl_store=store)
+    w = wire.Writer()
+    w.int16(49).int16(0).int32(71)
+    w.nullable_string("cli")
+    w.int32(1)  # one entry
+    w.int32(1)  # one entity
+    w.nullable_string("client-id")
+    w.nullable_string("noisy")
+    w.int32(1)  # one op
+    w.nullable_string("producer_byte_rate")
+    w.float64(1024.0)
+    w.raw(b"\x00")  # remove=false
+    w.raw(b"\x00")  # validate_only=false
+    frame = w.bytes()
+    resp = fe.handle_request(frame, sasl=_sasl_session())
+    assert fe.quota_manager.quotas == {}
+    assert _struct.pack(">h", 31) in resp
+    store.create(
+        AclBinding(RES_CLUSTER, "kafka-cluster", PAT_LITERAL,
+                   "User:mallory", "*", OP_ALTER, PERM_ALLOW)
+    )
+    fe.handle_request(frame, sasl=_sasl_session())
+    assert fe.quota_manager.quotas == {
+        ("client-id", "noisy"): {"producer_byte_rate": 1024.0}
+    }

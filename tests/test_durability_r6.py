@@ -380,3 +380,25 @@ def test_fetch_never_serves_uncommitted_even_if_manifest_indexed(spark, log):
     assert log.fetch("t", 0, 0, 100).count() == 10
     assert log.fetch("t", 0, 8, 100).count() == 2  # offsets 8, 9 only
     assert log.fetch("t", 0, 12, 100).count() == 0  # fully past the wm
+
+
+def test_unscoped_refresh_skips_crash_debris(spark, log):
+    """ADVICE r8: a READ-path manifest refresh (no commit locks) runs
+    during another producer's crash window — the above-watermark
+    orphan must NOT get manifest-indexed, or the next produce would
+    skip it in _reclaim_uncommitted and assign duplicate offsets."""
+    log.create_topic("t", 1)
+    log.produce("t", _records(spark, 10), partition_expr=F.lit(0), order_by=["seq"])
+    orphan = _orphan_file(log, "t", 0, list(range(10, 15)))
+    # unscoped refresh, as fetch's stale-manifest re-plan performs it
+    man = log._refresh_manifest("t")
+    indexed = {e["file"] for entries in man.values() for e in entries}
+    assert not any("part-crashed" in f for f in indexed)
+    # ...so the next produce still reclaims the debris and stays dense
+    log.produce(
+        "t", _records(spark, 5, base_ms=2_000_000), partition_expr=F.lit(0), order_by=["seq"]
+    )
+    assert not os.path.exists(orphan)
+    rows = log.scan("t").orderBy("offset").collect()
+    assert [r.offset for r in rows] == list(range(15))
+    assert all(r.value != b"ghost" for r in rows)

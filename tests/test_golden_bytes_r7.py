@@ -377,6 +377,10 @@ def test_golden_alter_then_describe_user_scram(fe):
 
     sess = __import__("kcore_spark.protocol.auth", fromlist=["SaslState"]).SaslState()
     sess.authenticated = True
+    # SCRAM must be CONFIGURED at construction — key 51 no longer
+    # lazily creates the store (that would let a data-plane request
+    # flip SASL enforcement on an open listener, ADVICE r8 posture)
+    fe.scram_credentials = {}
     r = _resp_reader_flex(fe.handle_request(ALTER_SCRAM_V0, sasl=sess), 60)
     assert r.int32() == 0  # throttle
     assert r.compact_array_len() == 1

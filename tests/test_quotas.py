@@ -241,3 +241,22 @@ def test_fetch_records_response_bytes_for_next_penalty():
     r2 = wire.Reader(fe.handle_request(fetch_frame(9)))
     assert r2.int32() == 9
     assert r2.int32() > 0
+
+
+def test_window_eviction_bounds_memory():
+    """Windows for client-ids that stopped sending are evicted once
+    expired: with a default client-id quota, attacker-chosen client-id
+    strings must not grow _windows without bound (ADVICE r8)."""
+    from kcore_spark.protocol.quotas import WINDOW_MS, QuotaManager
+
+    qm = QuotaManager()
+    qm.set_quota("client-id", None, "producer_byte_rate", 1e9)
+    t = 1_000_000
+    for i in range(5000):
+        qm.record_and_throttle("producer_byte_rate", 10, t, client_id=f"c{i}")
+    assert len(qm._windows) == 5000
+    # next call past the window boundary prunes the expired entries
+    qm.record_and_throttle(
+        "producer_byte_rate", 10, t + 2 * WINDOW_MS, client_id="fresh"
+    )
+    assert len(qm._windows) == 1

@@ -520,3 +520,59 @@ def test_scram_proof_bitflip_never_authenticates():
             pb[byte_idx] ^= 1 << bit
             bad = f"{h2},p={base64.b64encode(bytes(pb)).decode()}".encode()
             assert ex.server_final(bad) is None
+
+
+def test_gs2_y_header_client_authenticates():
+    """RFC 5802 §6: a client that sends gs2 'y,,' (doesn't know whether
+    the server supports channel binding) must echo c=base64('y,,') =
+    'eSws' in client-final. Since this server never advertises -PLUS,
+    that flow must AUTHENTICATE, not die on a 'biws'-only c= check
+    (ADVICE r8)."""
+    import base64
+
+    from kcore_spark.protocol.scram import (
+        ScramClient,
+        ScramExchange,
+        make_credential,
+    )
+
+    import hashlib
+    import hmac
+
+    from kcore_spark.protocol.scram import _parse_attrs
+
+    creds = {("yuki", "SCRAM-SHA-256"): make_credential("pw", "SCRAM-SHA-256", b"s" * 16, 4096)}
+    ex = ScramExchange("SCRAM-SHA-256", creds)
+    cl = ScramClient("yuki", "pw")
+    # the 'y' gs2 flow: 'y,,' header in round 1, and the PROOF is
+    # computed over an auth message whose c= echoes that header
+    first = b"y,," + cl.first().split(b",,", 1)[1]
+    server_first = ex.server_first(first)
+    assert server_first is not None
+    sf = server_first.decode()
+    attrs = _parse_attrs(sf)
+    nonce, salt, iters = attrs["r"], base64.b64decode(attrs["s"]), int(attrs["i"])
+    salted = hashlib.pbkdf2_hmac("sha256", b"pw", salt, iters)
+    client_key = hmac.new(salted, b"Client Key", "sha256").digest()
+    stored_key = hashlib.new("sha256", client_key).digest()
+    without_proof = f"c={base64.b64encode(b'y,,').decode()},r={nonce}"
+    auth_message = f"{cl._bare},{sf},{without_proof}".encode()
+    client_sig = hmac.new(stored_key, auth_message, "sha256").digest()
+    proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+    final = f"{without_proof},p={base64.b64encode(proof).decode()}".encode()
+    assert ex.server_final(final) is not None, ex.error
+    assert ex.stage == 2
+
+
+def test_gs2_y_wrong_echo_still_rejected():
+    """A 'y,,' client-first with a 'biws' (n,,) echo is a gs2 mismatch
+    and must fail — the echo must match the actual header."""
+    from kcore_spark.protocol.scram import ScramClient, ScramExchange, make_credential
+
+    creds = {("yuki", "SCRAM-SHA-256"): make_credential("pw", "SCRAM-SHA-256", b"s" * 16, 4096)}
+    ex = ScramExchange("SCRAM-SHA-256", creds)
+    cl = ScramClient("yuki", "pw")
+    first = b"y,," + cl.first().split(b",,", 1)[1]
+    final = cl.final(ex.server_first(first))  # keeps c=biws
+    assert ex.server_final(final) is None
+    assert ex.error == "channel-binding mismatch"
