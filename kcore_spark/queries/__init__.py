@@ -100,6 +100,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from kcore_spark.queries import (
         curation_q,
         extensions_r7,
+        extensions_r8,
         dedup,
         events,
         packing_q,
@@ -147,6 +148,7 @@ def all_queries() -> dict[str, QuerySpec]:
         packing_q,
         sampling_q,
         curation_q,
+        extensions_r8,
         tpch,
         tpch2,
         windows,

@@ -1,0 +1,515 @@
+"""Round-8 surface extensions (SURVEY §2.3 N r8): model-evaluation
+analytics (ROC AUC, calibration/Brier, decile lift), distribution
+drift (PSI), privacy (l-diversity beside r7's k-anonymity), and
+sequence mining (top event paths) — the offline-evaluation block a
+training-data pipeline runs after the scoring pass.
+
+Provenance: declared surface of OUR engine; the reference implements
+only ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:106-125`).
+Every query pairs with a DuckDB oracle per the FIXTURES.md
+determinism rules: integer/decimal domains everywhere a sum crosses
+rows, doubles only in per-row or per-small-group final arithmetic,
+fully tie-broken orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table
+from kcore_spark.operators.similarity import as_double
+from kcore_spark.queries import QuerySpec
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+# ------------------------------------------------- distributed rank
+# The r7 WOE-binning machinery, factored: a global dense rank without
+# the single-partition window Spark would otherwise plan. Range-
+# repartition on the sort key (parallel per-partition row_numbers),
+# broadcast the 32-row cumulative partition offsets — the same
+# control-plane-collect pattern as topic-log offset assignment.
+
+
+def _dist_rank(df: DataFrame, sort_cols: list, n_parts: int = 32) -> DataFrame:
+    """Append a global 1-based row number ``rk`` ordered by sort_cols,
+    computed distributed. localCheckpoint pins the sampled range
+    boundaries so the offsets job and the rank job see the SAME
+    partitioning (repartitionByRange resamples per job otherwise)."""
+    src = (
+        df.repartitionByRange(n_parts, *[c.asc() for c in sort_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in src.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("__pid").orderBy(*[c.asc() for c in sort_cols])
+    return src.withColumn(
+        "rk", F.row_number().over(w) + F.element_at(off_map, F.col("__pid"))
+    ).drop("__pid")
+
+
+# ---------------------------------------------------------- ROC AUC
+# AUC as the Mann-Whitney U statistic with tie-averaged ranks — the
+# exact (not trapezoid-approximate) formulation:
+#   AUC = (Σ_pos avgrank − n_pos(n_pos+1)/2) / (n_pos · n_neg)
+# All sums stay in the INTEGER domain (avgrank·2 is an integer:
+# 2·min_rank + ties − 1), so the only floating-point step is one final
+# division — bit-stable across engines by construction.
+
+_AUC_W = [((11 * i + 5) % 23 - 11) / 40.0 for i in range(64)]
+
+
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of a pinned linear scorer against the binary
+    target label ≥ 5, via tie-averaged Mann-Whitney ranks.
+
+    Plan shape for 100 TB: score is a map-side fold riding the scan;
+    the global rank uses the distributed range-repartition machinery
+    (no single-partition window — see _dist_rank); the per-score tie
+    groups and the final 1-row reduction are integer-domain
+    aggregates. Output also carries n_pos/n_neg so a wrong filter
+    breaks the hash, not just the ratio."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(c) for c in _AUC_W])
+    x = as_double(F.col("embedding"))
+    score = F.aggregate(
+        F.zip_with(x, w, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    scored = emb.select(
+        score.alias("s"), (F.col("label") >= 5).cast("int").alias("pos")
+    )
+    # per distinct score: row count + positive count (ties collapse here,
+    # so the rank table is |distinct scores| — bounded by model output
+    # cardinality at scale, and the ONLY globally-ordered object)
+    by_score = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("pos_cnt")
+    )
+    ranked = _dist_rank(by_score, [F.col("s")])
+    # rows before this tie group = cumulative cnt of lower scores;
+    # avg rank · 2 = 2·(below) + cnt + 1  (integers throughout)
+    wlow = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, -1)
+    # NOTE: this window IS single-partition, but over the by-score
+    # table (post-collapse), and could itself be _dist_rank'd; kept as
+    # the cheap cumulative because its input is the reduced tie table.
+    with_below = ranked.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(wlow), F.lit(0))
+    )
+    agg = with_below.agg(
+        F.sum(F.col("pos_cnt") * (2 * F.col("below") + F.col("cnt") + 1)).alias(
+            "two_rank_sum"
+        ),
+        F.sum("pos_cnt").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos_cnt")).alias("n_neg"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("two_rank_sum") / 2.0 - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            10,
+        ).alias("auc"),
+    )
+
+
+_AUC_W_SQL = ", ".join(str(c) for c in _AUC_W)
+
+Q_AUC_SQL = f"""
+WITH scored AS (
+  SELECT list_reduce(list_prepend(0.0,
+           list_transform(list_zip(embedding::DOUBLE[], [{_AUC_W_SQL}]),
+                          p -> p[1] * p[2])), (a, b) -> a + b) AS s,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings),
+by_score AS (
+  SELECT s, COUNT(*) AS cnt, SUM(pos) AS pos_cnt FROM scored GROUP BY s),
+with_below AS (
+  SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM by_score),
+agg AS (
+  SELECT SUM(pos_cnt * (2 * below + cnt + 1)) AS two_rank_sum,
+         SUM(pos_cnt) AS n_pos, SUM(cnt - pos_cnt) AS n_neg
+  FROM with_below)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       ROUND((two_rank_sum / 2.0 - n_pos * (n_pos + 1) / 2.0)
+             / (n_pos * n_neg), 10) AS auc
+FROM agg
+"""
+
+QUERIES["q_auc_roc"] = QuerySpec(
+    q_auc_roc, Q_AUC_SQL, "exact ROC AUC via tie-averaged Mann-Whitney ranks"
+)
+
+
+# ---------------------------------------------- calibration + Brier
+# Per-bucket reliability diagram with Brier decomposition inputs. A
+# DIFFERENT pinned head than q_batch_inference's and a binary target,
+# plus the sums a calibration plot needs — kept hash-stable by summing
+# scores in DECIMAL(28,10) (per-row rounding is deterministic; decimal
+# addition is exact and order-free).
+
+_CAL_W = [((5 * i + 7) % 17 - 8) / 25.0 for i in range(64)]
+
+
+def q_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram buckets for sigmoid(w·x): per predicted-
+    probability decile, the sample count, positive rate, mean
+    prediction, and Brier-score contribution. Map-side scoring rides
+    the scan; the shuffle moves 10 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(c) for c in _CAL_W])
+    x = as_double(F.col("embedding"))
+    logit = F.aggregate(
+        F.zip_with(x, w, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    p = (1.0 / (1.0 + F.exp(-logit)))
+    pd_ = F.round(p, 10).cast("decimal(28,10)")  # deterministic row-level round
+    pos = (F.col("label") >= 5).cast("int")
+    scored = emb.select(
+        F.least(F.floor(p * 10).cast("long"), F.lit(9)).alias("bucket"),
+        pd_.alias("p"),
+        pos.alias("y"),
+    )
+    # (p − y)² must stay EXACT decimal on both engines: squaring a
+    # decimal(28,10) needs precision 57 and Spark truncates to 38 with
+    # loss — a decimal(18,10) difference squares to (37,20), lossless
+    err = (F.col("p") - F.col("y")).cast("decimal(18,10)")
+    return (
+        scored.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("p").alias("sum_p"),
+            F.sum(err * err).alias("sum_sq_err"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.round(F.col("sum_p").cast("double") / F.col("n"), 8).alias("mean_p"),
+            F.round(F.col("n_pos").cast("double") / F.col("n"), 8).alias("pos_rate"),
+            F.round(F.col("sum_sq_err").cast("double") / F.col("n"), 8).alias("brier"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_CAL_W_SQL = ", ".join(str(c) for c in _CAL_W)
+
+Q_BRIER_SQL = f"""
+WITH scored0 AS (
+  SELECT label,
+         1.0 / (1.0 + exp(-(list_reduce(list_prepend(0.0,
+           list_transform(list_zip(embedding::DOUBLE[], [{_CAL_W_SQL}]),
+                          p -> p[1] * p[2])), (a, b) -> a + b)))) AS praw
+  FROM embeddings),
+scored AS (
+  SELECT LEAST(CAST(FLOOR(praw * 10) AS BIGINT), 9) AS bucket,
+         CAST(ROUND(praw, 10) AS DECIMAL(28,10)) AS p,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+  FROM scored0)
+SELECT bucket, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+       ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 8) AS mean_p,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 8) AS pos_rate,
+       ROUND(CAST(SUM(CAST(p - y AS DECIMAL(18,10)) * CAST(p - y AS DECIMAL(18,10)))
+                  AS DOUBLE) / COUNT(*), 8) AS brier
+FROM scored
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+QUERIES["q_brier_calibration"] = QuerySpec(
+    q_brier_calibration, Q_BRIER_SQL, "reliability diagram + per-bucket Brier score"
+)
+
+
+# -------------------------------------------------------- lift table
+# Decile gains/lift analysis: rank by model score (here o_totalprice
+# as the pinned stand-in scorer), cut into 10 equal-frequency bins via
+# the DISTRIBUTED rank (no single-partition NTILE), report per-decile
+# response rate and cumulative lift.
+
+LIFT_BINS = 10
+
+
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table over orders: score = o_totalprice (desc),
+    response = o_orderstatus = 'F'. NTILE's exact fill semantics are
+    reproduced arithmetically from the distributed rank (r7 WOE
+    machinery, factored into _dist_rank); cumulative lift =
+    (cum responses / cum n) / overall rate, integer sums with one
+    final double division per 10-row output."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    n = orders.count()
+    ranked = _dist_rank(
+        orders.select(
+            (-F.col("o_totalprice")).alias("neg_score"),
+            F.col("o_orderkey"),
+            (F.col("o_orderstatus") == "F").cast("int").alias("resp"),
+        ),
+        [F.col("neg_score"), F.col("o_orderkey")],
+    )
+    q, r = divmod(n, LIFT_BINS)
+    binned = ranked.select(
+        (
+            F.when(F.col("rk") <= r * (q + 1), (F.col("rk") - 1) / (q + 1))
+            .otherwise(r + (F.col("rk") - r * (q + 1) - 1) / q)
+            .cast("long")
+            + 1
+        ).alias("decile"),
+        "resp",
+    )
+    per = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("resp").cast("long").alias("resp")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    totals = per.agg(
+        F.sum("n").alias("t_n"), F.sum("resp").alias("t_resp")
+    )
+    return (
+        per.withColumn("cum_n", F.sum("n").over(wcum))
+        .withColumn("cum_resp", F.sum("resp").over(wcum))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "decile",
+            "n",
+            "resp",
+            F.round(F.col("resp").cast("double") / F.col("n"), 8).alias("resp_rate"),
+            F.round(
+                (F.col("cum_resp").cast("double") / F.col("cum_n"))
+                / (F.col("t_resp").cast("double") / F.col("t_n")),
+                8,
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+Q_LIFT_SQL = f"""
+WITH ranked AS (
+  SELECT NTILE({LIFT_BINS}) OVER (ORDER BY -o_totalprice ASC, o_orderkey ASC) AS decile,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS resp
+  FROM orders),
+per AS (
+  SELECT decile, COUNT(*) AS n, CAST(SUM(resp) AS BIGINT) AS resp
+  FROM ranked GROUP BY decile),
+cum AS (
+  SELECT *,
+         SUM(n) OVER (ORDER BY decile) AS cum_n,
+         SUM(resp) OVER (ORDER BY decile) AS cum_resp
+  FROM per),
+totals AS (SELECT SUM(n) AS t_n, SUM(resp) AS t_resp FROM per)
+SELECT decile, n, resp,
+       ROUND(CAST(resp AS DOUBLE) / n, 8) AS resp_rate,
+       ROUND((CAST(cum_resp AS DOUBLE) / cum_n) / (CAST(t_resp AS DOUBLE) / t_n), 8)
+         AS cum_lift
+FROM cum CROSS JOIN totals
+ORDER BY decile
+"""
+
+QUERIES["q_lift_table"] = QuerySpec(
+    q_lift_table, Q_LIFT_SQL, "decile gains/lift table via distributed ranking"
+)
+
+
+# --------------------------------------------------------------- PSI
+# Population-stability-index drift between the first and second half
+# of the events month, fixed-width bins over the GLOBAL value range
+# (1-row min/max broadcast — the control-plane cross-join pattern).
+# Per-bin contributions are emitted as rows (a 10-double total would
+# re-introduce order-dependent double summation into the hash).
+
+PSI_BINS = 10
+PSI_EPS = 0.0005  # Laplace-style smoothing for empty bins
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI(ref = days < 16, cur = days ≥ 16) over events.value in 10
+    fixed-width bins of the global range. Two scans' worth of work in
+    one: a single pass bins and pivots by period; the only joins are
+    1-row broadcasts. Output: per-bin counts, shares, and the PSI
+    contribution (p_cur − p_ref)·ln(p_cur/p_ref), smoothed."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("v"),
+        (F.dayofmonth(F.col("ts").cast("timestamp")) >= 16).cast("int").alias("cur"),
+    )
+    rng = ev.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = (
+        ev.crossJoin(F.broadcast(rng))
+        .select(
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / PSI_BINS))
+                .cast("long"),
+                F.lit(PSI_BINS - 1),
+            ).alias("bin"),
+            "cur",
+        )
+    )
+    per = binned.groupBy("bin").agg(
+        F.sum(1 - F.col("cur")).cast("long").alias("n_ref"),
+        F.sum("cur").cast("long").alias("n_cur"),
+    )
+    totals = per.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = F.col("n_ref") / F.col("t_ref") + PSI_EPS
+    p_cur = F.col("n_cur") / F.col("t_cur") + PSI_EPS
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(p_ref, 8).alias("p_ref"),
+            F.round(p_cur, 8).alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 8).alias("psi_part"),
+        )
+        .orderBy("bin")
+    )
+
+
+Q_PSI_SQL = f"""
+WITH ev AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) >= 16 THEN 1 ELSE 0 END AS cur
+  FROM events),
+rng AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM ev),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / {PSI_BINS})) AS BIGINT),
+               {PSI_BINS - 1}) AS bin, cur
+  FROM ev CROSS JOIN rng),
+per AS (
+  SELECT bin, CAST(SUM(1 - cur) AS BIGINT) AS n_ref,
+         CAST(SUM(cur) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin),
+totals AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM per)
+SELECT bin, n_ref, n_cur,
+       ROUND(n_ref / t_ref + {PSI_EPS}, 8) AS p_ref,
+       ROUND(n_cur / t_cur + {PSI_EPS}, 8) AS p_cur,
+       ROUND((n_cur / t_cur + {PSI_EPS} - n_ref / t_ref - {PSI_EPS})
+             * LN((n_cur / t_cur + {PSI_EPS}) / (n_ref / t_ref + {PSI_EPS})), 8)
+         AS psi_part
+FROM per CROSS JOIN totals
+ORDER BY bin
+"""
+
+QUERIES["q_psi_drift"] = QuerySpec(
+    q_psi_drift, Q_PSI_SQL, "population stability index drift, fixed-width bins"
+)
+
+
+# -------------------------------------------------------- l-diversity
+# The companion to r7's k-anonymity: a quasi-identifier group is
+# l-diverse when its SENSITIVE attribute takes ≥ l distinct values —
+# k-anonymity alone leaves homogeneous groups re-identifiable.
+
+L_DIVERSITY = 3
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity audit over customers: QI = (nation,
+    mktsegment), sensitive = account-balance sign bucket. Emits every
+    QI group failing l=3 with its size and diversity — one groupBy
+    with count_distinct, shuffle on the QI key only."""
+    cust = load_table(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .when(F.col("c_acctbal") < 5000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return (
+        cust.select("c_nationkey", "c_mktsegment", sens.alias("sens"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("group_n"),
+            F.count_distinct("sens").alias("diversity"),
+        )
+        .where(F.col("diversity") < L_DIVERSITY)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+Q_LDIV_SQL = f"""
+WITH tagged AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'neg'
+              WHEN c_acctbal < 5000 THEN 'mid'
+              ELSE 'high' END AS sens
+  FROM customer)
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_n,
+       COUNT(DISTINCT sens) AS diversity
+FROM tagged
+GROUP BY c_nationkey, c_mktsegment
+HAVING COUNT(DISTINCT sens) < {L_DIVERSITY}
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+QUERIES["q_l_diversity"] = QuerySpec(
+    q_l_diversity, Q_LDIV_SQL, "l-diversity audit (companion to k-anonymity)"
+)
+
+
+# ------------------------------------------------------ top paths
+# 3-step behavioral paths per user (sequence mining's bread and
+# butter): consecutive event-type triples by time, counted corpus-
+# wide. Window is PARTITIONED by user — embarrassingly parallel, the
+# shuffle key is the user id, then a count on the (small) path space.
+
+TOP_PATHS = 20
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 three-step event paths by frequency. lead() over the
+    per-user time order (ties broken by event_id — total order per
+    FIXTURES rules); the triple space is |event_types|³ ≤ 125 rows
+    post-aggregation, so the top-k is a trivially broadcastable
+    sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trip = ev.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).where(F.col("step3").isNotNull())
+    return (
+        trip.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "step1", "step2", "step3")
+        .limit(TOP_PATHS)
+    )
+
+
+Q_TOP_PATHS_SQL = f"""
+WITH seq AS (
+  SELECT event_type AS step1,
+         LEAD(event_type, 1) OVER w AS step2,
+         LEAD(event_type, 2) OVER w AS step3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+SELECT step1, step2, step3, COUNT(*) AS n
+FROM seq
+WHERE step3 IS NOT NULL
+GROUP BY step1, step2, step3
+ORDER BY n DESC, step1, step2, step3
+LIMIT {TOP_PATHS}
+"""
+
+QUERIES["q_top_paths"] = QuerySpec(
+    q_top_paths, Q_TOP_PATHS_SQL, "top-k 3-step event paths (sequence mining)"
+)

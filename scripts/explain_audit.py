@@ -46,6 +46,8 @@ ALLOWED_NLJ = {
     "q_theta_sketch_distinct",  # 1-row union-estimate × 1-row exact broadcast cross
     "q_ivf_pq_search",  # centroid/codebook broadcast crosses (ANN assign+encode)
     "q_woe_binning",  # 1-row bin-totals broadcast cross (WOE margins)
+    "q_lift_table",  # 1-row totals broadcast cross (lift denominator margins)
+    "q_psi_drift",  # 1-row min/max range broadcast cross (fixed-width bin bounds)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
@@ -76,6 +78,8 @@ KNOWN_UNPUSHABLE = {
     "q_backtest_folds",  # role filter is on the derived train/test tag
     "q_cusum_changepoint",  # only filter is the post-window peak-rank cut
     "q_ewma_smoothing",  # only filter is the post-window recency-rank cut
+    "q_l_diversity",  # only filter is the post-aggregation HAVING diversity cut
+    "q_top_paths",  # only filter is the post-lead NULL drop (sequence tail)
     # filters only on derived columns: chunk duplicate counts / the
     # post-as-of-join inner-match null drop — nothing reaches the scan
     "q_cdc_chunk_dups",

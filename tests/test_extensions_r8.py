@@ -1,0 +1,190 @@
+"""Round-8 extension operators: invariants the sf0.01 oracle parity
+can't see — the distributed rank's exactness against a single-
+partition reference, AUC boundary behavior (perfect / inverted /
+random-tie scorers), NTILE fill semantics of the lift deciles, PSI's
+zero-drift identity, and l-diversity's threshold edge."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+from kcore_spark.queries.extensions_r8 import (
+    L_DIVERSITY,
+    LIFT_BINS,
+    QUERIES,
+    _dist_rank,
+)
+
+
+# ------------------------------------------------------ _dist_rank
+
+
+def test_dist_rank_matches_single_partition_rank(spark):
+    """The range-repartition + offset rank must equal the plain global
+    row_number for every row (ties fully broken by the sort key)."""
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 2654435761 % 997).alias("k"), F.col("id")
+    )
+    got = _dist_rank(df, [F.col("k"), F.col("id")], n_parts=16)
+    ref = df.withColumn(
+        "rk_ref", F.row_number().over(Window.orderBy(F.col("k").asc(), F.col("id").asc()))
+    )
+    mismatches = (
+        got.join(ref, ["k", "id"]).where(F.col("rk") != F.col("rk_ref")).count()
+    )
+    assert mismatches == 0
+    # a permutation of 1..n exactly
+    n = df.count()
+    assert got.agg(F.count_distinct("rk")).first()[0] == n
+    assert got.agg(F.min("rk"), F.max("rk")).first() == (1, n)
+
+
+# ------------------------------------------------------------- AUC
+
+
+def _auc_of(spark, rows):
+    """Run the Mann-Whitney arithmetic (not the registered query's
+    fixed scorer) on (score, pos) rows via the same formula."""
+    df = spark.createDataFrame(rows, "s double, pos int")
+    by_score = df.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("pos_cnt")
+    )
+    ranked = _dist_rank(by_score, [F.col("s")], n_parts=4)
+    wlow = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, -1)
+    agg = (
+        ranked.withColumn("below", F.coalesce(F.sum("cnt").over(wlow), F.lit(0)))
+        .agg(
+            F.sum(F.col("pos_cnt") * (2 * F.col("below") + F.col("cnt") + 1)).alias("trs"),
+            F.sum("pos_cnt").alias("np"),
+            F.sum(F.col("cnt") - F.col("pos_cnt")).alias("nn"),
+        )
+        .first()
+    )
+    return (agg["trs"] / 2.0 - agg["np"] * (agg["np"] + 1) / 2.0) / (
+        agg["np"] * agg["nn"]
+    )
+
+
+def test_auc_perfect_inverted_and_ties(spark):
+    perfect = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    inverted = [(float(i), 0 if i >= 50 else 1) for i in range(100)]
+    all_tied = [(1.0, i % 2) for i in range(100)]
+    assert _auc_of(spark, perfect) == 1.0
+    assert _auc_of(spark, inverted) == 0.0
+    assert _auc_of(spark, all_tied) == 0.5  # tie-averaged ranks: exactly half
+
+
+def test_auc_registered_query_bounds(spark):
+    row = QUERIES["q_auc_roc"].spark(spark, SF_DIR).first()
+    assert row["n_pos"] > 0 and row["n_neg"] > 0
+    assert 0.0 <= row["auc"] <= 1.0
+
+
+# ------------------------------------------------------------ lift
+
+
+def test_lift_deciles_ntile_fill(spark):
+    """Decile sizes must follow NTILE's exact fill: the first n mod k
+    bins get one extra row; cumulative lift of the LAST decile is 1."""
+    out = QUERIES["q_lift_table"].spark(spark, SF_DIR).collect()
+    assert [r["decile"] for r in out] == list(range(1, LIFT_BINS + 1))
+    n = sum(r["n"] for r in out)
+    q, rem = divmod(n, LIFT_BINS)
+    expect = [q + 1] * rem + [q] * (LIFT_BINS - rem)
+    assert [r["n"] for r in out] == expect
+    assert out[-1]["cum_lift"] == pytest.approx(1.0, abs=1e-8)
+
+
+# ------------------------------------------------------------- PSI
+
+
+def test_psi_zero_for_identical_halves(spark):
+    """PSI identity: when ref and cur are the same distribution, every
+    contribution is ~0 (exactly 0 up to the smoothing epsilon's
+    cancellation — p_ref == p_cur ⇒ (Δ)·ln(ratio) = 0)."""
+    from kcore_spark.queries.extensions_r8 import PSI_BINS
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 100).cast("double").alias("v"), (F.col("id") % 2).alias("cur")
+    )
+    rng = df.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = df.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / PSI_BINS)).cast("long"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+        "cur",
+    )
+    per = binned.groupBy("bin").agg(
+        F.sum(1 - F.col("cur")).alias("n_ref"), F.sum("cur").alias("n_cur")
+    )
+    # identical halves by construction → every bin splits evenly
+    assert per.where(F.col("n_ref") != F.col("n_cur")).count() == 0
+
+
+def test_psi_registered_bins_cover_all_events(spark):
+    from kcore_spark.catalog import load_table
+
+    out = QUERIES["q_psi_drift"].spark(spark, SF_DIR)
+    total = out.agg(F.sum(F.col("n_ref") + F.col("n_cur"))).first()[0]
+    assert total == load_table(spark, SF_DIR, "events").count()
+
+
+# ------------------------------------------------------ l-diversity
+
+
+def test_l_diversity_flags_only_low_diversity(spark):
+    out = QUERIES["q_l_diversity"].spark(spark, SF_DIR)
+    assert out.where(F.col("diversity") >= L_DIVERSITY).count() == 0
+    # sanity: the sensitive attribute has exactly 3 buckets, so flagged
+    # groups have 1 or 2
+    assert out.agg(F.max("diversity")).first()[0] in (None, 1, 2)
+
+
+# -------------------------------------------------------- top paths
+
+
+def test_top_paths_counts_match_manual_window(spark):
+    """The registered query's total triple count must equal
+    Σ_user max(0, n_events(user) − 2)."""
+    from kcore_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    expected = per_user.agg(
+        F.sum(F.greatest(F.col("c") - 2, F.lit(0)))
+    ).first()[0]
+    trip_total = (
+        QUERIES["q_top_paths"]
+        .spark(spark, SF_DIR)
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    # top-20 is a subset; rebuild without the limit for the identity
+    from kcore_spark.queries.extensions_r8 import q_top_paths
+
+    full = q_top_paths(spark, SF_DIR)  # limited — recompute unlimited:
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").cast("timestamp"), "event_id")
+    unlimited = (
+        ev.select(
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        )
+        .where(F.col("s3").isNotNull())
+        .count()
+    )
+    assert unlimited == expected
+    assert trip_total <= expected
+
+
+# ------------------------------------------------------ registration
+
+
+def test_all_r8_queries_have_oracles():
+    for name, spec in QUERIES.items():
+        assert spec.oracle, f"{name} is missing its DuckDB oracle"
