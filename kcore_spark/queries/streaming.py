@@ -789,3 +789,91 @@ QUERIES["q_stream_tws_sessions"] = QuerySpec(
     "event-time-timer sessionization (transformWithStateInPandas; "
     "GroupState engine fallback while the container lacks protobuf)",
 )
+
+# A SECOND transformWithState query, exercising the MAP-state variable
+# through the real JVM bridge (ListState/MapState are engine-tested in
+# tests/test_tws.py; this puts MapState under the value-hash oracle
+# too). Cumulative per-(user, event_type) counts with per-batch emits:
+# the processor yields its running counts each trigger, so the FINAL
+# count per pair is the max over emits — which must equal the plain
+# batch GROUP BY, the oracle.
+
+
+def q_stream_tws_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.streaming.tws import HAVE_TWS
+    from kcore_spark.streaming.ops import events_stream_chunked
+
+    # 2 chunks: enough to prove cross-trigger MapState carry (batch 2
+    # must see batch 1's counts) at half the RocksDB setup cost of the
+    # session replay's 3.
+    s = events_stream_chunked(spark, sf_dir, n_chunks=2).where(
+        F.col("user_id") % 5 == 0
+    )
+    if HAVE_TWS:
+        from kcore_spark.streaming.tws import make_distinct_counter_processor
+
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            make_distinct_counter_processor()(),
+            outputStructType="user_id long, event_type string, n long",
+            outputMode="append",
+            timeMode="none",
+        )
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            res = run_to_table(out, "append", state_partitions=16)
+        finally:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        final = res.groupBy("user_id", "event_type").agg(F.max("n").alias("n"))
+    else:
+        # honest streaming fallback: the same cumulative count as a
+        # complete-mode streaming aggregation (state carried by the
+        # built-in agg operator instead of MapState)
+        final = run_to_table(
+            s.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n")),
+            "complete",
+            state_partitions=16,
+        )
+    return (
+        final.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.max_by("event_type", F.struct(F.col("n"), F.col("event_type"))).alias(
+                "top_type"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_STREAM_TWS_TYPE_COUNTS_SQL = """
+WITH per AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events WHERE user_id % 5 = 0
+  GROUP BY user_id, event_type),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY n DESC, event_type DESC) AS rnk
+  FROM per)
+SELECT user_id, COUNT(*) AS n_types, CAST(SUM(n) AS BIGINT) AS n_events,
+       MAX(CASE WHEN rnk = 1 THEN event_type END) AS top_type
+FROM ranked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES["q_stream_tws_type_counts"] = QuerySpec(
+    q_stream_tws_type_counts,
+    Q_STREAM_TWS_TYPE_COUNTS_SQL,
+    "cumulative per-type counts via transformWithState MapState (real JVM bridge)",
+)
+
