@@ -513,3 +513,254 @@ LIMIT {TOP_PATHS}
 QUERIES["q_top_paths"] = QuerySpec(
     q_top_paths, Q_TOP_PATHS_SQL, "top-k 3-step event paths (sequence mining)"
 )
+
+
+# ------------------------------------------- Fellegi-Sunter linkage
+# Principled record-linkage scoring on top of the r6 blocked-candidate
+# machinery: each blocked pair gets an agreement VECTOR over field
+# comparators, and the Fellegi-Sunter log-likelihood match weight
+# Σ log2(m_i/u_i) (agree) / Σ log2((1−m_i)/(1−u_i)) (disagree) with
+# PINNED m/u probabilities — the decision-theoretic layer q_fuzzy_*
+# (distance-only) lacks. Weights derive from constants per pattern, so
+# the 8-row output is exact on both engines by construction.
+
+_FS_MU = {  # comparator -> (m, u): P(agree | match), P(agree | unmatch)
+    "seg": (0.95, 0.20),
+    "bal": (0.90, 0.10),
+    "dig": (0.85, 0.10),
+}
+
+
+def _fs_weight(pattern: dict[str, bool]) -> float:
+    import math
+
+    w = 0.0
+    for c, (m, u) in _FS_MU.items():
+        w += math.log2(m / u) if pattern[c] else math.log2((1 - m) / (1 - u))
+    return round(w, 6)
+
+
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter agreement-pattern table over customer pairs
+    blocked by nation: comparators = market segment, account-balance
+    kilobucket, name check digit. Output: per pattern, the pair count
+    and the FS match weight (a constant per pattern — the per-pair sum
+    never touches floating point across rows).
+
+    Scale: blocking bounds the quadratic to within-nation pairs; the
+    r6 sub-bucket salting pattern (operators/text.py::
+    blocked_fuzzy_pairs) is the drop-in remedy when one block key
+    dominates. The weight table is what a clerical-review UI ranks
+    by."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("balk"),
+        F.substring("c_name", -1, 1).alias("dig"),
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias("agree_seg"),
+        (F.col("a.balk") == F.col("b.balk")).alias("agree_bal"),
+        (F.col("a.dig") == F.col("b.dig")).alias("agree_dig"),
+    )
+    counts = pairs.groupBy("agree_seg", "agree_bal", "agree_dig").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    weight = F.lit(0.0)
+    for c, colname in [("seg", "agree_seg"), ("bal", "agree_bal"), ("dig", "agree_dig")]:
+        m, u = _FS_MU[c]
+        import math
+
+        weight = weight + F.when(
+            F.col(colname), F.lit(math.log2(m / u))
+        ).otherwise(F.lit(math.log2((1 - m) / (1 - u))))
+    return (
+        counts.select(
+            "agree_seg",
+            "agree_bal",
+            "agree_dig",
+            "n_pairs",
+            F.round(weight, 6).alias("fs_weight"),
+        )
+        .orderBy("agree_seg", "agree_bal", "agree_dig")
+    )
+
+
+def _fs_sql() -> str:
+    import math
+
+    terms = []
+    for c, colname in [("seg", "agree_seg"), ("bal", "agree_bal"), ("dig", "agree_dig")]:
+        m, u = _FS_MU[c]
+        terms.append(
+            f"CASE WHEN {colname} THEN {math.log2(m / u)!r} "
+            f"ELSE {math.log2((1 - m) / (1 - u))!r} END"
+        )
+    wexpr = " + ".join(terms)
+    return f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS balk,
+         SUBSTRING(c_name, LENGTH(c_name), 1) AS dig
+  FROM customer),
+pairs AS (
+  SELECT a.c_mktsegment = b.c_mktsegment AS agree_seg,
+         a.balk = b.balk AS agree_bal,
+         a.dig = b.dig AS agree_dig
+  FROM cust a JOIN cust b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+SELECT agree_seg, agree_bal, agree_dig, COUNT(*) AS n_pairs,
+       ROUND({wexpr}, 6) AS fs_weight
+FROM pairs
+GROUP BY agree_seg, agree_bal, agree_dig
+ORDER BY agree_seg, agree_bal, agree_dig
+"""
+
+
+QUERIES["q_fellegi_sunter"] = QuerySpec(
+    q_fellegi_sunter, _fs_sql(), "Fellegi-Sunter agreement-pattern match weights"
+)
+
+
+# ------------------------------------------------- core numbers
+# The FULL decomposition the r7 q_kcore_subgraph (one fixed k) leads
+# to: every vertex's core number — max k such that the vertex survives
+# k-peeling — over the same thresholded co-purchase graph
+# (extensions_r7.py:35 constructs it identically; see there for why
+# the threshold keeps the projection sparse). k is iterated 2..3 with
+# each peel starting from the previous core's edges (the (k+1)-core is
+# a subgraph of the k-core), and the oracle unrolls the identical
+# peel schedule.
+
+CORE_PEELS = 8
+CORE_KMAX = 3
+
+
+def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core-number histogram: per core level k (1 ≤ k ≤ 3, capped),
+    the vertex count and part-key range of vertices whose core number
+    is exactly k. Same distributed peel loop as q_kcore_subgraph
+    (degree agg + two broadcast semi-joins per round, lineage
+    truncated per peel, fixpoint early-exit) run per k on a shrinking
+    edge set — later k's start from the previous core, so the
+    decomposition costs barely more than the deepest single core."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint()
+    )
+
+    def vertices(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("p1").alias("part"))
+            .unionByName(e.select(F.col("p2").alias("part")))
+            .distinct()
+        )
+
+    def peel(e: DataFrame, k: int) -> DataFrame:
+        prev_nodes = None
+        for _ in range(CORE_PEELS):
+            deg = (
+                e.select(F.col("p1").alias("n"))
+                .unionByName(e.select(F.col("p2").alias("n")))
+                .groupBy("n")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            kept = deg.where(F.col("d") >= k).select("n").localCheckpoint()
+            n_nodes = kept.count()
+            if n_nodes == prev_nodes:
+                break
+            prev_nodes = n_nodes
+            keep = F.broadcast(kept)
+            e = (
+                e.join(keep, e.p1 == keep.n, "left_semi")
+                .join(keep, F.col("p2") == keep.n, "left_semi")
+                .localCheckpoint()
+            )
+        return e
+
+    cores = {1: vertices(edges)}
+    e = edges
+    for k in range(2, CORE_KMAX + 1):
+        e = peel(e, k)
+        cores[k] = vertices(e)
+    # core number of v = max k with v ∈ cores[k]; histogram per level
+    labeled = None
+    for k in range(1, CORE_KMAX + 1):
+        lv = cores[k].select("part", F.lit(k).alias("k"))
+        labeled = lv if labeled is None else labeled.unionByName(lv)
+    return (
+        labeled.groupBy("part")
+        .agg(F.max("k").alias("core_number"))
+        .groupBy("core_number")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("part").alias("min_part"),
+            F.max("part").alias("max_part"),
+        )
+        .orderBy("core_number")
+    )
+
+
+def _core_numbers_sql() -> str:
+    layers = [
+        """li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+e2_0 AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2)"""
+    ]
+    prev_last = "e2_0"
+    finals = {}
+    for k in range(2, CORE_KMAX + 1):
+        if k > 2:
+            layers.append(f"e{k}_0 AS MATERIALIZED (SELECT * FROM {prev_last})")
+        for i in range(CORE_PEELS):
+            layers.append(
+                f"""k{k}_{i} AS MATERIALIZED (
+  SELECT n FROM (SELECT p1 AS n FROM e{k}_{i} UNION ALL SELECT p2 FROM e{k}_{i})
+  GROUP BY n HAVING COUNT(*) >= {k}),
+e{k}_{i + 1} AS MATERIALIZED (
+  SELECT p1, p2 FROM e{k}_{i}
+  WHERE p1 IN (SELECT n FROM k{k}_{i}) AND p2 IN (SELECT n FROM k{k}_{i}))"""
+            )
+        prev_last = f"e{k}_{CORE_PEELS}"
+        finals[k] = prev_last
+    vert = lambda e: f"SELECT p1 AS part FROM {e} UNION SELECT p2 FROM {e}"  # noqa: E731
+    union_levels = " UNION ALL ".join(
+        f"SELECT part, {k} AS k FROM ({vert('e2_0' if k == 1 else finals[k])})"
+        for k in range(1, CORE_KMAX + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(layers)
+        + f""",
+labeled AS ({union_levels}),
+core AS (SELECT part, MAX(k) AS core_number FROM labeled GROUP BY part)
+SELECT core_number, COUNT(*) AS n_vertices,
+       MIN(part) AS min_part, MAX(part) AS max_part
+FROM core
+GROUP BY core_number
+ORDER BY core_number"""
+    )
+
+
+QUERIES["q_core_numbers"] = QuerySpec(
+    q_core_numbers, _core_numbers_sql(), "full core-number decomposition histogram"
+)

