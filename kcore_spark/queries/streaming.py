@@ -877,3 +877,79 @@ QUERIES["q_stream_tws_type_counts"] = QuerySpec(
     "cumulative per-type counts via transformWithState MapState (real JVM bridge)",
 )
 
+
+# Third transformWithState query — the LIST-state variable under the
+# oracle (ValueState+timers: q_stream_tws_sessions; MapState:
+# q_stream_tws_type_counts). Running top-k per key emits its current
+# leaderboard every trigger; because the k-th best so far is monotone
+# nondecreasing over batches, the FINAL rank-r value is the max over
+# that rank's emits — which must equal the batch top-k, the oracle.
+
+
+def q_stream_tws_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.streaming.tws import HAVE_TWS
+    from kcore_spark.streaming.ops import events_stream_chunked
+
+    s = events_stream_chunked(spark, sf_dir, n_chunks=2).where(
+        F.col("user_id") % 25 == 0
+    )
+    if HAVE_TWS:
+        from kcore_spark.streaming.tws import make_topk_processor
+
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            make_topk_processor(3)(),
+            outputStructType="user_id long, rank int, value double",
+            outputMode="append",
+            timeMode="none",
+        )
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            res = run_to_table(out, "append", state_partitions=16)
+        finally:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        final = res.groupBy("user_id", "rank").agg(F.max("value").alias("value"))
+    else:
+        # honest streaming fallback: complete-mode per-key top-3 via
+        # the built-in streaming aggregation (collect + sort per key)
+        agg = run_to_table(
+            s.groupBy("user_id").agg(F.collect_list("value").alias("vs")),
+            "complete",
+            state_partitions=16,
+        )
+        final = agg.select(
+            "user_id",
+            F.posexplode(
+                F.slice(F.sort_array(F.col("vs"), asc=False), 1, 3)
+            ).alias("pos", "value"),
+        ).select("user_id", (F.col("pos") + 1).alias("rank"), "value")
+    return final.select(
+        "user_id", F.col("rank").cast("long").alias("rank"), F.round("value", 6).alias("value")
+    ).orderBy("user_id", "rank")
+
+
+Q_STREAM_TWS_TOPK_SQL = """
+WITH ranked AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(value AS DOUBLE) DESC) AS rnk
+  FROM events WHERE user_id % 25 = 0)
+SELECT user_id, CAST(rnk AS BIGINT) AS rank, ROUND(v, 6) AS value
+FROM ranked
+WHERE rnk <= 3
+ORDER BY user_id, rank
+"""
+
+QUERIES["q_stream_tws_topk"] = QuerySpec(
+    q_stream_tws_topk,
+    Q_STREAM_TWS_TOPK_SQL,
+    "running per-key top-3 via transformWithState ListState (real JVM bridge)",
+)
+
