@@ -23,6 +23,8 @@ ERR_UNKNOWN_TOPIC_OR_PARTITION = wire.ERR_UNKNOWN_TOPIC_OR_PARTITION
 EARLIEST_TIMESTAMP = -2
 LATEST_TIMESTAMP = -1
 MAX_TIMESTAMP = -3  # KIP-734 (v7+)
+EARLIEST_LOCAL_TIMESTAMP = -4  # KIP-405 tiered storage (v8+)
+LATEST_TIERED_TIMESTAMP = -5  # KIP-1005 (v9+)
 
 
 # --------------------------------------------------- CreateTopics v0-v7
@@ -182,18 +184,23 @@ def handle_delete_topics(log: WireLog, payload: bytes) -> bytes:
 
 
 def handle_list_offsets(log: WireLog, payload: bytes) -> bytes:
-    """ListOffsets v0-v7 (flexible from v6).
+    """ListOffsets v0-v9 (flexible from v6).
 
     timestamp -2 → earliest (the log start offset), -1 → log-end
     offset, -3 (v7+, KIP-734) → the offset holding the MAXIMUM record
-    timestamp, >= 0 → the first offset whose record timestamp is >= the
-    target (the response echoes the matched record's timestamp, or
-    -1/-1 when no record qualifies). Version deltas per the public
-    spec: v0 requests carry max_num_offsets and get an offset ARRAY
-    back; v1 switches to the single (timestamp, offset) shape; v2 adds
-    request isolation_level + response throttle_time; v4 adds request
+    timestamp, -4 (v8+, KIP-405) → the earliest offset still in LOCAL
+    storage, -5 (v9+, KIP-1005) → the highest offset present in the
+    remote tier (offset -1 when nothing is tiered), >= 0 → the first
+    offset whose record timestamp is >= the target (the response
+    echoes the matched record's timestamp, or -1/-1 when no record
+    qualifies). A negative sentinel sent below its version floor gets
+    a per-partition UNSUPPORTED_VERSION error, matching the broker-side
+    gate in Kafka's KafkaApis. Version deltas per the public spec: v0
+    requests carry max_num_offsets and get an offset ARRAY back; v1
+    switches to the single (timestamp, offset) shape; v2 adds request
+    isolation_level + response throttle_time; v4 adds request
     current_leader_epoch + response leader_epoch; v6 is the flexible
-    encoding."""
+    encoding; v8/v9 change only which sentinels are accepted."""
     import struct as _struct
 
     v = _struct.unpack(">h", payload[2:4])[0]
@@ -221,13 +228,26 @@ def handle_list_offsets(log: WireLog, payload: bytes) -> bytes:
                 parts.append((partition, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, [], max_n))
                 continue
             hw = log.high_watermark(name, partition)
+            floor = {MAX_TIMESTAMP: 7, EARLIEST_LOCAL_TIMESTAMP: 8, LATEST_TIERED_TIMESTAMP: 9}
+            if ts in floor and v < floor[ts]:
+                parts.append((partition, wire.ERR_UNSUPPORTED_VERSION, -1, [], max_n))
+                continue
             if ts == EARLIEST_TIMESTAMP:
                 parts.append(
                     (partition, wire.ERR_NONE, -1, [log.log_start(name, partition)], max_n)
                 )
             elif ts == LATEST_TIMESTAMP:
                 parts.append((partition, wire.ERR_NONE, -1, [hw], max_n))
-            elif ts == MAX_TIMESTAMP and v >= 7:
+            elif ts == EARLIEST_LOCAL_TIMESTAMP:
+                parts.append(
+                    (partition, wire.ERR_NONE, -1, [log.local_log_start(name, partition)], max_n)
+                )
+            elif ts == LATEST_TIERED_TIMESTAMP:
+                tiered = log.latest_tiered(name, partition)
+                parts.append(
+                    (partition, wire.ERR_NONE, -1, [tiered] if tiered >= 0 else [], max_n)
+                )
+            elif ts == MAX_TIMESTAMP:
                 # KIP-734: the offset of the record with the highest
                 # timestamp. On ties Kafka keeps the FIRST record that
                 # achieves the max (UnifiedLog tracks maxTimestampSoFar

@@ -39,6 +39,10 @@ class _Partition:
     records: list[Record] = field(default_factory=list)
     base: int = 0  # log start offset; records[i] has offset base + i
     flushed_upto: int = 0  # offsets below this are in the parquet log
+    # KIP-405 tiered-storage boundary: offsets < local_start live only
+    # in the remote tier (still readable — remote fetch); None = no
+    # tiering, the local log starts at ``base``
+    local_start: int | None = None
 
 
 class WireLog:
@@ -298,6 +302,11 @@ class WireLog:
         base = part.base + len(part.records)
         for i, r in enumerate(records):
             part.records.append(Record(r.key, r.value, r.timestamp_ms, base + i, r.headers))
+        # KIP-405: enforce local-retention tiering as data arrives (the
+        # role of Kafka's log-retention pass); no-op unless the topic
+        # opted in via remote.storage.enable
+        if "remote.storage.enable" in self.topic_configs.get(topic, ()):
+            self.maybe_tier(topic, partition)
         return base
 
     def read(self, topic: str, partition: int, offset: int, max_records: int) -> list[Record]:
@@ -311,6 +320,82 @@ class WireLog:
 
     def log_start(self, topic: str, partition: int) -> int:
         return self._parts[(topic, partition)].base
+
+    def local_log_start(self, topic: str, partition: int) -> int:
+        """KIP-405: the first offset served from LOCAL storage. Equals
+        log_start until tier_to() moves a prefix to the remote tier.
+        Clamped to log_start so DeleteRecords advancing the log start
+        past the tier boundary can never expose a stale lower value."""
+        part = self._parts[(topic, partition)]
+        if part.local_start is None:
+            return part.base
+        return max(part.base, part.local_start)
+
+    def latest_tiered(self, topic: str, partition: int) -> int:
+        """KIP-1005: the highest offset present in remote storage, or
+        -1 when nothing is tiered."""
+        part = self._parts[(topic, partition)]
+        if part.local_start is None or part.local_start <= part.base:
+            return -1
+        return part.local_start - 1
+
+    def tier_to(self, topic: str, partition: int, upto_offset: int) -> int:
+        """Move offsets < upto_offset to the remote tier (records stay
+        readable — the model of Kafka remote fetch; the WireLog is the
+        hot path and sources/topic_log.py::archive is the durable
+        realization). Clamped to [log_start, high_watermark]. Returns
+        the new local log start."""
+        part = self._parts[(topic, partition)]
+        hw = part.base + len(part.records)
+        lo = max(part.base, min(upto_offset, hw))
+        if part.local_start is not None:
+            lo = max(lo, part.local_start)  # tiering never retreats
+        part.local_start = lo
+        return part.local_start
+
+    def maybe_tier(self, topic: str, partition: int) -> int:
+        """Apply KIP-405 local-retention topic configs, tiering the
+        prefix that exceeds them. Active only when the topic sets
+        ``remote.storage.enable=true``; then ``local.retention.bytes``
+        caps the LOCAL suffix's value bytes and ``local.retention.ms``
+        tiers records older than the partition's max record timestamp
+        minus the window (stream time, so tests are deterministic —
+        mirrors Kafka using the segment's largest timestamp). Returns
+        the resulting local log start. Records stay readable after
+        tiering (the remote-fetch model); durable realization is
+        sources/topic_log.py's archive tier."""
+        cfg = self.topic_configs.get(topic, {})
+        if cfg.get("remote.storage.enable", "false").lower() != "true":
+            return self.local_log_start(topic, partition)
+        part = self._parts[(topic, partition)]
+        local0 = self.local_log_start(topic, partition)
+        hw = part.base + len(part.records)
+        boundary = local0
+        ret_bytes = cfg.get("local.retention.bytes")
+        if ret_bytes is not None and int(ret_bytes) >= 0:
+            budget = int(ret_bytes)
+            keep_from = hw
+            # walk the local suffix newest-first until the byte budget
+            # is spent; everything older is tiered
+            for off in range(hw - 1, local0 - 1, -1):
+                rec = part.records[off - part.base]
+                sz = len(rec.value or b"")
+                if budget - sz < 0:
+                    break
+                budget -= sz
+                keep_from = off
+            boundary = max(boundary, keep_from)
+        ret_ms = cfg.get("local.retention.ms")
+        if ret_ms is not None and int(ret_ms) >= 0 and hw > part.base:
+            now_ms = max(r.timestamp_ms for r in part.records)
+            cutoff = now_ms - int(ret_ms)
+            off = local0
+            while off < hw and part.records[off - part.base].timestamp_ms < cutoff:
+                off += 1
+            boundary = max(boundary, off)
+        if boundary > local0:
+            return self.tier_to(topic, partition, boundary)
+        return local0
 
     def delete_records(self, topic: str, partition: int, before_offset: int) -> int:
         """DeleteRecords (API key 21): advance the log start offset to

@@ -374,7 +374,7 @@ class KafkaFrontend:
             from kcore_spark.protocol.admin import handle_delete_topics
 
             return handle_delete_topics(self.wire_log, payload)
-        if api_key == wire.LIST_OFFSETS_KEY and api_version <= 7:
+        if api_key == wire.LIST_OFFSETS_KEY and api_version <= 9:
             from kcore_spark.protocol.admin import handle_list_offsets
 
             return handle_list_offsets(self.wire_log, payload)

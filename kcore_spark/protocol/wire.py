@@ -79,7 +79,7 @@ ERR_UNKNOWN_TOPIC_ID = 100
 SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (PRODUCE_KEY, 3, 11),
     (FETCH_KEY, 4, 13),
-    (LIST_OFFSETS_KEY, 0, 7),
+    (LIST_OFFSETS_KEY, 0, 9),
     (METADATA_KEY, 0, 12),
     (OFFSET_COMMIT_KEY, 2, 8),
     (OFFSET_FETCH_KEY, 1, 9),

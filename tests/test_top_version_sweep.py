@@ -88,14 +88,14 @@ def _fetch_v13() -> bytes:
     return w.bytes()
 
 
-def _list_offsets_v7() -> bytes:
-    w = _hdr(wire.LIST_OFFSETS_KEY, 7, flex=True)
+def _list_offsets_v9() -> bytes:
+    w = _hdr(wire.LIST_OFFSETS_KEY, 9, flex=True)
     w.int32(-1).int8(0)  # replica_id, isolation_level
     w.compact_array_len(1)
     w.compact_string("swp")
     w.compact_array_len(1)
     w.int32(0).int32(-1)  # partition, current_leader_epoch
-    w.int64(-3)  # KIP-734 MAX_TIMESTAMP — the v7-only feature
+    w.int64(-5)  # KIP-1005 LATEST_TIERED — the v9-only sentinel
     w.empty_tagged_fields()
     w.empty_tagged_fields()
     w.empty_tagged_fields()
@@ -532,7 +532,7 @@ def _api_versions_v3() -> bytes:
 REGISTRY: dict[int, tuple[int, object]] = {
     wire.PRODUCE_KEY: (11, _produce_v11),
     wire.FETCH_KEY: (13, _fetch_v13),
-    wire.LIST_OFFSETS_KEY: (7, _list_offsets_v7),
+    wire.LIST_OFFSETS_KEY: (9, _list_offsets_v9),
     wire.METADATA_KEY: (12, _metadata_v12),
     wire.OFFSET_COMMIT_KEY: (8, _offset_commit_v8),
     wire.OFFSET_FETCH_KEY: (9, _offset_fetch_v9),
