@@ -101,6 +101,7 @@ def all_queries() -> dict[str, QuerySpec]:
         curation_q,
         extensions_r7,
         extensions_r8,
+        extensions_r8b,
         dedup,
         events,
         packing_q,
@@ -149,6 +150,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sampling_q,
         curation_q,
         extensions_r8,
+        extensions_r8b,
         tpch,
         tpch2,
         windows,

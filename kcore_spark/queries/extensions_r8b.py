@@ -1,0 +1,369 @@
+"""Round-8 surface extensions, part B (SURVEY §2.3 N r8): distributed
+k-means (Lloyd), min-label community propagation, key-skew diagnostics
+(Gini / top-k concentration), and chi-squared feature association —
+the clustering + skew-triage block of a training-data pipeline.
+
+Provenance: declared surface of OUR engine; the reference implements
+only ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:106-125`).
+Determinism follows FIXTURES.md: integer/decimal domains wherever a
+sum crosses rows; doubles only in per-row arithmetic (bit-identical
+across engines) or one final division; sequential array folds on both
+engines (F.aggregate ↔ list_reduce); orderings fully tie-broken.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table
+from kcore_spark.operators.similarity import as_double
+from kcore_spark.queries import QuerySpec
+from kcore_spark.queries.extensions_r8 import _dist_rank
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+# ------------------------------------------------- k-means (Lloyd)
+# Distributed Lloyd's algorithm, the canonical Spark shape (MLlib's
+# KMeans does the same dance): centroids stay a k-row DataFrame that
+# is BROADCAST-crossed against the points for assignment (k·d values
+# move, never the corpus), and the update is one partial-aggregated
+# shuffle keyed (cluster, dim) — both sides scale to any corpus size;
+# nothing is ever collected to the driver. Bit-stability across
+# engines: the distance is a sequential left-to-right fold over
+# per-dim squares of exact float32→double casts (identical IEEE ops in
+# both engines), assignment ties break on centroid id, and centroid
+# means divide an exact DECIMAL sum (of per-row-rounded components) by
+# an integer count.
+
+KMEANS_K = 8
+KMEANS_ITERS = 2  # Lloyd updates; the final pass re-assigns & reports
+
+
+def _sq_dist(e: F.Column, c: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(e, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(points: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid per point: broadcast k-row cross + struct-min
+    (dist, cid) — the tie-break is the lower centroid id."""
+    return (
+        points.crossJoin(F.broadcast(cent))
+        .withColumn("dist", _sq_dist(F.col("e"), F.col("ce")))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"),
+            F.first("e").alias("e"),  # identical across the k copies
+        )
+        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"), "e")
+    )
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    cent = emb.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _assign(emb, cent)
+        cent = (
+            assigned.select("cid", F.posexplode("e").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.round(F.col("x"), 9).cast("decimal(30,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("ce")
+            )
+        )
+    final = _assign(emb, cent)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(
+                F.sum(F.round(F.col("dist"), 9).cast("decimal(30,12)")).cast("double"), 6
+            ).alias("inertia"),
+            F.min("vec_id").alias("min_vec"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _kmeans_sql() -> str:
+    dist = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip(e, ce),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b)"
+    )
+
+    def assign(cent: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, e, cid, {dist} AS dist
+  FROM pts CROSS JOIN {cent}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {dist}, cid) = 1)"""
+
+    def update(assigned: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT cid, list(m ORDER BY pos) AS ce FROM (
+    SELECT cid, pos,
+           CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+    FROM (SELECT cid, UNNEST(e) AS x, generate_subscripts(e, 1) AS pos FROM {assigned})
+    GROUP BY cid, pos)
+  GROUP BY cid)"""
+
+    steps = ",\n".join(
+        [assign("c0", "a0"), update("a0", "c1"), assign("c1", "a1"), update("a1", "c2"),
+         assign("c2", "af")]
+    )
+    return f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM pts WHERE vec_id < {KMEANS_K}),
+{steps}
+SELECT cid, COUNT(*) AS n_points,
+       ROUND(CAST(SUM(CAST(ROUND(dist, 9) AS DECIMAL(30,12))) AS DOUBLE), 6) AS inertia,
+       MIN(vec_id) AS min_vec
+FROM af GROUP BY cid ORDER BY cid
+"""
+
+
+QUERIES["q_kmeans_lloyd"] = QuerySpec(
+    q_kmeans_lloyd,
+    _kmeans_sql(),
+    "distributed Lloyd k-means: broadcast centroid assignment + partial-agg update",
+)
+
+
+# ------------------------------------- min-label community propagation
+# Synchronous label propagation with the min-label update rule — the
+# classic distributed community/components kernel (Pregel's hello
+# world): each round every vertex takes the minimum of its own and its
+# neighbors' labels. Entirely in the INTEGER domain, so the oracle is
+# exact by construction. Each round is one shuffle (join labels to the
+# edge list, groupBy dst-min); the vertex set never moves. Edges reuse
+# the q_core_numbers co-purchase graph so the two graph kernels are
+# directly comparable.
+
+LP_ITERS = 3
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    und = edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionByName(
+        edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    labels = und.select(F.col("src").alias("n")).distinct().withColumn("lbl", F.col("n"))
+    for _ in range(LP_ITERS):
+        nb_min = (
+            und.join(labels.select(F.col("n").alias("dn"), "lbl"), und.dst == F.col("dn"))
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        labels = (
+            labels.join(nb_min, labels.n == nb_min.src, "left")
+            .select(
+                F.col("n"),
+                F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()  # truncate the per-round lineage
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"), F.max("n").alias("max_part"))
+        .orderBy("community")
+    )
+
+
+Q_LABEL_PROP_SQL = f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+und AS (SELECT p1 AS src, p2 AS dst FROM e0 UNION ALL SELECT p2, p1 FROM e0),
+l0 AS (SELECT DISTINCT src AS n, src AS lbl FROM und),
+{', '.join(
+    f'''l{i + 1} AS (
+  SELECT l.n, LEAST(l.lbl, COALESCE(MIN(nl.lbl), l.lbl)) AS lbl
+  FROM l{i} l
+  LEFT JOIN und u ON u.src = l.n
+  LEFT JOIN l{i} nl ON nl.n = u.dst
+  GROUP BY l.n, l.lbl)''' for i in range(LP_ITERS)
+)}
+SELECT lbl AS community, COUNT(*) AS n_members, MAX(n) AS max_part
+FROM l{LP_ITERS} GROUP BY lbl ORDER BY community
+"""
+
+QUERIES["q_label_propagation"] = QuerySpec(
+    q_label_propagation,
+    Q_LABEL_PROP_SQL,
+    "synchronous min-label propagation communities, one shuffle per round",
+)
+
+
+# ----------------------------------------- key-skew diagnostics (Gini)
+# The triage a pipeline runs BEFORE picking a partitioning: how skewed
+# is the key distribution? Gini over per-key counts plus top-k
+# concentration. Per-key counts are one partial-agg shuffle; the
+# global rank over the (much smaller) key table uses the r8
+# distributed-rank helper — range-repartition + per-partition offsets,
+# NOT a single-partition window, so the diagnostic itself survives a
+# billion-key table. Gini numerator/denominator stay integers; the
+# two divisions are the only doubles.
+
+
+def q_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    ranked = _dist_rank(per_key, [F.col("c"), F.col("user_id")])  # ascending
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("rk") * F.col("c")).alias("rank_weighted"),
+    )
+    top10 = (
+        per_key.orderBy(F.col("c").desc(), F.col("user_id").asc())
+        .limit(10)
+        .agg(F.sum("c").alias("top10"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(top10))
+        .select(
+            "n_keys",
+            "total",
+            F.round(
+                (2 * F.col("rank_weighted") - (F.col("n_keys") + 1) * F.col("total"))
+                / (F.col("n_keys") * F.col("total")).cast("double"),
+                12,
+            ).alias("gini"),
+            F.round(F.col("top10") / F.col("total").cast("double"), 12).alias(
+                "top10_share"
+            ),
+        )
+    )
+
+
+Q_KEY_SKEW_SQL = """
+WITH per_key AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, user_id) AS rk FROM per_key),
+stats AS (
+  SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS total,
+         CAST(SUM(rk * c) AS BIGINT) AS rank_weighted
+  FROM ranked),
+top10 AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS top10
+  FROM (SELECT c FROM per_key ORDER BY c DESC, user_id ASC LIMIT 10))
+SELECT n_keys, total,
+       ROUND((2 * rank_weighted - (n_keys + 1) * total)
+             / CAST(n_keys * total AS DOUBLE), 12) AS gini,
+       ROUND(top10 / CAST(total AS DOUBLE), 12) AS top10_share
+FROM stats CROSS JOIN top10
+"""
+
+QUERIES["q_key_skew_gini"] = QuerySpec(
+    q_key_skew_gini,
+    Q_KEY_SKEW_SQL,
+    "key-skew triage: Gini + top-10 concentration via distributed rank",
+)
+
+
+# ---------------------------------------- chi-squared feature ranking
+# 2×2 chi-squared association between each event_type and a binary
+# outcome (value >= 35, ~the median) — the classic feature-selection
+# screen. One partial-aggregated shuffle builds every per-type
+# contingency row; the grand totals ride along via a 1-row broadcast
+# cross. Counts are integers end-to-end; the chi2 statistic is one
+# per-type double expression over those integers (bit-identical across
+# engines), never summed across rows.
+
+CHI2_THRESHOLD = 35.0
+
+
+def q_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("value") >= CHI2_THRESHOLD).cast("long").alias("y")
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.sum("y").alias("a"),  # type ∧ positive
+        F.sum(1 - F.col("y")).alias("b"),  # type ∧ negative
+    )
+    totals = ev.agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    joined = per_type.crossJoin(F.broadcast(totals))
+    c = (F.col("pos") - F.col("a")).alias("c")  # ¬type ∧ positive
+    d = (F.col("neg") - F.col("b")).alias("d")
+    n = F.col("pos") + F.col("neg")
+    chi2 = (
+        n
+        * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
+        * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
+        / (
+            (F.col("a") + F.col("b"))
+            * (F.col("c") + F.col("d"))
+            * (F.col("pos"))
+            * (F.col("neg"))
+        ).cast("double")
+    )
+    return (
+        joined.select("event_type", "a", "b", c, d)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "event_type", "a", "b", "c", "d", F.round(chi2, 12).alias("chi2")
+        )
+        .orderBy(F.col("chi2").desc(), F.col("event_type").asc())
+    )
+
+
+Q_CHI2_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(value >= {CHI2_THRESHOLD} AS BIGINT) AS y FROM events),
+per_type AS (
+  SELECT event_type, CAST(SUM(y) AS BIGINT) AS a, CAST(SUM(1 - y) AS BIGINT) AS b
+  FROM ev GROUP BY event_type),
+totals AS (SELECT CAST(SUM(y) AS BIGINT) AS pos, CAST(SUM(1 - y) AS BIGINT) AS neg
+           FROM ev)
+SELECT event_type, a, b, pos - a AS c, neg - b AS d,
+       ROUND((pos + neg) * (a * (neg - b) - b * (pos - a))
+             * (a * (neg - b) - b * (pos - a))
+             / CAST((a + b) * ((pos - a) + (neg - b)) * pos * neg AS DOUBLE),
+             12) AS chi2
+FROM per_type CROSS JOIN totals
+ORDER BY chi2 DESC, event_type ASC
+"""
+
+QUERIES["q_chi2_feature_select"] = QuerySpec(
+    q_chi2_feature_select,
+    Q_CHI2_SQL,
+    "per-feature 2x2 chi-squared screen, integer contingency + broadcast totals",
+)

@@ -48,6 +48,9 @@ ALLOWED_NLJ = {
     "q_woe_binning",  # 1-row bin-totals broadcast cross (WOE margins)
     "q_lift_table",  # 1-row totals broadcast cross (lift denominator margins)
     "q_psi_drift",  # 1-row min/max range broadcast cross (fixed-width bin bounds)
+    "q_kmeans_lloyd",  # k-row centroid broadcast cross (the Lloyd assignment shape)
+    "q_key_skew_gini",  # 1-row top-10-share broadcast cross (Gini margins)
+    "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
