@@ -367,3 +367,252 @@ QUERIES["q_chi2_feature_select"] = QuerySpec(
     Q_CHI2_SQL,
     "per-feature 2x2 chi-squared screen, integer contingency + broadcast totals",
 )
+
+
+# -------------------------------------- Jensen-Shannon drift (bounded)
+# The symmetric, bounded companion to q_unigram_kl_drift: JS divergence
+# between the event_type distributions of two user populations (even
+# vs odd user_id — a deterministic A/B split). Counts are integers;
+# each type's JS contribution is ONE per-row double expression over
+# those integers (identical bits in both engines), rounded and emitted
+# per type so the hash never depends on summation order. Scale: two
+# partial-agg shuffles over event_type (5 keys), then a 5-row compute.
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2 == 0).cast("long").alias("grp_a")
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.sum("grp_a").alias("ca"), F.sum(1 - F.col("grp_a")).alias("cb")
+    )
+    totals = ev.agg(
+        F.sum("grp_a").alias("na"), F.sum(1 - F.col("grp_a")).alias("nb")
+    )
+    j = per_type.crossJoin(F.broadcast(totals))
+    p = F.col("ca") / F.col("na").cast("double")
+    q = F.col("cb") / F.col("nb").cast("double")
+    m = (p + q) / 2
+    contrib = (
+        F.when(F.col("ca") > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("cb") > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.round(contrib, 12).alias("js_contrib"),
+    ).orderBy("event_type")
+
+
+Q_JS_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(user_id % 2 = 0 AS BIGINT) AS grp_a FROM events),
+per_type AS (
+  SELECT event_type, CAST(SUM(grp_a) AS BIGINT) AS ca,
+         CAST(SUM(1 - grp_a) AS BIGINT) AS cb
+  FROM ev GROUP BY event_type),
+totals AS (
+  SELECT CAST(SUM(grp_a) AS BIGINT) AS na, CAST(SUM(1 - grp_a) AS BIGINT) AS nb
+  FROM ev)
+SELECT event_type, ca, cb,
+       ROUND(
+         CASE WHEN ca > 0 THEN 0.5 * (ca / CAST(na AS DOUBLE))
+              * LN((ca / CAST(na AS DOUBLE))
+                   / (((ca / CAST(na AS DOUBLE)) + (cb / CAST(nb AS DOUBLE))) / 2))
+              ELSE 0.0 END
+         + CASE WHEN cb > 0 THEN 0.5 * (cb / CAST(nb AS DOUBLE))
+              * LN((cb / CAST(nb AS DOUBLE))
+                   / (((ca / CAST(na AS DOUBLE)) + (cb / CAST(nb AS DOUBLE))) / 2))
+              ELSE 0.0 END, 12) AS js_contrib
+FROM per_type CROSS JOIN totals
+ORDER BY event_type
+"""
+
+QUERIES["q_js_divergence"] = QuerySpec(
+    q_js_divergence,
+    Q_JS_SQL,
+    "Jensen-Shannon drift between A/B user populations, per-type contributions",
+)
+
+
+# --------------------------------------------- n-gram novelty scoring
+# Per-document novelty: the share of a document's DISTINCT word
+# trigrams whose first corpus appearance (minimum doc_id) is the
+# document itself — the cheap streaming-corpus freshness signal used
+# to down-weight boilerplate. One explode + two partial-agg shuffles
+# (gram -> min doc, then doc -> counts); the corpus-wide first-seen
+# table joins back by gram hash, never all-pairs. Integer counts, one
+# final division.
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_remove(F.split("text", T.WORD_SPLIT), "").alias("ws")
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size("ws") - 3, F.lit(-1))
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.col("ws")[i],
+                        F.col("ws")[i + 1],
+                        F.col("ws")[i + 2],
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()  # per-doc distinct trigrams
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_grams").cast("double"), 12).alias(
+            "novelty"
+        ),
+    ).orderBy("doc_id")
+
+
+Q_NGRAM_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3] AS g
+  FROM toks CROSS JOIN (
+    SELECT UNNEST(range(0, (SELECT MAX(len(ws)) FROM (
+      SELECT list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+      FROM documents)))) AS i) idx
+  WHERE i <= len(ws) - 3),
+first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+per_doc AS (
+  SELECT grams.doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(CAST(first_doc = grams.doc_id AS BIGINT)) AS BIGINT) AS n_novel
+  FROM grams JOIN first_seen USING (g)
+  GROUP BY grams.doc_id)
+SELECT doc_id, n_grams, n_novel,
+       ROUND(n_novel / CAST(n_grams AS DOUBLE), 12) AS novelty
+FROM per_doc ORDER BY doc_id
+"""
+
+QUERIES["q_ngram_novelty"] = QuerySpec(
+    q_ngram_novelty,
+    Q_NGRAM_NOVELTY_SQL,
+    "per-doc trigram novelty vs corpus first-appearance, explode + two partial aggs",
+)
+
+
+# ----------------------------------------------------- RFM segmentation
+# Classic recency/frequency/monetary customer scoring: per-customer
+# aggregates in one partial-agg shuffle, quartile cutoffs as a 1-row
+# broadcast (exact percentile over integer-domain metrics — recency in
+# days, frequency as a count, monetary in CENTS so every value and
+# every interpolated cutoff is exactly representable), scores by
+# comparing against the broadcast cutoffs, one final groupBy on the
+# 64-way segment code. No window over the full customer table.
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ref = orders.agg(F.max("d").alias("ref_date"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("ref_date"), F.col("d"))).alias("rec"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("cents").alias("mon"),
+        )
+    )
+    qs = per_cust.agg(
+        F.percentile("rec", F.lit([0.25, 0.5, 0.75])).alias("qr"),
+        F.percentile("freq", F.lit([0.25, 0.5, 0.75])).alias("qf"),
+        F.percentile("mon", F.lit([0.25, 0.5, 0.75])).alias("qm"),
+    )
+
+    def above(col, q):  # number of cutoffs strictly below the value
+        return sum(
+            (F.col(col) > F.col(q)[i]).cast("int") for i in range(3)
+        )
+
+    scored = per_cust.crossJoin(F.broadcast(qs)).select(
+        "o_custkey",
+        "mon",
+        (4 - above("rec", "qr")).alias("r"),  # recent = low days = high score
+        (1 + above("freq", "qf")).alias("f"),
+        (1 + above("mon", "qm")).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("mon").alias("total_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+Q_RFM_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+ref AS (SELECT MAX(d) AS ref_date FROM o),
+per_cust AS (
+  SELECT o_custkey,
+         MIN(date_diff('day', d, ref_date)) AS rec,
+         COUNT(*) AS freq,
+         CAST(SUM(cents) AS BIGINT) AS mon
+  FROM o CROSS JOIN ref
+  GROUP BY o_custkey),
+qs AS (
+  SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS qr,
+         quantile_cont(freq, [0.25, 0.5, 0.75]) AS qf,
+         quantile_cont(mon, [0.25, 0.5, 0.75]) AS qm
+  FROM per_cust),
+scored AS (
+  SELECT o_custkey, mon,
+         4 - (CAST(rec > qr[1] AS INT) + CAST(rec > qr[2] AS INT)
+              + CAST(rec > qr[3] AS INT)) AS r,
+         1 + CAST(freq > qf[1] AS INT) + CAST(freq > qf[2] AS INT)
+           + CAST(freq > qf[3] AS INT) AS f,
+         1 + CAST(mon > qm[1] AS INT) + CAST(mon > qm[2] AS INT)
+           + CAST(mon > qm[3] AS INT) AS m
+  FROM per_cust CROSS JOIN qs)
+SELECT r * 100 + f * 10 + m AS segment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(mon) AS BIGINT) AS total_cents
+FROM scored GROUP BY 1 ORDER BY segment
+"""
+
+QUERIES["q_rfm_segments"] = QuerySpec(
+    q_rfm_segments,
+    Q_RFM_SQL,
+    "RFM quartile segmentation: per-customer partial agg + 1-row broadcast cutoffs",
+)

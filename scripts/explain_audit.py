@@ -51,6 +51,8 @@ ALLOWED_NLJ = {
     "q_kmeans_lloyd",  # k-row centroid broadcast cross (the Lloyd assignment shape)
     "q_key_skew_gini",  # 1-row top-10-share broadcast cross (Gini margins)
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
+    "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
+    "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds

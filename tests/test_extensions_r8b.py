@@ -177,3 +177,63 @@ def test_chi2_zero_under_exact_independence(spark, monkeypatch, tmp_path):
     out = mod.q_chi2_feature_select(spark, str(tmp_path)).collect()
     assert [r["chi2"] for r in out] == [0.0, 0.0]
     assert [(r["a"], r["b"]) for r in out] == [(10, 30), (10, 30)]
+
+
+# ----------------------------------------------------- JS divergence
+
+
+def test_js_zero_for_identical_populations(spark, tmp_path):
+    """If even and odd users emit identical type distributions, every
+    per-type JS contribution is exactly zero (p == q == m)."""
+    import datetime
+
+    from kcore_spark.queries.extensions_r8b import q_js_divergence
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(10):  # 5 even, 5 odd
+        for t in ("x", "y", "y"):
+            rows.append((eid, t0, uid, t, 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = q_js_divergence(spark, str(tmp_path)).collect()
+    assert [r["js_contrib"] for r in out] == [0.0, 0.0]
+
+
+# ---------------------------------------------------- n-gram novelty
+
+
+def test_novelty_duplicate_doc_scores_zero(spark, tmp_path):
+    """doc 1 is original (novelty 1.0); doc 2 is a verbatim copy of
+    doc 1 (novelty 0.0 — every trigram first appeared in doc 1)."""
+    from kcore_spark.queries.extensions_r8b import q_ngram_novelty
+
+    text = "alpha beta gamma delta epsilon zeta"
+    rows = [(1, text, "en", "s", len(text)), (2, text, "en", "s", len(text))]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in q_ngram_novelty(spark, str(tmp_path)).collect()}
+    assert out[1]["n_grams"] == 4 and out[1]["novelty"] == 1.0
+    assert out[2]["n_grams"] == 4 and out[2]["novelty"] == 0.0
+
+
+# ------------------------------------------------------ RFM segments
+
+
+def test_rfm_segments_partition_customers_and_code_range(spark):
+    from kcore_spark.catalog import load_table
+    from kcore_spark.queries.extensions_r8b import q_rfm_segments
+
+    out = q_rfm_segments(spark, SF_DIR).collect()
+    n_cust = (
+        load_table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in out) == n_cust
+    for r in out:
+        seg = r["segment"]
+        assert 1 <= seg // 100 <= 4 and 1 <= seg // 10 % 10 <= 4 and 1 <= seg % 10 <= 4
