@@ -320,25 +320,29 @@ def q_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = ev.agg(
         F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
     )
-    joined = per_type.crossJoin(F.broadcast(totals))
-    c = (F.col("pos") - F.col("a")).alias("c")  # ¬type ∧ positive
-    d = (F.col("neg") - F.col("b")).alias("d")
-    n = F.col("pos") + F.col("neg")
+    joined = per_type.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "a",
+        "b",
+        (F.col("pos") - F.col("a")).alias("c"),  # ¬type ∧ positive
+        (F.col("neg") - F.col("b")).alias("d"),
+        "pos",
+        "neg",
+    )
+    # the statistic moves to DOUBLE immediately after the exact integer
+    # counts: (ad-bc)² overflows int64 once cell counts pass ~2e9·2e9
+    # (it did at the derived-sf1 sweep), and per-row double arithmetic
+    # over identical integers is bit-identical across engines anyway
+    dbl = lambda name: F.col(name).cast("double")  # noqa: E731
+    ad_bc = dbl("a") * dbl("d") - dbl("b") * dbl("c")
     chi2 = (
-        n
-        * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
-        * (F.col("a") * F.col("d") - F.col("b") * F.col("c"))
-        / (
-            (F.col("a") + F.col("b"))
-            * (F.col("c") + F.col("d"))
-            * (F.col("pos"))
-            * (F.col("neg"))
-        ).cast("double")
+        (dbl("pos") + dbl("neg"))
+        * ad_bc
+        * ad_bc
+        / ((dbl("a") + dbl("b")) * (dbl("c") + dbl("d")) * dbl("pos") * dbl("neg"))
     )
     return (
-        joined.select("event_type", "a", "b", c, d)
-        .crossJoin(F.broadcast(totals))
-        .select(
+        joined.select(
             "event_type", "a", "b", "c", "d", F.round(chi2, 12).alias("chi2")
         )
         .orderBy(F.col("chi2").desc(), F.col("event_type").asc())
@@ -354,9 +358,14 @@ per_type AS (
 totals AS (SELECT CAST(SUM(y) AS BIGINT) AS pos, CAST(SUM(1 - y) AS BIGINT) AS neg
            FROM ev)
 SELECT event_type, a, b, pos - a AS c, neg - b AS d,
-       ROUND((pos + neg) * (a * (neg - b) - b * (pos - a))
-             * (a * (neg - b) - b * (pos - a))
-             / CAST((a + b) * ((pos - a) + (neg - b)) * pos * neg AS DOUBLE),
+       ROUND((CAST(pos AS DOUBLE) + CAST(neg AS DOUBLE))
+             * (CAST(a AS DOUBLE) * CAST(neg - b AS DOUBLE)
+                - CAST(b AS DOUBLE) * CAST(pos - a AS DOUBLE))
+             * (CAST(a AS DOUBLE) * CAST(neg - b AS DOUBLE)
+                - CAST(b AS DOUBLE) * CAST(pos - a AS DOUBLE))
+             / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                * (CAST(pos - a AS DOUBLE) + CAST(neg - b AS DOUBLE))
+                * CAST(pos AS DOUBLE) * CAST(neg AS DOUBLE)),
              12) AS chi2
 FROM per_type CROSS JOIN totals
 ORDER BY chi2 DESC, event_type ASC
