@@ -98,6 +98,12 @@ EXTRAS = [
     "q_bloom_prefilter_join",
     "q_incremental_agg_maintenance",
     "q_bigram_lm_score",
+    # round-8: the clustering/graph/eval block
+    "q_kmeans_lloyd",
+    "q_core_numbers",
+    "q_label_propagation",
+    "q_ngram_novelty",
+    "q_auc_roc",
 ]
 
 

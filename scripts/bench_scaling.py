@@ -57,6 +57,10 @@ def main() -> None:
         # plan. The LSH candidate generation itself is measured at scale
         # via q_ivf_pq_search (same bucketed join shape, k-bounded output).
         "q_semantic_clusters",
+        # same degenerate-blocking-key argument: nation (25 fixed values)
+        # blocks grow 10x under the derivation -> within-block pair TRUTH
+        # grows 100x (measured 77x wall, SCALING.md round-8 note)
+        "q_fellegi_sunter",
     }
     measured = HEADLINE + [n for n in EXTRAS if n in qs and n not in skip_at_scale]
     for label, d in sfs:
