@@ -789,3 +789,94 @@ def handle_describe_log_dirs(log: WireLog, payload: bytes) -> bytes:
     if flex:
         w.empty_tagged_fields()  # response tail
     return w.bytes()
+
+
+# ----------------------------------- DescribeTopicPartitions v0 (k75)
+
+
+def handle_describe_topic_partitions(log: WireLog, payload: bytes) -> bytes:
+    """DescribeTopicPartitions (API key 75, v0): the KIP-848-era
+    paginated topic describe that modern admin clients use instead of
+    a full Metadata fetch. An empty topics array means "all topics";
+    `response_partition_limit` + the (topic, partition) cursor page
+    through the flattened (topic, partition) sequence in topic-name
+    order, and the response carries `next_cursor` when truncated —
+    single-node values for leader/replicas/isr ([0]), empty ELR
+    (KIP-966 fields present, no eligible-leader tracking here)."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=True)
+    names: list[str] = []
+    for _ in range(max(r.compact_array_len(), 0)):
+        names.append(r.compact_string() or "")
+        r.tagged_fields()
+    limit = r.int32()
+    cursor: tuple[str, int] | None = None
+    if r.buf[r.pos : r.pos + 1] != b"\xff":  # nullable struct marker
+        r.int8()  # present marker (0x01)
+        cursor = (r.compact_string() or "", r.int32())
+        r.tagged_fields()
+    else:
+        r.int8()
+    r.tagged_fields()
+
+    describe_all = not names
+    catalog = sorted(log.topics) if describe_all else sorted(set(names))
+    # flatten to (topic, partition) pairs at/after the cursor
+    out: dict[str, list[int]] = {}
+    next_cursor: tuple[str, int] | None = None
+    budget = limit if limit > 0 else 2000
+    for name in catalog:
+        if not log.has(name, 0):
+            if not describe_all:
+                out.setdefault(name, [])  # reported as unknown below
+            continue
+        nparts = log.topics[name]
+        start = 0
+        if cursor is not None:
+            if name < cursor[0]:
+                continue
+            start = cursor[1] if name == cursor[0] else 0
+        for p in range(start, nparts):
+            if budget == 0:
+                next_cursor = (name, p)
+                break
+            out.setdefault(name, []).append(p)
+            budget -= 1
+        if next_cursor:
+            break
+
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.empty_tagged_fields()  # response header v1
+    w.int32(0)  # throttle_time_ms
+    w.compact_array_len(len(out))
+    for name in sorted(out):
+        parts = out[name]
+        known = log.has(name, 0)
+        w.int16(wire.ERR_NONE if known else ERR_UNKNOWN_TOPIC_OR_PARTITION)
+        w.compact_string(name)
+        w.uuid(wire.topic_uuid(name) if known else b"\x00" * 16)
+        w.bool_(False)  # is_internal
+        w.compact_array_len(len(parts))
+        for p in parts:
+            w.int16(wire.ERR_NONE)
+            w.int32(p)  # partition_index
+            w.int32(0)  # leader_id
+            w.int32(0)  # leader_epoch
+            w.compact_array_len(1).int32(0)  # replica_nodes
+            w.compact_array_len(1).int32(0)  # isr_nodes
+            w.compact_array_len(0)  # eligible_leader_replicas
+            w.compact_array_len(0)  # last_known_elr
+            w.compact_array_len(0)  # offline_replicas
+            w.empty_tagged_fields()
+        w.int32(-2147483648)  # topic_authorized_operations: unset
+        w.empty_tagged_fields()
+    if next_cursor is None:
+        w.int8(-1)  # null next_cursor
+    else:
+        w.int8(1)
+        w.compact_string(next_cursor[0])
+        w.int32(next_cursor[1])
+        w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    return w.bytes()

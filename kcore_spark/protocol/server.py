@@ -78,6 +78,9 @@ class KafkaFrontend:
         # either store alone is enough to turn enforcement on.
         self.credentials = credentials
         self.scram_credentials = scram_credentials
+        # KIP-714 push accounting: instance uuid -> (pushes, bytes);
+        # capped (client-supplied ids must not grow memory unboundedly)
+        self._telemetry_pushes: dict[bytes, tuple[int, int]] = {}
         # TLS (the encryption half of the reference's roadmap row):
         # an ssl.SSLContext here makes the listener TLS-only —
         # asyncio wraps every accepted connection before the first
@@ -444,6 +447,14 @@ class KafkaFrontend:
             return handle_describe_log_dirs(self.wire_log, payload)
         if api_key == wire.GET_TELEMETRY_SUBSCRIPTIONS_KEY and api_version == 0:
             return self._handle_telemetry_subscriptions(payload)
+        if api_key == wire.PUSH_TELEMETRY_KEY and api_version == 0:
+            return self._handle_push_telemetry(payload)
+        if api_key == wire.LIST_CLIENT_METRICS_RESOURCES_KEY and api_version == 0:
+            return self._handle_list_client_metrics_resources(payload)
+        if api_key == wire.DESCRIBE_TOPIC_PARTITIONS_KEY and api_version == 0:
+            from kcore_spark.protocol.admin import handle_describe_topic_partitions
+
+            return handle_describe_topic_partitions(self.wire_log, payload)
         if api_key == wire.DESCRIBE_ACLS_KEY and api_version <= 1:
             from kcore_spark.protocol import acl
 
@@ -567,6 +578,55 @@ class KafkaFrontend:
         w.int32(1024 * 1024)  # telemetry_max_bytes
         w.bool_(True)  # delta_temporality
         w.compact_array_len(0)  # requested_metrics: none subscribed
+        w.empty_tagged_fields()
+        return w.bytes()
+
+    def _handle_push_telemetry(self, payload: bytes) -> bytes:
+        """PushTelemetry (API key 72, v0, KIP-714): accept pushes made
+        against the subscription id this broker hands out (0, the empty
+        subscription — only a `terminating` push is expected under it);
+        any other id gets UNKNOWN_SUBSCRIPTION_ID (117) so the client
+        re-fetches its subscriptions. Payload bytes are counted, not
+        parsed — this broker subscribes to no metrics. The per-instance
+        counter is capped the same way the quota windows are (ADVICE
+        r7: client-supplied ids must not grow memory unboundedly)."""
+        r = wire.Reader(payload)
+        h = wire.decode_request_header(r, flexible=True)
+        cid = r.uuid()
+        subscription_id = r.int32()
+        r.bool_()  # terminating
+        r.int8()  # compression_type
+        metrics = r.compact_bytes() or b""
+        r.tagged_fields()
+        err = wire.ERR_NONE
+        if subscription_id != 0:
+            err = 117  # UNKNOWN_SUBSCRIPTION_ID
+        elif len(self._telemetry_pushes) < 1024 or cid in self._telemetry_pushes:
+            n, total = self._telemetry_pushes.get(cid, (0, 0))
+            self._telemetry_pushes[cid] = (n + 1, total + len(metrics))
+        w = wire.Writer()
+        w.int32(h.correlation_id)
+        w.empty_tagged_fields()
+        w.int32(0)  # throttle_time_ms
+        w.int16(err)
+        w.empty_tagged_fields()
+        return w.bytes()
+
+    def _handle_list_client_metrics_resources(self, payload: bytes) -> bytes:
+        """ListClientMetricsResources (API key 74, v0, KIP-714): the
+        admin read-side listing CLIENT_METRICS config resources. None
+        are configurable on this broker (GetTelemetrySubscriptions
+        serves the canonical empty subscription), so the list is
+        empty — the shape admin clients need to not error."""
+        r = wire.Reader(payload)
+        h = wire.decode_request_header(r, flexible=True)
+        r.tagged_fields()
+        w = wire.Writer()
+        w.int32(h.correlation_id)
+        w.empty_tagged_fields()
+        w.int32(0)  # throttle_time_ms
+        w.int16(wire.ERR_NONE)
+        w.compact_array_len(0)  # client_metrics_resources
         w.empty_tagged_fields()
         return w.bytes()
 

@@ -57,6 +57,9 @@ DELETE_ACLS_KEY = 31
 CREATE_PARTITIONS_KEY = 37
 DESCRIBE_LOG_DIRS_KEY = 35
 GET_TELEMETRY_SUBSCRIPTIONS_KEY = 71  # KIP-714 client metrics
+PUSH_TELEMETRY_KEY = 72  # KIP-714 metric push
+LIST_CLIENT_METRICS_RESOURCES_KEY = 74  # KIP-714 admin read-side
+DESCRIBE_TOPIC_PARTITIONS_KEY = 75  # KIP-848-era paginated topic describe
 INCREMENTAL_ALTER_CONFIGS_KEY = 44
 DESCRIBE_CLUSTER_KEY = 60
 DESCRIBE_PRODUCERS_KEY = 61
@@ -110,6 +113,9 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (CREATE_PARTITIONS_KEY, 0, 3),
     (DESCRIBE_LOG_DIRS_KEY, 0, 2),
     (GET_TELEMETRY_SUBSCRIPTIONS_KEY, 0, 0),
+    (PUSH_TELEMETRY_KEY, 0, 0),
+    (LIST_CLIENT_METRICS_RESOURCES_KEY, 0, 0),
+    (DESCRIBE_TOPIC_PARTITIONS_KEY, 0, 0),
     (INCREMENTAL_ALTER_CONFIGS_KEY, 0, 1),
     (DESCRIBE_CLUSTER_KEY, 0, 1),
     (DESCRIBE_PRODUCERS_KEY, 0, 0),
@@ -333,8 +339,13 @@ def is_flexible_request(api_key: int, api_version: int) -> bool:
         return api_version >= 2
     if api_key == DESCRIBE_LOG_DIRS_KEY:
         return api_version >= 2
-    if api_key == GET_TELEMETRY_SUBSCRIPTIONS_KEY:
-        return True  # born flexible (KIP-714)
+    if api_key in (
+        GET_TELEMETRY_SUBSCRIPTIONS_KEY,
+        PUSH_TELEMETRY_KEY,
+        LIST_CLIENT_METRICS_RESOURCES_KEY,
+        DESCRIBE_TOPIC_PARTITIONS_KEY,
+    ):
+        return True  # born flexible (KIP-714 / KIP-848 era)
     if api_key == INIT_PRODUCER_ID_KEY:
         return api_version >= 2
     if api_key in (ADD_PARTITIONS_TO_TXN_KEY, END_TXN_KEY):

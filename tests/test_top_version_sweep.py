@@ -18,7 +18,7 @@ cannot drift from the advertisement:
    genuinely exists and parses the modern body shape.
 
 The reference serves exactly one API (ApiVersions k18,
-pkg/kafka/kafka_api.go:106-125); this sweep pins the 45-key surface
+pkg/kafka/kafka_api.go:106-125); this sweep pins the 48-key surface
 this repo declares on top of it.
 """
 
@@ -415,6 +415,34 @@ def _telemetry_v0() -> bytes:
     return w.bytes()
 
 
+def _push_telemetry_v0() -> bytes:
+    w = _hdr(wire.PUSH_TELEMETRY_KEY, 0, flex=True)
+    w.uuid(b"\x11" * 16)  # client_instance_id
+    w.int32(0)  # subscription_id (the broker's empty subscription)
+    w.bool_(True)  # terminating
+    w.int8(0)  # compression_type: none
+    w.compact_bytes(b"")  # metrics
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+def _list_client_metrics_resources_v0() -> bytes:
+    w = _hdr(wire.LIST_CLIENT_METRICS_RESOURCES_KEY, 0, flex=True)
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+def _describe_topic_partitions_v0() -> bytes:
+    w = _hdr(wire.DESCRIBE_TOPIC_PARTITIONS_KEY, 0, flex=True)
+    w.compact_array_len(1)
+    w.compact_string("swp")
+    w.empty_tagged_fields()  # topic
+    w.int32(100)  # response_partition_limit
+    w.int8(-1)  # null cursor
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
 def _incremental_alter_configs_v1() -> bytes:
     w = _hdr(wire.INCREMENTAL_ALTER_CONFIGS_KEY, 1, flex=True)
     w.compact_array_len(1)
@@ -563,6 +591,9 @@ REGISTRY: dict[int, tuple[int, object]] = {
     wire.CREATE_PARTITIONS_KEY: (3, _create_partitions_v3),
     wire.DESCRIBE_LOG_DIRS_KEY: (2, _describe_log_dirs_v2),
     wire.GET_TELEMETRY_SUBSCRIPTIONS_KEY: (0, _telemetry_v0),
+    wire.PUSH_TELEMETRY_KEY: (0, _push_telemetry_v0),
+    wire.LIST_CLIENT_METRICS_RESOURCES_KEY: (0, _list_client_metrics_resources_v0),
+    wire.DESCRIBE_TOPIC_PARTITIONS_KEY: (0, _describe_topic_partitions_v0),
     wire.INCREMENTAL_ALTER_CONFIGS_KEY: (1, _incremental_alter_configs_v1),
     wire.DESCRIBE_CLUSTER_KEY: (1, _describe_cluster_v1),
     wire.DESCRIBE_PRODUCERS_KEY: (0, _describe_producers_v0),
