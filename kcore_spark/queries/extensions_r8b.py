@@ -625,3 +625,181 @@ QUERIES["q_rfm_segments"] = QuerySpec(
     Q_RFM_SQL,
     "RFM quartile segmentation: per-customer partial agg + 1-row broadcast cutoffs",
 )
+
+
+# --------------------------------------------------- Zipf-law fit
+# Log-log least-squares fit of word frequency vs rank — the corpus
+# health check (natural text slopes ~ -1). Vocabulary counts are one
+# partial-agg shuffle; the global frequency rank uses _dist_rank (no
+# single-partition window, survives a billion-word vocab); the
+# regression sums are per-row-rounded doubles folded in DECIMAL, so
+# the answer is independent of partitioning on both engines.
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.array_remove(F.split("text", T.WORD_SPLIT), "")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = _dist_rank(vocab, [(-F.col("c")), F.col("w")])  # freq desc, word asc
+    terms = ranked.select(
+        F.round(F.log(F.col("rk").cast("double")), 12).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 12).alias("y"),
+    ).select(
+        "x",
+        "y",
+        F.round(F.col("x") * F.col("y"), 12).alias("xy"),
+        F.round(F.col("x") * F.col("x"), 12).alias("xx"),
+    )
+    dec = "decimal(38,12)"
+    sums = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.col("xy").cast(dec)).cast("double").alias("sxy"),
+        F.sum(F.col("xx").cast(dec)).cast("double").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").alias("n_words"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("zipf_intercept"),
+    )
+
+
+Q_ZIPF_SQL = r"""
+WITH vocab AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rk FROM vocab),
+terms AS (
+  SELECT ROUND(LN(CAST(rk AS DOUBLE)), 12) AS x,
+         ROUND(LN(CAST(c AS DOUBLE)), 12) AS y
+  FROM ranked),
+terms2 AS (
+  SELECT x, y, ROUND(x * y, 12) AS xy, ROUND(x * x, 12) AS xx FROM terms),
+sums AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(xy AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(xx AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+  FROM terms2)
+SELECT n AS n_words,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS zipf_intercept
+FROM sums
+"""
+
+QUERIES["q_zipf_fit"] = QuerySpec(
+    q_zipf_fit,
+    Q_ZIPF_SQL,
+    "log-log Zipf slope over the distributed frequency rank, decimal-folded sums",
+)
+
+
+# -------------------------------------- PCA top component (power iteration)
+# Dominant principal direction of the embedding second-moment matrix
+# via power iteration — WITHOUT ever materializing the d x d Gram
+# matrix: each round computes G·v = sum_rows e·(e^T v) in one scan
+# (per-row dot fold s = e^T v, contribution e_i * s, posexplode +
+# decimal partial-agg per dim), so the shuffle is d rows no matter the
+# corpus size. The iterate stays a 1-row broadcast. Start vector is
+# the exactly-representable uniform 1/8 (= 1/sqrt(64)); 3 rounds.
+# Per-row arithmetic is bit-identical across engines; cross-row sums
+# are per-row-rounded DECIMAL folds — hash-stable by construction.
+
+PCA_ITERS = 3
+PCA_DIM = 64
+
+
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        as_double(F.col("embedding")).alias("e")
+    )
+    v = spark.range(1).select(
+        F.array(*[F.lit(0.125) for _ in range(PCA_DIM)]).alias("v")
+    )
+    dec = "decimal(38,12)"
+    for _ in range(PCA_ITERS):
+        s = F.aggregate(
+            F.zip_with(F.col("e"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        g = (
+            emb.crossJoin(F.broadcast(v))
+            .select(F.posexplode(F.transform(F.col("e"), lambda x: x * s)).alias("pos", "contrib"))
+            .groupBy("pos")
+            .agg(F.sum(F.round(F.col("contrib"), 12).cast(dec)).cast("double").alias("g"))
+        )
+        norm = g.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("g") * F.col("g"), 12).cast(dec)).cast("double")
+            ).alias("nrm")
+        )
+        v = (
+            g.crossJoin(F.broadcast(norm))
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", (F.col("g") / F.col("nrm")).alias("vi")))
+                    ),
+                    lambda st: st["vi"],
+                ).alias("v")
+            )
+        )
+    return v.select(F.posexplode("v").alias("pos", "loading")).select(
+        "pos", F.round("loading", 8).alias("loading")
+    ).orderBy("pos")
+
+
+def _pca_sql() -> str:
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip(e, v),"
+        " p -> p[1] * p[2])), (a, b) -> a + b)"
+    )
+
+    def step(vin: str, out: str) -> str:
+        return f"""g_{out} AS (
+  SELECT pos, CAST(SUM(CAST(ROUND(comp * s, 12) AS DECIMAL(38,12))) AS DOUBLE) AS g
+  FROM (SELECT UNNEST(e) AS comp, generate_subscripts(e, 1) AS pos, {dot} AS s
+        FROM pts CROSS JOIN {vin})
+  GROUP BY pos),
+n_{out} AS (
+  SELECT SQRT(CAST(SUM(CAST(ROUND(g * g, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM g_{out}),
+{out} AS (
+  SELECT list(g / nrm ORDER BY pos) AS v FROM g_{out} CROSS JOIN n_{out})"""
+
+    steps = ",\n".join(step(f"v{i}", f"v{i + 1}") for i in range(PCA_ITERS))
+    ones = ", ".join(["0.125"] * PCA_DIM)
+    return f"""
+WITH pts AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+v0 AS (SELECT [{ones}]::DOUBLE[] AS v),
+{steps}
+SELECT pos - 1 AS pos, ROUND(vi, 8) AS loading
+FROM (SELECT UNNEST(v) AS vi, generate_subscripts(v, 1) AS pos FROM v{PCA_ITERS})
+ORDER BY pos
+"""
+
+
+QUERIES["q_pca_power_iteration"] = QuerySpec(
+    q_pca_power_iteration,
+    _pca_sql(),
+    "dominant PCA component by Gram-free power iteration (G.v in one scan per round)",
+)

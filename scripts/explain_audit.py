@@ -53,10 +53,14 @@ ALLOWED_NLJ = {
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
+    "q_pca_power_iteration",  # 1-row iterate + 1-row norm broadcast crosses
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
 KNOWN_UNPUSHABLE = {
+    # full-corpus scan by design (power iteration touches every vector);
+    # the only Filter in the plan is the post-explode null guard
+    "q_pca_power_iteration",
     "q_window_topk_orders",
     "q_window_analytics",  # percent_rank filter is post-window by nature
     "q_events_dedup_first",

@@ -237,3 +237,48 @@ def test_rfm_segments_partition_customers_and_code_range(spark):
     for r in out:
         seg = r["segment"]
         assert 1 <= seg // 100 <= 4 and 1 <= seg // 10 % 10 <= 4 and 1 <= seg % 10 <= 4
+
+
+# -------------------------------------------------------- Zipf fit
+
+
+def test_zipf_slope_minus_one_on_exact_zipf_corpus(spark, tmp_path):
+    """A corpus whose word frequencies are exactly c_r = 720/r for
+    ranks 1..6 must fit slope -1 (log-log is exactly linear)."""
+    from kcore_spark.queries.extensions_r8b import q_zipf_fit
+
+    words = []
+    for r, w in enumerate(["a", "b", "c", "d", "e", "f"], start=1):
+        words.extend([w] * (720 // r))
+    text = " ".join(words)
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    row = q_zipf_fit(spark, str(tmp_path)).first()
+    assert row["n_words"] == 6
+    assert row["zipf_slope"] == pytest.approx(-1.0, abs=1e-6)
+
+
+# ------------------------------------------------- PCA power iteration
+
+
+def test_pca_loading_is_unit_norm_and_finds_dominant_axis(spark, tmp_path):
+    """Vectors spread along axis 5 with small noise elsewhere: the
+    dominant loading must be axis 5 and the vector unit-norm."""
+    from kcore_spark.queries.extensions_r8b import PCA_DIM, q_pca_power_iteration
+
+    rows = []
+    for i in range(50):
+        v = [0.01 * ((i + d) % 3) for d in range(PCA_DIM)]
+        v[5] = 10.0 + (i % 7)  # dominant variance on axis 5
+        rows.append((i, v, 0))
+    spark.createDataFrame(
+        rows, f"vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = q_pca_power_iteration(spark, str(tmp_path)).collect()
+    assert len(out) == PCA_DIM
+    norm = sum(r["loading"] ** 2 for r in out) ** 0.5
+    assert norm == pytest.approx(1.0, abs=1e-6)
+    top = max(out, key=lambda r: abs(r["loading"]))
+    assert top["pos"] == 5 and abs(top["loading"]) > 0.99
