@@ -13,7 +13,7 @@ this is the Structured Streaming realization of that declared model.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kcore_spark.catalog import load_table
@@ -953,3 +953,120 @@ QUERIES["q_stream_tws_topk"] = QuerySpec(
     "running per-key top-3 via transformWithState ListState (real JVM bridge)",
 )
 
+
+
+# ------------------------- transformWithState WARM START (initialState)
+# The checkpoint-migration path: transformWithState's initialState=
+# parameter seeds per-key state BEFORE the first batch, exercising
+# handleInitialState through the real JVM bridge (previously only
+# engine-fake covered, tests/test_tws.py). Contract under the oracle:
+#   batch-closed sessions of the FIRST half of the stream
+#   ∪ streamed SECOND half seeded with the sessions still open at the
+#     split point
+# must equal the full-stream sessionization — the same answer (and
+# the same DuckDB oracle) as q_stream_timeout_sessions. A session is
+# open at split T iff last_event + gap > T; only a user's last
+# first-half session can satisfy that, so the seed is one row per key,
+# exactly the shape a migrated state snapshot has.
+
+
+def q_stream_tws_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.catalog import load_table
+    from kcore_spark.streaming.tws import HAVE_TWS, SESSION_GAP_MS as GAP
+    from kcore_spark.streaming.ops import events_stream_chunked
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(FLOOR(unix_micros(ts) / 1000) AS BIGINT)").alias("ts_ms")
+    )
+    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    split_ms = lo + (hi - lo) // 2  # control-plane 1-row aggregate
+    cutoff_ms = hi - 2 * 3600 * 1000
+
+    # batch sessionization of the first half (the "prior run")
+    w = Window.partitionBy("user_id").orderBy("ts_ms")
+    first_half = ev.where(F.col("ts_ms") <= split_ms)
+    marked = first_half.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_ms").over(w).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(w) > GAP),
+            1,
+        ).otherwise(0),
+    )
+    sessions = (
+        marked.withColumn(
+            "sid", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts_ms").alias("start_ms"),
+            F.max("ts_ms").alias("end_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    closed_batch = sessions.where(F.col("end_ms") + GAP <= split_ms).select(
+        "user_id", "start_ms", "end_ms", "n_events"
+    )
+    open_at_split = sessions.where(F.col("end_ms") + GAP > split_ms).select(
+        "user_id",
+        "start_ms",
+        F.col("end_ms").alias("last_ms"),
+        "n_events",
+    )
+
+    s = events_stream_chunked(spark, sf_dir, n_chunks=3).where(
+        F.expr(f"unix_micros(ts) / 1000 > {split_ms}")
+    ).withWatermark("ts", "30 minutes")
+    if HAVE_TWS:
+        from kcore_spark.streaming.tws import make_session_processor
+        from kcore_spark.streaming.ops import run_to_table
+
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            make_session_processor(GAP)(),
+            outputStructType="user_id long, start_ms long, end_ms long, n_events long",
+            outputMode="append",
+            timeMode="eventTime",
+            initialState=open_at_split.groupBy("user_id"),
+        )
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            streamed = run_to_table(out, "append", state_partitions=16)
+        finally:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        res = streamed.unionByName(closed_batch)
+    else:
+        # no real bridge in this environment: the equivalence can't be
+        # exercised, so run the one-engine fold over the FULL stream
+        # (same final table; the warm-start path stays engine-fake
+        # covered in tests/test_tws.py)
+        full = events_stream_chunked(spark, sf_dir, n_chunks=3).withWatermark(
+            "ts", "30 minutes"
+        )
+        res = _timeout_sessions_groupstate(full)
+    return (
+        res.where(F.col("end_ms") <= F.lit(cutoff_ms))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max(F.expr("(end_ms - start_ms) div 1000")).alias("longest_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["q_stream_tws_warm_start"] = QuerySpec(
+    q_stream_tws_warm_start,
+    Q_STREAM_TIMEOUT_SESSIONS_SQL,
+    "transformWithState initialState warm start: batch-closed + seeded stream "
+    "second half == full sessionization (real JVM bridge)",
+)
