@@ -190,7 +190,7 @@ def test_api_versions_advertises_group_ranges(fe):
     assert ranges[wire.OFFSET_COMMIT_KEY] == (2, 8)
     assert ranges[wire.OFFSET_FETCH_KEY] == (1, 9)
     assert ranges[wire.FIND_COORDINATOR_KEY] == (0, 4)
-    assert ranges[wire.LIST_OFFSETS_KEY] == (0, 7)
+    assert ranges[wire.LIST_OFFSETS_KEY] == (0, 9)
     assert ranges[wire.DELETE_RECORDS_KEY] == (0, 2)
 
 
