@@ -282,3 +282,28 @@ def test_pca_loading_is_unit_norm_and_finds_dominant_axis(spark, tmp_path):
     assert norm == pytest.approx(1.0, abs=1e-6)
     top = max(out, key=lambda r: abs(r["loading"]))
     assert top["pos"] == 5 and abs(top["loading"]) > 0.99
+
+
+# ----------------------------------------- driver-window auto-rotation
+
+
+def test_driver_signed_set_derives_from_disk():
+    """The signed set must include every green name from the driver's
+    own CORRECTNESS files, so the 50-query window rotates with no
+    hand-maintained edit (the r6/r7 repeated process miss)."""
+    import json
+    import pathlib
+
+    from kcore_spark.queries import _driver_signed_from_disk, all_queries
+
+    disk = _driver_signed_from_disk()
+    root = pathlib.Path(__file__).resolve().parents[1]
+    files = sorted(root.glob("CORRECTNESS_r*.json"))
+    assert files, "driver correctness files expected at repo root"
+    latest = json.loads(files[-1].read_text())
+    for name, row in latest.items():
+        if row.get("err") is None and (row.get("hash_match") or row.get("rows_match")):
+            assert name in disk
+    # and the window orders unsigned-first
+    window = list(all_queries())[:50]
+    assert all(n not in disk for n in window) or len(disk) >= len(all_queries())
