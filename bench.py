@@ -104,6 +104,12 @@ EXTRAS = [
     "q_label_propagation",
     "q_ngram_novelty",
     "q_auc_roc",
+    # round-8c: survival/eval/tokenizer/curation block
+    "q_kaplan_meier",
+    "q_logreg_gd",
+    "q_bpe_learn",
+    "q_chunk_dedup",
+    "q_random_projection",
 ]
 
 

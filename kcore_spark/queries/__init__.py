@@ -102,6 +102,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r7,
         extensions_r8,
         extensions_r8b,
+        extensions_r8c,
         dedup,
         events,
         packing_q,
@@ -151,6 +152,7 @@ def all_queries() -> dict[str, QuerySpec]:
         curation_q,
         extensions_r8,
         extensions_r8b,
+        extensions_r8c,
         tpch,
         tpch2,
         windows,

@@ -54,6 +54,10 @@ ALLOWED_NLJ = {
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
     "q_pca_power_iteration",  # 1-row iterate + 1-row norm broadcast crosses
+    "q_kaplan_meier",  # 1-row cohort-total broadcast cross (at-risk denominator)
+    "q_benford_digits",  # 1-row digit-total broadcast cross (share denominator)
+    "q_logreg_gd",  # 1-row weight-vector broadcast cross (the GD iterate)
+    "q_bpe_learn",  # 1-row top-pair broadcast cross (the merge being applied)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
@@ -106,6 +110,12 @@ KNOWN_UNPUSHABLE = {
     "q_dedup_survivorship",  # only filter is the post-window survivor cut
     "q_event_transitions",  # only filter is the post-lag NULL drop
     "q_cumulative_distinct_users",  # join-key null guard on a derived day column
+    # whole-corpus model passes by design: the only filters are the
+    # empty-word guard (bpe) / none (KM aggregates every order; logreg
+    # folds every embedding row into the gradient)
+    "q_kaplan_meier",
+    "q_logreg_gd",
+    "q_bpe_learn",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}
