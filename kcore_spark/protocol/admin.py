@@ -880,3 +880,85 @@ def handle_describe_topic_partitions(log: WireLog, payload: bytes) -> bytes:
         w.empty_tagged_fields()
     w.empty_tagged_fields()
     return w.bytes()
+
+
+ERR_FENCED_LEADER_EPOCH = 74  # KIP-320
+ERR_UNKNOWN_LEADER_EPOCH = 75  # KIP-320
+
+
+def handle_offset_for_leader_epoch(log: WireLog, payload: bytes) -> bytes:
+    """OffsetForLeaderEpoch (key 23, v0-v4; flexible from v4) — the
+    KIP-101/KIP-320 truncation-detection API a follower or resuming
+    consumer uses to find where an epoch's log ends. This broker is a
+    single-node, single-generation leader, so the epoch history is
+    exactly {epoch 0 from offset 0}: a lookup for epoch 0 answers
+    (leader_epoch 0, end_offset = high watermark); a lookup for any
+    LATER epoch the leader never led answers UNKNOWN_LEADER_EPOCH, and
+    a v2+ current_leader_epoch fence above 0 likewise (the caller's
+    metadata is from the future). Version deltas per the public spec:
+    v1 adds response leader_epoch, v2 adds request
+    current_leader_epoch + response throttle_time, v3 adds request
+    replica_id, v4 is the flexible cutover."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 4
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
+    if v >= 3:
+        r.int32()  # replica_id (-2 = debug consumer, -1 = consumer)
+    topics = []
+    for _ in range(max(rd_len(), 0)):
+        name = rd_str()
+        parts = []
+        for _ in range(max(rd_len(), 0)):
+            partition = r.int32()
+            current_epoch = r.int32() if v >= 2 else -1
+            leader_epoch = r.int32()
+            if flex:
+                r.tagged_fields()
+            if not log.has(name, partition):
+                parts.append((partition, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, -1))
+            elif current_epoch > 0 or leader_epoch > 0:
+                parts.append((partition, ERR_UNKNOWN_LEADER_EPOCH, -1, -1))
+            elif current_epoch == 0 or current_epoch == -1:
+                parts.append(
+                    (partition, wire.ERR_NONE, 0, log.high_watermark(name, partition))
+                )
+            else:
+                parts.append((partition, ERR_FENCED_LEADER_EPOCH, -1, -1))
+        if flex:
+            r.tagged_fields()
+        topics.append((name, parts))
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    if flex:
+        w.empty_tagged_fields()
+    if v >= 2:
+        w.int32(0)  # throttle_time_ms
+    wr_str = w.compact_string if flex else w.nullable_string
+    if flex:
+        w.compact_array_len(len(topics))
+    else:
+        w.int32(len(topics))
+    for name, parts in topics:
+        wr_str(name)
+        if flex:
+            w.compact_array_len(len(parts))
+        else:
+            w.int32(len(parts))
+        for partition, err, epoch, end in parts:
+            w.int16(err)
+            w.int32(partition)
+            if v >= 1:
+                w.int32(epoch)
+            w.int64(end)
+            if flex:
+                w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()
+    return w.bytes()

@@ -44,6 +44,7 @@ class KafkaFrontend:
         scram_credentials: dict | None = None,
         ssl_context=None,
         session_lifetime_ms: int = 0,
+        delegation_token_secret: bytes | None = None,
     ):
         from kcore_spark.protocol.broker import WireLog
 
@@ -95,6 +96,13 @@ class KafkaFrontend:
         from kcore_spark.protocol.quotas import QuotaManager
 
         self.quota_manager = QuotaManager()
+        # KIP-48 delegation tokens (protocol/tokens.py): enabled only
+        # when a master secret is configured (delegation.token.secret.
+        # key in real brokers) — without one, keys 38-41 answer
+        # DELEGATION_TOKEN_AUTH_DISABLED, real single-node behavior.
+        from kcore_spark.protocol.tokens import DelegationTokenStore
+
+        self.token_store = DelegationTokenStore(delegation_token_secret)
         # KIP-368: nonzero advertises a session lifetime on successful
         # authenticate and turns on re-authentication — an expired
         # session is treated as unauthenticated (connection closed on
@@ -455,6 +463,44 @@ class KafkaFrontend:
             from kcore_spark.protocol.admin import handle_describe_topic_partitions
 
             return handle_describe_topic_partitions(self.wire_log, payload)
+        if api_key == wire.OFFSET_FOR_LEADER_EPOCH_KEY and api_version <= 4:
+            from kcore_spark.protocol.admin import handle_offset_for_leader_epoch
+
+            return handle_offset_for_leader_epoch(self.wire_log, payload)
+        if api_key == wire.CREATE_DELEGATION_TOKEN_KEY and api_version <= 3:
+            from kcore_spark.protocol import tokens
+
+            authorize = self._authorizer(sasl)
+            return tokens.handle_create(
+                self.token_store,
+                payload,
+                principal=self._principal(sasl),
+                # KIP-373: minting a token for ANOTHER principal needs
+                # CREATE_TOKENS on that User resource (when ACLs are on)
+                authorize_other=(
+                    (lambda owner: authorize("CREATE_TOKENS", "USER", owner[1]))
+                    if authorize is not None
+                    else None
+                ),
+            )
+        if api_key == wire.RENEW_DELEGATION_TOKEN_KEY and api_version <= 2:
+            from kcore_spark.protocol import tokens
+
+            return tokens.handle_renew(
+                self.token_store, payload, principal=self._principal(sasl)
+            )
+        if api_key == wire.EXPIRE_DELEGATION_TOKEN_KEY and api_version <= 2:
+            from kcore_spark.protocol import tokens
+
+            return tokens.handle_expire(
+                self.token_store, payload, principal=self._principal(sasl)
+            )
+        if api_key == wire.DESCRIBE_DELEGATION_TOKEN_KEY and api_version <= 3:
+            from kcore_spark.protocol import tokens
+
+            return tokens.handle_describe(
+                self.token_store, payload, principal=self._principal(sasl)
+            )
         if api_key == wire.DESCRIBE_ACLS_KEY and api_version <= 1:
             from kcore_spark.protocol import acl
 

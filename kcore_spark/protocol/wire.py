@@ -71,6 +71,11 @@ DESCRIBE_USER_SCRAM_CREDENTIALS_KEY = 50
 ALTER_USER_SCRAM_CREDENTIALS_KEY = 51
 CONSUMER_GROUP_HEARTBEAT_KEY = 68  # KIP-848 next-gen consumer protocol
 CONSUMER_GROUP_DESCRIBE_KEY = 69  # KIP-848 admin read-side
+OFFSET_FOR_LEADER_EPOCH_KEY = 23  # KIP-101/KIP-320 truncation detection
+CREATE_DELEGATION_TOKEN_KEY = 38  # KIP-48 delegation tokens
+RENEW_DELEGATION_TOKEN_KEY = 39
+EXPIRE_DELEGATION_TOKEN_KEY = 40
+DESCRIBE_DELEGATION_TOKEN_KEY = 41
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
@@ -127,6 +132,11 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (ALTER_USER_SCRAM_CREDENTIALS_KEY, 0, 0),
     (CONSUMER_GROUP_HEARTBEAT_KEY, 0, 1),
     (CONSUMER_GROUP_DESCRIBE_KEY, 0, 1),
+    (OFFSET_FOR_LEADER_EPOCH_KEY, 0, 4),
+    (CREATE_DELEGATION_TOKEN_KEY, 0, 3),
+    (RENEW_DELEGATION_TOKEN_KEY, 0, 2),
+    (EXPIRE_DELEGATION_TOKEN_KEY, 0, 2),
+    (DESCRIBE_DELEGATION_TOKEN_KEY, 0, 3),
     (API_VERSIONS_KEY, 0, 3),
 )
 
@@ -354,6 +364,15 @@ def is_flexible_request(api_key: int, api_version: int) -> bool:
         return api_version >= 4
     if api_key == ALTER_CONFIGS_KEY:
         return api_version >= 2
+    if api_key == OFFSET_FOR_LEADER_EPOCH_KEY:
+        return api_version >= 4
+    if api_key in (
+        CREATE_DELEGATION_TOKEN_KEY,
+        RENEW_DELEGATION_TOKEN_KEY,
+        EXPIRE_DELEGATION_TOKEN_KEY,
+        DESCRIBE_DELEGATION_TOKEN_KEY,
+    ):
+        return api_version >= 2  # KIP-48 APIs' flexible cutover
     return False
 
 

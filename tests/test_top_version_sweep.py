@@ -18,7 +18,7 @@ cannot drift from the advertisement:
    genuinely exists and parses the modern body shape.
 
 The reference serves exactly one API (ApiVersions k18,
-pkg/kafka/kafka_api.go:106-125); this sweep pins the 48-key surface
+pkg/kafka/kafka_api.go:106-125); this sweep pins the 53-key surface
 this repo declares on top of it.
 """
 
@@ -555,6 +555,55 @@ def _api_versions_v3() -> bytes:
     return w.bytes()
 
 
+def _offset_for_leader_epoch_v4() -> bytes:
+    w = _hdr(wire.OFFSET_FOR_LEADER_EPOCH_KEY, 4, flex=True)
+    w.int32(-1)  # replica_id: consumer
+    w.compact_array_len(1)
+    w.compact_string("swp")
+    w.compact_array_len(1)
+    w.int32(0)  # partition
+    w.int32(0)  # current_leader_epoch
+    w.int32(0)  # leader_epoch
+    w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+def _create_delegation_token_v3() -> bytes:
+    w = _hdr(wire.CREATE_DELEGATION_TOKEN_KEY, 3, flex=True)
+    w.compact_string(None).compact_string(None)  # owner: self
+    w.compact_array_len(1)
+    w.compact_string("User").compact_string("renewer")
+    w.empty_tagged_fields()
+    w.int64(-1)  # max_lifetime_ms: broker default
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+def _renew_delegation_token_v2() -> bytes:
+    w = _hdr(wire.RENEW_DELEGATION_TOKEN_KEY, 2, flex=True)
+    w.compact_bytes(b"\x00" * 64)
+    w.int64(3600_000)
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+def _expire_delegation_token_v2() -> bytes:
+    w = _hdr(wire.EXPIRE_DELEGATION_TOKEN_KEY, 2, flex=True)
+    w.compact_bytes(b"\x00" * 64)
+    w.int64(-1)
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+def _describe_delegation_token_v3() -> bytes:
+    w = _hdr(wire.DESCRIBE_DELEGATION_TOKEN_KEY, 3, flex=True)
+    w.compact_array_len(-1)  # null owners: all tokens
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
 # key → (pinned top version, builder). test_registry_pins_every_ceiling
 # cross-checks the pins against SUPPORTED_APIS in both directions.
 REGISTRY: dict[int, tuple[int, object]] = {
@@ -606,6 +655,11 @@ REGISTRY: dict[int, tuple[int, object]] = {
     wire.CONSUMER_GROUP_HEARTBEAT_KEY: (1, _consumer_group_heartbeat_v1),
     wire.CONSUMER_GROUP_DESCRIBE_KEY: (1, _consumer_group_describe_v1),
     wire.API_VERSIONS_KEY: (3, _api_versions_v3),
+    wire.OFFSET_FOR_LEADER_EPOCH_KEY: (4, _offset_for_leader_epoch_v4),
+    wire.CREATE_DELEGATION_TOKEN_KEY: (3, _create_delegation_token_v3),
+    wire.RENEW_DELEGATION_TOKEN_KEY: (2, _renew_delegation_token_v2),
+    wire.EXPIRE_DELEGATION_TOKEN_KEY: (2, _expire_delegation_token_v2),
+    wire.DESCRIBE_DELEGATION_TOKEN_KEY: (3, _describe_delegation_token_v3),
 }
 
 
