@@ -110,6 +110,14 @@ EXTRAS = [
     "q_bpe_learn",
     "q_chunk_dedup",
     "q_random_projection",
+    "q_benford_digits",
+    "q_ndcg_eval",
+    # round-8d: link-analysis/forecast/contrastive block
+    "q_hits_ranking",
+    "q_seasonal_mase",
+    "q_degree_assortativity",
+    "q_hard_negatives",
+    "q_tokenizer_apply",
 ]
 
 
@@ -218,6 +226,12 @@ def main() -> None:
             t0 = time.time()
             qs[name].spark(spark, sf_dir).collect()
             timings[f"{name}_extra"] = round(time.time() - t0, 3)
+            # same per-query release as the headline loop: without it,
+            # ~40 extras accumulate persisted intermediates and the
+            # LATE extras pay for all of them (measured: q_kmeans_lloyd
+            # 29.4s polluted vs 2.3s isolated at sf0.1 — the same
+            # in-session accumulation the scaling harness hit)
+            release_transients()
     print(
         json.dumps(
             {

@@ -103,6 +103,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r8,
         extensions_r8b,
         extensions_r8c,
+        extensions_r8d,
         dedup,
         events,
         packing_q,
@@ -153,6 +154,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r8,
         extensions_r8b,
         extensions_r8c,
+        extensions_r8d,
         tpch,
         tpch2,
         windows,

@@ -579,7 +579,11 @@ QUERIES["q_chunk_dedup"] = QuerySpec(
 BPE_MERGES = 3
 
 
-def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_learn_merges(spark: SparkSession, sf_dir: str):
+    """Run the merge-learning loop; returns (merge one-row DFs, the
+    final spaced word table with the merges applied, keyed by word).
+    Shared by q_bpe_learn (reports the merges) and q_tokenizer_apply
+    (tokenizes the corpus with them)."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
@@ -588,6 +592,7 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     spaced = words.select(
+        "word",
         F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("spaced"),
         "freq",
     )
@@ -616,9 +621,15 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merges.append(top)
         spaced = spaced.crossJoin(F.broadcast(top.select("pair", "merged"))).select(
+            "word",
             F.replace(F.col("spaced"), F.col("pair"), F.col("merged")).alias("spaced"),
             "freq",
         )
+    return merges, spaced
+
+
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _spaced = _bpe_learn_merges(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
@@ -667,4 +678,90 @@ QUERIES["q_bpe_learn"] = QuerySpec(
     q_bpe_learn,
     _bpe_sql(),
     "first 3 BPE merges learned from the corpus (vocabulary-sized rounds, tie-broken top pair)",
+)
+
+
+# ------------------------------------------------ tokenizer apply
+# Close the tokenizer-training loop: apply the 3 learned merges to
+# the whole corpus and report per-document token counts + fertility
+# (tokens per word) — the metric a tokenizer is actually judged by.
+# The merges are applied on the VOCABULARY (distinct-word) table and
+# joined back to the exploded corpus by word, so the expensive string
+# work is vocabulary-sized while the corpus pass is one word-keyed
+# join — the same shape at any corpus size.
+
+
+def q_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, spaced = _bpe_learn_merges(spark, sf_dir)
+    tok_cnt = spaced.select(
+        "word", F.size(F.split(F.col("spaced"), " ")).alias("t")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        doc_words.join(tok_cnt, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("t").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 8).alias(
+                "fertility"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _tokenizer_sql() -> str:
+    def pair_counts(sp: str, out: str) -> str:
+        return f"""pc_{out} AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST(list_transform(generate_series(1, len(string_split(spaced, ' ')) - 1),
+                i -> string_split(spaced, ' ')[i] || ' ' || string_split(spaced, ' ')[i + 1])) AS pair,
+               freq
+        FROM {sp})
+  GROUP BY pair),
+{out} AS (
+  SELECT pair, replace(pair, ' ', '') AS merged, cnt
+  FROM pc_{out} ORDER BY cnt DESC, pair LIMIT 1)"""
+
+    parts = []
+    for k in range(1, BPE_MERGES + 1):
+        parts.append(pair_counts(f"sp{k - 1}", f"m{k}"))
+        parts.append(
+            f"""sp{k} AS (
+  SELECT word, replace(spaced, (SELECT pair FROM m{k}), (SELECT merged FROM m{k})) AS spaced, freq
+  FROM sp{k - 1})"""
+        )
+    return f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT UNNEST(string_split(trim(text), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+sp0 AS (
+  SELECT word, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS spaced, freq FROM words),
+{",".join(parts)},
+tokcnt AS (SELECT word, len(string_split(spaced, ' ')) AS t FROM sp{BPE_MERGES}),
+docw AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS word FROM documents)
+  WHERE word <> '')
+SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(t) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(t) AS DOUBLE) / COUNT(*), 8) AS fertility
+FROM docw JOIN tokcnt USING (word)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES["q_tokenizer_apply"] = QuerySpec(
+    q_tokenizer_apply,
+    _tokenizer_sql(),
+    "apply the learned BPE merges corpus-wide: per-doc token counts + fertility",
 )

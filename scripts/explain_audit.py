@@ -58,6 +58,9 @@ ALLOWED_NLJ = {
     "q_benford_digits",  # 1-row digit-total broadcast cross (share denominator)
     "q_logreg_gd",  # 1-row weight-vector broadcast cross (the GD iterate)
     "q_bpe_learn",  # 1-row top-pair broadcast cross (the merge being applied)
+    "q_tokenizer_apply",  # same 1-row merge crosses (shares the BPE loop)
+    "q_hits_ranking",  # 1-row max-authority broadcast cross (normalizer)
+    "q_hard_negatives",  # bounded anchor-set broadcast cross (q_cosine_topk shape)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
@@ -116,6 +119,9 @@ KNOWN_UNPUSHABLE = {
     "q_kaplan_meier",
     "q_logreg_gd",
     "q_bpe_learn",
+    "q_tokenizer_apply",
+    # whole-series pass: the only filter is the post-lag NULL drop
+    "q_seasonal_mase",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}

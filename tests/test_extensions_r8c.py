@@ -177,3 +177,22 @@ def test_chunk_dedup_drops_verbatim_copy(spark, tmp_path):
     out = {r["doc_id"]: r for r in q_chunk_dedup(spark, str(tmp_path)).collect()}
     assert out[1]["n_chunks"] == 3 and out[1]["retained_ratio"] == 1.0
     assert out[2]["n_chunks"] == 3 and out[2]["kept_chunks"] == 0
+
+
+# ------------------------------------------------ tokenizer apply
+
+
+def test_tokenizer_fertility_hand_derivable(spark, tmp_path):
+    """Corpus 'aaab aaab ab ba': after the 3 learned merges, 'aaab'
+    and 'ab' are single tokens while 'ba' stays 2 ('b a' was never
+    frequent enough) → 4 words, 5 tokens, fertility 1.25."""
+    from kcore_spark.queries.extensions_r8c import q_tokenizer_apply
+
+    text = "aaab aaab ab ba"
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    row = q_tokenizer_apply(spark, str(tmp_path)).first()
+    assert row["n_words"] == 4 and row["n_tokens"] == 5
+    assert row["fertility"] == 1.25
