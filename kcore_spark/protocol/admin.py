@@ -962,3 +962,226 @@ def handle_offset_for_leader_epoch(log: WireLog, payload: bytes) -> bytes:
     if flex:
         w.empty_tagged_fields()
     return w.bytes()
+
+
+ERR_ELECTION_NOT_NEEDED = 84
+ERR_NO_REASSIGNMENT_IN_PROGRESS = 85
+ERR_INVALID_REPLICA_ASSIGNMENT = 39
+ERR_INVALID_UPDATE_VERSION = 95
+
+
+def handle_elect_leaders(log: WireLog, payload: bytes) -> bytes:
+    """ElectLeaders (key 43, v0-v2; flexible from v2). On a single-
+    replica broker every partition's only replica IS the leader, so a
+    preferred (type 0) or unclean (type 1) election for an existing
+    partition answers ELECTION_NOT_NEEDED — the same answer a real
+    broker gives when the preferred leader already leads; unknown
+    partitions answer UNKNOWN_TOPIC_OR_PARTITION. A null topic list
+    means "all partitions eligible for election", which here is none
+    (nothing to move), so the response carries no per-partition rows —
+    matching the broker's only-report-attempted-elections contract."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 2
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
+    if v >= 1:
+        r.int8()  # election_type
+    n_topics = rd_len()
+    results = []
+    if n_topics >= 0:
+        for _ in range(n_topics):
+            name = rd_str()
+            parts = []
+            for _ in range(max(rd_len(), 0)):
+                pid = r.int32()
+                if log.has(name, pid):
+                    parts.append((pid, ERR_ELECTION_NOT_NEEDED,
+                                  "preferred leader already elected (single replica)"))
+                else:
+                    parts.append((pid, ERR_UNKNOWN_TOPIC_OR_PARTITION, None))
+            if flex:
+                r.tagged_fields()
+            results.append((name, parts))
+    r.int32()  # timeout_ms
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    if flex:
+        w.empty_tagged_fields()
+    w.int32(0)  # throttle_time_ms
+    if v >= 1:
+        w.int16(wire.ERR_NONE)  # top-level error
+    wr_str = w.compact_string if flex else w.nullable_string
+    (w.compact_array_len if flex else w.int32)(len(results))
+    for name, parts in results:
+        wr_str(name)
+        (w.compact_array_len if flex else w.int32)(len(parts))
+        for pid, err, msg in parts:
+            w.int32(pid)
+            w.int16(err)
+            wr_str(msg)
+            if flex:
+                w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()
+    return w.bytes()
+
+
+def handle_alter_partition_reassignments(log: WireLog, payload: bytes) -> bytes:
+    """AlterPartitionReassignments (key 45, v0; born flexible,
+    KIP-455). Single-node semantics: the only legal replica set is
+    [0] (a no-op reassignment → NONE); any other target is
+    INVALID_REPLICA_ASSIGNMENT; a null replica list is a cancellation,
+    and with no reassignment ever in progress that answers
+    NO_REASSIGNMENT_IN_PROGRESS; unknown partitions answer
+    UNKNOWN_TOPIC_OR_PARTITION."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=True)
+    r.int32()  # timeout_ms
+    topics = []
+    for _ in range(max(r.compact_array_len(), 0)):
+        name = r.compact_string()
+        parts = []
+        for _ in range(max(r.compact_array_len(), 0)):
+            pid = r.int32()
+            n_rep = r.compact_array_len()
+            replicas = None
+            if n_rep >= 0:
+                replicas = [r.int32() for _ in range(n_rep)]
+            r.tagged_fields()
+            if not log.has(name, pid):
+                parts.append((pid, ERR_UNKNOWN_TOPIC_OR_PARTITION, None))
+            elif replicas is None:
+                parts.append((pid, ERR_NO_REASSIGNMENT_IN_PROGRESS,
+                              "no reassignment in progress to cancel"))
+            elif replicas == [0]:
+                parts.append((pid, wire.ERR_NONE, None))
+            else:
+                parts.append((pid, ERR_INVALID_REPLICA_ASSIGNMENT,
+                              "single-node cluster: only replica set [0] exists"))
+        r.tagged_fields()
+        topics.append((name, parts))
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.empty_tagged_fields()
+    w.int32(0)  # throttle_time_ms
+    w.int16(wire.ERR_NONE)
+    w.compact_string(None)  # error_message
+    w.compact_array_len(len(topics))
+    for name, parts in topics:
+        w.compact_string(name)
+        w.compact_array_len(len(parts))
+        for pid, err, msg in parts:
+            w.int32(pid)
+            w.int16(err)
+            w.compact_string(msg)
+            w.empty_tagged_fields()
+        w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+def handle_list_partition_reassignments(log: WireLog, payload: bytes) -> bytes:
+    """ListPartitionReassignments (key 46, v0; born flexible). The
+    broker reports only ACTIVE reassignments; none ever exist here, so
+    every response carries an empty topic list — for both the null
+    (all) request and named partitions (omitted when not moving),
+    exactly the steady-state answer of a healthy cluster."""
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=True)
+    r.int32()  # timeout_ms
+    n = r.compact_array_len()
+    if n >= 0:
+        for _ in range(n):
+            r.compact_string()
+            for _ in range(max(r.compact_array_len(), 0)):
+                r.int32()
+            r.tagged_fields()
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.empty_tagged_fields()
+    w.int32(0)  # throttle_time_ms
+    w.int16(wire.ERR_NONE)
+    w.compact_string(None)  # error_message
+    w.compact_array_len(0)  # no active reassignments
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+# Broker feature levels (KIP-584): the features UpdateFeatures may
+# move, with their supported ranges. metadata.version mirrors a
+# KRaft broker's primary feature lever.
+SUPPORTED_FEATURES: dict[str, tuple[int, int]] = {"metadata.version": (1, 20)}
+_UPGRADE_TYPE_SAFE_DOWNGRADE = 2
+_UPGRADE_TYPE_UNSAFE_DOWNGRADE = 3
+
+
+def handle_update_features(
+    feature_levels: dict[str, int], payload: bytes
+) -> bytes:
+    """UpdateFeatures (key 57, v0-v1; born flexible, KIP-584).
+    Finalized feature levels live in ``feature_levels`` (mutated on
+    success). Per-feature validation mirrors the public broker rules:
+    unknown features and out-of-range levels answer
+    INVALID_UPDATE_VERSION; a downgrade requires the downgrade flag
+    (v0 allow_downgrade / v1 upgrade_type >= 2); v1 validate_only
+    checks without mutating. One failed update fails the whole batch
+    (Kafka applies feature updates atomically)."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=True)
+    r.int32()  # timeout_ms
+    updates = []
+    for _ in range(max(r.compact_array_len(), 0)):
+        feature = r.compact_string()
+        level = r.int16()
+        if v == 0:
+            allow_downgrade = r.bool_()
+        else:
+            allow_downgrade = r.int8() >= _UPGRADE_TYPE_SAFE_DOWNGRADE
+        r.tagged_fields()
+        updates.append((feature, level, allow_downgrade))
+    validate_only = r.bool_() if v >= 1 else False
+    r.tagged_fields()
+
+    results = []
+    for feature, level, allow_downgrade in updates:
+        rng = SUPPORTED_FEATURES.get(feature)
+        cur = feature_levels.get(feature, rng[0] if rng else 0)
+        if rng is None:
+            results.append((feature, ERR_INVALID_UPDATE_VERSION,
+                            f"unknown feature '{feature}'"))
+        elif not rng[0] <= level <= rng[1]:
+            results.append((feature, ERR_INVALID_UPDATE_VERSION,
+                            f"level {level} outside supported range {rng}"))
+        elif level < cur and not allow_downgrade:
+            results.append((feature, ERR_INVALID_UPDATE_VERSION,
+                            f"downgrade from {cur} to {level} needs the downgrade flag"))
+        else:
+            results.append((feature, wire.ERR_NONE, None))
+    batch_ok = all(err == wire.ERR_NONE for _, err, _ in results)
+    if batch_ok and not validate_only:
+        for feature, level, _ in updates:
+            feature_levels[feature] = level
+
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.empty_tagged_fields()
+    w.int32(0)  # throttle_time_ms
+    w.int16(wire.ERR_NONE if batch_ok else ERR_INVALID_UPDATE_VERSION)
+    w.compact_string(None if batch_ok else "one or more feature updates failed")
+    w.compact_array_len(len(results))
+    for feature, err, msg in results:
+        w.compact_string(feature)
+        w.int16(err)
+        w.compact_string(msg)
+        w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    return w.bytes()

@@ -103,6 +103,13 @@ class KafkaFrontend:
         from kcore_spark.protocol.tokens import DelegationTokenStore
 
         self.token_store = DelegationTokenStore(delegation_token_secret)
+        # KIP-584 finalized feature levels, mutated by UpdateFeatures
+        # (k57); starts at each supported feature's floor
+        from kcore_spark.protocol.admin import SUPPORTED_FEATURES
+
+        self.feature_levels: dict[str, int] = {
+            f: lo for f, (lo, _hi) in SUPPORTED_FEATURES.items()
+        }
         # KIP-368: nonzero advertises a session lifetime on successful
         # authenticate and turns on re-authentication — an expired
         # session is treated as unauthenticated (connection closed on
@@ -467,6 +474,22 @@ class KafkaFrontend:
             from kcore_spark.protocol.admin import handle_offset_for_leader_epoch
 
             return handle_offset_for_leader_epoch(self.wire_log, payload)
+        if api_key == wire.ELECT_LEADERS_KEY and api_version <= 2:
+            from kcore_spark.protocol.admin import handle_elect_leaders
+
+            return handle_elect_leaders(self.wire_log, payload)
+        if api_key == wire.ALTER_PARTITION_REASSIGNMENTS_KEY and api_version == 0:
+            from kcore_spark.protocol.admin import handle_alter_partition_reassignments
+
+            return handle_alter_partition_reassignments(self.wire_log, payload)
+        if api_key == wire.LIST_PARTITION_REASSIGNMENTS_KEY and api_version == 0:
+            from kcore_spark.protocol.admin import handle_list_partition_reassignments
+
+            return handle_list_partition_reassignments(self.wire_log, payload)
+        if api_key == wire.UPDATE_FEATURES_KEY and api_version <= 1:
+            from kcore_spark.protocol.admin import handle_update_features
+
+            return handle_update_features(self.feature_levels, payload)
         if api_key == wire.CREATE_DELEGATION_TOKEN_KEY and api_version <= 3:
             from kcore_spark.protocol import tokens
 

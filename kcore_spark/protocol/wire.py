@@ -72,6 +72,10 @@ ALTER_USER_SCRAM_CREDENTIALS_KEY = 51
 CONSUMER_GROUP_HEARTBEAT_KEY = 68  # KIP-848 next-gen consumer protocol
 CONSUMER_GROUP_DESCRIBE_KEY = 69  # KIP-848 admin read-side
 OFFSET_FOR_LEADER_EPOCH_KEY = 23  # KIP-101/KIP-320 truncation detection
+ELECT_LEADERS_KEY = 43  # KIP-183/KIP-460 leader election
+ALTER_PARTITION_REASSIGNMENTS_KEY = 45  # KIP-455
+LIST_PARTITION_REASSIGNMENTS_KEY = 46  # KIP-455
+UPDATE_FEATURES_KEY = 57  # KIP-584 finalized feature levels
 CREATE_DELEGATION_TOKEN_KEY = 38  # KIP-48 delegation tokens
 RENEW_DELEGATION_TOKEN_KEY = 39
 EXPIRE_DELEGATION_TOKEN_KEY = 40
@@ -133,6 +137,10 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (CONSUMER_GROUP_HEARTBEAT_KEY, 0, 1),
     (CONSUMER_GROUP_DESCRIBE_KEY, 0, 1),
     (OFFSET_FOR_LEADER_EPOCH_KEY, 0, 4),
+    (ELECT_LEADERS_KEY, 0, 2),
+    (ALTER_PARTITION_REASSIGNMENTS_KEY, 0, 0),
+    (LIST_PARTITION_REASSIGNMENTS_KEY, 0, 0),
+    (UPDATE_FEATURES_KEY, 0, 1),
     (CREATE_DELEGATION_TOKEN_KEY, 0, 3),
     (RENEW_DELEGATION_TOKEN_KEY, 0, 2),
     (EXPIRE_DELEGATION_TOKEN_KEY, 0, 2),
@@ -366,6 +374,14 @@ def is_flexible_request(api_key: int, api_version: int) -> bool:
         return api_version >= 2
     if api_key == OFFSET_FOR_LEADER_EPOCH_KEY:
         return api_version >= 4
+    if api_key == ELECT_LEADERS_KEY:
+        return api_version >= 2
+    if api_key in (
+        ALTER_PARTITION_REASSIGNMENTS_KEY,
+        LIST_PARTITION_REASSIGNMENTS_KEY,
+        UPDATE_FEATURES_KEY,
+    ):
+        return True  # born flexible (KIP-455 / KIP-584)
     if api_key in (
         CREATE_DELEGATION_TOKEN_KEY,
         RENEW_DELEGATION_TOKEN_KEY,

@@ -18,7 +18,7 @@ cannot drift from the advertisement:
    genuinely exists and parses the modern body shape.
 
 The reference serves exactly one API (ApiVersions k18,
-pkg/kafka/kafka_api.go:106-125); this sweep pins the 53-key surface
+pkg/kafka/kafka_api.go:106-125); this sweep pins the 57-key surface
 this repo declares on top of it.
 """
 
@@ -597,6 +597,55 @@ def _expire_delegation_token_v2() -> bytes:
     return w.bytes()
 
 
+def _elect_leaders_v2() -> bytes:
+    w = _hdr(wire.ELECT_LEADERS_KEY, 2, flex=True)
+    w.int8(0)  # election_type: preferred
+    w.compact_array_len(1)
+    w.compact_string("swp")
+    w.compact_array_len(1)
+    w.int32(0)
+    w.empty_tagged_fields()
+    w.int32(5000)  # timeout_ms
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+def _alter_partition_reassignments_v0() -> bytes:
+    w = _hdr(wire.ALTER_PARTITION_REASSIGNMENTS_KEY, 0, flex=True)
+    w.int32(5000)  # timeout_ms
+    w.compact_array_len(1)
+    w.compact_string("swp")
+    w.compact_array_len(1)
+    w.int32(0)
+    w.compact_array_len(1)
+    w.int32(0)  # target replicas [0]: the single-node no-op
+    w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+def _list_partition_reassignments_v0() -> bytes:
+    w = _hdr(wire.LIST_PARTITION_REASSIGNMENTS_KEY, 0, flex=True)
+    w.int32(5000)  # timeout_ms
+    w.compact_array_len(-1)  # null topics: all active reassignments
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+def _update_features_v1() -> bytes:
+    w = _hdr(wire.UPDATE_FEATURES_KEY, 1, flex=True)
+    w.int32(5000)  # timeout_ms
+    w.compact_array_len(1)
+    w.compact_string("metadata.version")
+    w.int16(5)
+    w.int8(1)  # upgrade_type: upgrade
+    w.empty_tagged_fields()
+    w.bool_(True)  # validate_only
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
 def _describe_delegation_token_v3() -> bytes:
     w = _hdr(wire.DESCRIBE_DELEGATION_TOKEN_KEY, 3, flex=True)
     w.compact_array_len(-1)  # null owners: all tokens
@@ -660,6 +709,10 @@ REGISTRY: dict[int, tuple[int, object]] = {
     wire.RENEW_DELEGATION_TOKEN_KEY: (2, _renew_delegation_token_v2),
     wire.EXPIRE_DELEGATION_TOKEN_KEY: (2, _expire_delegation_token_v2),
     wire.DESCRIBE_DELEGATION_TOKEN_KEY: (3, _describe_delegation_token_v3),
+    wire.ELECT_LEADERS_KEY: (2, _elect_leaders_v2),
+    wire.ALTER_PARTITION_REASSIGNMENTS_KEY: (0, _alter_partition_reassignments_v0),
+    wire.LIST_PARTITION_REASSIGNMENTS_KEY: (0, _list_partition_reassignments_v0),
+    wire.UPDATE_FEATURES_KEY: (1, _update_features_v1),
 }
 
 
