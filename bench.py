@@ -118,6 +118,8 @@ EXTRAS = [
     "q_degree_assortativity",
     "q_hard_negatives",
     "q_tokenizer_apply",
+    "q_target_encoding",
+    "q_lorenz_curve",
 ]
 
 

@@ -104,6 +104,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r8b,
         extensions_r8c,
         extensions_r8d,
+        extensions_r8e,
         dedup,
         events,
         packing_q,
@@ -155,6 +156,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r8b,
         extensions_r8c,
         extensions_r8d,
+        extensions_r8e,
         tpch,
         tpch2,
         windows,

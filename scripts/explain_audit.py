@@ -61,6 +61,8 @@ ALLOWED_NLJ = {
     "q_tokenizer_apply",  # same 1-row merge crosses (shares the BPE loop)
     "q_hits_ranking",  # 1-row max-authority broadcast cross (normalizer)
     "q_hard_negatives",  # bounded anchor-set broadcast cross (q_cosine_topk shape)
+    "q_target_encoding",  # 1-row global-prior broadcast cross (smoothing margin)
+    "q_lorenz_curve",  # 1-row revenue-total broadcast cross (share denominator)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
