@@ -39,6 +39,13 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
                 "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
             )
             li.coalesce(4).write.mode("overwrite").orc(os.path.join(d, "lineitem_orc"))
+        elif fmt == "xml":
+            nat = load_table(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_name", "n_regionkey"
+            )
+            nat.coalesce(1).write.mode("overwrite").format("xml").option(
+                "rootTag", "nations"
+            ).option("rowTag", "nation").save(os.path.join(d, "nation_xml"))
         else:
             ev = load_table(spark, sf_dir, "events").select(
                 "event_id", "event_type", "user_id", "value"
@@ -160,3 +167,38 @@ GROUP BY l_returnflag
 
 
 QUERIES["q_orc_source"] = QuerySpec(q_orc_source, Q_ORC_SQL, "ORC source (native columnar)")
+
+
+def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source (Spark 4 integrated the spark-xml reader):
+    the nation table is staged as one XML document and read back with
+    rowTag row discovery — the ingestion path for XML feeds (SURVEY
+    block A; the reference declares no source formats at all). The
+    aggregate rides the inferred schema."""
+    d = _stage(spark, sf_dir, "xml")
+    nat = spark.read.format("xml").option("rowTag", "nation").load(
+        os.path.join(d, "nation_xml")
+    )
+    return (
+        nat.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+Q_XML_SQL = """
+SELECT n_regionkey, COUNT(*) AS n_nations,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+QUERIES["q_xml_source"] = QuerySpec(
+    q_xml_source, Q_XML_SQL, "native XML source (Spark 4 built-in), rowTag read-back"
+)
