@@ -1070,3 +1070,57 @@ QUERIES["q_stream_tws_warm_start"] = QuerySpec(
     "transformWithState initialState warm start: batch-closed + seeded stream "
     "second half == full sessionization (real JVM bridge)",
 )
+
+
+# ------------------------------------- state-store batch introspection
+
+
+def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 state-store READER: run the tumbling aggregation in
+    APPEND mode (1h watermark) to a checkpoint, then read the
+    operator's surviving keyed state back as a batch DataFrame with
+    ``spark.read.format("statestore")`` — the state-debugging /
+    state-migration path a production stateful pipeline needs. The
+    surviving state is exactly the still-open windows (window end
+    above the final watermark = max event time − 1h), so the oracle
+    recomputes those windows relationally. The read scales with STATE
+    size, not history — each state partition is read in parallel."""
+    import tempfile
+    import uuid as _uuid
+
+    from kcore_spark.streaming.ops import run_to_table_with_ckpt
+
+    ckpt = tempfile.mkdtemp(prefix="kcore_statereader_")
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    run_to_table_with_ckpt(agg, ckpt, f"ssr_{_uuid.uuid4().hex[:12]}", "append")
+    st = spark.read.format("statestore").load(ckpt)
+    return (
+        st.select(
+            F.unix_timestamp(F.col("key.window.start")).alias("window_start"),
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+Q_STREAM_STATE_READER_SQL = """
+WITH wm AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w FROM events),
+wins AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type
+  FROM events)
+SELECT CAST(epoch(ws) AS BIGINT) AS window_start, event_type, COUNT(*) AS n
+FROM wins CROSS JOIN wm
+WHERE ws + INTERVAL 1 HOUR > wm.w
+GROUP BY ws, event_type
+ORDER BY window_start, event_type
+"""
+
+QUERIES["q_stream_state_reader"] = QuerySpec(
+    q_stream_state_reader,
+    Q_STREAM_STATE_READER_SQL,
+    "statestore batch source: read an append-mode agg's surviving windowed state",
+)
