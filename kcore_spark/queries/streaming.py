@@ -735,29 +735,14 @@ def q_stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="append",
             timeMode="eventTime",
         )
-        # transformWithState requires the RocksDB provider; scope it to
-        # this query so the small-state windowed aggs keep their
-        # zero-setup in-memory store. The memory sink is fully
-        # materialized once awaitTermination returns, so restoring the
-        # conf afterwards is safe.
-        prev = spark.conf.get(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "HDFSBackedStateStoreProvider",
-        )
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        try:
-            # 16 state partitions: each trigger opens one RocksDB
-            # instance per partition, so 32 is store-setup overhead at
-            # this state volume (32→19.6s, 16→14.4s, 8→14.7s at sf0.1
-            # with the 6-chunk replay; same ordering at 3).
-            res = run_to_table(out, "append", state_partitions=16)
-        finally:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        # transformWithState requires the RocksDB provider; the helper
+        # scopes it (plus changelog checkpointing) to this one run so
+        # the small-state windowed aggs keep their zero-setup
+        # in-memory store. Partition/checkpoint tuning rationale and
+        # measurements live on run_tws_to_table.
+        from kcore_spark.streaming.ops import run_tws_to_table
+
+        res = run_tws_to_table(out, "append", state_partitions=8)
     else:
         # Neither a real protobuf wheel nor the vendored runtime
         # imported (streaming/tws.py docstring): run the SAME fold
@@ -818,20 +803,9 @@ def q_stream_tws_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="append",
             timeMode="none",
         )
-        prev = spark.conf.get(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "HDFSBackedStateStoreProvider",
-        )
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        try:
-            res = run_to_table(out, "append", state_partitions=16)
-        finally:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        from kcore_spark.streaming.ops import run_tws_to_table
+
+        res = run_tws_to_table(out, "append", state_partitions=8)
         final = res.groupBy("user_id", "event_type").agg(F.max("n").alias("n"))
     else:
         # honest streaming fallback: the same cumulative count as a
@@ -902,20 +876,9 @@ def q_stream_tws_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="append",
             timeMode="none",
         )
-        prev = spark.conf.get(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "HDFSBackedStateStoreProvider",
-        )
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        try:
-            res = run_to_table(out, "append", state_partitions=16)
-        finally:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        from kcore_spark.streaming.ops import run_tws_to_table
+
+        res = run_tws_to_table(out, "append", state_partitions=8)
         final = res.groupBy("user_id", "rank").agg(F.max("value").alias("value"))
     else:
         # honest streaming fallback: complete-mode per-key top-3 via
@@ -1028,20 +991,9 @@ def q_stream_tws_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="eventTime",
             initialState=open_at_split.groupBy("user_id"),
         )
-        prev = spark.conf.get(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "HDFSBackedStateStoreProvider",
-        )
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        try:
-            streamed = run_to_table(out, "append", state_partitions=16)
-        finally:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        from kcore_spark.streaming.ops import run_tws_to_table
+
+        streamed = run_tws_to_table(out, "append", state_partitions=8)
         res = streamed.unionByName(closed_batch)
     else:
         # no real bridge in this environment: the equivalence can't be

@@ -229,10 +229,15 @@ def make_session_processor(gap_ms: int = SESSION_GAP_MS):
             # migrated — and arm its eviction timer exactly as if the
             # events had flowed through this query. One row per key:
             # (start_ms, last_ms, n_events).
+            # initialState arrives as a 1-row pandas object (DataFrame
+            # from the engine, Series from the engine fake): take the
+            # scalar per column explicitly — int(Series) is deprecated
             row = initialState
-            start = int(row["start_ms"]) if "start_ms" in row else int(row[0])
-            last = int(row["last_ms"]) if "last_ms" in row else int(row[1])
-            n = int(row["n_events"]) if "n_events" in row else int(row[2])
+            def _scalar(v):
+                return int(v.iloc[0]) if hasattr(v, "iloc") else int(v)
+            start = _scalar(row["start_ms"]) if "start_ms" in row else _scalar(row[0])
+            last = _scalar(row["last_ms"]) if "last_ms" in row else _scalar(row[1])
+            n = _scalar(row["n_events"]) if "n_events" in row else _scalar(row[2])
             self.sess.update((start, last, n))
             for old in list(self.handle.listTimers()):
                 self.handle.deleteTimer(old)
