@@ -516,3 +516,55 @@ ORDER BY source
 QUERIES["q_map_in_arrow"] = QuerySpec(
     q_map_in_arrow, Q_MAP_IN_ARROW_SQL, "mapInArrow zero-copy featurization"
 )
+
+
+# --------------------------------------- SQL-defined UDF + parameters
+
+
+def q_sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-language UDFs (CREATE FUNCTION ... RETURN expr) and
+    named-parameter queries (spark.sql(..., args={...})) — the SQL
+    surface a warehouse user writes without touching Python. A scalar
+    SQL UDF tiers order totals; the aggregation runs as a
+    parameterized statement with the date cutoff bound server-side.
+    SQL UDFs inline into the plan (no Python worker, full codegen) —
+    the fast path for reusable business logic at any scale."""
+    from kcore_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sql_udf_orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION order_tier(p DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN p < 50000 THEN 'low' WHEN p < 150000 THEN 'mid' "
+        "ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT order_tier(o_totalprice) AS tier,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM sql_udf_orders
+        WHERE o_orderdate >= :cutoff
+        GROUP BY tier
+        ORDER BY tier
+        """,
+        args={"cutoff": "1996-01-01"},
+    )
+
+
+Q_SQL_UDF_SQL = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'high' END AS tier,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY tier
+ORDER BY tier
+"""
+
+QUERIES["q_sql_udf_surface"] = QuerySpec(
+    q_sql_udf_surface,
+    Q_SQL_UDF_SQL,
+    "SQL-language UDF (CREATE FUNCTION ... RETURN) + named-parameter query",
+)
