@@ -173,6 +173,33 @@ def _bench_streaming_incremental(spark, sf_dir: str, timings: dict) -> None:
     shutil.rmtree(work, ignore_errors=True)
 
 
+def _warm_tws(spark) -> None:
+    """First-use initialization of the transformWithState machinery
+    (RocksDB provider JNI load, Python state-server runner classes) is
+    a one-time JVM cost of several seconds; warm it on a 3-row stream
+    so the TWS extras measure the operators, not class loading — the
+    same policy as the JVM/parquet warm-ups above."""
+    import tempfile
+
+    from kcore_spark.streaming.ops import run_tws_to_table
+    from kcore_spark.streaming.tws import HAVE_TWS, make_topk_processor
+
+    if not HAVE_TWS:
+        return
+    d = tempfile.mkdtemp(prefix="kcore_bench_twswarm_")
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 3.0)], "user_id long, value double"
+    ).write.mode("overwrite").parquet(d)
+    s = spark.readStream.schema("user_id long, value double").parquet(d)
+    out = s.groupBy("user_id").transformWithStateInPandas(
+        make_topk_processor(1)(),
+        outputStructType="user_id long, rank long, value double",
+        outputMode="append",
+        timeMode="none",
+    )
+    run_tws_to_table(out, "append", state_partitions=2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -184,6 +211,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).selectExpr(
         "sum(cast(r_regionkey as decimal(15,2)))"
     ).collect()
+    _warm_tws(spark)
     qs = all_queries()
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
