@@ -1185,3 +1185,60 @@ def handle_update_features(
         w.empty_tagged_fields()
     w.empty_tagged_fields()
     return w.bytes()
+
+
+def handle_describe_quorum(log: WireLog, payload: bytes, now_ms=None) -> bytes:
+    """DescribeQuorum (key 55, v0-v1; born flexible, KIP-595/KIP-642).
+    The KRaft metadata-quorum observability call `kafka-metadata-quorum
+    describe` issues. This single-binary process IS its own metadata
+    authority, so the answer is the degenerate-but-honest quorum: the
+    requested __cluster_metadata partition reports leader 0 at epoch 0
+    with one voter (replica 0, caught up with itself) and no
+    observers; any other topic answers UNKNOWN_TOPIC_OR_PARTITION.
+    v1 adds per-replica lastFetch/lastCaughtUp timestamps — the
+    leader's own fetch state, i.e. "now"."""
+    import struct as _struct
+    import time as _time
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    now = int(_time.time() * 1000) if now_ms is None else now_ms
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=True)
+    topics = []
+    for _ in range(max(r.compact_array_len(), 0)):
+        name = r.compact_string()
+        parts = [r.int32() for _ in range(max(r.compact_array_len(), 0))]
+        r.tagged_fields()
+        topics.append((name, parts))
+    r.tagged_fields()
+
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    w.empty_tagged_fields()
+    w.int16(wire.ERR_NONE)  # top-level error
+    w.compact_array_len(len(topics))
+    for name, parts in topics:
+        w.compact_string(name)
+        w.compact_array_len(len(parts))
+        for p in parts:
+            known = name == "__cluster_metadata" and p == 0
+            w.int32(p)
+            w.int16(wire.ERR_NONE if known else ERR_UNKNOWN_TOPIC_OR_PARTITION)
+            w.int32(0 if known else -1)  # leader_id
+            w.int32(0)  # leader_epoch
+            w.int64(0)  # high_watermark (empty metadata log)
+            if known:
+                w.compact_array_len(1)  # current_voters
+                w.int32(0)  # replica_id
+                w.int64(0)  # log_end_offset
+                if v >= 1:
+                    w.int64(now)  # last_fetch_timestamp
+                    w.int64(now)  # last_caught_up_timestamp
+                w.empty_tagged_fields()
+            else:
+                w.compact_array_len(0)
+            w.compact_array_len(0)  # observers
+            w.empty_tagged_fields()
+        w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    return w.bytes()

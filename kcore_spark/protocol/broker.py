@@ -1492,3 +1492,81 @@ def handle_describe_transactions(log: WireLog, payload: bytes) -> bytes:
         w.empty_tagged_fields()
     w.empty_tagged_fields()
     return w.bytes()
+
+
+def handle_write_txn_markers(log: WireLog, payload: bytes) -> bytes:
+    """WriteTxnMarkers (key 27, v0-v1; flexible from v1). The
+    coordinator→leader marker write that completes a transaction at
+    each partition — and the API `kafka-transactions abort` uses to
+    kill a HANGING transaction by writing an abort marker directly.
+    Single-binary semantics: the first marker for an open (pid,
+    epoch) completes the whole transaction through the same
+    `end_txn_with_offsets` path EndTxn uses (abort joins the
+    read_committed filter ranges); every listed partition then
+    answers NONE. A marker for a pid with no open transaction is the
+    idempotent re-delivery case — NONE, matching the broker's
+    at-least-once marker contract; a stale epoch answers
+    INVALID_PRODUCER_EPOCH per partition."""
+    import struct as _struct
+
+    v = _struct.unpack(">h", payload[2:4])[0]
+    flex = v >= 1
+    r = wire.Reader(payload)
+    h = wire.decode_request_header(r, flexible=flex)
+    rd_str = r.compact_string if flex else r.nullable_string
+    rd_len = r.compact_array_len if flex else r.int32
+    markers = []
+    for _ in range(max(rd_len(), 0)):
+        pid = r.int64()
+        epoch = r.int16()
+        commit = r.bool_()
+        topics = []
+        for _ in range(max(rd_len(), 0)):
+            name = rd_str()
+            parts = [r.int32() for _ in range(max(rd_len(), 0))]
+            if flex:
+                r.tagged_fields()
+            topics.append((name, parts))
+        r.int32()  # coordinator_epoch
+        if flex:
+            r.tagged_fields()
+        markers.append((pid, epoch, commit, topics))
+
+    results = []
+    for pid, epoch, commit, topics in markers:
+        if log.producer_epoch(pid) != epoch:
+            per_err = ERR_INVALID_PRODUCER_EPOCH
+        else:
+            err, _staged = log.end_txn_with_offsets(pid, epoch, commit)
+            # no open txn = marker re-delivery: idempotent NONE
+            per_err = wire.ERR_NONE if err in (wire.ERR_NONE, ERR_INVALID_TXN_STATE) else err
+        results.append((pid, per_err, topics))
+
+    w = wire.Writer()
+    w.int32(h.correlation_id)
+    if flex:
+        w.empty_tagged_fields()
+    (w.compact_array_len if flex else w.int32)(len(results))
+    wr_str = w.compact_string if flex else w.nullable_string
+    for pid, per_err, topics in results:
+        w.int64(pid)
+        (w.compact_array_len if flex else w.int32)(len(topics))
+        for name, parts in topics:
+            wr_str(name)
+            (w.compact_array_len if flex else w.int32)(len(parts))
+            for p in parts:
+                w.int32(p)
+                w.int16(
+                    per_err
+                    if log.has(name, p)
+                    else wire.ERR_UNKNOWN_TOPIC_OR_PARTITION
+                )
+                if flex:
+                    w.empty_tagged_fields()
+            if flex:
+                w.empty_tagged_fields()
+        if flex:
+            w.empty_tagged_fields()
+    if flex:
+        w.empty_tagged_fields()
+    return w.bytes()

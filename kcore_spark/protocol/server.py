@@ -490,6 +490,14 @@ class KafkaFrontend:
             from kcore_spark.protocol.admin import handle_update_features
 
             return handle_update_features(self.feature_levels, payload)
+        if api_key == wire.WRITE_TXN_MARKERS_KEY and api_version <= 1:
+            from kcore_spark.protocol.broker import handle_write_txn_markers
+
+            return handle_write_txn_markers(self.wire_log, payload)
+        if api_key == wire.DESCRIBE_QUORUM_KEY and api_version <= 1:
+            from kcore_spark.protocol.admin import handle_describe_quorum
+
+            return handle_describe_quorum(self.wire_log, payload)
         if api_key == wire.CREATE_DELEGATION_TOKEN_KEY and api_version <= 3:
             from kcore_spark.protocol import tokens
 

@@ -76,6 +76,8 @@ ELECT_LEADERS_KEY = 43  # KIP-183/KIP-460 leader election
 ALTER_PARTITION_REASSIGNMENTS_KEY = 45  # KIP-455
 LIST_PARTITION_REASSIGNMENTS_KEY = 46  # KIP-455
 UPDATE_FEATURES_KEY = 57  # KIP-584 finalized feature levels
+WRITE_TXN_MARKERS_KEY = 27  # coordinator marker write / hanging-txn abort
+DESCRIBE_QUORUM_KEY = 55  # KIP-595/KIP-642 metadata-quorum describe
 CREATE_DELEGATION_TOKEN_KEY = 38  # KIP-48 delegation tokens
 RENEW_DELEGATION_TOKEN_KEY = 39
 EXPIRE_DELEGATION_TOKEN_KEY = 40
@@ -141,6 +143,8 @@ SUPPORTED_APIS: tuple[tuple[int, int, int], ...] = (
     (ALTER_PARTITION_REASSIGNMENTS_KEY, 0, 0),
     (LIST_PARTITION_REASSIGNMENTS_KEY, 0, 0),
     (UPDATE_FEATURES_KEY, 0, 1),
+    (WRITE_TXN_MARKERS_KEY, 0, 1),
+    (DESCRIBE_QUORUM_KEY, 0, 1),
     (CREATE_DELEGATION_TOKEN_KEY, 0, 3),
     (RENEW_DELEGATION_TOKEN_KEY, 0, 2),
     (EXPIRE_DELEGATION_TOKEN_KEY, 0, 2),
@@ -382,6 +386,10 @@ def is_flexible_request(api_key: int, api_version: int) -> bool:
         UPDATE_FEATURES_KEY,
     ):
         return True  # born flexible (KIP-455 / KIP-584)
+    if api_key == WRITE_TXN_MARKERS_KEY:
+        return api_version >= 1
+    if api_key == DESCRIBE_QUORUM_KEY:
+        return True  # born flexible (KIP-595)
     if api_key in (
         CREATE_DELEGATION_TOKEN_KEY,
         RENEW_DELEGATION_TOKEN_KEY,

@@ -18,7 +18,7 @@ cannot drift from the advertisement:
    genuinely exists and parses the modern body shape.
 
 The reference serves exactly one API (ApiVersions k18,
-pkg/kafka/kafka_api.go:106-125); this sweep pins the 57-key surface
+pkg/kafka/kafka_api.go:106-125); this sweep pins the 59-key surface
 this repo declares on top of it.
 """
 
@@ -633,6 +633,33 @@ def _list_partition_reassignments_v0() -> bytes:
     return w.bytes()
 
 
+def _write_txn_markers_v1() -> bytes:
+    w = _hdr(wire.WRITE_TXN_MARKERS_KEY, 1, flex=True)
+    w.compact_array_len(1)
+    w.int64(99).int16(0)  # producer_id, producer_epoch
+    w.bool_(False)  # abort
+    w.compact_array_len(1)
+    w.compact_string("swp")
+    w.compact_array_len(1)
+    w.int32(0)
+    w.empty_tagged_fields()
+    w.int32(0)  # coordinator_epoch
+    w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
+def _describe_quorum_v1() -> bytes:
+    w = _hdr(wire.DESCRIBE_QUORUM_KEY, 1, flex=True)
+    w.compact_array_len(1)
+    w.compact_string("__cluster_metadata")
+    w.compact_array_len(1)
+    w.int32(0)
+    w.empty_tagged_fields()
+    w.empty_tagged_fields()
+    return w.bytes()
+
+
 def _update_features_v1() -> bytes:
     w = _hdr(wire.UPDATE_FEATURES_KEY, 1, flex=True)
     w.int32(5000)  # timeout_ms
@@ -713,6 +740,8 @@ REGISTRY: dict[int, tuple[int, object]] = {
     wire.ALTER_PARTITION_REASSIGNMENTS_KEY: (0, _alter_partition_reassignments_v0),
     wire.LIST_PARTITION_REASSIGNMENTS_KEY: (0, _list_partition_reassignments_v0),
     wire.UPDATE_FEATURES_KEY: (1, _update_features_v1),
+    wire.WRITE_TXN_MARKERS_KEY: (1, _write_txn_markers_v1),
+    wire.DESCRIBE_QUORUM_KEY: (1, _describe_quorum_v1),
 }
 
 
