@@ -105,6 +105,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r8c,
         extensions_r8d,
         extensions_r8e,
+        extensions_r8f,
         dedup,
         events,
         packing_q,
@@ -157,6 +158,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r8c,
         extensions_r8d,
         extensions_r8e,
+        extensions_r8f,
         tpch,
         tpch2,
         windows,

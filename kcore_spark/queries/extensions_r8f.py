@@ -1,0 +1,363 @@
+"""Round-8 surface extensions, part F (SURVEY §2.3 N r8): MMR
+diversified retrieval, deterministic Poisson-bootstrap confidence
+intervals, and difference-in-differences — the RAG-serving +
+experimentation-statistics block.
+
+Provenance: declared surface of OUR engine; the reference implements
+only ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:106-125`).
+Determinism follows FIXTURES.md: integer/decimal domains wherever a
+sum crosses rows; doubles only in per-row arithmetic or one final
+division; orderings fully tie-broken.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table, normalize_event_ts
+from kcore_spark.queries import QuerySpec
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+# -------------------------------------------------- MMR reranking
+# Maximal Marginal Relevance over the embedding corpus: shortlist the
+# top-10 candidates by cosine to the query vector (vec 0), then
+# greedily select 5, each step maximizing
+#   lambda*rel - (1-lambda)*max_sim_to_already_selected
+# — the diversity reranker a RAG retrieval stage runs after ANN. The
+# shortlist is BOUNDED (k-row), so each greedy step is a k-row join
+# against the (broadcast) selected set; corpus cost is only the
+# initial shortlist, which at scale comes from the IVF/LSH machinery.
+# Bit-stability: cosines rounded to 10dp once, the MMR objective is
+# per-row arithmetic over those fixed values, ties broken by vec_id.
+
+MMR_SHORTLIST = 10
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def _cos(a, b):
+    from kcore_spark.operators.similarity import dot
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.operators.similarity import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("e").alias("q_e"))
+    shortlist = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "e", F.round(_cos(F.col("e"), F.col("q_e")), 10).alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(MMR_SHORTLIST)
+    )
+    shortlist = shortlist.localCheckpoint()  # pin: reused K times
+    # pairwise sims within the shortlist, fixed once (k^2 rows)
+    a = shortlist.select(
+        F.col("vec_id").alias("ai"), F.col("e").alias("ae"), "rel"
+    )
+    b = shortlist.select(F.col("vec_id").alias("bi"), F.col("e").alias("be"))
+    sims = (
+        a.crossJoin(b)
+        .where(F.col("ai") != F.col("bi"))
+        .select(
+            "ai", "bi", F.round(_cos(F.col("ae"), F.col("be")), 10).alias("sim")
+        )
+        .localCheckpoint()
+    )
+    cand = shortlist.select("vec_id", "rel")
+    selected = None  # DataFrame(vec_id, pick_order)
+    for step in range(1, MMR_K + 1):
+        if selected is None:
+            scored = cand.select(
+                "vec_id", "rel", F.col("rel").alias("mmr")
+            )
+        else:
+            max_sim = (
+                sims.join(
+                    F.broadcast(selected.select(F.col("vec_id").alias("bi"))), "bi"
+                )
+                .groupBy("ai")
+                .agg(F.max("sim").alias("ms"))
+            )
+            scored = (
+                cand.join(selected, "vec_id", "left_anti")
+                .join(max_sim, cand.vec_id == F.col("ai"), "left")
+                .select(
+                    cand.vec_id,
+                    "rel",
+                    F.round(
+                        F.lit(MMR_LAMBDA) * F.col("rel")
+                        - F.lit(1.0 - MMR_LAMBDA) * F.coalesce(F.col("ms"), F.lit(0.0)),
+                        10,
+                    ).alias("mmr"),
+                )
+            )
+        pick = (
+            scored.orderBy(F.col("mmr").desc(), F.col("vec_id"))
+            .limit(1)
+            .select("vec_id", "rel", F.col("mmr"), F.lit(step).alias("pick_order"))
+        )
+        pick = pick.localCheckpoint()
+        selected = (
+            pick.select("vec_id", "pick_order")
+            if selected is None
+            else selected.unionByName(pick.select("vec_id", "pick_order"))
+        )
+        picks = pick if step == 1 else picks.unionByName(pick)
+    return picks.select("pick_order", "vec_id", "rel", F.round("mmr", 8).alias("mmr")).orderBy(
+        "pick_order"
+    )
+
+
+def _mmr_sql() -> str:
+    dot = (
+        "list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip({x}, {y}),"
+        " p -> p[1] * p[2])), (a, b) -> a + b)"
+    )
+
+    def cos(x, y):
+        return (
+            f"({dot.format(x=x, y=y)} / (SQRT({dot.format(x=x, y=x)})"
+            f" * SQRT({dot.format(x=y, y=y)})))"
+        )
+
+    steps = []
+    for k in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM p{j}" for j in range(1, k))
+        steps.append(f"""p{k} AS (
+  SELECT vec_id, rel,
+         ROUND({MMR_LAMBDA} * rel - {round(1.0 - MMR_LAMBDA, 10)} *
+               COALESCE((SELECT MAX(sim) FROM sims
+                         WHERE sims.ai = c.vec_id
+                           AND sims.bi IN ({prev})), 0.0), 10) AS mmr,
+         {k} AS pick_order
+  FROM cand c
+  WHERE vec_id NOT IN ({prev})
+  ORDER BY mmr DESC, vec_id LIMIT 1)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT pick_order, vec_id, rel, ROUND(mmr, 8) AS mmr FROM p{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+qv AS (SELECT e AS q_e FROM pts WHERE vec_id = 0),
+shortlist AS (
+  SELECT vec_id, e, ROUND({cos("e", "q_e")}, 10) AS rel
+  FROM pts CROSS JOIN qv
+  WHERE vec_id <> 0
+  ORDER BY rel DESC, vec_id LIMIT {MMR_SHORTLIST}),
+sims AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         ROUND({cos("a.e", "b.e")}, 10) AS sim
+  FROM shortlist a JOIN shortlist b ON a.vec_id <> b.vec_id),
+cand AS (SELECT vec_id, rel FROM shortlist),
+p1 AS (
+  SELECT vec_id, rel, rel AS mmr, 1 AS pick_order
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+{",".join(steps)}
+SELECT * FROM ({union}) ORDER BY pick_order
+"""
+
+
+QUERIES["q_mmr_rerank"] = QuerySpec(
+    q_mmr_rerank,
+    _mmr_sql(),
+    "MMR diversified retrieval over a bounded cosine shortlist (greedy, fully tie-broken)",
+)
+
+
+# -------------------------------------- Poisson bootstrap CI
+# Bootstrap confidence interval for mean customer spend WITHOUT
+# driver-side randomness: the Poisson(1) bootstrap (the standard
+# DISTRIBUTED bootstrap — per-replica multinomial resampling needs
+# global coordination, Poisson weights don't) with weights drawn by
+# inverting the Poisson CDF at a portable md5-uniform per (row,
+# replica). One scan emits all B replicas (explode), one partial-agg
+# shuffle computes every replica mean from exact integer cents, and
+# the CI is order statistics over the B means. Constants are the
+# Poisson(1) CDF to 6dp, identical literals on both engines.
+
+BOOT_B = 20
+_POISSON_CDF = [0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406]
+
+
+def _pois_w(u: F.Column) -> F.Column:
+    w = F.lit(6)
+    for k in reversed(range(len(_POISSON_CDF))):
+        w = F.when(u < F.lit(_POISSON_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    rep = spend.select(
+        "o_custkey",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
+    ).withColumn(
+        "u",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("boot-"),
+                            F.col("o_custkey").cast("string"),
+                            F.lit("-"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+        ),
+    ).withColumn("w", _pois_w(F.col("u")))
+    means = rep.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("m")
+    )
+    ranked = means.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("m"), F.col("b")))
+    )
+    point = spend.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("point_mean")
+    )
+    return (
+        ranked.groupBy()
+        .agg(
+            F.round(F.min(F.when(F.col("rk") == 2, F.col("m"))), 4).alias("ci_lo"),
+            F.round(F.min(F.when(F.col("rk") == BOOT_B - 1, F.col("m"))), 4).alias("ci_hi"),
+            F.round(F.min(F.when(F.col("rk") == BOOT_B // 2, F.col("m"))), 4).alias(
+                "boot_median"
+            ),
+        )
+        .crossJoin(F.broadcast(point))
+        .select(
+            F.round("point_mean", 4).alias("point_mean"), "ci_lo", "boot_median", "ci_hi"
+        )
+    )
+
+
+def _boot_sql() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POISSON_CDF)
+    ) + " ELSE 6 END"
+    return f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey),
+rep AS (
+  SELECT o_custkey, cents, b,
+         CAST(('0x' || substr(md5('boot-' || o_custkey || '-' || b), 1, 8))::BIGINT AS DOUBLE)
+           / 4294967296.0 AS u
+  FROM spend CROSS JOIN (SELECT UNNEST(generate_series(1, {BOOT_B})) AS b)),
+weighted AS (SELECT b, cents, {case} AS w FROM rep),
+means AS (
+  SELECT b, CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+  FROM weighted GROUP BY b),
+ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rk FROM means),
+point AS (SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS point_mean FROM spend)
+SELECT ROUND(point_mean, 4) AS point_mean,
+       ROUND(MIN(CASE WHEN rk = 2 THEN m END), 4) AS ci_lo,
+       ROUND(MIN(CASE WHEN rk = {BOOT_B // 2} THEN m END), 4) AS boot_median,
+       ROUND(MIN(CASE WHEN rk = {BOOT_B - 1} THEN m END), 4) AS ci_hi
+FROM ranked CROSS JOIN point
+GROUP BY point_mean
+"""
+
+
+QUERIES["q_bootstrap_ci"] = QuerySpec(
+    q_bootstrap_ci,
+    _boot_sql(),
+    "Poisson-bootstrap CI for mean customer spend (portable md5 weights, exact cents)",
+)
+
+
+# ---------------------------------------- difference-in-differences
+# The 2x2 DiD estimator over the events stream: treatment = odd
+# user_id, post = second half of the observed window (cutoff =
+# midpoint of min/max ts, a deterministic data-derived constant
+# computed in-plan via a 1-row broadcast cross). Four cell means from
+# decimal-exact sums; the estimate is one expression of the four.
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    bounds = ev.agg(
+        ((F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2)
+        .cast("long")
+        .alias("cutoff")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            (F.col("user_id") % 2 == 1).cast("int").alias("treat"),
+            (F.unix_timestamp("ts") >= F.col("cutoff")).cast("int").alias("post"),
+            F.col("value").cast("decimal(28,10)").alias("v"),
+        )
+        .groupBy("treat", "post")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_v"),
+        )
+    )
+    wide = cells.groupBy().pivot("treat", [0, 1]).agg(
+        F.min(F.when(F.col("post") == 0, F.col("mean_v"))).alias("pre"),
+        F.min(F.when(F.col("post") == 1, F.col("mean_v"))).alias("post"),
+    )
+    return wide.select(
+        F.round("0_pre", 8).alias("control_pre"),
+        F.round("0_post", 8).alias("control_post"),
+        F.round("1_pre", 8).alias("treat_pre"),
+        F.round("1_post", 8).alias("treat_post"),
+        F.round(
+            (F.col("1_post") - F.col("1_pre")) - (F.col("0_post") - F.col("0_pre")), 8
+        ).alias("did_estimate"),
+    )
+
+
+Q_DID_SQL = """
+WITH bounds AS (
+  SELECT CAST((epoch(MIN(CAST(ts AS TIMESTAMP))) + epoch(MAX(CAST(ts AS TIMESTAMP)))) / 2 AS BIGINT) AS cutoff
+  FROM events),
+cells AS (
+  SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+         CASE WHEN epoch(CAST(ts AS TIMESTAMP)) >= cutoff THEN 1 ELSE 0 END AS post,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean_v
+  FROM events CROSS JOIN bounds
+  GROUP BY 1, 2)
+SELECT ROUND(MIN(CASE WHEN treat = 0 AND post = 0 THEN mean_v END), 8) AS control_pre,
+       ROUND(MIN(CASE WHEN treat = 0 AND post = 1 THEN mean_v END), 8) AS control_post,
+       ROUND(MIN(CASE WHEN treat = 1 AND post = 0 THEN mean_v END), 8) AS treat_pre,
+       ROUND(MIN(CASE WHEN treat = 1 AND post = 1 THEN mean_v END), 8) AS treat_post,
+       ROUND((MIN(CASE WHEN treat = 1 AND post = 1 THEN mean_v END)
+              - MIN(CASE WHEN treat = 1 AND post = 0 THEN mean_v END))
+             - (MIN(CASE WHEN treat = 0 AND post = 1 THEN mean_v END)
+                - MIN(CASE WHEN treat = 0 AND post = 0 THEN mean_v END)), 8) AS did_estimate
+FROM cells
+"""
+
+QUERIES["q_diff_in_diff"] = QuerySpec(
+    q_diff_in_diff,
+    Q_DID_SQL,
+    "difference-in-differences 2x2 estimator (decimal cell means, data-derived cutoff)",
+)

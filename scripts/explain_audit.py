@@ -63,6 +63,9 @@ ALLOWED_NLJ = {
     "q_hard_negatives",  # bounded anchor-set broadcast cross (q_cosine_topk shape)
     "q_target_encoding",  # 1-row global-prior broadcast cross (smoothing margin)
     "q_lorenz_curve",  # 1-row revenue-total broadcast cross (share denominator)
+    "q_bootstrap_ci",  # 1-row point-estimate broadcast cross (CI reference)
+    "q_diff_in_diff",  # 1-row window-midpoint broadcast cross (the cutoff)
+    "q_mmr_rerank",  # 1-row query-vector + k-row shortlist broadcast crosses
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
