@@ -361,3 +361,54 @@ QUERIES["q_diff_in_diff"] = QuerySpec(
     Q_DID_SQL,
     "difference-in-differences 2x2 estimator (decimal cell means, data-derived cutoff)",
 )
+
+
+# ------------------------------------------------ skyline (Pareto)
+# 2-D skyline over orders: the Pareto frontier of (low price, recent
+# date) — an order survives iff no other order is at least as cheap
+# AND at least as recent with one strict improvement. The classic
+# sort-based skyline: sort by price (then date), a row is on the
+# frontier iff its date strictly beats every earlier row's best date
+# — one window cummax over the price order, no all-pairs dominance
+# test. Fully tie-broken; the windowed sort distributes on the same
+# range exchange as any orderBy.
+
+
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.unix_timestamp(F.col("o_orderdate")).alias("odate"),
+    )
+    w_prev = Window.orderBy(
+        F.col("cents"), F.col("odate").desc(), F.col("o_orderkey")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    sky = orders.withColumn("best_prev_date", F.max("odate").over(w_prev)).where(
+        F.col("best_prev_date").isNull()
+        | (F.col("odate") > F.col("best_prev_date"))
+    )
+    return sky.select("o_orderkey", "cents", "odate").orderBy("cents", "o_orderkey")
+
+
+Q_SKYLINE_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS odate
+  FROM orders),
+ranked AS (
+  SELECT *,
+         MAX(odate) OVER (ORDER BY cents, odate DESC, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev_date
+  FROM o)
+SELECT o_orderkey, cents, odate
+FROM ranked
+WHERE best_prev_date IS NULL OR odate > best_prev_date
+ORDER BY cents, o_orderkey
+"""
+
+QUERIES["q_skyline_orders"] = QuerySpec(
+    q_skyline_orders,
+    Q_SKYLINE_SQL,
+    "2-D Pareto frontier (skyline) of orders via sort + running cummax — no all-pairs",
+)

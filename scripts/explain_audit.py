@@ -127,6 +127,9 @@ KNOWN_UNPUSHABLE = {
     "q_tokenizer_apply",
     # whole-series pass: the only filter is the post-lag NULL drop
     "q_seasonal_mase",
+    # whole-table dominance pass: the only filter is the post-window
+    # frontier cut on the derived running cummax
+    "q_skyline_orders",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}

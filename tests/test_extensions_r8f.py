@@ -71,3 +71,26 @@ def test_did_recovers_injected_effect(spark, tmp_path):
     assert row["treat_pre"] == 1.0 and row["control_pre"] == 1.0
     assert row["treat_post"] == 6.0
     assert row["did_estimate"] == pytest.approx(5.0, abs=1e-8)
+
+
+def test_skyline_hand_computable(spark, tmp_path):
+    """Points (price, date): (1,Jan1), (2,Jan5), (3,Jan3), (5,Jan9).
+    (3,Jan3) is dominated by (2,Jan5) — cheaper AND more recent;
+    everything else is on the frontier."""
+    import datetime as dt
+
+    from kcore_spark.queries.extensions_r8f import q_skyline_orders
+
+    rows = [
+        (1, 1, "F", 1.0, dt.datetime(2024, 1, 1), "x"),
+        (2, 1, "F", 2.0, dt.datetime(2024, 1, 5), "x"),
+        (3, 1, "F", 3.0, dt.datetime(2024, 1, 3), "x"),
+        (4, 1, "F", 5.0, dt.datetime(2024, 1, 9), "x"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = [r["o_orderkey"] for r in q_skyline_orders(spark, str(tmp_path)).collect()]
+    assert got == [1, 2, 4]
