@@ -120,6 +120,12 @@ EXTRAS = [
     "q_tokenizer_apply",
     "q_target_encoding",
     "q_lorenz_curve",
+    # round-8f: experimentation/serving block (MMR excluded: 5 greedy
+    # localCheckpoint rounds on a 10-row shortlist — latency is
+    # driver-roundtrip-bound, not a data-plane shape worth benching)
+    "q_bootstrap_ci",
+    "q_diff_in_diff",
+    "q_skyline_orders",
 ]
 
 
