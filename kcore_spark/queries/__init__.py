@@ -106,6 +106,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r8d,
         extensions_r8e,
         extensions_r8f,
+        extensions_r8g,
         dedup,
         events,
         packing_q,
@@ -159,6 +160,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r8d,
         extensions_r8e,
         extensions_r8f,
+        extensions_r8g,
         tpch,
         tpch2,
         windows,

@@ -1,0 +1,638 @@
+"""Round-8 surface extensions, part G (SURVEY §2.3 N r8): the
+statistics / graph-mining block — Adamic-Adar link prediction,
+mutual information + Cramér's V, Mann-Whitney U rank-sum test,
+Welch's t-test, Benjamini-Hochberg FDR control, bitmap-backed exact
+distinct counting (Spark 3.5+ bitmap aggregates), and integer-exact
+autocorrelation of the hourly event series.
+
+Provenance: declared surface of OUR engine; the reference implements
+only ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:106-125`).
+Determinism follows FIXTURES.md: sums that cross rows stay in
+integer/decimal domains (rank sums, chi-square numerators, and the
+ACF numerator/denominator are computed exactly from integer moments);
+doubles appear only in per-cell log/exp terms rounded to 12 dp before
+any decimal sum, or in one final division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table, normalize_event_ts
+from kcore_spark.queries import QuerySpec
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+# ------------------------------------ Adamic-Adar link prediction
+# Suppliers are bipartite-adjacent to the parts they ship (lineitem);
+# the Adamic-Adar score of a supplier pair is sum over common parts w
+# of 1/ln(deg(w)), the classic link-prediction feature. Scale shape:
+# NEVER all supplier pairs — pairs are generated per part (bounded
+# supplier array + map-side double explode), and hub parts above a
+# fan-out cap are dropped BEFORE any array is collected (a hub
+# part's 1/ln(deg) contribution is tiny and its pair blow-up is
+# quadratic — the same df-cutoff stance as the Jaccard/containment
+# dedup family). Per-pair terms are rounded to 12 dp and summed as
+# decimals so the cross-row sum is order-independent.
+
+AA_MAX_FANOUT = 50
+AA_TOPK = 20
+
+
+def q_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    # Pass 1: degree filter BEFORE any collect, so the per-part supplier
+    # array built in pass 2 is provably bounded by AA_MAX_FANOUT even on
+    # hub keys (collect_set before the filter would bloat one aggregation
+    # buffer per hub at scale). Pass 2: bounded sorted array, then the
+    # pairs are generated MAP-SIDE by a double explode — no 600k x 600k
+    # self-join, and partial aggregation folds the 8.7M pair terms before
+    # the single (s1, s2) shuffle.
+    deg = (
+        li.groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where((F.col("deg") >= 2) & (F.col("deg") <= AA_MAX_FANOUT))
+    )
+    grp = (
+        li.join(deg, "pk")
+        .groupBy("pk", "deg")
+        .agg(F.sort_array(F.collect_set("sk")).alias("ss"))
+        .withColumn(
+            "term",
+            F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 12).cast(
+                "decimal(20,12)"
+            ),
+        )
+        .repartition(32, "pk")  # AQE under-coalesces the explode stage
+    )
+    pairs = (
+        grp.select("term", F.explode("ss").alias("s1"), "ss")
+        .select("term", "s1", F.explode("ss").alias("s2"))
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("common_parts"),
+            F.sum("term").alias("aa_dec"),
+        )
+    )
+    # top-k via TakeOrderedAndProject (per-partition heads + driver merge),
+    # not a row_number window — that would single-partition-sort all pairs.
+    return (
+        pairs.orderBy(F.col("aa_dec").desc(), "s1", "s2")
+        .limit(AA_TOPK)
+        .select(
+            "s1",
+            "s2",
+            "common_parts",
+            F.round(F.col("aa_dec").cast("double"), 8).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), "s1", "s2")
+    )
+
+
+Q_AA_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+deg AS (
+  SELECT pk, COUNT(*) AS deg,
+         CAST(ROUND(1.0 / LN(CAST(COUNT(*) AS DOUBLE)), 12) AS DECIMAL(20,12)) AS term
+  FROM li GROUP BY pk
+  HAVING COUNT(*) BETWEEN 2 AND {AA_MAX_FANOUT}),
+pairs AS (
+  SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS common_parts,
+         SUM(d.term) AS aa_dec
+  FROM li a JOIN li b ON a.pk = b.pk AND a.sk < b.sk
+  JOIN deg d ON d.pk = a.pk
+  GROUP BY a.sk, b.sk),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY aa_dec DESC, s1, s2) AS rk FROM pairs)
+SELECT s1, s2, common_parts, ROUND(CAST(aa_dec AS DOUBLE), 8) AS aa_score
+FROM ranked WHERE rk <= {AA_TOPK}
+ORDER BY aa_score DESC, s1, s2
+"""
+
+QUERIES["q_link_prediction_aa"] = QuerySpec(
+    q_link_prediction_aa,
+    Q_AA_SQL,
+    "Adamic-Adar link prediction over the supplier-part bipartite graph "
+    "(per-part pair generation with fan-out cap, decimal-exact score sum)",
+)
+
+
+# --------------------------- mutual information + Cramér's V
+# Dependence between o_orderstatus and o_orderpriority: the full
+# r x c contingency table (zero cells included via a marginal cross
+# join, so chi-square is the textbook statistic, not an
+# observed-cells-only variant). MI terms n_ij*ln(n_ij*n/(n_i*n_j))/n
+# have exact-integer log arguments; each double term is rounded to
+# 12 dp before the decimal sum. Cramér's V = sqrt(chi2/(n*min(r-1,c-1))).
+# The contingency table is tiny (r*c rows) after one partial-agg
+# shuffle over the fact table — the scan dominates at scale.
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    )
+    joint = o.groupBy("s", "p").agg(F.count(F.lit(1)).alias("nij"))
+    rows = joint.groupBy("s").agg(F.sum("nij").alias("ni"))
+    cols = joint.groupBy("p").agg(F.sum("nij").alias("nj"))
+    tot = joint.agg(
+        F.sum("nij").alias("n"),
+        F.countDistinct("s").alias("r"),
+        F.countDistinct("p").alias("c"),
+    )
+    grid = (
+        rows.crossJoin(cols)
+        .join(joint, ["s", "p"], "left")
+        .withColumn("nij", F.coalesce(F.col("nij"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    cells = grid.select(
+        "n",
+        "r",
+        "c",
+        F.when(
+            F.col("nij") > 0,
+            F.round(
+                F.col("nij").cast("double")
+                * F.log(
+                    (F.col("nij") * F.col("n")).cast("double")
+                    / (F.col("ni") * F.col("nj")).cast("double")
+                )
+                / F.col("n").cast("double"),
+                12,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(20,12)")
+        .alias("mi_term"),
+        F.round(
+            F.pow(
+                F.col("nij").cast("double")
+                - (F.col("ni") * F.col("nj")).cast("double") / F.col("n"),
+                2,
+            )
+            / ((F.col("ni") * F.col("nj")).cast("double") / F.col("n")),
+            12,
+        )
+        .cast("decimal(20,12)")
+        .alias("chi_term"),
+    )
+    agg = cells.groupBy("n", "r", "c").agg(
+        F.sum("mi_term").alias("mi_dec"), F.sum("chi_term").alias("chi_dec")
+    )
+    return agg.select(
+        F.col("n").alias("n_orders"),
+        F.round(F.col("mi_dec").cast("double"), 8).alias("mi_nats"),
+        F.round(F.col("chi_dec").cast("double"), 8).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi_dec").cast("double")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1)).cast(
+                    "double"
+                )
+            ),
+            8,
+        ).alias("cramers_v"),
+    )
+
+
+Q_MI_SQL = """
+WITH joint AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS nij
+  FROM orders GROUP BY 1, 2),
+rows_m AS (SELECT s, SUM(nij) AS ni FROM joint GROUP BY s),
+cols_m AS (SELECT p, SUM(nij) AS nj FROM joint GROUP BY p),
+tot AS (SELECT SUM(nij) AS n, COUNT(DISTINCT s) AS r, COUNT(DISTINCT p) AS c FROM joint),
+grid AS (
+  SELECT rows_m.s, cols_m.p, rows_m.ni, cols_m.nj,
+         COALESCE(joint.nij, 0) AS nij, tot.n, tot.r, tot.c
+  FROM rows_m CROSS JOIN cols_m
+  LEFT JOIN joint ON joint.s = rows_m.s AND joint.p = cols_m.p
+  CROSS JOIN tot),
+cells AS (
+  SELECT n, r, c,
+         CAST(CASE WHEN nij > 0 THEN ROUND(
+              CAST(nij AS DOUBLE) * LN(CAST(nij * n AS DOUBLE) / CAST(ni * nj AS DOUBLE))
+              / CAST(n AS DOUBLE), 12) ELSE 0.0 END AS DECIMAL(20,12)) AS mi_term,
+         CAST(ROUND(
+              POW(CAST(nij AS DOUBLE) - CAST(ni * nj AS DOUBLE) / n, 2)
+              / (CAST(ni * nj AS DOUBLE) / n), 12) AS DECIMAL(20,12)) AS chi_term
+  FROM grid),
+agg AS (
+  SELECT n, r, c, SUM(mi_term) AS mi_dec, SUM(chi_term) AS chi_dec
+  FROM cells GROUP BY n, r, c)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       ROUND(CAST(mi_dec AS DOUBLE), 8) AS mi_nats,
+       ROUND(CAST(chi_dec AS DOUBLE), 8) AS chi2,
+       ROUND(SQRT(CAST(chi_dec AS DOUBLE) / CAST(n * LEAST(r - 1, c - 1) AS DOUBLE)), 8) AS cramers_v
+FROM agg
+"""
+
+QUERIES["q_mutual_info"] = QuerySpec(
+    q_mutual_info,
+    Q_MI_SQL,
+    "mutual information + chi-square + Cramér's V over the status x priority "
+    "contingency table (zero cells included, 12dp-rounded terms, decimal sums)",
+)
+
+
+# ------------------------------------ Mann-Whitney U rank-sum test
+# Nonparametric click-vs-purchase comparison of event values. Ranks
+# are midranks over the GROUPED value table (one shuffle to group by
+# value, then a window over distinct values — post-aggregate, small),
+# so every quantity is exact integer arithmetic: 2*R1 = sum over
+# values of n1*(2*cum_before + cnt + 1); the tie-corrected variance
+# uses sum(t^3 - t), also integer. Doubles appear only in the final
+# z = (U1 - mu)/sigma.
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    two = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        (F.col("event_type") == "click").cast("int").alias("g1"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("v"),
+    )
+    vals = two.groupBy("v").agg(
+        F.sum("g1").alias("n1c"),
+        F.sum(F.lit(1) - F.col("g1")).alias("n2c"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "cum_before", F.coalesce(F.sum(F.col("n1c") + F.col("n2c")).over(w), F.lit(0))
+    ).withColumn("t", F.col("n1c") + F.col("n2c"))
+    agg = ranked.agg(
+        F.sum("n1c").alias("n1"),
+        F.sum("n2c").alias("n2"),
+        F.sum(F.col("n1c") * (2 * F.col("cum_before") + F.col("t") + 1)).alias(
+            "r1_x2"
+        ),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        ((F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)) / 2.0).alias("u1"),
+        F.round(
+            (
+                (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)) / 2.0
+                - F.col("n1") * F.col("n2") / 2.0
+            )
+            / F.sqrt(
+                (F.col("n1") * F.col("n2")).cast("double")
+                / 12.0
+                * (
+                    (F.col("n1") + F.col("n2") + 1).cast("double")
+                    - F.col("tie3").cast("double")
+                    / ((F.col("n1") + F.col("n2")).cast("double")
+                       * (F.col("n1") + F.col("n2") - 1).cast("double"))
+                )
+            ),
+            8,
+        ).alias("z_score"),
+    )
+
+
+Q_MWU_SQL = """
+WITH two AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+         CAST(ROUND(value * 10000, 0) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')),
+vals AS (
+  SELECT v, SUM(g1) AS n1c, SUM(1 - g1) AS n2c FROM two GROUP BY v),
+ranked AS (
+  SELECT *, COALESCE(SUM(n1c + n2c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         n1c + n2c AS t
+  FROM vals),
+agg AS (
+  SELECT SUM(n1c) AS n1, SUM(n2c) AS n2,
+         SUM(n1c * (2 * cum_before + t + 1)) AS r1_x2,
+         SUM(t * t * t - t) AS tie3
+  FROM ranked)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       (r1_x2 - n1 * (n1 + 1)) / 2.0 AS u1,
+       ROUND(((r1_x2 - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+             / SQRT(CAST(n1 * n2 AS DOUBLE) / 12.0
+                    * (CAST(n1 + n2 + 1 AS DOUBLE)
+                       - CAST(tie3 AS DOUBLE)
+                         / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 8) AS z_score
+FROM agg
+"""
+
+QUERIES["q_mann_whitney"] = QuerySpec(
+    q_mann_whitney,
+    Q_MWU_SQL,
+    "Mann-Whitney U rank-sum test (click vs purchase values; integer midrank "
+    "sums over the grouped value table, tie-corrected variance)",
+)
+
+
+# --------------------------------------------- Welch's t-test
+# Parametric counterpart: URGENT vs LOW order totals. Sums and sums
+# of squares are exact integers over cents; means/variances are
+# rationals realized as one double each; t and the Welch-Satterthwaite
+# df are final-expression doubles. One partial-agg shuffle.
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    g = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("urgent"))
+        .otherwise(F.lit("low"))
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    stats = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+    )
+    wide = stats.groupBy().pivot("grp", ["urgent", "low"]).agg(
+        F.min("n").alias("n"), F.min("s").alias("s"), F.min("q").alias("q")
+    )
+
+    def var(nc, sc, qc):
+        return (
+            qc.cast("double") - sc.cast("double") * sc.cast("double") / nc
+        ) / (nc - 1)
+
+    n1, s1, q1 = F.col("urgent_n"), F.col("urgent_s"), F.col("urgent_q")
+    n2, s2, q2 = F.col("low_n"), F.col("low_s"), F.col("low_q")
+    v1, v2 = var(n1, s1, q1), var(n2, s2, q2)
+    se2 = v1 / n1 + v2 / n2
+    return wide.select(
+        n1.alias("n_urgent"),
+        n2.alias("n_low"),
+        F.round(s1 / n1 / 100.0, 6).alias("mean_urgent"),
+        F.round(s2 / n2 / 100.0, 6).alias("mean_low"),
+        F.round(
+            (s1.cast("double") / n1 - s2.cast("double") / n2) / F.sqrt(se2), 8
+        ).alias("t_stat"),
+        F.round(
+            se2 * se2
+            / (v1 * v1 / (n1 * n1 * (n1 - 1)) + v2 * v2 / (n2 * n2 * (n2 - 1))),
+            4,
+        ).alias("welch_df"),
+    )
+
+
+Q_WELCH_SQL = """
+WITH g AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' ELSE 'low' END AS grp,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+stats AS (
+  SELECT grp, COUNT(*) AS n, SUM(cents) AS s, SUM(cents * cents) AS q
+  FROM g GROUP BY grp),
+wide AS (
+  SELECT MIN(CASE WHEN grp = 'urgent' THEN n END) AS n1,
+         MIN(CASE WHEN grp = 'urgent' THEN s END) AS s1,
+         MIN(CASE WHEN grp = 'urgent' THEN q END) AS q1,
+         MIN(CASE WHEN grp = 'low' THEN n END) AS n2,
+         MIN(CASE WHEN grp = 'low' THEN s END) AS s2,
+         MIN(CASE WHEN grp = 'low' THEN q END) AS q2
+  FROM stats),
+v AS (
+  SELECT *,
+         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) AS v1,
+         (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1) AS v2
+  FROM wide)
+SELECT n1 AS n_urgent, n2 AS n_low,
+       ROUND(s1 / n1 / 100.0, 6) AS mean_urgent,
+       ROUND(s2 / n2 / 100.0, 6) AS mean_low,
+       ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / SQRT(v1 / n1 + v2 / n2), 8) AS t_stat,
+       ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / (v1 * v1 / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+                + v2 * v2 / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))), 4) AS welch_df
+FROM v
+"""
+
+QUERIES["q_welch_ttest"] = QuerySpec(
+    q_welch_ttest,
+    Q_WELCH_SQL,
+    "Welch's unequal-variance t-test (URGENT vs LOW order totals; integer "
+    "moment sums in cents, Welch-Satterthwaite df)",
+)
+
+
+# ---------------------------------- Benjamini-Hochberg FDR control
+# The multiple-testing step an experimentation platform runs over a
+# metric sweep: m hypotheses (one per nation), p-values from the
+# CUBED portable md5-uniform (the q_hash_sample idiom; cubing skews
+# mass toward 0, simulating a sweep where some effects are real — a
+# deterministic stand-in for the upstream tests' p-values; the
+# PROCEDURE is the operator under test), BH at q = 0.10: sort
+# ascending, reject every hypothesis ranked at or below the largest
+# i with p_i <= q*i/m. One window over m rows (post-aggregate, tiny).
+
+BH_Q = 0.10
+
+
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, sf_dir, "nation").select("n_name")
+    h = F.conv(F.substring(F.md5(F.col("n_name")), 1, 8), 16, 10).cast("double")
+    u = (h + 1) / F.lit(4294967296.0)
+    p = F.round(u * u * u, 12).alias("p_value")
+    w = Window.orderBy("p_value", "n_name")
+    w_all = Window.partitionBy()
+    ranked = (
+        nat.select("n_name", p)
+        .withColumn("i", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "bh_threshold", F.round(F.lit(BH_Q) * F.col("i") / F.col("m"), 10)
+        )
+        .withColumn(
+            "passes", (F.col("p_value") <= F.col("bh_threshold")).cast("int")
+        )
+    )
+    ranked = ranked.withColumn("k", F.max(F.col("passes") * F.col("i")).over(w_all))
+    return (
+        ranked.where(F.col("i") <= F.col("k"))
+        .select(
+            "n_name",
+            F.round("p_value", 10).alias("p_value"),
+            "i",
+            "bh_threshold",
+        )
+        .orderBy("i")
+    )
+
+
+Q_BH_SQL = f"""
+WITH u AS (
+  SELECT n_name,
+         (('0x' || substring(md5(n_name), 1, 8))::BIGINT + 1.0) / 4294967296.0 AS uu
+  FROM nation),
+h AS (SELECT n_name, ROUND(uu * uu * uu, 12) AS p_value FROM u),
+ranked AS (
+  SELECT n_name, p_value,
+         ROW_NUMBER() OVER (ORDER BY p_value, n_name) AS i,
+         COUNT(*) OVER () AS m
+  FROM h),
+thr AS (
+  SELECT *, ROUND({BH_Q} * i / m, 10) AS bh_threshold,
+         CASE WHEN p_value <= ROUND({BH_Q} * i / m, 10) THEN i ELSE 0 END AS pass_i
+  FROM ranked),
+kk AS (SELECT *, MAX(pass_i) OVER () AS k FROM thr)
+SELECT n_name, ROUND(p_value, 10) AS p_value, i, bh_threshold
+FROM kk WHERE i <= k
+ORDER BY i
+"""
+
+QUERIES["q_bh_fdr"] = QuerySpec(
+    q_bh_fdr,
+    Q_BH_SQL,
+    "Benjamini-Hochberg FDR step-up over a deterministic p-value sweep "
+    "(md5-uniform inputs; the rejection procedure is the operator)",
+)
+
+
+# ------------------------- bitmap-backed exact distinct (Spark 3.5+)
+# Exact count-distinct users per event type AND overall via the
+# bitmap aggregate family: bitmap_construct_agg per (type, bucket)
+# partial — each partial is a 4KB bitmap, so the shuffle carries
+# bitmaps, not user ids — then bitmap_count, and bitmap_or_agg to
+# merge type-level bitmaps into the overall count without a second
+# scan. This is the 100TB-scale exact-distinct pattern (HLL/theta
+# cover the approximate side elsewhere in the registry). Oracle:
+# plain COUNT(DISTINCT).
+
+
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events")).select(
+        "event_type", (F.col("user_id") + 1).alias("uid")
+    )
+    parts = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(uid)").alias("bucket")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(uid))").alias("bm"))
+    per_type = parts.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users")
+    )
+    overall = (
+        parts.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("obm"))
+        .agg(F.sum(F.expr("bitmap_count(obm)")).alias("distinct_users"))
+        .select(F.lit("ALL").alias("event_type"), "distinct_users")
+    )
+    return per_type.unionByName(overall).orderBy("event_type")
+
+
+Q_BITMAP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) AS distinct_users
+FROM events
+ORDER BY event_type
+"""
+
+QUERIES["q_bitmap_distinct"] = QuerySpec(
+    q_bitmap_distinct,
+    Q_BITMAP_SQL,
+    "exact distinct users per event type + overall via Spark 3.5 bitmap "
+    "aggregates (bitmap partials shuffle, bitmap_or_agg merge)",
+)
+
+
+# ------------------------- autocorrelation of the hourly series
+# ACF at lags 1..6 of hourly event counts. Integer-exact: with
+# S = sum(x), Q = sum(x^2), n, and per-lag P_k = sum(x_t * x_{t+k}),
+# H_k/T_k the head/tail partial sums,
+#   r_k = (n^2*P_k - n*S*(H_k + T_k) + (n-k)*S^2) / (n^2*Q - n*S^2)
+# — every term an integer (decimal(38,0) to be safe at scale), one
+# final double division. The hourly series is a post-aggregate
+# (one shuffle over events, then a few-hundred-row window), so the
+# single-partition lead() window is bounded by hours, not rows.
+
+ACF_MAX_LAG = 6
+
+
+def q_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("h")
+    s = hourly.select("x", *[F.lead("x", k).over(w).alias(f"x{k}") for k in
+                             range(1, ACF_MAX_LAG + 1)])
+    s = s.localCheckpoint()  # pin: aggregated once per lag + once for totals
+    tot = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("q"),
+    )
+    lag_rows = []
+    for k in range(1, ACF_MAX_LAG + 1):
+        xk = F.col(f"x{k}")
+        lag_rows.append(
+            s.where(xk.isNotNull()).agg(
+                F.lit(k).alias("lag"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.col("x") * xk).cast("decimal(38,0)").alias("p"),
+                F.sum("x").cast("decimal(38,0)").alias("head"),
+                F.sum(xk).cast("decimal(38,0)").alias("tail"),
+            )
+        )
+    lags = lag_rows[0]
+    for extra in lag_rows[1:]:
+        lags = lags.unionByName(extra)
+    joined = lags.crossJoin(F.broadcast(tot))
+    num = (
+        F.col("n") * F.col("n") * F.col("p")
+        - F.col("n") * F.col("s") * (F.col("head") + F.col("tail"))
+        + (F.col("n") - F.col("lag")) * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * F.col("n") * F.col("q") - F.col("n") * F.col("s") * F.col("s")
+    return joined.select(
+        "lag",
+        "n_pairs",
+        F.round(num.cast("double") / den.cast("double"), 8).alias("acf"),
+    ).orderBy("lag")
+
+
+def _acf_sql() -> str:
+    lag_selects = []
+    for k in range(1, ACF_MAX_LAG + 1):
+        lag_selects.append(f"""
+  SELECT {k} AS lag, COUNT(*) AS n_pairs,
+         CAST(SUM(x * x{k}) AS DECIMAL(38,0)) AS p,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS head,
+         CAST(SUM(x{k}) AS DECIMAL(38,0)) AS tail
+  FROM s WHERE x{k} IS NOT NULL""")
+    leads = ", ".join(
+        f"LEAD(x, {k}) OVER (ORDER BY h) AS x{k}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS x
+  FROM events GROUP BY 1),
+s AS (SELECT x, {leads} FROM hourly),
+tot AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS DECIMAL(38,0)) AS s_,
+         CAST(SUM(x * x) AS DECIMAL(38,0)) AS q FROM s),
+lags AS ({" UNION ALL ".join(lag_selects)})
+SELECT lag, n_pairs,
+       ROUND(CAST(n * n * p - n * s_ * (head + tail) + (n - lag) * s_ * s_ AS DOUBLE)
+             / CAST(n * n * q - n * s_ * s_ AS DOUBLE), 8) AS acf
+FROM lags CROSS JOIN tot
+ORDER BY lag
+"""
+
+
+QUERIES["q_acf_hourly"] = QuerySpec(
+    q_acf_hourly,
+    _acf_sql(),
+    "autocorrelation (lags 1-6) of hourly event counts — integer-exact "
+    "moment formula, one final double division per lag",
+)

@@ -66,6 +66,8 @@ ALLOWED_NLJ = {
     "q_bootstrap_ci",  # 1-row point-estimate broadcast cross (CI reference)
     "q_diff_in_diff",  # 1-row window-midpoint broadcast cross (the cutoff)
     "q_mmr_rerank",  # 1-row query-vector + k-row shortlist broadcast crosses
+    "q_mutual_info",  # r-row x c-row marginal grid + 1-row totals crosses
+    "q_acf_hourly",  # 1-row moment-totals broadcast cross (ACF denominator)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
@@ -130,6 +132,9 @@ KNOWN_UNPUSHABLE = {
     # whole-table dominance pass: the only filter is the post-window
     # frontier cut on the derived running cummax
     "q_skyline_orders",
+    # all 25 catalog rows ARE the hypothesis set; the BH rejection cut
+    # is on the derived rank-vs-threshold columns, nothing pushable
+    "q_bh_fdr",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}

@@ -1,0 +1,200 @@
+"""Round-8g extension operators: hand-computed Adamic-Adar scores,
+zero-MI independence, a separated-groups Mann-Whitney U, a
+known-variance Welch t, BH-FDR against an independent Python
+reimplementation, bitmap distinct across bucket boundaries, and the
+ACF of a linear series against the exact integer formula."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import math
+
+import pytest
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "l_partkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def test_adamic_adar_hand_case(spark, tmp_path):
+    """p1 supplies {1,2,3} (deg 3), p2 supplies {1,2} (deg 2):
+    AA(1,2) = 1/ln3 + 1/ln2, AA(1,3) = AA(2,3) = 1/ln3. Duplicate
+    lineitem rows must not double-count."""
+    from kcore_spark.queries.extensions_r8g import q_link_prediction_aa
+
+    rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 1), (1, 3)]
+    _write_lineitem(spark, tmp_path, rows)
+    out = {
+        (r["s1"], r["s2"]): (r["common_parts"], r["aa_score"])
+        for r in q_link_prediction_aa(spark, str(tmp_path)).collect()
+    }
+    inv_ln2 = round(1.0 / math.log(2.0), 12)
+    inv_ln3 = round(1.0 / math.log(3.0), 12)
+    assert out[(1, 2)][0] == 2
+    assert out[(1, 2)][1] == pytest.approx(round(inv_ln2 + inv_ln3, 8), abs=1e-9)
+    assert out[(1, 3)] == (1, pytest.approx(round(inv_ln3, 8), abs=1e-9))
+    assert out[(2, 3)] == (1, pytest.approx(round(inv_ln3, 8), abs=1e-9))
+
+
+def test_adamic_adar_hub_part_dropped(spark, tmp_path):
+    """A part with fan-out above AA_MAX_FANOUT contributes no pairs."""
+    from kcore_spark.queries.extensions_r8g import (
+        AA_MAX_FANOUT,
+        q_link_prediction_aa,
+    )
+
+    rows = [(9, s) for s in range(AA_MAX_FANOUT + 1)]  # one hub part
+    rows += [(1, 1), (1, 2)]  # one eligible part
+    _write_lineitem(spark, tmp_path, rows)
+    got = q_link_prediction_aa(spark, str(tmp_path)).collect()
+    assert len(got) == 1 and (got[0]["s1"], got[0]["s2"]) == (1, 2)
+
+
+def test_mutual_info_zero_on_independence(spark, tmp_path):
+    """A uniform 2x2 table is exactly independent: MI, chi2 and
+    Cramér's V are all 0."""
+    from kcore_spark.queries.extensions_r8g import q_mutual_info
+
+    rows = []
+    k = 0
+    for s in ("A", "B"):
+        for p in ("X", "Y"):
+            for _ in range(5):
+                rows.append((k, s, p))
+                k += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_orderpriority string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    row = q_mutual_info(spark, str(tmp_path)).first()
+    assert row["n_orders"] == 20
+    assert row["mi_nats"] == 0.0
+    assert row["chi2"] == 0.0
+    assert row["cramers_v"] == 0.0
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def test_mann_whitney_fully_separated(spark, tmp_path):
+    """clicks {1,2} below purchases {3,4,5}: U1 = 0 and
+    z = -3/sqrt(3) (no ties)."""
+    from kcore_spark.queries.extensions_r8g import q_mann_whitney
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 1.0),
+        (2, t0, 2, "click", 2.0),
+        (3, t0, 3, "purchase", 3.0),
+        (4, t0, 4, "purchase", 4.0),
+        (5, t0, 5, "purchase", 5.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    row = q_mann_whitney(spark, str(tmp_path)).first()
+    assert (row["n1"], row["n2"]) == (2, 3)
+    assert float(row["u1"]) == 0.0
+    assert row["z_score"] == pytest.approx(round(-3.0 / math.sqrt(3.0), 8), abs=1e-9)
+
+
+def test_welch_t_known_moments(spark, tmp_path):
+    """urgent {100, 200}, low {110, 210}: equal variances, n=2 each →
+    t = -1000/sqrt(5e7) cents, Welch df exactly 2."""
+    from kcore_spark.queries.extensions_r8g import q_welch_ttest
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, "1-URGENT", 100.0),
+        (2, "1-URGENT", 200.0),
+        (3, "5-LOW", 110.0),
+        (4, "5-LOW", 210.0),
+        (5, "3-MEDIUM", 999.0),  # must be excluded
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    row = q_welch_ttest(spark, str(tmp_path)).first()
+    assert (row["n_urgent"], row["n_low"]) == (2, 2)
+    assert row["mean_urgent"] == 150.0 and row["mean_low"] == 160.0
+    assert row["t_stat"] == pytest.approx(round(-1000.0 / math.sqrt(5e7), 8), abs=1e-9)
+    assert row["welch_df"] == 2.0
+
+
+def test_bh_fdr_matches_python_reimplementation(spark, tmp_path):
+    """The rejection set equals an independent Python BH over the same
+    cubed md5-uniform p-values."""
+    from kcore_spark.queries.extensions_r8g import BH_Q, q_bh_fdr
+
+    names = [f"NATION_{i:02d}" for i in range(12)]
+    spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "n_nationkey long, n_name string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+
+    def p_of(name: str) -> float:
+        h = int(hashlib.md5(name.encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967296.0
+        return round(u * u * u, 12)
+
+    ps = sorted((p_of(n), n) for n in names)
+    m = len(ps)
+    k = max(
+        (i for i, (p, _) in enumerate(ps, 1) if p <= round(BH_Q * i / m, 10)),
+        default=0,
+    )
+    expected = [n for _, n in ps[:k]]
+    got = [r["n_name"] for r in q_bh_fdr(spark, str(tmp_path)).collect()]
+    assert got == expected
+
+
+def test_bitmap_distinct_across_buckets(spark, tmp_path):
+    """User ids straddling the 32768-bit bitmap bucket boundary are
+    counted exactly, per type and overall."""
+    from kcore_spark.queries.extensions_r8g import q_bitmap_distinct
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in [0, 1, 32766, 32767, 32768, 65000]:
+        for et in ("click", "view"):
+            for _ in range(2):  # duplicates must collapse
+                rows.append((eid, t0, uid, et, 1.0))
+                eid += 1
+    rows.append((eid, t0, 99, "click", 1.0))
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["event_type"]: r["distinct_users"]
+        for r in q_bitmap_distinct(spark, str(tmp_path)).collect()
+    }
+    assert got == {"click": 7, "view": 6, "ALL": 7}
+
+
+def test_acf_linear_series_exact(spark, tmp_path):
+    """Hourly counts 1..8 (hour t has t events): ACF matches the exact
+    integer moment formula evaluated in Python."""
+    from kcore_spark.queries.extensions_r8g import q_acf_hourly
+
+    xs = list(range(1, 9))
+    rows = []
+    eid = 0
+    for t, x in enumerate(xs):
+        for _ in range(x):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1, t), eid, "click", 1.0)
+            )
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+
+    n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+    expected = {}
+    for k in range(1, 7):
+        heads, tails = xs[: n - k], xs[k:]
+        p = sum(a * b for a, b in zip(heads, tails))
+        num = n * n * p - n * s * (sum(heads) + sum(tails)) + (n - k) * s * s
+        den = n * n * q - n * s * s
+        expected[k] = round(num / den, 8)
+    got = {r["lag"]: r["acf"] for r in q_acf_hourly(spark, str(tmp_path)).collect()}
+    assert got == pytest.approx(expected, abs=1e-9)
