@@ -126,6 +126,12 @@ EXTRAS = [
     "q_bootstrap_ci",
     "q_diff_in_diff",
     "q_skyline_orders",
+    # round-8g: statistics/graph-mining block (the tiny one-row tests —
+    # Welch t, Mann-Whitney, BH-FDR — are correctness surface, not bench
+    # shapes; AA and bitmap-distinct are the data-plane members)
+    "q_link_prediction_aa",
+    "q_bitmap_distinct",
+    "q_acf_hourly",
 ]
 
 

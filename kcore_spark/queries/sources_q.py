@@ -46,6 +46,45 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             nat.coalesce(1).write.mode("overwrite").format("xml").option(
                 "rootTag", "nations"
             ).option("rowTag", "nation").save(os.path.join(d, "nation_xml"))
+        elif fmt == "text":
+            docs = load_table(spark, sf_dir, "documents").select(
+                F.concat_ws(
+                    "\t", F.col("doc_id"), F.col("lang"), F.col("source"), F.col("text")
+                ).alias("value")
+            )
+            docs.coalesce(4).write.mode("overwrite").text(os.path.join(d, "docs_text"))
+        elif fmt == "binary":
+            # one real media FILE per sampled document, written
+            # executor-side (foreachPartition, no driver collect) with
+            # the q_media_decode parameterization so the oracle can
+            # recompute every decoded feature arithmetically
+            from kcore_spark.operators.media import encode_png, encode_wav
+
+            out = os.path.join(d, "media_files")
+            os.makedirs(out, exist_ok=True)
+            docs = (
+                load_table(spark, sf_dir, "documents")
+                .select("doc_id")
+                .where(F.col("doc_id") % 17 == 0)
+            )
+
+            def write_files(rows):
+                for r in rows:
+                    did = int(r["doc_id"])
+                    if did % 2 == 0:
+                        amp = 1000 + (did % 20) * 250
+                        n = 160 + (did % 5) * 40
+                        payload = encode_wav([amp] * n, sample_rate=8000)
+                        name = f"doc_{did:07d}.wav"
+                    else:
+                        w, h = 8 + (did % 9), 4 + (did % 7)
+                        rgb = bytes([did % 256, (7 * did) % 256, (13 * did) % 256])
+                        payload = encode_png(w, h, rgb * (w * h), color_type=2)
+                        name = f"doc_{did:07d}.png"
+                    with open(os.path.join(out, name), "wb") as f:
+                        f.write(payload)
+
+            docs.foreachPartition(write_files)
         else:
             ev = load_table(spark, sf_dir, "events").select(
                 "event_id", "event_type", "user_id", "value"
@@ -201,4 +240,101 @@ ORDER BY n_regionkey
 
 QUERIES["q_xml_source"] = QuerySpec(
     q_xml_source, Q_XML_SQL, "native XML source (Spark 4 built-in), rowTag read-back"
+)
+
+
+def q_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited text source: documents staged as TSV lines, read
+    back with spark.read.text (one `value` column per line — the raw
+    ingestion path for web-scale text dumps), parsed with split, and
+    rolled up per (lang, source). The parse is JVM-side split/element_at
+    riding the line scan; at 100 TB this is the classic pre-parquet
+    landing-zone read."""
+    d = _stage(spark, sf_dir, "text")
+    lines = spark.read.text(os.path.join(d, "docs_text"))
+    parts = F.split(F.col("value"), "\t", 4)
+    parsed = lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("source"),
+        parts.getItem(3).alias("text"),
+    )
+    return (
+        parsed.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+Q_TEXT_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+QUERIES["q_text_source"] = QuerySpec(
+    q_text_source, Q_TEXT_SQL, "line-delimited text source (spark.read.text + parse)"
+)
+
+
+def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source over a directory of REAL media files: every
+    17th document is staged as a .wav or .png file (stdlib codecs,
+    parameters derived from doc_id), listed and read back by Spark's
+    binaryFile format (path/length/content columns), decoded by the
+    RIFF/RFC-2083 decoders in one Arrow pass, and rolled up per kind.
+    The oracle recomputes file counts and decoded unit totals (PCM
+    samples / pixels) arithmetically from doc_id — a wrong file
+    listing, content read, or decode breaks the value hash. Scale
+    shape: binaryFile parallelizes by file; decode is map-side."""
+    from kcore_spark.operators.media import media_features
+
+    d = _stage(spark, sf_dir, "binary")
+    files = spark.read.format("binaryFile").load(os.path.join(d, "media_files"))
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1).cast("long").alias(
+            "doc_id"
+        ),
+        F.col("content").alias("payload"),
+    )
+    feats = media_features(payloads)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(
+                F.coalesce(
+                    F.col("n_samples"), F.col("width") * F.col("height")
+                ).cast("long")
+            ).alias("total_units"),
+        )
+        .orderBy("kind")
+    )
+
+
+Q_BINARYFILE_SQL = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'png' END AS kind,
+       COUNT(*) AS n_files,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 160 + (doc_id % 5) * 40
+                     ELSE (8 + (doc_id % 9)) * (4 + (doc_id % 7)) END) AS BIGINT)
+         AS total_units
+FROM documents
+WHERE doc_id % 17 = 0
+GROUP BY 1
+ORDER BY kind
+"""
+
+QUERIES["q_binaryfile_source"] = QuerySpec(
+    q_binaryfile_source,
+    Q_BINARYFILE_SQL,
+    "binaryFile source over real .wav/.png files + Arrow-batched decode rollup",
 )
