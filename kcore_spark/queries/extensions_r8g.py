@@ -636,3 +636,94 @@ QUERIES["q_acf_hourly"] = QuerySpec(
     "autocorrelation (lags 1-6) of hourly event counts — integer-exact "
     "moment formula, one final double division per lag",
 )
+
+
+# -------------------------------------- observed metrics (observe API)
+# Spark's Observation API: data-quality counters that ride the main
+# scan as accumulator-backed aggregates — the production pattern for
+# emitting row counts / checksums on a write path WITHOUT a second
+# scan. One action materializes the metrics; the query returns them
+# as a row, and the oracle recomputes the same aggregates in SQL, so
+# the accumulator path itself is value-checked cross-engine.
+
+
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents_sum"
+        ),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("min_day"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("max_day"),
+    )
+    observed.count()  # the single pass the metrics ride (no extra scan)
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["cents_sum"], m["min_day"], m["max_day"])],
+        "n_rows long, cents_sum long, min_day string, max_day string",
+    )
+
+
+Q_OBSERVE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents_sum,
+       MIN(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')) AS min_day,
+       MAX(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')) AS max_day
+FROM orders
+"""
+
+QUERIES["q_observe_metrics"] = QuerySpec(
+    q_observe_metrics,
+    Q_OBSERVE_SQL,
+    "Observation API: accumulator-backed DQ metrics riding the main scan, "
+    "value-checked against plain SQL aggregates",
+)
+
+
+# ------------------------------- SQL dialect extras (4.x surface)
+# GROUP BY ALL / ORDER BY ALL / LIMIT-OFFSET pagination / try_divide
+# null-on-zero — the modern-dialect conveniences a user migrating
+# SQL workloads expects, pinned cross-engine in one statement
+# (DuckDB speaks the same dialect for all four).
+
+
+def q_sql_dialect_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_dialect_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               COUNT(*) AS n,
+               try_divide(COUNT(*), SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END))
+                 AS div_by_zero
+        FROM li_dialect_v
+        GROUP BY ALL
+        ORDER BY ALL
+        LIMIT 3 OFFSET 1
+        """
+    )
+
+
+Q_DIALECT_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+       COUNT(*) AS n,
+       CASE WHEN SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) = 0 THEN NULL
+            ELSE CAST(COUNT(*) AS DOUBLE)
+                 / SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) END AS div_by_zero
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+LIMIT 3 OFFSET 1
+"""
+
+QUERIES["q_sql_dialect_extras"] = QuerySpec(
+    q_sql_dialect_extras,
+    Q_DIALECT_SQL,
+    "GROUP BY ALL / ORDER BY ALL / LIMIT-OFFSET / try_divide dialect pins",
+)

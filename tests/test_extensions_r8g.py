@@ -198,3 +198,21 @@ def test_acf_linear_series_exact(spark, tmp_path):
         expected[k] = round(num / den, 8)
     got = {r["lag"]: r["acf"] for r in q_acf_hourly(spark, str(tmp_path)).collect()}
     assert got == pytest.approx(expected, abs=1e-9)
+
+
+def test_observe_metrics_match_direct_aggregate(spark, tmp_path):
+    """The accumulator-backed observation equals a plain aggregate."""
+    from kcore_spark.queries.extensions_r8g import q_observe_metrics
+
+    rows = [
+        (1, 10.00, datetime.datetime(2024, 3, 1)),
+        (2, 20.50, datetime.datetime(2024, 1, 15)),
+        (3, 0.25, datetime.datetime(2024, 6, 30)),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    row = q_observe_metrics(spark, str(tmp_path)).first()
+    assert row["n_rows"] == 3
+    assert row["cents_sum"] == 1000 + 2050 + 25
+    assert row["min_day"] == "2024-01-15" and row["max_day"] == "2024-06-30"
