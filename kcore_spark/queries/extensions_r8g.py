@@ -727,3 +727,136 @@ QUERIES["q_sql_dialect_extras"] = QuerySpec(
     Q_DIALECT_SQL,
     "GROUP BY ALL / ORDER BY ALL / LIMIT-OFFSET / try_divide dialect pins",
 )
+
+
+# -------------------------- Kolmogorov-Smirnov two-sample test
+# Distribution-free click-vs-purchase comparison, completing the
+# rank-test family (Mann-Whitney above): D = sup |ECDF1 - ECDF2|,
+# computed exactly as max |c1*N2 - c2*N1| / (N1*N2) over the grouped
+# value table — integer numerators, one final division. Same scale
+# shape as q_mann_whitney: the only window runs over the
+# post-aggregate distinct-value table.
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    two = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        (F.col("event_type") == "click").cast("int").alias("g1"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("v"),
+    )
+    vals = two.groupBy("v").agg(
+        F.sum("g1").alias("n1c"),
+        F.sum(F.lit(1) - F.col("g1")).alias("n2c"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    steps = (
+        vals.withColumn("c1", F.sum("n1c").over(w))
+        .withColumn("c2", F.sum("n2c").over(w))
+        .withColumn("n1", F.sum("n1c").over(w_all))
+        .withColumn("n2", F.sum("n2c").over(w_all))
+        .select(
+            "n1",
+            "n2",
+            F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias(
+                "dnum"
+            ),
+        )
+    )
+    return steps.groupBy("n1", "n2").agg(
+        F.max("dnum").alias("d_numerator")
+    ).select(
+        "n1",
+        "n2",
+        "d_numerator",
+        F.round(
+            F.col("d_numerator").cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double"),
+            10,
+        ).alias("ks_d"),
+    )
+
+
+Q_KS_SQL = """
+WITH two AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+         CAST(ROUND(value * 10000, 0) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')),
+vals AS (
+  SELECT v, SUM(g1) AS n1c, SUM(1 - g1) AS n2c FROM two GROUP BY v),
+steps AS (
+  SELECT SUM(n1c) OVER (ORDER BY v) AS c1,
+         SUM(n2c) OVER (ORDER BY v) AS c2,
+         SUM(n1c) OVER () AS n1, SUM(n2c) OVER () AS n2
+  FROM vals)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS d_numerator,
+       ROUND(CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+             / CAST(n1 * n2 AS DOUBLE), 10) AS ks_d
+FROM steps GROUP BY n1, n2
+"""
+
+QUERIES["q_ks_test"] = QuerySpec(
+    q_ks_test,
+    Q_KS_SQL,
+    "two-sample Kolmogorov-Smirnov D (exact integer ECDF numerators over the "
+    "grouped value table, one final division)",
+)
+
+
+# ------------------------------- OHLC bars (min_by / max_by surface)
+# Daily purchase-value bars: open/close via min_by/max_by over a
+# zero-padded (ts, event_id) composite key — fully tie-broken where a
+# plain arg-by-ts would be nondeterministic — plus high/low/volume and
+# the interpolated median. One partial-agg shuffle keyed by day;
+# min_by/max_by partials carry (key, value) pairs, so the bar build
+# never sorts within groups.
+
+
+def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("v"),
+        F.concat(
+            F.lpad(F.unix_timestamp("ts").cast("string"), 12, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("ord_key"),
+    )
+    return (
+        p.groupBy("day")
+        .agg(
+            F.min_by("v", "ord_key").alias("open_v"),
+            F.max("v").alias("high_v"),
+            F.min("v").alias("low_v"),
+            F.max_by("v", "ord_key").alias("close_v"),
+            F.count(F.lit(1)).alias("volume"),
+            F.round(F.median("v"), 4).alias("median_v"),
+        )
+        .orderBy("day")
+    )
+
+
+Q_OHLC_SQL = """
+WITH p AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         CAST(ROUND(value * 10000, 0) AS BIGINT) AS v,
+         lpad(CAST(CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS VARCHAR), 12, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+  FROM events WHERE event_type = 'purchase')
+SELECT day,
+       CAST(arg_min(v, ord_key) AS BIGINT) AS open_v,
+       CAST(MAX(v) AS BIGINT) AS high_v,
+       CAST(MIN(v) AS BIGINT) AS low_v,
+       CAST(arg_max(v, ord_key) AS BIGINT) AS close_v,
+       COUNT(*) AS volume,
+       ROUND(median(v), 4) AS median_v
+FROM p GROUP BY day ORDER BY day
+"""
+
+QUERIES["q_ohlc_daily"] = QuerySpec(
+    q_ohlc_daily,
+    Q_OHLC_SQL,
+    "daily OHLC bars via min_by/max_by over a tie-broken composite key, "
+    "plus exact high/low/volume and interpolated median",
+)

@@ -216,3 +216,44 @@ def test_observe_metrics_match_direct_aggregate(spark, tmp_path):
     assert row["n_rows"] == 3
     assert row["cents_sum"] == 1000 + 2050 + 25
     assert row["min_day"] == "2024-01-15" and row["max_day"] == "2024-06-30"
+
+
+def test_ks_statistic_disjoint_supports(spark, tmp_path):
+    """Fully separated samples give D = 1; the numerator is n1*n2."""
+    from kcore_spark.queries.extensions_r8g import q_ks_test
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 1.0),
+        (2, t0, 2, "click", 2.0),
+        (3, t0, 3, "purchase", 9.0),
+        (4, t0, 4, "purchase", 10.0),
+        (5, t0, 5, "purchase", 11.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    row = q_ks_test(spark, str(tmp_path)).first()
+    assert (row["n1"], row["n2"]) == (2, 3)
+    assert row["d_numerator"] == 6 and row["ks_d"] == 1.0
+
+
+def test_ohlc_open_close_tie_broken_by_event_id(spark, tmp_path):
+    """Two purchases share the opening timestamp: the bar's open must
+    be the lower event_id's value; close follows the latest key."""
+    from kcore_spark.queries.extensions_r8g import q_ohlc_daily
+
+    d = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (7, d, 1, "purchase", 5.0),                              # open (tie, id 7)
+        (9, d, 2, "purchase", 6.0),                              # same ts, id 9
+        (3, d + datetime.timedelta(hours=2), 3, "purchase", 9.0),  # high
+        (4, d + datetime.timedelta(hours=3), 4, "purchase", 2.0),  # low + close
+        (5, d, 5, "click", 99.0),                                # other type
+    ]
+    _write_events(spark, tmp_path, rows)
+    row = q_ohlc_daily(spark, str(tmp_path)).first()
+    assert row["day"] == "2024-05-01"
+    assert row["open_v"] == 50000 and row["close_v"] == 20000
+    assert row["high_v"] == 90000 and row["low_v"] == 20000
+    assert row["volume"] == 4
+    # median of {5,6,9,2}*1e4 = (5+6)/2 * 1e4 = 55000
+    assert float(row["median_v"]) == 55000.0
