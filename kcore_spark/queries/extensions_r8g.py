@@ -860,3 +860,97 @@ QUERIES["q_ohlc_daily"] = QuerySpec(
     "daily OHLC bars via min_by/max_by over a tie-broken composite key, "
     "plus exact high/low/volume and interpolated median",
 )
+
+
+# ----------------------------- corpus mixture weighting (capped)
+# The pretraining-mix allocator: per (lang, source) bucket, weight =
+# n_docs * quality_hits (docs inside the 100-2000 char band — an
+# integer, so the raw weight is exact), share = w/W capped at 5% with
+# the excess redistributed proportionally across uncapped buckets in
+# one waterfall round. The cap test is INTEGER (20*w vs W) so both
+# engines agree on the capped set exactly; redistribution factors are
+# ratios of integer sums evaluated in one in-row double expression.
+# One partial-agg shuffle + a 1-row totals broadcast — scan-dominated
+# at 100 TB.
+
+MIX_CAP_NUM, MIX_CAP_DEN = 1, 20  # cap = 5%
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.col("n_chars").between(100, 2000).cast("int")
+        ).alias("quality_hits"),
+    ).withColumn("w", F.col("n_docs") * F.col("quality_hits"))
+    tot = g.agg(F.sum("w").alias("big_w"))
+    flagged = g.crossJoin(F.broadcast(tot)).withColumn(
+        "capped", (F.col("w") * MIX_CAP_DEN * MIX_CAP_NUM > F.col("big_w")).cast("int")
+    )
+    masses = flagged.agg(
+        F.sum(
+            F.when(
+                F.col("capped") == 1,
+                F.col("w") * MIX_CAP_DEN - F.col("big_w"),
+            ).otherwise(F.lit(0))
+        ).alias("excess_num"),
+        F.sum(
+            F.when(F.col("capped") == 0, F.col("w") * MIX_CAP_DEN).otherwise(
+                F.lit(0)
+            )
+        ).alias("uncapped_num"),
+    )
+    out = flagged.crossJoin(F.broadcast(masses)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "quality_hits",
+        "capped",
+        F.round(F.col("w").cast("double") / F.col("big_w"), 10).alias("raw_share"),
+        F.round(
+            F.when(F.col("capped") == 1, F.lit(MIX_CAP_NUM / MIX_CAP_DEN)).otherwise(
+                (F.col("w").cast("double") / F.col("big_w"))
+                * (
+                    F.lit(1.0)
+                    + F.col("excess_num").cast("double")
+                    / F.col("uncapped_num").cast("double")
+                )
+            ),
+            10,
+        ).alias("final_share"),
+    )
+    return out.orderBy(F.col("final_share").desc(), "lang", "source")
+
+
+Q_MIXTURE_SQL = f"""
+WITH g AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         SUM(CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END) AS quality_hits,
+         COUNT(*) * SUM(CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END) AS w
+  FROM documents GROUP BY lang, source),
+tot AS (SELECT SUM(w) AS big_w FROM g),
+flagged AS (
+  SELECT g.*, tot.big_w,
+         CASE WHEN w * {MIX_CAP_DEN} * {MIX_CAP_NUM} > big_w THEN 1 ELSE 0 END AS capped
+  FROM g CROSS JOIN tot),
+masses AS (
+  SELECT SUM(CASE WHEN capped = 1 THEN w * {MIX_CAP_DEN} - big_w ELSE 0 END) AS excess_num,
+         SUM(CASE WHEN capped = 0 THEN w * {MIX_CAP_DEN} ELSE 0 END) AS uncapped_num
+  FROM flagged)
+SELECT lang, source, n_docs, CAST(quality_hits AS BIGINT) AS quality_hits, capped,
+       ROUND(CAST(w AS DOUBLE) / big_w, 10) AS raw_share,
+       ROUND(CASE WHEN capped = 1 THEN {MIX_CAP_NUM / MIX_CAP_DEN}
+                  ELSE (CAST(w AS DOUBLE) / big_w)
+                       * (1.0 + CAST(excess_num AS DOUBLE) / CAST(uncapped_num AS DOUBLE))
+             END, 10) AS final_share
+FROM flagged CROSS JOIN masses
+ORDER BY final_share DESC, lang, source
+"""
+
+QUERIES["q_corpus_mixture"] = QuerySpec(
+    q_corpus_mixture,
+    Q_MIXTURE_SQL,
+    "pretraining corpus mixture allocator: quality-weighted shares with a 5% "
+    "cap and one-round proportional redistribution (integer cap test)",
+)

@@ -257,3 +257,32 @@ def test_ohlc_open_close_tie_broken_by_event_id(spark, tmp_path):
     assert row["volume"] == 4
     # median of {5,6,9,2}*1e4 = (5+6)/2 * 1e4 = 55000
     assert float(row["median_v"]) == 55000.0
+
+
+def test_corpus_mixture_cap_and_redistribution(spark, tmp_path):
+    """Three buckets with weights 12/4/4: raw shares 0.6/0.2/0.2; the
+    5%-cap run uses weights engineered so one bucket caps at exactly
+    1/20 and its excess spreads proportionally over the others."""
+    from kcore_spark.queries.extensions_r8g import q_corpus_mixture
+
+    # quality_hits = n_docs (all docs inside the band) -> w = n^2.
+    # n = (8, 1, 1): w = (64, 1, 1), W = 66. cap test: 20*64 > 66 (capped),
+    # 20*1 < 66 (uncapped). excess_num = 20*64 - 66 = 1214,
+    # uncapped_num = 40. final uncapped share = (1/66)*(1 + 1214/40).
+    rows = []
+    did = 0
+    for src, n in (("s_big", 8), ("s_a", 1), ("s_b", 1)):
+        for _ in range(n):
+            rows.append((did, "x" * 150, "en", src, 150))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: r for r in q_corpus_mixture(spark, str(tmp_path)).collect()
+    }
+    assert got["s_big"]["capped"] == 1 and got["s_big"]["final_share"] == 0.05
+    expected_uncapped = round((1 / 66) * (1 + 1214 / 40), 10)
+    for s in ("s_a", "s_b"):
+        assert got[s]["capped"] == 0
+        assert got[s]["final_share"] == pytest.approx(expected_uncapped, abs=1e-10)
