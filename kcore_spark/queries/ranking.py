@@ -529,6 +529,117 @@ ORDER BY hops
 """
 
 
+
+
+# -------------------------------------------- reciprocal-rank fusion
+# Hybrid retrieval: fuse the BM25 lexical top-20 and the dense-cosine
+# top-20 (query vector 7, the q_two_stage_retrieval query) by
+# reciprocal rank — rrf = sum over lists of 1/(60 + rank) — the
+# score-free fusion hybrid search engines run when lexical and dense
+# scores are not calibrated against each other. Both lists are k-row
+# TakeOrdered shortlists, so the windows and the full-outer fuse join
+# touch 20 rows each; corpus cost is the two scans. Each fused score
+# is a two-term in-row double expression (no cross-row float sum).
+
+RRF_K = 60
+RRF_LIST = 20
+RRF_TOP = 10
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kcore_spark.operators.similarity import cosine, with_norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = (
+        bm25_scores(docs, QUERY_TERMS)
+        .select(F.col("id").alias("doc_id"), F.round("score_raw", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(RRF_LIST)
+        .withColumn(
+            "rank_lex",
+            F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+        )
+    )
+    norms = with_norm(load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id")
+    qv = norms.where(F.col("id") == 7).select(
+        F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    dense = (
+        norms.where(F.col("id") != 7)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.round(cosine(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "doc_id")
+        .limit(RRF_LIST)
+        .withColumn(
+            "rank_dense",
+            F.row_number().over(Window.orderBy(F.col("sim").desc(), "doc_id")),
+        )
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_dense",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_dense")), F.lit(0.0)
+            ),
+            10,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(RRF_TOP)
+
+
+Q_RRF_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS DOUBLE) AS dl,
+         {_TF}
+  FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         SUM(dl) / COUNT(*) AS avgdl,
+         {_DF}
+  FROM per_doc),
+lex0 AS (
+  SELECT doc_id, ROUND({_SCORE}, 6) AS bm25
+  FROM per_doc, stats
+  ORDER BY bm25 DESC, doc_id
+  LIMIT {RRF_LIST}),
+lex AS (
+  SELECT doc_id, bm25,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+  FROM lex0),
+n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings),
+q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 7),
+dense0 AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_inner_product(n.e, qe) / (n.nrm * qn), 6) AS sim
+  FROM n CROSS JOIN q
+  WHERE vec_id <> 7
+  ORDER BY sim DESC, doc_id
+  LIMIT {RRF_LIST}),
+dense AS (
+  SELECT doc_id, sim,
+         ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank_dense
+  FROM dense0)
+SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+       rank_lex, rank_dense,
+       ROUND(COALESCE(1.0 / ({RRF_K} + rank_lex), 0)
+             + COALESCE(1.0 / ({RRF_K} + rank_dense), 0), 10) AS rrf_score
+FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {RRF_TOP}
+"""
+
 QUERIES = {
     "q_bfs_reach": QuerySpec(q_bfs_reach, Q_BFS_REACH_SQL, "BFS hop layers (blast radius)"),
     "q_pagerank_weighted": QuerySpec(
@@ -543,6 +654,9 @@ QUERIES = {
     "q_bm25_topk": QuerySpec(q_bm25_topk, Q_BM25_SQL, "Okapi BM25 top-k retrieval"),
     "q_two_stage_retrieval": QuerySpec(
         q_two_stage_retrieval, Q_TWO_STAGE_SQL, "BM25 shortlist + cosine rerank"
+    ),
+    "q_rrf_fusion": QuerySpec(
+        q_rrf_fusion, Q_RRF_SQL, "reciprocal-rank fusion of lexical + dense lists"
     ),
     "q_pagerank_purchases": QuerySpec(
         q_pagerank_purchases, Q_PAGERANK_SQL, "fixed-point PageRank (3 iterations)"

@@ -69,6 +69,7 @@ ALLOWED_NLJ = {
     "q_mutual_info",  # r-row x c-row marginal grid + 1-row totals crosses
     "q_acf_hourly",  # 1-row moment-totals broadcast cross (ACF denominator)
     "q_corpus_mixture",  # 1-row totals + 1-row excess/uncapped-mass crosses
+    "q_rrf_fusion",  # 1-row query-vector broadcast cross (the dense list)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds

@@ -286,3 +286,43 @@ def test_corpus_mixture_cap_and_redistribution(spark, tmp_path):
     for s in ("s_a", "s_b"):
         assert got[s]["capped"] == 0
         assert got[s]["final_share"] == pytest.approx(expected_uncapped, abs=1e-10)
+
+
+def test_rrf_fusion_hand_case(spark, tmp_path):
+    """Doc present in both lists outranks docs leading one list: with
+    lexical ranks favoring A>B and dense ranks favoring B>A, both A and
+    B fuse to the same score and tie-break by doc_id; a doc on only one
+    list scores strictly lower."""
+    from kcore_spark.queries.ranking import RRF_K, q_rrf_fusion
+
+    # documents: doc 1 and 2 contain the query terms with different tf;
+    # doc 3 matches nothing lexically but is densest to the query vector.
+    docs = [
+        (1, "spark spark join window filler words here", "en", "web", 40),
+        (2, "spark join window", "en", "web", 17),
+        (3, "nothing relevant at all", "en", "web", 23),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    embs = [
+        (7, [1.0, 0.0], 0),   # query vector
+        (1, [0.6, 0.8], 0),
+        (2, [0.8, 0.6], 0),
+        (3, [0.99, 0.14], 0),  # densest to the query
+    ]
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    rows = q_rrf_fusion(spark, str(tmp_path)).collect()
+    got = {r["doc_id"]: r for r in rows}
+    # dense order: 3, 2, 1; lexical order has 3 last (score 0 still listed)
+    assert got[3]["rank_dense"] == 1
+    assert got[2]["rank_dense"] == 2 and got[1]["rank_dense"] == 3
+    for r in rows:
+        expect = round(
+            (1.0 / (RRF_K + r["rank_lex"]) if r["rank_lex"] else 0.0)
+            + (1.0 / (RRF_K + r["rank_dense"]) if r["rank_dense"] else 0.0),
+            10,
+        )
+        assert r["rrf_score"] == expect
