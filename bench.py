@@ -132,6 +132,9 @@ EXTRAS = [
     "q_link_prediction_aa",
     "q_bitmap_distinct",
     "q_acf_hourly",
+    "q_corpus_mixture",
+    "q_rrf_fusion",
+    "q_binaryfile_source",
 ]
 
 
