@@ -954,3 +954,62 @@ QUERIES["q_corpus_mixture"] = QuerySpec(
     "pretraining corpus mixture allocator: quality-weighted shares with a 5% "
     "cap and one-round proportional redistribution (integer cap test)",
 )
+
+
+# ----------------------------------------- weighted median per group
+# Weighted median of lineitem unit price (cents) weighted by quantity,
+# per return flag — the survey-statistics quantile: the smallest value
+# whose cumulative weight reaches half the group total. Same scale
+# shape as the rank tests: one partial-agg shuffle groups identical
+# (flag, value) rows, then the window walks the per-group
+# distinct-value table with exact integer weights (the >= W/2 test is
+# 2*cumw >= W, integer).
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    vals = li.groupBy("flag", "cents").agg(F.sum("wt").alias("w"))
+    win = Window.partitionBy("flag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("flag")
+    cum = vals.withColumn("cumw", F.sum("w").over(win)).withColumn(
+        "total_w", F.sum("w").over(w_all)
+    )
+    hit = cum.where(2 * F.col("cumw") >= F.col("total_w"))
+    first = hit.groupBy("flag").agg(
+        F.min("cents").alias("weighted_median_cents"),
+        F.min("total_w").alias("total_weight"),
+    )
+    return first.orderBy("flag")
+
+
+Q_WMEDIAN_SQL = """
+WITH vals AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2),
+cum AS (
+  SELECT flag, cents, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         SUM(w) OVER (PARTITION BY flag) AS total_w
+  FROM vals)
+SELECT flag,
+       CAST(MIN(CASE WHEN 2 * cumw >= total_w THEN cents END) AS BIGINT)
+         AS weighted_median_cents,
+       CAST(MIN(total_w) AS BIGINT) AS total_weight
+FROM cum GROUP BY flag ORDER BY flag
+"""
+
+QUERIES["q_weighted_median"] = QuerySpec(
+    q_weighted_median,
+    Q_WMEDIAN_SQL,
+    "weighted median per group: exact integer cumulative-weight walk over "
+    "the grouped value table (2*cumw >= W test)",
+)

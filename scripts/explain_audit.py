@@ -137,6 +137,9 @@ KNOWN_UNPUSHABLE = {
     # all 25 catalog rows ARE the hypothesis set; the BH rejection cut
     # is on the derived rank-vs-threshold columns, nothing pushable
     "q_bh_fdr",
+    # whole-table weighted quantile: the only filter is the cumulative
+    # 2*cumw >= W median test on derived window columns
+    "q_weighted_median",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}

@@ -326,3 +326,30 @@ def test_rrf_fusion_hand_case(spark, tmp_path):
             10,
         )
         assert r["rrf_score"] == expect
+
+
+def test_weighted_median_hand_case(spark, tmp_path):
+    """Values 10/20/30 cents-dollars with weights 1/1/3: cumulative
+    weights 1,2,5 against W=5 → first 2*cumw>=5 is value 20? No:
+    2*2=4 < 5, 2*5 >= 5 at value 30 — the weight-3 tail drags the
+    median to 30.00."""
+    from kcore_spark.queries.extensions_r8g import q_weighted_median
+
+    rows = [
+        (1, "A", 10.0, 1.0),
+        (2, "A", 20.0, 1.0),
+        (3, "A", 30.0, 3.0),
+        (4, "B", 5.0, 2.0),
+        (5, "B", 7.0, 1.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_returnflag string, l_extendedprice double, l_quantity double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["flag"]: (r["weighted_median_cents"], r["total_weight"])
+        for r in q_weighted_median(spark, str(tmp_path)).collect()
+    }
+    assert got["A"] == (3000, 5)
+    # B: cumw 2 of W=3 at value 500 -> 2*2 >= 3 already at the first value
+    assert got["B"] == (500, 3)
