@@ -1013,3 +1013,115 @@ QUERIES["q_weighted_median"] = QuerySpec(
     "weighted median per group: exact integer cumulative-weight walk over "
     "the grouped value table (2*cumw >= W test)",
 )
+
+
+# ------------------------------------------- missing-value imputation
+# Feature-engineering repair: 'error' events are treated as missing
+# readings; each is imputed with the user's median over observed
+# (non-error) values, falling back to the global median for users
+# with no observations. Medians are exact (integer value domain via
+# the cents scaling + DuckDB/Spark shared lower-interpolation on
+# percentile_disc-style pick): we use the LOW median (percentile_disc
+# 0.5-equivalent) computed via the cumulative walk so both engines
+# agree bit-for-bit. Output: per-user imputed/observed counts and the
+# decimal-exact post-imputation sum. Shapes: two keyed partial-agg
+# shuffles + one broadcast of the 1-row global median.
+
+
+def q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events")).select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 10000, 0).cast("long").alias("v"),
+    )
+    obs = ev.where(F.col("event_type") != "error")
+    # LOW median via the integer cumulative-weight walk (2*cumw >= n)
+    vals = obs.groupBy("user_id", "v").agg(F.count(F.lit(1)).alias("c"))
+    win = Window.partitionBy("user_id").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_u = Window.partitionBy("user_id")
+    med_u = (
+        vals.withColumn("cumc", F.sum("c").over(win))
+        .withColumn("n", F.sum("c").over(w_u))
+        .where(2 * F.col("cumc") >= F.col("n"))
+        .groupBy("user_id")
+        .agg(F.min("v").alias("user_median"))
+    )
+    gvals = obs.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    gwin = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    g_all = Window.partitionBy()
+    med_g = (
+        gvals.withColumn("cumc", F.sum("c").over(gwin))
+        .withColumn("n", F.sum("c").over(g_all))
+        .where(2 * F.col("cumc") >= F.col("n"))
+        .agg(F.min("v").alias("global_median"))
+    )
+    filled = (
+        ev.join(med_u, "user_id", "left")
+        .crossJoin(F.broadcast(med_g))
+        .select(
+            "user_id",
+            (F.col("event_type") == "error").cast("int").alias("was_missing"),
+            F.when(
+                F.col("event_type") == "error",
+                F.coalesce(F.col("user_median"), F.col("global_median")),
+            )
+            .otherwise(F.col("v"))
+            .alias("v_imp"),
+        )
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.sum("was_missing").alias("n_imputed"),
+            F.sum(F.lit(1) - F.col("was_missing")).alias("n_observed"),
+            F.sum("v_imp").alias("imputed_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_IMPUTE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(ROUND(value * 10000, 0) AS BIGINT) AS v
+  FROM events),
+obs AS (SELECT * FROM ev WHERE event_type <> 'error'),
+vals AS (
+  SELECT user_id, v, COUNT(*) AS c FROM obs GROUP BY 1, 2),
+med_u AS (
+  SELECT user_id, MIN(v) AS user_median FROM (
+    SELECT user_id, v,
+           SUM(c) OVER (PARTITION BY user_id ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+           SUM(c) OVER (PARTITION BY user_id) AS n
+    FROM vals) WHERE 2 * cumc >= n GROUP BY user_id),
+gvals AS (SELECT v, COUNT(*) AS c FROM obs GROUP BY v),
+med_g AS (
+  SELECT MIN(v) AS global_median FROM (
+    SELECT v,
+           SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+           SUM(c) OVER () AS n
+    FROM gvals) WHERE 2 * cumc >= n),
+filled AS (
+  SELECT ev.user_id,
+         CASE WHEN ev.event_type = 'error' THEN 1 ELSE 0 END AS was_missing,
+         CASE WHEN ev.event_type = 'error'
+              THEN COALESCE(med_u.user_median, med_g.global_median)
+              ELSE ev.v END AS v_imp
+  FROM ev LEFT JOIN med_u ON med_u.user_id = ev.user_id
+  CROSS JOIN med_g)
+SELECT user_id,
+       CAST(SUM(was_missing) AS BIGINT) AS n_imputed,
+       CAST(SUM(1 - was_missing) AS BIGINT) AS n_observed,
+       CAST(SUM(v_imp) AS BIGINT) AS imputed_sum
+FROM filled GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["q_impute_missing"] = QuerySpec(
+    q_impute_missing,
+    Q_IMPUTE_SQL,
+    "missing-value imputation: per-user LOW median with global-median "
+    "fallback (integer cumulative walks, decimal-exact post-fill sums)",
+)

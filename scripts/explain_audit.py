@@ -70,6 +70,7 @@ ALLOWED_NLJ = {
     "q_acf_hourly",  # 1-row moment-totals broadcast cross (ACF denominator)
     "q_corpus_mixture",  # 1-row totals + 1-row excess/uncapped-mass crosses
     "q_rrf_fusion",  # 1-row query-vector broadcast cross (the dense list)
+    "q_impute_missing",  # 1-row global-median broadcast cross (the fallback)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds

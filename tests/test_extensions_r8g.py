@@ -353,3 +353,29 @@ def test_weighted_median_hand_case(spark, tmp_path):
     assert got["A"] == (3000, 5)
     # B: cumw 2 of W=3 at value 500 -> 2*2 >= 3 already at the first value
     assert got["B"] == (500, 3)
+
+
+def test_impute_missing_user_and_global_fallback(spark, tmp_path):
+    """User 1 has observed {10, 20, 30} (LOW median 20) and one error
+    row -> imputed with 20. User 2 has ONLY error rows -> imputed with
+    the global LOW median over all observed values."""
+    from kcore_spark.queries.extensions_r8g import q_impute_missing
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 10.0),
+        (2, t0, 1, "view", 20.0),
+        (3, t0, 1, "click", 30.0),
+        (4, t0, 1, "error", 999.0),   # -> 20.0
+        (5, t0, 2, "error", 999.0),   # -> global median
+        (6, t0, 3, "click", 40.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["user_id"]: (r["n_imputed"], r["n_observed"], r["imputed_sum"])
+        for r in q_impute_missing(spark, str(tmp_path)).collect()
+    }
+    # global observed values: 10,20,30,40 -> LOW median 20 (2*cumc>=n at 20)
+    assert got[1] == (1, 3, (10 + 20 + 30 + 20) * 10000)
+    assert got[2] == (1, 0, 20 * 10000)
+    assert got[3] == (0, 1, 40 * 10000)
