@@ -1125,3 +1125,116 @@ QUERIES["q_impute_missing"] = QuerySpec(
     "missing-value imputation: per-user LOW median with global-median "
     "fallback (integer cumulative walks, decimal-exact post-fill sums)",
 )
+
+
+# --------------------------------------- referential-integrity audit
+# The whole-schema DQ scan a warehouse runs before publishing: every
+# foreign-key edge is checked for orphans (left-anti join, dimension
+# side broadcast) and every primary key for duplicates (groupBy
+# having count > 1). One output row per check. At 100 TB each check
+# is an independent scan+anti-join — embarrassingly parallel across
+# checks, and the anti joins broadcast the smaller parent whenever
+# stats allow.
+
+
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n) for n in (
+        "lineitem", "orders", "customer", "supplier", "part", "nation", "region"
+    )}
+    fk_edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    pk_checks = [
+        ("pk:orders.o_orderkey", "orders", "o_orderkey"),
+        ("pk:customer.c_custkey", "customer", "c_custkey"),
+        ("pk:part.p_partkey", "part", "p_partkey"),
+        ("pk:supplier.s_suppkey", "supplier", "s_suppkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in fk_edges:
+        c = t[child].select(F.col(ck).alias("k"))
+        p = t[parent].select(F.col(pk).alias("k"))
+        orphans = c.join(p, "k", "left_anti")
+        parts.append(
+            c.agg(
+                F.lit(name).alias("check_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+            ).crossJoin(
+                F.broadcast(orphans.agg(F.count(F.lit(1)).alias("n_violations")))
+            )
+        )
+    for name, tbl, pk in pk_checks:
+        dups = (
+            t[tbl].groupBy(pk).agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+        )
+        parts.append(
+            t[tbl].agg(
+                F.lit(name).alias("check_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+            ).crossJoin(
+                F.broadcast(dups.agg(F.count(F.lit(1)).alias("n_violations")))
+            )
+        )
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("check_name")
+
+
+Q_RI_SQL = """
+SELECT * FROM (
+  SELECT 'lineitem.l_orderkey->orders' AS check_name, COUNT(*) AS n_rows,
+         (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderkey IS NULL) AS n_violations FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part', COUNT(*),
+         (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_partkey IS NULL) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+         (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE s.s_suppkey IS NULL) FROM lineitem
+  UNION ALL
+  SELECT 'orders.o_custkey->customer', COUNT(*),
+         (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_custkey IS NULL) FROM orders
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation', COUNT(*),
+         (SELECT COUNT(*) FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_nationkey IS NULL) FROM customer
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation', COUNT(*),
+         (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_nationkey IS NULL) FROM supplier
+  UNION ALL
+  SELECT 'nation.n_regionkey->region', COUNT(*),
+         (SELECT COUNT(*) FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_regionkey IS NULL) FROM nation
+  UNION ALL
+  SELECT 'pk:orders.o_orderkey', COUNT(*),
+         (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)) FROM orders
+  UNION ALL
+  SELECT 'pk:customer.c_custkey', COUNT(*),
+         (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING COUNT(*) > 1)) FROM customer
+  UNION ALL
+  SELECT 'pk:part.p_partkey', COUNT(*),
+         (SELECT COUNT(*) FROM (SELECT p_partkey FROM part GROUP BY 1 HAVING COUNT(*) > 1)) FROM part
+  UNION ALL
+  SELECT 'pk:supplier.s_suppkey', COUNT(*),
+         (SELECT COUNT(*) FROM (SELECT s_suppkey FROM supplier GROUP BY 1 HAVING COUNT(*) > 1)) FROM supplier
+) ORDER BY check_name
+"""
+
+QUERIES["q_referential_integrity"] = QuerySpec(
+    q_referential_integrity,
+    Q_RI_SQL,
+    "whole-schema referential-integrity audit: FK orphan counts (left-anti, "
+    "broadcast parents) + PK duplicate counts, one row per check",
+)

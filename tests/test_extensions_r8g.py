@@ -379,3 +379,35 @@ def test_impute_missing_user_and_global_fallback(spark, tmp_path):
     assert got[1] == (1, 3, (10 + 20 + 30 + 20) * 10000)
     assert got[2] == (1, 0, 20 * 10000)
     assert got[3] == (0, 1, 40 * 10000)
+
+
+def test_referential_integrity_detects_orphans_and_dups(spark, tmp_path):
+    """A lineitem pointing at a missing order and a duplicated order
+    key must surface in the right check rows."""
+    from kcore_spark.queries.extensions_r8g import q_referential_integrity
+
+    spark.createDataFrame(
+        [(1, 1, 1, 1), (2, 1, 1, 1), (3, 999, 1, 1)],  # orderkey 999 is an orphan
+        "l_linenumber long, l_orderkey long, l_partkey long, l_suppkey long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 1)], "o_orderkey long, o_custkey long"  # dup PK 1
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    for name, schema, rows in (
+        ("customer", "c_custkey long, c_nationkey long", [(1, 1)]),
+        ("supplier", "s_suppkey long, s_nationkey long", [(1, 1)]),
+        ("part", "p_partkey long", [(1,)]),
+        ("nation", "n_nationkey long, n_regionkey long", [(1, 1)]),
+        ("region", "r_regionkey long", [(1,)]),
+    ):
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+    got = {
+        r["check_name"]: (r["n_rows"], r["n_violations"])
+        for r in q_referential_integrity(spark, str(tmp_path)).collect()
+    }
+    assert got["lineitem.l_orderkey->orders"] == (3, 1)
+    assert got["pk:orders.o_orderkey"] == (3, 1)
+    assert got["lineitem.l_partkey->part"] == (3, 0)
+    assert got["nation.n_regionkey->region"] == (1, 0)
