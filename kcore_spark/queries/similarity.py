@@ -622,3 +622,127 @@ ORDER BY canonical_id
 QUERIES["q_semantic_clusters"] = QuerySpec(
     q_semantic_clusters, Q_SEMANTIC_CLUSTERS_SQL, "semantic dedup clusters (LSH + components)"
 )
+
+
+# ------------------------------------------------ ANN recall@k eval
+# The quality loop for the ANN path: recall@10 of the probe-1 IVF
+# shortlist against the exact cosine top-10, per query and macro-
+# averaged — the number an embedding-serving team watches when tuning
+# nprobe. Exact side: 20 query rows broadcast into one corpus scan
+# (the q_cosine_topk shape); approx side: the same ivf_topk the
+# serving query uses. Join on (query, neighbor), count hits. recall
+# = hits/10 is an exact rational; the macro row is Σhits / (Q*10).
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kcore_spark.operators.similarity import cosine, ivf_topk, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 16)
+    queries = emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 36))
+    corpus = emb.where(F.col("vec_id") >= 36)
+
+    approx = ivf_topk(corpus, queries, centroids, "embedding", "vec_id", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    qn = with_norm(queries, "embedding", "vec_id").select(
+        F.col("id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cn = with_norm(corpus, "embedding", "vec_id").select(
+        F.col("id").alias("neighbor_id"), "e", "nrm"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        cn.crossJoin(F.broadcast(qn))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("e"), F.col("qn"), F.col("nrm")).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per_q = (
+        qn.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+        )
+        .withColumn("recall", F.col("hits") / 10.0)
+    )
+    macro = per_q.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.sum("hits").alias("hits"),
+        (F.sum("hits") / (F.count(F.lit(1)) * 10.0)).alias("recall"),
+    )
+    return per_q.unionByName(macro).orderBy("query_id")
+
+
+Q_ANN_RECALL_SQL = f"""
+WITH {NORM_CTE},
+cent AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+assign_c AS (
+  SELECT vec_id AS neighbor_id, e, nrm, centroid_id
+  FROM (SELECT v.vec_id, v.e, v.nrm, cent.centroid_id,
+               list_inner_product(v.e, cent.ce) / (v.nrm * cent.cn) AS csim
+        FROM n v CROSS JOIN cent
+        WHERE v.vec_id >= 36)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1),
+assign_q AS (
+  SELECT vec_id AS query_id, e, nrm, centroid_id
+  FROM (SELECT v.vec_id, v.e, v.nrm, cent.centroid_id,
+               list_inner_product(v.e, cent.ce) / (v.nrm * cent.cn) AS csim
+        FROM n v CROSS JOIN cent
+        WHERE v.vec_id >= 16 AND v.vec_id < 36)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) = 1),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, a.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_inner_product(q.e, a.e) / (q.nrm * a.nrm) DESC,
+                                       a.neighbor_id) AS rank
+    FROM assign_q q JOIN assign_c a ON q.centroid_id = a.centroid_id)
+  WHERE rank <= 10),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_inner_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+                                       c.vec_id) AS rank
+    FROM n q CROSS JOIN n c
+    WHERE q.vec_id >= 16 AND q.vec_id < 36 AND c.vec_id >= 36)
+  WHERE rank <= 10),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS hits
+  FROM exact e JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id),
+per_q AS (
+  SELECT q.vec_id AS query_id, COALESCE(h.hits, 0) AS hits,
+         COALESCE(h.hits, 0) / 10.0 AS recall
+  FROM (SELECT vec_id FROM n WHERE vec_id >= 16 AND vec_id < 36) q
+  LEFT JOIN hits h ON h.query_id = q.vec_id)
+SELECT query_id, CAST(hits AS BIGINT) AS hits, recall FROM per_q
+UNION ALL
+SELECT -1 AS query_id, CAST(SUM(hits) AS BIGINT) AS hits,
+       SUM(hits) / (COUNT(*) * 10.0) AS recall
+FROM per_q
+ORDER BY query_id
+"""
+
+QUERIES["q_ann_recall"] = QuerySpec(
+    q_ann_recall,
+    Q_ANN_RECALL_SQL,
+    "ANN quality loop: recall@10 of the probe-1 IVF shortlist vs exact "
+    "cosine top-10, per query + macro average",
+)

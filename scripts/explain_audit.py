@@ -72,6 +72,7 @@ ALLOWED_NLJ = {
     "q_rrf_fusion",  # 1-row query-vector broadcast cross (the dense list)
     "q_impute_missing",  # 1-row global-median broadcast cross (the fallback)
     "q_referential_integrity",  # 1-row violation-count broadcast cross per check
+    "q_ann_recall",  # bounded 20-query broadcast cross (exact-baseline side)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
