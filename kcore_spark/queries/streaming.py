@@ -521,6 +521,55 @@ ORDER BY topic
 """
 
 
+
+
+# -------------------------------------------------- stream union
+# Two branches of the source stream — purchases, and high-value
+# non-purchase events — unioned back into ONE streaming plan and
+# aggregated per (hour, branch). Union of streams is the multi-feed
+# ingestion shape (N topics -> one pipeline); Spark runs both branches
+# off a shared source scan in the same micro-batch, and the windowed
+# state is keyed by (window, branch) exactly like a single-feed agg.
+
+
+def q_stream_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir)
+    purchases = s.where(F.col("event_type") == "purchase").select(
+        "ts", F.lit("purchase").alias("branch"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    high = s.where(
+        (F.col("event_type") != "purchase") & (F.col("value") > 90.0)
+    ).select(
+        "ts", F.lit("high_value").alias("branch"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    both = purchases.unionByName(high).withWatermark("ts", "1 hour")
+    agg = both.groupBy(F.window("ts", "1 hour").alias("w"), "branch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("sum_value"),
+    )
+    out = run_to_table(agg, "complete")
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"),
+        "branch",
+        "n",
+        "sum_value",
+    ).orderBy("window_start", "branch")
+
+
+Q_STREAM_UNION_SQL = """
+SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
+       branch, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT ts, 'purchase' AS branch, value FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT ts, 'high_value' AS branch, value FROM events
+  WHERE event_type <> 'purchase' AND value > 90.0)
+GROUP BY 1, 2
+"""
+
 QUERIES = {
     "q_stream_stream_full_join": QuerySpec(
         q_stream_stream_full_join,
@@ -539,6 +588,11 @@ QUERIES = {
     ),
     "q_stream_stateful_user_stats": QuerySpec(
         q_stream_stateful_user_stats, Q_STREAM_STATEFUL_SQL, "applyInPandasWithState"
+    ),
+    "q_stream_union_counts": QuerySpec(
+        q_stream_union_counts,
+        Q_STREAM_UNION_SQL,
+        "union of two stream branches into one windowed agg (multi-feed shape)",
     ),
     "q_stream_tumbling_counts": QuerySpec(
         q_stream_tumbling_counts, Q_STREAM_TUMBLING_SQL, "streaming tumbling window"
