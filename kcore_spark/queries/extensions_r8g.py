@@ -1238,3 +1238,108 @@ QUERIES["q_referential_integrity"] = QuerySpec(
     "whole-schema referential-integrity audit: FK orphan counts (left-anti, "
     "broadcast parents) + PK duplicate counts, one row per check",
 )
+
+
+# ---------------------------------- covariate balance audit (SMD)
+# The balance table an experiment readout prints before trusting the
+# effect estimate: per covariate, the standardized mean difference
+# between arms, SMD = (m_t - m_c) / sqrt((v_t + v_c)/2). Treatment =
+# odd user_id (the q_diff_in_diff assignment). Covariates are per-user
+# integer features (event count, value sum in ten-thousandths, active
+# days), so every arm moment (n, Σx, Σx²) is exact; SMD is the one
+# final double per row. Shapes: one user-keyed shuffle to build
+# features, one unpivot (stack), one partial-agg shuffle over 2·k arm
+# cells.
+
+
+def q_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    feats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias("value_sum"),
+        F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).alias("active_days"),
+    )
+    long = feats.select(
+        (F.col("user_id") % 2 == 1).cast("int").alias("treat"),
+        F.expr(
+            "stack(3, 'n_events', CAST(n_events AS BIGINT), "
+            "'value_sum', value_sum, "
+            "'active_days', CAST(active_days AS BIGINT)) AS (covariate, x)"
+        ),
+    )
+    cells = long.groupBy("covariate", "treat").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    wide = cells.groupBy("covariate").pivot("treat", [0, 1]).agg(
+        F.min("n").alias("n"), F.min("s").alias("s"), F.min("q").alias("q")
+    )
+
+    def mv(n, s, q):
+        m = s.cast("double") / n
+        v = (q.cast("double") - s.cast("double") * s.cast("double") / n) / (n - 1)
+        return m, v
+
+    m0, v0 = mv(F.col("0_n"), F.col("0_s"), F.col("0_q"))
+    m1, v1 = mv(F.col("1_n"), F.col("1_s"), F.col("1_q"))
+    return wide.select(
+        "covariate",
+        F.col("0_n").alias("n_control"),
+        F.col("1_n").alias("n_treat"),
+        F.round(m0, 6).alias("mean_control"),
+        F.round(m1, 6).alias("mean_treat"),
+        # NULL (not inf/NaN/ANSI error) when both arms are constant
+        F.when(
+            (v0 + v1) > 0.0,
+            F.round((m1 - m0) / F.sqrt((v0 + v1) / 2.0), 8),
+        ).alias("smd"),
+    ).orderBy("covariate")
+
+
+Q_SMD_SQL = """
+WITH feats AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS value_sum,
+         COUNT(DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS active_days
+  FROM events GROUP BY user_id),
+long AS (
+  SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat, covariate, x
+  FROM feats, LATERAL (VALUES
+    ('n_events', CAST(n_events AS BIGINT)),
+    ('value_sum', value_sum),
+    ('active_days', CAST(active_days AS BIGINT))) t(covariate, x)),
+cells AS (
+  SELECT covariate, treat, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q
+  FROM long GROUP BY 1, 2),
+wide AS (
+  SELECT covariate,
+         MIN(CASE WHEN treat = 0 THEN n END) AS n0,
+         MIN(CASE WHEN treat = 0 THEN s END) AS s0,
+         MIN(CASE WHEN treat = 0 THEN q END) AS q0,
+         MIN(CASE WHEN treat = 1 THEN n END) AS n1,
+         MIN(CASE WHEN treat = 1 THEN s END) AS s1,
+         MIN(CASE WHEN treat = 1 THEN q END) AS q1
+  FROM cells GROUP BY covariate),
+mv AS (
+  SELECT covariate, n0, n1,
+         CAST(s0 AS DOUBLE) / n0 AS m0,
+         CAST(s1 AS DOUBLE) / n1 AS m1,
+         (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0) / (n0 - 1) AS v0,
+         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) AS v1
+  FROM wide)
+SELECT covariate,
+       CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+       ROUND(m0, 6) AS mean_control, ROUND(m1, 6) AS mean_treat,
+       CASE WHEN (v0 + v1) > 0.0
+            THEN ROUND((m1 - m0) / SQRT((v0 + v1) / 2.0), 8) END AS smd
+FROM mv ORDER BY covariate
+"""
+
+QUERIES["q_smd_balance"] = QuerySpec(
+    q_smd_balance,
+    Q_SMD_SQL,
+    "covariate balance audit: standardized mean differences between arms "
+    "from exact integer per-user feature moments",
+)

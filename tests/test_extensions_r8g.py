@@ -440,3 +440,24 @@ def test_ann_recall_perfect_when_buckets_align(spark, tmp_path):
     assert out[-1]["recall"] == total_hits / 200.0
     for r in per_q:
         assert 0 <= r["hits"] <= 10 and r["recall"] == r["hits"] / 10.0
+
+
+def test_smd_zero_on_mirrored_arms(spark, tmp_path):
+    """Users 1 (treat) and 2 (control) have identical activity: every
+    covariate's SMD is exactly 0."""
+    from kcore_spark.queries.extensions_r8g import q_smd_balance
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for uid in (1, 2, 3, 4):  # two odd (treat), two even (control)
+        for d in (0, 1):
+            rows.append((eid, t0 + datetime.timedelta(days=d), uid, "click", 5.0))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {r["covariate"]: r for r in q_smd_balance(spark, str(tmp_path)).collect()}
+    assert set(out) == {"n_events", "value_sum", "active_days"}
+    for r in out.values():
+        assert (r["n_control"], r["n_treat"]) == (2, 2)
+        assert r["mean_control"] == r["mean_treat"]
+        # identical constant arms: zero variance -> guarded NULL
+        assert r["smd"] is None
