@@ -841,7 +841,7 @@ Q_OHLC_SQL = """
 WITH p AS (
   SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
          CAST(ROUND(value * 10000, 0) AS BIGINT) AS v,
-         lpad(CAST(CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS VARCHAR), 12, '0')
+         lpad(CAST(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS VARCHAR), 12, '0')
            || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
   FROM events WHERE event_type = 'purchase')
 SELECT day,
@@ -1342,4 +1342,87 @@ QUERIES["q_smd_balance"] = QuerySpec(
     Q_SMD_SQL,
     "covariate balance audit: standardized mean differences between arms "
     "from exact integer per-user feature moments",
+)
+
+
+# -------------------------------------------- time-to-convert funnel
+# Completes the funnel family with the DURATION question: per user,
+# the first 'view' and the first 'purchase' at-or-after it; output
+# the conversion rate and the LOW-median seconds-to-convert (integer
+# cumulative walk, the q_weighted_median machinery). Two keyed
+# partial-agg shuffles + one user-keyed join; epoch seconds keep the
+# whole computation in the integer domain.
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    fv = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("sec").alias("view_sec")
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("sec") >= F.col("view_sec"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("sec") - F.col("view_sec")).alias("delta_s"))
+    )
+    deltas = fp.groupBy("delta_s").agg(F.count(F.lit(1)).alias("c"))
+    win = Window.orderBy("delta_s").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    med = (
+        deltas.withColumn("cumc", F.sum("c").over(win))
+        .withColumn("n", F.sum("c").over(w_all))
+        .where(2 * F.col("cumc") >= F.col("n"))
+        .agg(F.min("delta_s").alias("median_delta_s"))
+    )
+    totals = fv.agg(F.count(F.lit(1)).alias("n_viewed")).crossJoin(
+        F.broadcast(fp.agg(F.count(F.lit(1)).alias("n_converted")))
+    )
+    return totals.crossJoin(F.broadcast(med)).select(
+        "n_viewed",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_viewed").cast("double"), 8).alias(
+            "conversion_rate"
+        ),
+        "median_delta_s",
+    )
+
+
+Q_TTC_SQL = """
+WITH ev AS (
+  -- floor, not CAST: events ts carries sub-second fractions and
+  -- Spark's unix_timestamp truncates while a bare BIGINT cast rounds
+  SELECT user_id, event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+  FROM events),
+fv AS (
+  SELECT user_id, MIN(sec) AS view_sec FROM ev
+  WHERE event_type = 'view' GROUP BY user_id),
+fp AS (
+  SELECT ev.user_id, MIN(ev.sec - fv.view_sec) AS delta_s
+  FROM ev JOIN fv ON fv.user_id = ev.user_id
+  WHERE ev.event_type = 'purchase' AND ev.sec >= fv.view_sec
+  GROUP BY ev.user_id),
+deltas AS (SELECT delta_s, COUNT(*) AS c FROM fp GROUP BY delta_s),
+med AS (
+  SELECT MIN(delta_s) AS median_delta_s FROM (
+    SELECT delta_s,
+           SUM(c) OVER (ORDER BY delta_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+           SUM(c) OVER () AS n
+    FROM deltas) WHERE 2 * cumc >= n)
+SELECT (SELECT COUNT(*) FROM fv) AS n_viewed,
+       (SELECT COUNT(*) FROM fp) AS n_converted,
+       ROUND((SELECT COUNT(*) FROM fp) / CAST((SELECT COUNT(*) FROM fv) AS DOUBLE), 8)
+         AS conversion_rate,
+       median_delta_s
+FROM med
+"""
+
+QUERIES["q_time_to_convert"] = QuerySpec(
+    q_time_to_convert,
+    Q_TTC_SQL,
+    "funnel duration: conversion rate + LOW-median seconds from first view "
+    "to first subsequent purchase (integer epoch walk)",
 )

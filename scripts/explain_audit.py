@@ -73,6 +73,7 @@ ALLOWED_NLJ = {
     "q_impute_missing",  # 1-row global-median broadcast cross (the fallback)
     "q_referential_integrity",  # 1-row violation-count broadcast cross per check
     "q_ann_recall",  # bounded 20-query broadcast cross (exact-baseline side)
+    "q_time_to_convert",  # 1-row totals x 1-row median broadcast crosses
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds

@@ -461,3 +461,25 @@ def test_smd_zero_on_mirrored_arms(spark, tmp_path):
         assert r["mean_control"] == r["mean_treat"]
         # identical constant arms: zero variance -> guarded NULL
         assert r["smd"] is None
+
+
+def test_time_to_convert_hand_case(spark, tmp_path):
+    """User 1: view at t0, purchase 60s later. User 2: views but never
+    purchases. User 3: purchase BEFORE any view (not a conversion).
+    -> 3 viewers, 1 conversion, median 60s."""
+    from kcore_spark.queries.extensions_r8g import q_time_to_convert
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + 60 * s, 1, "purchase", 1.0),
+        (3, t0, 2, "view", 1.0),
+        (4, t0 + 10 * s, 3, "purchase", 1.0),
+        (5, t0 + 20 * s, 3, "view", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    row = q_time_to_convert(spark, str(tmp_path)).first()
+    assert (row["n_viewed"], row["n_converted"]) == (3, 1)
+    assert row["conversion_rate"] == pytest.approx(round(1 / 3, 8), abs=1e-9)
+    assert row["median_delta_s"] == 60
