@@ -336,7 +336,8 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_DID_SQL = """
 WITH bounds AS (
-  SELECT CAST((epoch(MIN(CAST(ts AS TIMESTAMP))) + epoch(MAX(CAST(ts AS TIMESTAMP)))) / 2 AS BIGINT) AS cutoff
+  -- FLOOR before averaging + FLOOR the average (Spark floors + truncates)
+  SELECT CAST(FLOOR((FLOOR(epoch(MIN(CAST(ts AS TIMESTAMP)))) + FLOOR(epoch(MAX(CAST(ts AS TIMESTAMP))))) / 2) AS BIGINT) AS cutoff
   FROM events),
 cells AS (
   SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,

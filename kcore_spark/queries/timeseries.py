@@ -390,7 +390,10 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_CUPED_SQL = """
 WITH bounds AS (
-  SELECT CAST((MIN(epoch(CAST(ts AS TIMESTAMP))) + MAX(epoch(CAST(ts AS TIMESTAMP)))) / 2 AS BIGINT) AS mid
+  -- FLOOR each epoch before averaging and FLOOR the average: events ts
+  -- carries sub-second fractions; Spark's unix_timestamp floors and the
+  -- long cast truncates, so the oracle must too (a bare BIGINT cast rounds)
+  SELECT CAST(FLOOR((FLOOR(MIN(epoch(CAST(ts AS TIMESTAMP)))) + FLOOR(MAX(epoch(CAST(ts AS TIMESTAMP))))) / 2) AS BIGINT) AS mid
   FROM events),
 per_user AS (
   SELECT event_type, user_id,
