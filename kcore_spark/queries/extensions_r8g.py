@@ -1426,3 +1426,74 @@ QUERIES["q_time_to_convert"] = QuerySpec(
     "funnel duration: conversion rate + LOW-median seconds from first view "
     "to first subsequent purchase (integer epoch walk)",
 )
+
+
+# -------------------------------------------- top-p (nucleus) cut
+# The nucleus-sampling selection rule applied to a count distribution:
+# per event type, rank users by event count (desc, id tie-break) and
+# keep the smallest prefix whose mass reaches half the total — keep
+# while 2*cum_before < total, an integer test, so the cut is exact on
+# both engines. The same machinery picks "head" tokens/domains to
+# keep or cap in a corpus-pruning pass. One keyed partial-agg shuffle
+# + a per-type window over the post-aggregate user table.
+
+TOPP_NUM, TOPP_DEN = 1, 2  # p = 0.5
+
+
+def q_top_p_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    win = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), "user_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    w_t = Window.partitionBy("event_type")
+    marked = (
+        counts.withColumn("cum_before", F.coalesce(F.sum("c").over(win), F.lit(0)))
+        .withColumn("total", F.sum("c").over(w_t))
+        .withColumn(
+            "kept",
+            (
+                F.col("cum_before") * TOPP_DEN < F.col("total") * TOPP_NUM
+            ).cast("int"),
+        )
+    )
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.sum("kept").alias("n_kept"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("kept") * F.col("c")).alias("kept_mass"),
+            F.min("total").alias("total_mass"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_TOPP_SQL = f"""
+WITH counts AS (
+  SELECT event_type, user_id, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+marked AS (
+  SELECT event_type, c,
+         COALESCE(SUM(c) OVER (PARTITION BY event_type
+                               ORDER BY c DESC, user_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         SUM(c) OVER (PARTITION BY event_type) AS total
+  FROM counts)
+SELECT event_type,
+       CAST(SUM(CASE WHEN cum_before * {TOPP_DEN} < total * {TOPP_NUM} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN cum_before * {TOPP_DEN} < total * {TOPP_NUM} THEN c ELSE 0 END) AS BIGINT) AS kept_mass,
+       CAST(MIN(total) AS BIGINT) AS total_mass
+FROM marked GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["q_top_p_cut"] = QuerySpec(
+    q_top_p_cut,
+    Q_TOPP_SQL,
+    "top-p (nucleus) selection per group: smallest count-ranked prefix "
+    "reaching half the mass, integer-exact cut",
+)

@@ -483,3 +483,22 @@ def test_time_to_convert_hand_case(spark, tmp_path):
     assert (row["n_viewed"], row["n_converted"]) == (3, 1)
     assert row["conversion_rate"] == pytest.approx(round(1 / 3, 8), abs=1e-9)
     assert row["median_delta_s"] == 60
+
+
+def test_top_p_cut_hand_case(spark, tmp_path):
+    """Counts 5,3,1,1 (total 10): cum_before 0,5,8,9 -> kept while
+    2*cum_before < 10, so only the first user — its mass 5 already
+    reaches exactly half the total, the smallest p=0.5 nucleus."""
+    from kcore_spark.queries.extensions_r8g import q_top_p_cut
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for uid, n in ((1, 5), (2, 3), (3, 1), (4, 1)):
+        for _ in range(n):
+            rows.append((eid, t0, uid, "click", 1.0))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    row = q_top_p_cut(spark, str(tmp_path)).first()
+    assert row["event_type"] == "click"
+    assert (row["n_kept"], row["n_users"]) == (1, 4)
+    assert (row["kept_mass"], row["total_mass"]) == (5, 10)
