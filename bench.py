@@ -135,6 +135,10 @@ EXTRAS = [
     "q_corpus_mixture",
     "q_rrf_fusion",
     "q_binaryfile_source",
+    "q_impute_missing",
+    "q_referential_integrity",
+    "q_ann_recall",
+    "q_weighted_median",
 ]
 
 
