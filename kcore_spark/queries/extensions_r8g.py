@@ -1497,3 +1497,56 @@ QUERIES["q_top_p_cut"] = QuerySpec(
     "top-p (nucleus) selection per group: smallest count-ranked prefix "
     "reaching half the mass, integer-exact cut",
 )
+
+
+# ---------------------------------- burstiness (index of dispersion)
+# Fano factor of the hourly arrival process per event type:
+# D = var_pop(x)/mean(x) = (n*Q - S^2)/(n*S) over hourly counts —
+# D ~ 1 is Poisson-like traffic, D >> 1 is bursty (the capacity-
+# planning diagnostic). Exact integer moments (n, S, Q) per type,
+# one final double division. Two keyed partial-agg shuffles, both
+# post-aggregate-small.
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    mom = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("s").alias("n_events"),
+        F.round(
+            (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+            / (F.col("n") * F.col("s")).cast("double"),
+            8,
+        ).alias("dispersion"),
+    ).orderBy("event_type")
+
+
+Q_BURST_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS x
+  FROM events GROUP BY 1, 2),
+mom AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q
+  FROM hourly GROUP BY event_type)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_hours,
+       CAST(s AS BIGINT) AS n_events,
+       ROUND(CAST(n * q - s * s AS DOUBLE) / CAST(n * s AS DOUBLE), 8) AS dispersion
+FROM mom ORDER BY event_type
+"""
+
+QUERIES["q_burstiness"] = QuerySpec(
+    q_burstiness,
+    Q_BURST_SQL,
+    "Fano factor of hourly arrivals per event type (integer moments, one "
+    "final division) — the bursty-vs-Poisson traffic diagnostic",
+)

@@ -502,3 +502,27 @@ def test_top_p_cut_hand_case(spark, tmp_path):
     assert row["event_type"] == "click"
     assert (row["n_kept"], row["n_users"]) == (1, 4)
     assert (row["kept_mass"], row["total_mass"]) == (5, 10)
+
+
+def test_burstiness_constant_and_bursty(spark, tmp_path):
+    """Constant hourly counts give dispersion 0; an all-in-one-hour
+    burst gives the maximal (n-1)*mean/n... computed exactly:
+    counts (4,0-free domain) -> only observed hours count, so compare
+    against the closed-form integer formula."""
+    from kcore_spark.queries.extensions_r8g import q_burstiness
+
+    rows, eid = [], 0
+    # 'click': 2 events in each of 4 hours -> var 0, dispersion 0
+    for h in range(4):
+        for _ in range(2):
+            rows.append((eid, datetime.datetime(2024, 1, 1, h), eid, "click", 1.0))
+            eid += 1
+    # 'error': counts 1 and 5 over two hours -> n=2,S=6,Q=26: D=(52-36)/12
+    for h, n in ((0, 1), (1, 5)):
+        for _ in range(n):
+            rows.append((eid, datetime.datetime(2024, 1, 1, h), eid, "error", 1.0))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = {r["event_type"]: r for r in q_burstiness(spark, str(tmp_path)).collect()}
+    assert got["click"]["dispersion"] == 0.0
+    assert got["error"]["dispersion"] == round(16 / 12, 8)
