@@ -1550,3 +1550,79 @@ QUERIES["q_burstiness"] = QuerySpec(
     "Fano factor of hourly arrivals per event type (integer moments, one "
     "final division) — the bursty-vs-Poisson traffic diagnostic",
 )
+
+
+# ------------------------------- seasonality strength (ANOVA R^2)
+# How much of the hourly-count variance the hour-of-day profile
+# explains: R^2 = SSB/SST with SSB = sum_h S_h^2/n_h - S^2/n over
+# hour-of-day groups. Integer moments everywhere except the per-group
+# S_h^2/n_h terms, which are rounded to 12 dp and summed as decimals
+# (the q_mutual_info discipline); one final division. Complements
+# ACF (lag structure) and the Fano factor (burstiness) as the third
+# arrival-process diagnostic.
+
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    ).select(F.hour("h").alias("hod"), "x")
+    groups = hourly.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("x").alias("sh"),
+    ).select(
+        "nh",
+        "sh",
+        F.round(
+            (F.col("sh") * F.col("sh")).cast("double") / F.col("nh"), 12
+        ).cast("decimal(28,12)").alias("term"),
+    )
+    tot = groups.agg(
+        F.sum("nh").alias("n"),
+        F.sum("sh").alias("s"),
+        F.sum("term").alias("ssb_part"),
+        F.count(F.lit(1)).alias("n_hods"),
+    )
+    q_tot = hourly.agg(F.sum(F.col("x") * F.col("x")).alias("q"))
+    return tot.crossJoin(F.broadcast(q_tot)).select(
+        F.col("n").alias("n_hours"),
+        "n_hods",
+        F.round(
+            (
+                F.col("ssb_part").cast("double")
+                - (F.col("s") * F.col("s")).cast("double") / F.col("n")
+            )
+            / (
+                F.col("q").cast("double")
+                - (F.col("s") * F.col("s")).cast("double") / F.col("n")
+            ),
+            8,
+        ).alias("seasonality_r2"),
+    )
+
+
+Q_SEASONALITY_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, COUNT(*) AS x
+  FROM events GROUP BY 1),
+hodd AS (SELECT EXTRACT(hour FROM h) AS hod, x FROM hourly),
+groups AS (
+  SELECT hod, COUNT(*) AS nh, SUM(x) AS sh,
+         CAST(ROUND(CAST(SUM(x) * SUM(x) AS DOUBLE) / COUNT(*), 12) AS DECIMAL(28,12)) AS term
+  FROM hodd GROUP BY hod),
+tot AS (
+  SELECT SUM(nh) AS n, SUM(sh) AS s, SUM(term) AS ssb_part, COUNT(*) AS n_hods
+  FROM groups),
+qq AS (SELECT SUM(x * x) AS q FROM hodd)
+SELECT CAST(n AS BIGINT) AS n_hours, CAST(n_hods AS BIGINT) AS n_hods,
+       ROUND((CAST(ssb_part AS DOUBLE) - CAST(s * s AS DOUBLE) / n)
+             / (CAST(q AS DOUBLE) - CAST(s * s AS DOUBLE) / n), 8) AS seasonality_r2
+FROM tot CROSS JOIN qq
+"""
+
+QUERIES["q_seasonality_strength"] = QuerySpec(
+    q_seasonality_strength,
+    Q_SEASONALITY_SQL,
+    "hour-of-day ANOVA R^2 of hourly arrivals (SSB/SST from integer moments "
+    "+ 12dp-rounded per-group terms) — the seasonality-strength diagnostic",
+)

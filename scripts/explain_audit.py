@@ -74,6 +74,7 @@ ALLOWED_NLJ = {
     "q_referential_integrity",  # 1-row violation-count broadcast cross per check
     "q_ann_recall",  # bounded 20-query broadcast cross (exact-baseline side)
     "q_time_to_convert",  # 1-row totals x 1-row median broadcast crosses
+    "q_seasonality_strength",  # 1-row SSB totals x 1-row SST broadcast cross
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds

@@ -526,3 +526,22 @@ def test_burstiness_constant_and_bursty(spark, tmp_path):
     got = {r["event_type"]: r for r in q_burstiness(spark, str(tmp_path)).collect()}
     assert got["click"]["dispersion"] == 0.0
     assert got["error"]["dispersion"] == round(16 / 12, 8)
+
+
+def test_seasonality_r2_pure_profile(spark, tmp_path):
+    """Counts that depend ONLY on hour-of-day (identical across days)
+    give R^2 exactly 1; the denominator equals between-group variance."""
+    from kcore_spark.queries.extensions_r8g import q_seasonality_strength
+
+    rows, eid = [], 0
+    for day in (1, 2):
+        for hod, n in ((3, 2), (9, 5)):
+            for _ in range(n):
+                rows.append(
+                    (eid, datetime.datetime(2024, 1, day, hod), eid, "click", 1.0)
+                )
+                eid += 1
+    _write_events(spark, tmp_path, rows)
+    row = q_seasonality_strength(spark, str(tmp_path)).first()
+    assert (row["n_hours"], row["n_hods"]) == (4, 2)
+    assert row["seasonality_r2"] == 1.0
