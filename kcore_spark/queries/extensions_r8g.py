@@ -1626,3 +1626,74 @@ QUERIES["q_seasonality_strength"] = QuerySpec(
     "hour-of-day ANOVA R^2 of hourly arrivals (SSB/SST from integer moments "
     "+ 12dp-rounded per-group terms) — the seasonality-strength diagnostic",
 )
+
+
+# ------------------------------------------- per-group OLS slope
+# Simple linear regression per group from the five exact integer
+# moments: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept from
+# the means — quantity (units) vs unit price (cents) per return flag,
+# the price-sensitivity readout. Everything integer until the final
+# divisions; one partial-agg shuffle. (The multivariate analog is
+# q_logreg_gd / q_pca_power_iteration; this is the per-group scalar
+# regression a BI layer asks for.)
+
+
+def q_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100 / F.col("l_quantity"), 0)
+        .cast("long")
+        .alias("x"),  # unit price in cents
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    # decimal(38,0): n*Sxx crosses the int64 ceiling once unit prices
+    # reach ~1e6 cents over 60k+ rows (the ACF/chi2 overflow lesson)
+    mom = li.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    # subtract in DECIMAL (exact), cast the difference once — casting the
+    # two ~1e21 products to double first would lose ~2^19 ulp each
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return mom.select(
+        "flag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(slope * 1e6, 6).alias("slope_per_million_cents"),
+        F.round(
+            F.col("sy").cast("double") / F.col("n")
+            - slope * (F.col("sx").cast("double") / F.col("n")),
+            6,
+        ).alias("intercept_qty"),
+    ).orderBy("flag")
+
+
+Q_OLS_SQL = """
+WITH li AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100 / l_quantity, 0) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem),
+mom AS (
+  SELECT flag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM li GROUP BY flag)
+SELECT flag, CAST(n AS BIGINT) AS n_rows,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6, 6)
+         AS slope_per_million_cents,
+       ROUND(CAST(sy AS DOUBLE) / n
+             - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+               * (CAST(sx AS DOUBLE) / n), 6) AS intercept_qty
+FROM mom ORDER BY flag
+"""
+
+QUERIES["q_ols_slope"] = QuerySpec(
+    q_ols_slope,
+    Q_OLS_SQL,
+    "per-group simple OLS (quantity vs unit price) from five exact integer "
+    "moments — integer until the final divisions",
+)

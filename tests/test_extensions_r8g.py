@@ -545,3 +545,25 @@ def test_seasonality_r2_pure_profile(spark, tmp_path):
     row = q_seasonality_strength(spark, str(tmp_path)).first()
     assert (row["n_hours"], row["n_hods"]) == (4, 2)
     assert row["seasonality_r2"] == 1.0
+
+
+def test_ols_slope_exact_line(spark, tmp_path):
+    """Points exactly on y = 2x + 1 (x in units of 1e4 cents) recover
+    slope and intercept exactly."""
+    from kcore_spark.queries.extensions_r8g import q_ols_slope
+
+    # pick (unit_price_cents, qty) pairs on qty = 2e-4 * cents + 1:
+    # cents 10000 -> 3, 20000 -> 5, 30000 -> 7
+    rows = []
+    for k, (cents, qty) in enumerate([(10000, 3), (20000, 5), (30000, 7)]):
+        # l_extendedprice = cents/100 * qty dollars so price/qty = cents
+        rows.append((k, "A", cents / 100.0 * qty, float(qty)))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_returnflag string, l_extendedprice double, l_quantity double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    row = q_ols_slope(spark, str(tmp_path)).first()
+    assert row["n_rows"] == 3
+    # slope = 2e-4 qty per cent -> *1e6 = 200 qty per million cents
+    assert row["slope_per_million_cents"] == 200.0
+    assert row["intercept_qty"] == 1.0
