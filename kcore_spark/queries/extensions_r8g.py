@@ -1697,3 +1697,83 @@ QUERIES["q_ols_slope"] = QuerySpec(
     "per-group simple OLS (quantity vs unit price) from five exact integer "
     "moments — integer until the final divisions",
 )
+
+
+# ------------------------------------ recency-decay engagement score
+# Exponentially decayed engagement per user: score = sum over events
+# of value * 2^(-age_days / half_life), half-life 7 days, age measured
+# from the corpus max event time (1-row broadcast). Each decayed term
+# is one in-row double rounded to 12 dp, then decimal-summed per user
+# (order-independent); top-20 via TakeOrdered. The standard
+# leaderboard/churn-risk scoring pass: one scan + one keyed shuffle.
+
+DECAY_HALF_LIFE_DAYS = 7.0
+DECAY_TOPK = 20
+
+
+def q_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events")).select(
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("v"),
+    )
+    mx = ev.agg(F.max("sec").alias("max_sec"))
+    terms = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.round(
+            F.col("v").cast("double")
+            * F.pow(
+                F.lit(2.0),
+                -((F.col("max_sec") - F.col("sec")).cast("double") / 86400.0)
+                / F.lit(DECAY_HALF_LIFE_DAYS),
+            )
+            / 10000.0,
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("term"),
+    )
+    scores = terms.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("term").alias("score_dec"),
+    )
+    return (
+        scores.orderBy(F.col("score_dec").desc(), "user_id")
+        .limit(DECAY_TOPK)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("score_dec").cast("double"), 8).alias("decay_score"),
+        )
+    )
+
+
+Q_DECAY_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+         CAST(ROUND(value * 10000, 0) AS BIGINT) AS v
+  FROM events),
+mx AS (SELECT MAX(sec) AS max_sec FROM ev),
+terms AS (
+  SELECT user_id,
+         CAST(ROUND(CAST(v AS DOUBLE)
+              * POW(2.0, -(CAST(max_sec - sec AS DOUBLE) / 86400.0) / {DECAY_HALF_LIFE_DAYS})
+              / 10000.0, 12) AS DECIMAL(28,12)) AS term
+  FROM ev CROSS JOIN mx),
+scores AS (
+  SELECT user_id, COUNT(*) AS n_events, SUM(term) AS score_dec
+  FROM terms GROUP BY user_id)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       ROUND(CAST(score_dec AS DOUBLE), 8) AS decay_score
+FROM scores
+ORDER BY score_dec DESC, user_id
+LIMIT {DECAY_TOPK}
+"""
+
+QUERIES["q_decay_engagement"] = QuerySpec(
+    q_decay_engagement,
+    Q_DECAY_SQL,
+    "recency-decayed engagement leaderboard: half-life weighting riding the "
+    "scan, 12dp-rounded terms into decimal sums, TakeOrdered top-20",
+)

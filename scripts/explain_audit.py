@@ -75,6 +75,7 @@ ALLOWED_NLJ = {
     "q_ann_recall",  # bounded 20-query broadcast cross (exact-baseline side)
     "q_time_to_convert",  # 1-row totals x 1-row median broadcast crosses
     "q_seasonality_strength",  # 1-row SSB totals x 1-row SST broadcast cross
+    "q_decay_engagement",  # 1-row max-ts broadcast cross (the age anchor)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds

@@ -567,3 +567,24 @@ def test_ols_slope_exact_line(spark, tmp_path):
     # slope = 2e-4 qty per cent -> *1e6 = 200 qty per million cents
     assert row["slope_per_million_cents"] == 200.0
     assert row["intercept_qty"] == 1.0
+
+
+def test_decay_engagement_half_life(spark, tmp_path):
+    """An event exactly one half-life old contributes half its value;
+    the freshest event anchors age 0."""
+    from kcore_spark.queries.extensions_r8g import q_decay_engagement
+
+    t1 = datetime.datetime(2024, 1, 8)       # corpus max ts
+    t0 = t1 - datetime.timedelta(days=7)     # one half-life older
+    rows = [
+        (1, t1, 1, "click", 10.0),   # weight 1   -> 10.0
+        (2, t0, 1, "click", 10.0),   # weight 0.5 -> 5.0
+        (3, t0, 2, "click", 8.0),    # weight 0.5 -> 4.0
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["user_id"]: (r["n_events"], r["decay_score"])
+        for r in q_decay_engagement(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (2, 15.0)
+    assert got[2] == (1, 4.0)
