@@ -139,6 +139,9 @@ EXTRAS = [
     "q_referential_integrity",
     "q_ann_recall",
     "q_weighted_median",
+    "q_decay_engagement",
+    "q_top_p_cut",
+    "q_ols_slope",
 ]
 
 
