@@ -1777,3 +1777,72 @@ QUERIES["q_decay_engagement"] = QuerySpec(
     "recency-decayed engagement leaderboard: half-life weighting riding the "
     "scan, 12dp-rounded terms into decimal sums, TakeOrdered top-20",
 )
+
+
+# ------------------------------------------ DAU/WAU stickiness
+# The product-health ratio: per ISO-style 7-day bucket (epoch-day / 7),
+# weekly active users (exact distinct) and the average daily active
+# count over the week's OBSERVED days; stickiness = avg_dau / wau.
+# Exact integer distinct counts, two final in-row divisions. Shapes:
+# one (user, day) dedup shuffle feeding both rollups.
+
+
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    user_days = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400).alias(
+            "day"
+        ),
+    ).distinct()
+    user_days = user_days.withColumn("week", F.floor(F.col("day") / 7))
+    dau = user_days.groupBy("week", "day").agg(F.count(F.lit(1)).alias("dau"))
+    daily = dau.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dau").alias("dau_sum"),
+    )
+    wau = user_days.groupBy("week").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        daily.join(wau, "week")
+        .select(
+            F.col("week").cast("long").alias("week"),
+            "n_days",
+            "wau",
+            F.round(F.col("dau_sum") / F.col("n_days").cast("double"), 6).alias(
+                "avg_dau"
+            ),
+            F.round(
+                F.col("dau_sum")
+                / F.col("n_days").cast("double")
+                / F.col("wau").cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("week")
+    )
+
+
+Q_STICKINESS_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS day
+  FROM events),
+ud AS (SELECT *, CAST(FLOOR(day / 7) AS BIGINT) AS week FROM user_days),
+dau AS (SELECT week, day, COUNT(*) AS dau FROM ud GROUP BY 1, 2),
+daily AS (SELECT week AS wk, COUNT(*) AS n_days, SUM(dau) AS dau_sum FROM dau GROUP BY week),
+wau AS (SELECT week AS wk2, COUNT(DISTINCT user_id) AS wau FROM ud GROUP BY week)
+SELECT wk AS week, CAST(n_days AS BIGINT) AS n_days, CAST(wau AS BIGINT) AS wau,
+       ROUND(dau_sum / CAST(n_days AS DOUBLE), 6) AS avg_dau,
+       ROUND(dau_sum / CAST(n_days AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+FROM daily JOIN wau ON wau.wk2 = daily.wk
+ORDER BY week
+"""
+
+QUERIES["q_dau_wau_stickiness"] = QuerySpec(
+    q_dau_wau_stickiness,
+    Q_STICKINESS_SQL,
+    "DAU/WAU stickiness per 7-day bucket: exact distinct actives, one "
+    "(user, day) dedup shuffle feeding both rollups",
+)

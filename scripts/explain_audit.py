@@ -146,6 +146,9 @@ KNOWN_UNPUSHABLE = {
     # whole-table weighted quantile: the only filter is the cumulative
     # 2*cumw >= W median test on derived window columns
     "q_weighted_median",
+    # whole-table activity rollup: every event counts toward DAU/WAU,
+    # nothing to push
+    "q_dau_wau_stickiness",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}

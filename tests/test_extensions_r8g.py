@@ -588,3 +588,22 @@ def test_decay_engagement_half_life(spark, tmp_path):
     }
     assert got[1] == (2, 15.0)
     assert got[2] == (1, 4.0)
+
+
+def test_dau_wau_stickiness_hand_case(spark, tmp_path):
+    """3 users active on day d, 1 of them also on d+1 (same 7-day
+    bucket): WAU=3, observed days 2, avg DAU=(3+1)/2, stickiness 2/3."""
+    from kcore_spark.queries.extensions_r8g import q_dau_wau_stickiness
+
+    # pick a day aligned to the 7-day bucket start (epoch-day % 7 == 0)
+    d0 = datetime.datetime(1970, 1, 1) + datetime.timedelta(days=7 * 2800)
+    rows, eid = [], 0
+    for uid in (1, 2, 3):
+        rows.append((eid, d0, uid, "click", 1.0))
+        eid += 1
+    rows.append((eid, d0 + datetime.timedelta(days=1), 1, "click", 1.0))
+    _write_events(spark, tmp_path, rows)
+    row = q_dau_wau_stickiness(spark, str(tmp_path)).first()
+    assert (row["n_days"], row["wau"]) == (2, 3)
+    assert row["avg_dau"] == 2.0
+    assert row["stickiness"] == round(2.0 / 3.0, 6)
