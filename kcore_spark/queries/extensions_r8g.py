@@ -1846,3 +1846,100 @@ QUERIES["q_dau_wau_stickiness"] = QuerySpec(
     "DAU/WAU stickiness per 7-day bucket: exact distinct actives, one "
     "(user, day) dedup shuffle feeding both rollups",
 )
+
+
+# ---------------------------------------------- growth accounting
+# The growth-accounting decomposition per 7-day bucket: every active
+# user is NEW (first-ever week), RETAINED (also active the previous
+# week) or RESURRECTED (active before, but not last week); CHURNED
+# counts last week's actives who went silent this week. All exact
+# distinct-activity set algebra: one (user, week) dedup shuffle, a
+# per-user min, and two self-joins on (user, week-1). The identity
+# wau(w) = new + retained + resurrected holds row-for-row.
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    uw = ev.select(
+        "user_id",
+        F.floor(
+            F.floor(F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400) / 7
+        ).alias("week"),
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    prev = uw.select("user_id", (F.col("week") + 1).alias("week"))
+    flagged = (
+        uw.join(first, "user_id")
+        .join(prev.withColumn("was_prev", F.lit(1)), ["user_id", "week"], "left")
+        .select(
+            "week",
+            F.when(F.col("week") == F.col("first_week"), F.lit("new"))
+            .when(F.col("was_prev") == 1, F.lit("retained"))
+            .otherwise(F.lit("resurrected"))
+            .alias("kind"),
+        )
+    )
+    actives = flagged.groupBy("week").agg(
+        F.count(F.lit(1)).alias("wau"),
+        F.sum((F.col("kind") == "new").cast("int")).alias("n_new"),
+        F.sum((F.col("kind") == "retained").cast("int")).alias("n_retained"),
+        F.sum((F.col("kind") == "resurrected").cast("int")).alias("n_resurrected"),
+    )
+    churned = (
+        prev.join(uw, ["user_id", "week"], "left_anti")
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        actives.join(churned, "week", "left")
+        .select(
+            F.col("week").cast("long").alias("week"),
+            "wau",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
+        )
+        .orderBy("week")
+    )
+
+
+Q_GROWTH_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(FLOOR(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) / 86400) / 7) AS BIGINT) AS week
+  FROM events),
+first AS (SELECT user_id, MIN(week) AS first_week FROM uw GROUP BY user_id),
+flagged AS (
+  SELECT uw.week,
+         CASE WHEN uw.week = f.first_week THEN 'new'
+              WHEN p.user_id IS NOT NULL THEN 'retained'
+              ELSE 'resurrected' END AS kind
+  FROM uw JOIN first f ON f.user_id = uw.user_id
+  LEFT JOIN uw p ON p.user_id = uw.user_id AND p.week = uw.week - 1),
+actives AS (
+  SELECT week, COUNT(*) AS wau,
+         SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS n_new,
+         SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+         SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END) AS n_resurrected
+  FROM flagged GROUP BY week),
+churned AS (
+  SELECT a.week + 1 AS week, COUNT(*) AS n_churned
+  FROM uw a LEFT JOIN uw b ON b.user_id = a.user_id AND b.week = a.week + 1
+  WHERE b.user_id IS NULL
+  GROUP BY a.week + 1)
+SELECT a.week, CAST(wau AS BIGINT) AS wau,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(n_retained AS BIGINT) AS n_retained,
+       CAST(n_resurrected AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+FROM actives a LEFT JOIN churned c ON c.week = a.week
+ORDER BY a.week
+"""
+
+QUERIES["q_growth_accounting"] = QuerySpec(
+    q_growth_accounting,
+    Q_GROWTH_SQL,
+    "growth accounting per 7-day bucket: new/retained/resurrected/churned "
+    "from exact (user, week) set algebra; wau = new+retained+resurrected",
+)

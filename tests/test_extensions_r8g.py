@@ -607,3 +607,29 @@ def test_dau_wau_stickiness_hand_case(spark, tmp_path):
     assert (row["n_days"], row["wau"]) == (2, 3)
     assert row["avg_dau"] == 2.0
     assert row["stickiness"] == round(2.0 / 3.0, 6)
+
+
+def test_growth_accounting_classification(spark, tmp_path):
+    """User A active weeks 0,1 (new then retained); B active 0,2
+    (new, then resurrected at 2, churned at 1); C active 1 only
+    (new at 1, churned at 2). wau = new+retained+resurrected each week."""
+    from kcore_spark.queries.extensions_r8g import q_growth_accounting
+
+    base = datetime.datetime(1970, 1, 1) + datetime.timedelta(days=7 * 2800)
+    wk = lambda w: base + datetime.timedelta(days=7 * w)
+    rows = [
+        (1, wk(0), 100, "click", 1.0),
+        (2, wk(1), 100, "click", 1.0),
+        (3, wk(0), 200, "click", 1.0),
+        (4, wk(2), 200, "click", 1.0),
+        (5, wk(1), 300, "click", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = q_growth_accounting(spark, str(tmp_path)).collect()
+    w0 = out[0]["week"]
+    by = {r["week"] - w0: r for r in out}
+    assert (by[0]["wau"], by[0]["n_new"]) == (2, 2)
+    assert (by[1]["n_retained"], by[1]["n_new"], by[1]["n_churned"]) == (1, 1, 1)
+    assert (by[2]["n_resurrected"], by[2]["n_churned"]) == (1, 2)
+    for r in out:
+        assert r["wau"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
