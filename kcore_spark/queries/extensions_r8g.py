@@ -1943,3 +1943,82 @@ QUERIES["q_growth_accounting"] = QuerySpec(
     "growth accounting per 7-day bucket: new/retained/resurrected/churned "
     "from exact (user, week) set algebra; wau = new+retained+resurrected",
 )
+
+
+# ------------------------------------------ SLO burn-rate windows
+# The multi-window error-budget alert (SRE workbook shape): per hour,
+# the error ratio (error events / all events), and the 1h/6h burn
+# rates — ratio over the window divided by the SLO budget (1%). The
+# 6h window is a RANGE frame over the hourly rollup (integer sums),
+# so burn rates are ratios of exact integers; an alert fires when
+# BOTH windows burn faster than 1x (the standard page condition).
+
+
+SLO_BUDGET_NUM, SLO_BUDGET_DEN = 1, 100  # 1% error budget
+
+
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int")).alias("e"),
+    )
+    hourly = hourly.withColumn("hs", F.unix_timestamp("h"))
+    w6 = Window.orderBy("hs").rangeBetween(-5 * 3600, 0)
+    rolled = hourly.withColumn("n6", F.sum("n").over(w6)).withColumn(
+        "e6", F.sum("e").over(w6)
+    )
+    burn1 = (
+        F.col("e").cast("double")
+        / F.col("n")
+        * SLO_BUDGET_DEN
+        / SLO_BUDGET_NUM
+    )
+    burn6 = (
+        F.col("e6").cast("double")
+        / F.col("n6")
+        * SLO_BUDGET_DEN
+        / SLO_BUDGET_NUM
+    )
+    return (
+        rolled.select(
+            F.col("hs").alias("hour_epoch"),
+            "n",
+            "e",
+            F.round(burn1, 6).alias("burn_1h"),
+            F.round(burn6, 6).alias("burn_6h"),
+            ((F.col("e") * SLO_BUDGET_DEN > F.col("n") * SLO_BUDGET_NUM)
+             & (F.col("e6") * SLO_BUDGET_DEN > F.col("n6") * SLO_BUDGET_NUM))
+            .cast("int")
+            .alias("page"),
+        )
+        .orderBy("hour_epoch")
+    )
+
+
+Q_SLO_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+  FROM events GROUP BY 1),
+hs AS (SELECT CAST(epoch(h) AS BIGINT) AS hs, n, e FROM hourly),
+rolled AS (
+  SELECT *,
+         SUM(n) OVER (ORDER BY hs RANGE BETWEEN {5 * 3600} PRECEDING AND CURRENT ROW) AS n6,
+         SUM(e) OVER (ORDER BY hs RANGE BETWEEN {5 * 3600} PRECEDING AND CURRENT ROW) AS e6
+  FROM hs)
+SELECT hs AS hour_epoch, CAST(n AS BIGINT) AS n, CAST(e AS BIGINT) AS e,
+       ROUND(CAST(e AS DOUBLE) / n * {SLO_BUDGET_DEN} / {SLO_BUDGET_NUM}, 6) AS burn_1h,
+       ROUND(CAST(e6 AS DOUBLE) / n6 * {SLO_BUDGET_DEN} / {SLO_BUDGET_NUM}, 6) AS burn_6h,
+       CASE WHEN e * {SLO_BUDGET_DEN} > n * {SLO_BUDGET_NUM}
+             AND e6 * {SLO_BUDGET_DEN} > n6 * {SLO_BUDGET_NUM} THEN 1 ELSE 0 END AS page
+FROM rolled ORDER BY hour_epoch
+"""
+
+QUERIES["q_slo_burn_rate"] = QuerySpec(
+    q_slo_burn_rate,
+    Q_SLO_SQL,
+    "multi-window SLO burn rate: 1h/6h error-budget ratios over the hourly "
+    "rollup (RANGE frame, integer sums) with the dual-window page condition",
+)

@@ -633,3 +633,27 @@ def test_growth_accounting_classification(spark, tmp_path):
     assert (by[2]["n_resurrected"], by[2]["n_churned"]) == (1, 2)
     for r in out:
         assert r["wau"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+
+
+def test_slo_burn_rate_dual_window_page(spark, tmp_path):
+    """Hour 0: 1 error in 100 (burn 1.0, no page — not ABOVE budget).
+    Hour 1: 10 errors in 100 (burn 10) and the 6h window is above
+    budget too -> page fires only at hour 1."""
+    from kcore_spark.queries.extensions_r8g import q_slo_burn_rate
+
+    rows, eid = [], 0
+    t0 = datetime.datetime(2024, 1, 1)
+    for h, n_err in ((0, 1), (1, 10)):
+        base = t0 + datetime.timedelta(hours=h)
+        for i in range(100):
+            et = "error" if i < n_err else "click"
+            rows.append((eid, base, eid, et, 1.0))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {r["hour_epoch"]: r for r in q_slo_burn_rate(spark, str(tmp_path)).collect()}
+    h0, h1 = sorted(out)
+    assert out[h0]["burn_1h"] == 1.0 and out[h0]["page"] == 0
+    assert out[h1]["burn_1h"] == 10.0
+    # 6h window at hour 1: 11 errors / 200 = 5.5% -> burn 5.5
+    assert out[h1]["burn_6h"] == 5.5
+    assert out[h1]["page"] == 1
