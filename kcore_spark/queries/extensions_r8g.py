@@ -2022,3 +2022,86 @@ QUERIES["q_slo_burn_rate"] = QuerySpec(
     "multi-window SLO burn rate: 1h/6h error-budget ratios over the hourly "
     "rollup (RANGE frame, integer sums) with the dual-window page condition",
 )
+
+
+# ------------------------------------------- abandonment within 1h
+# The funnel complement to q_time_to_convert: per day, the share of
+# 'view' events with NO purchase by the same user within the next
+# hour — a time-banded anti-join. The purchase side joins per user
+# (keyed shuffle); the window condition is a range predicate on the
+# join output, and the semi/anti split is one exists-aggregation per
+# view event. Exact integer counts, one final division.
+
+ABANDON_WINDOW_S = 3600
+
+
+def q_view_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "sec", "day"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("sec").alias("bsec")
+    )
+    converted = views.join(
+        buys,
+        (views.user_id == buys.user_id)
+        & (F.col("bsec") > F.col("sec"))
+        & (F.col("bsec") <= F.col("sec") + ABANDON_WINDOW_S),
+        "left_semi",
+    )
+    per_day = views.groupBy("day").agg(F.count(F.lit(1)).alias("n_views"))
+    conv_day = converted.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_converted")
+    )
+    return (
+        per_day.join(conv_day, "day", "left")
+        .select(
+            "day",
+            "n_views",
+            F.coalesce(F.col("n_converted"), F.lit(0)).alias("n_converted"),
+            F.round(
+                (F.col("n_views") - F.coalesce(F.col("n_converted"), F.lit(0)))
+                / F.col("n_views").cast("double"),
+                6,
+            ).alias("abandonment_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+Q_ABANDON_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+  FROM events),
+views AS (SELECT user_id, event_id, sec, day FROM ev WHERE event_type = 'view'),
+buys AS (SELECT user_id, sec AS bsec FROM ev WHERE event_type = 'purchase'),
+conv AS (
+  SELECT DISTINCT v.event_id, v.day
+  FROM views v JOIN buys b
+    ON b.user_id = v.user_id
+   AND b.bsec > v.sec AND b.bsec <= v.sec + {ABANDON_WINDOW_S}),
+per_day AS (SELECT day, COUNT(*) AS n_views FROM views GROUP BY day),
+conv_day AS (SELECT day, COUNT(*) AS n_converted FROM conv GROUP BY day)
+SELECT p.day, CAST(n_views AS BIGINT) AS n_views,
+       CAST(COALESCE(n_converted, 0) AS BIGINT) AS n_converted,
+       ROUND((n_views - COALESCE(n_converted, 0)) / CAST(n_views AS DOUBLE), 6)
+         AS abandonment_rate
+FROM per_day p LEFT JOIN conv_day c ON c.day = p.day
+ORDER BY p.day
+"""
+
+QUERIES["q_view_abandonment"] = QuerySpec(
+    q_view_abandonment,
+    Q_ABANDON_SQL,
+    "per-day view abandonment: time-banded left-semi join (purchase within "
+    "1h) then exact counts — the funnel complement to time-to-convert",
+)

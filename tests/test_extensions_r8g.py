@@ -657,3 +657,22 @@ def test_slo_burn_rate_dual_window_page(spark, tmp_path):
     # 6h window at hour 1: 11 errors / 200 = 5.5% -> burn 5.5
     assert out[h1]["burn_6h"] == 5.5
     assert out[h1]["page"] == 1
+
+
+def test_view_abandonment_window_boundary(spark, tmp_path):
+    """Purchase exactly at +3600s converts; at +3601s it does not."""
+    from kcore_spark.queries.extensions_r8g import q_view_abandonment
+
+    t0 = datetime.datetime(2024, 4, 1, 10, 0, 0)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + 3600 * s, 1, "purchase", 1.0),   # converts view 1
+        (3, t0, 2, "view", 1.0),
+        (4, t0 + 3601 * s, 2, "purchase", 1.0),   # too late for view 3
+        (5, t0, 3, "view", 1.0),                   # never purchases
+    ]
+    _write_events(spark, tmp_path, rows)
+    row = q_view_abandonment(spark, str(tmp_path)).first()
+    assert (row["n_views"], row["n_converted"]) == (3, 1)
+    assert row["abandonment_rate"] == round(2 / 3, 6)
