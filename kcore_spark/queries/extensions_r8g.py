@@ -2105,3 +2105,111 @@ QUERIES["q_view_abandonment"] = QuerySpec(
     "per-day view abandonment: time-banded left-semi join (purchase within "
     "1h) then exact counts — the funnel complement to time-to-convert",
 )
+
+
+# ------------------------------------------ grid-bucketed spatial join
+# The spatial-join candidate generator (the H3/S2 pattern): customers
+# get deterministic md5-uniform coordinates, points bucket into a
+# 10-degree grid, ONE side explodes to its 3x3 cell neighborhood and
+# the join is a plain equi-join on the cell key — neighbor-complete
+# for any radius <= cell size, NEVER an all-pairs distance test. The
+# verify stage computes squared degree distance (rounded 8dp) against
+# a 5-degree radius. Scale shape: candidates are bounded per cell;
+# skewed cells would be salted exactly like the fuzzy-join blocks.
+
+GEO_CELL_DEG = 10
+GEO_RADIUS_DEG = 5
+
+
+def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def u(salt: str):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col("c_custkey").cast("string"),
+                                       F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        return (h + 1) / F.lit(4294967296.0)
+
+    pts = cust.select(
+        "c_custkey",
+        F.round(u("lat") * 180 - 90, 6).alias("lat"),
+        F.round(u("lon") * 360 - 180, 6).alias("lon"),
+    )
+    pts = pts.withColumn("cx", F.floor(F.col("lat") / GEO_CELL_DEG)).withColumn(
+        "cy", F.floor(F.col("lon") / GEO_CELL_DEG)
+    )
+    right = pts.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+        "cx",
+        "cy",
+    )
+    probe = (
+        pts.select("c_custkey", "lat", "lon", "cx", "cy")
+        .withColumn("dx", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .withColumn("dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .select(
+            F.col("c_custkey").alias("k1"),
+            F.col("lat").alias("lat1"),
+            F.col("lon").alias("lon1"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    cand = probe.join(right, ["cx", "cy"]).where(F.col("k1") < F.col("k2"))
+    scored = cand.select(
+        F.round(
+            (F.col("lat1") - F.col("lat2")) * (F.col("lat1") - F.col("lat2"))
+            + (F.col("lon1") - F.col("lon2")) * (F.col("lon1") - F.col("lon2")),
+            8,
+        ).alias("d2")
+    )
+    return (
+        scored.agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(
+                (F.col("d2") <= F.lit(float(GEO_RADIUS_DEG**2))).cast("int")
+            ).alias("n_close_pairs"),
+        )
+        .crossJoin(F.broadcast(pts.agg(F.count(F.lit(1)).alias("n_points"))))
+        .select("n_points", "n_candidates", "n_close_pairs")
+    )
+
+
+Q_SPATIAL_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         ROUND((('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'lat'), 1, 8))::BIGINT + 1.0)
+               / 4294967296.0 * 180 - 90, 6) AS lat,
+         ROUND((('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'lon'), 1, 8))::BIGINT + 1.0)
+               / 4294967296.0 * 360 - 180, 6) AS lon
+  FROM customer),
+cells AS (
+  SELECT *, CAST(FLOOR(lat / {GEO_CELL_DEG}) AS BIGINT) AS cx,
+            CAST(FLOOR(lon / {GEO_CELL_DEG}) AS BIGINT) AS cy
+  FROM pts),
+probe AS (
+  SELECT c_custkey AS k1, lat AS lat1, lon AS lon1,
+         cx + dx.g AS cx, cy + dy.g AS cy
+  FROM cells, (SELECT UNNEST([-1, 0, 1]) AS g) dx, (SELECT UNNEST([-1, 0, 1]) AS g) dy),
+cand AS (
+  SELECT ROUND((p.lat1 - r.lat) * (p.lat1 - r.lat)
+               + (p.lon1 - r.lon) * (p.lon1 - r.lon), 8) AS d2
+  FROM probe p JOIN cells r ON r.cx = p.cx AND r.cy = p.cy AND p.k1 < r.c_custkey)
+SELECT (SELECT COUNT(*) FROM pts) AS n_points,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN d2 <= {GEO_RADIUS_DEG**2}.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_close_pairs
+FROM cand
+"""
+
+QUERIES["q_spatial_grid_join"] = QuerySpec(
+    q_spatial_grid_join,
+    Q_SPATIAL_SQL,
+    "grid-bucketed spatial join: 3x3 neighborhood probe equi-join (the "
+    "H3/S2 candidate pattern), neighbor-complete for radius <= cell size",
+)

@@ -76,6 +76,7 @@ ALLOWED_NLJ = {
     "q_time_to_convert",  # 1-row totals x 1-row median broadcast crosses
     "q_seasonality_strength",  # 1-row SSB totals x 1-row SST broadcast cross
     "q_decay_engagement",  # 1-row max-ts broadcast cross (the age anchor)
+    "q_spatial_grid_join",  # 1-row point-count broadcast cross (the summary)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds

@@ -676,3 +676,38 @@ def test_view_abandonment_window_boundary(spark, tmp_path):
     row = q_view_abandonment(spark, str(tmp_path)).first()
     assert (row["n_views"], row["n_converted"]) == (3, 1)
     assert row["abandonment_rate"] == round(2 / 3, 6)
+
+
+def test_spatial_grid_join_brute_force(spark, tmp_path):
+    """Close-pair count matches a brute-force all-pairs check over the
+    same md5-derived coordinates (including cross-cell pairs, which the
+    3x3 probe must not miss)."""
+    import hashlib as hl
+
+    from kcore_spark.queries.extensions_r8g import (
+        GEO_RADIUS_DEG,
+        q_spatial_grid_join,
+    )
+
+    keys = list(range(1, 61))
+    spark.createDataFrame([(k,) for k in keys], "c_custkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "customer.parquet"))
+
+    def coord(k, salt, span, off):
+        h = int(hl.md5(f"{k}{salt}".encode()).hexdigest()[:8], 16)
+        return round((h + 1) / 4294967296.0 * span - off, 6)
+
+    pts = {k: (coord(k, "lat", 180, 90), coord(k, "lon", 360, 180)) for k in keys}
+    expected = 0
+    for i in keys:
+        for j in keys:
+            if i < j:
+                d2 = round(
+                    (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2, 8
+                )
+                if d2 <= GEO_RADIUS_DEG**2:
+                    expected += 1
+    row = q_spatial_grid_join(spark, str(tmp_path)).first()
+    assert row["n_points"] == 60
+    assert row["n_close_pairs"] == expected
