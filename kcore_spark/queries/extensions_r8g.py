@@ -2213,3 +2213,92 @@ QUERIES["q_spatial_grid_join"] = QuerySpec(
     "grid-bucketed spatial join: 3x3 neighborhood probe equi-join (the "
     "H3/S2 candidate pattern), neighbor-complete for radius <= cell size",
 )
+
+
+# ------------------------------------------------ join-key skew report
+# The pre-join diagnostic behind every salting decision in this repo:
+# per candidate join key, the per-key row-count distribution's max,
+# LOW median, top-key share, and the salt factor a skew-aware join
+# would apply (ceil(max/avg), capped at 32). All integer counts; the
+# LOW median reuses the cumulative-walk machinery; ratios are final
+# divisions. One partial-agg shuffle per key (cheap: count-by-key).
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    outs = []
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        per_key = li.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        vals = per_key.groupBy("c").agg(F.count(F.lit(1)).alias("nkeys"))
+        win = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+        w_all = Window.partitionBy()
+        med = (
+            vals.withColumn("cum", F.sum("nkeys").over(win))
+            .withColumn("tot", F.sum("nkeys").over(w_all))
+            .where(2 * F.col("cum") >= F.col("tot"))
+            .agg(F.min("c").alias("median_rows"))
+        )
+        stats = per_key.agg(
+            F.lit(col).alias("join_key"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_rows"),
+        )
+        outs.append(
+            stats.crossJoin(F.broadcast(med)).select(
+                "join_key",
+                "n_keys",
+                "n_rows",
+                "max_rows",
+                "median_rows",
+                F.round(
+                    F.col("max_rows") / (F.col("n_rows") / F.col("n_keys")).cast("double"),
+                    6,
+                ).alias("max_over_avg"),
+                F.least(
+                    F.lit(32),
+                    F.ceil(
+                        F.col("max_rows")
+                        / (F.col("n_rows") / F.col("n_keys"))
+                    ),
+                ).cast("long").alias("suggested_salt"),
+            )
+        )
+    out = outs[0]
+    for extra in outs[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("join_key")
+
+
+Q_SKEWREPORT_SQL = """
+WITH ks AS (
+  SELECT 'l_orderkey' AS join_key, l_orderkey AS k FROM lineitem
+  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+per_key AS (SELECT join_key, k, COUNT(*) AS c FROM ks GROUP BY 1, 2),
+vals AS (SELECT join_key, c, COUNT(*) AS nkeys FROM per_key GROUP BY 1, 2),
+med AS (
+  SELECT join_key, MIN(c) AS median_rows FROM (
+    SELECT join_key, c,
+           SUM(nkeys) OVER (PARTITION BY join_key ORDER BY c
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(nkeys) OVER (PARTITION BY join_key) AS tot
+    FROM vals) WHERE 2 * cum >= tot GROUP BY join_key),
+stats AS (
+  SELECT join_key, COUNT(*) AS n_keys, SUM(c) AS n_rows, MAX(c) AS max_rows
+  FROM per_key GROUP BY join_key)
+SELECT s.join_key, CAST(n_keys AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(max_rows AS BIGINT) AS max_rows, CAST(median_rows AS BIGINT) AS median_rows,
+       ROUND(max_rows / (CAST(n_rows AS DOUBLE) / n_keys), 6) AS max_over_avg,
+       CAST(LEAST(32, CEIL(max_rows / (CAST(n_rows AS DOUBLE) / n_keys))) AS BIGINT)
+         AS suggested_salt
+FROM stats s JOIN med m ON m.join_key = s.join_key
+ORDER BY s.join_key
+"""
+
+QUERIES["q_key_skew_report"] = QuerySpec(
+    q_key_skew_report,
+    Q_SKEWREPORT_SQL,
+    "join-key skew report: per-key count distribution (max, LOW median, "
+    "max/avg) and the capped salt factor a skew-aware join would apply",
+)

@@ -77,6 +77,7 @@ ALLOWED_NLJ = {
     "q_seasonality_strength",  # 1-row SSB totals x 1-row SST broadcast cross
     "q_decay_engagement",  # 1-row max-ts broadcast cross (the age anchor)
     "q_spatial_grid_join",  # 1-row point-count broadcast cross (the summary)
+    "q_key_skew_report",  # 1-row per-key median broadcast cross per key column
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
@@ -150,6 +151,9 @@ KNOWN_UNPUSHABLE = {
     # whole-table activity rollup: every event counts toward DAU/WAU,
     # nothing to push
     "q_dau_wau_stickiness",
+    # whole-table key profiling: every row counts toward the skew stats;
+    # the only filter is the cumulative-walk median cut
+    "q_key_skew_report",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}

@@ -711,3 +711,20 @@ def test_spatial_grid_join_brute_force(spark, tmp_path):
     row = q_spatial_grid_join(spark, str(tmp_path)).first()
     assert row["n_points"] == 60
     assert row["n_close_pairs"] == expected
+
+
+def test_key_skew_report_hand_case(spark, tmp_path):
+    """orderkey counts 4/1/1 over 3 keys (avg 2): max_over_avg 2,
+    suggested salt ceil(2)=2; partkey and suppkey are uniform (salt 1)."""
+    from kcore_spark.queries.extensions_r8g import q_key_skew_report
+
+    rows = [(1, 1, 1), (1, 2, 2), (1, 3, 3), (1, 1, 1), (2, 2, 2), (3, 3, 3)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r["join_key"]: r for r in q_key_skew_report(spark, str(tmp_path)).collect()}
+    ok = got["l_orderkey"]
+    assert (ok["n_keys"], ok["n_rows"], ok["max_rows"], ok["median_rows"]) == (3, 6, 4, 1)
+    assert ok["max_over_avg"] == 2.0 and ok["suggested_salt"] == 2
+    assert got["l_partkey"]["suggested_salt"] == 1
+    assert got["l_suppkey"]["max_over_avg"] == 1.0
