@@ -2302,3 +2302,57 @@ QUERIES["q_key_skew_report"] = QuerySpec(
     "join-key skew report: per-key count distribution (max, LOW median, "
     "max/avg) and the capped salt factor a skew-aware join would apply",
 )
+
+
+# ------------------------------------------ round-number bias audit
+# The forensic-accounting complement to Benford: the share of order
+# totals landing on whole dollars (cents % 100 == 0) versus the 1%
+# a uniform cents distribution implies, with the one-proportion
+# z-score. All integer counts; z is the single final expression.
+# Human-entered or manipulated amounts over-index on round numbers —
+# the classic expense-fraud tell.
+
+
+def q_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("cents") % 100 == 0).cast("int")).alias("n_round"),
+    )
+    p0 = 0.01
+    return agg.select(
+        "n",
+        "n_round",
+        F.round(F.col("n_round") / F.col("n").cast("double"), 8).alias(
+            "round_share"
+        ),
+        F.round(
+            (F.col("n_round") / F.col("n").cast("double") - F.lit(p0))
+            / F.sqrt(F.lit(p0) * (1 - p0) / F.col("n")),
+            6,
+        ).alias("z_vs_uniform"),
+    )
+
+
+Q_ROUNDBIAS_SQL = """
+WITH o AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+agg AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) AS n_round
+  FROM o)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_round AS BIGINT) AS n_round,
+       ROUND(n_round / CAST(n AS DOUBLE), 8) AS round_share,
+       ROUND((n_round / CAST(n AS DOUBLE) - 0.01)
+             / SQRT(0.01 * 0.99 / n), 6) AS z_vs_uniform
+FROM agg
+"""
+
+QUERIES["q_round_number_bias"] = QuerySpec(
+    q_round_number_bias,
+    Q_ROUNDBIAS_SQL,
+    "round-number bias audit: whole-dollar share vs the uniform-cents 1% "
+    "with a one-proportion z — the forensic complement to Benford",
+)

@@ -728,3 +728,18 @@ def test_key_skew_report_hand_case(spark, tmp_path):
     assert ok["max_over_avg"] == 2.0 and ok["suggested_salt"] == 2
     assert got["l_partkey"]["suggested_salt"] == 1
     assert got["l_suppkey"]["max_over_avg"] == 1.0
+
+
+def test_round_number_bias_counts(spark, tmp_path):
+    """2 of 4 totals are whole dollars: share 0.5, z positive and
+    matching the closed form."""
+    from kcore_spark.queries.extensions_r8g import q_round_number_bias
+
+    rows = [(1, 100.00), (2, 250.00), (3, 99.99), (4, 10.37)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    row = q_round_number_bias(spark, str(tmp_path)).first()
+    assert (row["n"], row["n_round"]) == (4, 2)
+    assert row["round_share"] == 0.5
+    assert row["z_vs_uniform"] == round((0.5 - 0.01) / math.sqrt(0.01 * 0.99 / 4), 6)
