@@ -2356,3 +2356,64 @@ QUERIES["q_round_number_bias"] = QuerySpec(
     "round-number bias audit: whole-dollar share vs the uniform-cents 1% "
     "with a one-proportion z — the forensic complement to Benford",
 )
+
+
+# ------------------------------------------ duplicate-payment detect
+# The financial-DQ double-charge scan: purchase events by the same
+# user for the same amount within 5 minutes. Candidates come from an
+# equi-join on (user, cents) — the natural blocking key, so the time
+# band only scans within-block pairs — with the strict (sec, id)
+# ordering making each unordered pair count once. Exact integer
+# domain throughout.
+
+DUP_WINDOW_S = 300
+
+
+def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("eid"),
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("cents"),
+    )
+    a = p.select("user_id", "cents", F.col("eid").alias("e1"), F.col("sec").alias("s1"))
+    b = p.select("user_id", "cents", F.col("eid").alias("e2"), F.col("sec").alias("s2"))
+    pairs = a.join(b, ["user_id", "cents"]).where(
+        (
+            (F.col("s1") < F.col("s2"))
+            | ((F.col("s1") == F.col("s2")) & (F.col("e1") < F.col("e2")))
+        )
+        & (F.col("s2") - F.col("s1") <= DUP_WINDOW_S)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_suspect_pairs"),
+        F.countDistinct("user_id").alias("n_users_flagged"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("exposure_cents"),
+    )
+
+
+Q_DUPPAY_SQL = f"""
+WITH p AS (
+  SELECT user_id, event_id AS eid,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+         CAST(ROUND(value * 10000, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT a.user_id, a.cents
+  FROM p a JOIN p b
+    ON b.user_id = a.user_id AND b.cents = a.cents
+   AND (a.sec < b.sec OR (a.sec = b.sec AND a.eid < b.eid))
+   AND b.sec - a.sec <= {DUP_WINDOW_S})
+SELECT COUNT(*) AS n_suspect_pairs,
+       COUNT(DISTINCT user_id) AS n_users_flagged,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS exposure_cents
+FROM pairs
+"""
+
+QUERIES["q_duplicate_payments"] = QuerySpec(
+    q_duplicate_payments,
+    Q_DUPPAY_SQL,
+    "double-charge scan: same (user, amount) within 5 minutes via the "
+    "(user, cents) blocking equi-join + time band, pairs counted once",
+)

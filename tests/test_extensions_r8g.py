@@ -743,3 +743,25 @@ def test_round_number_bias_counts(spark, tmp_path):
     assert (row["n"], row["n_round"]) == (4, 2)
     assert row["round_share"] == 0.5
     assert row["z_vs_uniform"] == round((0.5 - 0.01) / math.sqrt(0.01 * 0.99 / 4), 6)
+
+
+def test_duplicate_payments_window_and_pairing(spark, tmp_path):
+    """Three identical 9.99 charges within 5 min -> 3 pairs (each
+    unordered pair once); a 6-minute-later charge pairs with nothing;
+    a different amount never pairs."""
+    from kcore_spark.queries.extensions_r8g import q_duplicate_payments
+
+    t0 = datetime.datetime(2024, 2, 1, 12, 0, 0)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        (1, t0, 7, "purchase", 9.99),
+        (2, t0 + 100 * s, 7, "purchase", 9.99),
+        (3, t0 + 200 * s, 7, "purchase", 9.99),
+        (4, t0 + 600 * s, 7, "purchase", 9.99),   # pairs with #3? 400s gap -> no; with #2 500s gap? no: 500 > 300
+        (5, t0, 8, "purchase", 5.00),              # different user/amount
+    ]
+    _write_events(spark, tmp_path, rows)
+    row = q_duplicate_payments(spark, str(tmp_path)).first()
+    assert row["n_suspect_pairs"] == 3
+    assert row["n_users_flagged"] == 1
+    assert row["exposure_cents"] == 3 * 99900
