@@ -2417,3 +2417,85 @@ QUERIES["q_duplicate_payments"] = QuerySpec(
     "double-charge scan: same (user, amount) within 5 minutes via the "
     "(user, cents) blocking equi-join + time band, pairs counted once",
 )
+
+
+# ------------------------------------------------ ABC classification
+# The supply-chain Pareto classes: parts ranked by revenue; A-class
+# covers the first 80% of cumulative revenue, B the next 15%, C the
+# tail. Cut tests are integer cross-multiplications on exact cents
+# (5*cum <= 4*total for A; 20*cum <= 19*total for B), applied to the
+# revenue BEFORE each part (so the part that crosses the line still
+# belongs to the class it completes). One keyed shuffle + one ranked
+# walk over the per-part rollup; output is the class summary.
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    per_part = li.groupBy("pk").agg(F.sum("cents").alias("rev"))
+    win = Window.orderBy(F.col("rev").desc(), "pk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    walked = (
+        per_part.withColumn("cum_before", F.coalesce(F.sum("rev").over(win), F.lit(0)))
+        .withColumn("total", F.sum("rev").over(w_all))
+        .withColumn(
+            "abc",
+            F.when(F.col("cum_before") * 5 <= F.col("total") * 4, F.lit("A"))
+            .when(F.col("cum_before") * 20 <= F.col("total") * 19, F.lit("B"))
+            .otherwise(F.lit("C")),
+        )
+    )
+    return (
+        walked.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").alias("class_revenue_cents"),
+        )
+        .crossJoin(F.broadcast(per_part.agg(F.count(F.lit(1)).alias("total_parts"))))
+        .select(
+            "abc",
+            "n_parts",
+            "class_revenue_cents",
+            F.round(F.col("n_parts") / F.col("total_parts").cast("double"), 6).alias(
+                "part_share"
+            ),
+        )
+        .orderBy("abc")
+    )
+
+
+Q_ABC_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY l_partkey),
+walked AS (
+  SELECT pk, rev,
+         COALESCE(SUM(rev) OVER (ORDER BY rev DESC, pk
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         SUM(rev) OVER () AS total
+  FROM per_part),
+classed AS (
+  SELECT *,
+         CASE WHEN cum_before * 5 <= total * 4 THEN 'A'
+              WHEN cum_before * 20 <= total * 19 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM walked)
+SELECT abc, COUNT(*) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS class_revenue_cents,
+       ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM per_part) AS DOUBLE), 6)
+         AS part_share
+FROM classed GROUP BY abc ORDER BY abc
+"""
+
+QUERIES["q_abc_classification"] = QuerySpec(
+    q_abc_classification,
+    Q_ABC_SQL,
+    "ABC (Pareto) inventory classes over per-part revenue: integer "
+    "cross-multiplied 80/95% cuts on the cumulative walk",
+)

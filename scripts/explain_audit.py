@@ -78,6 +78,7 @@ ALLOWED_NLJ = {
     "q_decay_engagement",  # 1-row max-ts broadcast cross (the age anchor)
     "q_spatial_grid_join",  # 1-row point-count broadcast cross (the summary)
     "q_key_skew_report",  # 1-row per-key median broadcast cross per key column
+    "q_abc_classification",  # 1-row part-count broadcast cross (share denominator)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds

@@ -765,3 +765,24 @@ def test_duplicate_payments_window_and_pairing(spark, tmp_path):
     assert row["n_suspect_pairs"] == 3
     assert row["n_users_flagged"] == 1
     assert row["exposure_cents"] == 3 * 99900
+
+
+def test_abc_classification_cuts(spark, tmp_path):
+    """Revenues 80/15/3/2 (total 100): parts 1 AND 2 are A (part 2's
+    cum_before of 80 sits exactly ON the 80% line, 5*80 <= 4*100 —
+    the boundary part completes the class); part 3 is B (cum_before
+    95 exactly on the 95% line) and part 4 is C."""
+    from kcore_spark.queries.extensions_r8g import q_abc_classification
+
+    rows = []
+    k = 0
+    for pk, dollars in ((1, 80), (2, 15), (3, 3), (4, 2)):
+        rows.append((k, pk, float(dollars)))
+        k += 1
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r["abc"]: r for r in q_abc_classification(spark, str(tmp_path)).collect()}
+    assert got["A"]["n_parts"] == 2 and got["A"]["class_revenue_cents"] == 9500
+    assert got["B"]["n_parts"] == 1 and got["B"]["class_revenue_cents"] == 300
+    assert got["C"]["n_parts"] == 1 and got["C"]["class_revenue_cents"] == 200
