@@ -2499,3 +2499,57 @@ QUERIES["q_abc_classification"] = QuerySpec(
     "ABC (Pareto) inventory classes over per-part revenue: integer "
     "cross-multiplied 80/95% cuts on the cumulative walk",
 )
+
+
+# ---------------------------------------------- concentration (HHI)
+# The Herfindahl-Hirschman concentration index of supplier revenue:
+# HHI = sum of squared market shares = sum(rev_i^2) / (sum(rev))^2,
+# both sums exact decimals (cents squared crosses int64), one final
+# division — the antitrust-style complement to Gini/Lorenz already in
+# the registry. Also reports the effective number of suppliers 1/HHI.
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("sk"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    per_supp = li.groupBy("sk").agg(
+        F.sum("cents").cast("decimal(38,0)").alias("rev")
+    )
+    agg = per_supp.agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev").alias("total"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sq_sum"),
+    )
+    hhi = agg["sq_sum"].cast("double") / (
+        F.col("total").cast("double") * F.col("total").cast("double")
+    )
+    return agg.select(
+        "n_suppliers",
+        F.round(hhi, 10).alias("hhi"),
+        F.round(F.lit(1.0) / hhi, 6).alias("effective_suppliers"),
+    )
+
+
+Q_HHI_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey AS sk,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(38,0)) AS rev
+  FROM lineitem GROUP BY l_suppkey),
+agg AS (
+  SELECT COUNT(*) AS n_suppliers, SUM(rev) AS total, SUM(rev * rev) AS sq_sum
+  FROM per_supp)
+SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       ROUND(CAST(sq_sum AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 10) AS hhi,
+       ROUND(1.0 / (CAST(sq_sum AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))), 6)
+         AS effective_suppliers
+FROM agg
+"""
+
+QUERIES["q_supplier_hhi"] = QuerySpec(
+    q_supplier_hhi,
+    Q_HHI_SQL,
+    "Herfindahl concentration of supplier revenue (decimal-exact squared "
+    "shares, effective-supplier count 1/HHI)",
+)

@@ -786,3 +786,17 @@ def test_abc_classification_cuts(spark, tmp_path):
     assert got["A"]["n_parts"] == 2 and got["A"]["class_revenue_cents"] == 9500
     assert got["B"]["n_parts"] == 1 and got["B"]["class_revenue_cents"] == 300
     assert got["C"]["n_parts"] == 1 and got["C"]["class_revenue_cents"] == 200
+
+
+def test_hhi_two_equal_suppliers(spark, tmp_path):
+    """Two equal suppliers: HHI = 0.5, effective suppliers = 2."""
+    from kcore_spark.queries.extensions_r8g import q_supplier_hhi
+
+    rows = [(1, 1, 100.0), (2, 2, 100.0)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    row = q_supplier_hhi(spark, str(tmp_path)).first()
+    assert row["n_suppliers"] == 2
+    assert row["hhi"] == 0.5
+    assert row["effective_suppliers"] == 2.0
