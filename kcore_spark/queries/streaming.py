@@ -770,7 +770,7 @@ QUERIES["q_stream_timeout_sessions"] = QuerySpec(
 
 
 def q_stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kcore_spark.streaming.tws import HAVE_TWS, SESSION_GAP_MS as GAP
+    from kcore_spark.streaming.tws import tws_usable, SESSION_GAP_MS as GAP
     from kcore_spark.streaming.ops import events_stream_chunked
 
     # 3 chunks for the same chunk-invariance reason as
@@ -780,7 +780,7 @@ def q_stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream_chunked(spark, sf_dir, n_chunks=3).withWatermark(
         "ts", "30 minutes"
     )
-    if HAVE_TWS:  # real engine: vendored protobuf runtime (kcore_spark.vendor)
+    if tws_usable(spark):  # real engine, and THIS session's JVM can spawn its worker
         from kcore_spark.streaming.tws import make_session_processor
 
         out = s.groupBy("user_id").transformWithStateInPandas(
@@ -839,7 +839,7 @@ QUERIES["q_stream_tws_sessions"] = QuerySpec(
 
 
 def q_stream_tws_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kcore_spark.streaming.tws import HAVE_TWS
+    from kcore_spark.streaming.tws import tws_usable
     from kcore_spark.streaming.ops import events_stream_chunked
 
     # 2 chunks: enough to prove cross-trigger MapState carry (batch 2
@@ -848,7 +848,7 @@ def q_stream_tws_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream_chunked(spark, sf_dir, n_chunks=2).where(
         F.col("user_id") % 5 == 0
     )
-    if HAVE_TWS:
+    if tws_usable(spark):
         from kcore_spark.streaming.tws import make_distinct_counter_processor
 
         out = s.groupBy("user_id").transformWithStateInPandas(
@@ -915,13 +915,13 @@ QUERIES["q_stream_tws_type_counts"] = QuerySpec(
 
 
 def q_stream_tws_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kcore_spark.streaming.tws import HAVE_TWS
+    from kcore_spark.streaming.tws import tws_usable
     from kcore_spark.streaming.ops import events_stream_chunked
 
     s = events_stream_chunked(spark, sf_dir, n_chunks=2).where(
         F.col("user_id") % 25 == 0
     )
-    if HAVE_TWS:
+    if tws_usable(spark):
         from kcore_spark.streaming.tws import make_topk_processor
 
         out = s.groupBy("user_id").transformWithStateInPandas(
@@ -989,7 +989,7 @@ QUERIES["q_stream_tws_topk"] = QuerySpec(
 
 def q_stream_tws_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcore_spark.catalog import load_table
-    from kcore_spark.streaming.tws import HAVE_TWS, SESSION_GAP_MS as GAP
+    from kcore_spark.streaming.tws import tws_usable, SESSION_GAP_MS as GAP
     from kcore_spark.streaming.ops import events_stream_chunked
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -1034,7 +1034,7 @@ def q_stream_tws_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream_chunked(spark, sf_dir, n_chunks=3).where(
         F.expr(f"unix_micros(ts) / 1000 > {split_ms}")
     ).withWatermark("ts", "30 minutes")
-    if HAVE_TWS:
+    if tws_usable(spark):
         from kcore_spark.streaming.tws import make_session_processor
         from kcore_spark.streaming.ops import run_to_table
 

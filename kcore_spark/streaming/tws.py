@@ -58,6 +58,40 @@ def have_tws() -> bool:
 HAVE_TWS = have_tws()
 
 
+def tws_usable(spark) -> bool:
+    """Per-SESSION gate for the real transformWithState bridge.
+
+    ``HAVE_TWS`` only proves protobuf imports in THIS process. The
+    bridge also needs it importable in the separate "TWS driver
+    worker" process the JVM spawns — and that worker inherits the
+    JVM's environment, captured at JVM launch. When protobuf resolves
+    from the vendored shim (kcore_spark/vendor/protoshim), the shim
+    is reachable via ``$PYTHONPATH``; if the JVM was launched BEFORE
+    ``ensure_protobuf()`` exported it (the correctness driver's
+    ordering: bare SparkSession first, repo import second), the
+    worker dies at import and the streaming query crashes with
+    ``TransformWithStateInPySpark driver worker exited unexpectedly``
+    (all three CORRECTNESS_r08 FAILs). So: real wheel → True; shim
+    mode → True only if the JVM's *captured* PYTHONPATH already
+    contains the shim dir; else the caller must use the
+    applyInPandasWithState fold (identical state machine)."""
+    if not HAVE_TWS:
+        return False
+    try:
+        import google.protobuf
+
+        from kcore_spark.vendor import _SHIM_DIR
+
+        mod_file = getattr(google.protobuf, "__file__", "") or ""
+        shim_mode = mod_file.startswith(_SHIM_DIR)
+        if not shim_mode:
+            return True  # real wheel: workers resolve it from site-packages
+        jvm_pp = spark.sparkContext._jvm.java.lang.System.getenv("PYTHONPATH")
+        return jvm_pp is not None and _SHIM_DIR in str(jvm_pp)
+    except Exception:  # pragma: no cover - conservative: fall back
+        return False
+
+
 def fold_sessions(ts_sorted: list[int], cur: list[int] | None, gap_ms: int = SESSION_GAP_MS):
     """Fold a SORTED list of epoch-ms event times into gap-separated
     sessions. ``cur`` is the open session carried across micro-batches
