@@ -1494,7 +1494,7 @@ def handle_describe_transactions(log: WireLog, payload: bytes) -> bytes:
     return w.bytes()
 
 
-def handle_write_txn_markers(log: WireLog, payload: bytes) -> bytes:
+def handle_write_txn_markers(log: WireLog, payload: bytes, group_store=None) -> bytes:
     """WriteTxnMarkers (key 27, v0-v1; flexible from v1). The
     coordinator→leader marker write that completes a transaction at
     each partition — and the API `kafka-transactions abort` uses to
@@ -1506,7 +1506,10 @@ def handle_write_txn_markers(log: WireLog, payload: bytes) -> bytes:
     answers NONE. A marker for a pid with no open transaction is the
     idempotent re-delivery case — NONE, matching the broker's
     at-least-once marker contract; a stale epoch answers
-    INVALID_PRODUCER_EPOCH per partition."""
+    INVALID_PRODUCER_EPOCH per partition. Offsets staged via
+    TxnOffsetCommit are applied to ``group_store`` on a COMMIT marker
+    exactly as the EndTxn path does — both completion routes keep the
+    EOS commit atomic (ADVICE r8)."""
     import struct as _struct
 
     v = _struct.unpack(">h", payload[2:4])[0]
@@ -1537,7 +1540,10 @@ def handle_write_txn_markers(log: WireLog, payload: bytes) -> bytes:
         if log.producer_epoch(pid) != epoch:
             per_err = ERR_INVALID_PRODUCER_EPOCH
         else:
-            err, _staged = log.end_txn_with_offsets(pid, epoch, commit)
+            err, staged = log.end_txn_with_offsets(pid, epoch, commit)
+            if err == wire.ERR_NONE and group_store is not None:
+                for (group, topic, partition), offset in sorted(staged.items()):
+                    group_store.commit(group, topic, partition, offset)
             # no open txn = marker re-delivery: idempotent NONE
             per_err = wire.ERR_NONE if err in (wire.ERR_NONE, ERR_INVALID_TXN_STATE) else err
         results.append((pid, per_err, topics))

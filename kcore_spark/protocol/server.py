@@ -493,7 +493,9 @@ class KafkaFrontend:
         if api_key == wire.WRITE_TXN_MARKERS_KEY and api_version <= 1:
             from kcore_spark.protocol.broker import handle_write_txn_markers
 
-            return handle_write_txn_markers(self.wire_log, payload)
+            return handle_write_txn_markers(
+                self.wire_log, payload, group_store=self.group_store
+            )
         if api_key == wire.DESCRIBE_QUORUM_KEY and api_version <= 1:
             from kcore_spark.protocol.admin import handle_describe_quorum
 
@@ -529,8 +531,20 @@ class KafkaFrontend:
         if api_key == wire.DESCRIBE_DELEGATION_TOKEN_KEY and api_version <= 3:
             from kcore_spark.protocol import tokens
 
+            authorize = self._authorizer(sasl)
             return tokens.handle_describe(
-                self.token_store, payload, principal=self._principal(sasl)
+                self.token_store,
+                payload,
+                principal=self._principal(sasl),
+                # KIP-373: seeing ANOTHER principal's token (hmac = the
+                # credential) needs DESCRIBE_TOKENS on that User
+                # resource when ACLs are on; own/requested/renewable
+                # tokens are always visible
+                authorize_describe=(
+                    (lambda owner: authorize("DESCRIBE_TOKENS", "USER", owner[1]))
+                    if authorize is not None
+                    else None
+                ),
             )
         if api_key == wire.DESCRIBE_ACLS_KEY and api_version <= 1:
             from kcore_spark.protocol import acl

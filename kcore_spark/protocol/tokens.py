@@ -231,9 +231,16 @@ def _renew_or_expire(
             del store.tokens[t.token_id]  # immediate revoke (logout)
             expiry = now
         else:
-            t.expiry_ms = min(now + period_ms, t.max_ms) if period_ms >= 0 else t.expiry_ms
-            if not expire:
-                t.expiry_ms = min(now + (period_ms if period_ms > 0 else DEFAULT_RENEW_MS), t.max_ms)
+            # A zero period is an explicit "expire now" on BOTH paths
+            # (upstream only substitutes the default renew window for
+            # NEGATIVE periods — ADVICE r8); renew with a negative
+            # period falls back to the configured renew window.
+            if expire:
+                t.expiry_ms = min(now + period_ms, t.max_ms)
+            else:
+                t.expiry_ms = min(
+                    now + (period_ms if period_ms >= 0 else DEFAULT_RENEW_MS), t.max_ms
+                )
             expiry = t.expiry_ms
 
     w = wire.Writer()
@@ -260,8 +267,19 @@ def handle_describe(
     store: DelegationTokenStore,
     payload: bytes,
     principal: str = "User:ANONYMOUS",
+    authorize_describe=None,
     now_ms: int | None = None,
 ) -> bytes:
+    """Describe is credential-revealing (the response carries each
+    token's HMAC, and possession of the hmac IS the credential), so it
+    is gated like create: ANONYMOUS callers are refused outright, and
+    a caller only sees tokens it owns / requested / may renew unless
+    the ACL authorizer grants DESCRIBE_TOKENS on the owner (when no
+    ACL store is configured ``authorize_describe`` is None =
+    authorization off, the same stance as handle_create's
+    ``authorize_other``). Expired tokens are garbage-collected on
+    access — the upstream broker's cleanup-pass equivalent — so a dead
+    token never reappears in a listing (ADVICE r8)."""
     v = int.from_bytes(payload[2:4], "big", signed=True)
     flex = v >= 2
     r = wire.Reader(payload)
@@ -278,12 +296,26 @@ def handle_describe(
     if flex:
         r.tagged_fields()
 
+    caller = _principal_pair(principal)
+    now = _now_ms(now_ms)
     err = wire.ERR_NONE if store.enabled else ERR_DELEGATION_TOKEN_AUTH_DISABLED
+    if err == wire.ERR_NONE and caller[1] == "ANONYMOUS":
+        err = ERR_DELEGATION_TOKEN_REQUEST_NOT_ALLOWED
     toks: list[TokenInfo] = []
     if err == wire.ERR_NONE:
-        for t in store.tokens.values():
-            if owners is None or t.owner in owners:
-                toks.append(t)
+        for t in list(store.tokens.values()):
+            if t.expiry_ms < now:  # GC expired tokens on access
+                del store.tokens[t.token_id]
+                continue
+            if owners is not None and t.owner not in owners:
+                continue
+            if not (
+                DelegationTokenStore.may_manage(t, caller)
+                or authorize_describe is None
+                or authorize_describe(t.owner)
+            ):
+                continue
+            toks.append(t)
         toks.sort(key=lambda t: t.issue_ms)
 
     w = wire.Writer()

@@ -267,16 +267,124 @@ def test_describe_filters_by_owner(v):
     tokens.handle_create(
         st, _create_req(0, renewers=[("User", "carol")]), principal="User:bob", now_ms=NOW + 1
     )
-    allt = _parse_describe(tokens.handle_describe(st, _describe_req(v)), v)
+    allt = _parse_describe(
+        tokens.handle_describe(st, _describe_req(v), principal="User:alice", now_ms=NOW + 2),
+        v,
+    )
     assert allt["error"] == wire.ERR_NONE and len(allt["tokens"]) == 2
     only_bob = _parse_describe(
-        tokens.handle_describe(st, _describe_req(v, owners=[("User", "bob")])), v
+        tokens.handle_describe(
+            st,
+            _describe_req(v, owners=[("User", "bob")]),
+            principal="User:alice",
+            now_ms=NOW + 2,
+        ),
+        v,
     )
     assert len(only_bob["tokens"]) == 1
     t = only_bob["tokens"][0]
     assert t["owner"] == ("User", "bob") and t["renewers"] == [("User", "carol")]
     if v >= 3:
         assert t["requester"] == ("User", "bob")
+
+
+def test_describe_refuses_anonymous_and_gates_by_acl():
+    """The describe response carries each token's hmac — the
+    credential itself — so unauthenticated callers are refused and,
+    with an authorizer configured, a caller only sees tokens it
+    owns / requested / may renew or is DESCRIBE_TOKENS-authorized for
+    (ADVICE r8 medium)."""
+    st = _store()
+    tokens.handle_create(st, _create_req(0), principal="User:alice", now_ms=NOW)
+    tokens.handle_create(
+        st, _create_req(0, renewers=[("User", "alice")]), principal="User:bob", now_ms=NOW + 1
+    )
+    tokens.handle_create(st, _create_req(0), principal="User:dave", now_ms=NOW + 2)
+    # ANONYMOUS: refused outright when the store is enabled
+    anon = _parse_describe(tokens.handle_describe(st, _describe_req(2), now_ms=NOW + 3), 2)
+    assert anon["error"] == tokens.ERR_DELEGATION_TOKEN_REQUEST_NOT_ALLOWED
+    assert anon["tokens"] == []
+    # deny-all authorizer: alice still sees her own token and bob's
+    # (she is a listed renewer) but NOT dave's
+    vis = _parse_describe(
+        tokens.handle_describe(
+            st,
+            _describe_req(2),
+            principal="User:alice",
+            authorize_describe=lambda owner: False,
+            now_ms=NOW + 3,
+        ),
+        2,
+    )
+    assert vis["error"] == wire.ERR_NONE
+    assert sorted(t["owner"][1] for t in vis["tokens"]) == ["alice", "bob"]
+    # allow-all authorizer (or none): everything is visible
+    vis_all = _parse_describe(
+        tokens.handle_describe(
+            st,
+            _describe_req(2),
+            principal="User:alice",
+            authorize_describe=lambda owner: True,
+            now_ms=NOW + 3,
+        ),
+        2,
+    )
+    assert len(vis_all["tokens"]) == 3
+
+
+def test_describe_gc_expired_tokens():
+    """Expired tokens vanish from describe AND from the store — the
+    upstream cleanup-pass equivalent, GC'd on access (ADVICE r8)."""
+    st = _store()
+    out = _parse_create(
+        tokens.handle_create(
+            st, _create_req(3, max_lifetime_ms=5000), principal="User:alice", now_ms=NOW
+        ),
+        3,
+    )
+    live = _parse_describe(
+        tokens.handle_describe(st, _describe_req(2), principal="User:alice", now_ms=NOW + 1000),
+        2,
+    )
+    assert len(live["tokens"]) == 1
+    dead = _parse_describe(
+        tokens.handle_describe(
+            st, _describe_req(2), principal="User:alice", now_ms=out["expiry"] + 1
+        ),
+        2,
+    )
+    assert dead["tokens"] == [] and st.tokens == {}
+
+
+def test_renew_with_zero_period_expires_now():
+    """renew_period_ms == 0 must set expiry to NOW, not extend by the
+    default renew window — only negative periods take the default
+    (ADVICE r8)."""
+    st = _store()
+    out = _parse_create(
+        tokens.handle_create(st, _create_req(2), principal="User:alice", now_ms=NOW), 2
+    )
+    r = _parse_renew(
+        tokens.handle_renew(
+            st,
+            _renew_req(tokens.RENEW_KEY, 2, out["hmac"], 0),
+            principal="User:alice",
+            now_ms=NOW + 500,
+        ),
+        2,
+    )
+    assert r["error"] == wire.ERR_NONE and r["expiry"] == NOW + 500
+    # negative period: default renew window (capped by max)
+    r2 = _parse_renew(
+        tokens.handle_renew(
+            st,
+            _renew_req(tokens.RENEW_KEY, 2, out["hmac"], -1),
+            principal="User:alice",
+            now_ms=NOW + 501,
+        ),
+        2,
+    )
+    assert r2["error"] == tokens.ERR_DELEGATION_TOKEN_EXPIRED  # zero-renew killed it
 
 
 # ------------------------------------------------- frontend dispatch

@@ -130,6 +130,32 @@ def test_commit_marker_and_error_paths():
     assert (pid2, "nope", 3, wire.ERR_UNKNOWN_TOPIC_OR_PARTITION) in rows3
 
 
+def test_commit_marker_applies_staged_offsets():
+    """Completing a transaction via WriteTxnMarkers must apply the
+    offsets staged through TxnOffsetCommit exactly as EndTxn does —
+    otherwise the two completion paths break EOS commit atomicity
+    (ADVICE r8). Abort markers must discard them."""
+    fe = KafkaFrontend()
+    log = fe.wire_log
+    log.create_topic("tx", 1)
+    pid, epoch = log.init_producer_id("tid-off")
+    log.add_partition_to_txn(pid, epoch, "tx", 0)
+    assert log.add_offsets_to_txn(pid, epoch, "g1") == wire.ERR_NONE
+    assert log.txn_offset_commit(pid, epoch, "g1", "tx", 0, 42) == wire.ERR_NONE
+    rows = _parse_markers(
+        fe.handle_request(_markers_req(1, [(pid, epoch, True, [("tx", [0])])])), 1
+    )
+    assert rows == [(pid, "tx", 0, wire.ERR_NONE)]
+    assert fe.group_store.committed("g1") == {("tx", 0): 42}
+    # abort path: staged offsets die with the txn
+    pid2, epoch2 = log.init_producer_id("tid-off2")
+    log.add_partition_to_txn(pid2, epoch2, "tx", 0)
+    log.add_offsets_to_txn(pid2, epoch2, "g2")
+    log.txn_offset_commit(pid2, epoch2, "g2", "tx", 0, 7)
+    fe.handle_request(_markers_req(1, [(pid2, epoch2, False, [("tx", [0])])]))
+    assert fe.group_store.committed("g2") == {}
+
+
 # ------------------------------------------------- DescribeQuorum
 
 
