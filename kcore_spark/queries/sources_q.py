@@ -46,6 +46,20 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             nat.coalesce(1).write.mode("overwrite").format("xml").option(
                 "rootTag", "nations"
             ).option("rowTag", "nation").save(os.path.join(d, "nation_xml"))
+        elif fmt == "avro":
+            # Spark 4.1's spark-sql jar ships the Avro FILE format
+            # (org.apache.spark.sql.avro.AvroFileFormat, verified in
+            # /opt/spark/jars/spark-sql_2.13-4.1.2.jar) but NOT the
+            # spark-avro module's DataSourceRegister service entry, so
+            # the "avro" short name fails while the fully-qualified
+            # class works — the writes below produce REAL Avro
+            # container files through the real avro-1.12.1 library.
+            ords = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            )
+            ords.coalesce(4).write.mode("overwrite").format(
+                "org.apache.spark.sql.avro.AvroFileFormat"
+            ).save(os.path.join(d, "orders_avro"))
         elif fmt == "text":
             docs = load_table(spark, sf_dir, "documents").select(
                 F.concat_ws(
@@ -172,10 +186,156 @@ GROUP BY sector
 """
 
 
+def q_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro file source/sink roundtrip (SURVEY §1.2 schema-on-read
+    row): orders written as real Avro container files (avro-1.12.1 via
+    the in-jar AvroFileFormat — see _stage), read back through the
+    same format class, aggregated. Decimal columns survive as Avro
+    fixed/bytes logical types; the oracle recomputes from the original
+    parquet. The from_avro/to_avro EXPRESSIONS (payload decode) are a
+    separate module whose classes this container lacks — the pure-
+    Python payload codec in operators/avro_codec.py covers that row.
+
+    Scale: an Avro read is a plain file scan — splittable container
+    blocks, per-file parallelism; the aggregation shuffles 1 row per
+    (status) group after partial aggregation."""
+    d = _stage(spark, sf_dir, "avro")
+    ords = spark.read.format("org.apache.spark.sql.avro.AvroFileFormat").load(
+        os.path.join(d, "orders_avro")
+    )
+    return (
+        ords.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("o_custkey").alias("custs"),
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)")).cast("double").alias(
+                "total_price"
+            ),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_AVRO_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       COUNT(DISTINCT o_custkey) AS custs,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_price,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_avro_payload_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro-encoded message payloads, decoded (the from_avro row of
+    SURVEY §1.2 — the container lacks the spark-avro expression
+    classes, so the spec-pinned pure-Python binary codec in
+    operators/avro_codec.py does the wire work; tests/test_avro_codec.py
+    holds the golden bytes). Each event row is encoded as the Avro
+    binary record (event_id long, event_type string,
+    value union[null,double]) — the shape of a Kafka topic carrying
+    Avro messages — then decoded back, and the DECODED columns are
+    aggregated. SUM(LENGTH(payload)) is also surfaced and the oracle
+    recomputes it arithmetically from the spec (zig-zag varint width +
+    string length + union branch byte + 8-byte double), so a codec
+    that produced wrong BYTES, not just wrong roundtrips, fails the
+    hash.
+
+    Scale: encode+decode ride one Arrow-batched mapInPandas pass —
+    no shuffle until the final partial-aggregated groupBy."""
+    import pandas as pd
+
+    from kcore_spark.operators.avro_codec import decode_record, encode_record
+
+    schema = [
+        ("event_id", "long"),
+        ("event_type", "string"),
+        ("value", "null_or_double"),
+    ]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias(
+            "value"
+        ),
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            payloads = [
+                encode_record(
+                    (
+                        int(i),
+                        t,
+                        None if v is None or v != v else float(v),
+                    ),
+                    schema,
+                )
+                for i, t, v in zip(pdf["event_id"], pdf["event_type"], pdf["value"])
+            ]
+            decoded = [decode_record(p, schema) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "event_id": [d[0] for d in decoded],
+                    "event_type": [d[1] for d in decoded],
+                    "value": [d[2] for d in decoded],
+                    "payload_len": [len(p) for p in payloads],
+                }
+            )
+
+    dec = ev.mapInPandas(
+        roundtrip, "event_id long, event_type string, value double, payload_len long"
+    )
+    return (
+        dec.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("sum_ids"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.sum("payload_len").alias("payload_bytes"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# varint width of zigzag(event_id) (non-negative id → zigzag = 2*id);
+# exact case thresholds, good to ids < 2^34 (fixture ids are far below)
+Q_AVRO_PAYLOAD_SQL = """
+WITH enc AS (
+  SELECT event_type, event_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+         (CASE WHEN 2*event_id < 128 THEN 1
+               WHEN 2*event_id < 16384 THEN 2
+               WHEN 2*event_id < 2097152 THEN 3
+               WHEN 2*event_id < 268435456 THEN 4
+               ELSE 5 END)
+         + 1 + LENGTH(event_type)
+         + 1 + CASE WHEN event_id % 7 = 0 THEN 0 ELSE 8 END AS plen
+  FROM events)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(plen) AS BIGINT) AS payload_bytes
+FROM enc
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q_csv_source": QuerySpec(q_csv_source, Q_CSV_SQL, "CSV source + schema inference"),
     "q_json_source": QuerySpec(q_json_source, Q_JSON_SQL, "JSON-lines source"),
     "q_inline_dim_join": QuerySpec(q_inline_dim_join, Q_INLINE_DIM_SQL, "createDataFrame dim"),
+    "q_avro_source": QuerySpec(
+        q_avro_source, Q_AVRO_SQL, "Avro container-file source/sink (real avro-1.12.1)"
+    ),
+    "q_avro_payload_decode": QuerySpec(
+        q_avro_payload_decode,
+        Q_AVRO_PAYLOAD_SQL,
+        "Avro binary payload encode/decode (spec-pinned codec; from_avro row)",
+    ),
 }
 
 
