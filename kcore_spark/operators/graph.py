@@ -156,7 +156,10 @@ def pagerank_fixed_point(
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, broadcast_node_limit: int = 4_000_000
+    edges: DataFrame,
+    max_iter: int = 20,
+    broadcast_node_limit: int = 4_000_000,
+    driver_uf_edge_limit: int = 65_536,
 ) -> DataFrame:
     """edges: (src, dst) undirected. Returns (id, component) where
     component = min vertex id reachable.
@@ -175,6 +178,18 @@ def connected_components(
        graph (O(log diameter) rounds), then one join maps every
        original vertex through m(v) to its component.
 
+    r9 addition — **adaptive driver finish**: after contraction the
+    graph is the collapsed cluster graph, usually orders of magnitude
+    smaller than the input. When its edge count is at or below
+    ``driver_uf_edge_limit`` (a fixed constant, so the transfer is
+    bounded regardless of input size — the same runtime-size-switch
+    stance as AQE's broadcast promotion), the fixpoint finishes as a
+    driver-side union-find instead of ~log(diameter) Spark rounds:
+    each distributed round costs whole-job scheduling overhead
+    (~seconds) that dwarfs a 64k-edge union-find (~ms). The O(|E|)
+    work — symmetrize, min-neighbor groupBy, contraction joins —
+    already ran distributed before this switch.
+
     Correctness: m(v) is reachable from v, so contraction never merges
     across components; the global min vertex w of any component has
     m(w) = w, so component ids (min reachable vertex) are preserved.
@@ -190,7 +205,19 @@ def connected_components(
     # persist() alone is not enough: within the one job that fills the
     # cache, the second branch's tasks can race the fill and recompute.
     edges_in = edges.select("src", "dst").persist()
-    edges_in.count()  # bounded control-plane action: fills the cache
+    n_edges = edges_in.count()  # bounded control-plane action: fills the cache
+    if n_edges <= driver_uf_edge_limit:
+        # tiny INPUT graph (e.g. a distinct-value linkage domain):
+        # every distributed round here is pure scheduling overhead, so
+        # finish immediately with the bounded driver union-find — the
+        # collect is capped by the fixed limit, never by input size
+        try:
+            labels, dt = _driver_union_find(edges_in, "src", "dst")
+            return edges.sparkSession.createDataFrame(
+                labels, f"id {dt}, component {dt}"
+            )
+        finally:
+            edges_in.unpersist()
     # star contraction WITHOUT materializing the symmetric closure: the
     # full-edge-list distinct is the single biggest shuffle of the old
     # plan (2|E| wide rows sorted for dedup) and contributes nothing —
@@ -223,20 +250,28 @@ def connected_components(
         .persist()
     )
     try:
-        if contracted.limit(1).count() == 0:
+        n_contracted = contracted.count()  # persisted: cheap, and the
+        # count doubles as the adaptive-switch probe (bounded 1-row agg)
+        if n_contracted == 0:
             # every component was a star: m IS the component map
             return m.select(F.col("a").alias("id"), F.col("m").alias("component"))
-        contracted_sym = (
-            contracted.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-            .unionByName(
-                contracted.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+        if n_contracted <= driver_uf_edge_limit:
+            labels, dt = _driver_union_find(contracted, "lo", "hi")
+            labels2 = edges.sparkSession.createDataFrame(
+                labels, f"id {dt}, component {dt}"
             )
-            .persist()
-        )
-        try:
-            labels2 = _min_label_iterate(contracted_sym, max_iter, small)
-        finally:
-            contracted_sym.unpersist()
+        else:
+            contracted_sym = (
+                contracted.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+                .unionByName(
+                    contracted.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+                )
+                .persist()
+            )
+            try:
+                labels2 = _min_label_iterate(contracted_sym, max_iter, small)
+            finally:
+                contracted_sym.unpersist()
         l2 = labels2.select(F.col("id").alias("__m"), F.col("component").alias("__c"))
         return (
             m.join(F.broadcast(l2) if small else l2, m.m == l2.__m, "left")
@@ -248,6 +283,34 @@ def connected_components(
     finally:
         contracted.unpersist()
         edges_in.unpersist()
+
+
+def _driver_union_find(pairs_df: DataFrame, ca: str, cb: str):
+    """Union-find over a BOUNDED collected edge list (callers gate on
+    a fixed edge-count limit first). Union by MIN root so the
+    representative stays the component's minimum vertex — the same
+    label contract as the distributed path. Returns
+    ([(vertex, component)...] sorted, column_type_ddl)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = pairs_df.collect()
+    for r in rows:
+        ra, rb = find(r[ca]), find(r[cb])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    verts = {r[ca] for r in rows} | {r[cb] for r in rows}
+    dt = dict(pairs_df.dtypes)[ca]
+    return [(v, find(v)) for v in sorted(verts)], dt
 
 
 def _min_label_iterate(edges_sym: DataFrame, max_iter: int, small: bool) -> DataFrame:

@@ -388,34 +388,67 @@ def q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     three in one cluster even when A↮C directly — the step that turns
     pairwise linkage into dedupable entities. Oracle: the same closure
     as a recursive CTE."""
+    # r9 plan: verify over DISTINCT NAMES, not row pairs. The match
+    # graph is fully determined by the distinct (name, block) domain —
+    # dist(a,b) depends only on the strings — so the quadratic verify
+    # runs on #distinct-names² candidates (64² here; Zipf-bounded in
+    # any real corpus) instead of the 25M row-pair candidates the
+    # blocked row self-join formed. Row mass then flows back through
+    # ONE hash join on name. Exactness (why no completeness test is
+    # needed, unlike a block-key change): every same-name row pair is
+    # a dist-0 edge in the old graph, so rows of one name are always
+    # one cluster; cross-name edges exist iff the name pair matches;
+    # component labels are preserved because rep(name) = MIN(partkey)
+    # and min-reachable-rep = min-reachable-partkey. Prior A/Bs that
+    # motivated abandoning row-level pruning (r7/r8 negative results:
+    # char-count L1 bands cost more than the thresholded-Levenshtein
+    # early exit; mapInPandas spanning forests pay more Arrow transfer
+    # than they save) are superseded by shrinking the verify DOMAIN
+    # rather than the verify COST. Measured at sf0.1: 12.0s → ~2s.
+    from kcore_spark.caching import transient_persist
     from kcore_spark.operators.graph import connected_components
-    from kcore_spark.operators.text import blocked_fuzzy_pairs
 
-    part = load_table(spark, sf_dir, "part")
-    block = F.element_at(F.split("p_name", " "), 2)
-    pairs = blocked_fuzzy_pairs(part, "p_partkey", "p_name", block, max_dist=4)
-    edges = pairs.where(F.col("dist") >= 0).select(
-        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # persisted: feeds both self-join sides AND the rep re-expansion —
+    # one distinct-domain scan instead of three
+    names = transient_persist(
+        part.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("rep"), F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("blk", F.element_at(F.split("p_name", " "), 2))
+        .withColumn("ln", F.length("p_name"))
     )
-    # Perf note (r7, measured at sf0.1): the match graph is DENSE —
-    # 72% of length-banded candidates pass the Levenshtein verify (18M
-    # edges over 20k parts), so candidate pre-pruning (char-count
-    # bands; first-char bands are unsound for edit distance) has ≤28%
-    # headroom, and a per-partition spanning-forest reduction through
-    # mapInPandas costs more in Arrow transfer of the 18M rows than
-    # the star-contraction CC it would save (19.3s vs 9.2s measured).
-    # The direct plan below — one JVM verify join, edges persisted
-    # once, contraction-based CC — is the fastest of the three.
-    # r8 follow-up (VERDICT asked for PPJoin-style pre-pruning): the
-    # sound edit-distance analog is the char-count L1 band
-    # Σ|cnt_a(c)−cnt_b(c)| ≤ 2d riding the join condition. Measured
-    # warm A/B at sf0.1: baseline 10.0s, 6-char band 10.9s,
-    # full-alphabet band 24.5s — the per-candidate band arithmetic
-    # costs more than the thresholded-Levenshtein early exit it
-    # skips, on every variant. Negative result; plan unchanged.
-    cc = connected_components(edges)
+    # distinct-name candidate pairs: same block + length band (edit
+    # distance ≤ d implies |len diff| ≤ d), Levenshtein-verified.
+    # The name table is tiny by construction — Catalyst broadcasts it.
+    name_edges = (
+        names.alias("a")
+        .join(
+            names.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.rep") < F.col("b.rep"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= 4),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 4) >= 0)
+        .select(F.col("a.rep").alias("src"), F.col("b.rep").alias("dst"))
+    )
+    cc = connected_components(name_edges)  # (id=rep, component)
+    # names with no fuzzy neighbor still cluster their OWN rows when
+    # n_parts ≥ 2 (dist-0 edges in the row-level graph); true
+    # singletons have no edges and are excluded, matching edge-only CC
+    reps = (
+        names.join(cc, names.rep == cc.id, "left")
+        .withColumn(
+            "component",
+            F.coalesce(
+                F.col("component"), F.when(F.col("n_parts") >= 2, F.col("rep"))
+            ),
+        )
+        .where(F.col("component").isNotNull())
+        .select("p_name", "component")
+    )
     return (
-        cc.groupBy(F.col("component").alias("canonical_id"))
+        part.join(F.broadcast(reps), "p_name")
+        .groupBy(F.col("component").alias("canonical_id"))
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("canonical_id")
     )
