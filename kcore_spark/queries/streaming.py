@@ -690,13 +690,15 @@ def _timeout_sessions_groupstate(stream_df: DataFrame) -> DataFrame:
 def q_stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcore_spark.streaming.ops import events_stream_chunked
 
-    # 3 replay chunks: the session fold is chunk-count invariant (gaps
-    # close sessions inline; the final no-data batch fires every timer
-    # the end-of-stream watermark passes), so replay cost scales with
-    # trigger count alone — 6 chunks measured 14.3s, 3 chunks 5.4s at
-    # sf0.1 with identical output. 3 keeps a genuine multi-batch replay
-    # (two watermark advances + final batch) for the state machinery.
-    s = events_stream_chunked(spark, sf_dir, n_chunks=3).withWatermark(
+    # 2 replay chunks (r9, was 3): the session fold is chunk-count
+    # invariant (gaps close sessions inline; the final no-data batch
+    # fires every timer the end-of-stream watermark passes), so replay
+    # cost scales with trigger count alone — warm sf0.1: 6 chunks
+    # 14.3s, 3 chunks 6.9s, 2 chunks 5.5s, identical output. 2 is the
+    # floor that still proves the state machinery: one mid-stream
+    # watermark advance (batch-2 state carry + mid-stream timer fires)
+    # plus the final eviction batch.
+    s = events_stream_chunked(spark, sf_dir, n_chunks=2).withWatermark(
         "ts", "30 minutes"
     )
     res = _timeout_sessions_groupstate(s)
@@ -773,11 +775,14 @@ def q_stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcore_spark.streaming.tws import tws_usable, SESSION_GAP_MS as GAP
     from kcore_spark.streaming.ops import events_stream_chunked
 
-    # 3 chunks for the same chunk-invariance reason as
+    # 2 chunks (r9, was 3) for the same chunk-invariance reason as
     # q_stream_timeout_sessions; with the real TWS engine each trigger
     # re-opens one RocksDB store per state partition, so trigger count
-    # is the dominant cost (6 chunks 14.8s / 3 chunks 6.2s at sf0.1).
-    s = events_stream_chunked(spark, sf_dir, n_chunks=3).withWatermark(
+    # is the dominant cost — warm sf0.1 A/B: 3 chunks/8 parts 11.6s,
+    # 2/8 9.1s, 2/4 9.2s, 2/2 13.6s (fewer stores lose scan
+    # parallelism). One mid-stream watermark advance still exercises
+    # cross-batch ValueState carry and mid-stream timer fires.
+    s = events_stream_chunked(spark, sf_dir, n_chunks=2).withWatermark(
         "ts", "30 minutes"
     )
     if tws_usable(spark):  # real engine, and THIS session's JVM can spawn its worker
@@ -1031,7 +1036,7 @@ def q_stream_tws_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
     )
 
-    s = events_stream_chunked(spark, sf_dir, n_chunks=3).where(
+    s = events_stream_chunked(spark, sf_dir, n_chunks=2).where(
         F.expr(f"unix_micros(ts) / 1000 > {split_ms}")
     ).withWatermark("ts", "30 minutes")
     if tws_usable(spark):
@@ -1054,7 +1059,7 @@ def q_stream_tws_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exercised, so run the one-engine fold over the FULL stream
         # (same final table; the warm-start path stays engine-fake
         # covered in tests/test_tws.py)
-        full = events_stream_chunked(spark, sf_dir, n_chunks=3).withWatermark(
+        full = events_stream_chunked(spark, sf_dir, n_chunks=2).withWatermark(
             "ts", "30 minutes"
         )
         res = _timeout_sessions_groupstate(full)
