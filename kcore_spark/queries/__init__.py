@@ -107,6 +107,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r8e,
         extensions_r8f,
         extensions_r8g,
+        extensions_r9,
         dedup,
         events,
         packing_q,
@@ -161,6 +162,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r8e,
         extensions_r8f,
         extensions_r8g,
+        extensions_r9,
         tpch,
         tpch2,
         windows,

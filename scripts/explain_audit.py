@@ -110,6 +110,11 @@ KNOWN_UNPUSHABLE = {
     # commit log (group_id + last-writer-wins rank), never the data path
     "q_topic_consumer_lag",
     "q_backtest_folds",  # role filter is on the derived train/test tag
+    # r9: whole-table distinct-domain scans; the only Filters are the
+    # blocked self-join's key conditions / the post-date_add null guard
+    # — derived columns, nothing reaches the part/events scan
+    "q_jaro_winkler_linkage",
+    "q_rolling_mau_sketch",
     "q_cusum_changepoint",  # only filter is the post-window peak-rank cut
     "q_ewma_smoothing",  # only filter is the post-window recency-rank cut
     "q_l_diversity",  # only filter is the post-aggregation HAVING diversity cut
