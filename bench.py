@@ -142,6 +142,14 @@ EXTRAS = [
     "q_decay_engagement",
     "q_top_p_cut",
     "q_ols_slope",
+    # round-9: as-of enrichment / linkage scoring / sketch-merge /
+    # Avro block (q_stream_tws_ttl_counts excluded: the proc-time
+    # drain harness is poll-bound, not a data-plane shape)
+    "q_scd2_asof_enrich",
+    "q_jaro_winkler_linkage",
+    "q_rolling_mau_sketch",
+    "q_avro_source",
+    "q_avro_payload_decode",
 ]
 
 

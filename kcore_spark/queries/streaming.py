@@ -976,6 +976,63 @@ QUERIES["q_stream_tws_topk"] = QuerySpec(
 )
 
 
+# Fifth transformWithState mechanism under the oracle: STATE TTL
+# (ValueState with ttlDurationMs — RocksDB tracks per-value expiry in
+# TTL column families). The TTL is set to 1h of processing time, far
+# beyond the seconds-long replay, so state never expires and the
+# cumulative count must equal the batch GROUP BY — the pin is that the
+# TTL-enabled state plumbing round-trips values exactly; eviction
+# itself is wall-clock semantics, tested engine-side by Spark.
+
+
+def q_stream_tws_ttl_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.streaming.tws import tws_usable
+    from kcore_spark.streaming.ops import events_stream_chunked
+
+    s = events_stream_chunked(spark, sf_dir, n_chunks=2).where(
+        F.col("user_id") % 10 == 3
+    )
+    if tws_usable(spark):
+        from kcore_spark.streaming.tws import make_ttl_counter_processor
+
+        # TTL requires processing-time mode (the engine refuses TTL
+        # under timeMode="none"), and proc-time mode keeps scheduling
+        # cleanup batches after the source drains — run through the
+        # drain-and-stop harness, not availableNow's self-termination
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            make_ttl_counter_processor(3_600_000)(),
+            outputStructType="user_id long, n long",
+            outputMode="append",
+            timeMode="processingTime",
+        )
+        from kcore_spark.streaming.ops import run_tws_drain_to_table
+
+        res = run_tws_drain_to_table(out, "append", state_partitions=8)
+        final = res.groupBy("user_id").agg(F.max("n").alias("n"))
+    else:
+        final = run_to_table(
+            s.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")),
+            "complete",
+            state_partitions=16,
+        )
+    return final.select("user_id", "n").orderBy("user_id")
+
+
+Q_STREAM_TWS_TTL_SQL = """
+SELECT user_id, COUNT(*) AS n
+FROM events WHERE user_id % 10 = 3
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES["q_stream_tws_ttl_counts"] = QuerySpec(
+    q_stream_tws_ttl_counts,
+    Q_STREAM_TWS_TTL_SQL,
+    "cumulative counts in a TTL'd ValueState (transformWithState state-TTL "
+    "surface; TTL beyond replay wall-clock so the count is deterministic)",
+)
+
+
 
 # ------------------------- transformWithState WARM START (initialState)
 # The checkpoint-migration path: transformWithState's initialState=

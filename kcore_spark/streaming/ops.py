@@ -208,6 +208,78 @@ def events_stream_chunked(spark: SparkSession, sf_dir: str, n_chunks: int = 6) -
     )
 
 
+def run_tws_drain_to_table(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    state_partitions: int | None = 8,
+    poll_s: float = 0.5,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """run_tws_to_table for PROCESSING-TIME transformWithState
+    pipelines. In timeMode="processingTime" the engine keeps
+    scheduling batches after the source is drained (TTL cleanup /
+    proc-time timer sweeps), so ``availableNow`` never terminates on
+    its own — observed: batch ids climbing past 100 on a drained
+    2-file source. Instead: poll ``recentProgress`` until the source
+    has reported data at least once and then two consecutive
+    zero-input batches (= drained, all files committed), stop the
+    query, return the sink table. This is the standard drain pattern
+    for proc-time streams; the emitted rows are already final because
+    empty batches add nothing in append mode."""
+    import time as _time
+
+    spark = stream_df.sparkSession
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="kcore_ckpt_ttl_")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = _time.time() + timeout_s
+        seen_input = False
+        last_batch = -1
+        zero_streak = 0
+        while _time.time() < deadline and q.isActive:
+            _time.sleep(poll_s)
+            for p in q.recentProgress:
+                bid = p["batchId"]
+                if bid <= last_batch:
+                    continue
+                last_batch = bid
+                rows = p.get("numInputRows", 0)
+                if rows > 0:
+                    seen_input = True
+                    zero_streak = 0
+                elif seen_input:
+                    zero_streak += 1
+            if seen_input and zero_streak >= 2:
+                break
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set(provider_key, prev_provider)
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 def run_tws_to_table(
     stream_df: DataFrame,
     output_mode: str = "append",

@@ -193,6 +193,40 @@ def make_distinct_counter_processor(ttl_events: int = 0):
     return DistinctCounter
 
 
+def make_ttl_counter_processor(ttl_ms: int = 3_600_000):
+    """StatefulProcessor exercising STATE TTL (Spark 4's
+    ``getValueState(..., ttlDurationMs=...)``): cumulative per-key event
+    count in a TTL'd ValueState, emitted each batch. TTL is
+    processing-time-based in the engine, so for a deterministic oracle
+    the TTL is set far beyond the replay's wall clock — the state must
+    NEVER expire, making the final count equal the batch GROUP BY; the
+    pin is that the TTL-enabled state plumbing (per-value TTL tracking
+    column families in RocksDB) round-trips values correctly. TTL
+    eviction semantics themselves are wall-clock-dependent and belong
+    to the engine, not an oracle-checkable query."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TTLCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.n = handle.getValueState("n", "n long", ttlDurationMs=ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = int(self.n.get()[0]) if self.n.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self.n.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return TTLCounter
+
+
 def make_session_processor(gap_ms: int = SESSION_GAP_MS):
     """Build the StatefulProcessor class for gap sessionization.
 
