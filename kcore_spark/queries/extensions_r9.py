@@ -281,3 +281,173 @@ QUERIES["q_rolling_mau_sketch"] = QuerySpec(
     "rolling 7-day MAU: daily HLL sketches union-merged over a window "
     "(mergeable-sketch fold) vs the exact rolling distinct",
 )
+
+
+# ----------------------------- SQL pipe syntax (Spark 4.0, SQL:2023-ish)
+# The |> operator-chaining dialect — each stage consumes the previous
+# stage's table, so a query reads top-down like a DataFrame chain.
+# Modern-dialect parity row alongside q_sql_dialect_extras (GROUP BY
+# ALL / OFFSET / try_divide); the plan compiles to exactly the same
+# aggregate-over-scan as the classic form (Catalyst sees one logical
+# plan), so there is no perf note — this pins the PARSER surface.
+
+
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderstatus <> 'F'
+        |> EXTEND CAST(o_totalprice AS DECIMAL(15,2)) AS price_d
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(price_d) AS DOUBLE) AS total_price,
+                     COUNT(DISTINCT o_custkey) AS custs
+           GROUP BY o_orderpriority
+        |> WHERE n > 0
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+Q_PIPE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_price,
+       COUNT(DISTINCT o_custkey) AS custs
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 0
+ORDER BY o_orderpriority
+"""
+
+QUERIES["q_sql_pipe_syntax"] = QuerySpec(
+    q_sql_pipe_syntax,
+    Q_PIPE_SQL,
+    "SQL pipe-syntax dialect (FROM |> WHERE |> EXTEND |> AGGREGATE |> ORDER BY) "
+    "— parser-surface parity, same logical plan as the classic form",
+)
+
+
+# ----------------------------- split-conformal prediction intervals
+# The distribution-free uncertainty wrapper a model-serving pipeline
+# puts around ANY point predictor: hold out a calibration set, take
+# q_hat = the ceil((n+1)(1-alpha))-th smallest absolute residual, and
+# the interval prediction±q_hat covers new points with probability
+# ≥ 1−alpha. Everything stays exact: the three-way split is the
+# portable md5-uniform (q_hash_sample idiom), the predictor is the
+# train-split per-priority mean in DECIMAL cents, residuals are
+# rounded to a fixed grid before ranking, and the rank selection is a
+# row_number walk fully tie-broken by orderkey. Scale shape: one
+# partial-agg shuffle for the means (k rows, broadcast back), one
+# keyed window for the calibration rank, one broadcast join to score
+# the test split — linear, no driver numerics.
+
+CONF_ALPHA = 0.10
+
+
+def q_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (
+            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("double")
+            / 4294967296.0
+        ).alias("u"),
+    )
+    train = o.where(F.col("u") < 0.5)
+    cal = o.where((F.col("u") >= 0.5) & (F.col("u") < 0.75))
+    test = o.where(F.col("u") >= 0.75)
+    pred = train.groupBy("o_orderpriority").agg(
+        (F.sum(F.col("cents").cast("decimal(20,0)")) / F.count(F.lit(1)))
+        .cast("decimal(20,4)")
+        .alias("yhat")
+    )
+    resid = cal.join(F.broadcast(pred), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.abs(F.col("cents") - F.col("yhat")).cast("decimal(20,4)").alias("r"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("r", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = resid.withColumn("i", F.row_number().over(w)).withColumn(
+        "n_cal", F.count(F.lit(1)).over(wn)
+    )
+    qhat = ranked.where(
+        F.col("i")
+        == F.least(
+            F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - CONF_ALPHA)).cast("int"),
+            F.col("n_cal"),
+        )
+    ).select("o_orderpriority", F.col("r").alias("qhat"), "n_cal")
+    scored = test.join(F.broadcast(pred), "o_orderpriority").join(
+        F.broadcast(qhat), "o_orderpriority"
+    )
+    return (
+        scored.groupBy("o_orderpriority")
+        .agg(
+            F.min("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(F.min("qhat").cast("double") / 100.0, 4).alias("qhat_dollars"),
+            F.sum(
+                (F.abs(F.col("cents") - F.col("yhat")) <= F.col("qhat")).cast("long")
+            ).alias("covered"),
+        )
+        .withColumn(
+            "coverage",
+            F.round(F.col("covered").cast("double") / F.col("n_test"), 6),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_CONFORMAL_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM orders),
+train AS (SELECT * FROM o WHERE u < 0.5),
+cal AS (SELECT * FROM o WHERE u >= 0.5 AND u < 0.75),
+test AS (SELECT * FROM o WHERE u >= 0.75),
+pred AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(cents AS DECIMAL(20,0))) / COUNT(*) AS DECIMAL(20,4)) AS yhat
+  FROM train GROUP BY o_orderpriority),
+resid AS (
+  SELECT c.o_orderpriority, c.o_orderkey,
+         CAST(ABS(c.cents - p.yhat) AS DECIMAL(20,4)) AS r
+  FROM cal c JOIN pred p USING (o_orderpriority)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY r, o_orderkey) AS i,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_cal
+  FROM resid),
+qhat AS (
+  SELECT o_orderpriority, r AS qhat, n_cal
+  FROM ranked
+  WHERE i = LEAST(CAST(CEIL((n_cal + 1) * {1.0 - CONF_ALPHA}) AS INTEGER), n_cal)),
+scored AS (
+  SELECT t.o_orderpriority, t.cents, p.yhat, q.qhat, q.n_cal
+  FROM test t JOIN pred p USING (o_orderpriority) JOIN qhat q USING (o_orderpriority))
+SELECT o_orderpriority,
+       CAST(MIN(n_cal) AS BIGINT) AS n_cal,
+       COUNT(*) AS n_test,
+       ROUND(CAST(MIN(qhat) AS DOUBLE) / 100.0, 4) AS qhat_dollars,
+       CAST(SUM(CASE WHEN ABS(cents - yhat) <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+         AS covered,
+       ROUND(CAST(SUM(CASE WHEN ABS(cents - yhat) <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS coverage
+FROM scored
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+QUERIES["q_conformal_intervals"] = QuerySpec(
+    q_conformal_intervals,
+    Q_CONFORMAL_SQL,
+    "split-conformal prediction intervals: calibration-quantile q_hat "
+    "(exact decimal rank walk) wrapped around a train-split predictor, "
+    "coverage measured on the test split",
+)
