@@ -72,8 +72,12 @@ def main() -> None:
     # as super-linear when it is the key, not the plan, that is wrong.
     skip_at_scale = {
         "q_fuzzy_blocked_match",
-        # same degenerate-blocking-key argument (built on blocked_fuzzy_pairs)
-        "q_fuzzy_clusters",
+        # q_fuzzy_clusters left IN the sweep as of r9: the rewrite
+        # verifies over the DISTINCT-NAME domain (constant 64 names in
+        # the derived fixture — key-shifted copies keep p_name verbatim),
+        # so the quadratic verify no longer grows with rows and the
+        # query should now curve linear. The row-pair variant above
+        # stays skipped (its candidate set is row-quadratic by design).
         # derived-fixture caveat (make_scale_data.py header): cross-copy
         # embedding vectors are VERBATIM copies, so every vector gains
         # K-1 exact cosine-1.0 twins — near-dup pair/cluster counts grow
