@@ -451,3 +451,133 @@ QUERIES["q_conformal_intervals"] = QuerySpec(
     "(exact decimal rank walk) wrapped around a train-split predictor, "
     "coverage measured on the test split",
 )
+
+
+# ----------------------------- k-truss decomposition (k = 3)
+# The edge-level companion to the vertex-level k-core family
+# (q_kcore_subgraph / q_core_numbers): the k-truss keeps every edge
+# that participates in ≥ k−2 triangles WITHIN the surviving subgraph,
+# peeled to fixpoint — the standard cohesive-community extractor
+# (stricter than core: a 3-truss edge is in a triangle of the truss,
+# not merely between degree-2 vertices). Same thresholded co-purchase
+# graph as the core family (extensions_r7.py:35 for why the ≥2-order
+# threshold keeps the projection sparse). Scale shape per round: one
+# triangle enumeration (two self-joins on ordered edges — shuffle on
+# join keys, never materializing vertex neighborhoods) + one edge-key
+# support aggregate + one semi-join, over a shrinking edge set with
+# per-round lineage truncation. Early-exit at fixpoint is safe against
+# the oracle's fixed unroll because peeling is idempotent at fixpoint
+# (every surviving edge keeps support ≥ k−2, so extra rounds no-op).
+# Output: the final truss's support histogram — discriminating (a
+# wrong peel changes supports, not just edge counts).
+
+TRUSS_K = 3
+TRUSS_PEELS = 5
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint()
+    )
+
+    def support(ed: DataFrame) -> DataFrame:
+        tri = (
+            ed.alias("e1")
+            .join(ed.alias("e2"), F.col("e1.p2") == F.col("e2.p1"))
+            .join(
+                ed.alias("e3"),
+                (F.col("e1.p1") == F.col("e3.p1"))
+                & (F.col("e2.p2") == F.col("e3.p2")),
+                "inner",
+            )
+            .select(
+                F.col("e1.p1").alias("a"),
+                F.col("e1.p2").alias("b"),
+                F.col("e2.p2").alias("c"),
+            )
+        )
+        return (
+            tri.select(F.col("a").alias("p1"), F.col("b").alias("p2"))
+            .unionByName(tri.select(F.col("b").alias("p1"), F.col("c").alias("p2")))
+            .unionByName(tri.select(F.col("a").alias("p1"), F.col("c").alias("p2")))
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+
+    prev = None
+    for _ in range(TRUSS_PEELS):
+        kept = support(e).where(F.col("sup") >= TRUSS_K - 2).select("p1", "p2")
+        e = e.join(kept, ["p1", "p2"], "left_semi").localCheckpoint()
+        n = e.count()  # bounded control-plane fixpoint probe
+        if n == prev:
+            break
+        prev = n
+    final_sup = support(e)
+    return (
+        final_sup.groupBy("sup")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.min("p1").alias("min_p1"),
+            F.max("p2").alias("max_p2"),
+        )
+        .orderBy("sup")
+    )
+
+
+def _ktruss_sql() -> str:
+    layers = [
+        """li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+te_0 AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2)"""
+    ]
+    for i in range(TRUSS_PEELS):
+        layers.append(
+            f"""ts_{i} AS MATERIALIZED (
+  SELECT p1, p2, COUNT(*) AS sup FROM (
+    SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+    FROM te_{i} e1 JOIN te_{i} e2 ON e1.p2 = e2.p1
+    JOIN te_{i} e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2
+  ) t, LATERAL (VALUES (t.a, t.b), (t.b, t.c), (t.a, t.c)) AS ed(p1, p2)
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRUSS_K - 2}),
+te_{i + 1} AS MATERIALIZED (
+  SELECT e.p1, e.p2 FROM te_{i} e JOIN ts_{i} s USING (p1, p2))"""
+        )
+    last = f"te_{TRUSS_PEELS}"
+    return (
+        "WITH "
+        + ",\n".join(layers)
+        + f""",
+final_sup AS (
+  SELECT p1, p2, COUNT(*) AS sup FROM (
+    SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+    FROM {last} e1 JOIN {last} e2 ON e1.p2 = e2.p1
+    JOIN {last} e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2
+  ) t, LATERAL (VALUES (t.a, t.b), (t.b, t.c), (t.a, t.c)) AS ed(p1, p2)
+  GROUP BY 1, 2)
+SELECT sup, COUNT(*) AS n_edges, MIN(p1) AS min_p1, MAX(p2) AS max_p2
+FROM final_sup
+GROUP BY sup
+ORDER BY sup"""
+    )
+
+
+QUERIES["q_ktruss"] = QuerySpec(
+    q_ktruss,
+    _ktruss_sql(),
+    "3-truss decomposition of the co-purchase graph: triangle-support edge "
+    "peeling to fixpoint, support histogram of the surviving truss",
+)
