@@ -1033,6 +1033,85 @@ QUERIES["q_stream_tws_ttl_counts"] = QuerySpec(
 )
 
 
+# --------------------- chained stateful operators (Spark 3.5+/4)
+# TWO windowed aggregations in ONE streaming query — the multi-level
+# rollup (10-minute pre-aggregate → hourly rollup) that older Spark
+# required two queries + an intermediate sink for. The first agg runs
+# in append semantics (only watermark-finalized 10-min windows flow
+# down); the second re-windows them via window_time(). Determinism:
+# the eviction-safe cutoff (2h below max event time, far under the
+# final 30-min watermark) keeps only hourly windows whose EVERY
+# 10-min child was finalized and emitted, so the result equals the
+# batch two-level rollup. Scale: state at level 1 is (10-min window ×
+# type)-keyed, level 2 hourly-keyed — both bounded by time range, not
+# stream length; one shuffle per level.
+
+
+def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.streaming.ops import events_stream_chunked
+
+    s = events_stream_chunked(spark, sf_dir, n_chunks=2).withWatermark(
+        "ts", "30 minutes"
+    )
+    w10 = s.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    hourly = w10.groupBy(
+        F.window(F.window_time("w"), "1 hour").alias("h")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("sv").cast("double").alias("sum_value"),
+    )
+    res = run_to_table(hourly, "append", state_partitions=8)
+    from kcore_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.unix_timestamp(F.max("ts")) - 2 * 3600).alias("c")
+    ).first()[0]
+    return (
+        res.where(F.unix_timestamp(F.col("h.end")) <= F.lit(cutoff))
+        .select(
+            F.unix_timestamp(F.col("h.start")).alias("window_start"),
+            "n_events",
+            "n_cells",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+Q_STREAM_CHAINED_SQL = """
+WITH cutoff AS (
+  SELECT MAX(epoch(CAST(ts AS TIMESTAMP))) - 2 * 3600 AS c FROM events),
+cells AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         to_timestamp(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600) AS w10,
+         event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+  FROM events
+  GROUP BY 1, 2, 3)
+SELECT CAST(epoch(h) AS BIGINT) AS window_start,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_cells,
+       CAST(SUM(sv) AS DOUBLE) AS sum_value
+FROM cells
+WHERE epoch(h) + 3600 <= (SELECT c FROM cutoff)
+GROUP BY h
+ORDER BY window_start
+"""
+
+QUERIES["q_stream_chained_windows"] = QuerySpec(
+    q_stream_chained_windows,
+    Q_STREAM_CHAINED_SQL,
+    "chained stateful streaming aggs: 10-min pre-aggregate re-windowed to an "
+    "hourly rollup via window_time() in one query (Spark multi-stateful)",
+)
+
+
 
 # ------------------------- transformWithState WARM START (initialState)
 # The checkpoint-migration path: transformWithState's initialState=
