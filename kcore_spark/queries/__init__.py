@@ -108,6 +108,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r8f,
         extensions_r8g,
         extensions_r9,
+        extensions_r9b,
         dedup,
         events,
         packing_q,
@@ -163,6 +164,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r8f,
         extensions_r8g,
         extensions_r9,
+        extensions_r9b,
         tpch,
         tpch2,
         windows,
