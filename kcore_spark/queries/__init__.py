@@ -109,6 +109,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r8g,
         extensions_r9,
         extensions_r9b,
+        extensions_r9c,
         dedup,
         events,
         packing_q,
@@ -165,6 +166,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r8g,
         extensions_r9,
         extensions_r9b,
+        extensions_r9c,
         tpch,
         tpch2,
         windows,
