@@ -110,6 +110,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9,
         extensions_r9b,
         extensions_r9c,
+        extensions_r9d,
         dedup,
         events,
         packing_q,
@@ -167,6 +168,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9,
         extensions_r9b,
         extensions_r9c,
+        extensions_r9d,
         tpch,
         tpch2,
         windows,
