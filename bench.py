@@ -150,6 +150,19 @@ EXTRAS = [
     "q_rolling_mau_sketch",
     "q_avro_source",
     "q_avro_payload_decode",
+    # round-9 b-e: selection/prep/analytics block (q_udtf_ngrams and
+    # q_sql_variables excluded: API-surface pins, not data-plane
+    # shapes; q_sprt_stopping excluded: one keyed window, sub-second)
+    "q_dsir_importance",
+    "q_quantile_normalize",
+    "q_theil_index",
+    "q_t_closeness",
+    "q_flesch_readability",
+    "q_isotonic_calibration",
+    "q_holt_forecast",
+    "q_nelson_aalen",
+    "q_hurst_exponent",
+    "q_best_split_infogain",
 ]
 
 
@@ -205,27 +218,42 @@ def _bench_streaming_incremental(spark, sf_dir: str, timings: dict) -> None:
 
 def _warm_tws(spark) -> None:
     """First-use initialization of the transformWithState machinery
-    (RocksDB provider JNI load, Python state-server runner classes) is
-    a one-time JVM cost of several seconds; warm it on a 3-row stream
-    so the TWS extras measure the operators, not class loading — the
-    same policy as the JVM/parquet warm-ups above."""
+    (RocksDB provider JNI load, Python state-server runner classes,
+    and — measured r9 — the eventTime/timer infrastructure, which
+    is NOT touched by a timeMode='none' run) is a one-time JVM cost
+    of 10-20s; warm it on a 3-row EVENT-TIME stream with a watermark
+    so the TWS extras measure the operators, not first-use setup —
+    the same policy as the JVM/parquet warm-ups above. (r9: the old
+    timeMode='none' warm-up left ~15s of timer-path init to land on
+    whichever TWS extra ran first.)"""
+    import datetime
     import tempfile
 
     from kcore_spark.streaming.ops import run_tws_to_table
-    from kcore_spark.streaming.tws import HAVE_TWS, make_topk_processor
+    from kcore_spark.streaming.tws import make_session_processor, tws_usable
 
-    if not HAVE_TWS:
+    if not tws_usable(spark):
         return
     d = tempfile.mkdtemp(prefix="kcore_bench_twswarm_")
+    t0 = datetime.datetime(2024, 1, 1)
     spark.createDataFrame(
-        [(1, 1.0), (1, 2.0), (2, 3.0)], "user_id long, value double"
+        [
+            (1, t0),
+            (1, t0 + datetime.timedelta(hours=2)),
+            (2, t0),
+        ],
+        "user_id long, ts timestamp",
     ).write.mode("overwrite").parquet(d)
-    s = spark.readStream.schema("user_id long, value double").parquet(d)
+    s = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(d)
+        .withWatermark("ts", "30 minutes")
+    )
     out = s.groupBy("user_id").transformWithStateInPandas(
-        make_topk_processor(1)(),
-        outputStructType="user_id long, rank long, value double",
+        make_session_processor()(),
+        outputStructType="user_id long, start_ms long, end_ms long, n_events long",
         outputMode="append",
-        timeMode="none",
+        timeMode="eventTime",
     )
     run_tws_to_table(out, "append", state_partitions=2)
 
@@ -281,11 +309,22 @@ def main() -> None:
     # Round-4/5 operators: reported for visibility, excluded from the
     # headline total (same reason — the total must stay comparable to
     # earlier rounds' 24-query set).
+    # The two streaming-session extras carry a large, order-dependent
+    # share of streaming-infra setup (whichever runs first in a session
+    # pays it — measured r9: first TWS run 25.6s, second 8.6s on an
+    # idle box); min-of-2 makes their numbers attributable to the
+    # operator, the same load-robustness policy as the headline loop.
+    MIN_OF_2_EXTRAS = {"q_stream_timeout_sessions", "q_stream_tws_sessions"}
     for name in EXTRAS:
         if name in qs:
-            t0 = time.time()
-            qs[name].spark(spark, sf_dir).collect()
-            timings[f"{name}_extra"] = round(time.time() - t0, 3)
+            runs = 2 if name in MIN_OF_2_EXTRAS else 1
+            best = None
+            for _ in range(runs):
+                t0 = time.time()
+                qs[name].spark(spark, sf_dir).collect()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[f"{name}_extra"] = round(best, 3)
             # same per-query release as the headline loop: without it,
             # ~40 extras accumulate persisted intermediates and the
             # LATE extras pay for all of them (measured: q_kmeans_lloyd
