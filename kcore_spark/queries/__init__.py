@@ -111,6 +111,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9b,
         extensions_r9c,
         extensions_r9d,
+        extensions_r9e,
         dedup,
         events,
         packing_q,
@@ -169,6 +170,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9b,
         extensions_r9c,
         extensions_r9d,
+        extensions_r9e,
         tpch,
         tpch2,
         windows,
