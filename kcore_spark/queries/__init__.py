@@ -112,6 +112,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9c,
         extensions_r9d,
         extensions_r9e,
+        extensions_r9f,
         dedup,
         events,
         packing_q,
@@ -171,6 +172,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9c,
         extensions_r9d,
         extensions_r9e,
+        extensions_r9f,
         tpch,
         tpch2,
         windows,

@@ -104,6 +104,16 @@ def main() -> None:
         spark.stop()
         spark = get_spark("kcore_spark_scaling")
         spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
+        # Sources that stage a one-time per-session fixture copy
+        # (sources_q._stage caches per (sf_dir, fmt)) get one untimed
+        # run so the curve measures the OPERATOR, not fixture staging:
+        # q_binaryfile_source writes one tiny file per sampled doc, and
+        # at the derived sf1 that staging read as a phantom 15.9x
+        # super-linear flag (r9; operator itself re-measured 1.7s).
+        for name in ("q_binaryfile_source", "q_avro_source"):
+            if name in qs:
+                qs[name].spark(spark, d).collect()
+                release_transients()
         for name in measured:
             t0 = time.time()
             qs[name].spark(spark, d).collect()
