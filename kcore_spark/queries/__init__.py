@@ -113,6 +113,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9d,
         extensions_r9e,
         extensions_r9f,
+        extensions_r9g,
         dedup,
         events,
         packing_q,
@@ -173,6 +174,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9d,
         extensions_r9e,
         extensions_r9f,
+        extensions_r9g,
         tpch,
         tpch2,
         windows,
