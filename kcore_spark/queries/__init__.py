@@ -114,6 +114,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9e,
         extensions_r9f,
         extensions_r9g,
+        extensions_r9h,
         dedup,
         events,
         packing_q,
@@ -175,6 +176,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9e,
         extensions_r9f,
         extensions_r9g,
+        extensions_r9h,
         tpch,
         tpch2,
         windows,
