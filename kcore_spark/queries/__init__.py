@@ -115,6 +115,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9f,
         extensions_r9g,
         extensions_r9h,
+        extensions_r9i,
         dedup,
         events,
         packing_q,
@@ -177,6 +178,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9f,
         extensions_r9g,
         extensions_r9h,
+        extensions_r9i,
         tpch,
         tpch2,
         windows,
