@@ -116,6 +116,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9g,
         extensions_r9h,
         extensions_r9i,
+        extensions_r9j,
         dedup,
         events,
         packing_q,
@@ -179,6 +180,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9g,
         extensions_r9h,
         extensions_r9i,
+        extensions_r9j,
         tpch,
         tpch2,
         windows,
