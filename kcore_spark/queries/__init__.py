@@ -117,6 +117,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9h,
         extensions_r9i,
         extensions_r9j,
+        extensions_r9k,
         dedup,
         events,
         packing_q,
@@ -181,6 +182,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9h,
         extensions_r9i,
         extensions_r9j,
+        extensions_r9k,
         tpch,
         tpch2,
         windows,

@@ -1,0 +1,317 @@
+"""Round-9 surface extensions, batch K (SURVEY §2.3 N r9): simplified
+silhouette (the missing EVAL for the clustering family — q_kmeans_lloyd
+fits, this grades), the stationary distribution of the event-type
+Markov chain (matrix SQUARING, not recursion — P^20 in five joins),
+and Kendall tau-b computed from the contingency table (pair statistics
+without pair enumeration: value-bounded, never O(N²)).
+
+Provenance: declared surface of OUR engine; the reference implements
+only ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:106-125`).
+Centroid means use the DECIMAL(28,12)-exact numerator (the
+q_label_centroids idiom, similarity.py:162) so both engines derive
+bit-identical centroids; pair counts stay in the integer domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table, normalize_event_ts
+from kcore_spark.queries import QuerySpec
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+# ----------------------- simplified (centroid) silhouette score
+# s(i) = (b − a)/max(a, b) with a = ‖x − c_own‖, b = min_other
+# ‖x − c_other‖ — the centroid-based silhouette, which replaces the
+# O(N²) pairwise definition with a k-row broadcast and is the form
+# production clustering evals use. Per-label mean silhouette grades
+# the labeling. Scale: one posexplode partial-agg for centroids
+# (N×d → k×d), one broadcast cross of vectors × k centroids; the
+# distance fold runs in array order so both engines do identical
+# IEEE ops.
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = (
+        emb.select("label", F.posexplode("e").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cv")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+            ).alias("c")
+        )
+    )
+    crossed = emb.crossJoin(
+        F.broadcast(cent.select(F.col("label").alias("clabel"), "c"))
+    ).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("e"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("dist"),
+    )
+    per_vec = crossed.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    sil = per_vec.select(
+        "label",
+        ((F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))).alias("s"),
+    )
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+Q_SILHOUETTE_SQL = """
+WITH cent AS (
+  SELECT label, array_agg(cv ORDER BY pos) AS c
+  FROM (
+    SELECT label, pos,
+           CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+    FROM (SELECT label, UNNEST(embedding::DOUBLE[]) AS x,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos)
+  GROUP BY label),
+crossed AS (
+  SELECT e.vec_id, e.label, c.label AS clabel,
+         SQRT(list_reduce(list_prepend(0.0,
+           list_transform(list_zip(e.embedding::DOUBLE[], c.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (a, b) -> a + b)) AS dist
+  FROM embeddings e CROSS JOIN cent c),
+per_vec AS (
+  SELECT vec_id, label,
+         MIN(CASE WHEN clabel = label THEN dist END) AS a,
+         MIN(CASE WHEN clabel <> label THEN dist END) AS b
+  FROM crossed GROUP BY vec_id, label)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG((b - a) / GREATEST(a, b)), 6) AS mean_silhouette
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+QUERIES["q_silhouette"] = QuerySpec(
+    q_silhouette,
+    Q_SILHOUETTE_SQL,
+    "simplified (centroid) silhouette per label — decimal-exact "
+    "centroids, k-row broadcast distances, no pairwise O(N²)",
+)
+
+
+# -------------------- Markov stationary distribution (P^20, squared)
+# π ≈ uniform · P^20 over the event-type transition chain. The
+# iteration is expressed as MATRIX SQUARING — P², P⁴, P⁸, P¹⁶,
+# P²⁰ = P¹⁶·P⁴ — five |types|²-sized join+groupBy steps instead of 20
+# sequential ones (and instead of any recursion, which the oracle
+# dialect would need special support for). Row-stochasticity is
+# preserved by construction; the L1-contraction of stochastic
+# multiplication keeps cross-engine float drift below the 6-digit
+# round. Completes the Markov family: q_event_transitions estimates
+# the matrix, this solves it.
+
+
+def _mat_mul(a: DataFrame, b: DataFrame) -> DataFrame:
+    """(i,k,p)×(k,j,p) → (i,j,p): one shuffle on the contraction key."""
+    return (
+        a.select(F.col("i"), F.col("j").alias("k"), F.col("p").alias("pa"))
+        .join(b.select(F.col("i").alias("k"), "j", F.col("p").alias("pb")), "k")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("pa") * F.col("pb")).alias("p"))
+    )
+
+
+def q_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("i"), F.col("nxt").alias("j"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = trans.groupBy("i").agg(F.sum("n").alias("row_n"))
+    p1 = trans.join(out, "i").select(
+        "i", "j", (F.col("n") / F.col("row_n")).alias("p")
+    ).localCheckpoint()
+    p2 = _mat_mul(p1, p1).localCheckpoint()
+    p4 = _mat_mul(p2, p2).localCheckpoint()
+    p8 = _mat_mul(p4, p4).localCheckpoint()
+    p16 = _mat_mul(p8, p8).localCheckpoint()
+    p20 = _mat_mul(p16, p4)
+    k = p1.select("i").distinct()
+    n_types = k.count()
+    pi = (
+        p20.groupBy("j")
+        .agg((F.sum("p") / F.lit(float(n_types))).alias("pi"))
+        .select(F.col("j").alias("event_type"), F.round("pi", 6).alias("pi"))
+    )
+    return pi.orderBy("event_type")
+
+
+Q_STATIONARY_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+trans AS (
+  SELECT event_type AS i, nxt AS j, COUNT(*) AS n
+  FROM ev WHERE nxt IS NOT NULL GROUP BY i, j),
+p1 AS (
+  SELECT i, j, n * 1.0 / SUM(n) OVER (PARTITION BY i) AS p FROM trans),
+p2 AS (
+  SELECT a.i, b.j, SUM(a.p * b.p) AS p
+  FROM p1 a JOIN p1 b ON a.j = b.i GROUP BY a.i, b.j),
+p4 AS (
+  SELECT a.i, b.j, SUM(a.p * b.p) AS p
+  FROM p2 a JOIN p2 b ON a.j = b.i GROUP BY a.i, b.j),
+p8 AS (
+  SELECT a.i, b.j, SUM(a.p * b.p) AS p
+  FROM p4 a JOIN p4 b ON a.j = b.i GROUP BY a.i, b.j),
+p16 AS (
+  SELECT a.i, b.j, SUM(a.p * b.p) AS p
+  FROM p8 a JOIN p8 b ON a.j = b.i GROUP BY a.i, b.j),
+p20 AS (
+  SELECT a.i, b.j, SUM(a.p * b.p) AS p
+  FROM p16 a JOIN p4 b ON a.j = b.i GROUP BY a.i, b.j),
+k AS (SELECT COUNT(DISTINCT i) AS n_types FROM p1)
+SELECT j AS event_type, ROUND(SUM(p) / MAX(n_types), 6) AS pi
+FROM p20 CROSS JOIN k
+GROUP BY j
+ORDER BY event_type
+"""
+
+QUERIES["q_stationary_distribution"] = QuerySpec(
+    q_stationary_distribution,
+    Q_STATIONARY_SQL,
+    "stationary distribution of the event-type Markov chain via "
+    "matrix squaring (P^20 in five |types|²-sized joins, no recursion)",
+)
+
+
+# ----------------------- Kendall tau-b from the contingency table
+# Pair statistics WITHOUT pair enumeration: with value-bounded
+# domains (quantity: ~50 levels, discount: ~11), every O(N²) pair sum
+# collapses onto the |X|×|Y| contingency table —
+# C = Σ_{cells c<c'} n_c n_{c'} over concordant cell pairs, D the
+# discordant ones, ties from the margins. The cell-pair join is
+# (550)²-sized AT ANY data scale. All counts integer (DECIMAL(38,0)
+# guards the N² products); one float step at the end.
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("y"),
+    )
+    cells = li.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    a = cells.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("n").alias("n1")
+    )
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("n").alias("n2")
+    )
+    pairs = a.join(b, (F.col("x1") < F.col("x2")))
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("y1") < F.col("y2"), F.col("n1").cast("decimal(38,0)") * F.col("n2")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("c_pairs"),
+        F.sum(
+            F.when(F.col("y1") > F.col("y2"), F.col("n1").cast("decimal(38,0)") * F.col("n2")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("d_pairs"),
+    )
+    margins = cells.agg(
+        F.sum("n").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("n").cast("decimal(38,0)") * (F.col("n") - 1)).alias("tie_cell2"),
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("n").alias("nx"))
+        .agg(F.sum(F.col("nx").cast("decimal(38,0)") * (F.col("nx") - 1)).alias("tx2"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("n").alias("ny"))
+        .agg(F.sum(F.col("ny").cast("decimal(38,0)") * (F.col("ny") - 1)).alias("ty2"))
+    )
+    m = cd.crossJoin(F.broadcast(margins)).crossJoin(F.broadcast(tx)).crossJoin(
+        F.broadcast(ty)
+    )
+    n0x2 = F.col("n") * (F.col("n") - 1)  # 2·n0
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("c_pairs").cast("long").alias("concordant"),
+        F.col("d_pairs").cast("long").alias("discordant"),
+        F.round(
+            (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+            / F.sqrt(
+                (n0x2 - F.col("tx2")).cast("double") / 2.0
+                * ((n0x2 - F.col("ty2")).cast("double") / 2.0)
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+Q_KENDALL_SQL = """
+WITH src AS (
+  SELECT l_quantity AS x, CAST(ROUND(l_discount * 100) AS INT) AS y FROM lineitem),
+cells AS (SELECT x, y, COUNT(*) AS n FROM src GROUP BY x, y),
+cd AS (
+  SELECT SUM(CASE WHEN a.y < b.y THEN CAST(a.n AS DECIMAL(38,0)) * b.n ELSE 0 END) AS c_pairs,
+         SUM(CASE WHEN a.y > b.y THEN CAST(a.n AS DECIMAL(38,0)) * b.n ELSE 0 END) AS d_pairs
+  FROM cells a JOIN cells b ON a.x < b.x),
+margins AS (
+  SELECT CAST(SUM(n) AS DECIMAL(38,0)) AS n FROM cells),
+tx AS (
+  SELECT SUM(CAST(nx AS DECIMAL(38,0)) * (nx - 1)) AS tx2
+  FROM (SELECT SUM(n) AS nx FROM cells GROUP BY x)),
+ty AS (
+  SELECT SUM(CAST(ny AS DECIMAL(38,0)) * (ny - 1)) AS ty2
+  FROM (SELECT SUM(n) AS ny FROM cells GROUP BY y))
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(c_pairs AS BIGINT) AS concordant,
+       CAST(d_pairs AS BIGINT) AS discordant,
+       ROUND(CAST(c_pairs - d_pairs AS DOUBLE)
+             / SQRT(CAST(n * (n - 1) - tx2 AS DOUBLE) / 2.0
+                    * (CAST(n * (n - 1) - ty2 AS DOUBLE) / 2.0)), 6) AS tau_b
+FROM cd CROSS JOIN margins CROSS JOIN tx CROSS JOIN ty
+"""
+
+QUERIES["q_kendall_tau"] = QuerySpec(
+    q_kendall_tau,
+    Q_KENDALL_SQL,
+    "Kendall tau-b from the contingency table — pair sums without "
+    "pair enumeration; |X|×|Y|-bounded at any data scale",
+)
