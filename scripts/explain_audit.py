@@ -79,6 +79,17 @@ ALLOWED_NLJ = {
     "q_spatial_grid_join",  # 1-row point-count broadcast cross (the summary)
     "q_key_skew_report",  # 1-row per-key median broadcast cross per key column
     "q_abc_classification",  # 1-row part-count broadcast cross (share denominator)
+    # r9 batches G-K:
+    "q_classification_report",  # k-row lang-ring modular join + 1-row class count
+    "q_kruskal_wallis",  # 1-row tie-totals broadcast cross (H margins)
+    "q_naive_bayes",  # k-row class fan-out + 1-row prior-totals crosses
+    "q_ols_two_features",  # 1-row means broadcast cross (centering pass)
+    "q_modularity_score",  # 1-row total-weight broadcast cross (Q denominator)
+    "q_classical_decomposition",  # 1-row grand-mean broadcast cross (centering)
+    "q_ccf_lagged",  # 13-row lag-table broadcast cross (the lag fan-out)
+    "q_jackknife_variance",  # 1-row totals + 1-row mean-theta broadcast crosses
+    "q_silhouette",  # k-row centroid broadcast cross (the Lloyd assignment shape)
+    "q_kendall_tau",  # |X|x|Y| cell-pair inequality join — value-bounded, never N²
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
@@ -160,6 +171,12 @@ KNOWN_UNPUSHABLE = {
     # whole-table key profiling: every row counts toward the skew stats;
     # the only filter is the cumulative-walk median cut
     "q_key_skew_report",
+    # r9: whole-table model/series passes by design — the only filters
+    # are post-window NULL drops (trend edges, lead tails) or derived
+    # guards; every row feeds the estimator
+    "q_modularity_score",
+    "q_classical_decomposition",
+    "q_silhouette",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}
