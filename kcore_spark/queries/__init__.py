@@ -118,6 +118,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9i,
         extensions_r9j,
         extensions_r9k,
+        extensions_r9l,
         dedup,
         events,
         packing_q,
@@ -183,6 +184,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9i,
         extensions_r9j,
         extensions_r9k,
+        extensions_r9l,
         tpch,
         tpch2,
         windows,

@@ -90,6 +90,8 @@ ALLOWED_NLJ = {
     "q_jackknife_variance",  # 1-row totals + 1-row mean-theta broadcast crosses
     "q_silhouette",  # k-row centroid broadcast cross (the Lloyd assignment shape)
     "q_kendall_tau",  # |X|x|Y| cell-pair inequality join — value-bounded, never N²
+    "q_logrank_test",  # 1-row arm-totals broadcast cross (at-risk seed)
+    "q_theil_sen",  # 1-row min-date broadcast cross + 60-row sample self-pair
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
@@ -177,6 +179,9 @@ KNOWN_UNPUSHABLE = {
     "q_modularity_score",
     "q_classical_decomposition",
     "q_silhouette",
+    # whole-table life table by design: every customer feeds the
+    # at-risk counts; the only filter is the derived d>0 event-time cut
+    "q_logrank_test",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}
