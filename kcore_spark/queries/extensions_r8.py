@@ -650,20 +650,10 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated per peel, fixpoint early-exit) run per k on a shrinking
     edge set — later k's start from the previous core, so the
     decomposition costs barely more than the deepest single core."""
+    from kcore_spark.operators.graph import co_order_edges
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("w"))
-        .where(F.col("w") >= 2)
-        .select("p1", "p2")
-        .localCheckpoint()
-    )
+    edges = co_order_edges(li).localCheckpoint()
 
     def vertices(e: DataFrame) -> DataFrame:
         return (

@@ -476,20 +476,10 @@ TRUSS_PEELS = 5
 
 
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.operators.graph import co_order_edges
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    e = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("w"))
-        .where(F.col("w") >= 2)
-        .select("p1", "p2")
-        .localCheckpoint()
-    )
+    e = co_order_edges(li).localCheckpoint()
 
     def support(ed: DataFrame) -> DataFrame:
         tri = (
