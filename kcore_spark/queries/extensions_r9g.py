@@ -289,7 +289,7 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     - 3.0 * (F.max("n") + 1)
                 )
-                / (
+                / F.nullif(
                     1.0
                     - F.max("tie3")
                     / (
@@ -297,7 +297,8 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * F.max("n")
                         * F.max("n")
                         - F.max("n")
-                    )
+                    ),
+                    F.lit(0.0),
                 ),
                 6,
             ).alias("h_tie_corrected"),
@@ -330,8 +331,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
        ROUND((12.0 / (MAX(n) * (MAX(n) + 1))
               * SUM((two_r_j / 2.0) * (two_r_j / 2.0) / n_j)
               - 3.0 * (MAX(n) + 1))
-             / (1.0 - MAX(tie3)
-                / (CAST(MAX(n) AS DOUBLE) * MAX(n) * MAX(n) - MAX(n))), 6)
+             / NULLIF(1.0 - MAX(tie3)
+                / (CAST(MAX(n) AS DOUBLE) * MAX(n) * MAX(n) - MAX(n)), 0.0), 6)
          AS h_tie_corrected
 FROM per_grp CROSS JOIN ties
 """
@@ -383,7 +384,9 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(
         F.lit(n).cast("long").alias("n"),
         F.round(
-            F.sum(cx * cy) / F.sqrt(F.sum(cx * cx) * F.sum(cy * cy)), 6
+            F.sum(cx * cy)
+            / F.nullif(F.sqrt(F.sum(cx * cx) * F.sum(cy * cy)), F.lit(0.0)),
+            6,
         ).alias("spearman_rho"),
     )
 
@@ -401,8 +404,8 @@ ry AS (
   FROM (SELECT y AS v, COUNT(*) AS cnt FROM src GROUP BY y))
 SELECT CAST(MAX(n) AS BIGINT) AS n,
        ROUND(SUM(((trx - n - 1) / 2.0) * ((try_ - n - 1) / 2.0))
-             / SQRT(SUM(((trx - n - 1) / 2.0) * ((trx - n - 1) / 2.0))
-                    * SUM(((try_ - n - 1) / 2.0) * ((try_ - n - 1) / 2.0))), 6)
+             / NULLIF(SQRT(SUM(((trx - n - 1) / 2.0) * ((trx - n - 1) / 2.0))
+                    * SUM(((try_ - n - 1) / 2.0) * ((try_ - n - 1) / 2.0))), 0.0), 6)
          AS spearman_rho
 FROM src JOIN rx USING (x) JOIN ry USING (y) CROSS JOIN n_all
 """

@@ -73,9 +73,10 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.sum("n_j")
                 )
             )
-            / (
+            / F.nullif(
                 F.sum(F.col("szz").cast("double"))
-                - F.sum(F.col("sz").cast("double") * F.col("sz") / F.col("n_j"))
+                - F.sum(F.col("sz").cast("double") * F.col("sz") / F.col("n_j")),
+                F.lit(0.0),
             ),
             6,
         ).alias("w_stat"),
@@ -97,8 +98,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
        ROUND(((SUM(n_j) - COUNT(*)) * 1.0 / (COUNT(*) - 1)
               * (SUM(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n_j)
                  - SUM(CAST(sz AS DOUBLE)) * SUM(CAST(sz AS DOUBLE)) / SUM(n_j)))
-             / (SUM(CAST(szz AS DOUBLE))
-                - SUM(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n_j)), 6) AS w_stat
+             / NULLIF(SUM(CAST(szz AS DOUBLE))
+                - SUM(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n_j), 0.0), 6) AS w_stat
 FROM per_grp
 """
 

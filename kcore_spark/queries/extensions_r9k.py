@@ -275,9 +275,12 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_pairs").cast("long").alias("discordant"),
         F.round(
             (F.col("c_pairs") - F.col("d_pairs")).cast("double")
-            / F.sqrt(
-                (n0x2 - F.col("tx2")).cast("double") / 2.0
-                * ((n0x2 - F.col("ty2")).cast("double") / 2.0)
+            / F.nullif(
+                F.sqrt(
+                    (n0x2 - F.col("tx2")).cast("double") / 2.0
+                    * ((n0x2 - F.col("ty2")).cast("double") / 2.0)
+                ),
+                F.lit(0.0),
             ),
             6,
         ).alias("tau_b"),
@@ -304,8 +307,8 @@ SELECT CAST(n AS BIGINT) AS n,
        CAST(c_pairs AS BIGINT) AS concordant,
        CAST(d_pairs AS BIGINT) AS discordant,
        ROUND(CAST(c_pairs - d_pairs AS DOUBLE)
-             / SQRT(CAST(n * (n - 1) - tx2 AS DOUBLE) / 2.0
-                    * (CAST(n * (n - 1) - ty2 AS DOUBLE) / 2.0)), 6) AS tau_b
+             / NULLIF(SQRT(CAST(n * (n - 1) - tx2 AS DOUBLE) / 2.0
+                    * (CAST(n * (n - 1) - ty2 AS DOUBLE) / 2.0)), 0.0), 6) AS tau_b
 FROM cd CROSS JOIN margins CROSS JOIN tx CROSS JOIN ty
 """
 

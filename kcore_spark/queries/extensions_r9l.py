@@ -71,7 +71,11 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         n.cast("long").alias("n_pairs"),
         F.round(w_plus, 2).alias("w_plus"),
-        F.round((w_plus - mean_w) / F.sqrt(var_w), 6).alias("z_stat"),
+        # NULL (not ±inf/NaN) when every |d| falls in one tie group —
+        # var_w = 0 — so both engines canonicalize identically
+        F.round(
+            (w_plus - mean_w) / F.nullif(F.sqrt(var_w), F.lit(0.0)), 6
+        ).alias("z_stat"),
     )
 
 
@@ -102,7 +106,8 @@ agg AS (
 SELECT CAST(n AS BIGINT) AS n_pairs,
        ROUND(two_w_plus / 2.0, 2) AS w_plus,
        ROUND((two_w_plus / 2.0 - n * (n + 1) / 4.0)
-             / SQRT(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0 - tie3 / 48.0), 6)
+             / NULLIF(SQRT(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0
+                           - tie3 / 48.0), 0.0), 6)
          AS z_stat
 FROM agg
 """
@@ -180,10 +185,13 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_event_times"),
         F.sum("d1").cast("long").alias("observed_1"),
         F.round(F.sum(term_e), 6).alias("expected_1"),
+        # NULL when ΣV = 0 (an arm empty at every event time) — the
+        # statistic is undefined there; NULLIF keeps ANSI mode and the
+        # oracle identical
         F.round(
             (F.sum("d1") - F.sum(term_e))
             * (F.sum("d1") - F.sum(term_e))
-            / F.sum(term_v),
+            / F.nullif(F.sum(term_v), F.lit(0.0)),
             6,
         ).alias("chi2"),
     )
@@ -222,8 +230,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
        ROUND(SUM(d * (CAST(n1 AS DOUBLE) / n)), 6) AS expected_1,
        ROUND((SUM(d1) - SUM(d * (CAST(n1 AS DOUBLE) / n)))
              * (SUM(d1) - SUM(d * (CAST(n1 AS DOUBLE) / n)))
-             / SUM(d * (CAST(n1 AS DOUBLE) / n) * (1.0 - CAST(n1 AS DOUBLE) / n)
-                   * (n - d) / (n - 1)), 6) AS chi2
+             / NULLIF(SUM(d * (CAST(n1 AS DOUBLE) / n) * (1.0 - CAST(n1 AS DOUBLE) / n)
+                   * (n - d) / (n - 1)), 0.0), 6) AS chi2
 FROM terms
 """
 

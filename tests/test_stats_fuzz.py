@@ -28,9 +28,17 @@ from .conftest import SF_DIR
 
 SEEDS = [9001, 9002, 9003]
 
-EVENT_QUERIES = ["q_mann_whitney", "q_ks_test"]
-ORDER_QUERIES = ["q_welch_ttest", "q_kaplan_meier"]
-LINEITEM_QUERIES = ["q_weighted_median"]
+EVENT_QUERIES = ["q_mann_whitney", "q_ks_test", "q_wilcoxon_signed_rank"]
+ORDER_QUERIES = [
+    "q_welch_ttest",
+    "q_kaplan_meier",
+    # r9 additions riding the same integer tie machinery / life table
+    "q_kruskal_wallis",
+    "q_levene_test",
+    "q_logrank_test",
+    "q_jackknife_variance",
+]
+LINEITEM_QUERIES = ["q_weighted_median", "q_spearman_corr", "q_kendall_tau"]
 NATION_QUERIES = ["q_bh_fdr"]
 
 
