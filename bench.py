@@ -163,6 +163,16 @@ EXTRAS = [
     "q_nelson_aalen",
     "q_hurst_exponent",
     "q_best_split_infogain",
+    # round-9 g-l: the data-plane-shaped members (the pure stats pins
+    # — Kruskal, Wilcoxon, Kendall, Levene, log-rank, jackknife — are
+    # sub-second 1-row reductions, correctness surface not bench
+    # shapes; collation/mergeSchema/_metadata are API pins)
+    "q_naive_bayes",  # explode + vocab-keyed scoring join
+    "q_item_item_cosine",  # capped co-purchase pair explode
+    "q_silhouette",  # posexplode centroids + broadcast distance scan
+    "q_spearman_corr",  # two distinct-value tie tables + joins back
+    "q_stationary_distribution",  # five matrix-squaring joins
+    "q_classical_decomposition",  # hourly rollup + 2x24 MA windows
 ]
 
 
