@@ -119,6 +119,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9j,
         extensions_r9k,
         extensions_r9l,
+        extensions_r9m,
         dedup,
         events,
         packing_q,
@@ -185,6 +186,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9j,
         extensions_r9k,
         extensions_r9l,
+        extensions_r9m,
         tpch,
         tpch2,
         windows,

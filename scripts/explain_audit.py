@@ -182,6 +182,9 @@ KNOWN_UNPUSHABLE = {
     # whole-table life table by design: every customer feeds the
     # at-risk counts; the only filter is the derived d>0 event-time cut
     "q_logrank_test",
+    # bidirectional nearest needs ALL event types in the window frame;
+    # the purchase filter is necessarily post-window
+    "q_nearest_event_join",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}
