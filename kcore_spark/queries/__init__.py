@@ -120,6 +120,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9k,
         extensions_r9l,
         extensions_r9m,
+        extensions_r9n,
         dedup,
         events,
         packing_q,
@@ -187,6 +188,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9k,
         extensions_r9l,
         extensions_r9m,
+        extensions_r9n,
         tpch,
         tpch2,
         windows,

@@ -92,6 +92,7 @@ ALLOWED_NLJ = {
     "q_kendall_tau",  # |X|x|Y| cell-pair inequality join — value-bounded, never N²
     "q_logrank_test",  # 1-row arm-totals broadcast cross (at-risk seed)
     "q_theil_sen",  # 1-row min-date broadcast cross + 60-row sample self-pair
+    "q_neardup_threshold_sweep",  # 7-row tau-grid broadcast cross (the sweep fan-out)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
