@@ -121,6 +121,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9l,
         extensions_r9m,
         extensions_r9n,
+        extensions_r9o,
         dedup,
         events,
         packing_q,
@@ -189,6 +190,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9l,
         extensions_r9m,
         extensions_r9n,
+        extensions_r9o,
         tpch,
         tpch2,
         windows,

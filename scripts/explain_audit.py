@@ -93,6 +93,9 @@ ALLOWED_NLJ = {
     "q_logrank_test",  # 1-row arm-totals broadcast cross (at-risk seed)
     "q_theil_sen",  # 1-row min-date broadcast cross + 60-row sample self-pair
     "q_neardup_threshold_sweep",  # 7-row tau-grid broadcast cross (the sweep fan-out)
+    "q_jarque_bera",  # 1-row mean broadcast cross (central-moment pass)
+    "q_runs_test",  # 1-row median broadcast cross (the sign threshold)
+    "q_durbin_watson",  # 1-row base-date + 2-value coef broadcast crosses
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
@@ -186,6 +189,9 @@ KNOWN_UNPUSHABLE = {
     # bidirectional nearest needs ALL event types in the window frame;
     # the purchase filter is necessarily post-window
     "q_nearest_event_join",
+    # whole-series randomness test: the only filter is the derived
+    # x <> median sign cut on the day curve
+    "q_runs_test",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}
