@@ -122,6 +122,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9m,
         extensions_r9n,
         extensions_r9o,
+        extensions_r9p,
         dedup,
         events,
         packing_q,
@@ -191,6 +192,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9m,
         extensions_r9n,
         extensions_r9o,
+        extensions_r9p,
         tpch,
         tpch2,
         windows,

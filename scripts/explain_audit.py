@@ -96,6 +96,7 @@ ALLOWED_NLJ = {
     "q_jarque_bera",  # 1-row mean broadcast cross (central-moment pass)
     "q_runs_test",  # 1-row median broadcast cross (the sign threshold)
     "q_durbin_watson",  # 1-row base-date + 2-value coef broadcast crosses
+    "q_freshness_audit",  # 1-row high-water-mark broadcast cross
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
