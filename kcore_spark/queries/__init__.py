@@ -123,6 +123,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9n,
         extensions_r9o,
         extensions_r9p,
+        extensions_r9q,
         dedup,
         events,
         packing_q,
@@ -193,6 +194,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9n,
         extensions_r9o,
         extensions_r9p,
+        extensions_r9q,
         tpch,
         tpch2,
         windows,

@@ -193,6 +193,9 @@ KNOWN_UNPUSHABLE = {
     # whole-series randomness test: the only filter is the derived
     # x <> median sign cut on the day curve
     "q_runs_test",
+    # manifest covers EVERY document; the only filter is the derived
+    # per-shard head cut (rn <= 3) on the output
+    "q_shard_manifest",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}
