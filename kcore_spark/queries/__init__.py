@@ -124,6 +124,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9o,
         extensions_r9p,
         extensions_r9q,
+        extensions_r9r,
         dedup,
         events,
         packing_q,
@@ -195,6 +196,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9o,
         extensions_r9p,
         extensions_r9q,
+        extensions_r9r,
         tpch,
         tpch2,
         windows,
