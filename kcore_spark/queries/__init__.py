@@ -125,6 +125,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9p,
         extensions_r9q,
         extensions_r9r,
+        extensions_r9s,
         dedup,
         events,
         packing_q,
@@ -197,6 +198,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9p,
         extensions_r9q,
         extensions_r9r,
+        extensions_r9s,
         tpch,
         tpch2,
         windows,
