@@ -126,6 +126,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9q,
         extensions_r9r,
         extensions_r9s,
+        extensions_r9t,
         dedup,
         events,
         packing_q,
@@ -199,6 +200,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9q,
         extensions_r9r,
         extensions_r9s,
+        extensions_r9t,
         tpch,
         tpch2,
         windows,

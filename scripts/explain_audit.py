@@ -196,6 +196,9 @@ KNOWN_UNPUSHABLE = {
     # manifest covers EVERY document; the only filter is the derived
     # per-shard head cut (rn <= 3) on the output
     "q_shard_manifest",
+    # whole-series signal scan: the only filters are the derived
+    # full-window guard and the post-lag sign-change cut
+    "q_ma_crossover",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}
