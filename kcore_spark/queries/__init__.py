@@ -127,6 +127,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9r,
         extensions_r9s,
         extensions_r9t,
+        extensions_r9u,
         dedup,
         events,
         packing_q,
@@ -201,6 +202,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9r,
         extensions_r9s,
         extensions_r9t,
+        extensions_r9u,
         tpch,
         tpch2,
         windows,
