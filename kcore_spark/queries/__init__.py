@@ -128,6 +128,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9s,
         extensions_r9t,
         extensions_r9u,
+        extensions_r9v,
         dedup,
         events,
         packing_q,
@@ -203,6 +204,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9s,
         extensions_r9t,
         extensions_r9u,
+        extensions_r9v,
         tpch,
         tpch2,
         windows,

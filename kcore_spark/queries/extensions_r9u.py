@@ -111,7 +111,7 @@ pos AS (
   UNION ALL
   SELECT ('0x' || substring(md5('b2|' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % {_BLOOM_M} FROM members),
 bloom AS (
-  SELECT CAST(p / 32 AS BIGINT) AS word, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+  SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
   FROM pos GROUP BY 1),
 negatives AS (
   SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT k FROM members)),
@@ -127,7 +127,7 @@ checked AS (
                AND (bits & (1::BIGINT << CAST(p % 32 AS INT)))
                    = (1::BIGINT << CAST(p % 32 AS INT))
               THEN 1 ELSE 0 END AS hit
-  FROM probe LEFT JOIN bloom ON CAST(p / 32 AS BIGINT) = bloom.word),
+  FROM probe LEFT JOIN bloom ON p // 32 = bloom.word),
 per_key AS (
   SELECT c_custkey, CASE WHEN MIN(hit) = 1 THEN 1 ELSE 0 END AS fp
   FROM checked GROUP BY c_custkey),

@@ -97,6 +97,8 @@ ALLOWED_NLJ = {
     "q_runs_test",  # 1-row median broadcast cross (the sign threshold)
     "q_durbin_watson",  # 1-row base-date + 2-value coef broadcast crosses
     "q_freshness_audit",  # 1-row high-water-mark broadcast cross
+    "q_neyman_allocation",  # 1-row budget-total + 1-row shortfall broadcast crosses
+    "q_gaussian_em",  # 1-row parameter-iterate broadcast cross (the EM E-step)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
