@@ -129,6 +129,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9t,
         extensions_r9u,
         extensions_r9v,
+        extensions_r9w,
         dedup,
         events,
         packing_q,
@@ -205,6 +206,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9t,
         extensions_r9u,
         extensions_r9v,
+        extensions_r9w,
         tpch,
         tpch2,
         windows,
