@@ -130,6 +130,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9u,
         extensions_r9v,
         extensions_r9w,
+        extensions_r9x,
         dedup,
         events,
         packing_q,
@@ -207,6 +208,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9u,
         extensions_r9v,
         extensions_r9w,
+        extensions_r9x,
         tpch,
         tpch2,
         windows,
