@@ -131,6 +131,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9v,
         extensions_r9w,
         extensions_r9x,
+        extensions_r9y,
         dedup,
         events,
         packing_q,
@@ -209,6 +210,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9v,
         extensions_r9w,
         extensions_r9x,
+        extensions_r9y,
         tpch,
         tpch2,
         windows,
