@@ -173,6 +173,10 @@ EXTRAS = [
     "q_spearman_corr",  # two distinct-value tie tables + joins back
     "q_stationary_distribution",  # five matrix-squaring joins
     "q_classical_decomposition",  # hourly rollup + 2x24 MA windows
+    "q_gaussian_em",  # 4 unrolled E/M rounds (iterative ML shape)
+    "q_bradley_terry",  # 3 unrolled gradient rounds over pair duels
+    "q_repeated_ngram_scrub",  # explode + gram shuffle + bounded window
+    "q_cogroup_asof",  # co-partitioned dual shuffle + per-key pandas
 ]
 
 
