@@ -287,12 +287,22 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c").orderBy("i")
     capped = cp.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _CF_CAP)
     n_i = capped.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
-    a = capped.select("c", F.col("i").alias("ia"))
-    b = capped.select("c", F.col("i").alias("ib"))
+    # map-side pair explode from each customer's sorted item set (the
+    # co_order_edges idiom, operators/graph.py) — identical pair set
+    # to the former self-join on c, without shuffling the basket twice
     pairs = (
-        a.join(b, "c")
-        .where(F.col("ia") < F.col("ib"))
-        .groupBy("ia", "ib")
+        capped.groupBy("c")
+        .agg(F.array_sort(F.collect_set("i")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i+2, size(ps)), "
+                    "y -> struct(x as ia, y as ib))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.ia", "pr.ib")
         .agg(F.count(F.lit(1)).alias("cooc"))
         .where(F.col("cooc") >= 2)
     )
