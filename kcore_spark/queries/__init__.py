@@ -132,6 +132,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9w,
         extensions_r9x,
         extensions_r9y,
+        extensions_r9z,
         dedup,
         events,
         packing_q,
@@ -211,6 +212,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9w,
         extensions_r9x,
         extensions_r9y,
+        extensions_r9z,
         tpch,
         tpch2,
         windows,

@@ -99,6 +99,7 @@ ALLOWED_NLJ = {
     "q_freshness_audit",  # 1-row high-water-mark broadcast cross
     "q_neyman_allocation",  # 1-row budget-total + 1-row shortfall broadcast crosses
     "q_gaussian_em",  # 1-row parameter-iterate broadcast cross (the EM E-step)
+    "q_two_way_anova",  # 1-row grand-totals broadcast crosses (SS decomposition)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
