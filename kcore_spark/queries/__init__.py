@@ -133,6 +133,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9x,
         extensions_r9y,
         extensions_r9z,
+        extensions_r9aa,
         dedup,
         events,
         packing_q,
@@ -213,6 +214,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9x,
         extensions_r9y,
         extensions_r9z,
+        extensions_r9aa,
         tpch,
         tpch2,
         windows,

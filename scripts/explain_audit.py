@@ -100,6 +100,7 @@ ALLOWED_NLJ = {
     "q_neyman_allocation",  # 1-row budget-total + 1-row shortfall broadcast crosses
     "q_gaussian_em",  # 1-row parameter-iterate broadcast cross (the EM E-step)
     "q_two_way_anova",  # 1-row grand-totals broadcast crosses (SS decomposition)
+    "q_padding_waste",  # 4-row bucket-grid broadcast cross (the planner fan-out)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
