@@ -40,6 +40,10 @@ ORDER_QUERIES = [
 ]
 LINEITEM_QUERIES = ["q_weighted_median", "q_spearman_corr", "q_kendall_tau"]
 NATION_QUERIES = ["q_bh_fdr"]
+# lang-derived classifier family: the documents mutator scrambles the
+# label distribution (down to 1-doc classes), exercising the lang-ring
+# derivation, absent-in-train classes, and allowlist boundaries
+DOC_QUERIES = ["q_classification_report", "q_naive_bayes", "q_curation_funnel"]
 
 
 def _rewrite(src_dir: str, out_dir: str, table: str, mutate) -> None:
@@ -103,6 +107,14 @@ def _synth_dir(seed: int) -> str:
         # the BH step-up boundary (p == q*i/m after rounding) moves
         df["n_name"] = [f"NATION_{seed}_{i}_{rng.randint(0, 999)}" for i in range(len(df))]
 
+    def mut_documents(df):
+        n = len(df)
+        pool = ["en", "de", "fr", "es", "zh", "xx"]  # incl. an allowlist outsider
+        langs = [rng.choice(pool) for _ in range(n)]
+        langs[0] = "qq"  # a guaranteed 1-doc class
+        df["lang"] = langs
+
+    _rewrite(SF_DIR, d, "documents", mut_documents)
     _rewrite(SF_DIR, d, "events", mut_events)
     _rewrite(SF_DIR, d, "orders", mut_orders)
     _rewrite(SF_DIR, d, "lineitem", mut_lineitem)
@@ -125,7 +137,7 @@ def _dir_for(seed: int) -> str:
 
 @pytest.mark.parametrize("seed", SEEDS)
 @pytest.mark.parametrize(
-    "name", EVENT_QUERIES + ORDER_QUERIES + LINEITEM_QUERIES + NATION_QUERIES
+    "name", EVENT_QUERIES + ORDER_QUERIES + LINEITEM_QUERIES + NATION_QUERIES + DOC_QUERIES
 )
 def test_stat_query_matches_oracle_on_fuzzed_frame(spark, seed, name):
     d = _dir_for(seed)
