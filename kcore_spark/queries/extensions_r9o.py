@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kcore_spark.catalog import load_table, normalize_event_ts
+from kcore_spark.catalog import load_table
 from kcore_spark.queries import QuerySpec
 
 QUERIES: dict[str, QuerySpec] = {}
