@@ -134,6 +134,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9y,
         extensions_r9z,
         extensions_r9aa,
+        extensions_r9ab,
         dedup,
         events,
         packing_q,
@@ -215,6 +216,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9y,
         extensions_r9z,
         extensions_r9aa,
+        extensions_r9ab,
         tpch,
         tpch2,
         windows,
