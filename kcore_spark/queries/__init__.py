@@ -135,6 +135,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9z,
         extensions_r9aa,
         extensions_r9ab,
+        extensions_r9ac,
         dedup,
         events,
         packing_q,
@@ -217,6 +218,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9z,
         extensions_r9aa,
         extensions_r9ab,
+        extensions_r9ac,
         tpch,
         tpch2,
         windows,

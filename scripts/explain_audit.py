@@ -101,6 +101,7 @@ ALLOWED_NLJ = {
     "q_gaussian_em",  # 1-row parameter-iterate broadcast cross (the EM E-step)
     "q_two_way_anova",  # 1-row grand-totals broadcast crosses (SS decomposition)
     "q_padding_waste",  # 4-row bucket-grid broadcast cross (the planner fan-out)
+    "q_pinball_loss",  # 3-row quantile-grid broadcast cross (the loss fan-out)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
@@ -203,6 +204,9 @@ KNOWN_UNPUSHABLE = {
     # whole-series signal scan: the only filters are the derived
     # full-window guard and the post-lag sign-change cut
     "q_ma_crossover",
+    # whole-series forecast eval: the only filter is the post-lag
+    # 24h-warmup NULL drop
+    "q_pinball_loss",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}
