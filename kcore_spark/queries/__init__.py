@@ -136,6 +136,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9aa,
         extensions_r9ab,
         extensions_r9ac,
+        extensions_r9ad,
         dedup,
         events,
         packing_q,
@@ -219,6 +220,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9aa,
         extensions_r9ab,
         extensions_r9ac,
+        extensions_r9ad,
         tpch,
         tpch2,
         windows,

@@ -102,6 +102,7 @@ ALLOWED_NLJ = {
     "q_two_way_anova",  # 1-row grand-totals broadcast crosses (SS decomposition)
     "q_padding_waste",  # 4-row bucket-grid broadcast cross (the planner fan-out)
     "q_pinball_loss",  # 3-row quantile-grid broadcast cross (the loss fan-out)
+    "q_column_profile",  # 1-row top-value broadcast cross per profiled column
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
