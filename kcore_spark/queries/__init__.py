@@ -137,6 +137,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9ab,
         extensions_r9ac,
         extensions_r9ad,
+        extensions_r9ae,
         dedup,
         events,
         packing_q,
@@ -221,6 +222,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9ab,
         extensions_r9ac,
         extensions_r9ad,
+        extensions_r9ae,
         tpch,
         tpch2,
         windows,
