@@ -103,6 +103,14 @@ ALLOWED_NLJ = {
     "q_padding_waste",  # 4-row bucket-grid broadcast cross (the planner fan-out)
     "q_pinball_loss",  # 3-row quantile-grid broadcast cross (the loss fan-out)
     "q_column_profile",  # 1-row top-value broadcast cross per profiled column
+    # r9 restart-wave additions (same 1-row/k-row broadcast shapes):
+    "q_dsir_importance",  # 1-row target/source-totals broadcast crosses
+    "q_theil_index",  # 1-row population-mean broadcast cross (entropy margins)
+    "q_t_closeness",  # 1-row global-distribution broadcast cross (EMD reference)
+    "q_isotonic_calibration",  # 20-row bin-interval broadcast cross (PAVA algebra)
+    "q_nelson_aalen",  # 1-row cohort-total broadcast cross (at-risk denominator)
+    "q_best_split_infogain",  # 19-row threshold-grid + 1-row totals crosses
+    "q_heaps_law",  # 1-row doc-count + decile-checkpoint broadcast crosses
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
@@ -208,9 +216,14 @@ KNOWN_UNPUSHABLE = {
     # whole-series forecast eval: the only filter is the post-lag
     # 24h-warmup NULL drop
     "q_pinball_loss",
+    # r9 restart wave: whole-table passes; the only filters are the
+    # derived boundary-crossing / threshold-grid cuts
+    "q_sprt_stopping",
+    "q_best_split_infogain",
+    "q_udtf_ngrams",
 }
 # row-at-a-time Python is the point of these two (surface demos)
-KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words"}
+KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words", "q_udtf_ngrams"}
 # streaming queries materialize through a memory sink — plan of the
 # returned batch DF is just a LocalTableScan, skip the audit
 SKIP = {n for n in all_queries() if n.startswith("q_stream_")} | {
