@@ -138,6 +138,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9ac,
         extensions_r9ad,
         extensions_r9ae,
+        extensions_r9af,
         dedup,
         events,
         packing_q,
@@ -223,6 +224,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9ac,
         extensions_r9ad,
         extensions_r9ae,
+        extensions_r9af,
         tpch,
         tpch2,
         windows,

@@ -111,6 +111,7 @@ ALLOWED_NLJ = {
     "q_nelson_aalen",  # 1-row cohort-total broadcast cross (at-risk denominator)
     "q_best_split_infogain",  # 19-row threshold-grid + 1-row totals crosses
     "q_heaps_law",  # 1-row doc-count + decile-checkpoint broadcast crosses
+    "q_poisson_gof",  # 1-row lambda + 1-row total broadcast crosses (GOF mass)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
