@@ -139,6 +139,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9ad,
         extensions_r9ae,
         extensions_r9af,
+        extensions_r9ag,
         dedup,
         events,
         packing_q,
@@ -225,6 +226,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9ad,
         extensions_r9ae,
         extensions_r9af,
+        extensions_r9ag,
         tpch,
         tpch2,
         windows,

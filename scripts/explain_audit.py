@@ -222,6 +222,10 @@ KNOWN_UNPUSHABLE = {
     "q_sprt_stopping",
     "q_best_split_infogain",
     "q_udtf_ngrams",
+    # whole-table passes: the only filters are the derived post-lead
+    # interval drop (TWAP) / running-budget cutoff (selection)
+    "q_twap",
+    "q_budgeted_selection",
 }
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words", "q_udtf_ngrams"}
