@@ -140,6 +140,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9ae,
         extensions_r9af,
         extensions_r9ag,
+        extensions_r9ah,
         dedup,
         events,
         packing_q,
@@ -227,6 +228,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9ae,
         extensions_r9af,
         extensions_r9ag,
+        extensions_r9ah,
         tpch,
         tpch2,
         windows,
