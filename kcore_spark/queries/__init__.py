@@ -141,6 +141,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9af,
         extensions_r9ag,
         extensions_r9ah,
+        extensions_r9ai,
         dedup,
         events,
         packing_q,
@@ -229,6 +230,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9af,
         extensions_r9ag,
         extensions_r9ah,
+        extensions_r9ai,
         tpch,
         tpch2,
         windows,
