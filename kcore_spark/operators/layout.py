@@ -129,17 +129,48 @@ def zorder_write(
     property a single-key sort gives only its leading column.
 
     The per-file manifest records both columns' ranges; ``zorder_scan``
-    prunes with a 2-dim rectangle test. The ntile ranking is one
-    global-ordering window per key — at 100 TB replace with
-    approx-quantile bucket boundaries (the q-digest shape) to avoid
-    the single-task sort; the layout contract is unchanged."""
+    prunes with a 2-dim rectangle test. The per-key bucket rank is
+    computed from APPROX-QUANTILE BOUNDARIES (one distributed
+    Greenwald-Khanna pass per key, driver gets ≤4096 boundary floats,
+    then a broadcast JVM binary-search Bucketizer assigns buckets
+    map-side) — NOT a global-ordering ntile window, so there is no
+    single-task sort anywhere: quantile pass, bucket lookup, and the
+    final repartitionByRange(__z) are all parallel. Rank-based
+    bucketing is preserved (skewed value ranges still spread); minor
+    boundary approximation only moves rows between ADJACENT buckets,
+    which leaves the clustering property intact."""
     import pyarrow.parquet as pq
-    from pyspark.sql import Window
+    from pyspark.ml.feature import Bucketizer
 
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
-    ra = F.ntile(1 << 16).over(Window.orderBy(F.col(key_a))) - 1
-    rb = F.ntile(1 << 16).over(Window.orderBy(F.col(key_b))) - 1
-    z = df.withColumn("__z", _interleave_bits(ra.cast("long"), rb.cast("long")))
+    n_buckets = 1 << 12
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    work = df.withColumn("__da", F.col(key_a).cast("double")).withColumn(
+        "__db", F.col(key_b).cast("double")
+    )
+    qa, qb = work.stat.approxQuantile(
+        ["__da", "__db"], probs, 1.0 / (4 * n_buckets)
+    )
+
+    def _splits(bounds: list[float]) -> list[float]:
+        out = [float("-inf")]
+        for v in bounds:
+            if v > out[-1]:
+                out.append(v)
+        out.append(float("inf"))
+        return out
+
+    sa, sb = _splits(qa), _splits(qb)
+    bits = max(len(sa), len(sb)).bit_length()
+    work = Bucketizer(
+        splitsArray=[sa, sb], inputCols=["__da", "__db"], outputCols=["__ba", "__bb"]
+    ).transform(work)
+    z = work.withColumn(
+        "__z",
+        _interleave_bits(
+            F.col("__ba").cast("long"), F.col("__bb").cast("long"), bits=bits
+        ),
+    ).drop("__da", "__db", "__ba", "__bb")
     (
         z.repartitionByRange(n, F.col("__z"))
         .sortWithinPartitions("__z")

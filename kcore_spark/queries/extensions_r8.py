@@ -59,6 +59,45 @@ def _dist_rank(df: DataFrame, sort_cols: list, n_parts: int = 32) -> DataFrame:
     ).drop("__pid")
 
 
+def _dist_cumsum(
+    df: DataFrame,
+    sort_cols: list,
+    val_col: str,
+    out_col: str = "cum",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Append the INCLUSIVE global prefix sum of ``val_col`` over the
+    ``sort_cols`` order, computed distributed — the running-sum twin
+    of _dist_rank: range-repartition on the sort key, per-partition
+    running sums in parallel, then one broadcast map of the ≤n_parts
+    cumulative partition totals. The collect is control-plane
+    (n_parts rows), never data-plane; no single-partition window."""
+    src = (
+        df.repartitionByRange(n_parts, *[c.asc() for c in sort_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = {
+        r["__pid"]: r["s"]
+        for r in src.groupBy("__pid").agg(F.sum(val_col).alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+    off_map = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[c.asc() for c in sort_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return src.withColumn(
+        out_col, F.sum(val_col).over(w) + F.element_at(off_map, F.col("__pid"))
+    ).drop("__pid")
+
+
 # ---------------------------------------------------------- ROC AUC
 # AUC as the Mann-Whitney U statistic with tie-averaged ranks — the
 # exact (not trapezoid-approximate) formulation:

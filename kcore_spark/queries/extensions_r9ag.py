@@ -80,8 +80,10 @@ QUERIES["q_twap"] = QuerySpec(
 # chars) under a fixed character budget: rank by density, take while
 # the running char sum stays under budget — the classic greedy
 # knapsack relaxation every budget-bound curation run uses. The
-# running sum rides an ordered window over the ranked table; output
-# is the selection SUMMARY (count/chars/quality), curve-sized.
+# running sum is the distributed prefix-sum (_dist_cumsum,
+# extensions_r8.py) — range-repartitioned, parallel per partition —
+# so the plan survives a corpus-sized input; output is the selection
+# SUMMARY (count/chars/quality), curve-sized.
 
 _SELECT_BUDGET = 200_000  # characters
 
@@ -100,10 +102,17 @@ def q_budgeted_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(words)) / F.size(words), 10
         ).alias("quality"),
     )
-    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
-    ranked = scored.withColumn(
-        "cum_chars",
-        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    # global running char sum over (quality desc, doc_id) via the
+    # distributed prefix-sum machinery (_dist_cumsum: range-repartition
+    # + per-partition running sums + broadcast partition offsets) —
+    # no single-partition window over the corpus-sized table.
+    from kcore_spark.queries.extensions_r8 import _dist_cumsum
+
+    ranked = _dist_cumsum(
+        scored,
+        [(-F.col("quality")), F.col("doc_id")],
+        "n_chars",
+        out_col="cum_chars",
     )
     selected = ranked.where(F.col("cum_chars") <= _SELECT_BUDGET)
     return selected.agg(

@@ -195,23 +195,27 @@ QUERIES["q_curation_funnel"] = QuerySpec(
 # compaction rule) and each doc gets its BYTE OFFSET within the shard
 # — the manifest a dataloader uses for random access. Offsets are a
 # per-shard prefix sum (n_chars + 1 separator); shard assignment is
-# global running-sum over doc_id order. The global prefix sum uses a
-# window over the doc-ordered table — at fixture scale a single
-# partition; the _dist_rank range-repartition pattern
-# (extensions_r8.py:36) is the drop-in at 100 TB, noted per the
-# q_auc_roc precedent. Output is the manifest HEAD (first 3 docs per
+# global running-sum over doc_id order, computed with the distributed
+# prefix-sum machinery (_dist_cumsum, extensions_r8.py): range-
+# repartition on doc_id, parallel per-partition running sums, one
+# broadcast map of ≤32 partition offsets — no single-partition
+# window anywhere on the corpus-sized path (the later offset window
+# is keyed per shard). Output is the manifest HEAD (first 3 docs per
 # shard) plus per-shard totals, keeping the result curve-sized.
 
 _SHARD_BYTES = 50_000
 
 
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.queries.extensions_r8 import _dist_cumsum
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    w = Window.orderBy("doc_id")
-    sized = docs.withColumn("sz", F.col("n_chars") + 1).withColumn(
-        "cum_before",
-        F.coalesce(F.sum("sz").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
-    )
+    sized = _dist_cumsum(
+        docs.withColumn("sz", F.col("n_chars") + 1),
+        [F.col("doc_id")],
+        "sz",
+        out_col="cum_incl",
+    ).withColumn("cum_before", F.col("cum_incl") - F.col("sz"))
     sharded = sized.withColumn("shard", F.floor(F.col("cum_before") / F.lit(_SHARD_BYTES)))
     ws = Window.partitionBy("shard").orderBy("doc_id")
     manifest = sharded.withColumn(

@@ -111,11 +111,21 @@ QUERIES["q_max_drawdown"] = QuerySpec(
 
 
 def q_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape for 100 TB: the propensity decile is NTILE(10) over
+    the full customer table — computed via the distributed exact-rank
+    machinery (_dist_rank range-repartition, extensions_r8.py) plus
+    NTILE's fill arithmetic (the q_lift_table precedent), NOT a
+    single-partition global window. The per-(decile, treated) rank
+    that follows is a keyed window — 20 partitions, fine as-is."""
+    from kcore_spark.queries.extensions_r8 import _dist_rank
+
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     orders = load_table(spark, sf_dir, "orders").groupBy(
         F.col("o_custkey").alias("c_custkey")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
-    base = (
+    n = cust.count()
+    q, r = divmod(n, 10)
+    pre = (
         cust.join(orders, "c_custkey", "left")
         .na.fill({"spend": 0})
         .withColumn(
@@ -127,7 +137,15 @@ def q_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % 2
             ),
         )
-        .withColumn("decile", F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")))
+    )
+    base = _dist_rank(pre, [F.col("c_acctbal"), F.col("c_custkey")]).withColumn(
+        "decile",
+        (
+            F.when(F.col("rk") <= r * (q + 1), (F.col("rk") - 1) / (q + 1))
+            .otherwise(r + (F.col("rk") - r * (q + 1) - 1) / q)
+            .cast("long")
+            + 1
+        ).cast("int"),
     )
     wdt = Window.partitionBy("decile", "treated").orderBy("c_custkey")
     ranked = base.withColumn("rn", F.row_number().over(wdt))
