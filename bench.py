@@ -345,24 +345,29 @@ def main() -> None:
             # 29.4s polluted vs 2.3s isolated at sf0.1 — the same
             # in-session accumulation the scaling harness hit)
             release_transients()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                # headline = min of 2 runs per query (extras stay
-                # single-run); loadavg lets a reviewer attribute any
-                # outlier to machine load rather than a code change
-                "runs_per_headline_query": 2,
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+            # headline = min of 2 runs per query (extras stay
+            # single-run); loadavg lets a reviewer attribute any
+            # outlier to machine load rather than a code change
+            "runs_per_headline_query": 2,
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        }
     )
+    # stop Spark BEFORE printing: executor/StateStore shutdown WARNs
+    # land on stdout in some JVM configs and must not trail the JSON
+    # line (the driver parses the LAST stdout line — BENCH_r09.json
+    # recorded parsed: null because a StateStore WARN printed after it)
     spark.stop()
+    sys.stdout.flush()
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

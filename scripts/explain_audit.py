@@ -227,6 +227,15 @@ KNOWN_UNPUSHABLE = {
     "q_twap",
     "q_budgeted_selection",
 }
+# Queries whose plans contain a Window with NO partition spec that is
+# ADJUDICATED: the window's input is provably bounded (a curve-sized
+# intermediate — hourly/daily series, deciles, k-row grids, post-
+# aggregation tie tables), never the corpus-sized table. A global
+# window over raw-table-sized input is a single-task sort — the
+# anti-pattern the r9 verdict flagged — and is NOT allowlistable;
+# fix it with _dist_rank/_dist_cumsum (extensions_r8.py) instead.
+ALLOWED_GLOBAL_WINDOW: dict[str, str] = {}  # populated below, name -> why
+
 # row-at-a-time Python is the point of these two (surface demos)
 KNOWN_PYTHON = {"q_row_udf_bucket", "q_udtf_explode_words", "q_udtf_ngrams"}
 # streaming queries materialize through a memory sink — plan of the
@@ -235,6 +244,24 @@ SKIP = {n for n in all_queries() if n.startswith("q_stream_")} | {
     "q_topic_list_offsets",
     "q_topic_fetch_range",
 }
+
+
+def global_window_lines(plan: str) -> list[str]:
+    """Physical-plan lines for Window/WindowInPandas nodes with an
+    EMPTY partition spec. Render format (Spark 4): a partitioned
+    window prints ``Window [exprs], [partSpec], [orderSpec]`` (two
+    '], [' separators), an unpartitioned one prints
+    ``Window [exprs], [orderSpec]`` (one). WindowGroupLimit nodes are
+    skipped — they are the bounded top-k pushdown, not a sort."""
+    out = []
+    for line in plan.splitlines():
+        if "WindowGroupLimit" in line:
+            continue
+        if not re.search(r"\b(Window|WindowInPandas) \[", line):
+            continue
+        if line.count("], [") == 1:
+            out.append(line.strip())
+    return out
 
 
 def audit(name: str, plan: str) -> list[str]:
@@ -252,6 +279,10 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("no WholeStageCodegen")
     if "BatchEvalPython" in plan and name not in KNOWN_PYTHON:
         flags.append("row-at-a-time Python (BatchEvalPython)")
+    if name not in ALLOWED_GLOBAL_WINDOW:
+        gw = global_window_lines(plan)
+        if gw:
+            flags.append(f"global (no-partition) Window x{len(gw)}")
     return flags
 
 
