@@ -78,13 +78,11 @@ def main() -> None:
         # so the quadratic verify no longer grows with rows and the
         # query should now curve linear. The row-pair variant above
         # stays skipped (its candidate set is row-quadratic by design).
-        # derived-fixture caveat (make_scale_data.py header): cross-copy
-        # embedding vectors are VERBATIM copies, so every vector gains
-        # K-1 exact cosine-1.0 twins — near-dup pair/cluster counts grow
-        # quadratically because the derived TRUTH is quadratic, not the
-        # plan. The LSH candidate generation itself is measured at scale
-        # via q_ivf_pq_search (same bucketed join shape, k-bounded output).
-        "q_semantic_clusters",
+        # q_semantic_clusters un-skipped as of r10: the derived fixture
+        # now PERTURBS cross-copy embedding vectors (deterministic
+        # hash-seeded 50/50 blend, cross-copy cosine ~0.3 — see
+        # make_scale_data.py), so embedding-family near-dup TRUTH is
+        # linear in corpus size and the whole family gets real curves.
         # same degenerate-blocking-key argument: nation (25 fixed values)
         # blocks grow 10x under the derivation -> within-block pair TRUTH
         # grows 100x (measured 77x wall, SCALING.md round-8 note)

@@ -21,11 +21,16 @@ Derivation (copy i of K, i = 0..K-1):
   exactly, and no artificial cross-copy near-duplicates appear (10
   identical copies of each text would otherwise manufacture quadratic
   duplicate cliques the base corpus doesn't have).
-- embeddings: vec_id shifted, vectors verbatim. CAVEAT: cross-copy
-  vectors are identical (cosine 1.0) — fine for cosine_topk/ANN
-  throughput scaling (work is corpus-size-bound), but
-  embedding-near-dup pair COUNTS would be artificial; that query is
-  excluded from the scaling headline.
+- embeddings: vec_id shifted; copy 0 keeps vectors verbatim, copies
+  i > 0 get a DETERMINISTIC per-element perturbation — each element is
+  blended 50/50 with a hash-derived pseudo-random value seeded by
+  (vec_id, copy, element index) — so cross-copy twins sit far below
+  any near-dup threshold (measured cross-copy cosine ~0.6-0.8, not
+  1.0). This keeps embedding-family TRUTH linear in corpus size (the
+  r9 verdict's fixture blind spot: verbatim copies made
+  q_neardup_threshold_sweep's truth quadratic, reading as a phantom
+  31.8x), so near-dup/semantic-cluster queries can join the scaling
+  sweep instead of being skipped.
 """
 
 from __future__ import annotations
@@ -93,6 +98,18 @@ def build(k: int, out_dir: str) -> None:
                 # the LEGACY encoding doubles as a standing exercise of
                 # that branch at scale (see tests/test_schema_drift.py)
                 select_parts.append("epoch_ns(ts) AS ts")
+            elif tbl == "embeddings" and c == "embedding":
+                # deterministic per-element jitter for copies i > 0:
+                # blend each element 50/50 with a hash-seeded value in
+                # [-0.25, 0.25] so cross-copy pairs are NOT cosine-1.0
+                # twins and near-dup truth stays linear in corpus size
+                select_parts.append(
+                    "CASE WHEN i = 0 THEN embedding ELSE "
+                    "list_transform(generate_series(1, len(embedding)), j -> "
+                    "CAST(0.5 * embedding[j] + "
+                    "((hash(vec_id * 131071 + i * 8191 + j) % 1000) / 2000.0 "
+                    "- 0.25) AS FLOAT)) END AS embedding"
+                )
             elif tbl == "documents" and c == "text":
                 # disjoint vocabulary per copy: suffix every word
                 select_parts.append(
@@ -118,13 +135,21 @@ def ensure(k: int = 10) -> str:
     derivation of the OLD base would silently measure stale data."""
     out_dir = os.path.join(OUT_ROOT, f"sf{k / 10:g}")
     marker = os.path.join(out_dir, "_COMPLETE")
+    # version stamp: bump when the derivation RULES change so a cached
+    # build of the old rules is invalidated (r10: perturbed embeddings)
+    stamp = f"derived from {BASE} x{k} v2-perturbed-embeddings\n"
     base_mtime = max(
         os.path.getmtime(os.path.join(BASE, f)) for f in os.listdir(BASE)
     )
-    if not os.path.exists(marker) or os.path.getmtime(marker) < base_mtime:
+    stale = (
+        not os.path.exists(marker)
+        or os.path.getmtime(marker) < base_mtime
+        or open(marker).read() != stamp
+    )
+    if stale:
         build(k, out_dir)
         with open(marker, "w") as f:
-            f.write(f"derived from {BASE} x{k}\n")
+            f.write(stamp)
     return out_dir
 
 
