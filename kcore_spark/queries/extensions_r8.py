@@ -98,6 +98,54 @@ def _dist_cumsum(
     ).drop("__pid")
 
 
+def _dist_cummax_prev(
+    df: DataFrame,
+    sort_cols: list,
+    val_col: str,
+    out_col: str,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Append the EXCLUSIVE global running max of ``val_col`` over the
+    ``sort_cols`` order (NULL for the globally first row), computed
+    distributed: range-repartition, per-partition exclusive cummax
+    windows in parallel, then fold in the broadcast running max of all
+    EARLIER partitions' maxima (≤n_parts control-plane rows). greatest()
+    skips NULLs, which is exactly the exclusive-prefix semantics."""
+    src = (
+        df.repartitionByRange(n_parts, *[c.asc() for c in sort_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    maxes = {
+        r["__pid"]: r["m"]
+        for r in src.groupBy("__pid").agg(F.max(val_col).alias("m")).collect()
+    }
+    offsets, run = {}, None
+    for pid in sorted(maxes):
+        offsets[pid] = run
+        if maxes[pid] is not None:
+            run = maxes[pid] if run is None else max(run, maxes[pid])
+    entries = [
+        x
+        for pid, off in offsets.items()
+        if off is not None
+        for x in (F.lit(pid), F.lit(off))
+    ]
+    off_col = (
+        F.element_at(F.create_map(*entries), F.col("__pid"))
+        if entries
+        else F.lit(None).cast(dict(src.dtypes)[val_col])
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[c.asc() for c in sort_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return src.withColumn(
+        out_col, F.greatest(F.max(val_col).over(w), off_col)
+    ).drop("__pid")
+
+
 # ---------------------------------------------------------- ROC AUC
 # AUC as the Mann-Whitney U statistic with tie-averaged ranks — the
 # exact (not trapezoid-approximate) formulation:

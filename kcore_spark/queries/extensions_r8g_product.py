@@ -848,23 +848,27 @@ QUERIES["q_spatial_grid_join"] = QuerySpec(
 # tail. Cut tests are integer cross-multiplications on exact cents
 # (5*cum <= 4*total for A; 20*cum <= 19*total for B), applied to the
 # revenue BEFORE each part (so the part that crosses the line still
-# belongs to the class it completes). One keyed shuffle + one ranked
-# walk over the per-part rollup; output is the class summary.
+# belongs to the class it completes). One keyed shuffle, then the
+# ranked walk over the (catalog-sized) per-part rollup uses the
+# DISTRIBUTED prefix-sum machinery (_dist_cumsum, extensions_r8.py)
+# and the total a 1-row broadcast cross — no single-task global
+# window; output is the class summary.
 
 
 def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.queries.extensions_r8 import _dist_cumsum
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("pk"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
     )
     per_part = li.groupBy("pk").agg(F.sum("cents").alias("rev"))
-    win = Window.orderBy(F.col("rev").desc(), "pk").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_all = Window.partitionBy()
     walked = (
-        per_part.withColumn("cum_before", F.coalesce(F.sum("rev").over(win), F.lit(0)))
-        .withColumn("total", F.sum("rev").over(w_all))
+        _dist_cumsum(
+            per_part, [(-F.col("rev")), F.col("pk")], "rev", out_col="cum_incl"
+        )
+        .withColumn("cum_before", F.col("cum_incl") - F.col("rev"))
+        .crossJoin(F.broadcast(per_part.agg(F.sum("rev").alias("total"))))
         .withColumn(
             "abc",
             F.when(F.col("cum_before") * 5 <= F.col("total") * 4, F.lit("A"))

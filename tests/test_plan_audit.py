@@ -12,7 +12,14 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo/scripts")
 
-from explain_audit import KNOWN_UNPUSHABLE, SF_DIR, audit, run_audit
+from explain_audit import (
+    ALLOWED_GLOBAL_WINDOW,
+    KNOWN_UNPUSHABLE,
+    SF_DIR,
+    audit,
+    global_window_lines,
+    run_audit,
+)
 
 
 def _executed_plan(df) -> str:
@@ -53,6 +60,38 @@ def test_audit_accepts_pushed_filter(spark):
         .select("n_name")
     )
     assert audit("clean_query", _executed_plan(df)) == []
+
+
+def test_audit_flags_global_window(spark):
+    """A Window with no partition spec over any real input is the
+    single-task-sort anti-pattern (VERDICT r9 #2); an unadjudicated
+    query planning one must flag."""
+    from pyspark.sql import Window
+
+    df = spark.range(100).withColumn(
+        "rk", F.row_number().over(Window.orderBy("id"))
+    )
+    plan = _executed_plan(df)
+    assert "injected_global_window" not in ALLOWED_GLOBAL_WINDOW
+    flags = audit("injected_global_window", plan)
+    assert any("global (no-partition) Window" in f for f in flags), flags
+
+
+def test_audit_accepts_partitioned_and_partition_only_windows(spark):
+    """Partitioned windows — including partition-WITHOUT-order frames,
+    whose plan line also has only one trailing spec group — must NOT
+    flag (the q02 false-positive regression)."""
+    from pyspark.sql import Window
+
+    g = (F.col("id") % 5).alias("g")
+    ordered = spark.range(100).select("id", g).withColumn(
+        "rk", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert global_window_lines(_executed_plan(ordered)) == []
+    part_only = spark.range(100).select("id", g).withColumn(
+        "mx", F.max("id").over(Window.partitionBy("g"))
+    )
+    assert global_window_lines(_executed_plan(part_only)) == []
 
 
 def test_registry_slice_plan_clean(spark):
