@@ -142,6 +142,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9ag,
         extensions_r9ah,
         extensions_r9ai,
+        extensions_r10,
         dedup,
         events,
         packing_q,
@@ -231,6 +232,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9ag,
         extensions_r9ah,
         extensions_r9ai,
+        extensions_r10,
         tpch,
         tpch2,
         windows,

@@ -1,17 +1,18 @@
 """Round-10 surface extensions (SURVEY §2.3 N r10): the robust-
-statistics block — MAD-based robust z outliers (Iglewicz-Hoaglin),
-winsorized/trimmed means, Grubbs' max-deviation test, and Tukey-fence
-boxplot statistics. These are the outlier-audit pass a curation
-pipeline runs before trusting any mean-based quality score.
+statistics / extreme-value block — Grubbs' max-deviation test,
+Tukey-fence boxplot statistics, and a moments-fit Gumbel extreme-value
+model of daily maxima (MAD robust z and winsorized means already live
+in quality_q.py). These are the outlier-audit pass a curation pipeline
+runs before trusting any mean-based quality score.
 
 Provenance: declared surface of OUR engine; the reference implements
 only ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:106-125`).
 Determinism follows FIXTURES.md: cross-row sums stay integer/decimal
-(winsorized values are rounded then cast to decimal BEFORE the
-cross-row average; Grubbs moments are integer sums of integer daily
-counts); doubles appear per-row or in one final division. Exact
-percentiles pair Spark's F.percentile with DuckDB's quantile_cont —
-the established q_percentiles / q_grouped_quantile_bands convention.
+(Grubbs moments are integer sums of integer daily counts; Gumbel
+moments are decimal sums of 6-dp-rounded daily maxima); doubles appear
+per-row or in one final division. Exact percentiles pair Spark's
+F.percentile with DuckDB's quantile_cont — the established
+q_percentiles / q_grouped_quantile_bands convention.
 """
 
 from __future__ import annotations
@@ -23,154 +24,6 @@ from kcore_spark.catalog import load_table, normalize_event_ts
 from kcore_spark.queries import QuerySpec
 
 QUERIES: dict[str, QuerySpec] = {}
-
-
-# ------------------------------ MAD robust z outliers (per group)
-# Median absolute deviation is the 50%-breakdown robust scale: robust
-# z = 0.6745 (x - med) / MAD survives the very outliers a stddev-based
-# z is destroyed by. Per order-priority group: med, MAD, and the count
-# of |z| > 3.5 (the Iglewicz-Hoaglin cutoff). Scale shape: two keyed
-# exact-percentile aggregations (5 groups) + one hash join back — no
-# global ordering anywhere; at 100 TB the percentile can degrade to
-# percentile_approx without changing the plan shape.
-
-
-def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority", F.col("o_totalprice").cast("double").alias("x")
-    )
-    med = orders.groupBy("o_orderpriority").agg(
-        F.percentile("x", 0.5).alias("med")
-    )
-    dev = orders.join(F.broadcast(med), "o_orderpriority").withColumn(
-        "absdev", F.abs(F.col("x") - F.col("med"))
-    )
-    mad = dev.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.first("med").alias("med0"),
-        F.percentile("absdev", 0.5).alias("mad"),
-    )
-    out = (
-        dev.join(F.broadcast(mad.select("o_orderpriority", "mad")), "o_orderpriority")
-        .where(F.lit(0.6745) * F.col("absdev") > F.lit(3.5) * F.col("mad"))
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_outliers"))
-    )
-    return (
-        mad.join(out, "o_orderpriority", "left")
-        .na.fill({"n_outliers": 0})
-        .select(
-            "o_orderpriority",
-            "n",
-            F.round("med0", 6).alias("med"),
-            F.round("mad", 6).alias("mad"),
-            "n_outliers",
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-Q_MAD_SQL = """
-WITH src AS (
-  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS x FROM orders),
-med AS (
-  SELECT o_orderpriority, quantile_cont(x, 0.5) AS med
-  FROM src GROUP BY o_orderpriority),
-dev AS (
-  SELECT s.o_orderpriority, ABS(s.x - m.med) AS absdev, m.med
-  FROM src s JOIN med m USING (o_orderpriority)),
-mad AS (
-  SELECT o_orderpriority, COUNT(*) AS n, ANY_VALUE(med) AS med0,
-         quantile_cont(absdev, 0.5) AS mad
-  FROM dev GROUP BY o_orderpriority),
-outl AS (
-  SELECT d.o_orderpriority, COUNT(*) AS n_outliers
-  FROM dev d JOIN mad m USING (o_orderpriority)
-  WHERE 0.6745 * d.absdev > 3.5 * m.mad
-  GROUP BY d.o_orderpriority)
-SELECT m.o_orderpriority, CAST(m.n AS BIGINT) AS n,
-       ROUND(m.med0, 6) AS med, ROUND(m.mad, 6) AS mad,
-       CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
-FROM mad m LEFT JOIN outl o USING (o_orderpriority)
-ORDER BY m.o_orderpriority
-"""
-
-QUERIES["q_mad_outliers"] = QuerySpec(
-    q_mad_outliers,
-    Q_MAD_SQL,
-    "MAD robust z outliers per order priority (Iglewicz-Hoaglin "
-    "|z| > 3.5) — the 50%-breakdown outlier audit",
-)
-
-
-# ----------------------------- winsorized and trimmed means (5%)
-# The mean-robustification pair: winsorizing clamps to [p05, p95],
-# trimming drops outside it. One global percentile pass, then one
-# scan computing both: clamped values are rounded to 2 dp and cast to
-# DECIMAL before the cross-row average (FIXTURES determinism — a
-# double sum over 150k rows is order-dependent), the trim filter is a
-# plain range predicate. Output is a 1-row summary.
-
-
-def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_totalprice").cast("double").alias("x")
-    )
-    cuts = orders.agg(
-        F.percentile("x", 0.05).alias("p05"),
-        F.percentile("x", 0.95).alias("p95"),
-    )
-    j = orders.crossJoin(F.broadcast(cuts))
-    clamped = F.round(
-        F.when(F.col("x") < F.col("p05"), F.col("p05"))
-        .when(F.col("x") > F.col("p95"), F.col("p95"))
-        .otherwise(F.col("x")),
-        2,
-    ).cast("decimal(18,2)")
-    return j.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.first("p05"), 6).alias("p05"),
-        F.round(F.first("p95"), 6).alias("p95"),
-        F.sum((F.col("x") < F.col("p05")).cast("int")).cast("long").alias("n_low"),
-        F.sum((F.col("x") > F.col("p95")).cast("int")).cast("long").alias("n_high"),
-        F.round(F.avg(clamped).cast("double"), 6).alias("winsor_mean"),
-        F.round(
-            F.avg(
-                F.when(
-                    (F.col("x") >= F.col("p05")) & (F.col("x") <= F.col("p95")),
-                    F.round(F.col("x"), 2).cast("decimal(18,2)"),
-                )
-            ).cast("double"),
-            6,
-        ).alias("trimmed_mean"),
-    )
-
-
-Q_WINSOR_SQL = """
-WITH src AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders),
-cuts AS (
-  SELECT quantile_cont(x, 0.05) AS p05, quantile_cont(x, 0.95) AS p95
-  FROM src)
-SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(ANY_VALUE(p05), 6) AS p05,
-       ROUND(ANY_VALUE(p95), 6) AS p95,
-       CAST(SUM(CASE WHEN x < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
-       CAST(SUM(CASE WHEN x > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-       ROUND(CAST(AVG(CAST(ROUND(
-         CASE WHEN x < p05 THEN p05 WHEN x > p95 THEN p95 ELSE x END, 2)
-         AS DECIMAL(18,2))) AS DOUBLE), 6) AS winsor_mean,
-       ROUND(CAST(AVG(CASE WHEN x BETWEEN p05 AND p95
-         THEN CAST(ROUND(x, 2) AS DECIMAL(18,2)) END) AS DOUBLE), 6)
-         AS trimmed_mean
-FROM src, cuts
-"""
-
-QUERIES["q_winsorized_mean"] = QuerySpec(
-    q_winsorized_mean,
-    Q_WINSOR_SQL,
-    "winsorized + 5% trimmed means of order totals (decimal-exact "
-    "averages after clamping) — mean robustification pair",
-)
 
 
 # ------------------------------------ Grubbs' max-deviation test
@@ -318,4 +171,85 @@ QUERIES["q_tukey_fences"] = QuerySpec(
     Q_TUKEY_SQL,
     "Tukey 1.5-IQR boxplot statistics per event type (fences, "
     "outlier counts, whisker ends) — the distribution audit tuple",
+)
+
+
+# ----------------------- Gumbel extreme-value fit of daily maxima
+# Block-maxima EVT: the daily max of `value` is Gumbel-distributed in
+# the limit; fit (mu, beta) by moments (beta = s*sqrt(6)/pi,
+# mu = mean - gamma*beta), report the 30-day return level and the
+# fitted CDF at the observed all-time max. Scale shape: one keyed
+# max-aggregation rides the scan (map-side combine), the fit runs on
+# the calendar-bounded daily-max curve; moments are DECIMAL sums of
+# 6-dp-rounded maxima so the cross-row sums are order-independent.
+
+_EULER_GAMMA = 0.57721566490153286
+_SQRT6_PI = 0.7796968012336761  # sqrt(6)/pi
+
+
+def q_gumbel_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.max("value"), 6).cast("decimal(18,6)").alias("mx")
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").cast("decimal(38,6)").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).cast("decimal(38,12)").alias("s2"),
+        F.max("mx").alias("gmax"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("n").cast("double") * F.col("s2").cast("double")
+         - F.col("s1").cast("double") * F.col("s1").cast("double"))
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    beta = sd * F.lit(_SQRT6_PI)
+    mu = mean - F.lit(_EULER_GAMMA) * beta
+    # 30-day return level: mu - beta * ln(-ln(1 - 1/30))
+    rl30 = mu - beta * F.log(-F.log(F.lit(1.0 - 1.0 / 30.0)))
+    cdf_at_max = F.exp(-F.exp(-(F.col("gmax").cast("double") - mu) / beta))
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(rl30, 6).alias("return_level_30d"),
+        F.round(cdf_at_max, 6).alias("cdf_at_observed_max"),
+    )
+
+
+Q_GUMBEL_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(ROUND(MAX(value), 6) AS DECIMAL(18,6)) AS mx
+  FROM events GROUP BY 1),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(mx) AS DECIMAL(38,6)) AS s1,
+         CAST(SUM(mx * mx) AS DECIMAL(38,12)) AS s2,
+         MAX(mx) AS gmax
+  FROM daily),
+fit AS (
+  SELECT n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         SQRT((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (n - 1))) * {_SQRT6_PI} AS beta,
+         CAST(gmax AS DOUBLE) AS gmax
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(mean - {_EULER_GAMMA} * beta, 6) AS gumbel_mu,
+       ROUND(beta, 6) AS gumbel_beta,
+       ROUND(mean - {_EULER_GAMMA} * beta
+             - beta * LN(-LN(1 - 1.0/30.0)), 6) AS return_level_30d,
+       ROUND(EXP(-EXP(-(gmax - (mean - {_EULER_GAMMA} * beta)) / beta)), 6)
+         AS cdf_at_observed_max
+FROM fit
+"""
+
+QUERIES["q_gumbel_extremes"] = QuerySpec(
+    q_gumbel_extremes,
+    Q_GUMBEL_SQL,
+    "Gumbel extreme-value fit of daily value maxima (moments, 30-day "
+    "return level, CDF at observed max) — block-maxima EVT",
 )
