@@ -143,6 +143,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9ah,
         extensions_r9ai,
         extensions_r10,
+        extensions_r10b,
         dedup,
         events,
         packing_q,
@@ -233,6 +234,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9ah,
         extensions_r9ai,
         extensions_r10,
+        extensions_r10b,
         tpch,
         tpch2,
         windows,
