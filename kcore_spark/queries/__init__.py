@@ -144,6 +144,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9ai,
         extensions_r10,
         extensions_r10b,
+        extensions_r10c,
         dedup,
         events,
         packing_q,
@@ -235,6 +236,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r9ai,
         extensions_r10,
         extensions_r10b,
+        extensions_r10c,
         tpch,
         tpch2,
         windows,

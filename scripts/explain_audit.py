@@ -112,6 +112,10 @@ ALLOWED_NLJ = {
     "q_best_split_infogain",  # 19-row threshold-grid + 1-row totals crosses
     "q_heaps_law",  # 1-row doc-count + decile-checkpoint broadcast crosses
     "q_poisson_gof",  # 1-row lambda + 1-row total broadcast crosses (GOF mass)
+    # r10:
+    "q_grubbs_outlier",  # 1-row moment-totals broadcast cross (mean/sd anchor)
+    "q_cohens_d",  # 1-row arm-B moments broadcast cross (two-arm join)
+    "q_ljung_box",  # inherits q_acf_hourly's 1-row totals broadcast cross
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
@@ -226,6 +230,11 @@ KNOWN_UNPUSHABLE = {
     # interval drop (TWAP) / running-budget cutoff (selection)
     "q_twap",
     "q_budgeted_selection",
+    # r10: filters only on derived window columns (full-window count
+    # guards, post-lag NULL drops) / the 25-row catalog — unpushable
+    "q_bollinger_bands",
+    "q_rsi_simple",
+    "q_holm_bonferroni",
 }
 # Queries whose plans contain a Window with NO partition spec that is
 # ADJUDICATED: the window's input is provably bounded (a curve-sized
@@ -234,6 +243,11 @@ KNOWN_UNPUSHABLE = {
 # window over raw-table-sized input is a single-task sort — the
 # anti-pattern the r9 verdict flagged — and is NOT allowlistable;
 # fix it with _dist_rank/_dist_cumsum (extensions_r8.py) instead.
+# KNOWN BLIND SPOT: localCheckpoint() truncates the audited plan, so
+# windows that run DURING checkpoint materialization (e.g. the lead
+# fan-out inside q_acf_hourly) are invisible here; the checkpoint
+# sites in the repo are the _dist_rank/_dist_cumsum internals (keyed
+# by __pid, fine) and calendar-bounded curve builds.
 # Adjudicated r10 by sweeping all 386 plans: every entry's global
 # window runs over one of (a) a distinct-VALUE tie table (bounded by
 # value cardinality, not row count — the q_auc_roc precedent), (b) a
@@ -273,8 +287,11 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_nelson_aalen": "hazard cumsum over the distinct event-time table",
     "q_logrank_test": "at-risk walk over the distinct event-time table",
     "q_cusum_changepoint": "cumulative over the daily series",
+    "q_bollinger_bands": "rolling 7-day frame over the daily close series",
+    "q_rsi_simple": "lag + rolling 14-day frame over the daily close series",
     # (c) k-row grids / curves / manifests
     "q_bh_fdr": "rank over the 25-row hypothesis catalog",
+    "q_holm_bonferroni": "rank + running max over the 25-row hypothesis catalog",
     "q_bootstrap_ci": "percentile walk over the B-row resample stats",
     "q_box_cox": "rank over the 5-row lambda grid",
     "q_neyman_allocation": "largest-remainder walk over the strata table",
