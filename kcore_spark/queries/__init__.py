@@ -145,6 +145,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10,
         extensions_r10b,
         extensions_r10c,
+        extensions_r10d,
         dedup,
         events,
         packing_q,
@@ -237,6 +238,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10,
         extensions_r10b,
         extensions_r10c,
+        extensions_r10d,
         tpch,
         tpch2,
         windows,
