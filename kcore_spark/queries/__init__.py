@@ -146,6 +146,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10b,
         extensions_r10c,
         extensions_r10d,
+        extensions_r10e,
         dedup,
         events,
         packing_q,
@@ -239,6 +240,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10b,
         extensions_r10c,
         extensions_r10d,
+        extensions_r10e,
         tpch,
         tpch2,
         windows,

@@ -116,6 +116,7 @@ ALLOWED_NLJ = {
     "q_grubbs_outlier",  # 1-row moment-totals broadcast cross (mean/sd anchor)
     "q_cohens_d",  # 1-row arm-B moments broadcast cross (two-arm join)
     "q_ljung_box",  # inherits q_acf_hourly's 1-row totals broadcast cross
+    "q_rich_club",  # 3-row threshold-grid broadcast cross (the k fan-out)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
