@@ -147,6 +147,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10c,
         extensions_r10d,
         extensions_r10e,
+        extensions_r10f,
         dedup,
         events,
         packing_q,
@@ -241,6 +242,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10c,
         extensions_r10d,
         extensions_r10e,
+        extensions_r10f,
         tpch,
         tpch2,
         windows,

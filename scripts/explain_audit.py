@@ -117,6 +117,8 @@ ALLOWED_NLJ = {
     "q_cohens_d",  # 1-row arm-B moments broadcast cross (two-arm join)
     "q_ljung_box",  # inherits q_acf_hourly's 1-row totals broadcast cross
     "q_rich_club",  # 3-row threshold-grid broadcast cross (the k fan-out)
+    "q_l28_engagement",  # 1-row max-date anchor broadcast cross
+    "q_rfm_migration",  # 1-row window-midpoint broadcast cross (the cutoff)
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
@@ -236,6 +238,9 @@ KNOWN_UNPUSHABLE = {
     "q_bollinger_bands",
     "q_rsi_simple",
     "q_holm_bonferroni",
+    # the trailing-28-day cut is against the derived max-date anchor —
+    # a cross-join column, nothing can reach the scan
+    "q_l28_engagement",
 }
 # Queries whose plans contain a Window with NO partition spec that is
 # ADJUDICATED: the window's input is provably bounded (a curve-sized
