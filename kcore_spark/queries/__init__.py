@@ -148,6 +148,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10d,
         extensions_r10e,
         extensions_r10f,
+        extensions_r10g,
         dedup,
         events,
         packing_q,
@@ -243,6 +244,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10d,
         extensions_r10e,
         extensions_r10f,
+        extensions_r10g,
         tpch,
         tpch2,
         windows,

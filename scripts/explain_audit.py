@@ -119,6 +119,8 @@ ALLOWED_NLJ = {
     "q_rich_club",  # 3-row threshold-grid broadcast cross (the k fan-out)
     "q_l28_engagement",  # 1-row max-date anchor broadcast cross
     "q_rfm_migration",  # 1-row window-midpoint broadcast cross (the cutoff)
+    "q_join_cardinality_estimate",  # 1-row actual-count broadcast cross (validation)
+    "q_skew_salting_plan",  # 1-row totals + 1-row heaviest-key broadcast crosses
 }
 # filters that legitimately can't reach parquet: post-window rank
 # filters, OR-of-regex predicates, computed-similarity thresholds
