@@ -149,6 +149,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10e,
         extensions_r10f,
         extensions_r10g,
+        extensions_r10h,
         dedup,
         events,
         packing_q,
@@ -245,6 +246,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10e,
         extensions_r10f,
         extensions_r10g,
+        extensions_r10h,
         tpch,
         tpch2,
         windows,

@@ -120,6 +120,7 @@ ALLOWED_NLJ = {
     "q_l28_engagement",  # 1-row max-date anchor broadcast cross
     "q_rfm_migration",  # 1-row window-midpoint broadcast cross (the cutoff)
     "q_join_cardinality_estimate",  # 1-row actual-count broadcast cross (validation)
+    "q_pacf",  # inherits q_acf_hourly's 1-row totals broadcast cross
     "q_skew_salting_plan",  # 1-row totals + 1-row heaviest-key broadcast crosses
 }
 # filters that legitimately can't reach parquet: post-window rank
@@ -243,6 +244,7 @@ KNOWN_UNPUSHABLE = {
     # the trailing-28-day cut is against the derived max-date anchor —
     # a cross-join column, nothing can reach the scan
     "q_l28_engagement",
+    "q_theil_u2",  # only filter is the post-lag warmup NULL drop
 }
 # Queries whose plans contain a Window with NO partition spec that is
 # ADJUDICATED: the window's input is provably bounded (a curve-sized
@@ -297,6 +299,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_cusum_changepoint": "cumulative over the daily series",
     "q_bollinger_bands": "rolling 7-day frame over the daily close series",
     "q_rsi_simple": "lag + rolling 14-day frame over the daily close series",
+    "q_theil_u2": "two lags over the daily count series (calendar-bounded)",
     # (c) k-row grids / curves / manifests
     "q_bh_fdr": "rank over the 25-row hypothesis catalog",
     "q_holm_bonferroni": "rank + running max over the 25-row hypothesis catalog",
