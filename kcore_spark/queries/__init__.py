@@ -150,6 +150,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10f,
         extensions_r10g,
         extensions_r10h,
+        extensions_r10i,
         dedup,
         events,
         packing_q,
@@ -247,6 +248,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10f,
         extensions_r10g,
         extensions_r10h,
+        extensions_r10i,
         tpch,
         tpch2,
         windows,

@@ -121,6 +121,7 @@ ALLOWED_NLJ = {
     "q_rfm_migration",  # 1-row window-midpoint broadcast cross (the cutoff)
     "q_join_cardinality_estimate",  # 1-row actual-count broadcast cross (validation)
     "q_pacf",  # inherits q_acf_hourly's 1-row totals broadcast cross
+    "q_knn_label_consistency",  # bounded anchor-set broadcast cross (cosine_topk shape)
     "q_skew_salting_plan",  # 1-row totals + 1-row heaviest-key broadcast crosses
 }
 # filters that legitimately can't reach parquet: post-window rank
