@@ -151,6 +151,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10g,
         extensions_r10h,
         extensions_r10i,
+        extensions_r10j,
         dedup,
         events,
         packing_q,
@@ -249,6 +250,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10g,
         extensions_r10h,
         extensions_r10i,
+        extensions_r10j,
         tpch,
         tpch2,
         windows,

@@ -122,6 +122,7 @@ ALLOWED_NLJ = {
     "q_join_cardinality_estimate",  # 1-row actual-count broadcast cross (validation)
     "q_pacf",  # inherits q_acf_hourly's 1-row totals broadcast cross
     "q_knn_label_consistency",  # bounded anchor-set broadcast cross (cosine_topk shape)
+    "q_ship_month_seasonality",  # 1-row revenue-total broadcast cross (share denominator)
     "q_skew_salting_plan",  # 1-row totals + 1-row heaviest-key broadcast crosses
 }
 # filters that legitimately can't reach parquet: post-window rank
