@@ -152,6 +152,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10h,
         extensions_r10i,
         extensions_r10j,
+        extensions_r10k,
         dedup,
         events,
         packing_q,
@@ -251,6 +252,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10h,
         extensions_r10i,
         extensions_r10j,
+        extensions_r10k,
         tpch,
         tpch2,
         windows,

@@ -123,6 +123,7 @@ ALLOWED_NLJ = {
     "q_pacf",  # inherits q_acf_hourly's 1-row totals broadcast cross
     "q_knn_label_consistency",  # bounded anchor-set broadcast cross (cosine_topk shape)
     "q_ship_month_seasonality",  # 1-row revenue-total broadcast cross (share denominator)
+    "q_contribution_bounding",  # 3-row cap-grid broadcast cross (the planner fan-out)
     "q_skew_salting_plan",  # 1-row totals + 1-row heaviest-key broadcast crosses
 }
 # filters that legitimately can't reach parquet: post-window rank
@@ -247,6 +248,9 @@ KNOWN_UNPUSHABLE = {
     # a cross-join column, nothing can reach the scan
     "q_l28_engagement",
     "q_theil_u2",  # only filter is the post-lag warmup NULL drop
+    # keyed-lag chains: the only filter is the post-lag/lead NULL drop
+    "q_transition_entropy",
+    "q_interarrival_cv",
 }
 # Queries whose plans contain a Window with NO partition spec that is
 # ADJUDICATED: the window's input is provably bounded (a curve-sized
