@@ -153,6 +153,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10i,
         extensions_r10j,
         extensions_r10k,
+        extensions_r10l,
         dedup,
         events,
         packing_q,
@@ -253,6 +254,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10i,
         extensions_r10j,
         extensions_r10k,
+        extensions_r10l,
         tpch,
         tpch2,
         windows,

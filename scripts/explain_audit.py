@@ -124,6 +124,10 @@ ALLOWED_NLJ = {
     "q_knn_label_consistency",  # bounded anchor-set broadcast cross (cosine_topk shape)
     "q_ship_month_seasonality",  # 1-row revenue-total broadcast cross (share denominator)
     "q_contribution_bounding",  # 3-row cap-grid broadcast cross (the planner fan-out)
+    # bounded anchor-set broadcast crosses (the q_cosine_topk shape):
+    "q_mrr_label",
+    "q_recall_at_k",  # + 3-row k-grid fan-out
+    "q_retrieval_diversity",
     "q_skew_salting_plan",  # 1-row totals + 1-row heaviest-key broadcast crosses
 }
 # filters that legitimately can't reach parquet: post-window rank
