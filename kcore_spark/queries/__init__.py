@@ -154,6 +154,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10j,
         extensions_r10k,
         extensions_r10l,
+        extensions_r10m,
         dedup,
         events,
         packing_q,
@@ -255,6 +256,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10j,
         extensions_r10k,
         extensions_r10l,
+        extensions_r10m,
         tpch,
         tpch2,
         windows,

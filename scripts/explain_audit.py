@@ -128,6 +128,7 @@ ALLOWED_NLJ = {
     "q_mrr_label",
     "q_recall_at_k",  # + 3-row k-grid fan-out
     "q_retrieval_diversity",
+    "q_region_flow_matrix",  # 1-row grand-total broadcast cross (share denominator)
     "q_skew_salting_plan",  # 1-row totals + 1-row heaviest-key broadcast crosses
 }
 # filters that legitimately can't reach parquet: post-window rank
