@@ -155,6 +155,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10k,
         extensions_r10l,
         extensions_r10m,
+        extensions_r10n,
         dedup,
         events,
         packing_q,
@@ -257,6 +258,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10k,
         extensions_r10l,
         extensions_r10m,
+        extensions_r10n,
         tpch,
         tpch2,
         windows,

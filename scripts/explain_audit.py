@@ -129,6 +129,8 @@ ALLOWED_NLJ = {
     "q_recall_at_k",  # + 3-row k-grid fan-out
     "q_retrieval_diversity",
     "q_region_flow_matrix",  # 1-row grand-total broadcast cross (share denominator)
+    "q_weekday_effect",  # 1-row revenue-total broadcast cross (index denominator)
+    "q_hour_of_day_profile",  # 1-row totals broadcast cross (share + peak/trough)
     "q_skew_salting_plan",  # 1-row totals + 1-row heaviest-key broadcast crosses
 }
 # filters that legitimately can't reach parquet: post-window rank
