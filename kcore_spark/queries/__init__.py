@@ -156,6 +156,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10l,
         extensions_r10m,
         extensions_r10n,
+        extensions_r10o,
         dedup,
         events,
         packing_q,
@@ -259,6 +260,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10l,
         extensions_r10m,
         extensions_r10n,
+        extensions_r10o,
         tpch,
         tpch2,
         windows,

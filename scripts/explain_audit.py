@@ -258,6 +258,8 @@ KNOWN_UNPUSHABLE = {
     # keyed-lag chains: the only filter is the post-lag/lead NULL drop
     "q_transition_entropy",
     "q_interarrival_cv",
+    # join keys are the derived CASE-NULL column — nothing pushable
+    "q_null_safe_join",
 }
 # Queries whose plans contain a Window with NO partition spec that is
 # ADJUDICATED: the window's input is provably bounded (a curve-sized
