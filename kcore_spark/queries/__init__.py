@@ -157,6 +157,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10m,
         extensions_r10n,
         extensions_r10o,
+        extensions_r10p,
         dedup,
         events,
         packing_q,
@@ -261,6 +262,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10m,
         extensions_r10n,
         extensions_r10o,
+        extensions_r10p,
         tpch,
         tpch2,
         windows,
