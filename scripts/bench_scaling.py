@@ -122,7 +122,8 @@ def main() -> None:
         "# Scaling curve — headline + extra operators at sf0.01 / sf0.1 / sf1 (derived 10x)",
         "",
         "sf1 is a deterministic 10x derivation of sf0.1 (key-shifted copies,",
-        "per-copy disjoint document vocabulary — scripts/make_scale_data.py);",
+        "per-copy disjoint document vocabulary, hash-perturbed embedding",
+        "copies so near-dup truth stays linear — scripts/make_scale_data.py);",
         "correctness is still gated exclusively on the driver's fixtures.",
         "`x 0.1->1` is the wall-clock ratio for 10x the data: ~10 or below",
         "(fixed overhead amortizing) = linear; materially above 10 = super-",
