@@ -158,6 +158,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10n,
         extensions_r10o,
         extensions_r10p,
+        extensions_r10q,
         dedup,
         events,
         packing_q,
@@ -263,6 +264,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10n,
         extensions_r10o,
         extensions_r10p,
+        extensions_r10q,
         tpch,
         tpch2,
         windows,

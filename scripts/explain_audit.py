@@ -126,6 +126,9 @@ ALLOWED_NLJ = {
     "q_contribution_bounding",  # 3-row cap-grid broadcast cross (the planner fan-out)
     # bounded anchor-set broadcast crosses (the q_cosine_topk shape):
     "q_mrr_label",
+    "q_rmst",  # 1-row KM-tail + cohort-total broadcast crosses
+    "q_iv_wald",  # 1-row arm-1 moments broadcast cross (two-arm join)
+    "q_parallel_trends",  # 1-row midpoint + arm-slope broadcast crosses
     "q_recall_at_k",  # + 3-row k-grid fan-out
     "q_retrieval_diversity",
     "q_region_flow_matrix",  # 1-row grand-total broadcast cross (share denominator)
@@ -260,6 +263,8 @@ KNOWN_UNPUSHABLE = {
     "q_interarrival_cv",
     # join keys are the derived CASE-NULL column — nothing pushable
     "q_null_safe_join",
+    # whole-cohort survival pass; the only filters are derived
+    "q_rmst",
 }
 # Queries whose plans contain a Window with NO partition spec that is
 # ADJUDICATED: the window's input is provably bounded (a curve-sized
@@ -296,6 +301,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_t_closeness": "EMD walk over the distinct sensitive-value distribution",
     "q_best_split_infogain": "threshold-grid walk (19 candidate cuts)",
     "q_isotonic_calibration": "PAVA algebra over the 20-bin interval table",
+    "q_rmst": "KM-curve segment walk (distinct-duration table, the q_kaplan_meier adjudication)",
     "q_classification_report": "rank walk over the k-row class table",
     # (b) calendar-bounded series
     "q_classical_decomposition": "hourly series windows (fixture-calendar-bounded)",
