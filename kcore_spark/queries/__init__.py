@@ -159,6 +159,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10o,
         extensions_r10p,
         extensions_r10q,
+        extensions_r10r,
         dedup,
         events,
         packing_q,
@@ -265,6 +266,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10o,
         extensions_r10p,
         extensions_r10q,
+        extensions_r10r,
         tpch,
         tpch2,
         windows,
