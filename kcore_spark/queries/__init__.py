@@ -160,6 +160,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10p,
         extensions_r10q,
         extensions_r10r,
+        extensions_r10s,
         dedup,
         events,
         packing_q,
@@ -267,6 +268,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10p,
         extensions_r10q,
         extensions_r10r,
+        extensions_r10s,
         tpch,
         tpch2,
         windows,
