@@ -161,6 +161,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10q,
         extensions_r10r,
         extensions_r10s,
+        extensions_r10t,
         dedup,
         events,
         packing_q,
@@ -269,6 +270,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10q,
         extensions_r10r,
         extensions_r10s,
+        extensions_r10t,
         tpch,
         tpch2,
         windows,

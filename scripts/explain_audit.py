@@ -265,6 +265,9 @@ KNOWN_UNPUSHABLE = {
     "q_null_safe_join",
     # whole-cohort survival pass; the only filters are derived
     "q_rmst",
+    # whole-corpus token explode; the only filters are the empty-token
+    # guard and the derived top-K rank cut
+    "q_tokenizer_oov_rate",
 }
 # Queries whose plans contain a Window with NO partition spec that is
 # ADJUDICATED: the window's input is provably bounded (a curve-sized
@@ -300,6 +303,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_key_skew_report": "median walks over count-of-counts tables (multiplicity domain)",
     "q_t_closeness": "EMD walk over the distinct sensitive-value distribution",
     "q_best_split_infogain": "threshold-grid walk (19 candidate cuts)",
+    "q_tokenizer_oov_rate": "top-K rank over the vocabulary table (vocab-cardinality-bounded)",
     "q_isotonic_calibration": "PAVA algebra over the 20-bin interval table",
     "q_rmst": "KM-curve segment walk (distinct-duration table, the q_kaplan_meier adjudication)",
     "q_classification_report": "rank walk over the k-row class table",
