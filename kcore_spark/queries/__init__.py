@@ -162,6 +162,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10r,
         extensions_r10s,
         extensions_r10t,
+        extensions_r10u,
         dedup,
         events,
         packing_q,
@@ -271,6 +272,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10r,
         extensions_r10s,
         extensions_r10t,
+        extensions_r10u,
         tpch,
         tpch2,
         windows,

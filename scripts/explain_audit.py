@@ -129,6 +129,7 @@ ALLOWED_NLJ = {
     "q_rmst",  # 1-row KM-tail + cohort-total broadcast crosses
     "q_iv_wald",  # 1-row arm-1 moments broadcast cross (two-arm join)
     "q_parallel_trends",  # 1-row midpoint + arm-slope broadcast crosses
+    "q_eoq",  # 1-row window-bounds broadcast cross (annualization anchor)
     "q_recall_at_k",  # + 3-row k-grid fan-out
     "q_retrieval_diversity",
     "q_region_flow_matrix",  # 1-row grand-total broadcast cross (share denominator)
