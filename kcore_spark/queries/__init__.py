@@ -163,6 +163,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10s,
         extensions_r10t,
         extensions_r10u,
+        extensions_r10v,
         dedup,
         events,
         packing_q,
@@ -273,6 +274,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10s,
         extensions_r10t,
         extensions_r10u,
+        extensions_r10v,
         tpch,
         tpch2,
         windows,

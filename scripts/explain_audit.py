@@ -269,6 +269,8 @@ KNOWN_UNPUSHABLE = {
     # whole-corpus token explode; the only filters are the empty-token
     # guard and the derived top-K rank cut
     "q_tokenizer_oov_rate",
+    # only filter is the derived multi-event session cut (n_events >= 2)
+    "q_entry_exit_matrix",
 }
 # Queries whose plans contain a Window with NO partition spec that is
 # ADJUDICATED: the window's input is provably bounded (a curve-sized
