@@ -164,6 +164,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10t,
         extensions_r10u,
         extensions_r10v,
+        extensions_r10w,
         dedup,
         events,
         packing_q,
@@ -275,6 +276,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10t,
         extensions_r10u,
         extensions_r10v,
+        extensions_r10w,
         tpch,
         tpch2,
         windows,
