@@ -165,6 +165,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10u,
         extensions_r10v,
         extensions_r10w,
+        extensions_r10x,
         dedup,
         events,
         packing_q,
@@ -277,6 +278,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10u,
         extensions_r10v,
         extensions_r10w,
+        extensions_r10x,
         tpch,
         tpch2,
         windows,

@@ -130,6 +130,9 @@ ALLOWED_NLJ = {
     "q_iv_wald",  # 1-row arm-1 moments broadcast cross (two-arm join)
     "q_parallel_trends",  # 1-row midpoint + arm-slope broadcast crosses
     "q_eoq",  # 1-row window-bounds broadcast cross (annualization anchor)
+    "q_wasserstein_1d",  # 1-row arm-totals broadcast cross (ECDF denominators)
+    "q_energy_distance",  # 64x64 sample-bounded pair blocks (never corpus-quadratic)
+    "q_mmd_rbf",  # 64x64 sample-bounded kernel blocks (never corpus-quadratic)
     "q_recall_at_k",  # + 3-row k-grid fan-out
     "q_retrieval_diversity",
     "q_region_flow_matrix",  # 1-row grand-total broadcast cross (share denominator)
@@ -301,6 +304,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_wilcoxon_signed_rank": "rank walk over the distinct-|diff| tie table",
     "q_spearman_corr": "two rank walks over per-variable distinct-value tie tables",
     "q_ks_test": "CDF steps over the distinct-value table",
+    "q_wasserstein_1d": "ECDF-gap integral over the distinct-value tie table",
     "q_impute_missing": "global-median walk over the distinct-value table",
     "q_time_to_convert": "median walk over the distinct conversion-gap table",
     "q_key_skew_report": "median walks over count-of-counts tables (multiplicity domain)",
