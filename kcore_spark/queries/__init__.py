@@ -166,6 +166,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10v,
         extensions_r10w,
         extensions_r10x,
+        extensions_r10y,
         dedup,
         events,
         packing_q,
@@ -279,6 +280,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10v,
         extensions_r10w,
         extensions_r10x,
+        extensions_r10y,
         tpch,
         tpch2,
         windows,
