@@ -167,6 +167,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10w,
         extensions_r10x,
         extensions_r10y,
+        extensions_r10z,
         dedup,
         events,
         packing_q,
@@ -281,6 +282,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10w,
         extensions_r10x,
         extensions_r10y,
+        extensions_r10z,
         tpch,
         tpch2,
         windows,

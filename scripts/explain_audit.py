@@ -131,6 +131,8 @@ ALLOWED_NLJ = {
     "q_parallel_trends",  # 1-row midpoint + arm-slope broadcast crosses
     "q_eoq",  # 1-row window-bounds broadcast cross (annualization anchor)
     "q_wasserstein_1d",  # 1-row arm-totals broadcast cross (ECDF denominators)
+    "q_churn_hazard",  # 1-row max-week broadcast cross (censoring anchor)
+    "q_peak_detection",  # 1-row moment-totals broadcast cross (band anchor)
     "q_energy_distance",  # 64x64 sample-bounded pair blocks (never corpus-quadratic)
     "q_mmd_rbf",  # 64x64 sample-bounded kernel blocks (never corpus-quadratic)
     "q_recall_at_k",  # + 3-row k-grid fan-out
@@ -274,6 +276,9 @@ KNOWN_UNPUSHABLE = {
     "q_tokenizer_oov_rate",
     # only filter is the derived multi-event session cut (n_events >= 2)
     "q_entry_exit_matrix",
+    # only filters are the derived censoring / extrema-band cuts
+    "q_churn_hazard",
+    "q_peak_detection",
 }
 # Queries whose plans contain a Window with NO partition spec that is
 # ADJUDICATED: the window's input is provably bounded (a curve-sized
@@ -329,6 +334,8 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_nelson_aalen": "hazard cumsum over the distinct event-time table",
     "q_logrank_test": "at-risk walk over the distinct event-time table",
     "q_cusum_changepoint": "cumulative over the daily series",
+    "q_churn_hazard": "at-risk suffix walk over the bounded tenure-week curve",
+    "q_peak_detection": "lag/lead extrema over the daily series",
     "q_bollinger_bands": "rolling 7-day frame over the daily close series",
     "q_rsi_simple": "lag + rolling 14-day frame over the daily close series",
     "q_theil_u2": "two lags over the daily count series (calendar-bounded)",
