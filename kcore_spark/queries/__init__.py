@@ -168,6 +168,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10x,
         extensions_r10y,
         extensions_r10z,
+        extensions_r10aa,
         dedup,
         events,
         packing_q,
@@ -283,6 +284,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10x,
         extensions_r10y,
         extensions_r10z,
+        extensions_r10aa,
         tpch,
         tpch2,
         windows,
