@@ -169,6 +169,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10y,
         extensions_r10z,
         extensions_r10aa,
+        extensions_r10ab,
         dedup,
         events,
         packing_q,
@@ -285,6 +286,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10y,
         extensions_r10z,
         extensions_r10aa,
+        extensions_r10ab,
         tpch,
         tpch2,
         windows,

@@ -133,6 +133,8 @@ ALLOWED_NLJ = {
     "q_wasserstein_1d",  # 1-row arm-totals broadcast cross (ECDF denominators)
     "q_churn_hazard",  # 1-row max-week broadcast cross (censoring anchor)
     "q_peak_detection",  # 1-row moment-totals broadcast cross (band anchor)
+    "q_brier_decomposition",  # 1-row grand-totals broadcast cross (base rate)
+    "q_topk_stability",  # 1-row midpoint broadcast cross (the half split)
     "q_energy_distance",  # 64x64 sample-bounded pair blocks (never corpus-quadratic)
     "q_mmd_rbf",  # 64x64 sample-bounded kernel blocks (never corpus-quadratic)
     "q_recall_at_k",  # + 3-row k-grid fan-out
@@ -347,6 +349,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_neyman_allocation": "largest-remainder walk over the strata table",
     "q_rrf_fusion": "ranks over two k-row retrieval shortlists",
     "q_lift_table": "cumulative over the 10-row decile curve",
+    "q_topk_stability": "rank windows over the two 20-row post-limit top-k lists",
     "q_lorenz_curve": "cumulative over the 10-row decile curve",
     "q_clustered_write_audit": "overlap test over the per-file manifest rows",
 }
