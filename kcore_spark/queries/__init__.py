@@ -170,6 +170,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10z,
         extensions_r10aa,
         extensions_r10ab,
+        extensions_r10ac,
         dedup,
         events,
         packing_q,
@@ -287,6 +288,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10z,
         extensions_r10aa,
         extensions_r10ab,
+        extensions_r10ac,
         tpch,
         tpch2,
         windows,

@@ -135,6 +135,7 @@ ALLOWED_NLJ = {
     "q_peak_detection",  # 1-row moment-totals broadcast cross (band anchor)
     "q_brier_decomposition",  # 1-row grand-totals broadcast cross (base rate)
     "q_topk_stability",  # 1-row midpoint broadcast cross (the half split)
+    "q_xbar_control_chart",  # 1-row chart-constants broadcast cross (limits)
     "q_energy_distance",  # 64x64 sample-bounded pair blocks (never corpus-quadratic)
     "q_mmd_rbf",  # 64x64 sample-bounded kernel blocks (never corpus-quadratic)
     "q_recall_at_k",  # + 3-row k-grid fan-out
