@@ -171,6 +171,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10aa,
         extensions_r10ab,
         extensions_r10ac,
+        extensions_r10ad,
         dedup,
         events,
         packing_q,
@@ -289,6 +290,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10aa,
         extensions_r10ab,
         extensions_r10ac,
+        extensions_r10ad,
         tpch,
         tpch2,
         windows,

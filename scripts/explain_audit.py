@@ -136,6 +136,7 @@ ALLOWED_NLJ = {
     "q_brier_decomposition",  # 1-row grand-totals broadcast cross (base rate)
     "q_topk_stability",  # 1-row midpoint broadcast cross (the half split)
     "q_xbar_control_chart",  # 1-row chart-constants broadcast cross (limits)
+    "q_sampling_temperature_mass",  # 1-row normalizer broadcast cross per temperature
     "q_energy_distance",  # 64x64 sample-bounded pair blocks (never corpus-quadratic)
     "q_mmd_rbf",  # 64x64 sample-bounded kernel blocks (never corpus-quadratic)
     "q_recall_at_k",  # + 3-row k-grid fan-out
@@ -282,6 +283,8 @@ KNOWN_UNPUSHABLE = {
     # only filters are the derived censoring / extrema-band cuts
     "q_churn_hazard",
     "q_peak_detection",
+    # whole-corpus token explode; only the empty-token guard filters
+    "q_sampling_temperature_mass",
 }
 # Queries whose plans contain a Window with NO partition spec that is
 # ADJUDICATED: the window's input is provably bounded (a curve-sized
