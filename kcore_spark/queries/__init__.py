@@ -172,6 +172,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ab,
         extensions_r10ac,
         extensions_r10ad,
+        extensions_r10ae,
         dedup,
         events,
         packing_q,
@@ -291,6 +292,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ab,
         extensions_r10ac,
         extensions_r10ad,
+        extensions_r10ae,
         tpch,
         tpch2,
         windows,
