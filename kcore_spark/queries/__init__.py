@@ -173,6 +173,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ac,
         extensions_r10ad,
         extensions_r10ae,
+        extensions_r10af,
         dedup,
         events,
         packing_q,
@@ -293,6 +294,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ac,
         extensions_r10ad,
         extensions_r10ae,
+        extensions_r10af,
         tpch,
         tpch2,
         windows,
