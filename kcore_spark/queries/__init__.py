@@ -174,6 +174,8 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ad,
         extensions_r10ae,
         extensions_r10af,
+        extensions_r10ag,
+        extensions_r10ah,
         dedup,
         events,
         packing_q,
@@ -295,6 +297,8 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ad,
         extensions_r10ae,
         extensions_r10af,
+        extensions_r10ag,
+        extensions_r10ah,
         tpch,
         tpch2,
         windows,

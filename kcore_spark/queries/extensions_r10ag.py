@@ -1,0 +1,302 @@
+"""Round-10 surface extensions, batch AG (SURVEY §2.3 N r10): the
+financial-risk block over the daily revenue series — historical
+VaR/CVaR (the loss-tail quantile and its expected shortfall), the
+Sharpe and Sortino ratios (risk-adjusted return, total vs downside
+deviation), and per-nation CAPM beta/alpha against the whole-market
+series (the covariance/variance regression every portfolio report
+runs).
+
+Provenance: declared surface of OUR engine; the reference implements
+only ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:106-125`).
+Determinism: revenue days are decimal-exact sums; daily returns are
+ROUND(·,9)-pinned doubles (identical per-row in both engines), then
+every moment is a DECIMAL(12,9)-exact order-free sum; exact
+percentile via the F.percentile <-> quantile_cont pairing.
+Scale: returns need one lag over the DAILY series (calendar-bounded,
+adjudicated in scripts/explain_audit.py); per-nation lags are
+partitioned windows; beta is one partial-agg of decimal moments per
+nation. Nothing sorts a corpus-sized table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kcore_spark.catalog import load_table
+from kcore_spark.operators.relational import money, rate
+from kcore_spark.queries import QuerySpec
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _daily_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-exact daily revenue series (by ship day)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = money("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - rate("l_discount")
+    )
+    return (
+        li.groupBy(F.date_trunc("day", F.col("l_shipdate")).alias("d"))
+        .agg(F.sum(disc_price).cast("double").alias("rev"))
+    )
+
+
+def _returns(daily: DataFrame) -> DataFrame:
+    """ROUND(·,9)-pinned simple daily returns over the bounded series."""
+    w = Window.orderBy("d")
+    return (
+        daily.withColumn("prev", F.lag("rev").over(w))
+        .where(F.col("prev").isNotNull())
+        .select("d", F.round(F.col("rev") / F.col("prev") - 1, 9).alias("r"))
+    )
+
+
+_DAILY_SQL = """
+  SELECT date_trunc('day', l_shipdate) AS d,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+              AS DOUBLE) AS rev
+  FROM lineitem GROUP BY 1
+"""
+
+_RETURNS_SQL = f"""
+  SELECT d, ROUND(rev / LAG(rev) OVER (ORDER BY d) - 1, 9) AS r
+  FROM ({_DAILY_SQL})
+  QUALIFY LAG(rev) OVER (ORDER BY d) IS NOT NULL
+"""
+
+
+# ------------------------------------------------- historical VaR/CVaR
+# VaR95 = exact 5th percentile of daily returns; CVaR95 = mean of the
+# returns at or below it (expected shortfall). The tail mean uses a
+# decimal-exact sum so partition order can't move the hash.
+
+
+def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rets = _returns(_daily_market(spark, sf_dir))
+    var = rets.agg(
+        F.percentile("r", 0.05).alias("var_95"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    tail = (
+        rets.crossJoin(F.broadcast(var))
+        .where(F.col("r") <= F.col("var_95"))
+        .agg(
+            F.first("n_days").alias("n_days"),
+            F.first("var_95").alias("v"),
+            (
+                F.sum(F.col("r").cast("decimal(12,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cvar"),
+            F.count(F.lit(1)).cast("long").alias("n_tail"),
+        )
+    )
+    return tail.select(
+        "n_days",
+        "n_tail",
+        F.round("v", 6).alias("var_95"),
+        F.round("cvar", 6).alias("cvar_95"),
+    )
+
+
+Q_VAR_CVAR_SQL = f"""
+WITH rets AS ({_RETURNS_SQL}),
+v AS (SELECT quantile_cont(r, 0.05) AS var_95,
+             CAST(COUNT(*) AS BIGINT) AS n_days FROM rets)
+SELECT n_days, CAST(COUNT(*) AS BIGINT) AS n_tail,
+       ROUND(var_95, 6) AS var_95,
+       ROUND(CAST(SUM(CAST(r AS DECIMAL(12,9))) AS DOUBLE) / COUNT(*), 6) AS cvar_95
+FROM rets CROSS JOIN v
+WHERE r <= var_95
+GROUP BY n_days, var_95
+"""
+
+QUERIES["q_var_cvar"] = QuerySpec(
+    q_var_cvar,
+    Q_VAR_CVAR_SQL,
+    "historical VaR-95 + CVaR (expected shortfall) of daily revenue "
+    "returns — exact percentile, decimal-exact tail mean",
+)
+
+
+# --------------------------------------------------- Sharpe / Sortino
+# Annualized (√252) mean/std and mean/downside-dev of the pinned daily
+# returns. Moments are exact DECIMAL(12,9) sums of the pinned values
+# (and their exact decimal squares), so the ratio is order-free.
+
+
+def q_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rets = _returns(_daily_market(spark, sf_dir))
+    d = F.col("r").cast("decimal(12,9)")
+    down = F.least(F.col("r"), F.lit(0.0)).cast("decimal(12,9)")
+    m = rets.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+        F.sum(down * down).alias("sd2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (n * F.col("s2").cast("double") - F.col("s1").cast("double") ** 2) / (
+        n * (n - 1)
+    )
+    dd = F.sqrt(F.col("sd2").cast("double") / n)
+    ann = F.sqrt(F.lit(252.0))
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(mean * 252, 6).alias("ann_return"),
+        F.round(mean / F.sqrt(var) * ann, 6).alias("sharpe"),
+        F.round(mean / dd * ann, 6).alias("sortino"),
+    )
+
+
+Q_SHARPE_SQL = f"""
+WITH rets AS ({_RETURNS_SQL}),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(r AS DECIMAL(12,9))) AS s1,
+         SUM(CAST(r AS DECIMAL(12,9)) * CAST(r AS DECIMAL(12,9))) AS s2,
+         SUM(CAST(LEAST(r, 0.0) AS DECIMAL(12,9))
+             * CAST(LEAST(r, 0.0) AS DECIMAL(12,9))) AS sd2
+  FROM rets)
+SELECT n AS n_days,
+       ROUND(CAST(s1 AS DOUBLE) / n * 252, 6) AS ann_return,
+       ROUND((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (n - 1)))
+             * SQRT(252.0), 6) AS sharpe,
+       ROUND((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / SQRT(CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE))
+             * SQRT(252.0), 6) AS sortino
+FROM m
+"""
+
+QUERIES["q_sharpe_sortino"] = QuerySpec(
+    q_sharpe_sortino,
+    Q_SHARPE_SQL,
+    "annualized Sharpe + Sortino of daily revenue returns — exact "
+    "decimal moments of ROUND(·,9)-pinned returns",
+)
+
+
+# ----------------------------------------------------- CAPM beta/alpha
+# Per-nation daily revenue returns regressed on the market series:
+# beta = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²), alpha = mean_y − beta·mean_x.
+# Nation lags are PARTITIONED windows; only the one-row-per-day market
+# series takes a global lag (calendar-bounded, adjudicated). One
+# keyed moment agg per nation; the market join is a broadcast of the
+# day-sized series.
+
+
+def q_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    disc_price = money("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - rate("l_discount")
+    )
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.date_trunc("day", F.col("o_orderdate")).alias("d"))
+        .agg(F.sum(disc_price).cast("double").alias("rev"))
+    )
+    nw = Window.partitionBy("n_name").orderBy("d")
+    nrets = (
+        base.withColumn("prev", F.lag("rev").over(nw))
+        .where(F.col("prev").isNotNull())
+        .select("n_name", "d", F.round(F.col("rev") / F.col("prev") - 1, 9).alias("y"))
+    )
+    market = base.groupBy("d").agg(
+        F.sum(F.col("rev").cast("decimal(28,6)")).cast("double").alias("mrev")
+    )
+    mw = Window.orderBy("d")
+    mrets = (
+        market.withColumn("prev", F.lag("mrev").over(mw))
+        .where(F.col("prev").isNotNull())
+        .select("d", F.round(F.col("mrev") / F.col("prev") - 1, 9).alias("x"))
+    )
+    joined = nrets.join(F.broadcast(mrets), "d")
+    dx = F.col("x").cast("decimal(12,9)")
+    dy = F.col("y").cast("decimal(12,9)")
+    m = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    beta = (n * F.col("sxy").cast("double") - sx * sy) / (
+        n * F.col("sxx").cast("double") - sx * sx
+    )
+    return (
+        m.select(
+            "n_name",
+            "n_days",
+            F.round(beta, 6).alias("beta"),
+            F.round((sy - beta * sx) / n, 6).alias("alpha"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q_CAPM_SQL = """
+WITH base AS (
+  SELECT n_name, date_trunc('day', o_orderdate) AS d,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+              AS DOUBLE) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+nrets AS (
+  SELECT n_name, d,
+         ROUND(rev / LAG(rev) OVER (PARTITION BY n_name ORDER BY d) - 1, 9) AS y
+  FROM base
+  QUALIFY LAG(rev) OVER (PARTITION BY n_name ORDER BY d) IS NOT NULL),
+market AS (
+  SELECT d, CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) AS mrev
+  FROM base GROUP BY d),
+mrets AS (
+  SELECT d, ROUND(mrev / LAG(mrev) OVER (ORDER BY d) - 1, 9) AS x
+  FROM market
+  QUALIFY LAG(mrev) OVER (ORDER BY d) IS NOT NULL),
+m AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CAST(x AS DECIMAL(12,9))) AS sx,
+         SUM(CAST(y AS DECIMAL(12,9))) AS sy,
+         SUM(CAST(x AS DECIMAL(12,9)) * CAST(y AS DECIMAL(12,9))) AS sxy,
+         SUM(CAST(x AS DECIMAL(12,9)) * CAST(x AS DECIMAL(12,9))) AS sxx
+  FROM nrets JOIN mrets USING (d)
+  GROUP BY n_name)
+SELECT n_name, n_days,
+       ROUND((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n_days AS DOUBLE), 6) AS alpha
+FROM m
+ORDER BY n_name
+"""
+
+QUERIES["q_capm_beta"] = QuerySpec(
+    q_capm_beta,
+    Q_CAPM_SQL,
+    "per-nation CAPM beta/alpha vs the market daily-return series — "
+    "partitioned nation lags, one decimal moment agg per nation",
+)

@@ -50,6 +50,12 @@ ALLOWED_NLJ = {
     "q_psi_drift",  # 1-row min/max range broadcast cross (fixed-width bin bounds)
     "q_kmeans_lloyd",  # k-row centroid broadcast cross (the Lloyd assignment shape)
     "q_key_skew_gini",  # 1-row top-10-share broadcast cross (Gini margins)
+    "q_davies_bouldin",  # k-row centroid/scatter broadcast crosses (validity-index margins)
+    "q_calinski_harabasz",  # 1-row global-centroid / SS broadcast crosses
+    "q_adjusted_rand",  # 1-row value-range + margin broadcast crosses
+    "q_var_cvar",  # 1-row VaR-threshold broadcast cross (tail filter)
+    "q_fleiss_kappa",  # 1-row subject-totals x category-margins broadcast cross
+    "q_cronbach_alpha",  # 1-row item-variance x total-variance broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
@@ -285,6 +291,10 @@ KNOWN_UNPUSHABLE = {
     "q_peak_detection",
     # whole-corpus token explode; only the empty-token guard filters
     "q_sampling_temperature_mass",
+    # full-series scans; the only filter is the derived lag-null guard
+    "q_calinski_harabasz",
+    "q_var_cvar",
+    "q_sharpe_sortino",
 }
 # Queries whose plans contain a Window with NO partition spec that is
 # ADJUDICATED: the window's input is provably bounded (a curve-sized
@@ -345,6 +355,9 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_bollinger_bands": "rolling 7-day frame over the daily close series",
     "q_rsi_simple": "lag + rolling 14-day frame over the daily close series",
     "q_theil_u2": "two lags over the daily count series (calendar-bounded)",
+    "q_var_cvar": "lag over the daily revenue series (calendar-bounded)",
+    "q_sharpe_sortino": "lag over the daily revenue series (calendar-bounded)",
+    "q_capm_beta": "market-series lag (daily, calendar-bounded); nation lags are partitioned",
     # (c) k-row grids / curves / manifests
     "q_bh_fdr": "rank over the 25-row hypothesis catalog",
     "q_holm_bonferroni": "rank + running max over the 25-row hypothesis catalog",
