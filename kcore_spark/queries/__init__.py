@@ -176,6 +176,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10af,
         extensions_r10ag,
         extensions_r10ah,
+        extensions_r10ai,
         dedup,
         events,
         packing_q,
@@ -299,6 +300,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10af,
         extensions_r10ag,
         extensions_r10ah,
+        extensions_r10ai,
         tpch,
         tpch2,
         windows,

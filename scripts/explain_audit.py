@@ -56,6 +56,8 @@ ALLOWED_NLJ = {
     "q_var_cvar",  # 1-row VaR-threshold broadcast cross (tail filter)
     "q_fleiss_kappa",  # 1-row subject-totals x category-margins broadcast cross
     "q_cronbach_alpha",  # 1-row item-variance x total-variance broadcast cross
+    "q_anderson_darling",  # 1-row moments broadcast cross (z-standardization)
+    "q_cramer_von_mises",  # 1-row moments broadcast cross (z-standardization)
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
