@@ -177,6 +177,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ag,
         extensions_r10ah,
         extensions_r10ai,
+        extensions_r10aj,
         dedup,
         events,
         packing_q,
@@ -301,6 +302,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ag,
         extensions_r10ah,
         extensions_r10ai,
+        extensions_r10aj,
         tpch,
         tpch2,
         windows,

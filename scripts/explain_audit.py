@@ -58,6 +58,9 @@ ALLOWED_NLJ = {
     "q_cronbach_alpha",  # 1-row item-variance x total-variance broadcast cross
     "q_anderson_darling",  # 1-row moments broadcast cross (z-standardization)
     "q_cramer_von_mises",  # 1-row moments broadcast cross (z-standardization)
+    "q_breusch_pagan",  # 1-row OLS-coefficient broadcast cross (residual pass)
+    "q_chow_test",  # 1-row pooled x split moment broadcast cross
+    "q_granger_lite",  # 1-row means broadcast cross (centering pass)
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
@@ -297,6 +300,9 @@ KNOWN_UNPUSHABLE = {
     "q_calinski_harabasz",
     "q_var_cvar",
     "q_sharpe_sortino",
+    # whole-table regressions; only derived lag/coef guards filter
+    "q_breusch_pagan",
+    "q_granger_lite",
 }
 # Queries whose plans contain a Window with NO partition spec that is
 # ADJUDICATED: the window's input is provably bounded (a curve-sized
@@ -357,6 +363,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_bollinger_bands": "rolling 7-day frame over the daily close series",
     "q_rsi_simple": "lag + rolling 14-day frame over the daily close series",
     "q_theil_u2": "two lags over the daily count series (calendar-bounded)",
+    "q_granger_lite": "two lags over the daily event series (calendar-bounded)",
     "q_var_cvar": "lag over the daily revenue series (calendar-bounded)",
     "q_sharpe_sortino": "lag over the daily revenue series (calendar-bounded)",
     "q_capm_beta": "market-series lag (daily, calendar-bounded); nation lags are partitioned",
