@@ -178,6 +178,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ah,
         extensions_r10ai,
         extensions_r10aj,
+        extensions_r10ak,
         dedup,
         events,
         packing_q,
@@ -303,6 +304,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ah,
         extensions_r10ai,
         extensions_r10aj,
+        extensions_r10ak,
         tpch,
         tpch2,
         windows,
