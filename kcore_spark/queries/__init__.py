@@ -179,6 +179,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ai,
         extensions_r10aj,
         extensions_r10ak,
+        extensions_r10al,
         dedup,
         events,
         packing_q,
@@ -305,6 +306,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ai,
         extensions_r10aj,
         extensions_r10ak,
+        extensions_r10al,
         tpch,
         tpch2,
         windows,

@@ -296,6 +296,8 @@ KNOWN_UNPUSHABLE = {
     "q_peak_detection",
     # whole-corpus token explode; only the empty-token guard filters
     "q_sampling_temperature_mass",
+    "q_yules_k",
+    "q_hapax_profile",
     # full-series scans; the only filter is the derived lag-null guard
     "q_calinski_harabasz",
     "q_var_cvar",
