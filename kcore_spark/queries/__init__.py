@@ -180,6 +180,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10aj,
         extensions_r10ak,
         extensions_r10al,
+        extensions_r10am,
         dedup,
         events,
         packing_q,
@@ -307,6 +308,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10aj,
         extensions_r10ak,
         extensions_r10al,
+        extensions_r10am,
         tpch,
         tpch2,
         windows,

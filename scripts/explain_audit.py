@@ -61,6 +61,8 @@ ALLOWED_NLJ = {
     "q_breusch_pagan",  # 1-row OLS-coefficient broadcast cross (residual pass)
     "q_chow_test",  # 1-row pooled x split moment broadcast cross
     "q_granger_lite",  # 1-row means broadcast cross (centering pass)
+    "q_post_stratification",  # 1-row stratum-total broadcast cross (weights)
+    "q_bayes_prob_best",  # 1-row arm-A x arm-B posterior broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
