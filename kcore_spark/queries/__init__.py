@@ -181,6 +181,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ak,
         extensions_r10al,
         extensions_r10am,
+        extensions_r10an,
         dedup,
         events,
         packing_q,
@@ -309,6 +310,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ak,
         extensions_r10al,
         extensions_r10am,
+        extensions_r10an,
         tpch,
         tpch2,
         windows,

@@ -300,6 +300,8 @@ KNOWN_UNPUSHABLE = {
     "q_sampling_temperature_mass",
     "q_yules_k",
     "q_hapax_profile",
+    # whole-table monthly rollup; only the k>=3 month-count guard filters
+    "q_xyz_classification",
     # full-series scans; the only filter is the derived lag-null guard
     "q_calinski_harabasz",
     "q_var_cvar",
