@@ -182,6 +182,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10al,
         extensions_r10am,
         extensions_r10an,
+        extensions_r10ao,
         dedup,
         events,
         packing_q,
@@ -311,6 +312,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10al,
         extensions_r10am,
         extensions_r10an,
+        extensions_r10ao,
         tpch,
         tpch2,
         windows,

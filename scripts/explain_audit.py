@@ -63,6 +63,8 @@ ALLOWED_NLJ = {
     "q_granger_lite",  # 1-row means broadcast cross (centering pass)
     "q_post_stratification",  # 1-row stratum-total broadcast cross (weights)
     "q_bayes_prob_best",  # 1-row arm-A x arm-B posterior broadcast cross
+    "q_forecast_accuracy",  # 1-row day-count broadcast cross (test-window cut)
+    "q_theta_method",  # 1-row day-count broadcast cross (SES weights)
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
@@ -302,6 +304,8 @@ KNOWN_UNPUSHABLE = {
     "q_hapax_profile",
     # whole-table monthly rollup; only the k>=3 month-count guard filters
     "q_xyz_classification",
+    # daily-series rollup; only the derived test-window cut filters
+    "q_forecast_accuracy",
     # full-series scans; the only filter is the derived lag-null guard
     "q_calinski_harabasz",
     "q_var_cvar",
@@ -370,6 +374,8 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_rsi_simple": "lag + rolling 14-day frame over the daily close series",
     "q_theil_u2": "two lags over the daily count series (calendar-bounded)",
     "q_granger_lite": "two lags over the daily event series (calendar-bounded)",
+    "q_forecast_accuracy": "lags + rank over the daily count series (calendar-bounded)",
+    "q_theta_method": "rank over the daily count series (calendar-bounded)",
     "q_var_cvar": "lag over the daily revenue series (calendar-bounded)",
     "q_sharpe_sortino": "lag over the daily revenue series (calendar-bounded)",
     "q_capm_beta": "market-series lag (daily, calendar-bounded); nation lags are partitioned",
