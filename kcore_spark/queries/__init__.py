@@ -183,6 +183,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10am,
         extensions_r10an,
         extensions_r10ao,
+        extensions_r10ap,
         dedup,
         events,
         packing_q,
@@ -313,6 +314,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10am,
         extensions_r10an,
         extensions_r10ao,
+        extensions_r10ap,
         tpch,
         tpch2,
         windows,

@@ -65,6 +65,9 @@ ALLOWED_NLJ = {
     "q_bayes_prob_best",  # 1-row arm-A x arm-B posterior broadcast cross
     "q_forecast_accuracy",  # 1-row day-count broadcast cross (test-window cut)
     "q_theta_method",  # 1-row day-count broadcast cross (SES weights)
+    "q_cramers_v",  # 1-row total x k-row margin broadcast crosses
+    "q_gk_gamma",  # k-squared cell-pair broadcast join (25 cells)
+    "q_uncertainty_coeff",  # 1-row entropy broadcast crosses
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
