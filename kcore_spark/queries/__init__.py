@@ -184,6 +184,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10an,
         extensions_r10ao,
         extensions_r10ap,
+        extensions_r10aq,
         dedup,
         events,
         packing_q,
@@ -315,6 +316,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10an,
         extensions_r10ao,
         extensions_r10ap,
+        extensions_r10aq,
         tpch,
         tpch2,
         windows,

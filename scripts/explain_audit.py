@@ -68,6 +68,9 @@ ALLOWED_NLJ = {
     "q_cramers_v",  # 1-row total x k-row margin broadcast crosses
     "q_gk_gamma",  # k-squared cell-pair broadcast join (25 cells)
     "q_uncertainty_coeff",  # 1-row entropy broadcast crosses
+    "q_nmi_labels",  # 1-row entropy/MI broadcast crosses
+    "q_fowlkes_mallows",  # 1-row pair-count broadcast crosses
+    "q_cluster_purity",  # 1-row value-range broadcast cross (bucket edges)
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
