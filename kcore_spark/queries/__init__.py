@@ -185,6 +185,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ao,
         extensions_r10ap,
         extensions_r10aq,
+        extensions_r10ar,
         dedup,
         events,
         packing_q,
@@ -317,6 +318,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ao,
         extensions_r10ap,
         extensions_r10aq,
+        extensions_r10ar,
         tpch,
         tpch2,
         windows,

@@ -71,6 +71,9 @@ ALLOWED_NLJ = {
     "q_nmi_labels",  # 1-row entropy/MI broadcast crosses
     "q_fowlkes_mallows",  # 1-row pair-count broadcast crosses
     "q_cluster_purity",  # 1-row value-range broadcast cross (bucket edges)
+    "q_erlang_c_staffing",  # 1-row span x k-row factorial-grid broadcast crosses
+    "q_mm1_metrics",  # 1-row span/capacity broadcast crosses
+    "q_utilization_ladder",  # 1-row busiest-stream x 7-row grid broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
