@@ -186,6 +186,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ap,
         extensions_r10aq,
         extensions_r10ar,
+        extensions_r10as,
         dedup,
         events,
         packing_q,
@@ -319,6 +320,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ap,
         extensions_r10aq,
         extensions_r10ar,
+        extensions_r10as,
         tpch,
         tpch2,
         windows,

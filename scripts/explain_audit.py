@@ -74,6 +74,9 @@ ALLOWED_NLJ = {
     "q_erlang_c_staffing",  # 1-row span x k-row factorial-grid broadcast crosses
     "q_mm1_metrics",  # 1-row span/capacity broadcast crosses
     "q_utilization_ladder",  # 1-row busiest-stream x 7-row grid broadcast cross
+    "q_huber_m",  # 1-row IRLS-state broadcast crosses (3 fixed rounds)
+    "q_biweight_midvariance",  # 1-row median/MAD broadcast cross
+    "q_median_ci",  # 1-row rank-bounds broadcast cross (order-stat pick)
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
