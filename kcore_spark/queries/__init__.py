@@ -187,6 +187,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10aq,
         extensions_r10ar,
         extensions_r10as,
+        extensions_r10at,
         dedup,
         events,
         packing_q,
@@ -321,6 +322,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10aq,
         extensions_r10ar,
         extensions_r10as,
+        extensions_r10at,
         tpch,
         tpch2,
         windows,

@@ -77,6 +77,9 @@ ALLOWED_NLJ = {
     "q_huber_m",  # 1-row IRLS-state broadcast crosses (3 fixed rounds)
     "q_biweight_midvariance",  # 1-row median/MAD broadcast cross
     "q_median_ci",  # 1-row rank-bounds broadcast cross (order-stat pick)
+    "q_ams_f2",  # 1-row estimate x 1-row exact broadcast cross
+    "q_kmv_distinct",  # 1-row kth-hash x 1-row exact broadcast cross
+    "q_linear_counting",  # 1-row bitmap x 1-row exact broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
