@@ -188,6 +188,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ar,
         extensions_r10as,
         extensions_r10at,
+        extensions_r10au,
         dedup,
         events,
         packing_q,
@@ -323,6 +324,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ar,
         extensions_r10as,
         extensions_r10at,
+        extensions_r10au,
         tpch,
         tpch2,
         windows,

@@ -80,6 +80,9 @@ ALLOWED_NLJ = {
     "q_ams_f2",  # 1-row estimate x 1-row exact broadcast cross
     "q_kmv_distinct",  # 1-row kth-hash x 1-row exact broadcast cross
     "q_linear_counting",  # 1-row bitmap x 1-row exact broadcast cross
+    "q_horvitz_thompson",  # 1-row exact-total broadcast cross
+    "q_ratio_estimator",  # 1-row exact-total broadcast cross
+    "q_regression_estimator",  # 1-row exact-total broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
