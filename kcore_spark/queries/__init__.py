@@ -189,6 +189,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10as,
         extensions_r10at,
         extensions_r10au,
+        extensions_r10av,
         dedup,
         events,
         packing_q,
@@ -325,6 +326,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10as,
         extensions_r10at,
         extensions_r10au,
+        extensions_r10av,
         tpch,
         tpch2,
         windows,

@@ -83,6 +83,9 @@ ALLOWED_NLJ = {
     "q_horvitz_thompson",  # 1-row exact-total broadcast cross
     "q_ratio_estimator",  # 1-row exact-total broadcast cross
     "q_regression_estimator",  # 1-row exact-total broadcast cross
+    "q_page_hinkley",  # 1-row global-mean broadcast cross
+    "q_friedman_seasonality",  # 1-row block-count broadcast cross
+    "q_yuen_test",  # 1-row arm x arm broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
@@ -392,6 +395,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_rsi_simple": "lag + rolling 14-day frame over the daily close series",
     "q_theil_u2": "two lags over the daily count series (calendar-bounded)",
     "q_granger_lite": "two lags over the daily event series (calendar-bounded)",
+    "q_page_hinkley": "cumsum + running min over the daily series (calendar-bounded)",
     "q_forecast_accuracy": "lags + rank over the daily count series (calendar-bounded)",
     "q_theta_method": "rank over the daily count series (calendar-bounded)",
     "q_var_cvar": "lag over the daily revenue series (calendar-bounded)",
