@@ -105,10 +105,12 @@ QUERIES["q_page_hinkley"] = QuerySpec(
 
 
 def q_friedman_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.date_trunc("day", F.col("o_orderdate")).alias("d")
-    ).agg(F.count(F.lit(1)).alias("y"))
+    # events, not orders: the event stream covers every calendar day
+    # even at the sparsest fixture scale, so complete weeks exist
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
     keyed = daily.select(
         F.weekofyear("d").alias("wk"),
         F.year("d").alias("yr"),
@@ -149,8 +151,8 @@ def q_friedman_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_FRIEDMAN_SQL = """
 WITH daily AS (
-  SELECT date_trunc('day', o_orderdate) AS d, COUNT(*) AS y
-  FROM orders GROUP BY 1),
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, COUNT(*) AS y
+  FROM events GROUP BY 1),
 keyed AS (
   SELECT weekofyear(d) AS wk, year(d) AS yr, dayofweek(d) + 1 AS dow, y
   FROM daily),

@@ -327,6 +327,8 @@ KNOWN_UNPUSHABLE = {
     "q_xyz_classification",
     # daily-series rollup; only the derived test-window cut filters
     "q_forecast_accuracy",
+    "q_page_hinkley",
+    "q_friedman_seasonality",
     # full-series scans; the only filter is the derived lag-null guard
     "q_calinski_harabasz",
     "q_var_cvar",

@@ -23,7 +23,7 @@ def test_friedman_nonnegative(spark):
     from kcore_spark.queries.extensions_r10av import q_friedman_seasonality
 
     r = q_friedman_seasonality(spark, SF_DIR).collect()[0]
-    assert r.n_blocks > 10
+    assert r.n_blocks >= 3
     # total rank mass per block is 28 (=1+..+7); sum over dows of rsum
     # equals 28*n_blocks, so sr2 >= (28n/7)^2*7 by Cauchy-Schwarz
     assert r.sum_rank_sq >= 7 * (4.0 * r.n_blocks) ** 2 - 1e-6
