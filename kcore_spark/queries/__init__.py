@@ -190,6 +190,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10at,
         extensions_r10au,
         extensions_r10av,
+        extensions_r10aw,
         dedup,
         events,
         packing_q,
@@ -327,6 +328,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10at,
         extensions_r10au,
         extensions_r10av,
+        extensions_r10aw,
         tpch,
         tpch2,
         windows,

@@ -86,6 +86,7 @@ ALLOWED_NLJ = {
     "q_page_hinkley",  # 1-row global-mean broadcast cross
     "q_friedman_seasonality",  # 1-row block-count broadcast cross
     "q_yuen_test",  # 1-row arm x arm broadcast cross
+    "q_kde_grid",  # 1-row bandwidth/grid broadcast cross (21-point fan-out)
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
