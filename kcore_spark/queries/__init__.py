@@ -191,6 +191,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10au,
         extensions_r10av,
         extensions_r10aw,
+        extensions_r10ax,
         dedup,
         events,
         packing_q,
@@ -329,6 +330,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10au,
         extensions_r10av,
         extensions_r10aw,
+        extensions_r10ax,
         tpch,
         tpch2,
         windows,
