@@ -192,6 +192,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10av,
         extensions_r10aw,
         extensions_r10ax,
+        extensions_r10ay,
         dedup,
         events,
         packing_q,
@@ -331,6 +332,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10av,
         extensions_r10aw,
         extensions_r10ax,
+        extensions_r10ay,
         tpch,
         tpch2,
         windows,

@@ -87,6 +87,9 @@ ALLOWED_NLJ = {
     "q_friedman_seasonality",  # 1-row block-count broadcast cross
     "q_yuen_test",  # 1-row arm x arm broadcast cross
     "q_kde_grid",  # 1-row bandwidth/grid broadcast cross (21-point fan-out)
+    "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
+    "q_pot_gpd_fit",  # 1-row threshold broadcast cross
+    "q_weibull_fit",  # 1-row total-count broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
@@ -376,6 +379,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_tokenizer_oov_rate": "top-K rank over the vocabulary table (vocab-cardinality-bounded)",
     "q_isotonic_calibration": "PAVA algebra over the 20-bin interval table",
     "q_rmst": "KM-curve segment walk (distinct-duration table, the q_kaplan_meier adjudication)",
+    "q_weibull_fit": "survival cumulative over the distinct-duration tie table",
     "q_classification_report": "rank walk over the k-row class table",
     # (b) calendar-bounded series
     "q_classical_decomposition": "hourly series windows (fixture-calendar-bounded)",
