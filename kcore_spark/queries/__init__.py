@@ -193,6 +193,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10aw,
         extensions_r10ax,
         extensions_r10ay,
+        extensions_r10az,
         dedup,
         events,
         packing_q,
@@ -333,6 +334,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10aw,
         extensions_r10ax,
         extensions_r10ay,
+        extensions_r10az,
         tpch,
         tpch2,
         windows,
