@@ -194,6 +194,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ax,
         extensions_r10ay,
         extensions_r10az,
+        extensions_r10ba,
         dedup,
         events,
         packing_q,
@@ -335,6 +336,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ax,
         extensions_r10ay,
         extensions_r10az,
+        extensions_r10ba,
         tpch,
         tpch2,
         windows,

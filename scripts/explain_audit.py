@@ -92,6 +92,8 @@ ALLOWED_NLJ = {
     "q_weibull_fit",  # 1-row total-count broadcast cross
     "q_embedding_drift",  # 1-row half x half broadcast cross
     "q_isotropy_audit",  # 1-row centroid broadcast cross
+    "q_pareto_share",  # 1-row P80-threshold broadcast cross
+    "q_assoc_measures2",  # 1-row basket-count broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
@@ -337,6 +339,8 @@ KNOWN_UNPUSHABLE = {
     "q_friedman_seasonality",
     # whole-corpus embedding scan; nothing filters by design
     "q_isotropy_audit",
+    # customer-month rollup; only the derived consecutive-month guard filters
+    "q_revenue_retention",
     # full-series scans; the only filter is the derived lag-null guard
     "q_calinski_harabasz",
     "q_var_cvar",
