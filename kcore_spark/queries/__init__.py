@@ -195,6 +195,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ay,
         extensions_r10az,
         extensions_r10ba,
+        extensions_r10bb,
         dedup,
         events,
         packing_q,
@@ -337,6 +338,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ay,
         extensions_r10az,
         extensions_r10ba,
+        extensions_r10bb,
         tpch,
         tpch2,
         windows,

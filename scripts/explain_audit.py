@@ -94,6 +94,7 @@ ALLOWED_NLJ = {
     "q_isotropy_audit",  # 1-row centroid broadcast cross
     "q_pareto_share",  # 1-row P80-threshold broadcast cross
     "q_assoc_measures2",  # 1-row basket-count broadcast cross
+    "q_pmi_collocations",  # 1-row pair-total broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
@@ -341,6 +342,10 @@ KNOWN_UNPUSHABLE = {
     "q_isotropy_audit",
     # customer-month rollup; only the derived consecutive-month guard filters
     "q_revenue_retention",
+    # whole-corpus token/char explodes; only the empty/short guards filter
+    "q_keyword_textrank",
+    "q_char_trigram_entropy",
+    "q_pmi_collocations",
     # full-series scans; the only filter is the derived lag-null guard
     "q_calinski_harabasz",
     "q_var_cvar",
