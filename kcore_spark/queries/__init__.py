@@ -196,6 +196,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10az,
         extensions_r10ba,
         extensions_r10bb,
+        extensions_r10bc,
         dedup,
         events,
         packing_q,
@@ -339,6 +340,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10az,
         extensions_r10ba,
         extensions_r10bb,
+        extensions_r10bc,
         tpch,
         tpch2,
         windows,

@@ -95,6 +95,7 @@ ALLOWED_NLJ = {
     "q_pareto_share",  # 1-row P80-threshold broadcast cross
     "q_assoc_measures2",  # 1-row basket-count broadcast cross
     "q_pmi_collocations",  # 1-row pair-total broadcast cross
+    "q_periodogram",  # 1-row base x 6-row period-grid broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
@@ -346,6 +347,8 @@ KNOWN_UNPUSHABLE = {
     "q_keyword_textrank",
     "q_char_trigram_entropy",
     "q_pmi_collocations",
+    # whole-stream lead fan-out; only the trailing-null guard filters
+    "q_event_trigram_patterns",
     # full-series scans; the only filter is the derived lag-null guard
     "q_calinski_harabasz",
     "q_var_cvar",
