@@ -177,6 +177,26 @@ EXTRAS = [
     "q_bradley_terry",  # 3 unrolled gradient rounds over pair duels
     "q_repeated_ngram_scrub",  # explode + gram shuffle + bounded window
     "q_cogroup_asof",  # co-partitioned dual shuffle + per-key pandas
+    # round-10 session 2: the data-plane-shaped members of the AF-BA
+    # batches (queueing/SQL-pin/scalar-surface/1-row stats excluded:
+    # k-row grids and API pins, not bench shapes)
+    "q_davies_bouldin",  # posexplode centroids + broadcast scatter scan
+    "q_capm_beta",  # 4-way join + partitioned lags + moment agg
+    "q_anderson_darling",  # _dist_rank + pinned-CDF term scan
+    "q_fleiss_kappa",  # 3x vote explode + two keyed groupBys
+    "q_breusch_pagan",  # two scans with coefficient broadcast between
+    "q_yules_k",  # token explode + count-of-counts
+    "q_delta_method_ratio",  # customer rollup + decimal cross-moments
+    "q_croston",  # per-part partitioned ranks + closed-form SES sums
+    "q_xyz_classification",  # part-month rollup + CV classes
+    "q_kde_grid",  # 21x fan-out collapsed map-side
+    "q_corr_matrix",  # one wide decimal-moment aggregate
+    "q_ams_f2",  # 16x sign fan-out collapsed map-side
+    "q_two_nn_intrinsic_dim",  # label-blocked NN pair join
+    "q_huber_m",  # 3 broadcast-iterate IRLS scans
+    "q_median_ci",  # _dist_rank order-statistic pick
+    "q_revenue_retention",  # customer-month rollup + partitioned lags
+    "q_assoc_measures2",  # basket self-join on bounded brand space
 ]
 
 

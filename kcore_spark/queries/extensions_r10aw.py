@@ -57,24 +57,51 @@ def q_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hi",
         F.round(1.06 * sd * F.pow(nd, F.lit(-0.2)), 9).alias("h"),
     )
-    grid = F.array(*[F.lit(i) for i in range(21)])
-    fan = src.crossJoin(F.broadcast(params)).select(
-        "xd", "n", "lo", "hi", "h", F.explode(grid).alias("i")
-    )
-    g = F.col("lo") + F.col("i").cast("double") * (F.col("hi") - F.col("lo")) / 20.0
-    u = (F.col("xd").cast("double") - g) / F.col("h")
-    kern = F.exp(-u * u / 2.0) * 0.3989422804014327
-    agg = fan.groupBy("i").agg(
+    # all 21 kernel sums as parallel aggregate expressions over ONE
+    # scan — no row fan-out, no grid shuffle (21x less work than the
+    # explode form at any scale). The repartition exists only for
+    # small single-file inputs where the scan yields one split: the
+    # 21 exp+decimal sums are CPU-bound and want every core for the
+    # partial agg; at real scale the scan is already parallel and
+    # this is one cheap extra exchange of the projected column.
+    j = src.repartition(32).crossJoin(F.broadcast(params))
+
+    def _gp(i: int):
+        return F.col("lo") + float(i) * (F.col("hi") - F.col("lo")) / 20.0
+
+    def _ks(i: int):
+        u = (F.col("xd").cast("double") - _gp(i)) / F.col("h")
+        kern = F.exp(-u * u / 2.0) * 0.3989422804014327
+        return F.sum(F.round(kern, 12).cast("decimal(28,12)")).alias(f"ks{i}")
+
+    agg = j.agg(
         F.first("n").alias("n"),
         F.first("h").alias("h"),
-        F.round(F.first(g), 6).alias("grid_x"),
-        F.sum(F.round(kern, 12).cast("decimal(28,12)")).alias("ks"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        *[_ks(i) for i in range(21)],
     )
-    return agg.select(
-        F.col("i").cast("long").alias("i"),
-        "grid_x",
+    rows = agg.select(
+        "n",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.round(_gp(i), 6).alias("grid_x"),
+                        F.col(f"ks{i}").cast("double").alias("ks"),
+                    )
+                    for i in range(21)
+                ]
+            )
+        ).alias("g"),
+    )
+    return rows.select(
+        F.col("g.i").cast("long").alias("i"),
+        F.col("g.grid_x").alias("grid_x"),
         F.round(
-            F.col("ks").cast("double") / (F.col("n").cast("double") * F.col("h")), 6
+            F.col("g.ks") / (F.col("n").cast("double") * F.col("h")), 6
         ).alias("density"),
     ).orderBy("i")
 
