@@ -197,6 +197,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ba,
         extensions_r10bb,
         extensions_r10bc,
+        extensions_r10bd,
         dedup,
         events,
         packing_q,
@@ -341,6 +342,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ba,
         extensions_r10bb,
         extensions_r10bc,
+        extensions_r10bd,
         tpch,
         tpch2,
         windows,

@@ -96,6 +96,8 @@ ALLOWED_NLJ = {
     "q_assoc_measures2",  # 1-row basket-count broadcast cross
     "q_pmi_collocations",  # 1-row pair-total broadcast cross
     "q_periodogram",  # 1-row base x 6-row period-grid broadcast cross
+    "q_james_stein",  # 1-row pooled-moments broadcast cross
+    "q_empirical_bayes_rates",  # 1-row prior-params broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
