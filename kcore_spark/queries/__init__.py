@@ -198,6 +198,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bb,
         extensions_r10bc,
         extensions_r10bd,
+        extensions_r10be,
         dedup,
         events,
         packing_q,
@@ -343,6 +344,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bb,
         extensions_r10bc,
         extensions_r10bd,
+        extensions_r10be,
         tpch,
         tpch2,
         windows,
