@@ -199,6 +199,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bc,
         extensions_r10bd,
         extensions_r10be,
+        extensions_r10bf,
         dedup,
         events,
         packing_q,
@@ -345,6 +346,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bc,
         extensions_r10bd,
         extensions_r10be,
+        extensions_r10bf,
         tpch,
         tpch2,
         windows,

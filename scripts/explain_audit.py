@@ -98,6 +98,7 @@ ALLOWED_NLJ = {
     "q_periodogram",  # 1-row base x 6-row period-grid broadcast cross
     "q_james_stein",  # 1-row pooled-moments broadcast cross
     "q_empirical_bayes_rates",  # 1-row prior-params broadcast cross
+    "q_profile_drift",  # 1-row half x half broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
