@@ -11,10 +11,13 @@ only ApiVersions (`/root/reference/pkg/kafka/kafka_api.go:106-125`).
 Determinism: md5-pinned halves; decimal-exact centroid/energy sums;
 two-NN distances are per-pair doubles with pinned log sums.
 Scale: drift/isotropy are posexplode partial-aggs (N×d -> d);
-two-NN joins WITHIN labels only (block-bounded, the q_silhouette
-family's contract) and takes the 2 smallest distances per point via
-partitioned rank — never a global sort, never all-pairs across
-blocks.
+two-NN joins WITHIN labels only and takes the 2 smallest distances
+per point via partitioned rank — never a global sort, never
+all-pairs across blocks. The within-block join is quadratic in the
+BLOCK size (exact by design, like the q_near_dup_jaccard family);
+when blocks grow with the corpus, swap the candidate generator for
+the IVF centroid shortlist (operators/similarity.py) — the estimator
+itself only needs the 2 nearest, which the shortlist preserves.
 """
 
 from __future__ import annotations

@@ -15,8 +15,10 @@ terms and reachability distances are pinned-decimal sums; LOF
 neighbor sets are rank-pinned with vec_id tiebreaks (documented
 variant: exactly 3 neighbors, not the within-k-dist closure).
 Scale: DFT is one scan per 6-period fan-out collapsed map-side; LOF
-joins stay WITHIN label blocks with partitioned ranks; trigrams are
-two partitioned leads.
+joins stay WITHIN label blocks with partitioned ranks (quadratic in
+the BLOCK size — swap in the IVF shortlist of operators/similarity.py
+as the k-NN candidate generator when blocks grow with the corpus);
+trigrams are two partitioned leads.
 """
 
 from __future__ import annotations
