@@ -200,6 +200,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bd,
         extensions_r10be,
         extensions_r10bf,
+        extensions_r10bg,
         dedup,
         events,
         packing_q,
@@ -347,6 +348,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bd,
         extensions_r10be,
         extensions_r10bf,
+        extensions_r10bg,
         tpch,
         tpch2,
         windows,

@@ -352,6 +352,7 @@ KNOWN_UNPUSHABLE = {
     "q_pmi_collocations",
     # whole-stream lead fan-out; only the trailing-null guard filters
     "q_event_trigram_patterns",
+    "q_transition_durations",
     # degree rollup; only the derived dmin tail cut filters
     "q_powerlaw_fit",
     # full-series scans; the only filter is the derived lag-null guard
