@@ -263,3 +263,66 @@ def media_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         ]
     )
     return df.mapInPandas(batches, schema)
+
+
+# ------------------------------------------------------------ BMP
+# Windows bitmap, BITMAPINFOHEADER flavor (public spec; the 14-byte
+# BITMAPFILEHEADER + 40-byte info header + bottom-up BGR rows padded
+# to 4-byte boundaries). 24-bit uncompressed only — the container
+# every image tool can read.
+
+
+def encode_bmp(width: int, height: int, pixels_rgb: bytes) -> bytes:
+    """Minimal 24-bit BMP writer; ``pixels_rgb`` is top-down RGB
+    (3 bytes/px, row-major) and is re-ordered to the format's
+    bottom-up BGR padded rows."""
+    if len(pixels_rgb) != width * height * 3:
+        raise ValueError("pixel buffer size mismatch")
+    row_pad = (-(width * 3)) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        base = y * width * 3
+        for x in range(width):
+            r, g, b = pixels_rgb[base + 3 * x : base + 3 * x + 3]
+            row += bytes((b, g, r))
+        rows.append(bytes(row) + b"\x00" * row_pad)
+    body = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """BITMAPINFOHEADER decode (24-bit, BI_RGB, bottom-up). Returns
+    width, height, mean_r/g/b and the overall mean_px."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    size, width, height, planes, bpp, comp = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if size != 40 or bpp != 24 or comp != 0 or height <= 0:
+        raise ValueError("unsupported BMP flavor")
+    row_pad = (-(width * 3)) % 4
+    stride = width * 3 + row_pad
+    sr = sg = sb = 0
+    for y in range(height):
+        base = offset + y * stride
+        row = payload[base : base + width * 3]
+        if len(row) != width * 3:
+            raise ValueError("truncated BMP pixel data")
+        sb += sum(row[0::3])
+        sg += sum(row[1::3])
+        sr += sum(row[2::3])
+    n = width * height
+    return {
+        "width": width,
+        "height": height,
+        "mean_r": sr / n,
+        "mean_g": sg / n,
+        "mean_b": sb / n,
+        "mean_px": (sr + sg + sb) / (3 * n),
+    }

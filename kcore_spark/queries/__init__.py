@@ -201,6 +201,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10be,
         extensions_r10bf,
         extensions_r10bg,
+        extensions_r10bh,
         dedup,
         events,
         packing_q,
@@ -349,6 +350,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10be,
         extensions_r10bf,
         extensions_r10bg,
+        extensions_r10bh,
         tpch,
         tpch2,
         windows,
