@@ -202,6 +202,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bf,
         extensions_r10bg,
         extensions_r10bh,
+        extensions_r10bi,
         dedup,
         events,
         packing_q,
@@ -351,6 +352,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bf,
         extensions_r10bg,
         extensions_r10bh,
+        extensions_r10bi,
         tpch,
         tpch2,
         windows,

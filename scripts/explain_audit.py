@@ -99,6 +99,8 @@ ALLOWED_NLJ = {
     "q_james_stein",  # 1-row pooled-moments broadcast cross
     "q_empirical_bayes_rates",  # 1-row prior-params broadcast cross
     "q_profile_drift",  # 1-row half x half broadcast cross
+    "q_kfold_cv",  # 5-row fold-coefficient broadcast join
+    "q_bagged_stumps",  # 1-row stump-parameter broadcast crosses
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
@@ -355,6 +357,9 @@ KNOWN_UNPUSHABLE = {
     "q_transition_durations",
     # degree rollup; only the derived dmin tail cut filters
     "q_powerlaw_fit",
+    # whole-table fits; only md5 fold/bag guards filter
+    "q_kfold_cv",
+    "q_bagged_stumps",
     # full-series scans; the only filter is the derived lag-null guard
     "q_calinski_harabasz",
     "q_var_cvar",
