@@ -203,6 +203,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bg,
         extensions_r10bh,
         extensions_r10bi,
+        extensions_r10bj,
         dedup,
         events,
         packing_q,
@@ -353,6 +354,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bg,
         extensions_r10bh,
         extensions_r10bi,
+        extensions_r10bj,
         tpch,
         tpch2,
         windows,

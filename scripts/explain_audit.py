@@ -348,6 +348,7 @@ KNOWN_UNPUSHABLE = {
     "q_isotropy_audit",
     # customer-month rollup; only the derived consecutive-month guard filters
     "q_revenue_retention",
+    "q_first_difference",
     # whole-corpus token/char explodes; only the empty/short guards filter
     "q_keyword_textrank",
     "q_char_trigram_entropy",
