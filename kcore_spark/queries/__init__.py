@@ -204,6 +204,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bh,
         extensions_r10bi,
         extensions_r10bj,
+        extensions_r10bk,
         dedup,
         events,
         packing_q,
@@ -355,6 +356,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bh,
         extensions_r10bi,
         extensions_r10bj,
+        extensions_r10bk,
         tpch,
         tpch2,
         windows,
