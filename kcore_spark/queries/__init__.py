@@ -205,6 +205,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bi,
         extensions_r10bj,
         extensions_r10bk,
+        extensions_r10bl,
         dedup,
         events,
         packing_q,
@@ -357,6 +358,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bi,
         extensions_r10bj,
         extensions_r10bk,
+        extensions_r10bl,
         tpch,
         tpch2,
         windows,

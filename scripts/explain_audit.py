@@ -101,6 +101,9 @@ ALLOWED_NLJ = {
     "q_profile_drift",  # 1-row half x half broadcast cross
     "q_kfold_cv",  # 5-row fold-coefficient broadcast join
     "q_bagged_stumps",  # 1-row stump-parameter broadcast crosses
+    "q_knapsack_bound",  # 1-row greedy x 1-row reject broadcast cross
+    "q_lad_regression",  # 1-row IRLS-state broadcast crosses (3 rounds)
+    "q_haversine_nearest",  # 25-row coordinate broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
@@ -361,6 +364,8 @@ KNOWN_UNPUSHABLE = {
     # whole-table fits; only md5 fold/bag guards filter
     "q_kfold_cv",
     "q_bagged_stumps",
+    # whole-corpus selection; only the derived budget cut filters
+    "q_knapsack_bound",
     # full-series scans; the only filter is the derived lag-null guard
     "q_calinski_harabasz",
     "q_var_cvar",
