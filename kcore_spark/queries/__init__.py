@@ -206,6 +206,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bj,
         extensions_r10bk,
         extensions_r10bl,
+        extensions_r10bm,
         dedup,
         events,
         packing_q,
@@ -359,6 +360,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bj,
         extensions_r10bk,
         extensions_r10bl,
+        extensions_r10bm,
         tpch,
         tpch2,
         windows,
