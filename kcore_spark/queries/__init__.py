@@ -207,6 +207,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bk,
         extensions_r10bl,
         extensions_r10bm,
+        extensions_r10bn,
         dedup,
         events,
         packing_q,
@@ -361,6 +362,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bk,
         extensions_r10bl,
         extensions_r10bm,
+        extensions_r10bn,
         tpch,
         tpch2,
         windows,

@@ -366,6 +366,8 @@ KNOWN_UNPUSHABLE = {
     "q_bagged_stumps",
     # whole-corpus selection; only the derived budget cut filters
     "q_knapsack_bound",
+    # pinned-score top-k scans; only the depth cut filters
+    "q_rbo_lists",
     # full-series scans; the only filter is the derived lag-null guard
     "q_calinski_harabasz",
     "q_var_cvar",
@@ -450,6 +452,9 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_rrf_fusion": "ranks over two k-row retrieval shortlists",
     "q_lift_table": "cumulative over the 10-row decile curve",
     "q_topk_stability": "rank windows over the two 20-row post-limit top-k lists",
+    "q_rbo_lists": "rank windows over the two 20-row post-limit lists",
+    "q_err_metric": "cascade walk over the 20-row post-limit list",
+    "q_retriever_overlap": "rank windows over the two 20-row post-limit lists",
     "q_lorenz_curve": "cumulative over the 10-row decile curve",
     "q_clustered_write_audit": "overlap test over the per-file manifest rows",
 }
