@@ -208,6 +208,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bl,
         extensions_r10bm,
         extensions_r10bn,
+        extensions_r10bo,
         dedup,
         events,
         packing_q,
@@ -363,6 +364,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bl,
         extensions_r10bm,
         extensions_r10bn,
+        extensions_r10bo,
         tpch,
         tpch2,
         windows,

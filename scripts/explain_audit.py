@@ -104,6 +104,8 @@ ALLOWED_NLJ = {
     "q_knapsack_bound",  # 1-row greedy x 1-row reject broadcast cross
     "q_lad_regression",  # 1-row IRLS-state broadcast crosses (3 rounds)
     "q_haversine_nearest",  # 25-row coordinate broadcast cross
+    "q_bloom_size_advisor",  # 1-row NDV x 3-row FPP-grid broadcast cross
+    "q_sort_key_advisor",  # 32-row bucket x 1-row global-range broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
