@@ -209,6 +209,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bm,
         extensions_r10bn,
         extensions_r10bo,
+        extensions_r10bp,
         dedup,
         events,
         packing_q,
@@ -365,6 +366,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bm,
         extensions_r10bn,
         extensions_r10bo,
+        extensions_r10bp,
         tpch,
         tpch2,
         windows,
