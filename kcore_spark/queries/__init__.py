@@ -210,6 +210,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bn,
         extensions_r10bo,
         extensions_r10bp,
+        extensions_r10bq,
         dedup,
         events,
         packing_q,
@@ -367,6 +368,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bn,
         extensions_r10bo,
         extensions_r10bp,
+        extensions_r10bq,
         tpch,
         tpch2,
         windows,

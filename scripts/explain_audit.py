@@ -106,6 +106,7 @@ ALLOWED_NLJ = {
     "q_haversine_nearest",  # 25-row coordinate broadcast cross
     "q_bloom_size_advisor",  # 1-row NDV x 3-row FPP-grid broadcast cross
     "q_sort_key_advisor",  # 32-row bucket x 1-row global-range broadcast cross
+    "q_hotspot_gi",  # grid-row x 1-row stats broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
@@ -370,6 +371,8 @@ KNOWN_UNPUSHABLE = {
     "q_knapsack_bound",
     # pinned-score top-k scans; only the depth cut filters
     "q_rbo_lists",
+    # grid-cell rollup; only the boundary-offset guard filters
+    "q_hotspot_gi",
     # full-series scans; the only filter is the derived lag-null guard
     "q_calinski_harabasz",
     "q_var_cvar",
