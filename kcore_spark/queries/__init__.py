@@ -211,6 +211,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bo,
         extensions_r10bp,
         extensions_r10bq,
+        extensions_r10br,
         dedup,
         events,
         packing_q,
@@ -369,6 +370,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bo,
         extensions_r10bp,
         extensions_r10bq,
+        extensions_r10br,
         tpch,
         tpch2,
         windows,

@@ -107,6 +107,7 @@ ALLOWED_NLJ = {
     "q_bloom_size_advisor",  # 1-row NDV x 3-row FPP-grid broadcast cross
     "q_sort_key_advisor",  # 32-row bucket x 1-row global-range broadcast cross
     "q_hotspot_gi",  # grid-row x 1-row stats broadcast cross
+    "q_mtbf_mttr",  # 1-row MTBF x 1-row MTTR broadcast cross
     "q_chi2_feature_select",  # 1-row grand-totals broadcast cross (chi2 margins)
     "q_js_divergence",  # 1-row population-totals broadcast cross (JS margins)
     "q_rfm_segments",  # 1-row ref-date + 1-row quartile-cutoff broadcast crosses
@@ -362,6 +363,9 @@ KNOWN_UNPUSHABLE = {
     # whole-stream lead fan-out; only the trailing-null guard filters
     "q_event_trigram_patterns",
     "q_transition_durations",
+    "q_mtbf_mttr",
+    "q_availability",
+    "q_error_bursts",
     # degree rollup; only the derived dmin tail cut filters
     "q_powerlaw_fit",
     # whole-table fits; only md5 fold/bag guards filter
