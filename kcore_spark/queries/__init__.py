@@ -212,6 +212,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bp,
         extensions_r10bq,
         extensions_r10br,
+        extensions_r10bs,
         dedup,
         events,
         packing_q,
@@ -371,6 +372,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bp,
         extensions_r10bq,
         extensions_r10br,
+        extensions_r10bs,
         tpch,
         tpch2,
         windows,
