@@ -213,6 +213,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bq,
         extensions_r10br,
         extensions_r10bs,
+        extensions_r10bt,
         dedup,
         events,
         packing_q,
@@ -373,6 +374,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bq,
         extensions_r10br,
         extensions_r10bs,
+        extensions_r10bt,
         tpch,
         tpch2,
         windows,

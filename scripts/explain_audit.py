@@ -87,6 +87,9 @@ ALLOWED_NLJ = {
     "q_friedman_seasonality",  # 1-row block-count broadcast cross
     "q_yuen_test",  # 1-row arm x arm broadcast cross
     "q_kde_grid",  # 1-row bandwidth/grid broadcast cross (21-point fan-out)
+    "q_chain_ladder",  # 1-row eval-month/max-dev broadcast crosses (triangle bounds)
+    "q_bornhuetter_ferguson",  # 1-row eval-month/max-dev broadcast crosses
+    "q_mack_sigma",  # 1-row eval-month/max-dev broadcast crosses
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -466,6 +469,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_retriever_overlap": "rank windows over the two 20-row post-limit lists",
     "q_lorenz_curve": "cumulative over the 10-row decile curve",
     "q_clustered_write_audit": "overlap test over the per-file manifest rows",
+    "q_bornhuetter_ferguson": "CDF suffix product over the calendar-bounded dev-factor ladder",
 }
 
 # row-at-a-time Python is the point of these two (surface demos)
