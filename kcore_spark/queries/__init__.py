@@ -214,6 +214,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10br,
         extensions_r10bs,
         extensions_r10bt,
+        extensions_r10bu,
         dedup,
         events,
         packing_q,
@@ -375,6 +376,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10br,
         extensions_r10bs,
         extensions_r10bt,
+        extensions_r10bu,
         tpch,
         tpch2,
         windows,
