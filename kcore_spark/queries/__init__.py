@@ -215,6 +215,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bs,
         extensions_r10bt,
         extensions_r10bu,
+        extensions_r10bv,
         dedup,
         events,
         packing_q,
@@ -377,6 +378,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bs,
         extensions_r10bt,
         extensions_r10bu,
+        extensions_r10bv,
         tpch,
         tpch2,
         windows,

@@ -93,6 +93,8 @@ ALLOWED_NLJ = {
     "q_krippendorff_alpha",  # 1-row unit-count broadcast cross (alpha margins)
     "q_kendalls_w",  # 1-row (m,n) bounds cross onto the 25-row rank-sum table
     "q_somers_d",  # 10-cell contingency self-cross + 1-row C/D/T margins
+    "q_dissimilarity_index",  # 1-row group-totals cross onto the 25-nation table
+    "q_hoover_index",  # 1-row mean/total broadcast cross (Robin Hood margins)
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
