@@ -216,6 +216,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bt,
         extensions_r10bu,
         extensions_r10bv,
+        extensions_r10bw,
         dedup,
         events,
         packing_q,
@@ -379,6 +380,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bt,
         extensions_r10bu,
         extensions_r10bv,
+        extensions_r10bw,
         tpch,
         tpch2,
         windows,

@@ -95,6 +95,7 @@ ALLOWED_NLJ = {
     "q_somers_d",  # 10-cell contingency self-cross + 1-row C/D/T margins
     "q_dissimilarity_index",  # 1-row group-totals cross onto the 25-nation table
     "q_hoover_index",  # 1-row mean/total broadcast cross (Robin Hood margins)
+    "q_conover_squared_ranks",  # 1-row pooled-moment broadcast cross
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -475,6 +476,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_lorenz_curve": "cumulative over the 10-row decile curve",
     "q_clustered_write_audit": "overlap test over the per-file manifest rows",
     "q_bornhuetter_ferguson": "CDF suffix product over the calendar-bounded dev-factor ladder",
+    "q_conover_squared_ranks": "rank walk over the distinct-|deviation| tie table (both plan branches)",
 }
 
 # row-at-a-time Python is the point of these two (surface demos)
