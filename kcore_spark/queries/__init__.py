@@ -217,6 +217,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bu,
         extensions_r10bv,
         extensions_r10bw,
+        extensions_r10bx,
         dedup,
         events,
         packing_q,
@@ -381,6 +382,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bu,
         extensions_r10bv,
         extensions_r10bw,
+        extensions_r10bx,
         tpch,
         tpch2,
         windows,

@@ -96,6 +96,9 @@ ALLOWED_NLJ = {
     "q_dissimilarity_index",  # 1-row group-totals cross onto the 25-nation table
     "q_hoover_index",  # 1-row mean/total broadcast cross (Robin Hood margins)
     "q_conover_squared_ranks",  # 1-row pooled-moment broadcast cross
+    "q_pettitt_test",  # 1-row series-length broadcast cross
+    "q_binseg_sse",  # 1-row series-totals broadcast cross
+    "q_variance_changepoint",  # 1-row series-totals broadcast cross
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -386,6 +389,9 @@ KNOWN_UNPUSHABLE = {
     "q_rbo_lists",
     # grid-cell rollup; only the boundary-offset guard filters
     "q_hotspot_gi",
+    # full-series scans; only the derived min-segment position cut filters
+    "q_binseg_sse",
+    "q_variance_changepoint",
     # full-series scans; the only filter is the derived lag-null guard
     "q_calinski_harabasz",
     "q_var_cvar",
@@ -477,6 +483,9 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_clustered_write_audit": "overlap test over the per-file manifest rows",
     "q_bornhuetter_ferguson": "CDF suffix product over the calendar-bounded dev-factor ladder",
     "q_conover_squared_ranks": "rank walk over the distinct-|deviation| tie table (both plan branches)",
+    "q_pettitt_test": "value rank + time cumsum over the daily series (calendar-bounded)",
+    "q_binseg_sse": "decimal prefix sums over the daily series (calendar-bounded)",
+    "q_variance_changepoint": "decimal prefix sums over the daily series (calendar-bounded)",
 }
 
 # row-at-a-time Python is the point of these two (surface demos)
