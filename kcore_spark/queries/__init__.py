@@ -218,6 +218,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bv,
         extensions_r10bw,
         extensions_r10bx,
+        extensions_r10by,
         dedup,
         events,
         packing_q,
@@ -383,6 +384,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bv,
         extensions_r10bw,
         extensions_r10bx,
+        extensions_r10by,
         tpch,
         tpch2,
         windows,

@@ -99,6 +99,7 @@ ALLOWED_NLJ = {
     "q_pettitt_test",  # 1-row series-length broadcast cross
     "q_binseg_sse",  # 1-row series-totals broadcast cross
     "q_variance_changepoint",  # 1-row series-totals broadcast cross
+    "q_markov_attribution",  # 5-row removal-tag cross + 1-row base-CVR cross
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -486,6 +487,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_pettitt_test": "value rank + time cumsum over the daily series (calendar-bounded)",
     "q_binseg_sse": "decimal prefix sums over the daily series (calendar-bounded)",
     "q_variance_changepoint": "decimal prefix sums over the daily series (calendar-bounded)",
+    "q_adstock_elasticity": "8 adstock lags over the daily series (calendar-bounded)",
 }
 
 # row-at-a-time Python is the point of these two (surface demos)
