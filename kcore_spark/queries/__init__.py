@@ -219,6 +219,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bw,
         extensions_r10bx,
         extensions_r10by,
+        extensions_r10bz,
         dedup,
         events,
         packing_q,
@@ -385,6 +386,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bw,
         extensions_r10bx,
         extensions_r10by,
+        extensions_r10bz,
         tpch,
         tpch2,
         windows,

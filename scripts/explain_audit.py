@@ -100,6 +100,9 @@ ALLOWED_NLJ = {
     "q_binseg_sse",  # 1-row series-totals broadcast cross
     "q_variance_changepoint",  # 1-row series-totals broadcast cross
     "q_markov_attribution",  # 5-row removal-tag cross + 1-row base-CVR cross
+    "q_spectral_entropy",  # 1-row spectrum-total broadcast cross
+    "q_fisher_g_test",  # 1-row series-bounds broadcast cross
+    "q_segment_avg_psd",  # 1-row span broadcast cross (segment bounds)
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -392,6 +395,8 @@ KNOWN_UNPUSHABLE = {
     "q_hotspot_gi",
     # full-series scans; only the derived min-segment position cut filters
     "q_binseg_sse",
+    # full-spectrum scan; only the derived zero-power guard filters
+    "q_spectral_entropy",
     "q_variance_changepoint",
     # full-series scans; the only filter is the derived lag-null guard
     "q_calinski_harabasz",
