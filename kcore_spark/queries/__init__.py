@@ -220,6 +220,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bx,
         extensions_r10by,
         extensions_r10bz,
+        extensions_r10ca,
         dedup,
         events,
         packing_q,
@@ -387,6 +388,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bx,
         extensions_r10by,
         extensions_r10bz,
+        extensions_r10ca,
         tpch,
         tpch2,
         windows,

@@ -103,6 +103,9 @@ ALLOWED_NLJ = {
     "q_spectral_entropy",  # 1-row spectrum-total broadcast cross
     "q_fisher_g_test",  # 1-row series-bounds broadcast cross
     "q_segment_avg_psd",  # 1-row span broadcast cross (segment bounds)
+    "q_life_table",  # 1-row eval-month broadcast cross (censor cut)
+    "q_cumulative_incidence",  # 1-row eval-month broadcast cross (censor cut)
+    "q_gompertz_fit",  # 1-row eval-month broadcast cross (censor cut)
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -397,6 +400,9 @@ KNOWN_UNPUSHABLE = {
     "q_binseg_sse",
     # full-spectrum scan; only the derived zero-power guard filters
     "q_spectral_entropy",
+    # whole-cohort lifetime rollups; only derived censor/hazard guards filter
+    "q_cumulative_incidence",
+    "q_gompertz_fit",
     "q_variance_changepoint",
     # full-series scans; the only filter is the derived lag-null guard
     "q_calinski_harabasz",
@@ -493,6 +499,9 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_binseg_sse": "decimal prefix sums over the daily series (calendar-bounded)",
     "q_variance_changepoint": "decimal prefix sums over the daily series (calendar-bounded)",
     "q_adstock_elasticity": "8 adstock lags over the daily series (calendar-bounded)",
+    "q_life_table": "at-risk suffix + survival prefix over the 14-row interval curve",
+    "q_cumulative_incidence": "KM walk over the distinct lifetime-month table (q_kaplan_meier adjudication)",
+    "q_gompertz_fit": "at-risk suffix walk over the distinct lifetime-month table",
 }
 
 # row-at-a-time Python is the point of these two (surface demos)
