@@ -221,6 +221,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10by,
         extensions_r10bz,
         extensions_r10ca,
+        extensions_r10cb,
         dedup,
         events,
         packing_q,
@@ -389,6 +390,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10by,
         extensions_r10bz,
         extensions_r10ca,
+        extensions_r10cb,
         tpch,
         tpch2,
         windows,

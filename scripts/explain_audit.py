@@ -402,6 +402,8 @@ KNOWN_UNPUSHABLE = {
     "q_spectral_entropy",
     # whole-cohort lifetime rollups; only derived censor/hazard guards filter
     "q_cumulative_incidence",
+    # whole-corpus token explode; only the derived full-segment cut filters
+    "q_sttr",
     "q_gompertz_fit",
     "q_variance_changepoint",
     # full-series scans; the only filter is the derived lag-null guard
