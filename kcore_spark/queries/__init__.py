@@ -222,6 +222,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bz,
         extensions_r10ca,
         extensions_r10cb,
+        extensions_r10cc,
         dedup,
         events,
         packing_q,
@@ -391,6 +392,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10bz,
         extensions_r10ca,
         extensions_r10cb,
+        extensions_r10cc,
         tpch,
         tpch2,
         windows,
