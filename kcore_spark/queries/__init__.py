@@ -223,6 +223,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ca,
         extensions_r10cb,
         extensions_r10cc,
+        extensions_r10cd,
         dedup,
         events,
         packing_q,
@@ -393,6 +394,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ca,
         extensions_r10cb,
         extensions_r10cc,
+        extensions_r10cd,
         tpch,
         tpch2,
         windows,

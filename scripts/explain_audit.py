@@ -108,6 +108,8 @@ ALLOWED_NLJ = {
     "q_gompertz_fit",  # 1-row eval-month broadcast cross (censor cut)
     "q_consistent_hash_ring",  # 1-row sorted-ring array broadcast cross
     "q_ring_rebalance",  # two 1-row ring-array broadcast crosses
+    "q_blocking_quality",  # four 1-row count-algebra margin crosses
+    "q_block_size_skew",  # count-of-counts self-cross (value-bounded) + 1-row margins
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
