@@ -224,6 +224,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10cb,
         extensions_r10cc,
         extensions_r10cd,
+        extensions_r10ce,
         dedup,
         events,
         packing_q,
@@ -395,6 +396,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10cb,
         extensions_r10cc,
         extensions_r10cd,
+        extensions_r10ce,
         tpch,
         tpch2,
         windows,

@@ -110,6 +110,9 @@ ALLOWED_NLJ = {
     "q_ring_rebalance",  # two 1-row ring-array broadcast crosses
     "q_blocking_quality",  # four 1-row count-algebra margin crosses
     "q_block_size_skew",  # count-of-counts self-cross (value-bounded) + 1-row margins
+    "q_forecast_combination",  # 1-row split/train-stat broadcast crosses
+    "q_diebold_mariano",  # 1-row split/train-stat broadcast crosses
+    "q_interval_coverage",  # 1-row split/train-stat broadcast crosses
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -402,6 +405,10 @@ KNOWN_UNPUSHABLE = {
     "q_hotspot_gi",
     # full-series scans; only the derived min-segment position cut filters
     "q_binseg_sse",
+    # full-series scans; only the derived holdout-split position cut filters
+    "q_forecast_combination",
+    "q_diebold_mariano",
+    "q_interval_coverage",
     # full-spectrum scan; only the derived zero-power guard filters
     "q_spectral_entropy",
     # whole-cohort lifetime rollups; only derived censor/hazard guards filter
@@ -508,6 +515,9 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_life_table": "at-risk suffix + survival prefix over the 14-row interval curve",
     "q_cumulative_incidence": "KM walk over the distinct lifetime-month table (q_kaplan_meier adjudication)",
     "q_gompertz_fit": "at-risk suffix walk over the distinct lifetime-month table",
+    "q_forecast_combination": "row_number split over the daily series (calendar-bounded)",
+    "q_diebold_mariano": "row_number split + lag over the daily holdout series",
+    "q_interval_coverage": "row_number split over the daily series (calendar-bounded)",
 }
 
 # row-at-a-time Python is the point of these two (surface demos)
