@@ -225,6 +225,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10cc,
         extensions_r10cd,
         extensions_r10ce,
+        extensions_r10cf,
         dedup,
         events,
         packing_q,
@@ -397,6 +398,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10cc,
         extensions_r10cd,
         extensions_r10ce,
+        extensions_r10cf,
         tpch,
         tpch2,
         windows,

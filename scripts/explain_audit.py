@@ -415,6 +415,8 @@ KNOWN_UNPUSHABLE = {
     "q_cumulative_incidence",
     # whole-corpus token explode; only the derived full-segment cut filters
     "q_sttr",
+    # whole-corpus gram explode; only derived trailing-gram/window guards filter
+    "q_winnowing_fingerprints",
     "q_gompertz_fit",
     "q_variance_changepoint",
     # full-series scans; the only filter is the derived lag-null guard
