@@ -226,6 +226,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10cd,
         extensions_r10ce,
         extensions_r10cf,
+        extensions_r10cg,
         dedup,
         events,
         packing_q,
@@ -399,6 +400,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10cd,
         extensions_r10ce,
         extensions_r10cf,
+        extensions_r10cg,
         tpch,
         tpch2,
         windows,

@@ -113,6 +113,9 @@ ALLOWED_NLJ = {
     "q_forecast_combination",  # 1-row split/train-stat broadcast crosses
     "q_diebold_mariano",  # 1-row split/train-stat broadcast crosses
     "q_interval_coverage",  # 1-row split/train-stat broadcast crosses
+    "q_white_test",  # 1-row trend-coefficient broadcast cross (residual pass)
+    "q_breusch_godfrey",  # 1-row trend-coefficient broadcast cross
+    "q_ramsey_reset",  # 1-row trend-coefficient broadcast cross
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -407,6 +410,8 @@ KNOWN_UNPUSHABLE = {
     "q_binseg_sse",
     # full-series scans; only the derived holdout-split position cut filters
     "q_forecast_combination",
+    # full-series scans; only the derived lag-null guard filters
+    "q_breusch_godfrey",
     "q_diebold_mariano",
     "q_interval_coverage",
     # full-spectrum scan; only the derived zero-power guard filters
@@ -520,6 +525,9 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_forecast_combination": "row_number split over the daily series (calendar-bounded)",
     "q_diebold_mariano": "row_number split + lag over the daily holdout series",
     "q_interval_coverage": "row_number split over the daily series (calendar-bounded)",
+    "q_white_test": "row_number index over the daily series (calendar-bounded)",
+    "q_breusch_godfrey": "row_number index + residual lag over the daily series",
+    "q_ramsey_reset": "row_number index over the daily series (calendar-bounded)",
 }
 
 # row-at-a-time Python is the point of these two (surface demos)
