@@ -227,6 +227,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ce,
         extensions_r10cf,
         extensions_r10cg,
+        extensions_r10ch,
         dedup,
         events,
         packing_q,
@@ -401,6 +402,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ce,
         extensions_r10cf,
         extensions_r10cg,
+        extensions_r10ch,
         tpch,
         tpch2,
         windows,

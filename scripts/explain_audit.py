@@ -116,6 +116,8 @@ ALLOWED_NLJ = {
     "q_white_test",  # 1-row trend-coefficient broadcast cross (residual pass)
     "q_breusch_godfrey",  # 1-row trend-coefficient broadcast cross
     "q_ramsey_reset",  # 1-row trend-coefficient broadcast cross
+    "q_condorcet_fusion",  # k-row fused-shortlist self-cross (Copeland pairs)
+    "q_bpref",  # 1-row query-vector/judgment broadcast crosses
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -404,6 +406,8 @@ KNOWN_UNPUSHABLE = {
     "q_knapsack_bound",
     # pinned-score top-k scans; only the depth cut filters
     "q_rbo_lists",
+    # k-row fused-shortlist pair scan; only the self-pair guard filters
+    "q_condorcet_fusion",
     # grid-cell rollup; only the boundary-offset guard filters
     "q_hotspot_gi",
     # full-series scans; only the derived min-segment position cut filters
@@ -528,6 +532,9 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_white_test": "row_number index over the daily series (calendar-bounded)",
     "q_breusch_godfrey": "row_number index + residual lag over the daily series",
     "q_ramsey_reset": "row_number index over the daily series (calendar-bounded)",
+    "q_borda_fusion": "rank windows over the three 20-row post-limit lists",
+    "q_condorcet_fusion": "rank windows over the three 20-row post-limit lists",
+    "q_bpref": "nonrel-above prefix over the 20-row post-limit judged list",
 }
 
 # row-at-a-time Python is the point of these two (surface demos)
