@@ -228,6 +228,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10cf,
         extensions_r10cg,
         extensions_r10ch,
+        extensions_r10ci,
         dedup,
         events,
         packing_q,
@@ -403,6 +404,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10cf,
         extensions_r10cg,
         extensions_r10ch,
+        extensions_r10ci,
         tpch,
         tpch2,
         windows,

@@ -118,6 +118,7 @@ ALLOWED_NLJ = {
     "q_ramsey_reset",  # 1-row trend-coefficient broadcast cross
     "q_condorcet_fusion",  # k-row fused-shortlist self-cross (Copeland pairs)
     "q_bpref",  # 1-row query-vector/judgment broadcast crosses
+    "q_weight_trimming",  # 1-row mean-weight broadcast cross (trim cap)
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
