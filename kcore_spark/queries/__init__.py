@@ -229,6 +229,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10cg,
         extensions_r10ch,
         extensions_r10ci,
+        extensions_r10cj,
         dedup,
         events,
         packing_q,
@@ -405,6 +406,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10cg,
         extensions_r10ch,
         extensions_r10ci,
+        extensions_r10cj,
         tpch,
         tpch2,
         windows,

@@ -119,6 +119,8 @@ ALLOWED_NLJ = {
     "q_condorcet_fusion",  # k-row fused-shortlist self-cross (Copeland pairs)
     "q_bpref",  # 1-row query-vector/judgment broadcast crosses
     "q_weight_trimming",  # 1-row mean-weight broadcast cross (trim cap)
+    "q_hodges_lehmann",  # calendar-bounded diff-series Walsh self-cross
+    "q_mood_median_test",  # 1-row global-median broadcast cross
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -417,6 +419,10 @@ KNOWN_UNPUSHABLE = {
     "q_forecast_combination",
     # full-series scans; only the derived lag-null guard filters
     "q_breusch_godfrey",
+    "q_hodges_lehmann",
+    "q_sign_test",
+    # whole-table median walk; only the derived cum-position cut filters
+    "q_mood_median_test",
     "q_diebold_mariano",
     "q_interval_coverage",
     # full-spectrum scan; only the derived zero-power guard filters
@@ -536,6 +542,9 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_borda_fusion": "rank windows over the three 20-row post-limit lists",
     "q_condorcet_fusion": "rank windows over the three 20-row post-limit lists",
     "q_bpref": "nonrel-above prefix over the 20-row post-limit judged list",
+    "q_hodges_lehmann": "Walsh-average median walk over the calendar-bounded pair domain",
+    "q_sign_test": "lag-7 over the daily series (calendar-bounded)",
+    "q_mood_median_test": "global-median walk over the distinct-price tie table (q_impute_missing precedent)",
 }
 
 # row-at-a-time Python is the point of these two (surface demos)
