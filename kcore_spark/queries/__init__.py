@@ -230,6 +230,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ch,
         extensions_r10ci,
         extensions_r10cj,
+        extensions_r10ck,
         dedup,
         events,
         packing_q,
@@ -407,6 +408,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extensions_r10ch,
         extensions_r10ci,
         extensions_r10cj,
+        extensions_r10ck,
         tpch,
         tpch2,
         windows,
