@@ -421,6 +421,8 @@ KNOWN_UNPUSHABLE = {
     "q_breusch_godfrey",
     "q_hodges_lehmann",
     "q_sign_test",
+    "q_omega_ratio",
+    "q_kelly_fraction",
     # whole-table median walk; only the derived cum-position cut filters
     "q_mood_median_test",
     "q_diebold_mariano",
@@ -545,6 +547,9 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_hodges_lehmann": "Walsh-average median walk over the calendar-bounded pair domain",
     "q_sign_test": "lag-7 over the daily series (calendar-bounded)",
     "q_mood_median_test": "global-median walk over the distinct-price tie table (q_impute_missing precedent)",
+    "q_omega_ratio": "lag over the daily series (calendar-bounded)",
+    "q_ulcer_index": "running peak over the daily series (calendar-bounded)",
+    "q_kelly_fraction": "lag over the daily series (calendar-bounded)",
 }
 
 # row-at-a-time Python is the point of these two (surface demos)
