@@ -122,6 +122,7 @@ ALLOWED_NLJ = {
     "q_hodges_lehmann",  # calendar-bounded diff-series Walsh self-cross
     "q_mood_median_test",  # 1-row global-median broadcast cross
     "q_dunning_keyness",  # 1-row grand-total broadcast cross (keyness margins)
+    "q_meta_random_effects",  # 1-row tau2 broadcast cross onto the 25-study table
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
