@@ -123,6 +123,7 @@ ALLOWED_NLJ = {
     "q_mood_median_test",  # 1-row global-median broadcast cross
     "q_dunning_keyness",  # 1-row grand-total broadcast cross (keyness margins)
     "q_meta_random_effects",  # 1-row tau2 broadcast cross onto the 25-study table
+    "q_capture_recapture",  # 1-row window-bounds broadcast cross (half split)
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -437,6 +438,9 @@ KNOWN_UNPUSHABLE = {
     "q_sttr",
     # whole-corpus gram explode; only derived trailing-gram/window guards filter
     "q_winnowing_fingerprints",
+    # whole-vocab count-of-counts folds; only the empty-token guard filters
+    "q_chao1_richness",
+    "q_good_turing_mass",
     "q_gompertz_fit",
     "q_variance_changepoint",
     # full-series scans; the only filter is the derived lag-null guard
