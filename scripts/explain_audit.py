@@ -124,6 +124,9 @@ ALLOWED_NLJ = {
     "q_dunning_keyness",  # 1-row grand-total broadcast cross (keyness margins)
     "q_meta_random_effects",  # 1-row tau2 broadcast cross onto the 25-study table
     "q_capture_recapture",  # 1-row window-bounds broadcast cross (half split)
+    "q_morans_i",  # 72-cell rook-adjacency broadcast join + 1-row margins
+    "q_ripley_k",  # 9-row stencil-offset broadcast cross (grid-blocked pairs)
+    "q_clark_evans",  # 9-row stencil-offset broadcast cross (grid-blocked NN)
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
