@@ -127,6 +127,7 @@ ALLOWED_NLJ = {
     "q_morans_i",  # 72-cell rook-adjacency broadcast join + 1-row margins
     "q_ripley_k",  # 9-row stencil-offset broadcast cross (grid-blocked pairs)
     "q_clark_evans",  # 9-row stencil-offset broadcast cross (grid-blocked NN)
+    "q_chained_index",  # three 1-row year-link broadcast crosses
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
