@@ -128,6 +128,8 @@ ALLOWED_NLJ = {
     "q_ripley_k",  # 9-row stencil-offset broadcast cross (grid-blocked pairs)
     "q_clark_evans",  # 9-row stencil-offset broadcast cross (grid-blocked NN)
     "q_chained_index",  # three 1-row year-link broadcast crosses
+    "q_ab_attrition",  # 1-row arm x arm margin broadcast cross
+    "q_peeking_path",  # 1-row final-z x crossing-day broadcast cross
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -560,6 +562,8 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_omega_ratio": "lag over the daily series (calendar-bounded)",
     "q_ulcer_index": "running peak over the daily series (calendar-bounded)",
     "q_kelly_fraction": "lag over the daily series (calendar-bounded)",
+    "q_novelty_trend": "row_number index over the daily lift series (calendar-bounded)",
+    "q_peeking_path": "cumulative z path over the daily lift series (calendar-bounded)",
 }
 
 # row-at-a-time Python is the point of these two (surface demos)
