@@ -130,6 +130,9 @@ ALLOWED_NLJ = {
     "q_chained_index",  # three 1-row year-link broadcast crosses
     "q_ab_attrition",  # 1-row arm x arm margin broadcast cross
     "q_peeking_path",  # 1-row final-z x crossing-day broadcast cross
+    "q_bullwhip_effect",  # 1-row demand x supply moment broadcast cross
+    "q_abc_xyz_matrix",  # 1-row revenue-total broadcast cross (ABC cut)
+    "q_demand_pooling",  # 1-row pooled-CV broadcast cross
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -446,6 +449,8 @@ KNOWN_UNPUSHABLE = {
     "q_winnowing_fingerprints",
     # whole-vocab count-of-counts folds; only the empty-token guard filters
     "q_chao1_richness",
+    # whole-table monthly rollup; only the derived k>=3 eligibility cut filters
+    "q_abc_xyz_matrix",
     "q_good_turing_mass",
     "q_gompertz_fit",
     "q_variance_changepoint",
