@@ -133,6 +133,8 @@ ALLOWED_NLJ = {
     "q_bullwhip_effect",  # 1-row demand x supply moment broadcast cross
     "q_abc_xyz_matrix",  # 1-row revenue-total broadcast cross (ABC cut)
     "q_demand_pooling",  # 1-row pooled-CV broadcast cross
+    "q_metric_rank_agreement",  # 1-row query-vector broadcast cross
+    "q_centering_effect",  # 1-row centroid/query broadcast crosses
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -561,6 +563,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_borda_fusion": "rank windows over the three 20-row post-limit lists",
     "q_condorcet_fusion": "rank windows over the three 20-row post-limit lists",
     "q_bpref": "nonrel-above prefix over the 20-row post-limit judged list",
+    "q_metric_rank_agreement": "rank windows over the two 20-row post-limit lists",
     "q_hodges_lehmann": "Walsh-average median walk over the calendar-bounded pair domain",
     "q_sign_test": "lag-7 over the daily series (calendar-bounded)",
     "q_mood_median_test": "global-median walk over the distinct-price tie table (q_impute_missing precedent)",
