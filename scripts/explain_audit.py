@@ -135,6 +135,8 @@ ALLOWED_NLJ = {
     "q_demand_pooling",  # 1-row pooled-CV broadcast cross
     "q_metric_rank_agreement",  # 1-row query-vector broadcast cross
     "q_centering_effect",  # 1-row centroid/query broadcast crosses
+    "q_erlang_b_loss",  # 1-row span x 10-row trunk-grid broadcast crosses
+    "q_mmc_wait_tail",  # 1-row span x 10-row server-grid broadcast crosses
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
