@@ -137,6 +137,8 @@ ALLOWED_NLJ = {
     "q_centering_effect",  # 1-row centroid/query broadcast crosses
     "q_erlang_b_loss",  # 1-row span x 10-row trunk-grid broadcast crosses
     "q_mmc_wait_tail",  # 1-row span x 10-row server-grid broadcast crosses
+    "q_benford_second_digit",  # 1-row total x 1-row chi2 broadcast crosses
+    "q_last_digit_uniformity",  # 1-row total broadcast cross (digit margins)
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -441,6 +443,9 @@ KNOWN_UNPUSHABLE = {
     "q_kelly_fraction",
     # whole-table median walk; only the derived cum-position cut filters
     "q_mood_median_test",
+    # whole-table digit/threshold screens; only derived cent guards filter
+    "q_benford_second_digit",
+    "q_structuring_screen",
     "q_diebold_mariano",
     "q_interval_coverage",
     # full-spectrum scan; only the derived zero-power guard filters
