@@ -139,6 +139,9 @@ ALLOWED_NLJ = {
     "q_mmc_wait_tail",  # 1-row span x 10-row server-grid broadcast crosses
     "q_benford_second_digit",  # 1-row total x 1-row chi2 broadcast crosses
     "q_last_digit_uniformity",  # 1-row total broadcast cross (digit margins)
+    "q_sbg_retention_fit",  # 3-row tenure-grid broadcast cross + 1-row base
+    "q_mean_cumulative_function",  # 13-row tenure-grid broadcast cross
+    "q_cohort_quality_trend",  # 1-row eval/cohort-origin broadcast crosses
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -446,6 +449,8 @@ KNOWN_UNPUSHABLE = {
     # whole-table digit/threshold screens; only derived cent guards filter
     "q_benford_second_digit",
     "q_structuring_screen",
+    # whole-cohort span fold; only the derived tenure-grid join guard filters
+    "q_sbg_retention_fit",
     "q_diebold_mariano",
     "q_interval_coverage",
     # full-spectrum scan; only the derived zero-power guard filters
@@ -559,6 +564,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_variance_changepoint": "decimal prefix sums over the daily series (calendar-bounded)",
     "q_adstock_elasticity": "8 adstock lags over the daily series (calendar-bounded)",
     "q_life_table": "at-risk suffix + survival prefix over the 14-row interval curve",
+    "q_mean_cumulative_function": "MCF prefix over the 13-row tenure curve",
     "q_cumulative_incidence": "KM walk over the distinct lifetime-month table (q_kaplan_meier adjudication)",
     "q_gompertz_fit": "at-risk suffix walk over the distinct lifetime-month table",
     "q_forecast_combination": "row_number split over the daily series (calendar-bounded)",
