@@ -142,6 +142,9 @@ ALLOWED_NLJ = {
     "q_sbg_retention_fit",  # 3-row tenure-grid broadcast cross + 1-row base
     "q_mean_cumulative_function",  # 13-row tenure-grid broadcast cross
     "q_cohort_quality_trend",  # 1-row eval/cohort-origin broadcast crosses
+    "q_delta_join_maintenance",  # 1-row max-month broadcast cross (delta cut)
+    "q_topk_buffer_maintenance",  # 1-row max-month broadcast cross (delta cut)
+    "q_agg_retraction",  # 1-row max-month + state broadcast crosses
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -451,6 +454,9 @@ KNOWN_UNPUSHABLE = {
     "q_structuring_screen",
     # whole-cohort span fold; only the derived tenure-grid join guard filters
     "q_sbg_retention_fit",
+    # whole-table IVM splits; only the derived max-month delta cut filters
+    "q_topk_buffer_maintenance",
+    "q_agg_retraction",
     "q_diebold_mariano",
     "q_interval_coverage",
     # full-spectrum scan; only the derived zero-power guard filters
