@@ -145,6 +145,9 @@ ALLOWED_NLJ = {
     "q_delta_join_maintenance",  # 1-row max-month broadcast cross (delta cut)
     "q_topk_buffer_maintenance",  # 1-row max-month broadcast cross (delta cut)
     "q_agg_retraction",  # 1-row max-month + state broadcast crosses
+    "q_dhondt_allocation",  # 1-row vote-total broadcast cross
+    "q_sainte_lague_allocation",  # 1-row vote-total broadcast cross
+    "q_hamilton_allocation",  # 1-row total/used broadcast crosses
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -571,6 +574,9 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_adstock_elasticity": "8 adstock lags over the daily series (calendar-bounded)",
     "q_life_table": "at-risk suffix + survival prefix over the 14-row interval curve",
     "q_mean_cumulative_function": "MCF prefix over the 13-row tenure curve",
+    "q_dhondt_allocation": "rank over the 25x64 quotient grid (k-row)",
+    "q_sainte_lague_allocation": "rank over the 25x64 quotient grid (k-row)",
+    "q_hamilton_allocation": "remainder walk over the 25-row quota table",
     "q_cumulative_incidence": "KM walk over the distinct lifetime-month table (q_kaplan_meier adjudication)",
     "q_gompertz_fit": "at-risk suffix walk over the distinct lifetime-month table",
     "q_forecast_combination": "row_number split over the daily series (calendar-bounded)",
