@@ -450,6 +450,7 @@ KNOWN_UNPUSHABLE = {
     "q_sign_test",
     "q_omega_ratio",
     "q_kelly_fraction",
+    "q_turning_points_test",
     # whole-table median walk; only the derived cum-position cut filters
     "q_mood_median_test",
     # whole-table digit/threshold screens; only derived cent guards filter
@@ -597,6 +598,8 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_kelly_fraction": "lag over the daily series (calendar-bounded)",
     "q_novelty_trend": "row_number index over the daily lift series (calendar-bounded)",
     "q_peeking_path": "cumulative z path over the daily lift series (calendar-bounded)",
+    "q_von_neumann_ratio": "lag over the daily series (calendar-bounded)",
+    "q_turning_points_test": "lag/lead over the daily series (calendar-bounded)",
 }
 
 # row-at-a-time Python is the point of these two (surface demos)
