@@ -129,15 +129,30 @@ QUERIES["q_fixed_effects"] = QuerySpec(
 
 def q_between_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = _panel(spark, sf_dir)
+    # decimal-exact unit means (a raw double AVG is sum-order noisy and
+    # straddled a 6dp rounding boundary at sf0.001)
     means = panel.groupBy("u").agg(
-        F.avg("x").alias("xv"), F.avg("y").alias("yv")
+        (
+            F.sum(F.round("x", 0).cast("decimal(28,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("xv"),
+        (
+            F.sum(F.round("y", 2).cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("yv"),
     )
     return _slope(means, "xv", "yv", "beta_between")
 
 
 Q_BE_SQL = f"""
 WITH panel AS ({_PANEL_SQL}),
-means AS (SELECT u, AVG(x) AS xv, AVG(y) AS yv FROM panel GROUP BY u)
+means AS (
+  SELECT u,
+         CAST(SUM(CAST(ROUND(x, 0) AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*)
+             AS xv,
+         CAST(SUM(CAST(ROUND(y, 2) AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+             AS yv
+  FROM panel GROUP BY u)
 {_SLOPE_SQL.format(out="beta_between", src="means")}
 """
 

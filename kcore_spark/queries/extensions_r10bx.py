@@ -142,21 +142,28 @@ QUERIES["q_pettitt_test"] = QuerySpec(
 
 
 def _prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily series with decimal prefix sums of cents and cents^2 plus
-    position t and global totals."""
-    daily = _daily(spark, sf_dir)
+    """Daily series in integer KILODOLLARS (cents/1e5, rounded) with
+    decimal prefix sums of v and v^2 plus position t and global totals.
+    The unit choice keeps every moment (a1^2, s1^2, ...) inside the
+    double-exact integer range, so both engines compute the SSE algebra
+    bit-identically — cents-scale prefixes overflowed 2^53 and lost
+    last-ulp agreement at sf0.001."""
+    daily = _daily(spark, sf_dir).select(
+        "day_epoch",
+        F.round(F.col("cents") / 100000.0, 0).cast("long").alias("v"),
+    )
     w_time = Window.orderBy("day_epoch").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     tot = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").alias("s1"),
-        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("s2"),
+        F.sum("v").alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("s2"),
     )
     return (
-        daily.withColumn("a1", F.sum("cents").over(w_time))
+        daily.withColumn("a1", F.sum("v").over(w_time))
         .withColumn(
-            "a2", F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).over(w_time)
+            "a2", F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).over(w_time)
         )
         .withColumn("t", F.row_number().over(Window.orderBy("day_epoch")))
         .crossJoin(F.broadcast(tot))
@@ -164,23 +171,27 @@ def _prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PREFIX_SQL = f"""
-  daily AS ({_DAILY_SQL}),
+  daily0 AS ({_DAILY_SQL}),
+  daily AS (
+    SELECT day_epoch,
+           CAST(ROUND(cents / 100000.0, 0) AS BIGINT) AS v
+    FROM daily0),
   tot AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(cents) AS s1,
-           SUM(CAST(cents * cents AS DECIMAL(38,0))) AS s2
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s1,
+           SUM(CAST(v * v AS DECIMAL(38,0))) AS s2
     FROM daily),
   prefix AS (
     SELECT day_epoch,
-           SUM(cents) OVER (ORDER BY day_epoch ROWS UNBOUNDED PRECEDING) AS a1,
-           SUM(CAST(cents * cents AS DECIMAL(38,0)))
+           SUM(v) OVER (ORDER BY day_epoch ROWS UNBOUNDED PRECEDING) AS a1,
+           SUM(CAST(v * v AS DECIMAL(38,0)))
                OVER (ORDER BY day_epoch ROWS UNBOUNDED PRECEDING) AS a2,
            ROW_NUMBER() OVER (ORDER BY day_epoch) AS t,
            n, s1, s2
     FROM daily CROSS JOIN tot)
 """
 
-# dollars^2 conversion for SSE readability
-_SCALE = 10000.0
+# SSE reported in (kilodollar)^2 units — no further scaling
+_SCALE = 1.0
 
 
 def q_binseg_sse(spark: SparkSession, sf_dir: str) -> DataFrame:

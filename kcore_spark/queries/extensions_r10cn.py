@@ -75,12 +75,18 @@ def _studies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mu").alias("mu2"),
         F.col("va").alias("v2"),
     )
+    # effects in KILODOLLARS (variances in k$^2): keeps tau^2/weights in
+    # a range where 6dp rounding is bit-stable (dollar-scale tau^2 hit
+    # rounding-ulp mismatches at sf0.001)
     return a.join(b, "c_nationkey").where((F.col("n1") >= 2) & (F.col("n2") >= 2)).select(
         "c_nationkey",
-        (F.col("mu1") - F.col("mu2")).alias("d"),
+        ((F.col("mu1") - F.col("mu2")) / 1000.0).alias("d"),
         (
-            F.col("v1") / F.col("n1").cast("double")
-            + F.col("v2") / F.col("n2").cast("double")
+            (
+                F.col("v1") / F.col("n1").cast("double")
+                + F.col("v2") / F.col("n2").cast("double")
+            )
+            / 1000000.0
         ).alias("v"),
     )
 
@@ -106,8 +112,8 @@ _STUDIES_SQL = """
     FROM per),
   studies AS (
     SELECT a.c_nationkey AS c_nationkey,
-           a.mu - b.mu AS d,
-           a.va / a.m + b.va / b.m AS v
+           (a.mu - b.mu) / 1000.0 AS d,
+           (a.va / a.m + b.va / b.m) / 1000000.0 AS v
     FROM sides a JOIN sides b
       ON a.c_nationkey = b.c_nationkey AND a.grp AND NOT b.grp
     WHERE a.m >= 2 AND b.m >= 2)
