@@ -148,6 +148,7 @@ ALLOWED_NLJ = {
     "q_dhondt_allocation",  # 1-row vote-total broadcast cross
     "q_sainte_lague_allocation",  # 1-row vote-total broadcast cross
     "q_hamilton_allocation",  # 1-row total/used broadcast crosses
+    "q_reserve_price_sweep",  # 1-row auction-count broadcast cross
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -460,6 +461,10 @@ KNOWN_UNPUSHABLE = {
     "q_sbg_retention_fit",
     # whole-table IVM splits; only the derived max-month delta cut filters
     "q_topk_buffer_maintenance",
+    # whole-table bid ranks; only derived rank/bid-count guards filter
+    "q_second_price_revenue",
+    "q_reserve_price_sweep",
+    "q_revenue_equivalence_check",
     "q_agg_retraction",
     "q_diebold_mariano",
     "q_interval_coverage",
