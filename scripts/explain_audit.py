@@ -149,6 +149,9 @@ ALLOWED_NLJ = {
     "q_sainte_lague_allocation",  # 1-row vote-total broadcast cross
     "q_hamilton_allocation",  # 1-row total/used broadcast crosses
     "q_reserve_price_sweep",  # 1-row auction-count broadcast cross
+    "q_evpi",  # 1-row best-EV x foresight broadcast crosses
+    "q_minimax_regret",  # 1-row choice broadcast crosses onto the 10-action table
+    "q_stochastic_dominance",  # bounded threshold-grid crosses (20-cell payoffs)
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -463,6 +466,9 @@ KNOWN_UNPUSHABLE = {
     "q_topk_buffer_maintenance",
     # whole-table bid ranks; only derived rank/bid-count guards filter
     "q_second_price_revenue",
+    # payoff-matrix scans; only derived action-pick guards filter
+    "q_minimax_regret",
+    "q_stochastic_dominance",
     "q_reserve_price_sweep",
     "q_revenue_equivalence_check",
     "q_agg_retraction",
@@ -583,6 +589,9 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_dhondt_allocation": "rank over the 25x64 quotient grid (k-row)",
     "q_sainte_lague_allocation": "rank over the 25x64 quotient grid (k-row)",
     "q_hamilton_allocation": "remainder walk over the 25-row quota table",
+    "q_evpi": "decile fill over the daily demand series (calendar-bounded; plan repeats the subtree)",
+    "q_minimax_regret": "decile fill over the daily demand series (calendar-bounded; plan repeats the subtree)",
+    "q_stochastic_dominance": "decile fill over the daily demand series (calendar-bounded; plan repeats the subtree)",
     "q_cumulative_incidence": "KM walk over the distinct lifetime-month table (q_kaplan_meier adjudication)",
     "q_gompertz_fit": "at-risk suffix walk over the distinct lifetime-month table",
     "q_forecast_combination": "row_number split over the daily series (calendar-bounded)",
