@@ -152,6 +152,7 @@ ALLOWED_NLJ = {
     "q_evpi",  # 1-row best-EV x foresight broadcast crosses
     "q_minimax_regret",  # 1-row choice broadcast crosses onto the 10-action table
     "q_stochastic_dominance",  # bounded threshold-grid crosses (20-cell payoffs)
+    "q_concat_boundary_stats",  # 1-row doc-stats x seq-stats broadcast cross
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
