@@ -153,6 +153,7 @@ ALLOWED_NLJ = {
     "q_minimax_regret",  # 1-row choice broadcast crosses onto the 10-action table
     "q_stochastic_dominance",  # bounded threshold-grid crosses (20-cell payoffs)
     "q_concat_boundary_stats",  # 1-row doc-stats x seq-stats broadcast cross
+    "q_cold_access_rate",  # 1-row window-bounds broadcast cross (quarter cut)
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -467,6 +468,9 @@ KNOWN_UNPUSHABLE = {
     "q_topk_buffer_maintenance",
     # whole-table bid ranks; only derived rank/bid-count guards filter
     "q_second_price_revenue",
+    # whole-table locality folds; only derived lag/rank guards filter
+    "q_reuse_distance",
+    "q_hot_set_stability",
     # payoff-matrix scans; only derived action-pick guards filter
     "q_minimax_regret",
     "q_stochastic_dominance",
