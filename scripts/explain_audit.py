@@ -154,6 +154,8 @@ ALLOWED_NLJ = {
     "q_stochastic_dominance",  # bounded threshold-grid crosses (20-cell payoffs)
     "q_concat_boundary_stats",  # 1-row doc-stats x seq-stats broadcast cross
     "q_cold_access_rate",  # 1-row window-bounds broadcast cross (quarter cut)
+    "q_kv_cache_budget",  # 1-row percentile x 3-row GiB grid broadcast crosses
+    "q_batch_latency_tradeoff",  # 1-row rate/mean x 4-row batch grid crosses
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -470,6 +472,9 @@ KNOWN_UNPUSHABLE = {
     "q_second_price_revenue",
     # whole-table locality folds; only derived lag/rank guards filter
     "q_reuse_distance",
+    # whole-corpus length/bigram folds; only cum/empty-token guards filter
+    "q_kv_cache_budget",
+    "q_speculative_decode_gain",
     "q_hot_set_stability",
     # payoff-matrix scans; only derived action-pick guards filter
     "q_minimax_regret",
@@ -594,6 +599,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_dhondt_allocation": "rank over the 25x64 quotient grid (k-row)",
     "q_sainte_lague_allocation": "rank over the 25x64 quotient grid (k-row)",
     "q_hamilton_allocation": "remainder walk over the 25-row quota table",
+    "q_kv_cache_budget": "percentile walk over the distinct doc-length tie table",
     "q_evpi": "decile fill over the daily demand series (calendar-bounded; plan repeats the subtree)",
     "q_minimax_regret": "decile fill over the daily demand series (calendar-bounded; plan repeats the subtree)",
     "q_stochastic_dominance": "decile fill over the daily demand series (calendar-bounded; plan repeats the subtree)",
