@@ -90,8 +90,10 @@ def q_sbg_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tenure", (F.col("n") / F.col("n0").cast("double")).alias("r"))
     )
     wide = r.groupBy().pivot("tenure", [1, 2, _HORIZON]).agg(F.first("r"))
-    r1 = F.col("1")
-    r2 = F.col("2")
+    # pinned clamps keep the moment inversion finite when the fixture
+    # window censors nothing (r1 = r2 = 1 at tiny scale)
+    r1 = F.least(F.col("1"), F.lit(0.999999))
+    r2 = F.least(F.col("2"), r1 - 1e-6)
     a = r1 * (r2 - r1) / (r1 * r1 - r2)
     b = a * r1 / (1.0 - r1)
     proj = F.lit(1.0)
@@ -130,8 +132,10 @@ r AS (
   CROSS JOIN base
   GROUP BY tenure),
 wide AS (
-  SELECT MAX(CASE WHEN tenure = 1 THEN r END) AS r1,
-         MAX(CASE WHEN tenure = 2 THEN r END) AS r2,
+  SELECT LEAST(MAX(CASE WHEN tenure = 1 THEN r END), 0.999999) AS r1,
+         LEAST(MAX(CASE WHEN tenure = 2 THEN r END),
+               LEAST(MAX(CASE WHEN tenure = 1 THEN r END), 0.999999) - 1e-6)
+             AS r2,
          MAX(CASE WHEN tenure = {_HORIZON} THEN r END) AS r12
   FROM r),
 ab AS (
