@@ -156,6 +156,8 @@ ALLOWED_NLJ = {
     "q_cold_access_rate",  # 1-row window-bounds broadcast cross (quarter cut)
     "q_kv_cache_budget",  # 1-row percentile x 3-row GiB grid broadcast crosses
     "q_batch_latency_tradeoff",  # 1-row rate/mean x 4-row batch grid crosses
+    "q_engle_granger",  # 1-row levels-OLS coefficient broadcast cross
+    "q_error_correction",  # 1-row levels-OLS coefficient broadcast cross
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -600,6 +602,9 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_sainte_lague_allocation": "rank over the 25x64 quotient grid (k-row)",
     "q_hamilton_allocation": "remainder walk over the 25-row quota table",
     "q_kv_cache_budget": "percentile walk over the distinct doc-length tie table",
+    "q_engle_granger": "lag over the monthly pair series (calendar-bounded)",
+    "q_error_correction": "lags over the monthly pair series (calendar-bounded)",
+    "q_var1_fit": "lags over the monthly pair series (calendar-bounded)",
     "q_evpi": "decile fill over the daily demand series (calendar-bounded; plan repeats the subtree)",
     "q_minimax_regret": "decile fill over the daily demand series (calendar-bounded; plan repeats the subtree)",
     "q_stochastic_dominance": "decile fill over the daily demand series (calendar-bounded; plan repeats the subtree)",
