@@ -158,6 +158,8 @@ ALLOWED_NLJ = {
     "q_batch_latency_tradeoff",  # 1-row rate/mean x 4-row batch grid crosses
     "q_engle_granger",  # 1-row levels-OLS coefficient broadcast cross
     "q_error_correction",  # 1-row levels-OLS coefficient broadcast cross
+    "q_retry_amplification",  # 1-row retry-total broadcast cross
+    "q_thundering_herd",  # 1-row threshold broadcast cross onto the minute curve
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -433,6 +435,9 @@ KNOWN_UNPUSHABLE = {
     "q_pmi_collocations",
     # whole-stream lead fan-out; only the trailing-null guard filters
     "q_event_trigram_patterns",
+    # whole-stream retry lags; only derived prev/gap guards filter
+    "q_retry_amplification",
+    "q_retry_success",
     "q_transition_durations",
     "q_mtbf_mttr",
     "q_availability",
