@@ -160,6 +160,7 @@ ALLOWED_NLJ = {
     "q_error_correction",  # 1-row levels-OLS coefficient broadcast cross
     "q_retry_amplification",  # 1-row retry-total broadcast cross
     "q_thundering_herd",  # 1-row threshold broadcast cross onto the minute curve
+    "q_sample_quantile_error",  # 1-row quantile broadcast crosses (exact x sample)
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
@@ -468,6 +469,7 @@ KNOWN_UNPUSHABLE = {
     "q_turning_points_test",
     # whole-table median walk; only the derived cum-position cut filters
     "q_mood_median_test",
+    "q_sample_quantile_error",
     # whole-table digit/threshold screens; only derived cent guards filter
     "q_benford_second_digit",
     "q_structuring_screen",
@@ -607,6 +609,7 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_sainte_lague_allocation": "rank over the 25x64 quotient grid (k-row)",
     "q_hamilton_allocation": "remainder walk over the 25-row quota table",
     "q_kv_cache_budget": "percentile walk over the distinct doc-length tie table",
+    "q_sample_quantile_error": "two quantile walks over the distinct-cents tie tables (q_impute_missing precedent)",
     "q_engle_granger": "lag over the monthly pair series (calendar-bounded)",
     "q_error_correction": "lags over the monthly pair series (calendar-bounded)",
     "q_var1_fit": "lags over the monthly pair series (calendar-bounded)",
