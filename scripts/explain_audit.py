@@ -161,6 +161,7 @@ ALLOWED_NLJ = {
     "q_retry_amplification",  # 1-row retry-total broadcast cross
     "q_thundering_herd",  # 1-row threshold broadcast cross onto the minute curve
     "q_sample_quantile_error",  # 1-row quantile broadcast crosses (exact x sample)
+    "q_threshold_split_stability",  # 1-row half x half best-threshold cross
     "q_hill_estimator",  # 1-row kth-order-stat broadcast cross
     "q_pot_gpd_fit",  # 1-row threshold broadcast cross
     "q_weibull_fit",  # 1-row total-count broadcast cross
