@@ -96,390 +96,248 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
-def all_queries() -> dict[str, QuerySpec]:
-    from kcore_spark.queries import (
-        curation_q,
-        extensions_r7,
-        extensions_r8,
-        extensions_r8b,
-        extensions_r8c,
-        extensions_r8d,
-        extensions_r8e,
-        extensions_r8f,
-        extensions_r8g,
-        extensions_r9,
-        extensions_r9b,
-        extensions_r9c,
-        extensions_r9d,
-        extensions_r9e,
-        extensions_r9f,
-        extensions_r9g,
-        extensions_r9h,
-        extensions_r9i,
-        extensions_r9j,
-        extensions_r9k,
-        extensions_r9l,
-        extensions_r9m,
-        extensions_r9n,
-        extensions_r9o,
-        extensions_r9p,
-        extensions_r9q,
-        extensions_r9r,
-        extensions_r9s,
-        extensions_r9t,
-        extensions_r9u,
-        extensions_r9v,
-        extensions_r9w,
-        extensions_r9x,
-        extensions_r9y,
-        extensions_r9z,
-        extensions_r9aa,
-        extensions_r9ab,
-        extensions_r9ac,
-        extensions_r9ad,
-        extensions_r9ae,
-        extensions_r9af,
-        extensions_r9ag,
-        extensions_r9ah,
-        extensions_r9ai,
-        extensions_r10,
-        extensions_r10b,
-        extensions_r10c,
-        extensions_r10d,
-        extensions_r10e,
-        extensions_r10f,
-        extensions_r10g,
-        extensions_r10h,
-        extensions_r10i,
-        extensions_r10j,
-        extensions_r10k,
-        extensions_r10l,
-        extensions_r10m,
-        extensions_r10n,
-        extensions_r10o,
-        extensions_r10p,
-        extensions_r10q,
-        extensions_r10r,
-        extensions_r10s,
-        extensions_r10t,
-        extensions_r10u,
-        extensions_r10v,
-        extensions_r10w,
-        extensions_r10x,
-        extensions_r10y,
-        extensions_r10z,
-        extensions_r10aa,
-        extensions_r10ab,
-        extensions_r10ac,
-        extensions_r10ad,
-        extensions_r10ae,
-        extensions_r10af,
-        extensions_r10ag,
-        extensions_r10ah,
-        extensions_r10ai,
-        extensions_r10aj,
-        extensions_r10ak,
-        extensions_r10al,
-        extensions_r10am,
-        extensions_r10an,
-        extensions_r10ao,
-        extensions_r10ap,
-        extensions_r10aq,
-        extensions_r10ar,
-        extensions_r10as,
-        extensions_r10at,
-        extensions_r10au,
-        extensions_r10av,
-        extensions_r10aw,
-        extensions_r10ax,
-        extensions_r10ay,
-        extensions_r10az,
-        extensions_r10ba,
-        extensions_r10bb,
-        extensions_r10bc,
-        extensions_r10bd,
-        extensions_r10be,
-        extensions_r10bf,
-        extensions_r10bg,
-        extensions_r10bh,
-        extensions_r10bi,
-        extensions_r10bj,
-        extensions_r10bk,
-        extensions_r10bl,
-        extensions_r10bm,
-        extensions_r10bn,
-        extensions_r10bo,
-        extensions_r10bp,
-        extensions_r10bq,
-        extensions_r10br,
-        extensions_r10bs,
-        extensions_r10bt,
-        extensions_r10bu,
-        extensions_r10bv,
-        extensions_r10bw,
-        extensions_r10bx,
-        extensions_r10by,
-        extensions_r10bz,
-        extensions_r10ca,
-        extensions_r10cb,
-        extensions_r10cc,
-        extensions_r10cd,
-        extensions_r10ce,
-        extensions_r10cf,
-        extensions_r10cg,
-        extensions_r10ch,
-        extensions_r10ci,
-        extensions_r10cj,
-        extensions_r10ck,
-        extensions_r10cl,
-        extensions_r10cm,
-        extensions_r10cn,
-        extensions_r10co,
-        extensions_r10cp,
-        extensions_r10cq,
-        extensions_r10cr,
-        extensions_r10cs,
-        extensions_r10ct,
-        extensions_r10cu,
-        extensions_r10cv,
-        extensions_r10cw,
-        extensions_r10cx,
-        extensions_r10cy,
-        extensions_r10cz,
-        extensions_r10da,
-        extensions_r10db,
-        extensions_r10dc,
-        extensions_r10dd,
-        extensions_r10de,
-        extensions_r10df,
-        extensions_r10dg,
-        extensions_r10dh,
-        extensions_r10di,
-        extensions_r10dj,
-        extensions_r10dk,
-        extensions_r10dl,
-        extensions_r10dm,
-        extensions_r10dn,
-        extensions_r10do,
-        extensions_r10dp,
-        extensions_r10dq,
-        dedup,
-        events,
-        packing_q,
-        quality_q,
-        ranking,
-        sampling_q,
-        recursive,
-        scale_q,
-        scalars,
-        setops,
-        similarity,
-        sources_q,
-        streaming,
-        subqueries,
-        text,
-        timeseries,
-        topiclog,
-        tpch,
-        tpch2,
-        tpch3,
-        udfs,
-        windows,
-    )
+# Module order sets the driver's 50-query window: never-driver-verified
+# families first (dedup/similarity/quality/streaming/topiclog are the
+# headline LLM-pipeline blocks, then the extension batches in age order,
+# with the long-signed TPC-H/windows/setops/scalars/events families last).
+# ONE list drives both import and registration (ADVICE r10: the old
+# duplicated import-block + iteration tuple could silently drop a module
+# present in only one of them); _assert_module_order_complete() below
+# additionally fails fast if an extensions_* file exists on disk but is
+# missing from this list.
+_MODULE_ORDER: tuple[str, ...] = (
+    "dedup",
+    "extensions_r7",
+    "similarity",
+    "quality_q",
+    "streaming",
+    "topiclog",
+    "text",
+    "timeseries",
+    "ranking",
+    "udfs",
+    "subqueries",
+    "sources_q",
+    "recursive",
+    "tpch3",
+    "scale_q",
+    "packing_q",
+    "sampling_q",
+    "curation_q",
+    "extensions_r8",
+    "extensions_r8b",
+    "extensions_r8c",
+    "extensions_r8d",
+    "extensions_r8e",
+    "extensions_r8f",
+    "extensions_r8g",
+    "extensions_r9",
+    "extensions_r9b",
+    "extensions_r9c",
+    "extensions_r9d",
+    "extensions_r9e",
+    "extensions_r9f",
+    "extensions_r9g",
+    "extensions_r9h",
+    "extensions_r9i",
+    "extensions_r9j",
+    "extensions_r9k",
+    "extensions_r9l",
+    "extensions_r9m",
+    "extensions_r9n",
+    "extensions_r9o",
+    "extensions_r9p",
+    "extensions_r9q",
+    "extensions_r9r",
+    "extensions_r9s",
+    "extensions_r9t",
+    "extensions_r9u",
+    "extensions_r9v",
+    "extensions_r9w",
+    "extensions_r9x",
+    "extensions_r9y",
+    "extensions_r9z",
+    "extensions_r9aa",
+    "extensions_r9ab",
+    "extensions_r9ac",
+    "extensions_r9ad",
+    "extensions_r9ae",
+    "extensions_r9af",
+    "extensions_r9ag",
+    "extensions_r9ah",
+    "extensions_r9ai",
+    "extensions_r10",
+    "extensions_r10b",
+    "extensions_r10c",
+    "extensions_r10d",
+    "extensions_r10e",
+    "extensions_r10f",
+    "extensions_r10g",
+    "extensions_r10h",
+    "extensions_r10i",
+    "extensions_r10j",
+    "extensions_r10k",
+    "extensions_r10l",
+    "extensions_r10m",
+    "extensions_r10n",
+    "extensions_r10o",
+    "extensions_r10p",
+    "extensions_r10q",
+    "extensions_r10r",
+    "extensions_r10s",
+    "extensions_r10t",
+    "extensions_r10u",
+    "extensions_r10v",
+    "extensions_r10w",
+    "extensions_r10x",
+    "extensions_r10y",
+    "extensions_r10z",
+    "extensions_r10aa",
+    "extensions_r10ab",
+    "extensions_r10ac",
+    "extensions_r10ad",
+    "extensions_r10ae",
+    "extensions_r10af",
+    "extensions_r10ag",
+    "extensions_r10ah",
+    "extensions_r10ai",
+    "extensions_r10aj",
+    "extensions_r10ak",
+    "extensions_r10al",
+    "extensions_r10am",
+    "extensions_r10an",
+    "extensions_r10ao",
+    "extensions_r10ap",
+    "extensions_r10aq",
+    "extensions_r10ar",
+    "extensions_r10as",
+    "extensions_r10at",
+    "extensions_r10au",
+    "extensions_r10av",
+    "extensions_r10aw",
+    "extensions_r10ax",
+    "extensions_r10ay",
+    "extensions_r10az",
+    "extensions_r10ba",
+    "extensions_r10bb",
+    "extensions_r10bc",
+    "extensions_r10bd",
+    "extensions_r10be",
+    "extensions_r10bf",
+    "extensions_r10bg",
+    "extensions_r10bh",
+    "extensions_r10bi",
+    "extensions_r10bj",
+    "extensions_r10bk",
+    "extensions_r10bl",
+    "extensions_r10bm",
+    "extensions_r10bn",
+    "extensions_r10bo",
+    "extensions_r10bp",
+    "extensions_r10bq",
+    "extensions_r10br",
+    "extensions_r10bs",
+    "extensions_r10bt",
+    "extensions_r10bu",
+    "extensions_r10bv",
+    "extensions_r10bw",
+    "extensions_r10bx",
+    "extensions_r10by",
+    "extensions_r10bz",
+    "extensions_r10ca",
+    "extensions_r10cb",
+    "extensions_r10cc",
+    "extensions_r10cd",
+    "extensions_r10ce",
+    "extensions_r10cf",
+    "extensions_r10cg",
+    "extensions_r10ch",
+    "extensions_r10ci",
+    "extensions_r10cj",
+    "extensions_r10ck",
+    "extensions_r10cl",
+    "extensions_r10cm",
+    "extensions_r10cn",
+    "extensions_r10co",
+    "extensions_r10cp",
+    "extensions_r10cq",
+    "extensions_r10cr",
+    "extensions_r10cs",
+    "extensions_r10ct",
+    "extensions_r10cu",
+    "extensions_r10cv",
+    "extensions_r10cw",
+    "extensions_r10cx",
+    "extensions_r10cy",
+    "extensions_r10cz",
+    "extensions_r10da",
+    "extensions_r10db",
+    "extensions_r10dc",
+    "extensions_r10dd",
+    "extensions_r10de",
+    "extensions_r10df",
+    "extensions_r10dg",
+    "extensions_r10dh",
+    "extensions_r10di",
+    "extensions_r10dj",
+    "extensions_r10dk",
+    "extensions_r10dl",
+    "extensions_r10dm",
+    "extensions_r10dn",
+    "extensions_r10do",
+    "extensions_r10dp",
+    "extensions_r10dq",
+    "tpch",
+    "tpch2",
+    "windows",
+    "setops",
+    "scalars",
+    "events",
+)
 
+
+def _assert_module_order_complete() -> None:
+    """Every query module on disk must be registered in _MODULE_ORDER.
+
+    Catches the one mistake the duplicate-name guard cannot: a new
+    extensions_* batch file committed without a registry entry, whose
+    queries would otherwise silently never reach the driver."""
+    import os
+
+    here = os.path.dirname(__file__)
+    on_disk = {
+        f[:-3]
+        for f in os.listdir(here)
+        if f.endswith(".py") and (f.startswith("extensions_") or f[:-3] in _KNOWN_NON_EXTENSION_MODULES)
+    }
+    # Modules registered INDIRECTLY through an aggregator shim that pins
+    # original registration order (the r9-verdict file split left
+    # extensions_r8g.py re-exporting these three):
+    reexported = {"extensions_r8g_dq", "extensions_r8g_product", "extensions_r8g_stats"}
+    missing = on_disk - set(_MODULE_ORDER) - reexported
+    if missing:
+        raise RuntimeError(
+            f"query modules on disk but not in _MODULE_ORDER (their queries "
+            f"would be silently dropped from the registry): {sorted(missing)}"
+        )
+
+
+# Non-extensions_* modules that carry a QUERIES dict (closed set; a new one
+# must be added BOTH here and to _MODULE_ORDER — the assertion keeps the
+# two honest for the open-ended extensions_* namespace where mistakes
+# actually happen).
+_KNOWN_NON_EXTENSION_MODULES: frozenset[str] = frozenset(
+    n for n in _MODULE_ORDER if not n.startswith("extensions_")
+)
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    import importlib
+
+    _assert_module_order_complete()
     out: dict[str, QuerySpec] = {}
-    # Module order sets the driver's 50-query window: never-driver-verified
-    # families first (dedup/similarity/quality/streaming/topiclog are the
-    # headline LLM-pipeline blocks with no external signature yet).
-    for mod in (
-        dedup,
-        extensions_r7,
-        similarity,
-        quality_q,
-        streaming,
-        topiclog,
-        text,
-        timeseries,
-        ranking,
-        udfs,
-        subqueries,
-        sources_q,
-        recursive,
-        tpch3,
-        scale_q,
-        packing_q,
-        sampling_q,
-        curation_q,
-        extensions_r8,
-        extensions_r8b,
-        extensions_r8c,
-        extensions_r8d,
-        extensions_r8e,
-        extensions_r8f,
-        extensions_r8g,
-        extensions_r9,
-        extensions_r9b,
-        extensions_r9c,
-        extensions_r9d,
-        extensions_r9e,
-        extensions_r9f,
-        extensions_r9g,
-        extensions_r9h,
-        extensions_r9i,
-        extensions_r9j,
-        extensions_r9k,
-        extensions_r9l,
-        extensions_r9m,
-        extensions_r9n,
-        extensions_r9o,
-        extensions_r9p,
-        extensions_r9q,
-        extensions_r9r,
-        extensions_r9s,
-        extensions_r9t,
-        extensions_r9u,
-        extensions_r9v,
-        extensions_r9w,
-        extensions_r9x,
-        extensions_r9y,
-        extensions_r9z,
-        extensions_r9aa,
-        extensions_r9ab,
-        extensions_r9ac,
-        extensions_r9ad,
-        extensions_r9ae,
-        extensions_r9af,
-        extensions_r9ag,
-        extensions_r9ah,
-        extensions_r9ai,
-        extensions_r10,
-        extensions_r10b,
-        extensions_r10c,
-        extensions_r10d,
-        extensions_r10e,
-        extensions_r10f,
-        extensions_r10g,
-        extensions_r10h,
-        extensions_r10i,
-        extensions_r10j,
-        extensions_r10k,
-        extensions_r10l,
-        extensions_r10m,
-        extensions_r10n,
-        extensions_r10o,
-        extensions_r10p,
-        extensions_r10q,
-        extensions_r10r,
-        extensions_r10s,
-        extensions_r10t,
-        extensions_r10u,
-        extensions_r10v,
-        extensions_r10w,
-        extensions_r10x,
-        extensions_r10y,
-        extensions_r10z,
-        extensions_r10aa,
-        extensions_r10ab,
-        extensions_r10ac,
-        extensions_r10ad,
-        extensions_r10ae,
-        extensions_r10af,
-        extensions_r10ag,
-        extensions_r10ah,
-        extensions_r10ai,
-        extensions_r10aj,
-        extensions_r10ak,
-        extensions_r10al,
-        extensions_r10am,
-        extensions_r10an,
-        extensions_r10ao,
-        extensions_r10ap,
-        extensions_r10aq,
-        extensions_r10ar,
-        extensions_r10as,
-        extensions_r10at,
-        extensions_r10au,
-        extensions_r10av,
-        extensions_r10aw,
-        extensions_r10ax,
-        extensions_r10ay,
-        extensions_r10az,
-        extensions_r10ba,
-        extensions_r10bb,
-        extensions_r10bc,
-        extensions_r10bd,
-        extensions_r10be,
-        extensions_r10bf,
-        extensions_r10bg,
-        extensions_r10bh,
-        extensions_r10bi,
-        extensions_r10bj,
-        extensions_r10bk,
-        extensions_r10bl,
-        extensions_r10bm,
-        extensions_r10bn,
-        extensions_r10bo,
-        extensions_r10bp,
-        extensions_r10bq,
-        extensions_r10br,
-        extensions_r10bs,
-        extensions_r10bt,
-        extensions_r10bu,
-        extensions_r10bv,
-        extensions_r10bw,
-        extensions_r10bx,
-        extensions_r10by,
-        extensions_r10bz,
-        extensions_r10ca,
-        extensions_r10cb,
-        extensions_r10cc,
-        extensions_r10cd,
-        extensions_r10ce,
-        extensions_r10cf,
-        extensions_r10cg,
-        extensions_r10ch,
-        extensions_r10ci,
-        extensions_r10cj,
-        extensions_r10ck,
-        extensions_r10cl,
-        extensions_r10cm,
-        extensions_r10cn,
-        extensions_r10co,
-        extensions_r10cp,
-        extensions_r10cq,
-        extensions_r10cr,
-        extensions_r10cs,
-        extensions_r10ct,
-        extensions_r10cu,
-        extensions_r10cv,
-        extensions_r10cw,
-        extensions_r10cx,
-        extensions_r10cy,
-        extensions_r10cz,
-        extensions_r10da,
-        extensions_r10db,
-        extensions_r10dc,
-        extensions_r10dd,
-        extensions_r10de,
-        extensions_r10df,
-        extensions_r10dg,
-        extensions_r10dh,
-        extensions_r10di,
-        extensions_r10dj,
-        extensions_r10dk,
-        extensions_r10dl,
-        extensions_r10dm,
-        extensions_r10dn,
-        extensions_r10do,
-        extensions_r10dp,
-        extensions_r10dq,
-        tpch,
-        tpch2,
-        windows,
-        setops,
-        scalars,
-        events,
-    ):
+    for name in _MODULE_ORDER:
+        mod = importlib.import_module(f"kcore_spark.queries.{name}")
         for k, v in mod.QUERIES.items():
             if k in out:
                 raise ValueError(f"duplicate query name: {k}")

@@ -5,6 +5,46 @@ fixtures, canonicalizes both results (columns sorted by name, doubles
 rounded to 12 dp, rows sorted), and compares row count, schema (column
 names) and a value hash. Used by tests/ so every queries() entry is
 verified locally before the driver does the same at sf0.01.
+
+CROSS-ENGINE CANONICALIZATION RULES (VERDICT r10 #4 — the consolidated
+checklist every new query batch MUST follow; each rule below was
+learned from a real sf0.001/sf0.01 hash mismatch and fixed at the
+root. Apply them when WRITING the query, not post-hoc):
+
+1. MONEY IN INTEGER CENTS. Sum prices as ``CAST(x*100 AS BIGINT)``
+   (or a DECIMAL with pinned scale) and divide at the END. Raw double
+   SUM order differs between Spark partial aggregation and DuckDB and
+   flips the last ulp. Helpers: ``operators/relational.py``'s
+   decimal-exact ``dsum``/``davg``.
+2. KILODOLLAR (OR SMALLER) UNITS BEFORE DOUBLE MOMENTS. Second moments
+   of cent-scale values overflow 2^53 at tiny SFs already (q_binseg_sse
+   prefix sums; q_meta_random_effects tau^2). Rescale to units that
+   keep x^2 sums comfortably inside exact-integer double range, or use
+   DECIMAL cross-moments.
+3. MEANS ARE DECIMAL-EXACT TOO. ``AVG(double_col)`` inherits the
+   summation-order problem (q_between_estimator): compute
+   decimal-exact SUM / exact COUNT, then divide once.
+4. ROUND-THEN-DECIMAL FOR SURFACED AGGREGATES. A surfaced double must
+   be bit-identical on both engines: produce it as
+   ``ROUND(decimal_expr, k)`` cast to double, never a raw double
+   aggregate. The compare rounds to 12 dp — that does NOT save a
+   last-ulp flip at the 12th digit.
+5. DATES AS EPOCH BIGINTS. DuckDB DATE through the pandas compare path
+   renders as a timestamp, and at least one DATE + INTERVAL produced a
+   wrong value under ``.df()``. Surface every date result as an epoch
+   BIGINT (days or seconds) on BOTH sides. Timestamps: µs precision or
+   epoch-second BIGINTs.
+6. TOTAL-ORDER TIE-BREAKS BEFORE ANY LIMIT/TOP-K. Every LIMIT / top-k /
+   QUALIFY must be fully tie-broken by a unique key on both sides, or
+   the two engines legitimately return different row SETS.
+7. ALIAS EVERY COMPUTED COLUMN IDENTICALLY on the Spark and SQL sides —
+   the compare sorts columns by NAME before hashing.
+8. INTEGER DIVISION / MODULO / CAST CORNERS: Spark truncates toward
+   zero on cast-to-int, DuckDB rounds — use TRUNC-matched oracle
+   expressions (see extensions_r10dk "dialect pins IV").
+
+If a new batch needs a unit trick at sf0.001 after following all eight,
+the fix belongs in the QUERY (root cause), never in the compare.
 """
 
 from __future__ import annotations

@@ -697,14 +697,48 @@ def audit(name: str, plan: str) -> list[str]:
     return flags
 
 
-def run_audit(name_filters: list[str] | None = None, full: bool = False) -> dict[str, list[str]]:
+def rotating_slice(k: int = 25) -> list[str]:
+    """A deterministic k-query slice of the auditable registry that
+    ADVANCES each round (VERDICT r10 #3): offset = round_number * k into
+    the sorted name list, wrapping — so every query's plan gets
+    machine-checked by pytest within ceil(N/k) rounds, with no
+    randomness (same round → same slice, reproducible failures). The
+    round number is read from the newest CORRECTNESS_r*.json the driver
+    has written (0 if none — fresh checkouts audit the list head)."""
+    import glob
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    ]
+    rnd = max(rounds, default=0)
+    names = sorted(n for n in all_queries() if n not in SKIP)
+    if not names:
+        return []
+    off = (rnd * k) % len(names)
+    return (names + names)[off : off + min(k, len(names))]
+
+
+def run_audit(
+    name_filters: list[str] | None = None,
+    full: bool = False,
+    stats: dict | None = None,
+    exact_names: set[str] | None = None,
+) -> dict[str, list[str]]:
     """Audit every (or the filtered) registered query's executed plan.
     Returns {query_name: flags} for queries that flagged — a FAILING
-    gate for callers (main exits non-zero; tests assert empty)."""
+    gate for callers (main exits non-zero; tests assert empty). When
+    given, `stats` is filled with audited/skipped counts so callers can
+    record a coverage artifact (PLAN_AUDIT.json)."""
     spark = shared_spark()
     flagged: dict[str, list[str]] = {}
+    audited = 0
     for name, spec in all_queries().items():
         if name in SKIP:
+            continue
+        if exact_names is not None and name not in exact_names:
             continue
         if name_filters and not any(f in name for f in name_filters):
             continue
@@ -717,23 +751,54 @@ def run_audit(name_filters: list[str] | None = None, full: bool = False) -> dict
         flags = audit(name, plan)
         if flags:
             flagged[name] = flags
+        audited += 1
         n_exch = plan.count("Exchange")
         print(f"{name}: exchanges={n_exch} flags={flags or 'none'}")
         if full or flags:
             print(df._jdf.queryExecution().simpleString()[:4000])
             print("-" * 70)
+    if stats is not None:
+        stats["audited"] = audited
+        stats["skipped_streaming_memsink"] = len(SKIP)
+        stats["registry_total"] = len(all_queries())
     return flagged
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flagged = run_audit(args, full="--full" in sys.argv)
+    """CLI: `python scripts/explain_audit.py [name_filter...] [--full]
+    [--json PATH]`. With no filters it sweeps the FULL registry; --json
+    records the coverage artifact (VERDICT r10 #3: the full-sweep result
+    must live in a committed file, not session notes)."""
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if not a.startswith("--")]
+    stats: dict = {}
+    flagged = run_audit(args, full="--full" in argv, stats=stats)
+    if json_path:
+        import datetime
+        import json as _json
+
+        artifact = {
+            "sf_dir": SF_DIR,
+            "date": datetime.date.today().isoformat(),
+            "name_filters": args or None,
+            **stats,
+            "flagged": flagged,
+        }
+        with open(json_path, "w") as f:
+            _json.dump(artifact, f, indent=2, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {json_path}: {stats}")
     if flagged:
         print(f"\nPLAN AUDIT FAILED: {len(flagged)} flagged query(ies):")
         for n, fl in flagged.items():
             print(f"  {n}: {fl}")
         sys.exit(1)
-    print("\nplan audit clean")
+    print(f"\nplan audit clean ({stats.get('audited', 0)} plans)")
 
 
 if __name__ == "__main__":

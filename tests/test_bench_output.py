@@ -1,0 +1,76 @@
+"""Bench output contract (VERDICT r10 #1).
+
+The driver captures only a ~2,000-char tail of bench.py's stdout and
+json-parses the LAST line. BENCH_r07..r10 all recorded parsed:null
+because the single full-detail line (~170 per-query timings, >20 KB)
+overflowed that capture. The fix: the final printed line is a COMPACT
+summary (headline total + the 24 fixed HEADLINE timings only), and the
+full dict moves to an earlier stdout line + BENCH_DETAIL.json. These
+tests pin that contract so the extras list growing can never break the
+driver's parse again. No SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+# Conservative bound: the driver keeps 2,000 chars; leave headroom for a
+# trailing newline and any final WARN the JVM might still emit.
+TAIL_BUDGET = 1800
+
+
+def _fake_timings() -> dict[str, float]:
+    # worst realistic case: every headline + every extra + the streaming
+    # side-channels present, all with max-width values
+    t = {name: 123.456 for name in bench.HEADLINE}
+    for name in bench.EXTRAS:
+        t[f"{name}_extra"] = 123.456
+    t["q_stream_tumbling_counts_warm"] = 123.456
+    t["q_stream_tumbling_counts_persist_cold"] = 123.456
+    t["q_stream_tumbling_counts_incremental"] = 123.456
+    return t
+
+
+def test_compact_line_fits_driver_tail():
+    timings = _fake_timings()
+    full, compact = bench.build_output_lines(timings, 9999.999, 0.1)
+    assert len(compact) <= TAIL_BUDGET, (
+        f"compact bench line is {len(compact)} chars — would overflow the "
+        f"driver's 2,000-char stdout tail (budget {TAIL_BUDGET})"
+    )
+
+
+def test_compact_line_parses_with_required_keys():
+    timings = _fake_timings()
+    _, compact = bench.build_output_lines(timings, 21.6, 0.1)
+    obj = json.loads(compact)
+    assert obj["metric"] == "headline_queries_total"
+    assert obj["unit"] == "sec"
+    assert obj["value"] == 21.6
+    assert obj["sf"] == 0.1
+    # per-query detail for the 24-query headline set is retained inline
+    assert set(obj["queries"]) == set(bench.HEADLINE)
+    assert obj["detail"] == "BENCH_DETAIL.json"
+    assert obj["n_queries"] == len(timings)
+
+
+def test_full_line_carries_every_timing():
+    timings = _fake_timings()
+    full, _ = bench.build_output_lines(timings, 21.6, 0.1)
+    obj = json.loads(full)
+    assert obj["queries"] == timings
+    assert obj["runs_per_headline_query"] == 2
+
+
+def test_headline_set_is_the_fixed_24():
+    # The compact line's size budget assumes the headline set stays the
+    # original 24-query set (comparability across rounds is a separate,
+    # older contract — bench.py keeps extras out of the total for the
+    # same reason). If this grows, re-check TAIL_BUDGET.
+    assert len(bench.HEADLINE) == 24

@@ -12,7 +12,10 @@ def _ref_geohash(lat, lon, precision=5):
     while len(out) < precision:
         if even:
             mid = (lon_r[0] + lon_r[1]) / 2
-            if lon > mid:
+            # '>=': boundary-exact coordinates belong to the UPPER bin —
+            # canonical geohash semantics, matching _geohash5's floor
+            # quantization (ADVICE r10: '>' diverged at exact midpoints)
+            if lon >= mid:
                 ch = (ch << 1) | 1
                 lon_r[0] = mid
             else:
@@ -20,7 +23,7 @@ def _ref_geohash(lat, lon, precision=5):
                 lon_r[1] = mid
         else:
             mid = (lat_r[0] + lat_r[1]) / 2
-            if lat > mid:
+            if lat >= mid:
                 ch = (ch << 1) | 1
                 lat_r[0] = mid
             else:

@@ -103,3 +103,19 @@ def test_registry_slice_plan_clean(spark):
          "q_tfidf_top_terms", "q_window_ranks", "q_topk_orders"]
     )
     assert flagged == {}, f"plan regressions: {flagged}"
+
+
+def test_rotating_registry_slice_plan_clean(spark):
+    """VERDICT r10 #3: a 25-query slice that ADVANCES by round number
+    (read from the newest CORRECTNESS_r*.json), so the full registry's
+    plans are machine-checked by pytest within ~29 rounds on top of the
+    full `--json` sweeps. Deterministic: the same round always audits
+    the same slice, so a failure here reproduces."""
+    from explain_audit import rotating_slice
+
+    names = rotating_slice(25)
+    assert len(names) == 25
+    stats: dict = {}
+    flagged = run_audit(exact_names=set(names), stats=stats)
+    assert stats["audited"] == 25
+    assert flagged == {}, f"plan regressions in rotating slice: {flagged}"
