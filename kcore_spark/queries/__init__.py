@@ -297,11 +297,16 @@ _MODULE_ORDER: tuple[str, ...] = (
 
 
 def _assert_module_order_complete() -> None:
-    """Every query module on disk must be registered in _MODULE_ORDER.
+    """Every extensions_* module on disk must be registered in
+    _MODULE_ORDER (minus the three adjudicated r8g re-exports).
 
-    Catches the one mistake the duplicate-name guard cannot: a new
-    extensions_* batch file committed without a registry entry, whose
-    queries would otherwise silently never reach the driver."""
+    Catches the realistic mistake the duplicate-name guard cannot: a
+    new extensions_* batch file committed without a registry entry,
+    whose queries would otherwise silently never reach the driver.
+    LIMIT: a new NON-extensions_* query module (e.g. a hypothetical
+    geo.py) is not detectable here — _KNOWN_NON_EXTENSION_MODULES is
+    derived from _MODULE_ORDER itself, so that namespace is guarded
+    only by convention: new query batches use the extensions_ prefix."""
     import os
 
     here = os.path.dirname(__file__)

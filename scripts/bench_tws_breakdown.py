@@ -80,6 +80,9 @@ def main() -> None:
             t0 = time.time()
             qs[name].spark(spark, sf_dir).collect()
             wall = time.time() - t0
+            # progress events arrive on the py4j callback thread; give
+            # the final batch's event time to land before reading/clearing
+            time.sleep(1.0)
             print(f"\n=== {name} run {run}: {wall:.2f}s  loadavg={os.getloadavg()[0]:.1f}")
             for b in cap.batches:
                 d = b["durationMs"]

@@ -709,10 +709,11 @@ def rotating_slice(k: int = 25) -> list[str]:
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rounds = [
-        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
-        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-    ]
+    rounds = []
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:  # glob is looser than the regex (e.g. *_draft.json) — skip those
+            rounds.append(int(m.group(1)))
     rnd = max(rounds, default=0)
     names = sorted(n for n in all_queries() if n not in SKIP)
     if not names:
@@ -773,6 +774,8 @@ def main() -> None:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit("usage: explain_audit.py [name_filter...] [--full] --json PATH")
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     args = [a for a in argv if not a.startswith("--")]
@@ -786,6 +789,9 @@ def main() -> None:
             "sf_dir": SF_DIR,
             "date": datetime.date.today().isoformat(),
             "name_filters": args or None,
+            # skipped/registry_total are GLOBAL figures; this flag says
+            # whether `audited` actually covered registry_total - skipped
+            "full_sweep": not args,
             **stats,
             "flagged": flagged,
         }
