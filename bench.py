@@ -300,7 +300,11 @@ def _warm_tws(spark) -> None:
 
 
 def build_output_lines(
-    timings: dict, total: float, sf: float, load_start=(0.0, 0.0, 0.0)
+    timings: dict,
+    total: float,
+    sf: float,
+    load_start=(0.0, 0.0, 0.0),
+    errors: dict | None = None,
 ) -> tuple[str, str]:
     """(full, compact) JSON lines. The COMPACT one is printed LAST.
 
@@ -326,19 +330,21 @@ def build_output_lines(
             "runs_per_headline_query": 2,
             "loadavg_start": [round(x, 2) for x in load_start],
             "loadavg_end": [round(x, 2) for x in _os.getloadavg()],
+            "errors": errors or {},
         }
     )
-    compact = _json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": {k: timings[k] for k in HEADLINE if k in timings},
-            "sf": sf,
-            "n_queries": len(timings),
-            "detail": "BENCH_DETAIL.json",
-        }
-    )
+    compact_obj = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in HEADLINE if k in timings},
+        "sf": sf,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+    }
+    if errors:  # a partial total must be visibly partial
+        compact_obj["n_errors"] = len(errors)
+    compact = _json.dumps(compact_obj)
     return full, compact
 
 
@@ -353,7 +359,10 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).selectExpr(
         "sum(cast(r_regionkey as decimal(15,2)))"
     ).collect()
-    _warm_tws(spark)
+    try:
+        _warm_tws(spark)
+    except Exception:
+        pass  # a warm-up failure surfaces in the TWS extras' own timings
     qs = all_queries()
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
@@ -363,21 +372,30 @@ def main() -> None:
     # passes, so the headline total reproduces within ~10% of an idle
     # run. The loadavg fields below let any remaining outlier be
     # attributed to machine load instead of a code change.
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         best = None
-        for _ in range(2):
-            t0 = time.time()
-            df = qs[name].spark(spark, sf_dir)
-            df.collect()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-            # per-query persisted intermediates have served their
-            # purpose once the collect returns; releasing them keeps
-            # executor storage flat across the run (the session-scoped
-            # shingle table is exempt — shared by the dedup family)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                df = qs[name].spark(spark, sf_dir)
+                df.collect()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                # per-query persisted intermediates have served their
+                # purpose once the collect returns; releasing them keeps
+                # executor storage flat across the run (the session-scoped
+                # shingle table is exempt — shared by the dedup family)
+                release_transients()
+        except Exception as e:  # one flaky query must not cost the round's
+            # whole bench record (the driver parses the final line only
+            # if the process reaches it) — record and continue
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
             release_transients()
+            if best is None:
+                continue
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     # Streaming cold numbers include one-off checkpoint creation +
@@ -386,10 +404,16 @@ def main() -> None:
     # round-over-round totals stay comparable.
     for name in ("q_stream_tumbling_counts",):
         if name in qs:
-            t0 = time.time()
-            qs[name].spark(spark, sf_dir).collect()
-            timings[f"{name}_warm"] = round(time.time() - t0, 3)
-    _bench_streaming_incremental(spark, sf_dir, timings)
+            try:
+                t0 = time.time()
+                qs[name].spark(spark, sf_dir).collect()
+                timings[f"{name}_warm"] = round(time.time() - t0, 3)
+            except Exception as e:
+                errors[f"{name}_warm"] = f"{type(e).__name__}: {str(e)[:200]}"
+    try:
+        _bench_streaming_incremental(spark, sf_dir, timings)
+    except Exception as e:
+        errors["streaming_incremental"] = f"{type(e).__name__}: {str(e)[:200]}"
     # Round-4/5 operators: reported for visibility, excluded from the
     # headline total (same reason — the total must stay comparable to
     # earlier rounds' 24-query set).
@@ -403,11 +427,17 @@ def main() -> None:
         if name in qs:
             runs = 2 if name in MIN_OF_2_EXTRAS else 1
             best = None
-            for _ in range(runs):
-                t0 = time.time()
-                qs[name].spark(spark, sf_dir).collect()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+            try:
+                for _ in range(runs):
+                    t0 = time.time()
+                    qs[name].spark(spark, sf_dir).collect()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception as e:  # same fault isolation as the headline loop
+                errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+                release_transients()
+                if best is None:
+                    continue
             timings[f"{name}_extra"] = round(best, 3)
             # same per-query release as the headline loop: without it,
             # ~40 extras accumulate persisted intermediates and the
@@ -415,7 +445,7 @@ def main() -> None:
             # 29.4s polluted vs 2.3s isolated at sf0.1 — the same
             # in-session accumulation the scaling harness hit)
             release_transients()
-    full, compact = build_output_lines(timings, total, float(sf), load_start)
+    full, compact = build_output_lines(timings, total, float(sf), load_start, errors)
     # The driver keeps only a ~2,000-char tail of stdout and parses the
     # LAST line — the full per-query dict (~170 timings, >20 KB) overflows
     # that capture and has made BENCH_r07..r10 record parsed:null. So:

@@ -68,6 +68,23 @@ def test_full_line_carries_every_timing():
     assert obj["runs_per_headline_query"] == 2
 
 
+def test_error_isolation_surfaces_in_both_lines():
+    """A flaky query must not cost the round's bench record: errors are
+    carried in the full line and counted in the compact line, and the
+    compact line still fits the driver tail in the all-errored worst
+    case."""
+    timings = _fake_timings()
+    errs = {name: "RuntimeError: boom" for name in list(timings)[:30]}
+    full, compact = bench.build_output_lines(timings, 21.6, 0.1, errors=errs)
+    assert json.loads(full)["errors"] == errs
+    cobj = json.loads(compact)
+    assert cobj["n_errors"] == 30
+    assert len(compact) <= TAIL_BUDGET
+    # no errors → no n_errors key (clean rounds look like clean rounds)
+    _, clean = bench.build_output_lines(timings, 21.6, 0.1)
+    assert "n_errors" not in json.loads(clean)
+
+
 def test_headline_set_is_the_fixed_24():
     # The compact line's size budget assumes the headline set stays the
     # original 24-query set (comparability across rounds is a separate,
