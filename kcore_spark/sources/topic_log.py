@@ -1024,8 +1024,21 @@ class TopicLog:
         into committed data). Both bounds are map-literal scan-side
         predicates, no join; partitions absent from the control file
         (foreign writers) stay unbounded."""
-        data_dir = self._topic_dir(topic) + "/data"
-        if not os.path.isdir(data_dir):
+        tdir = self._topic_dir(topic)
+        data_dir = tdir + "/data"
+        # Heal BOTH swap-crash shapes before reading (single-writer
+        # assumption, same as the whole-log window below):
+        # - data/ missing entirely — a compact()/erase_keys() crash
+        #   between its two renames;
+        # - a data.part-old-<p>-* marker present — an optimize() crash
+        #   between ITS two renames, where data/ still exists but that
+        #   partition's only complete copy is the marker. Found by
+        #   tests/test_crash_fuzz.py: without this, a reader sees a log
+        #   silently missing one partition until the next compact().
+        need_heal = not os.path.isdir(data_dir)
+        if not need_heal and os.path.isdir(tdir):
+            need_heal = any(d.startswith("data.part-old-") for d in os.listdir(tdir))
+        if need_heal:
             self._recover_compaction(topic)
         df = self.spark.read.schema(RECORD_SCHEMA).parquet(data_dir)
         starts = self._log_starts(topic)
