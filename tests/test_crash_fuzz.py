@@ -156,6 +156,62 @@ def test_erase_keys_survives_crash_at_every_mutation(spark, log, monkeypatch):
     assert n >= 2
 
 
+def test_produce_crash_is_exactly_once_at_every_mutation(spark, log, monkeypatch):
+    """Produce's commit point is the watermark flip (one os.replace).
+    Invariants, for a crash at EVERY Python-side mutation (segment-file
+    moves out of private staging, stage rmtree, control-file replaces):
+
+    1. VISIBILITY — readers see the pre-image at every crash point
+       before the flip lands, the post-image after; never a partial
+       batch (above-watermark files are invisible by the read bound).
+    2. EXACTLY-ONCE RETRY — re-running the same produce lands the batch
+       once: the crashed attempt's files are reclaimed before offsets
+       are reassigned, so no duplicate offsets survive."""
+    # dry run to count the mutation sites of one produce
+    t0 = "tp_dry"
+    log.create_topic(t0, 2)
+    log.produce(t0, _records(spark, 10), order_by=["seq"])
+    inj = _CrashInjector(monkeypatch, log.root, at=None)
+    log.produce(t0, _records(spark, 10, start=10), order_by=["seq"])
+    n_sites = inj.count
+    monkeypatch.undo()
+    assert n_sites >= 3, "expected ≥2 segment moves + the watermark flip"
+
+    for k in range(n_sites):
+        topic = f"tp_{k}"
+        log.create_topic(topic, 2)
+        log.produce(topic, _records(spark, 10), order_by=["seq"])
+        pre = _rows(log, topic)
+        batch = _records(spark, 10, start=10)
+        inj = _CrashInjector(monkeypatch, log.root, at=k)
+        crashed = False
+        try:
+            log.produce(topic, batch, order_by=["seq"])
+        except _InjectedCrash:
+            crashed = True
+        monkeypatch.undo()
+        got = _rows(log, topic)
+        if crashed:
+            # visibility: either nothing landed (pre-flip crash) or the
+            # whole batch did (the flip was the crashed-past point)
+            assert got == pre or len(got) == len(pre) + 10, (
+                f"crash at mutation {k}: partial batch visible "
+                f"({len(got)} rows; pre={len(pre)})"
+            )
+        if len(got) == len(pre):
+            # retry: exactly once — 10 new rows, dense offsets, no dups
+            log.produce(topic, batch, order_by=["seq"])
+            got = _rows(log, topic)
+        assert len(got) == len(pre) + 10, f"crash at {k}: retry lost/duplicated rows"
+        per_part: dict[int, list[int]] = {}
+        for p, o, _, _ in got:
+            per_part.setdefault(p, []).append(o)
+        for p, offs in per_part.items():
+            assert offs == list(range(len(offs))), (
+                f"crash at {k}: partition {p} offsets not dense: {offs}"
+            )
+
+
 def test_optimize_survives_crash_at_every_mutation(spark, log, monkeypatch):
     def setup(topic):
         log.create_topic(topic, 2)
