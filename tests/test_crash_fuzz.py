@@ -59,11 +59,18 @@ def _rows(log, topic):
 
 
 class _CrashInjector:
-    """Intercept filesystem mutations under `scope`; raise on the at-th."""
+    """Intercept filesystem mutations under `scope` (a prefix or tuple
+    of prefixes); raise on the at-th."""
 
-    def __init__(self, monkeypatch, scope: str, at: int | None):
-        self.scope, self.at, self.count = scope, at, 0
-        for mod, name in ((os, "rename"), (os, "replace"), (shutil, "rmtree")):
+    def __init__(self, monkeypatch, scope, at: int | None):
+        self.scope = tuple([scope] if isinstance(scope, str) else scope)
+        self.at, self.count = at, 0
+        for mod, name in (
+            (os, "rename"),
+            (os, "replace"),
+            (os, "remove"),
+            (shutil, "rmtree"),
+        ):
             monkeypatch.setattr(mod, name, self._wrap(getattr(mod, name)))
 
     def _wrap(self, real):
@@ -210,6 +217,101 @@ def test_produce_crash_is_exactly_once_at_every_mutation(spark, log, monkeypatch
             assert offs == list(range(len(offs))), (
                 f"crash at {k}: partition {p} offsets not dense: {offs}"
             )
+
+
+def test_truncate_to_archive_crash_never_loses_or_resurrects(spark, monkeypatch):
+    """truncate_before with an archive tier (the KIP-405 archive-then-
+    delete shape). Crash at every mutation (log-start replace, per-file
+    archive os.replace, manifest replace); invariants:
+
+    1. scan() shows the pre-image or the post-image (log-start commit is
+       the visibility point) — truncated offsets are never resurrected,
+       surviving offsets never lost.
+    2. hot tier ∪ archive tier always holds every pre-image record —
+       archive-then-delete can lose nothing, at any crash point.
+    3. a retry lands the post-image with the truncated rows archived."""
+    import tempfile as _tf
+
+    KEEP = 5  # first offset to keep per partition
+
+    with _tf.TemporaryDirectory(prefix="kcore_fuzz_hot_") as hot, _tf.TemporaryDirectory(
+        prefix="kcore_fuzz_cold_"
+    ) as cold:
+        log = TopicLog(spark, hot, archive_root=cold)
+
+        def archived(topic):
+            try:
+                return sorted(
+                    (r.partition, r.offset, bytes(r.key) if r.key is not None else None,
+                     bytes(r.value))
+                    for r in log.scan_archive(topic).collect()
+                )
+            except Exception:
+                return []  # nothing archived yet
+
+        def raw_hot(topic):
+            # physical hot-tier content, BYPASSING the log-start filter:
+            # rows below the boundary inside straddling segments are
+            # logically truncated but must still be physically present
+            # (only wholly-below-boundary FILES are archived/deleted)
+            d = log._topic_dir(topic) + "/data"
+            return sorted(
+                (r.partition, r.offset, bytes(r.key) if r.key is not None else None,
+                 bytes(r.value))
+                for r in spark.read.parquet(d)
+                .select("partition", "offset", "key", "value")
+                .collect()
+            )
+
+        def setup(topic):
+            log.create_topic(topic, 2)
+            # several small produces → multiple segments per partition,
+            # so some files fall wholly below the boundary
+            for i in range(4):
+                log.produce(topic, _records(spark, 6, start=6 * i), order_by=["seq"])
+            pre = _rows(log, topic)
+            post = sorted(r for r in pre if r[1] >= KEEP)
+            return pre, post
+
+        def op(topic):
+            log.truncate_before(topic, {0: KEEP, 1: KEEP})
+
+        # dry run
+        t0 = "ta_dry"
+        pre, post = setup(t0)
+        inj = _CrashInjector(monkeypatch, (hot, cold), at=None)
+        op(t0)
+        n_sites = inj.count
+        monkeypatch.undo()
+        assert _rows(log, t0) == post
+        assert n_sites >= 2, "expected the log-start replace + ≥1 archive move"
+
+        for k in range(n_sites):
+            topic = f"ta_{k}"
+            pre, post = setup(topic)
+            inj = _CrashInjector(monkeypatch, (hot, cold), at=k)
+            with pytest.raises(_InjectedCrash):
+                op(topic)
+            monkeypatch.undo()
+            got = _rows(log, topic)
+            assert got in (pre, post), (
+                f"crash at {k}: scan shows neither pre nor post ({len(got)} rows)"
+            )
+            # PHYSICAL no-loss: raw hot tier ∪ archive always holds every
+            # pre-image record, at every crash point (archive-then-delete)
+            union = set(raw_hot(topic)) | set(archived(topic))
+            assert union == set(pre), (
+                f"crash at {k}: records physically lost across tiers "
+                f"(missing: {sorted(set(pre) - union)[:3]})"
+            )
+            op(topic)  # retry heals
+            assert _rows(log, topic) == post, f"crash at {k}: retry wrong"
+            union = set(raw_hot(topic)) | set(archived(topic))
+            assert union == set(pre), (
+                f"crash at {k}: archive-then-delete lost records after retry"
+            )
+            # archived rows are only ever truncated rows
+            assert all(o < KEEP for _, o, _, _ in archived(topic))
 
 
 def test_optimize_survives_crash_at_every_mutation(spark, log, monkeypatch):
