@@ -548,7 +548,22 @@ class TopicLog:
         if self.archive_root is None:
             return None
         d = os.path.join(self.archive_root, topic)
-        if not os.path.isdir(d) or not os.listdir(d):
+        if not os.path.isdir(d):
+            # heal a crashed cold-tier erasure swap before declaring the
+            # archive empty: a crash between erase_keys()' two cold
+            # renames leaves the only complete copy in <topic>.old-*
+            # (same torn-read class tests/test_crash_fuzz.py caught on
+            # the hot tier's optimize markers)
+            olds = sorted(
+                x
+                for x in (os.listdir(self.archive_root) if os.path.isdir(self.archive_root) else [])
+                if x.startswith(topic + ".old-")
+            )
+            if olds:
+                os.rename(os.path.join(self.archive_root, olds[0]), d)
+            else:
+                return None
+        if not os.listdir(d):
             return None
         return self.spark.read.parquet(d)
 

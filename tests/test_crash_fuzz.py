@@ -314,6 +314,77 @@ def test_truncate_to_archive_crash_never_loses_or_resurrects(spark, monkeypatch)
             assert all(o < KEEP for _, o, _, _ in archived(topic))
 
 
+def test_erase_keys_two_tier_crash_at_every_mutation(spark, monkeypatch):
+    """GDPR erasure across BOTH tiers: erase_keys() rewrites the hot log
+    AND the archive ("erasure that skipped cold segments wouldn't be
+    erasure"). Crash at every mutation of the two chained swaps;
+    invariants:
+
+    1. each tier independently shows a complete pre- or post-image at
+       every crash point (never torn);
+    2. retrying the erasure completes it: the key is gone from BOTH
+       tiers, every other record survives in exactly one tier."""
+    import tempfile as _tf
+
+    gone = b"k3"
+
+    with _tf.TemporaryDirectory(prefix="kcore_fuzz_hot2_") as hot, _tf.TemporaryDirectory(
+        prefix="kcore_fuzz_cold2_"
+    ) as cold:
+        log = TopicLog(spark, hot, archive_root=cold)
+
+        def tier_rows(df):
+            return sorted(
+                (r.partition, r.offset, bytes(r.key) if r.key is not None else None,
+                 bytes(r.value))
+                for r in df.select("partition", "offset", "key", "value").collect()
+            )
+
+        def setup(topic):
+            log.create_topic(topic, 2)
+            for i in range(4):
+                log.produce(topic, _records(spark, 6, start=6 * i), order_by=["seq"])
+            # push the oldest segments to the archive so both tiers hold
+            # copies of the erased key
+            log.truncate_before(topic, {0: 5, 1: 5})
+            hot_pre = tier_rows(log.scan(topic))
+            cold_pre = tier_rows(log.scan_archive(topic))
+            assert any(k == gone for _, _, k, _ in cold_pre), "fixture: key must be cold too"
+            hot_post = sorted(r for r in hot_pre if r[2] != gone)
+            cold_post = sorted(r for r in cold_pre if r[2] != gone)
+            return hot_pre, cold_pre, hot_post, cold_post
+
+        # dry run
+        t0 = "tg_dry"
+        hot_pre, cold_pre, hot_post, cold_post = setup(t0)
+        inj = _CrashInjector(monkeypatch, (hot, cold), at=None)
+        log.erase_keys(t0, [gone])
+        n_sites = inj.count
+        monkeypatch.undo()
+        assert tier_rows(log.scan(t0)) == hot_post
+        assert tier_rows(log.scan_archive(t0)) == cold_post
+        assert n_sites >= 4, "expected two swaps of two renames each"
+
+        for k in range(n_sites):
+            topic = f"tg_{k}"
+            hot_pre, cold_pre, hot_post, cold_post = setup(topic)
+            inj = _CrashInjector(monkeypatch, (hot, cold), at=k)
+            with pytest.raises(_InjectedCrash):
+                log.erase_keys(topic, [gone])
+            monkeypatch.undo()
+            got_hot = tier_rows(log.scan(topic))
+            got_cold = tier_rows(log.scan_archive(topic))
+            assert got_hot in (hot_pre, hot_post), f"crash at {k}: torn hot tier"
+            assert got_cold in (cold_pre, cold_post), f"crash at {k}: torn archive"
+            # retry completes the erasure everywhere
+            log.erase_keys(topic, [gone])
+            assert tier_rows(log.scan(topic)) == hot_post, f"crash at {k}: hot retry"
+            assert tier_rows(log.scan_archive(topic)) == cold_post, (
+                f"crash at {k}: key survived in the archive after retry"
+            )
+            _no_debris(log, topic)
+
+
 def test_optimize_survives_crash_at_every_mutation(spark, log, monkeypatch):
     def setup(topic):
         log.create_topic(topic, 2)

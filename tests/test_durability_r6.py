@@ -146,10 +146,15 @@ def test_archive_erase_swap_healed(spark):
         # crash state: archive dir renamed aside, erase tmp half-written
         os.rename(adir, adir + ".old-deadbeef")
         os.makedirs(adir + ".erase.cafe")
-        assert log.scan_archive("t") is None  # cold tier invisible pre-heal
-        log._recover_compaction("t")
+        # r11: scan_archive heals the swap window TRANSPARENTLY (it used
+        # to return None until the next erase/compact ran recovery — the
+        # same reader-invisibility class the crash fuzz caught on the
+        # hot tier's optimize markers)
         assert log.scan_archive("t").count() == n_cold
         assert not os.path.exists(adir + ".old-deadbeef")
+        # staging debris is cleaned by full recovery, not the read path
+        log._recover_compaction("t")
+        assert log.scan_archive("t").count() == n_cold
         assert not os.path.exists(adir + ".erase.cafe")
 
 
