@@ -385,6 +385,54 @@ def test_erase_keys_two_tier_crash_at_every_mutation(spark, monkeypatch):
             _no_debris(log, topic)
 
 
+def test_compact_offsets_crash_preserves_committed_view(spark, log, monkeypatch):
+    """The consumer-offsets cleaner claims crash safety by write-then-
+    delete ordering + last-writer-wins reads. Crash at every os.remove
+    of the delete phase: fetch_offsets must return the identical
+    committed view at every crash point (duplicates resolve by
+    commit_seq), and a retry converges the directory to one file per
+    (group, topic, partition)."""
+    log.create_topic("t", 2)
+    log.produce("t", _records(spark, 10), order_by=["seq"])
+
+    def committed():
+        return {
+            (g, r.partition): r.committed_offset
+            for g in ("g1", "g2")
+            for r in log.fetch_offsets(g).collect()
+        }
+
+    def seed():
+        for g in ("g1", "g2"):
+            for p in (0, 1):
+                for off in (1, 3, 2):  # last-writer-wins on seq, not value
+                    log.commit_offset(g, "t", p, off)
+
+    seed()
+    want = committed()
+    assert want == {("g1", 0): 2, ("g1", 1): 2, ("g2", 0): 2, ("g2", 1): 2}
+    # dry run to count delete-phase mutations
+    inj = _CrashInjector(monkeypatch, log.root, at=None)
+    log.compact_offsets()
+    n_sites = inj.count
+    monkeypatch.undo()
+    assert committed() == want
+    assert n_sites >= 4, "expected one delete per superseded commit file"
+
+    for k in range(n_sites):
+        seed()  # add fresh duplicates so the cleaner has work again
+        want_k = committed()
+        inj = _CrashInjector(monkeypatch, log.root, at=k)
+        with pytest.raises(_InjectedCrash):
+            log.compact_offsets()
+        monkeypatch.undo()
+        assert committed() == want_k, f"crash at delete {k}: committed view changed"
+        log.compact_offsets()  # retry converges
+        assert committed() == want_k, f"crash at delete {k}: retry changed the view"
+    _, after = log.compact_offsets()
+    assert after in (0, 4) or after <= 4  # ≤ one file per (group, partition)
+
+
 def test_optimize_survives_crash_at_every_mutation(spark, log, monkeypatch):
     def setup(topic):
         log.create_topic(topic, 2)
