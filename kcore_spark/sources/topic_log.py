@@ -1025,6 +1025,25 @@ class TopicLog:
 
     # ------------------------------------------------------ fetch / offsets
 
+    def _heal_if_swap_marked(self, topic: str) -> None:
+        """Heal BOTH swap-crash shapes before a read plans against the
+        hot tier (single-writer assumption):
+        - data/ missing entirely — a compact()/erase_keys() crash
+          between its two renames;
+        - a data.part-old-<p>-* marker present — an optimize() crash
+          between ITS two renames, where data/ still exists but that
+          partition's only complete copy is the marker.
+        Found by tests/test_crash_fuzz.py: without this, scan() showed a
+        log silently missing one partition, and fetch()'s stale-manifest
+        re-plan persisted a manifest omitting it. Cost when healthy: one
+        listdir."""
+        tdir = self._topic_dir(topic)
+        need_heal = not os.path.isdir(tdir + "/data")
+        if not need_heal and os.path.isdir(tdir):
+            need_heal = any(d.startswith("data.part-old-") for d in os.listdir(tdir))
+        if need_heal:
+            self._recover_compaction(topic)
+
     def scan(self, topic: str) -> DataFrame:
         """Full-log scan (batch); partition column from the dir layout.
         Records below a partition's log start offset (truncated via
@@ -1039,22 +1058,8 @@ class TopicLog:
         into committed data). Both bounds are map-literal scan-side
         predicates, no join; partitions absent from the control file
         (foreign writers) stay unbounded."""
-        tdir = self._topic_dir(topic)
-        data_dir = tdir + "/data"
-        # Heal BOTH swap-crash shapes before reading (single-writer
-        # assumption, same as the whole-log window below):
-        # - data/ missing entirely — a compact()/erase_keys() crash
-        #   between its two renames;
-        # - a data.part-old-<p>-* marker present — an optimize() crash
-        #   between ITS two renames, where data/ still exists but that
-        #   partition's only complete copy is the marker. Found by
-        #   tests/test_crash_fuzz.py: without this, a reader sees a log
-        #   silently missing one partition until the next compact().
-        need_heal = not os.path.isdir(data_dir)
-        if not need_heal and os.path.isdir(tdir):
-            need_heal = any(d.startswith("data.part-old-") for d in os.listdir(tdir))
-        if need_heal:
-            self._recover_compaction(topic)
+        data_dir = self._topic_dir(topic) + "/data"
+        self._heal_if_swap_marked(topic)
         df = self.spark.read.schema(RECORD_SCHEMA).parquet(data_dir)
         starts = self._log_starts(topic)
         if any(v > 0 for v in starts.values()):
@@ -1118,8 +1123,13 @@ class TopicLog:
             return self.spark.createDataFrame([], RECORD_SCHEMA)
         files = self._manifest_files(topic, partition, start_offset, end)
         if files is not None and any(not os.path.exists(f) for f in files):
-            # stale manifest (read concurrently with a compaction swap):
-            # re-plan from a fresh index rather than failing mid-scan
+            # stale manifest (read concurrently with a compaction swap)
+            # OR a crashed swap left the partition's only copy in a
+            # marker dir: heal FIRST, then re-plan from a fresh index.
+            # Refreshing without healing would persist a manifest that
+            # omits the partition and return an empty fetch
+            # (tests/test_crash_fuzz.py::test_fetch_* pins this).
+            self._heal_if_swap_marked(topic)
             self._refresh_manifest(topic)
             files = self._manifest_files(topic, partition, start_offset, end)
         if files is None:

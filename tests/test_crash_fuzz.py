@@ -450,3 +450,24 @@ def test_optimize_survives_crash_at_every_mutation(spark, log, monkeypatch):
     # "content never changes"; invariant 2 still proves marker healing.
     n = _fuzz(spark, log, "to", setup, op, monkeypatch)
     assert n >= 2
+
+
+def test_fetch_heals_optimize_marker_window(spark, log, monkeypatch):
+    """fetch() plans from the manifest; in the optimize crash window the
+    manifest's files for the swapped partition are gone and the only
+    complete copy is the data.part-old-<p>-* marker. The stale-manifest
+    branch must HEAL before re-planning — refreshing the manifest
+    against the torn data/ would persist an index that omits the
+    partition and return an empty fetch (found by driving fetch through
+    the same window the optimize fuzz exercises via scan)."""
+    import uuid
+
+    log.create_topic("t", 2)
+    log.produce("t", _records(spark, 12), order_by=["seq"])
+    pre = log.fetch("t", 0, 0, 100).count()
+    assert pre > 0
+    tdir = log._topic_dir("t")
+    live = os.path.join(tdir, "data", "partition=0")
+    os.rename(live, os.path.join(tdir, f"data.part-old-0-{uuid.uuid4().hex}"))
+    assert log.fetch("t", 0, 0, 100).count() == pre, "fetch saw a torn partition"
+    _no_debris(log, "t")
