@@ -190,3 +190,32 @@ def test_truncated_and_garbage_payloads_never_crash_dispatch():
                     raise AssertionError(
                         f"api {key} v{version} crashed on {payload!r}: {e!r}"
                     ) from e
+
+
+def test_random_bodies_never_crash_dispatch():
+    """Seeded random-byte bodies at every advertised (api_key, top
+    version): beyond the hand-crafted shapes above, arbitrary garbage —
+    random lengths, random content, random truncation of an otherwise
+    plausible header — must yield an error response or None, never an
+    exception. Deterministic (fixed seed) so any failure reproduces."""
+    import random
+    import struct
+
+    from kcore_spark.protocol.server import KafkaFrontend
+
+    rng = random.Random(0xC0FFEE)
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("t", 1)
+    for key, lo, hi in wire.SUPPORTED_APIS:
+        header = struct.pack(">hhi", key, hi, 1) + b"\x00\x03fuz"
+        for _ in range(40):
+            body = rng.randbytes(rng.randint(0, 96))
+            payload = header + body
+            if rng.random() < 0.25:  # random truncation incl. mid-header
+                payload = payload[: rng.randint(0, len(payload))]
+            try:
+                fe.handle_request(payload)
+            except Exception as e:  # noqa: BLE001 - the assertion
+                raise AssertionError(
+                    f"api {key} v{hi} crashed on random body {payload!r}: {e!r}"
+                ) from e
