@@ -17,6 +17,7 @@ from-scratch public-spec codec these handlers sit on.
 
 from __future__ import annotations
 
+import struct
 from dataclasses import dataclass, field
 
 from kcore_spark.protocol import wire
@@ -807,10 +808,24 @@ def handle_produce(log: WireLog, payload: bytes, authorize=None, throttle_ms: in
             try:
                 _base, records, _ = decode_record_batch(p.batch)
                 pid, epoch, base_seq, n_recs, transactional = batch_producer_info(p.batch)
-            except (ValueError, IndexError, KeyError, MemoryError, OSError):
+            except (
+                ValueError,
+                IndexError,
+                KeyError,
+                MemoryError,
+                OSError,
+                struct.error,
+                UnicodeDecodeError,
+            ):
                 # MemoryError/OSError: a crafted compressed block can
-                # still make a codec over-allocate or fail mid-stream;
-                # that is corrupt input, not a broker crash
+                # still make a codec over-allocate or fail mid-stream.
+                # struct.error: a truncated batch fails unpack_from
+                # (fuzz-found: ~12% of random mutations escaped the old
+                # tuple and killed the whole request instead of erroring
+                # the one partition). UnicodeDecodeError: garbage header
+                # keys. All corrupt input, not a broker crash — the
+                # partition gets CORRUPT_MESSAGE, the rest of the
+                # request proceeds, as a real broker answers.
                 part_results.append((p.index, wire.ERR_CORRUPT_MESSAGE, -1))
                 continue
             if transactional and log.producer_epoch(pid) != epoch:
