@@ -395,7 +395,11 @@ class TopicLogWriter(DataSourceWriter):
                 f"topic {self.topic!r} declares {n_parts} partitions; "
                 f"staged rows target partition(s) {bad}"
             )
-        from kcore_spark.sources.topic_log import flip_lock, partition_commit_locks
+        from kcore_spark.sources.topic_log import (
+            flip_lock,
+            partition_commit_locks,
+            reclaim_uncommitted_files,
+        )
 
         # Cross-process commit locks for exactly the partitions this job
         # staged (known precisely at commit time): the read-watermark ->
@@ -408,6 +412,14 @@ class TopicLogWriter(DataSourceWriter):
         for e in entries:
             by_part.setdefault(e[0], []).append(e)
         with partition_commit_locks(self.tdir, by_part.keys()):
+            # Reclaim a crashed predecessor's above-watermark segments on
+            # OUR partitions BEFORE assigning offsets from the watermark
+            # — exactly what TopicLog.produce does. Without it, a commit
+            # that crashed between the segment writes and the flip,
+            # retried by the user, re-lands the same offset range next
+            # to the crashed attempt's files and the retry's flip
+            # publishes BOTH (duplicate offsets; fuzz-found r11).
+            reclaim_uncommitted_files(self.tdir, set(by_part.keys()))
             wm_path = os.path.join(self.tdir, "_watermarks.json")
             try:
                 with open(wm_path) as f:

@@ -137,6 +137,101 @@ def flip_lock(topic_dir: str):
         os.close(fd)
 
 
+def reclaim_uncommitted_files(tdir: str, partitions: set[int] | None = None) -> int:
+    """Spark-free core of TopicLog._reclaim_uncommitted (see that
+    method's docstring for the full contract): delete segment files
+    whose offsets lie entirely at/after the committed watermark —
+    debris from a write that crashed between the parquet append and the
+    watermark flip. Module-level and pure-pyarrow so the kcore_topic
+    DataSource writer's driver-side commit (which runs in the
+    data-source Python runner WITHOUT a Spark session) can run the same
+    reclaim under the same partition commit locks before it assigns
+    offsets from the watermark — without it, a crashed pyds commit
+    retried by the user re-lands the same offset range next to the
+    crashed attempt's segments and the retry's flip publishes BOTH
+    (fuzz-found: 6 duplicate (partition, offset) pairs on a 6-row
+    batch)."""
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(tdir, "data")
+    if not os.path.isdir(data_dir):
+        return 0
+    try:
+        with open(os.path.join(tdir, "_watermarks.json")) as f:
+            raw = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return 0
+    wm = {int(k): int(v) for k, v in raw.items() if not str(k).startswith("__")}
+    try:
+        with open(os.path.join(tdir, "_manifest.json")) as f:
+            man = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        man = {}
+    # Manifest membership is NOT proof of committed: the pyds writer
+    # flips manifest-first-watermark-last, and _refresh_manifest racing
+    # an uncommitted produce indexes its files too (fetch() tolerates
+    # that via its watermark clamp). So the manifest's min offset is
+    # used as cheap EVIDENCE (no footer read) on the same lo >= hi test
+    # as unindexed files — the old indexed⇒skip shortcut let a crashed
+    # pyds commit's segments survive reclaim and duplicate offsets on
+    # retry (fuzz-found r11).
+    man_min = {
+        e["file"]: int(e["min"]) for entries in man.values() for e in entries
+    }
+    removed = 0
+    removed_rels: set[str] = set()
+    for pdir in os.listdir(data_dir):
+        if not pdir.startswith("partition="):
+            continue
+        pnum = int(pdir.split("=", 1)[1])
+        if partitions is not None and pnum not in partitions:
+            continue
+        hi = wm.get(pnum)
+        if hi is None:
+            continue
+        for fn in os.listdir(os.path.join(data_dir, pdir)):
+            rel = f"{pdir}/{fn}"
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(data_dir, rel)
+            lo = man_min.get(rel)
+            if lo is None:
+                md = pq.ParquetFile(path).metadata
+                cols = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(cols["offset"]).statistics
+                    if st is None or not st.has_min_max:
+                        lo = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+            if lo is not None and lo >= hi:
+                os.remove(path)
+                removed += 1
+                if rel in man_min:
+                    removed_rels.add(rel)
+    if removed_rels:
+        # scrub the stale entries so fetch planning never hands out the
+        # deleted paths; the manifest is shared across partitions, so
+        # the read-modify-replace runs under the flip lock
+        with flip_lock(tdir):
+            try:
+                with open(os.path.join(tdir, "_manifest.json")) as f:
+                    man = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                man = {}
+            man = {
+                pdir: [e for e in entries if e["file"] not in removed_rels]
+                for pdir, entries in man.items()
+            }
+            tmp = os.path.join(tdir, f"_manifest.json.tmp.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            os.replace(tmp, os.path.join(tdir, "_manifest.json"))
+    return removed
+
+
 @dataclass
 class TopicMeta:
     name: str
@@ -885,50 +980,7 @@ class TopicLog:
         offset stats are left alone (can't prove them uncommitted —
         the read-side watermark bound still hides any uncommitted rows
         they hold)."""
-        import pyarrow.parquet as pq
-
-        data_dir = self._topic_dir(topic) + "/data"
-        if not os.path.isdir(data_dir):
-            return 0
-        try:
-            wm = self._watermarks(topic)
-        except FileNotFoundError:
-            return 0
-        known = {
-            e["file"]
-            for entries in self._load_manifest(topic).values()
-            for e in entries
-        }
-        removed = 0
-        for pdir in os.listdir(data_dir):
-            if not pdir.startswith("partition="):
-                continue
-            pnum = int(pdir.split("=", 1)[1])
-            if partitions is not None and pnum not in partitions:
-                continue
-            hi = wm.get(pnum)
-            if hi is None:
-                continue
-            for fn in os.listdir(os.path.join(data_dir, pdir)):
-                rel = f"{pdir}/{fn}"
-                if not fn.endswith(".parquet") or rel in known:
-                    continue
-                path = os.path.join(data_dir, rel)
-                md = pq.ParquetFile(path).metadata
-                cols = {
-                    md.schema.column(i).name: i for i in range(md.num_columns)
-                }
-                lo = None
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(cols["offset"]).statistics
-                    if st is None or not st.has_min_max:
-                        lo = None
-                        break
-                    lo = st.min if lo is None else min(lo, st.min)
-                if lo is not None and lo >= hi:
-                    os.remove(path)
-                    removed += 1
-        return removed
+        return reclaim_uncommitted_files(self._topic_dir(topic), partitions)
 
     def _write_and_advance(
         self,

@@ -452,6 +452,100 @@ def test_optimize_survives_crash_at_every_mutation(spark, log, monkeypatch):
     assert n >= 2
 
 
+def test_pyds_commit_crash_is_exactly_once_at_every_mutation(spark, log, monkeypatch):
+    """The kcore_topic DataSource writer's driver-side commit, crashed
+    at every filesystem mutation (segment copies land via pyarrow
+    writes; interceptable mutations are the manifest replace, the
+    watermark flip, and the staging rmtree). Invariants:
+
+    1. VISIBILITY — scan() shows the pre-image at every crash point
+       before the watermark flip, the full batch after it; never a
+       partial batch. fetch() plans correctly either way.
+    2. EXACTLY-ONCE RETRY — a fresh write job (new writer, as Spark
+       retries) lands the batch once with dense per-partition offsets.
+       This was bug #5 of the round: the crash lands AFTER the manifest
+       replace, so the crashed segments were manifest-indexed and the
+       reclaim's indexed⇒committed shortcut skipped them — the retry's
+       flip then published BOTH copies (6 duplicate offsets on a 6-row
+       batch). reclaim_uncommitted_files now treats the manifest min
+       offset as evidence on the same lo >= hi test and scrubs the
+       stale entries."""
+    import datetime
+
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from kcore_spark.sources.pyds import TopicLogWriter
+
+    schema = StructType(
+        [
+            StructField("key", BinaryType()),
+            StructField("value", BinaryType()),
+            StructField("timestamp", TimestampType()),
+            StructField("part", IntegerType()),
+            StructField("seq", LongType()),
+        ]
+    )
+    ts = datetime.datetime(2024, 1, 1)
+    batch = [(f"k{i}".encode(), f"v{i}".encode(), ts, i % 2, i) for i in range(6)]
+
+    def run_job(topic):
+        w = TopicLogWriter({"root": log.root, "topic": topic}, schema)
+        w.commit([w.write(iter(batch))])
+
+    def setup(topic):
+        log.create_topic(topic, 2)
+        log.produce(topic, _records(spark, 4), order_by=["seq"])
+        return _rows(log, topic)
+
+    # dry run: count commit-phase mutations
+    t0 = "tw_dry"
+    pre = setup(t0)
+    inj = _CrashInjector(monkeypatch, log.root, at=None)
+    run_job(t0)
+    n_sites = inj.count
+    monkeypatch.undo()
+    assert len(_rows(log, t0)) == len(pre) + 6
+    assert n_sites >= 3, "expected manifest replace + wm flip + staging rmtree"
+
+    for k in range(n_sites):
+        topic = f"tw_{k}"
+        pre = setup(topic)
+        inj = _CrashInjector(monkeypatch, log.root, at=k)
+        crashed = False
+        try:
+            run_job(topic)
+        except _InjectedCrash:
+            crashed = True
+        monkeypatch.undo()
+        got = _rows(log, topic)
+        if crashed:
+            assert got == pre or len(got) == len(pre) + 6, (
+                f"crash at {k}: partial batch visible"
+            )
+        if len(got) == len(pre):
+            run_job(topic)  # Spark-style retry: a fresh writer/job
+            got = _rows(log, topic)
+        assert len(got) == len(pre) + 6, f"crash at {k}: retry lost/duplicated rows"
+        per_part: dict[int, list[int]] = {}
+        for p, o, _, _ in got:
+            per_part.setdefault(p, []).append(o)
+        for p, offs in per_part.items():
+            assert offs == list(range(len(offs))), (
+                f"crash at {k}: partition {p} offsets not dense: {offs}"
+            )
+            # fetch plans from the (scrubbed) manifest: full range served
+            assert log.fetch(topic, p, 0, 100).count() == len(offs), (
+                f"crash at {k}: fetch undercounts partition {p}"
+            )
+
+
 def test_fetch_heals_optimize_marker_window(spark, log, monkeypatch):
     """fetch() plans from the manifest; in the optimize crash window the
     manifest's files for the swapped partition are gone and the only
