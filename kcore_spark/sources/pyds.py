@@ -453,7 +453,20 @@ class TopicLogWriter(DataSourceWriter):
                     )
                     rel = f"partition={p}/part-w-{_uuid.uuid4().hex}.parquet"
                     seg = os.path.join(data_dir, rel)
-                    pq.write_table(out, seg)
+                    # stage-then-atomic-rename: a commit that dies mid
+                    # pq.write_table must never leave a truncated
+                    # .parquet in data/ — readers scan the directory,
+                    # and the retry's reclaim pass would otherwise trip
+                    # on the unreadable footer (ADVICE r11). The
+                    # dot-prefixed .tmp name is invisible to Spark's
+                    # directory scan and reclaimed as debris by
+                    # reclaim_uncommitted_files if we crash before the
+                    # os.replace.
+                    tmp_seg = os.path.join(
+                        os.path.dirname(seg), f".{os.path.basename(seg)}.tmp"
+                    )
+                    pq.write_table(out, tmp_seg)
+                    os.replace(tmp_seg, seg)
                     ts = t["timestamp"]
                     entry = {
                         "file": rel,

@@ -114,6 +114,35 @@ def partition_commit_locks(topic_dir: str, partitions):
 
 
 @contextlib.contextmanager
+def maintenance_lock(topic_dir: str):
+    """Cross-process lock serializing swap-protocol MAINTENANCE on one
+    topic: compact()/optimize()/erase_keys() hold it across their whole
+    body (their swap windows legitimately leave data.old-* /
+    data.part-old-* markers and opt.* staging dirs on disk), and the
+    read path's crash healing (_heal_if_swap_marked, scan_archive)
+    takes it before running _recover_compaction. Without it a reader
+    that merely OBSERVES a healthy optimize's marker window would
+    "heal" a live writer — rmtree its staging dir mid-write or restore
+    a marker it is about to delete (ADVICE r11). Readers double-check
+    the crash evidence AFTER acquiring the lock, so blocking on a live
+    maintenance pass degrades to a no-op once it finishes.
+
+    Lock order: thread mutate lock → partition commit locks → THIS →
+    flip lock. Not reentrant (flock blocks a second fd even in-process);
+    _recover_compaction itself never acquires it — callers do."""
+    import fcntl
+
+    os.makedirs(topic_dir, exist_ok=True)
+    fd = os.open(os.path.join(topic_dir, "_maint.lock"), os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+@contextlib.contextmanager
 def flip_lock(topic_dir: str):
     """Short cross-process lock guarding read-merge-replace updates of
     the topic's SHARED control files (_watermarks.json,
@@ -151,6 +180,7 @@ def reclaim_uncommitted_files(tdir: str, partitions: set[int] | None = None) -> 
     crashed attempt's segments and the retry's flip publishes BOTH
     (fuzz-found: 6 duplicate (partition, offset) pairs on a 6-row
     batch)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     data_dir = os.path.join(tdir, "data")
@@ -191,21 +221,44 @@ def reclaim_uncommitted_files(tdir: str, partitions: set[int] | None = None) -> 
             continue
         for fn in os.listdir(os.path.join(data_dir, pdir)):
             rel = f"{pdir}/{fn}"
+            path = os.path.join(data_dir, rel)
+            if fn.startswith(".") and fn.endswith(".tmp"):
+                # a staged segment a writer was building when it died:
+                # invisible to readers (dot-prefixed) and never renamed
+                # into place, so under the held partition lock it is
+                # unowned debris — no live writer can be mid-write here
+                os.remove(path)
+                continue
             if not fn.endswith(".parquet"):
                 continue
-            path = os.path.join(data_dir, rel)
             lo = man_min.get(rel)
             if lo is None:
-                md = pq.ParquetFile(path).metadata
-                cols = {
-                    md.schema.column(i).name: i for i in range(md.num_columns)
-                }
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(cols["offset"]).statistics
-                    if st is None or not st.has_min_max:
-                        lo = None
-                        break
-                    lo = st.min if lo is None else min(lo, st.min)
+                try:
+                    md = pq.ParquetFile(path).metadata
+                    cols = {
+                        md.schema.column(i).name: i
+                        for i in range(md.num_columns)
+                    }
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(cols["offset"]).statistics
+                        if st is None or not st.has_min_max:
+                            lo = None
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                except (OSError, pa.ArrowInvalid):
+                    # unindexed AND unreadable: provably crash debris
+                    # under the held partition lock — every committed
+                    # segment was either manifest-indexed (skipped
+                    # above, no footer read) or written whole before
+                    # its watermark flip, and no live writer can be
+                    # mid-write on a partition we hold the commit lock
+                    # for. Without this, one truncated segment from a
+                    # crashed pq.write_table poisoned every later
+                    # commit AND scan on the partition with
+                    # ArrowInvalid (ADVICE r11).
+                    os.remove(path)
+                    removed += 1
+                    continue
             if lo is not None and lo >= hi:
                 os.remove(path)
                 removed += 1
@@ -296,6 +349,24 @@ class TopicLog:
         def inner(self, topic, *a, **k):
             n = self.topic_meta(topic).num_partitions
             with partition_commit_locks(self._topic_dir(topic), range(n)):
+                return fn(self, topic, *a, **k)
+
+        return inner
+
+    def _maint_locked(fn):  # noqa: N805 - descriptor-style decorator
+        """Hold the topic's cross-process maintenance lock for the whole
+        body (see maintenance_lock): the swap markers these operations
+        create mid-flight are indistinguishable from crash debris, so
+        the read path's healer must be excluded until the op finishes.
+        Stacked UNDER @_commit_locked (lock order: partitions, then
+        maintenance). The decorated body may call _recover_compaction
+        directly but must never re-enter another @_maint_locked method
+        for the same topic (flocks are not reentrant)."""
+        import functools
+
+        @functools.wraps(fn)
+        def inner(self, topic, *a, **k):
+            with maintenance_lock(self._topic_dir(topic)):
                 return fn(self, topic, *a, **k)
 
         return inner
@@ -648,15 +719,24 @@ class TopicLog:
             # archive empty: a crash between erase_keys()' two cold
             # renames leaves the only complete copy in <topic>.old-*
             # (same torn-read class tests/test_crash_fuzz.py caught on
-            # the hot tier's optimize markers)
+            # the hot tier's optimize markers). Delegated to
+            # _recover_compaction — which also clears extra .old-* and
+            # .erase.* debris the old inline copy left behind — under
+            # the maintenance lock, double-checked like
+            # _heal_if_swap_marked: a live erase_keys holds that lock
+            # across its archive swap, so we block until it finishes
+            # and only heal a genuine crash (ADVICE r11).
             olds = sorted(
                 x
                 for x in (os.listdir(self.archive_root) if os.path.isdir(self.archive_root) else [])
                 if x.startswith(topic + ".old-")
             )
-            if olds:
-                os.rename(os.path.join(self.archive_root, olds[0]), d)
-            else:
+            if not olds:
+                return None
+            with maintenance_lock(self._topic_dir(topic)):
+                if not os.path.isdir(d):
+                    self._recover_compaction(topic)
+            if not os.path.isdir(d):
                 return None
         if not os.listdir(d):
             return None
@@ -1077,9 +1157,25 @@ class TopicLog:
 
     # ------------------------------------------------------ fetch / offsets
 
+    @staticmethod
+    def _swap_crash_suspected(tdir: str) -> bool:
+        """Cheap (one listdir) evidence of a crashed swap: data/ missing
+        entirely (compact/erase crash between its two renames) or a
+        data.part-old-<p>-* marker present (optimize crash between ITS
+        two renames). Both states also occur transiently during a
+        HEALTHY live swap — evidence, not proof; callers must re-check
+        under the maintenance lock before acting."""
+        try:
+            names = os.listdir(tdir)
+        except FileNotFoundError:
+            return False
+        return "data" not in names or any(
+            d.startswith("data.part-old-") for d in names
+        )
+
     def _heal_if_swap_marked(self, topic: str) -> None:
         """Heal BOTH swap-crash shapes before a read plans against the
-        hot tier (single-writer assumption):
+        hot tier:
         - data/ missing entirely — a compact()/erase_keys() crash
           between its two renames;
         - a data.part-old-<p>-* marker present — an optimize() crash
@@ -1088,13 +1184,24 @@ class TopicLog:
         Found by tests/test_crash_fuzz.py: without this, scan() showed a
         log silently missing one partition, and fetch()'s stale-manifest
         re-plan persisted a manifest omitting it. Cost when healthy: one
-        listdir."""
+        listdir.
+
+        Healing is DOUBLE-CHECKED under the topic's maintenance lock
+        (ADVICE r11): the same marker states exist transiently while a
+        healthy compact/optimize/erase_keys runs its swap holding that
+        lock, so an unlocked heal could rmtree the live writer's opt.*
+        staging or restore a marker it is mid-delete. Acquiring the lock
+        blocks until any live maintenance finishes; the re-check then
+        sees a clean topic and the heal degrades to a no-op. Two
+        concurrent readers healing a genuine crash serialize the same
+        way (the loser re-checks and no-ops instead of racing the
+        winner's renames)."""
         tdir = self._topic_dir(topic)
-        need_heal = not os.path.isdir(tdir + "/data")
-        if not need_heal and os.path.isdir(tdir):
-            need_heal = any(d.startswith("data.part-old-") for d in os.listdir(tdir))
-        if need_heal:
-            self._recover_compaction(topic)
+        if not os.path.isdir(tdir) or not self._swap_crash_suspected(tdir):
+            return
+        with maintenance_lock(tdir):
+            if self._swap_crash_suspected(tdir):
+                self._recover_compaction(topic)
 
     def scan(self, topic: str) -> DataFrame:
         """Full-log scan (batch); partition column from the dir layout.
@@ -1294,6 +1401,7 @@ class TopicLog:
 
     @_locked
     @_commit_locked
+    @_maint_locked
     def compact(self, topic: str) -> int:
         """Log compaction: keep only the latest record per (partition,
         key); null keys are always retained (Kafka's contract).
@@ -1337,6 +1445,7 @@ class TopicLog:
 
     @_locked
     @_commit_locked
+    @_maint_locked
     def optimize(self, topic: str, target_bytes: int = 128 * 1024 * 1024) -> dict:
         """File compaction (the lakehouse OPTIMIZE / Kafka segment-merge
         analog): rewrite each partition's many small segments into few
@@ -1411,6 +1520,7 @@ class TopicLog:
 
     @_locked
     @_commit_locked
+    @_maint_locked
     def erase_keys(self, topic: str, keys: list[bytes]) -> int:
         """Targeted key erasure (the right-to-be-forgotten path): every
         record whose key is in ``keys`` is physically removed from the
@@ -1494,44 +1604,65 @@ class TopicLog:
         erase_keys() archive-tier invariants (<topic>.old-* /
         <topic>.erase.* under archive_root): archive dir missing +
         .old-* present → restore it (the erasure simply didn't happen
-        and must be re-run); otherwise both leftovers are deleted."""
+        and must be re-run); otherwise both leftovers are deleted.
+
+        Callers must hold the topic's maintenance lock (the swap ops via
+        @_maint_locked, read-path healers explicitly) — this method is
+        destructive on anything that looks like swap debris. The heal
+        renames are individually tolerant of OSError anyway (another
+        process not yet running this build, or debris vanishing under
+        us): a lost race degrades to re-evaluating the surviving state,
+        never to a reader-visible exception (ADVICE r11)."""
         import shutil
 
         tdir = self._topic_dir(topic)
-        if not os.path.isdir(tdir):
-            return
-        olds = sorted(d for d in os.listdir(tdir) if d.startswith("data.old-"))
-        data_dir = os.path.join(tdir, "data")
-        if not os.path.isdir(data_dir) and olds:
-            os.rename(os.path.join(tdir, olds[0]), data_dir)
-            olds = olds[1:]
-        for d in olds:
-            shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
-        for d in os.listdir(tdir):
-            if d.startswith("data.compact.") or d.startswith("opt."):
-                shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
-            elif d.startswith("data.part-old-"):
-                p = d[len("data.part-old-"):].split("-", 1)[0]
-                live = os.path.join(data_dir, f"partition={p}")
-                if not os.path.isdir(live):
-                    os.makedirs(data_dir, exist_ok=True)
-                    os.rename(os.path.join(tdir, d), live)
-                else:
+        if os.path.isdir(tdir):
+            olds = sorted(d for d in os.listdir(tdir) if d.startswith("data.old-"))
+            data_dir = os.path.join(tdir, "data")
+            if not os.path.isdir(data_dir) and olds:
+                try:
+                    os.rename(os.path.join(tdir, olds[0]), data_dir)
+                    olds = olds[1:]
+                except OSError:
+                    pass  # a concurrent healer won; fall through to re-list
+            if os.path.isdir(data_dir):
+                for d in olds:
                     shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+            for d in os.listdir(tdir):
+                if d.startswith("data.compact.") or d.startswith("opt."):
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                elif d.startswith("data.part-old-"):
+                    p = d[len("data.part-old-"):].split("-", 1)[0]
+                    live = os.path.join(data_dir, f"partition={p}")
+                    if not os.path.isdir(live):
+                        os.makedirs(data_dir, exist_ok=True)
+                        try:
+                            os.rename(os.path.join(tdir, d), live)
+                        except OSError:
+                            pass  # concurrent healer restored it first
+                    else:
+                        shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+        # archive tier heals even when the hot topic dir is absent — a
+        # cold-only topic's crashed erasure swap must still be
+        # recoverable from scan_archive
         if self.archive_root is not None and os.path.isdir(self.archive_root):
             adir = os.path.join(self.archive_root, topic)
             for d in sorted(os.listdir(self.archive_root)):
                 full = os.path.join(self.archive_root, d)
                 if d.startswith(topic + ".old-"):
                     if not os.path.isdir(adir):
-                        os.rename(full, adir)
+                        try:
+                            os.rename(full, adir)
+                        except OSError:
+                            pass  # concurrent healer won the restore
                     else:
                         shutil.rmtree(full, ignore_errors=True)
                 elif d.startswith(topic + ".erase."):
                     shutil.rmtree(full, ignore_errors=True)
         # the restored dir may not match the manifest written before the
         # crash — re-index so fetch never plans against missing files
-        self._refresh_manifest(topic)
+        if os.path.isdir(tdir):
+            self._refresh_manifest(topic)
 
     # ------------------------------------------------------ consumer groups
 
