@@ -1124,12 +1124,24 @@ class TopicLog:
         merged = {
             p: max(wm.get(p, 0), new_wm.get(p, 0)) for p in set(wm) | set(new_wm)
         }
+        # Manifest FIRST, watermark flip LAST (the same ordering as the
+        # kcore_topic DataSource writer): the flip is the commit point,
+        # and a crash between the two steps must leave fetch() able to
+        # plan every committed offset from the manifest. The old
+        # flip-then-refresh order had a window where committed rows
+        # were scan-visible but fetch-invisible (manifest missing the
+        # new segments, and the stale-manifest heal only fires on
+        # MISSING files, not missing entries). Indexing uncommitted
+        # files is safe the other way around: readers never trust
+        # offsets past the watermark, and a crash before the flip is
+        # reclaimed by the evidence-based reclaim (manifest min-offset
+        # >= watermark ⇒ debris; the r11 bug-#5 machinery, pinned by
+        # tests/test_crash_fuzz.py). Scoped to the locked partitions:
+        # an unlocked partition may hold another producer's in-flight
+        # files, which must stay OUT of the manifest until their own
+        # flip so their crash path stays reclaimable.
+        self._refresh_manifest(topic, partitions=ok)
         self._set_watermarks(topic, merged, sink_commit=sink_commit)
-        # index just-written segments (scoped: an unlocked partition may
-        # hold another producer's in-flight files, which must stay OUT
-        # of the manifest until their own flip so their crash path
-        # stays reclaimable)
-        self._refresh_manifest(topic, partitions=ok if allowed is not None else None)
         return merged
 
     @_locked
