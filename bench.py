@@ -452,7 +452,10 @@ def main() -> None:
     # full detail goes to BENCH_DETAIL.json (and an EARLY stdout line for
     # the transcript); the FINAL line is a compact summary — headline
     # total + headline-only per-query timings — sized to fit the tail.
-    detail_path = os.path.join(
+    # BENCH_DETAIL_PATH overrides the destination so a judge/driver
+    # bench run doesn't clobber the committed round artifact (r11
+    # VERDICT "what's wrong" #4) — point it at /tmp to keep git clean.
+    detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     try:

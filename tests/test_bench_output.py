@@ -85,6 +85,32 @@ def test_error_isolation_surfaces_in_both_lines():
     assert "n_errors" not in json.loads(clean)
 
 
+def test_detail_path_env_override(tmp_path, monkeypatch):
+    """BENCH_DETAIL_PATH redirects the full-detail artifact so a
+    judge/driver bench run leaves the committed BENCH_DETAIL.json (and
+    git status) untouched (r11 VERDICT nit). Pin the resolution logic
+    rather than a full bench run: default is repo-root
+    BENCH_DETAIL.json, env wins when set."""
+    import os as _os
+
+    repo_default = _os.path.join(
+        _os.path.dirname(_os.path.abspath(bench.__file__)), "BENCH_DETAIL.json"
+    )
+    monkeypatch.delenv("BENCH_DETAIL_PATH", raising=False)
+    assert (
+        _os.environ.get("BENCH_DETAIL_PATH")
+        or repo_default
+    ) == repo_default
+    override = str(tmp_path / "detail.json")
+    monkeypatch.setenv("BENCH_DETAIL_PATH", override)
+    assert (_os.environ.get("BENCH_DETAIL_PATH") or repo_default) == override
+    # the bench source actually honors the variable (no silent drift)
+    import inspect
+
+    src = inspect.getsource(bench)
+    assert 'os.environ.get("BENCH_DETAIL_PATH")' in src
+
+
 def test_headline_set_is_the_fixed_24():
     # The compact line's size budget assumes the headline set stays the
     # original 24-query set (comparability across rounds is a separate,
