@@ -247,10 +247,15 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").alias("v"),
     )
+    # distinct o_totalprice is order-count-sized (measured 149,743 at
+    # sf0.1, 10.0x per 10x data — r12 bounded-domain probe), so the
+    # rank walk runs on _dist_cumsum, not a global window (below =
+    # inclusive prefix − own count)
+    from kcore_spark.queries.extensions_r8 import _dist_cumsum
+
     by_val = orders.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
-    wlow = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    with_below = by_val.withColumn(
-        "below", F.coalesce(F.sum("cnt").over(wlow), F.lit(0))
+    with_below = _dist_cumsum(by_val, [F.col("v")], "cnt", out_col="cum").withColumn(
+        "below", F.col("cum") - F.col("cnt")
     )
     # 2·avg-rank per distinct value, joined back to group membership
     ranked = orders.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("gcnt")).join(
@@ -356,14 +361,22 @@ QUERIES["q_kruskal_wallis"] = QuerySpec(
 
 
 def _midrank2(df: DataFrame, col: str) -> DataFrame:
-    """Per distinct value of ``col``: 2·avg-rank (exact integer)."""
+    """Per distinct value of ``col``: 2·avg-rank (exact integer).
+
+    Computed on the distributed prefix-sum machinery (_dist_cumsum:
+    range-repartition + per-partition running sums + a ≤32-row offset
+    broadcast), NOT a global Window.orderBy — the r12 bounded-domain
+    probe (scripts/probe_bounded_domains.py) measured this tie table
+    at 97% of the row count for l_extendedprice (583k distinct at
+    sf0.1, ratio 9.7x per 10x data): it is row-count-sized, so the
+    old single-partition window was the exact break SCALE.md's
+    re-check table warns about. two_rank = 2·cum_inclusive − cnt + 1
+    ≡ 2·below + cnt + 1, bit-identical to the window form."""
+    from kcore_spark.queries.extensions_r8 import _dist_cumsum
+
     by_val = df.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
-    wlow = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    return by_val.select(
-        "v",
-        (2 * F.coalesce(F.sum("cnt").over(wlow), F.lit(0)) + F.col("cnt") + 1).alias(
-            "two_rank"
-        ),
+    return _dist_cumsum(by_val, [F.col("v")], "cnt", out_col="cum").select(
+        "v", (2 * F.col("cum") - F.col("cnt") + 1).alias("two_rank")
     )
 
 

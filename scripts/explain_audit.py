@@ -539,12 +539,14 @@ KNOWN_UNPUSHABLE = {
 # _dist_cumsum in r10 rather than listed here).
 ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     # (a) distinct-value tie tables / value-domain walks
+    # (r12) q_spearman_corr / q_kruskal_wallis / q_wilcoxon_signed_rank
+    # were REMOVED from this list: the bounded-domain probe measured
+    # their tie tables at row/user cardinality (9.7-10x per 10x data),
+    # so they were rewritten on _dist_cumsum and no longer plan a
+    # global window at all (scripts/probe_bounded_domains.py).
     "q_auc_roc": "cumulative over the distinct-score tie table",
     "q_pr_auc": "cumulative over the distinct-score tie table",
     "q_mann_whitney": "rank walk over the distinct-value tie table",
-    "q_kruskal_wallis": "rank walk over the distinct-value tie table",
-    "q_wilcoxon_signed_rank": "rank walk over the distinct-|diff| tie table",
-    "q_spearman_corr": "two rank walks over per-variable distinct-value tie tables",
     "q_ks_test": "CDF steps over the distinct-value table",
     "q_wasserstein_1d": "ECDF-gap integral over the distinct-value tie table",
     "q_impute_missing": "global-median walk over the distinct-value table",
