@@ -210,9 +210,12 @@ def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("p"),
     )
+    # distinct price-cents is order-count-sized (10.0x per 10x data,
+    # r12 bounded-domain probe) — median walk on _dist_cumsum
+    from kcore_spark.queries.extensions_r8 import _dist_cumsum
+
     vals = orders.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    wv = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = vals.withColumn("cum", F.sum("c").over(wv))
+    cum = _dist_cumsum(vals, [F.col("p")], "c", out_col="cum")
     tot = orders.agg(F.count(F.lit(1)).cast("long").alias("n"))
     med = (
         cum.crossJoin(F.broadcast(tot))

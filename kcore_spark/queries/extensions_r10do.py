@@ -85,11 +85,17 @@ QUERIES["q_sample_groupby_error"] = QuerySpec(
 
 
 def _quantiles(df: DataFrame, tag: str) -> DataFrame:
-    """Exact P50/P90 of the cents column via the distinct-value walk."""
+    """Exact P50/P90 of the cents column via the distinct-value walk.
+    The distinct-cents table is ORDER-count-sized (149,743 at sf0.1,
+    10.0x per 10x data — r12 bounded-domain probe), so the cumulative
+    walk runs on _dist_cumsum, not a global window."""
+    from kcore_spark.queries.extensions_r8 import _dist_cumsum
+
     vals = df.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     tot = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    cum = vals.withColumn("cum", F.sum("c").over(w)).crossJoin(F.broadcast(tot))
+    cum = _dist_cumsum(vals, [F.col("cents")], "c", out_col="cum").crossJoin(
+        F.broadcast(tot)
+    )
     p50 = cum.where(F.col("cum") * 2 >= F.col("n")).agg(
         F.min("cents").alias(f"p50_{tag}")
     )

@@ -98,6 +98,59 @@ def _dist_cumsum(
     ).drop("__pid")
 
 
+def _dist_rank_cumsum(
+    df: DataFrame,
+    sort_cols: list,
+    val_col: str,
+    rk_col: str = "rk",
+    cum_col: str = "cum",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Append BOTH the global 1-based row number and the inclusive
+    global prefix sum of ``val_col`` over the ``sort_cols`` order, in
+    ONE range-repartition pass (one shuffle, one ≤n_parts-row
+    control-plane collect carrying count+sum per partition). The
+    fused twin of _dist_rank + _dist_cumsum for walks that need a row
+    index and a running total in the same order — e.g. PR-curve
+    average precision (precision@i = cum_pos/i at every positive).
+    Added r12 when the bounded-domain probe showed q_pr_auc's score
+    table is row-count-sized by construction."""
+    src = (
+        df.repartitionByRange(n_parts, *[c.asc() for c in sort_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    stats = {
+        r["__pid"]: (r["c"], r["s"])
+        for r in src.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum(val_col).alias("s"))
+        .collect()
+    }
+    cnt_off, sum_off, acc_c, acc_s = {}, {}, 0, 0
+    for pid in sorted(stats):
+        cnt_off[pid], sum_off[pid] = acc_c, acc_s
+        c, s = stats[pid]
+        acc_c += c
+        acc_s += s or 0
+    cmap = F.create_map(
+        *[x for pid, off in cnt_off.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    smap = F.create_map(
+        *[x for pid, off in sum_off.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("__pid").orderBy(*[c.asc() for c in sort_cols])
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        src.withColumn(
+            rk_col, F.row_number().over(w) + F.element_at(cmap, F.col("__pid"))
+        )
+        .withColumn(
+            cum_col, F.sum(val_col).over(wsum) + F.element_at(smap, F.col("__pid"))
+        )
+        .drop("__pid")
+    )
+
+
 def _dist_cummax_prev(
     df: DataFrame,
     sort_cols: list,

@@ -195,12 +195,16 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min(F.col("sec") - F.col("view_sec")).alias("delta_s"))
     )
+    # distinct conversion gaps are USER-count-sized until they saturate
+    # at span-seconds (~10^6-10^7) — measured 10.0x per 10x data (r12
+    # bounded-domain probe), so the median walk runs on _dist_cumsum
+    from kcore_spark.queries.extensions_r8 import _dist_cumsum
+
     deltas = fp.groupBy("delta_s").agg(F.count(F.lit(1)).alias("c"))
-    win = Window.orderBy("delta_s").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
+    tot_c = deltas.agg(F.sum("c").alias("n"))
     med = (
-        deltas.withColumn("cumc", F.sum("c").over(win))
-        .withColumn("n", F.sum("c").over(w_all))
+        _dist_cumsum(deltas, [F.col("delta_s")], "c", out_col="cumc")
+        .crossJoin(F.broadcast(tot_c))
         .where(2 * F.col("cumc") >= F.col("n"))
         .agg(F.min("delta_s").alias("median_delta_s"))
     )

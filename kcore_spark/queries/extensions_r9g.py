@@ -183,16 +183,23 @@ def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h + F.when(F.col("label") >= 5, 0.7).otherwise(0.0)).alias("s"),
         (F.col("label") >= 5).cast("int").alias("pos"),
     )
-    w = Window.orderBy(F.col("s").desc())
-    # NOTE: single-partition window over the score table — acceptable
-    # at fixture scale per the q_auc_roc by-score precedent; at 100 TB
-    # the same two-pass range-repartition rank (_dist_rank,
-    # extensions_r8.py:36) drops in unchanged.
-    ranked = scored.select(
+    # Scores are all-distinct by construction, so this table is
+    # ROW-count-sized — the r12 bounded-domain probe turned the old
+    # "acceptable at fixture scale" single-partition window into the
+    # fused distributed rank+prefix-sum (_dist_rank_cumsum: one
+    # range-repartition on descending score, per-partition windows in
+    # parallel, a ≤32-row count+sum offset broadcast). Descending
+    # order is expressed by ranking on the negated score (ties
+    # impossible, so the order is total either way).
+    from kcore_spark.queries.extensions_r8 import _dist_rank_cumsum
+
+    ranked = _dist_rank_cumsum(
+        scored.withColumn("ns", -F.col("s")),
+        [F.col("ns")],
         "pos",
-        F.row_number().over(w).alias("i"),
-        F.sum("pos").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_pos"),
-    )
+        rk_col="i",
+        cum_col="cum_pos",
+    ).select("pos", "i", "cum_pos")
     return ranked.agg(
         F.sum("pos").cast("long").alias("n_pos"),
         F.count(F.lit(1)).cast("long").alias("n"),

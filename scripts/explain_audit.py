@@ -539,18 +539,19 @@ KNOWN_UNPUSHABLE = {
 # _dist_cumsum in r10 rather than listed here).
 ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     # (a) distinct-value tie tables / value-domain walks
-    # (r12) q_spearman_corr / q_kruskal_wallis / q_wilcoxon_signed_rank
-    # were REMOVED from this list: the bounded-domain probe measured
-    # their tie tables at row/user cardinality (9.7-10x per 10x data),
-    # so they were rewritten on _dist_cumsum and no longer plan a
-    # global window at all (scripts/probe_bounded_domains.py).
+    # (r12) q_spearman_corr / q_kruskal_wallis / q_wilcoxon_signed_rank /
+    # q_pr_auc / q_time_to_convert / q_mood_median_test /
+    # q_conover_squared_ranks / q_sample_quantile_error were REMOVED
+    # from this list: the bounded-domain probe measured their tie
+    # tables at row/user cardinality (10x per 10x data; pr_auc's
+    # scores are all-distinct by construction), so they were rewritten
+    # on _dist_cumsum / _dist_rank_cumsum and no longer plan a global
+    # window at all (scripts/probe_bounded_domains.py).
     "q_auc_roc": "cumulative over the distinct-score tie table",
-    "q_pr_auc": "cumulative over the distinct-score tie table",
     "q_mann_whitney": "rank walk over the distinct-value tie table",
     "q_ks_test": "CDF steps over the distinct-value table",
     "q_wasserstein_1d": "ECDF-gap integral over the distinct-value tie table",
     "q_impute_missing": "global-median walk over the distinct-value table",
-    "q_time_to_convert": "median walk over the distinct conversion-gap table",
     "q_key_skew_report": "median walks over count-of-counts tables (multiplicity domain)",
     "q_t_closeness": "EMD walk over the distinct sensitive-value distribution",
     "q_best_split_infogain": "threshold-grid walk (19 candidate cuts)",
@@ -601,7 +602,6 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_lorenz_curve": "cumulative over the 10-row decile curve",
     "q_clustered_write_audit": "overlap test over the per-file manifest rows",
     "q_bornhuetter_ferguson": "CDF suffix product over the calendar-bounded dev-factor ladder",
-    "q_conover_squared_ranks": "rank walk over the distinct-|deviation| tie table (both plan branches)",
     "q_pettitt_test": "value rank + time cumsum over the daily series (calendar-bounded)",
     "q_binseg_sse": "decimal prefix sums over the daily series (calendar-bounded)",
     "q_variance_changepoint": "decimal prefix sums over the daily series (calendar-bounded)",
@@ -612,7 +612,6 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_sainte_lague_allocation": "rank over the 25x64 quotient grid (k-row)",
     "q_hamilton_allocation": "remainder walk over the 25-row quota table",
     "q_kv_cache_budget": "percentile walk over the distinct doc-length tie table",
-    "q_sample_quantile_error": "two quantile walks over the distinct-cents tie tables (q_impute_missing precedent)",
     "q_engle_granger": "lag over the monthly pair series (calendar-bounded)",
     "q_error_correction": "lags over the monthly pair series (calendar-bounded)",
     "q_var1_fit": "lags over the monthly pair series (calendar-bounded)",
@@ -633,7 +632,6 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_metric_rank_agreement": "rank windows over the two 20-row post-limit lists",
     "q_hodges_lehmann": "Walsh-average median walk over the calendar-bounded pair domain",
     "q_sign_test": "lag-7 over the daily series (calendar-bounded)",
-    "q_mood_median_test": "global-median walk over the distinct-price tie table (q_impute_missing precedent)",
     "q_omega_ratio": "lag over the daily series (calendar-bounded)",
     "q_ulcer_index": "running peak over the daily series (calendar-bounded)",
     "q_kelly_fraction": "lag over the daily series (calendar-bounded)",

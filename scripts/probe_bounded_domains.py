@@ -76,6 +76,42 @@ TIE_DOMAINS = {
         "GROUP BY user_id HAVING SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)>0 "
         "AND SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END)>0)",
     ),
+    "q_sample_quantile_error/q_mood_median_test": (
+        "distinct price cents",
+        "SELECT COUNT(DISTINCT CAST(ROUND(o_totalprice*100,0) AS BIGINT)) "
+        "FROM '{d}/orders.parquet'",
+    ),
+    "q_conover_squared_ranks": (
+        "distinct |cents − group mean| deviations",
+        "SELECT COUNT(DISTINCT CAST(ROUND(ABS(cents - mu),0) AS BIGINT)) FROM ("
+        "SELECT ROUND(o_totalprice*100,0) AS cents, "
+        "AVG(ROUND(o_totalprice*100,0)) OVER (PARTITION BY o_orderpriority) AS mu "
+        "FROM '{d}/orders.parquet')",
+    ),
+    "q_time_to_convert": (
+        "distinct first-purchase deltas (seconds)",
+        "SELECT COUNT(DISTINCT delta_s) FROM ("
+        "SELECT e.user_id, MIN(epoch(e.ts) - v.view_sec) AS delta_s "
+        "FROM '{d}/events.parquet' e JOIN (SELECT user_id, MIN(epoch(ts)) AS view_sec "
+        "FROM '{d}/events.parquet' WHERE event_type='view' GROUP BY user_id) v "
+        "USING (user_id) WHERE e.event_type='purchase' AND epoch(e.ts) >= v.view_sec "
+        "GROUP BY e.user_id)",
+    ),
+    "q_pr_auc": (
+        "distinct scores (all-distinct by construction = rows)",
+        "SELECT COUNT(*) FROM '{d}/embeddings.parquet'",
+    ),
+    "q_kv_cache_budget": (
+        "distinct document token counts",
+        "SELECT COUNT(DISTINCT len(list_filter(string_split(lower(text),' '), "
+        "x -> x != ''))) FROM '{d}/documents.parquet'",
+    ),
+    "q_kaplan_meier family": (
+        "distinct customer lifetime days",
+        "SELECT COUNT(DISTINCT dur) FROM (SELECT datediff('day', "
+        "MIN(CAST(o_orderdate AS DATE)), MAX(CAST(o_orderdate AS DATE))) AS dur "
+        "FROM '{d}/orders.parquet' GROUP BY o_custkey)",
+    ),
 }
 
 
