@@ -235,15 +235,15 @@ def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_score = scored.groupBy("s").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("pos_cnt")
     )
-    ranked = _dist_rank(by_score, [F.col("s")])
     # rows before this tie group = cumulative cnt of lower scores;
-    # avg rank · 2 = 2·(below) + cnt + 1  (integers throughout)
-    wlow = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, -1)
-    # NOTE: this window IS single-partition, but over the by-score
-    # table (post-collapse), and could itself be _dist_rank'd; kept as
-    # the cheap cumulative because its input is the reduced tie table.
-    with_below = ranked.withColumn(
-        "below", F.coalesce(F.sum("cnt").over(wlow), F.lit(0))
+    # avg rank · 2 = 2·(below) + cnt + 1  (integers throughout).
+    # One _dist_cumsum pass replaces the old _dist_rank + a residual
+    # single-partition cumulative over rk (r12 bounded-domain probe:
+    # the by-score table is row-count-sized for a continuous scorer,
+    # so that window was the one remaining global sort here — and the
+    # rank itself was never used downstream).
+    with_below = _dist_cumsum(by_score, [F.col("s")], "cnt", out_col="cum").withColumn(
+        "below", F.col("cum") - F.col("cnt")
     )
     agg = with_below.agg(
         F.sum(F.col("pos_cnt") * (2 * F.col("below") + F.col("cnt") + 1)).alias(

@@ -547,7 +547,6 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     # scores are all-distinct by construction), so they were rewritten
     # on _dist_cumsum / _dist_rank_cumsum and no longer plan a global
     # window at all (scripts/probe_bounded_domains.py).
-    "q_auc_roc": "cumulative over the distinct-score tie table",
     "q_mann_whitney": "rank walk over the distinct-value tie table",
     "q_ks_test": "CDF steps over the distinct-value table",
     "q_wasserstein_1d": "ECDF-gap integral over the distinct-value tie table",
@@ -574,7 +573,6 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "q_kaplan_meier": "survival product over the distinct event-time table",
     "q_nelson_aalen": "hazard cumsum over the distinct event-time table",
     "q_logrank_test": "at-risk walk over the distinct event-time table",
-    "q_cusum_changepoint": "cumulative over the daily series",
     "q_churn_hazard": "at-risk suffix walk over the bounded tenure-week curve",
     "q_peak_detection": "lag/lead extrema over the daily series",
     "q_bollinger_bands": "rolling 7-day frame over the daily close series",
