@@ -517,7 +517,11 @@ class TopicLog:
                 continue
             if partitions is not None and int(pdir.split("=", 1)[1]) not in partitions:
                 continue
-            for fn in os.listdir(os.path.join(data_dir, pdir)):
+            try:
+                fns = os.listdir(os.path.join(data_dir, pdir))
+            except FileNotFoundError:
+                continue  # dir renamed away by a swap mid-iteration
+            for fn in fns:
                 if not fn.endswith(".parquet"):
                     continue
                 rel = f"{pdir}/{fn}"
@@ -565,10 +569,28 @@ class TopicLog:
         # would purge every other partition's entries (their files were
         # never scanned into seen_files). A partition dir that vanished
         # entirely still drops: it is in scope but contributed nothing
-        # to seen_files.
+        # to seen_files — UNLESS its data.part-old-<p>-* marker exists,
+        # i.e. the listing raced a live (or crashed) optimize swap
+        # window: persisting the drop would hand later fetches an
+        # empty file list for a partition that has committed data and
+        # no missing-file signal to trigger healing (r12
+        # maintenance-stress find, the refresh-path twin of r11 crash-
+        # fuzz bug #3). Leave the stale entries; their missing files
+        # keep routing readers through the heal-and-replan branch.
+        try:
+            markers = {
+                d[len("data.part-old-"):].split("-", 1)[0]
+                for d in os.listdir(self._topic_dir(topic))
+                if d.startswith("data.part-old-")
+            }
+        except FileNotFoundError:
+            markers = set()
         for pdir in list(man):
-            if partitions is not None and int(pdir.split("=", 1)[1]) not in partitions:
+            p_str = pdir.split("=", 1)[1]
+            if partitions is not None and int(p_str) not in partitions:
                 continue
+            if p_str in markers and not os.path.isdir(os.path.join(data_dir, pdir)):
+                continue  # mid-swap: don't persist a lie
             man[pdir] = [e for e in man[pdir] if e["file"] in seen_files]
             if not man[pdir]:
                 del man[pdir]
@@ -1229,9 +1251,34 @@ class TopicLog:
         into committed data). Both bounds are map-literal scan-side
         predicates, no join; partitions absent from the control file
         (foreign writers) stay unbounded."""
-        data_dir = self._topic_dir(topic) + "/data"
+        tdir = self._topic_dir(topic)
+        data_dir = tdir + "/data"
         self._heal_if_swap_marked(topic)
-        df = self.spark.read.schema(RECORD_SCHEMA).parquet(data_dir)
+        # Bounded rebuild loop against LIVE swaps: Spark's file index
+        # silently drops files/dirs that vanish between its exists
+        # check and its leaf listing, so a compact/erase/optimize swap
+        # in flight DURING the listing can yield a partial (or empty)
+        # index with no error — a torn read (r12 maintenance-stress
+        # find; the fetch path has the same guard). Evidence that a
+        # swap overlapped the listing is cheap: a data.old-* /
+        # data.part-old-* dir (the swap's rename/rmtree windows) or
+        # data/ missing afterwards. On evidence, wait out the live
+        # maintenance pass (the lock blocks) and rebuild.
+        df = None
+        for _ in range(3):
+            df = self.spark.read.schema(RECORD_SCHEMA).parquet(data_dir)
+            try:
+                names = os.listdir(tdir)
+            except FileNotFoundError:
+                break
+            swap_evidence = "data" not in names or any(
+                n.startswith(("data.old-", "data.part-old-")) for n in names
+            )
+            if not swap_evidence:
+                break
+            with maintenance_lock(tdir):
+                if self._swap_crash_suspected(tdir):
+                    self._recover_compaction(topic)
         starts = self._log_starts(topic)
         if any(v > 0 for v in starts.values()):
             # offset >= per-partition threshold; a map-literal lookup
@@ -1292,27 +1339,87 @@ class TopicLog:
             end = min(end, hi)
         if end <= start_offset:
             return self.spark.createDataFrame([], RECORD_SCHEMA)
-        files = self._manifest_files(topic, partition, start_offset, end)
-        if files is not None and any(not os.path.exists(f) for f in files):
+        def _heal_and_replan():
             # stale manifest (read concurrently with a compaction swap)
             # OR a crashed swap left the partition's only copy in a
             # marker dir: heal FIRST, then re-plan from a fresh index.
             # Refreshing without healing would persist a manifest that
             # omits the partition and return an empty fetch
             # (tests/test_crash_fuzz.py::test_fetch_* pins this).
-            self._heal_if_swap_marked(topic)
-            self._refresh_manifest(topic)
-            files = self._manifest_files(topic, partition, start_offset, end)
-        if files is None:
-            src = self.scan(topic)
-        elif not files:
-            return self.spark.createDataFrame([], RECORD_SCHEMA)
-        else:
-            src = (
+            # Heal AND refresh run under ONE maintenance-lock hold: a
+            # separate heal-then-refresh let a NEW swap open its
+            # marker window in between, and the unscoped refresh then
+            # listed the torn data/ (r12 maintenance-stress find; the
+            # drop-phase marker guard in _refresh_manifest_unlocked is
+            # the second line of defense for cross-process refreshers
+            # that don't hold this lock).
+            tdir = self._topic_dir(topic)
+            with maintenance_lock(tdir):
+                if self._swap_crash_suspected(tdir):
+                    self._recover_compaction(topic)
+                self._refresh_manifest(topic)
+            return self._manifest_files(topic, partition, start_offset, end)
+
+        def _plan(paths):
+            return (
                 self.spark.read.schema(RECORD_SCHEMA)
                 .option("basePath", self._topic_dir(topic) + "/data")
-                .parquet(*files)
+                .parquet(*paths)
             )
+
+        # Plan → (heal → replan) loop, bounded. The hazards it absorbs
+        # (all observed under tests/test_maintenance_stress.py's live
+        # reader-vs-maintenance interleaving):
+        # - a planned file deleted before the JVM's eager listing
+        #   (plan fails, e.g. "Option 'basePath' not found") or before
+        #   our own exists-check (stale manifest);
+        # - an EMPTY file list while the watermark says the range holds
+        #   committed offsets — either a torn manifest (verify via one
+        #   heal+replan pass) or genuinely all-compacted offsets (the
+        #   verified replan returns [] again → honest empty result).
+        # If three attempts can't get a stable plan (back-to-back
+        # swaps), fall back to the full scan — it heals under the
+        # maintenance lock and is always complete, so correctness
+        # never depends on winning a race; only this fetch's pruning
+        # is lost.
+        files = self._manifest_files(topic, partition, start_offset, end)
+        verified = False
+        src = None
+        for _ in range(3):
+            if files is None:
+                break  # no manifest: the scan fallback below
+            if any(not os.path.exists(f) for f in files) or (not files and not verified):
+                files = _heal_and_replan()
+                verified = True
+                continue
+            if not files:
+                return self.spark.createDataFrame([], RECORD_SCHEMA)
+            try:
+                src = _plan(files)
+                if not src.inputFiles():
+                    # Spark's file index SWALLOWS files that vanish
+                    # between its path-exists check and its leaf
+                    # listing (its own listing-race tolerance), so a
+                    # swap landing inside _plan yields a STABLY-EMPTY
+                    # plan, not an error — the silent-0-rows shape the
+                    # r12 maintenance stress caught. Route it through
+                    # the same heal-and-replan as a hard plan failure.
+                    raise FileNotFoundError(
+                        "planned segment files vanished during listing"
+                    )
+                break
+            except Exception:
+                src = None
+                if verified:
+                    break  # scan fallback
+                files = _heal_and_replan()
+                verified = True
+        if src is None:
+            src = self.scan(topic)
+        return self._fetch_filter(src, partition, start_offset, end)
+
+    @staticmethod
+    def _fetch_filter(src: DataFrame, partition: int, start_offset: int, end: int) -> DataFrame:
         return (
             src.where(
                 (F.col("partition") == partition)
