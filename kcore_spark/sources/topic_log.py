@@ -762,7 +762,24 @@ class TopicLog:
                 return None
         if not os.listdir(d):
             return None
-        return self.spark.read.parquet(d)
+        # bounded rebuild against a LIVE cold swap racing the file
+        # listing (Spark's index silently drops files that vanish
+        # between its exists check and its leaf listing — the same
+        # hazard scan()/fetch() guard against on the hot tier): cold
+        # swap evidence after the build means the listing may be
+        # partial; wait out the live maintenance and rebuild.
+        df = None
+        for _ in range(3):
+            df = self.spark.read.parquet(d)
+            names = os.listdir(self.archive_root) if os.path.isdir(self.archive_root) else []
+            if not any(
+                n.startswith((topic + ".old-", topic + ".erase.")) for n in names
+            ):
+                break
+            with maintenance_lock(self._topic_dir(topic)):
+                if not os.path.isdir(d):
+                    self._recover_compaction(topic)
+        return df
 
     @_locked
     def apply_retention(
@@ -1470,11 +1487,40 @@ class TopicLog:
             ]
             if not files:
                 return parts_df.withColumn("offset", F.lit(-1).cast("long"))
-            src = (
-                self.spark.read.schema(RECORD_SCHEMA)
-                .option("basePath", data_dir)
-                .parquet(*files)
-            )
+            src = None
+            for _ in range(2):
+                try:
+                    src = (
+                        self.spark.read.schema(RECORD_SCHEMA)
+                        .option("basePath", data_dir)
+                        .parquet(*files)
+                    )
+                    # a swap racing the listing silently drops vanished
+                    # files from the index (fetch()'s hazard) — here a
+                    # partial plan is a WRONG ANSWER (-1 / later first
+                    # offset), not an error, so verify every planned
+                    # file resolved and re-plan from a healed manifest
+                    # if not
+                    if len(src.inputFiles()) == len(files):
+                        break
+                except Exception:
+                    pass
+                src = None
+                tdir = self._topic_dir(topic)
+                with maintenance_lock(tdir):
+                    if self._swap_crash_suspected(tdir):
+                        self._recover_compaction(topic)
+                    man = self._refresh_manifest(topic)
+                files = [
+                    os.path.join(data_dir, e["file"])
+                    for entries in man.values()
+                    for e in entries
+                    if e.get("ts_max") is None or e["ts_max"] >= ts_ms
+                ]
+                if not files:
+                    return parts_df.withColumn("offset", F.lit(-1).cast("long"))
+            if src is None:
+                src = self.scan(topic)  # final fallback: always complete
         else:
             src = self.scan(topic)
         hits = (
