@@ -132,8 +132,22 @@ class TopicLogReader(DataSourceReader):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        if not split.path or not os.path.exists(split.path):
-            return
+        if not split.path:
+            return  # empty-topic no-op split
+        if not os.path.exists(split.path):
+            # A maintenance swap (compact/optimize/erase) replaced this
+            # segment between planning and reading. Offsets are
+            # immutable, so a retry that replans from the fresh
+            # manifest returns exactly the same rows — FAIL the read
+            # (the documented transient object-store class) instead of
+            # the old silent skip, which dropped this segment's rows
+            # from the result with no error (r12 review find; the
+            # native fetch path got the same treatment).
+            raise FileNotFoundError(
+                f"segment {split.path} vanished during read (live "
+                f"compaction swap) — retry the query/trigger to replan "
+                f"from the refreshed manifest"
+            )
         f = pq.ParquetFile(split.path)
         cols = {f.metadata.schema.column(i).name: i for i in range(f.metadata.num_columns)}
         oi = cols["offset"]
