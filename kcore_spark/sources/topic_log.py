@@ -1557,7 +1557,19 @@ class TopicLog:
         return out
 
     def read_stream(self, topic: str) -> DataFrame:
-        """Streaming topic source (micro-batch file source over the log)."""
+        """Streaming topic source (micro-batch file source over the log).
+
+        Caveat (file-source model): progress is tracked per FILE, so a
+        compaction/optimize/erasure that rewrites already-ingested
+        offsets into NEW files makes the file source re-ingest those
+        rows as fresh input. Appropriate for append-only topics (the
+        default cleanup.policy=delete shape, where retention only ever
+        REMOVES old files). For compacted topics — or any topic a
+        cleaner rewrites — stream through the offset-tracking
+        ``kcore_topic`` DataSource instead
+        (``spark.readStream.format("kcore_topic")``, sources/pyds.py):
+        its checkpoint state is per-partition OFFSETS, which survive
+        rewrites because offsets are immutable."""
         return self.spark.readStream.schema(RECORD_SCHEMA).parquet(
             self._topic_dir(topic) + "/data"
         )
