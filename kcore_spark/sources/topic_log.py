@@ -762,23 +762,33 @@ class TopicLog:
                 return None
         if not os.listdir(d):
             return None
-        # bounded rebuild against a LIVE cold swap racing the file
-        # listing (Spark's index silently drops files that vanish
-        # between its exists check and its leaf listing — the same
-        # hazard scan()/fetch() guard against on the hot tier): cold
-        # swap evidence after the build means the listing may be
-        # partial; wait out the live maintenance and rebuild.
-        df = None
-        for _ in range(3):
-            df = self.spark.read.parquet(d)
-            names = os.listdir(self.archive_root) if os.path.isdir(self.archive_root) else []
-            if not any(
+        # rebuild against a LIVE cold swap racing the file listing
+        # (Spark's index silently drops files that vanish between its
+        # exists check and its leaf listing — the same hazard
+        # scan()/fetch() guard against on the hot tier). Cold swap
+        # evidence after the build means the listing may be partial;
+        # under the maintenance lock no swap is live, so persistent
+        # evidence is crash debris _recover_compaction clears (a
+        # crashed erase's .old-*/.erase.* leftovers no longer force
+        # this path on every later scan_archive), and the rebuild
+        # under the lock cannot race a swap — complete by
+        # construction.
+        def _cold_evidence() -> bool:
+            names = (
+                os.listdir(self.archive_root)
+                if os.path.isdir(self.archive_root)
+                else []
+            )
+            return any(
                 n.startswith((topic + ".old-", topic + ".erase.")) for n in names
-            ):
-                break
+            )
+
+        df = self.spark.read.parquet(d)
+        if _cold_evidence():
             with maintenance_lock(self._topic_dir(topic)):
-                if not os.path.isdir(d):
+                if _cold_evidence():
                     self._recover_compaction(topic)
+                df = self.spark.read.parquet(d) if os.path.isdir(d) else None
         return df
 
     @_locked
@@ -1271,31 +1281,38 @@ class TopicLog:
         tdir = self._topic_dir(topic)
         data_dir = tdir + "/data"
         self._heal_if_swap_marked(topic)
-        # Bounded rebuild loop against LIVE swaps: Spark's file index
-        # silently drops files/dirs that vanish between its exists
-        # check and its leaf listing, so a compact/erase/optimize swap
-        # in flight DURING the listing can yield a partial (or empty)
-        # index with no error — a torn read (r12 maintenance-stress
-        # find; the fetch path has the same guard). Evidence that a
-        # swap overlapped the listing is cheap: a data.old-* /
+        # Rebuild loop against LIVE swaps: Spark's file index silently
+        # drops files/dirs that vanish between its exists check and
+        # its leaf listing, so a compact/erase/optimize swap in flight
+        # DURING the listing can yield a partial (or empty) index with
+        # no error — a torn read (r12 maintenance-stress find; the
+        # fetch path has the same guard). Evidence that a swap
+        # overlapped the listing is cheap: a data.old-* /
         # data.part-old-* dir (the swap's rename/rmtree windows) or
-        # data/ missing afterwards. On evidence, wait out the live
-        # maintenance pass (the lock blocks) and rebuild.
-        df = None
-        for _ in range(3):
-            df = self.spark.read.schema(RECORD_SCHEMA).parquet(data_dir)
+        # data/ missing afterwards. On evidence, clear it under the
+        # maintenance lock — holding it means no swap is live, so any
+        # remaining marker/old dir is crash debris _recover_compaction
+        # safely finishes (also prevents post-swap data.old-* debris
+        # from forcing this loop on every later scan) — and rebuild.
+        # The LAST build runs while still holding the lock: the
+        # listing then cannot race any swap, so the returned plan is
+        # complete by construction, never best-effort (fetch's scan
+        # fallback depends on that).
+        def _evidence() -> bool:
             try:
                 names = os.listdir(tdir)
             except FileNotFoundError:
-                break
-            swap_evidence = "data" not in names or any(
+                return False
+            return "data" not in names or any(
                 n.startswith(("data.old-", "data.part-old-")) for n in names
             )
-            if not swap_evidence:
-                break
+
+        df = self.spark.read.schema(RECORD_SCHEMA).parquet(data_dir)
+        if _evidence():
             with maintenance_lock(tdir):
-                if self._swap_crash_suspected(tdir):
+                if _evidence():
                     self._recover_compaction(topic)
+                df = self.spark.read.schema(RECORD_SCHEMA).parquet(data_dir)
         starts = self._log_starts(topic)
         if any(v > 0 for v in starts.values()):
             # offset >= per-partition threshold; a map-literal lookup
@@ -1413,14 +1430,17 @@ class TopicLog:
                 return self.spark.createDataFrame([], RECORD_SCHEMA)
             try:
                 src = _plan(files)
-                if not src.inputFiles():
+                if len(src.inputFiles()) < len(files):
                     # Spark's file index SWALLOWS files that vanish
                     # between its path-exists check and its leaf
                     # listing (its own listing-race tolerance), so a
-                    # swap landing inside _plan yields a STABLY-EMPTY
-                    # plan, not an error — the silent-0-rows shape the
-                    # r12 maintenance stress caught. Route it through
-                    # the same heal-and-replan as a hard plan failure.
+                    # swap landing inside _plan yields a silently
+                    # PARTIAL (or empty) plan, not an error — the
+                    # silent-0-rows shape the r12 maintenance stress
+                    # caught, and a per-file reclaim racing the
+                    # listing can drop a subset the same way. Require
+                    # FULL resolution; otherwise route through the
+                    # same heal-and-replan as a hard plan failure.
                     raise FileNotFoundError(
                         "planned segment files vanished during listing"
                     )
@@ -1523,6 +1543,38 @@ class TopicLog:
                 src = self.scan(topic)  # final fallback: always complete
         else:
             src = self.scan(topic)
+        # The manifest-planned path must carry the SAME visibility
+        # bounds scan() applies (its fallback already does): the
+        # manifest now commits BEFORE the watermark flip, so in the
+        # produce-commit window (or after a crashed produce, until the
+        # next reclaim) it indexes files whose offsets are
+        # uncommitted — an unclamped min(offset) could hand a consumer
+        # an offset the crashed producer's retry later reassigns to
+        # DIFFERENT records. Truncated offsets inside straddling
+        # segments are likewise below the log start and must not
+        # resurface here (r12 review find). Map-literal predicates,
+        # no join — same shape as scan().
+        try:
+            wm = self._watermarks(topic)
+        except FileNotFoundError:
+            wm = {}
+        if wm:
+            hi_pairs: list = []
+            for p, hi in wm.items():
+                hi_pairs += [F.lit(p), F.lit(hi)]
+            src = src.where(
+                F.col("offset")
+                < F.coalesce(F.create_map(*hi_pairs)[F.col("partition")], F.lit(2**62))
+            )
+        starts = self._log_starts(topic)
+        if any(v > 0 for v in starts.values()):
+            lo_pairs: list = []
+            for p, lo in starts.items():
+                lo_pairs += [F.lit(p), F.lit(lo)]
+            src = src.where(
+                F.col("offset")
+                >= F.coalesce(F.create_map(*lo_pairs)[F.col("partition")], F.lit(0))
+            )
         hits = (
             src.where(F.col("timestamp") >= F.timestamp_millis(F.lit(ts_ms)))
             .groupBy("partition")
