@@ -56,8 +56,13 @@ def test_compact_line_parses_with_required_keys():
     assert obj["sf"] == 0.1
     # per-query detail for the 24-query headline set is retained inline
     assert set(obj["queries"]) == set(bench.HEADLINE)
-    assert obj["detail"] == "BENCH_DETAIL.json"
+    assert obj["detail"] == "BENCH_DETAIL.json"  # default when unthreaded
     assert obj["n_queries"] == len(timings)
+    # the compact line names the artifact actually written
+    _, compact2 = bench.build_output_lines(
+        timings, 21.6, 0.1, detail_name="BENCH_DETAIL_r13.json"
+    )
+    assert json.loads(compact2)["detail"] == "BENCH_DETAIL_r13.json"
 
 
 def test_full_line_carries_every_timing():
@@ -86,29 +91,56 @@ def test_error_isolation_surfaces_in_both_lines():
 
 
 def test_detail_path_env_override(tmp_path, monkeypatch):
-    """BENCH_DETAIL_PATH redirects the full-detail artifact so a
-    judge/driver bench run leaves the committed BENCH_DETAIL.json (and
-    git status) untouched (r11 VERDICT nit). Pin the resolution logic
-    rather than a full bench run: default is repo-root
-    BENCH_DETAIL.json, env wins when set."""
+    """BENCH_DETAIL_PATH redirects the full-detail artifact; with no env
+    set the default is ROUND-STAMPED (BENCH_DETAIL_r{N}.json, N from the
+    driver's PROGRESS.jsonl) and gitignored, so a driver/judge bench run
+    with no env leaves the committed BENCH_DETAIL.json and `git status`
+    untouched (r12 VERDICT "what's wrong" #4). The builder's closing
+    gates refresh the committed artifact explicitly via the env var."""
     import os as _os
+    import re as _re
 
-    repo_default = _os.path.join(
-        _os.path.dirname(_os.path.abspath(bench.__file__)), "BENCH_DETAIL.json"
-    )
+    repo = _os.path.dirname(_os.path.abspath(bench.__file__))
+    default = bench.default_detail_path()
+    # In a driver checkout PROGRESS.jsonl exists -> round-stamped name;
+    # in a bare checkout the fallback is the legacy fixed name.
+    if _os.path.exists(_os.path.join(repo, "PROGRESS.jsonl")):
+        assert _re.fullmatch(
+            r"BENCH_DETAIL_r\d{2,}\.json", _os.path.basename(default)
+        ), default
+        # ...and that name is covered by .gitignore so it never dirties
+        # the tree (the whole point of the round-stamp)
+        with open(_os.path.join(repo, ".gitignore")) as f:
+            assert "BENCH_DETAIL_r*.json" in f.read()
+    else:
+        assert _os.path.basename(default) == "BENCH_DETAIL.json"
     monkeypatch.delenv("BENCH_DETAIL_PATH", raising=False)
-    assert (
-        _os.environ.get("BENCH_DETAIL_PATH")
-        or repo_default
-    ) == repo_default
+    assert (_os.environ.get("BENCH_DETAIL_PATH") or default) == default
     override = str(tmp_path / "detail.json")
     monkeypatch.setenv("BENCH_DETAIL_PATH", override)
-    assert (_os.environ.get("BENCH_DETAIL_PATH") or repo_default) == override
+    assert (_os.environ.get("BENCH_DETAIL_PATH") or default) == override
     # the bench source actually honors the variable (no silent drift)
     import inspect
 
     src = inspect.getsource(bench)
     assert 'os.environ.get("BENCH_DETAIL_PATH")' in src
+    assert "default_detail_path()" in src
+
+
+def test_default_detail_path_round_parse(tmp_path, monkeypatch):
+    """default_detail_path() derives the round from PROGRESS.jsonl's
+    LAST line and falls back to the fixed name on any parse trouble."""
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.abspath(bench.__file__))
+    progress = _os.path.join(repo, "PROGRESS.jsonl")
+    if _os.path.exists(progress):
+        with open(progress, "rb") as f:
+            last = f.read().strip().splitlines()[-1]
+        rnd = json.loads(last)["round"]
+        assert bench.default_detail_path() == _os.path.join(
+            repo, f"BENCH_DETAIL_r{int(rnd):02d}.json"
+        )
 
 
 def test_headline_set_is_the_fixed_24():
