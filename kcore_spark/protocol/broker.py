@@ -54,13 +54,26 @@ class WireLog:
         self.topics: dict[str, int] = {}
         self.topic_configs: dict[str, dict[str, str]] = {}
         self._next_pid = 0
-        # (topic, partition, producer_id) → (base_seq, n, base_offset)
-        # of the last accepted batch: the idempotence dedup state
-        self._producer_seqs: dict[tuple[str, int, int], tuple[int, int, int]] = {}
+        # (topic, partition, producer_id) → (epoch, base_seq, n,
+        # base_offset) of the last accepted batch: the idempotence
+        # dedup state. The epoch rides along because sequences are per
+        # (pid, epoch) in the Kafka contract — an epoch bump (fencing
+        # re-init, KIP-890 end-txn bump) restarts the pid's sequences
+        # at 0 (model-fuzz find, r13: without it the fenced producer's
+        # SUCCESSOR was rejected OUT_OF_ORDER on its first batch).
+        self._producer_seqs: dict[tuple[str, int, int], tuple[int, int, int, int]] = {}
         # transactions: tid → (pid, epoch); open txn state per pid;
-        # committed-reader filter state per partition
+        # committed-reader filter state per partition.
+        # _open_txns[pid][(topic, partition)] is the list of [base, end)
+        # offset ranges THIS producer wrote in its open txn ([] =
+        # declared via AddPartitionsToTxn but not yet written). Ranges
+        # are per-producer, not [first_offset, hw): interleaved appends
+        # from other producers must not be swallowed when this txn
+        # aborts (model-fuzz find, r13 — an abort recorded
+        # [txn_start, hw) and hid another producer's committed records
+        # that landed in between).
         self._tids: dict[str, tuple[int, int]] = {}
-        self._open_txns: dict[int, dict[tuple[str, int], int]] = {}
+        self._open_txns: dict[int, dict[tuple[str, int], list[tuple[int, int]]]] = {}
         self._aborted: dict[tuple[str, int], list[tuple[int, int]]] = {}
         # EOS consume-transform-produce state (k25/k28): groups a txn
         # has declared, and offsets staged to commit WITH the txn —
@@ -83,7 +96,13 @@ class WireLog:
             if transactional_id in self._tids:
                 pid, epoch = self._tids[transactional_id]
                 self._tids[transactional_id] = (pid, epoch + 1)
-                self._open_txns.pop(pid, None)  # fencing aborts zombies
+                # fencing ABORTS the zombie's open transaction — its
+                # already-appended ranges must join the read_committed
+                # filter, not fall out of LSO tracking into visibility
+                # (model-fuzz find, r13: the old pop() REVEALED the
+                # zombie's dirty records the moment the new incarnation
+                # initialized)
+                self._abort_open_txn(pid)
                 self._txn_groups.pop(pid, None)  # staged offsets die too
                 self._txn_offsets.pop(pid, None)
                 return pid, epoch + 1
@@ -108,6 +127,15 @@ class WireLog:
 
     # -------------------------------------------------- transactions
 
+    def _abort_open_txn(self, pid: int) -> None:
+        """Close pid's open transaction as ABORTED: its written ranges
+        join the read_committed filter. No-op if no txn is open."""
+        txn = self._open_txns.pop(pid, None)
+        if txn:
+            for (topic, partition), ranges in txn.items():
+                if ranges:
+                    self._aborted.setdefault((topic, partition), []).extend(ranges)
+
     def producer_epoch(self, pid: int) -> int:
         for p, e in self._tids.values():
             if p == pid:
@@ -121,7 +149,7 @@ class WireLog:
             return ERR_INVALID_PRODUCER_EPOCH
         if not self.has(topic, partition):
             return wire.ERR_UNKNOWN_TOPIC_OR_PARTITION
-        self._open_txns.setdefault(pid, {}).setdefault((topic, partition), -1)
+        self._open_txns.setdefault(pid, {}).setdefault((topic, partition), [])
         return wire.ERR_NONE
 
     def verify_partition_in_txn(
@@ -148,11 +176,16 @@ class WireLog:
         return pid, epoch + 1
 
     def note_transactional_append(
-        self, topic: str, partition: int, pid: int, base_offset: int
+        self, topic: str, partition: int, pid: int, base_offset: int, n: int = 1
     ) -> None:
-        txn = self._open_txns.setdefault(pid, {})
-        if txn.get((topic, partition), -1) < 0:
-            txn[(topic, partition)] = base_offset
+        """Record that this producer's open txn wrote offsets
+        [base_offset, base_offset + n) — the exact per-producer ranges
+        an abort must hide (and nothing else)."""
+        ranges = self._open_txns.setdefault(pid, {}).setdefault((topic, partition), [])
+        if ranges and ranges[-1][1] == base_offset:
+            ranges[-1] = (ranges[-1][0], base_offset + n)  # coalesce contiguous
+        else:
+            ranges.append((base_offset, base_offset + n))
 
     def add_offsets_to_txn(self, pid: int, epoch: int, group: str) -> int:
         """AddOffsetsToTxn (API key 25): declare that this transaction
@@ -203,10 +236,12 @@ class WireLog:
         staged = self._txn_offsets.pop(pid, {})
         self._txn_groups.pop(pid, None)
         if not commit:
-            for (topic, partition), start in txn.items():
-                if start >= 0:
-                    end = self.high_watermark(topic, partition)
-                    self._aborted.setdefault((topic, partition), []).append((start, end))
+            # hide exactly the offset ranges THIS producer wrote —
+            # another producer's records interleaved between them stay
+            # visible (their own EndTxn decides their fate)
+            for (topic, partition), ranges in txn.items():
+                if ranges:
+                    self._aborted.setdefault((topic, partition), []).extend(ranges)
             return wire.ERR_NONE, {}
         return wire.ERR_NONE, staged
 
@@ -215,10 +250,10 @@ class WireLog:
         consumers never see at/after it (the LSO contract)."""
         hw = self.high_watermark(topic, partition)
         starts = [
-            s
+            ranges[0][0]
             for txn in self._open_txns.values()
-            for (t, p), s in txn.items()
-            if (t, p) == (topic, partition) and s >= 0
+            for (t, p), ranges in txn.items()
+            if (t, p) == (topic, partition) and ranges
         ]
         return min(starts) if starts else hw
 
@@ -242,26 +277,39 @@ class WireLog:
         return out
 
     def check_sequence(
-        self, topic: str, partition: int, pid: int, base_seq: int, n: int
+        self, topic: str, partition: int, pid: int, epoch: int, base_seq: int, n: int
     ) -> tuple[str, int]:
         """Idempotence check for a produce batch: returns
         ("accept", -1), ("duplicate", original_base_offset) for an
         exact retry of the last accepted batch, or ("out_of_order", -1)
         for a sequence gap (per the Kafka idempotent-producer
-        contract: sequences per (producer, partition) are dense)."""
+        contract: sequences per (producer, EPOCH, partition) are dense
+        — a bumped epoch restarts at 0, and duplicate detection never
+        spans epochs, matching the broker's ProducerStateManager)."""
         key = (topic, partition, pid)
         prev = self._producer_seqs.get(key)
-        if prev is not None and base_seq == prev[0] and n == prev[1]:
-            return "duplicate", prev[2]
-        expected = 0 if prev is None else prev[0] + prev[1]
+        if prev is not None and prev[0] != epoch:
+            # new epoch: fresh sequence history — first batch must
+            # start at 0 (the caller has already fenced STALE epochs)
+            prev = None
+        if prev is not None and base_seq == prev[1] and n == prev[2]:
+            return "duplicate", prev[3]
+        expected = 0 if prev is None else prev[1] + prev[2]
         if base_seq != expected:
             return "out_of_order", -1
         return "accept", -1
 
     def record_sequence(
-        self, topic: str, partition: int, pid: int, base_seq: int, n: int, base_offset: int
+        self,
+        topic: str,
+        partition: int,
+        pid: int,
+        epoch: int,
+        base_seq: int,
+        n: int,
+        base_offset: int,
     ) -> None:
-        self._producer_seqs[(topic, partition, pid)] = (base_seq, n, base_offset)
+        self._producer_seqs[(topic, partition, pid)] = (epoch, base_seq, n, base_offset)
 
     def create_topic(
         self, name: str, num_partitions: int, configs: dict[str, str] | None = None
@@ -846,7 +894,7 @@ def handle_produce(log: WireLog, payload: bytes, authorize=None, throttle_ms: in
                 continue
             if pid >= 0 and base_seq >= 0:
                 verdict, dup_base = log.check_sequence(
-                    name, p.index, pid, base_seq, len(records)
+                    name, p.index, pid, epoch, base_seq, len(records)
                 )
                 if verdict == "duplicate":
                     # idempotent retry: acknowledge the ORIGINAL offset,
@@ -862,9 +910,9 @@ def handle_produce(log: WireLog, payload: bytes, authorize=None, throttle_ms: in
                     continue
             base = log.append(name, p.index, records)
             if pid >= 0 and base_seq >= 0:
-                log.record_sequence(name, p.index, pid, base_seq, len(records), base)
+                log.record_sequence(name, p.index, pid, epoch, base_seq, len(records), base)
             if transactional:
-                log.note_transactional_append(name, p.index, pid, base)
+                log.note_transactional_append(name, p.index, pid, base, len(records))
             part_results.append((p.index, wire.ERR_NONE, base, log.log_start(name, p.index)))
         results.append((name, part_results))
     return encode_produce_response(
@@ -1388,21 +1436,22 @@ def handle_describe_producers(log: WireLog, payload: bytes) -> bytes:
                 return e if e >= 0 else log._idempotent_epochs.get(pid, 0)
 
             producers = []
-            for (t, p, pid), (base_seq, n, _off) in log._producer_seqs.items():
+            for (t, p, pid), (_ep, base_seq, n, _off) in log._producer_seqs.items():
                 if (t, p) != (name, partition):
                     continue
-                txn_start = log._open_txns.get(pid, {}).get((name, partition))
+                ranges = log._open_txns.get(pid, {}).get((name, partition))
                 producers.append(
                     (pid, pid_epoch(pid), base_seq + n - 1,
-                     -1 if txn_start is None else txn_start)
+                     ranges[0][0] if ranges else -1)
                 )
             # a txn can DECLARE a partition before writing to it — it
             # must still show up (that is the hanging-txn case)
             seen = {pid for pid, *_ in producers}
             for pid, txn in log._open_txns.items():
                 if (name, partition) in txn and pid not in seen:
+                    ranges = txn[(name, partition)]
                     producers.append(
-                        (pid, pid_epoch(pid), -1, txn[(name, partition)])
+                        (pid, pid_epoch(pid), -1, ranges[0][0] if ranges else -1)
                     )
             w.int16(wire.ERR_NONE)
             w.compact_string(None)  # error_message

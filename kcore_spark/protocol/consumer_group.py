@@ -181,6 +181,24 @@ class ConsumerGroupCoordinator:
                     g.members[mid].target[topic] = tuple(parts)
 
     @staticmethod
+    def _clamp_owned(
+        owned: dict[str, tuple[int, ...]], granted: dict[str, tuple[int, ...]]
+    ) -> dict[str, tuple[int, ...]]:
+        """Intersect a member's owned-partitions report with what the
+        coordinator actually granted it. Honest reports only ever
+        SHRINK confirmed ownership (revocations), so the intersection
+        is lossless for well-behaved clients; a buggy client claiming
+        a foreign partition must not park it in its confirmed set —
+        that both double-owns the partition in the coordinator's view
+        and stalls the real owner's reconciliation (model-fuzz find,
+        r13, tests/test_protocol_model_fuzz.py)."""
+        out = {
+            t: tuple(p for p in ps if p in granted.get(t, ()))
+            for t, ps in owned.items()
+        }
+        return {t: ps for t, ps in out.items() if ps}
+
+    @staticmethod
     def _owned_elsewhere(g: ConsumerGroup, mid: str) -> set[tuple[str, int]]:
         """(topic, partition) pairs targeted at OTHER members — the set
         this member must revoke before it can advance epochs."""
@@ -266,17 +284,48 @@ class ConsumerGroupCoordinator:
             if not member_id:
                 member_id = f"cg-member-{g.next_member_seq}"
                 g.next_member_seq += 1
-            regex = subscribed_regex or None  # "" and null both mean none at join
+            prior = g.members.get(member_id)
+            # null = unchanged applies to EVERY heartbeat, including a
+            # rejoin at epoch 0: a member mid-revocation (its epoch is
+            # still 0 until its inherited ownership stops overlapping
+            # other members' targets) heartbeats again at epoch 0, and
+            # wiping its subscriptions/instance/rack because the
+            # "unchanged" fields were null both dropped static identity
+            # and churned the whole group's targets (model-fuzz find,
+            # r13). A genuinely NEW member must state a subscription.
+            if prior is None and subscriptions is None and not subscribed_regex:
+                return self._error(
+                    h.correlation_id,
+                    ERR_INVALID_REQUEST,
+                    "initial join must declare subscribed topics or a regex",
+                )
+            eff_subs = (
+                subscriptions
+                if subscriptions is not None
+                else (prior.explicit_subs if prior is not None else ())
+            )
+            if subscribed_regex is not None:
+                regex = subscribed_regex or None  # "" clears
+            else:
+                regex = prior.regex if prior is not None else None
             try:
-                resolved = self._resolve_subs(subscriptions or (), regex)
+                resolved = self._resolve_subs(eff_subs, regex)
             except ValueError as exc:
                 return self._error(h.correlation_id, ERR_INVALID_REQUEST, str(exc))
             m = MemberState(
                 subscriptions=resolved,
-                explicit_subs=subscriptions or (),
+                explicit_subs=eff_subs,
                 regex=regex,
-                instance_id=instance_id,
-                rack=rack_id,
+                instance_id=(
+                    instance_id
+                    if instance_id is not None
+                    else (prior.instance_id if prior is not None else None)
+                ),
+                rack=(
+                    rack_id
+                    if rack_id is not None
+                    else (prior.rack if prior is not None else None)
+                ),
                 rebalance_timeout_ms=rebalance_timeout_ms,
                 last_seen=self._clock(),
             )
@@ -288,8 +337,12 @@ class ConsumerGroupCoordinator:
             elif owned is not None:
                 # the join's owned report is authoritative — a fenced
                 # member rejoining with owned={} has dropped everything,
-                # and ignoring that would deadlock its own revocations
-                m.current = owned
+                # and ignoring that would deadlock its own revocations —
+                # but clamped to what this member id was last granted
+                # (a brand-new member was granted nothing)
+                m.current = self._clamp_owned(
+                    owned, old.current if old is not None else {}
+                )
             g.members[member_id] = m
             # a join declaring an assignor selects it for the group
             # (last join wins; a switch re-targets everyone)
@@ -342,8 +395,9 @@ class ConsumerGroupCoordinator:
             self._recompute_targets(g)
         if owned is not None:
             # the member's report of what it still owns drives the
-            # revocation half of reconciliation
-            m.current = owned
+            # revocation half of reconciliation — clamped to its
+            # previously-confirmed set (reports can only shrink)
+            m.current = self._clamp_owned(owned, m.current)
         return self._reconcile(h.correlation_id, g, member_id, joined=False)
 
     # ------------------------------------------------ reconciliation
