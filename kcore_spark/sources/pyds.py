@@ -185,7 +185,19 @@ class TopicLogStreamReader(SimpleDataSourceStreamReader):
     exact Kafka-source model (startingOffsets → latest per trigger).
     ``readBetweenOffsets`` replays any committed range
     deterministically from the immutable segments, which is what makes
-    checkpoint recovery exact."""
+    checkpoint recovery exact.
+
+    Operational note (ADVICE r13 #4): a maintenance swap
+    (compact/optimize/erase_keys) that lands MID-TRIGGER makes the
+    executor-side read fail transiently (``TopicLogReader.read`` raises
+    FileNotFoundError rather than silently dropping the swapped
+    segment's rows). Spark's task retries re-execute the same planned
+    split path, so all retries of that trigger fail and the query
+    stops; the checkpoint is intact — restarting the query replans
+    from the refreshed manifest and replays the exact same offsets.
+    Schedule maintenance between triggers (or pair restarts with
+    maintenance windows); a planner-level replan-on-retry needs a
+    DataSource API hook Spark does not expose to Python sources yet."""
 
     def __init__(self, options: dict):
         self.root = options["root"]

@@ -129,17 +129,47 @@ def maintenance_lock(topic_dir: str):
 
     Lock order: thread mutate lock → partition commit locks → THIS →
     flip lock. Not reentrant (flock blocks a second fd even in-process);
-    _recover_compaction itself never acquires it — callers do."""
+    _recover_compaction itself never acquires it — callers do.
+
+    When the hot topic dir EXISTS the lock file lives inside it
+    (_maint.lock, unchanged). When it does NOT — a cold-only topic
+    being healed by scan_archive — the lock is a SIBLING file in the
+    topics root instead of an os.makedirs side effect: creating the
+    hot dir just to lock it left a spurious hot-tier topic dir whose
+    missing data/ subdir read as permanent crash evidence to every
+    later reader (ADVICE r13 #1). The sibling name is invisible to
+    list_topics (no _meta.json). If the dir's existence flips between
+    choosing the lock file and acquiring it, re-choose — two processes
+    must never hold "the" topic's lock via different files."""
     import fcntl
 
-    os.makedirs(topic_dir, exist_ok=True)
-    fd = os.open(os.path.join(topic_dir, "_maint.lock"), os.O_CREAT | os.O_RDWR, 0o644)
-    try:
+    while True:
+        inner = os.path.isdir(topic_dir)
+        if inner:
+            path = os.path.join(topic_dir, "_maint.lock")
+        else:
+            parent = os.path.dirname(os.path.abspath(topic_dir)) or "."
+            os.makedirs(parent, exist_ok=True)
+            path = os.path.join(
+                parent, "." + os.path.basename(topic_dir) + ".maint.lock"
+            )
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+        except FileNotFoundError:
+            continue  # raced a topic-dir delete; re-choose the file
         fcntl.flock(fd, fcntl.LOCK_EX)
-        yield
-    finally:
-        fcntl.flock(fd, fcntl.LOCK_UN)
-        os.close(fd)
+        if os.path.isdir(topic_dir) != inner:
+            # existence changed while we blocked: the other lock file
+            # is authoritative now — release and re-choose
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+            continue
+        try:
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+        return
 
 
 @contextlib.contextmanager
@@ -578,18 +608,29 @@ class TopicLog:
         # fuzz bug #3). Leave the stale entries; their missing files
         # keep routing readers through the heal-and-replan branch.
         try:
-            markers = {
-                d[len("data.part-old-"):].split("-", 1)[0]
-                for d in os.listdir(self._topic_dir(topic))
-                if d.startswith("data.part-old-")
-            }
+            tnames = os.listdir(self._topic_dir(topic))
         except FileNotFoundError:
-            markers = set()
+            tnames = []
+        markers = {
+            d[len("data.part-old-"):].split("-", 1)[0]
+            for d in tnames
+            if d.startswith("data.part-old-")
+        }
+        # whole-dir swap evidence (compact/erase): a data.old-* dir on
+        # disk, or data/ itself gone since the isdir check at the top —
+        # either means the per-partition listings above may have raced
+        # the swap and the "vanished" partitions are live elsewhere
+        # (ADVICE r13 #3: the optimize-marker guard alone missed this)
+        whole_swap = any(d.startswith("data.old-") for d in tnames) or (
+            not os.path.isdir(data_dir)
+        )
         for pdir in list(man):
             p_str = pdir.split("=", 1)[1]
             if partitions is not None and int(p_str) not in partitions:
                 continue
-            if p_str in markers and not os.path.isdir(os.path.join(data_dir, pdir)):
+            if (p_str in markers or whole_swap) and not os.path.isdir(
+                os.path.join(data_dir, pdir)
+            ):
                 continue  # mid-swap: don't persist a lie
             man[pdir] = [e for e in man[pdir] if e["file"] in seen_files]
             if not man[pdir]:
@@ -783,10 +824,18 @@ class TopicLog:
                 n.startswith((topic + ".old-", topic + ".erase.")) for n in names
             )
 
-        df = self.spark.read.parquet(d)
-        if _cold_evidence():
+        # the first read sits inside the same hazard window as scan()'s
+        # (ADVICE r13 #2): a live cold swap can rename the archive dir
+        # away between the isdir check above and Spark's listing
+        try:
+            df = self.spark.read.parquet(d)
+            need_rebuild = _cold_evidence()
+        except Exception:
+            need_rebuild = True
+            df = None
+        if need_rebuild:
             with maintenance_lock(self._topic_dir(topic)):
-                if _cold_evidence():
+                if _cold_evidence() or not os.path.isdir(d):
                     self._recover_compaction(topic)
                 df = self.spark.read.parquet(d) if os.path.isdir(d) else None
         return df
@@ -1307,8 +1356,21 @@ class TopicLog:
                 n.startswith(("data.old-", "data.part-old-")) for n in names
             )
 
-        df = self.spark.read.schema(RECORD_SCHEMA).parquet(data_dir)
-        if _evidence():
+        # the FIRST read is itself inside the hazard window: a live
+        # compact/erase swap can briefly rename data/ away, so the read
+        # can throw PATH_NOT_FOUND before the evidence loop ever runs
+        # (ADVICE r13 #2). Route that failure through the same
+        # maintenance-locked recover-and-rebuild branch; a topic that
+        # genuinely does not exist still raises (no tdir to heal).
+        try:
+            df = self.spark.read.schema(RECORD_SCHEMA).parquet(data_dir)
+            need_rebuild = _evidence()
+        except Exception:
+            if not os.path.isdir(tdir):
+                raise  # not a swap window — the topic was never created
+            need_rebuild = True
+            df = None
+        if need_rebuild:
             with maintenance_lock(tdir):
                 if _evidence():
                     self._recover_compaction(topic)
@@ -1506,7 +1568,26 @@ class TopicLog:
                 if e.get("ts_max") is None or e["ts_max"] >= ts_ms
             ]
             if not files:
-                return parts_df.withColumn("offset", F.lit(-1).cast("long"))
+                # an initially-empty plan can be a LIE: a swap racing an
+                # earlier manifest refresh may have pruned a live
+                # partition's entries, and -1 here is a wrong answer,
+                # not an error. Verify with one heal-and-replan pass
+                # under the maintenance lock (the same discipline the
+                # resolution loop below applies) before answering -1
+                # (ADVICE r13 #3).
+                tdir = self._topic_dir(topic)
+                with maintenance_lock(tdir):
+                    if self._swap_crash_suspected(tdir):
+                        self._recover_compaction(topic)
+                    man = self._refresh_manifest(topic)
+                files = [
+                    os.path.join(data_dir, e["file"])
+                    for entries in man.values()
+                    for e in entries
+                    if e.get("ts_max") is None or e["ts_max"] >= ts_ms
+                ]
+                if not files:
+                    return parts_df.withColumn("offset", F.lit(-1).cast("long"))
             src = None
             for _ in range(2):
                 try:
