@@ -95,7 +95,6 @@ class WireLog:
         if transactional_id is not None:
             if transactional_id in self._tids:
                 pid, epoch = self._tids[transactional_id]
-                self._tids[transactional_id] = (pid, epoch + 1)
                 # fencing ABORTS the zombie's open transaction — its
                 # already-appended ranges must join the read_committed
                 # filter, not fall out of LSO tracking into visibility
@@ -105,6 +104,19 @@ class WireLog:
                 self._abort_open_txn(pid)
                 self._txn_groups.pop(pid, None)  # staged offsets die too
                 self._txn_offsets.pop(pid, None)
+                if epoch >= 32767 - 1:
+                    # epoch exhaustion (int16 ceiling): allocate a NEW
+                    # pid at epoch 0, the broker's ProducerStateManager
+                    # contract — the old pid falls out of _tids so any
+                    # zombie at it fences via producer_epoch() == -1
+                    # (model-fuzz find, r13: the unchecked bump
+                    # overflowed the int16 encode and killed the
+                    # response instead of rolling the pid)
+                    pid = self._next_pid
+                    self._next_pid += 1
+                    self._tids[transactional_id] = (pid, 0)
+                    return pid, 0
+                self._tids[transactional_id] = (pid, epoch + 1)
                 return pid, epoch + 1
             pid = self._next_pid
             self._next_pid += 1
@@ -170,8 +182,17 @@ class WireLog:
         """KIP-890 end-of-transaction epoch bump: every completed
         commit/abort advances the producer epoch so a zombie writing
         under the old epoch is fenced by construction. Returns the
-        (pid, new_epoch) the client must use for its next transaction."""
+        (pid, new_epoch) the client must use for its next transaction.
+        At the int16 ceiling the pid ROLLS instead (new pid, epoch 0)
+        — the EndTxn v4 response carries both fields precisely so the
+        client can adopt a rolled pid; the old pid fences via
+        producer_epoch() == -1."""
         pid, epoch = self._tids[transactional_id]
+        if epoch >= 32767 - 1:
+            pid = self._next_pid
+            self._next_pid += 1
+            self._tids[transactional_id] = (pid, 0)
+            return pid, 0
         self._tids[transactional_id] = (pid, epoch + 1)
         return pid, epoch + 1
 

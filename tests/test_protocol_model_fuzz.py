@@ -417,6 +417,33 @@ def test_sequences_restart_at_zero_after_epoch_bump():
     assert _fetch_vals(fe, "alpha", 0, isolation=1) == [b"x", b"y", b"z"]
 
 
+def test_epoch_exhaustion_rolls_producer_id():
+    """Model-fuzz find #6: at the int16 epoch ceiling the pid ROLLS
+    (new pid, epoch 0) per the broker's ProducerStateManager contract —
+    the unchecked bump used to overflow the int16 encode and kill the
+    response. The old pid stays fenced; the rolled pid works end to
+    end."""
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("alpha", 1)
+    pid, ep = _init_txn_pid(fe, "roll")
+    fe.wire_log._tids["roll"] = (pid, 32766)
+    _add_partitions(fe, "roll", pid, 32766, "alpha", [0])
+    err, npid, nep = _end_txn_v4(fe, "roll", pid, 32766, commit=True)
+    assert (err, nep) == (wire.ERR_NONE, 0) and npid != pid
+    # zombie at the retired pid is fenced (producer_epoch == -1)
+    err2, _ = _produce_to(fe, "alpha", 0, _txn_batch(pid, 32766, 0, [b"z"]))
+    assert err2 == ERR_INVALID_PRODUCER_EPOCH
+    # the rolled pid transacts normally
+    _add_partitions(fe, "roll", npid, nep, "alpha", [0])
+    assert _produce_to(fe, "alpha", 0, _txn_batch(npid, nep, 0, [b"ok"]))[0] == 0
+    assert _end_txn(fe, "roll", npid, nep, commit=True) == wire.ERR_NONE
+    assert _fetch_vals(fe, "alpha", 0, isolation=1) == [b"ok"]
+    # a fencing re-init at the ceiling rolls the same way
+    fe.wire_log._tids["roll2"] = (77777, 32767)
+    p2, e2 = _init_txn_pid(fe, "roll2")
+    assert e2 == 0 and p2 != 77777
+
+
 # ======================================================= campaign G
 
 
