@@ -108,12 +108,26 @@ def handle_find_coordinator(payload: bytes, host: str, port: int) -> bytes:
 # ------------------------------------------------------ OffsetCommit v2
 
 
-def handle_offset_commit(store: GroupStore, payload: bytes) -> bytes:
+ERR_ILLEGAL_GENERATION = 22
+ERR_UNKNOWN_MEMBER_ID_ = 25
+
+
+def handle_offset_commit(store: GroupStore, payload: bytes, coordinator=None) -> bytes:
     """OffsetCommit v2-v8: v2-v4 carry retention_time_ms (dropped in
     v5); v6 adds committed_leader_epoch per partition (accepted,
     unused — single-broker logs have one epoch); v7 adds
     group_instance_id (static membership); v8 is the flexible
-    encoding. v3+ responses prepend throttle_time_ms."""
+    encoding. v3+ responses prepend throttle_time_ms.
+
+    Generation fencing (r13): a commit carrying generation_id >= 0 is
+    a GROUP-MANAGED consumer's commit and is validated against the
+    classic coordinator — unknown member answers UNKNOWN_MEMBER_ID,
+    a stale generation answers ILLEGAL_GENERATION, and neither stores
+    anything. Without this, a consumer kicked out by a rebalance
+    (zombie) could overwrite the new owner's committed offsets — the
+    offset-loss twin of the transactional-plane fencing the r13
+    model fuzz exercised. generation_id -1 is the simple-consumer
+    path (no group management): always accepted, unchanged."""
     r = wire.Reader(payload)
     v = struct_version(payload)
     flex = v >= 8
@@ -121,12 +135,28 @@ def handle_offset_commit(store: GroupStore, payload: bytes) -> bytes:
     rd_str = r.compact_string if flex else r.nullable_string
     rd_len = r.compact_array_len if flex else r.int32
     group = rd_str()
-    r.int32()  # generation_id
-    rd_str()  # member_id
+    generation_id = r.int32()
+    member_id = rd_str() or ""
     if v >= 7:
         rd_str()  # group_instance_id
     if 2 <= v <= 4:
         r.int64()  # retention_time_ms
+    fence_err = ERR_NONE
+    if coordinator is not None and generation_id >= 0:
+        g = coordinator.groups.get(group)
+        if g is not None:
+            coordinator._expire_stale(g)
+        if g is not None and g.members:
+            # the coordinator actively manages this group: validate the
+            # committer. A group it has never seen (or whose members all
+            # left) keeps the simple-consumer contract — commits land
+            # unfenced, as before.
+            if member_id not in g.members:
+                fence_err = ERR_UNKNOWN_MEMBER_ID_
+            elif generation_id != g.generation:
+                fence_err = ERR_ILLEGAL_GENERATION
+            else:
+                coordinator._touch(g, member_id)
     results = []
     for _ in range(max(rd_len(), 0)):
         topic = rd_str()
@@ -139,7 +169,8 @@ def handle_offset_commit(store: GroupStore, payload: bytes) -> bytes:
             rd_str()  # metadata
             if flex:
                 r.tagged_fields()
-            store.commit(group, topic, partition, offset)
+            if fence_err == ERR_NONE:
+                store.commit(group, topic, partition, offset)
             parts.append(partition)
         if flex:
             r.tagged_fields()
@@ -155,7 +186,7 @@ def handle_offset_commit(store: GroupStore, payload: bytes) -> bytes:
         w.compact_string(topic) if flex else w.nullable_string(topic)
         w.compact_array_len(len(parts)) if flex else w.int32(len(parts))
         for p in parts:
-            w.int32(p).int16(ERR_NONE)
+            w.int32(p).int16(fence_err)
             if flex:
                 w.empty_tagged_fields()
         if flex:

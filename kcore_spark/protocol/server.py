@@ -355,7 +355,9 @@ class KafkaFrontend:
         if api_key == wire.OFFSET_COMMIT_KEY and 2 <= api_version <= 8:
             from kcore_spark.protocol.groups import handle_offset_commit
 
-            return handle_offset_commit(self.group_store, payload)
+            return handle_offset_commit(
+                self.group_store, payload, coordinator=self.coordinator
+            )
         if api_key == wire.OFFSET_FETCH_KEY and 1 <= api_version <= 9:
             from kcore_spark.protocol.groups import handle_offset_fetch
 

@@ -374,6 +374,66 @@ def test_classic_group_plane_model_fuzz(seed):
     _c_equiv(coord, gid, model)
 
 
+# ---------------------------------------------- campaign C regression
+
+
+def test_zombie_consumer_offset_commit_is_fenced():
+    """r13: OffsetCommit from a group-MANAGED consumer is validated
+    against the classic coordinator — a member kicked by a rebalance
+    (stale generation) or never in the group must not overwrite the
+    new owner's committed offsets; unmanaged (simple-consumer) groups
+    keep the unfenced contract."""
+    from kcore_spark.protocol.server import KafkaFrontend
+
+    fe = KafkaFrontend()
+    fe.wire_log.create_topic("t", 2)
+
+    def commit(group, gen, member, offset):
+        w = wire.Writer()
+        w.int16(wire.OFFSET_COMMIT_KEY).int16(5).int32(66)
+        w.nullable_string("c")
+        w.nullable_string(group)
+        w.int32(gen)
+        w.nullable_string(member)
+        w.int32(1)
+        w.nullable_string("t")
+        w.int32(1)
+        w.int32(0).int64(offset)
+        w.nullable_string(None)
+        r = wire.Reader(fe.handle_request(w.bytes()))
+        r.int32()
+        r.int32()  # throttle
+        r.int32()  # n topics
+        r.nullable_string()
+        r.int32()
+        r.int32()  # partition
+        return r.int16()
+
+    coord = fe.coordinator
+    # unmanaged group: any generation lands (simple-consumer contract)
+    assert commit("simple", 7, "whoever", 10) == wire.ERR_NONE
+    assert fe.group_store.fetch("simple", "t", 0) == 10
+
+    # managed group: m1 joins (gen 1), then m2 joins (gen 2)
+    err, gen1, _, m1, _ = _c_join(coord, "managed", "", version=0)
+    assert err == wire.ERR_NONE
+    err, gen2, _, m2, _ = _c_join(coord, "managed", "", version=0)
+    assert err == wire.ERR_NONE and gen2 == gen1 + 1
+    # current-generation member commits: lands
+    assert commit("managed", gen2, m1, 100) == wire.ERR_NONE
+    assert fe.group_store.fetch("managed", "t", 0) == 100
+    # zombie at the OLD generation: ILLEGAL_GENERATION, offset intact
+    assert commit("managed", gen1, m1, 999) == ERR_ILLEGAL_GENERATION
+    assert fe.group_store.fetch("managed", "t", 0) == 100
+    # a member the group never had: UNKNOWN_MEMBER_ID, offset intact
+    assert commit("managed", gen2, "member-999x", 888) == ERR_UNKNOWN_MEMBER_ID
+    assert fe.group_store.fetch("managed", "t", 0) == 100
+    # simple consumer (generation -1) still lands even on a managed
+    # group (documented scope of the fence)
+    assert commit("managed", -1, "", 101) == wire.ERR_NONE
+    assert fe.group_store.fetch("managed", "t", 0) == 101
+
+
 # ======================================================= campaign F
 
 
