@@ -88,13 +88,24 @@ class AclStore:
         self, principal: str, operation: str | int, resource_type: str | int,
         resource_name: str, host: str = "*",
     ) -> bool:
-        """Deny-over-allow: one matching DENY rejects; otherwise any
-        matching ALLOW grants; no match → rejected (default deny, the
-        allow.everyone.if.no.acl.found=false stance)."""
+        """Deny-over-allow: one matching DENY (of the operation or ALL)
+        rejects; otherwise any matching ALLOW grants; no match →
+        rejected (default deny, allow.everyone.if.no.acl.found=false).
+
+        Implication table (upstream AclAuthorizer, found missing by the
+        r13 ACL model fuzz): an ALLOW of READ, WRITE, DELETE, or ALTER
+        implicitly allows DESCRIBE — a consumer granted only READ must
+        still see the topic's metadata. DENY does NOT imply: only an
+        explicit DESCRIBE (or ALL) deny blocks DESCRIBE."""
         if principal in self.super_users:
             return True
         op = _OP_NAMES[operation] if isinstance(operation, str) else operation
         rt = _RES_NAMES[resource_type] if isinstance(resource_type, str) else resource_type
+        allow_ops = (
+            (OP_DESCRIBE, OP_READ, OP_WRITE, OP_DELETE, OP_ALTER)
+            if op == OP_DESCRIBE
+            else (op,)
+        )
         allowed = False
         for b in self._bindings:
             if b.resource_type != rt:
@@ -105,11 +116,11 @@ class AclStore:
                 continue
             if b.host not in (host, "*"):
                 continue
-            if b.operation not in (op, OP_ALL):
-                continue
             if b.permission == PERM_DENY:
-                return False
-            allowed = True
+                if b.operation in (op, OP_ALL):
+                    return False
+            elif b.operation in allow_ops or b.operation == OP_ALL:
+                allowed = True
         return allowed
 
 
