@@ -78,6 +78,13 @@ class ConsumerGroup:
     group_epoch: int = 0
     members: dict[str, MemberState] = field(default_factory=dict)
     next_member_seq: int = 0
+    # {topic: partition_count} over the members' subscribed topics as
+    # of the last target computation — the KIP bumps the group epoch
+    # when "the partition metadata changes", so a partition expansion
+    # or topic deletion must retarget a STABLE group (model-fuzz find,
+    # r13: expanded partitions were never assigned until unrelated
+    # membership churn)
+    metadata_snapshot: dict[str, int] = field(default_factory=dict)
     # server-side assignor in force: None until a joining member states
     # a preference (describe reports the default until then). A join
     # declaring a DIFFERENT assignor switches the group (last join
@@ -143,6 +150,26 @@ class ConsumerGroupCoordinator:
 
     # ------------------------------------------------ target assignment
 
+    def _subscribed_metadata(self, g: ConsumerGroup) -> dict[str, int]:
+        catalog = self._topic_partitions()
+        subs: set[str] = set()
+        for m in g.members.values():
+            subs.update(m.subscriptions)
+        return {t: catalog[t] for t in subs if t in catalog}
+
+    def _maybe_retarget_on_metadata(self, g: ConsumerGroup) -> None:
+        """KIP-848: the group epoch bumps when the partition metadata
+        of any subscribed topic changes — a partition expansion must
+        reach a stable group (the new partitions retarget on the next
+        heartbeat), and a deleted topic's partitions must leave the
+        targets (members then drop them at their next epoch advance).
+        Cheap when nothing changed: len(subscriptions) dict lookups."""
+        if not g.members:
+            return
+        if self._subscribed_metadata(g) != g.metadata_snapshot:
+            g.group_epoch += 1
+            self._recompute_targets(g)
+
     def _recompute_targets(self, g: ConsumerGroup) -> None:
         """Server-side assignors (dispatch on the group's selected
         assignor): "uniform" hands each topic's partitions to the
@@ -153,6 +180,7 @@ class ConsumerGroupCoordinator:
         partition-aligned joins local on the consumer side). Both are
         O(members + partitions); runs once per group-epoch bump, never
         per heartbeat."""
+        g.metadata_snapshot = self._subscribed_metadata(g)
         catalog = self._topic_partitions()
         use_range = g.assignor == "range"
         for m in g.members.values():
@@ -256,6 +284,7 @@ class ConsumerGroupCoordinator:
 
         g = self.groups.setdefault(group_id, ConsumerGroup())
         self._expire_stale(g)
+        self._maybe_retarget_on_metadata(g)
 
         # ---- leave (epoch -1 dynamic, -2 static)
         if member_epoch in (LEAVE_EPOCH, STATIC_LEAVE_EPOCH):

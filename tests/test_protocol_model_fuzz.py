@@ -511,8 +511,13 @@ def _adopt(c: Member, err, member, epoch, asg):
 def test_consumer_group_plane_model_fuzz(seed):
     rng = random.Random(seed)
     clock = FakeClock()
+    # LIVE catalog: the expand_topic action grows partition counts
+    # mid-fuzz — the coordinator must retarget the group on metadata
+    # change (KIP-848; model-fuzz find #7, the expansion-never-assigned
+    # bug) and the convergence check below covers the CURRENT catalog
+    catalog = dict(CATALOG)
     coord = ConsumerGroupCoordinator(
-        topic_partitions=lambda: dict(CATALOG),
+        topic_partitions=lambda: dict(catalog),
         session_timeout_ms=45_000,
         clock=clock,
     )
@@ -550,8 +555,9 @@ def test_consumer_group_plane_model_fuzz(seed):
                 "static_restart",
                 "clock_small",
                 "clock_expire",
+                "expand_topic",
             ],
-            weights=[8, 30, 8, 6, 6, 6, 5, 4, 8, 2],
+            weights=[8, 30, 8, 6, 6, 6, 5, 4, 8, 2, 4],
         )[0]
         live = [i for i, c in enumerate(clients) if c.alive]
 
@@ -577,11 +583,11 @@ def test_consumer_group_plane_model_fuzz(seed):
                 # granted on top of its real assignment
                 owned = {t: tuple(ps) for t, ps in c.assignment.items()}
                 ft = rng.choice(list(c.subs))
-                fp = rng.randrange(CATALOG[ft])
+                fp = rng.randrange(catalog[ft])
                 owned[ft] = tuple(sorted(set(owned.get(ft, ())) | {fp}))
             err, member, epoch, asg = _hb(
                 coord, group=gid, member=c.member, epoch=c.epoch,
-                subs=None, owned=owned,
+                subs=None, owned=owned, instance=c.instance,
             )
             if expired(idx):
                 # lazily expired by the coordinator before lookup. A
@@ -633,9 +639,13 @@ def test_consumer_group_plane_model_fuzz(seed):
             c.subs = tuple(
                 sorted(rng.sample(list(CATALOG), rng.randint(1, len(CATALOG))))
             )
+            # a real static client carries its instance id on every
+            # request (an expired entry makes this an epoch-0 rejoin,
+            # where null-instance would re-register the member as
+            # dynamic and orphan the client's static identity)
             err, member, epoch, asg = _hb(
                 coord, group=gid, member=c.member, epoch=c.epoch,
-                subs=c.subs, owned=dict(c.assignment),
+                subs=c.subs, owned=dict(c.assignment), instance=c.instance,
             )
             if expired(idx) and err == ERR_UNKNOWN_MEMBER_ID:
                 c.assignment = {}
@@ -677,6 +687,10 @@ def test_consumer_group_plane_model_fuzz(seed):
             clock.now += 50.0
             # everyone who doesn't heartbeat before the next request is
             # gone; our model marks them for rejoin lazily via expired()
+        elif action == "expand_topic":
+            t = rng.choice(list(catalog))
+            if catalog[t] < 8:
+                catalog[t] += rng.randint(1, 2)
 
         if gid in coord.groups:
             prev_epoch = _check_group_invariants(coord, gid, prev_epoch)
@@ -724,13 +738,44 @@ def test_consumer_group_plane_model_fuzz(seed):
             for part in parts:
                 owned_union[(topic, part)] = owned_union.get((topic, part), 0) + 1
     for topic in subscribed:
-        for part in range(CATALOG[topic]):
+        for part in range(catalog[topic]):
             assert owned_union.get((topic, part), 0) == 1, (
                 f"{topic}/{part} owned {owned_union.get((topic, part), 0)} times"
             )
+    # no member confirms a partition outside the live catalog
+    for (topic, part) in owned_union:
+        assert part < catalog.get(topic, 0), (
+            f"stale grant outside the catalog: {topic}/{part}"
+        )
 
 
 # -------------------------------------------- campaign G regressions
+
+
+def test_partition_metadata_change_retargets_stable_group():
+    """Model-fuzz find (catalog-churn extension): KIP-848 bumps the
+    group epoch when subscribed partition metadata changes — a
+    partition expansion must reach a stable group on its next
+    heartbeat, and a deleted topic's partitions must drain out of
+    confirmed ownership."""
+    catalog = {"ta": 2}
+    coord = ConsumerGroupCoordinator(topic_partitions=lambda: dict(catalog))
+    err, m1, e1, a1 = _hb(coord, group="g", member="", epoch=0, subs=("ta",))
+    assert err == wire.ERR_NONE and a1 == {"ta": (0, 1)}
+    catalog["ta"] = 4  # expansion
+    err, _, e2, a2 = _hb(
+        coord, group="g", member=m1, epoch=e1, subs=None, owned=a1
+    )
+    assert err == wire.ERR_NONE and e2 == e1 + 1
+    assert a2 == {"ta": (0, 1, 2, 3)}, "expanded partitions never assigned"
+    del catalog["ta"]  # deletion
+    err, _, e3, a3 = _hb(
+        coord, group="g", member=m1, epoch=e2, subs=None, owned=a2
+    )
+    assert err == wire.ERR_NONE
+    assert coord.groups["g"].members[m1].current == {}, (
+        "deleted topic's partitions must drain from confirmed ownership"
+    )
 
 
 def test_epoch0_heartbeat_null_fields_mean_unchanged():
