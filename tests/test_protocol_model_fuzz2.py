@@ -509,6 +509,58 @@ def _f_parse(resp):
     return err, sid, out
 
 
+def test_incremental_session_tracks_lso_not_just_hw():
+    """Cross-plane pin (fetch sessions x transactions): for a
+    read_committed session the omission key is the LSO, so a partition
+    whose high watermark is unchanged but whose LSO moved (a txn
+    committed or aborted) must be RE-INCLUDED on the next incremental
+    — even a steady-state request naming no partitions. An open txn's
+    records stay withheld; an abort advances progress without ever
+    delivering them."""
+    log = WireLog()
+    log.create_topic("t", 1)
+    pid, ep = log.init_producer_id("T")
+    log.add_partition_to_txn(pid, ep, "t", 0)
+    log.append("t", 0, [Record(b"k", b"c0", 1)])
+    err, sid, parts = _f_parse(
+        handle_fetch(log, _f_req(0, 0, [("t", [(0, 0)])], isolation=1))
+    )
+    assert err == wire.ERR_NONE
+    assert [v for _, v in parts[("t", 0)][1]] == [b"c0"]
+    # open txn: the incremental (positioned past c0) withholds
+    b = log.append("t", 0, [Record(b"k", b"dirty", 1)])
+    log.note_transactional_append("t", 0, pid, b, 1)
+    err, _, parts = _f_parse(
+        handle_fetch(log, _f_req(sid, 1, [("t", [(0, 1)])], isolation=1))
+    )
+    assert err == wire.ERR_NONE and parts == {}
+    # commit moves ONLY the LSO; a steady-state empty request must
+    # re-include the partition with the now-visible record
+    log.end_txn(pid, ep, commit=True)
+    err, _, parts = _f_parse(handle_fetch(log, _f_req(sid, 2, [], isolation=1)))
+    assert err == wire.ERR_NONE
+    assert [(o, v) for o, v in parts[("t", 0)][1]] == [(1, b"dirty")]
+
+    # abort path: a second open txn, then abort — the session sees the
+    # LSO advance (re-include) but never the aborted record
+    pid2, ep2 = log.init_producer_id("T2")
+    log.add_partition_to_txn(pid2, ep2, "t", 0)
+    b = log.append("t", 0, [Record(b"k", b"never", 1)])
+    log.note_transactional_append("t", 0, pid2, b, 1)
+    err, _, parts = _f_parse(
+        handle_fetch(log, _f_req(sid, 3, [("t", [(0, 2)])], isolation=1))
+    )
+    assert err == wire.ERR_NONE and parts == {}  # withheld
+    log.end_txn(pid2, ep2, commit=False)
+    err, _, parts = _f_parse(handle_fetch(log, _f_req(sid, 4, [], isolation=1)))
+    assert err == wire.ERR_NONE
+    # LSO moved: partition re-included, but with NO records (the only
+    # one in range was aborted) — the client's position may advance to
+    # the new LSO via the carried hw, never seeing b"never"
+    assert ("t", 0) in parts
+    assert parts[("t", 0)][1] == []
+
+
 class FClient:
     def __init__(self):
         self.sid = 0
