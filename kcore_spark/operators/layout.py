@@ -143,7 +143,16 @@ def zorder_write(
     from pyspark.ml.feature import Bucketizer
 
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
-    n_buckets = 1 << 12
+    # Bucket resolution scales with the FILE count, not a fixed 2^12:
+    # pruning only ever decides at file granularity, so ~16 bucket
+    # boundaries per output file per dimension already gives the
+    # manifest tight per-file rectangles. The old constant 4096 forced
+    # a 4095-quantile Greenwald-Khanna pass at 1/16384 relative error —
+    # the most expensive stage of the write (driver-side summary merge
+    # scales with quantile count × 1/error) for resolution the 16-file
+    # layout could not use (guide §1.2: don't compute things you throw
+    # away).
+    n_buckets = max(256, 16 * n)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     work = df.withColumn("__da", F.col(key_a).cast("double")).withColumn(
         "__db", F.col(key_b).cast("double")

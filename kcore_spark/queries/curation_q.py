@@ -171,7 +171,12 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     key = F.col("l_partkey").cast("string")
     sketch = count_min_sketch(li, key, depth=4, width=256)
-    truth = (
+    # transient_persist: truth (20 rows, but its lineage is a full
+    # groupBy + top-k over the fact table) feeds both the estimate
+    # probe and the final join — uncached it computed twice
+    from kcore_spark.caching import transient_persist
+
+    truth = transient_persist(
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("true_cnt"))
         .orderBy(F.col("true_cnt").desc(), F.col("l_partkey"))

@@ -64,7 +64,9 @@ def q_kde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 21 exp+decimal sums are CPU-bound and want every core for the
     # partial agg; at real scale the scan is already parallel and
     # this is one cheap extra exchange of the projected column.
-    j = src.repartition(32).crossJoin(F.broadcast(params))
+    j = src.repartition(
+        src.sparkSession.sparkContext.defaultParallelism
+    ).crossJoin(F.broadcast(params))
 
     def _gp(i: int):
         return F.col("lo") + float(i) * (F.col("hi") - F.col("lo")) / 20.0

@@ -52,7 +52,7 @@ def q_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = (
         capped.groupBy("pk")
         .agg(F.sort_array(F.collect_set("sk")).alias("ss"))
-        .repartition(32, "pk")
+        .repartition(spark.sparkContext.defaultParallelism, "pk")
     )
     pairs = (
         grp.select(F.explode("ss").alias("s1"), "ss")

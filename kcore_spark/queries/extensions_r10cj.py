@@ -74,7 +74,7 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the left side back over the cluster before the non-equi
     # pair join — the global row_number left it in one partition
     walsh = (
-        a.repartition(32, "ia")
+        a.repartition(a.sparkSession.sparkContext.defaultParallelism, "ia")
         .join(F.broadcast(b), F.col("ia") <= F.col("ib"))
         .select((F.col("da") + F.col("db")).alias("s"))
     )

@@ -521,16 +521,33 @@ QUERIES["q_setsim_ppjoin"] = QuerySpec(
 
 
 def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kcore_spark.caching import transient_persist
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    toks = docs.select(
+    ws = F.split(F.lower(F.col("text")), " ")
+    # Adjacent-word bigrams straight from the split array (zip of the
+    # array against itself shifted by one) — MAP-SIDE, riding the scan.
+    # The old formulation posexploded every token and ran a lead()
+    # window partitioned by doc_id, which shuffled + sorted the whole
+    # token table just to pair neighbors that were already adjacent in
+    # the array (guide §2.4: remove shuffles outright).
+    bigrams = docs.select(
         "doc_id",
         "source",
-        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "w"),
-    )
-    w2 = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
-    bigrams = toks.withColumn("w2", w2).where(F.col("w2").isNotNull())
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    vocab = toks.select("w").distinct().count()
+        F.explode(
+            F.arrays_zip(
+                F.slice(ws, 1, F.size(ws) - 1).alias("w"),
+                F.slice(ws, 2, F.size(ws) - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", F.col("bg.w").alias("w"), F.col("bg.w2").alias("w2"))
+    toks = docs.select(F.explode(ws).alias("w"))
+    # uni is vocabulary-sized and feeds BOTH the vocab count and the
+    # scoring broadcast; persisting it (transient, harness-released)
+    # replaces the old separate explode+distinct pass for vocab with a
+    # row count over the already-materialized unigram table.
+    uni = transient_persist(toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
+    vocab = uni.count()
     big = bigrams.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("cb"))
     scored = (
         bigrams.join(F.broadcast(big), ["w", "w2"])

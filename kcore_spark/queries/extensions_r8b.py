@@ -50,16 +50,30 @@ def _sq_dist(e: F.Column, c: F.Column) -> F.Column:
 
 
 def _assign(points: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest centroid per point: broadcast k-row cross + struct-min
-    (dist, cid) — the tie-break is the lower centroid id."""
-    return (
-        points.crossJoin(F.broadcast(cent))
-        .withColumn("dist", _sq_dist(F.col("e"), F.col("ce")))
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"),
-            F.first("e").alias("e"),  # identical across the k copies
+    """Nearest centroid per point: the k centroids are folded into ONE
+    broadcast row (array of (cid, ce) structs) and the argmin is a
+    per-row array_min over (dist, cid) structs — tie-break on the
+    lower centroid id, same IEEE fold per centroid as the old k-row
+    cross. MAP-SIDE ONLY: the old shape crossed k rows per point and
+    then shuffled every point's embedding array through a
+    groupBy(vec_id) to pick the min — per iteration, one full
+    corpus-of-arrays exchange that existed only to undo the k-way
+    fan-out (guide §2.4: remove shuffles outright; §2.3: never shuffle
+    a payload to make a decision a map-side expression can make)."""
+    cent_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cs")
+    )
+    m = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda s: F.struct(
+                _sq_dist(F.col("e"), s["ce"]).alias("dist"), s["cid"].alias("cid")
+            ),
         )
+    )
+    return (
+        points.crossJoin(F.broadcast(cent_row))
+        .withColumn("m", m)
         .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"), "e")
     )
 
@@ -182,13 +196,25 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = und.select(F.col("src").alias("n")).distinct().withColumn("lbl", F.col("n"))
     for _ in range(LP_ITERS):
+        # labels is VERTEX-sized (a localCheckpointed RDD scan whose
+        # size the planner cannot estimate, so unhinted it planned a
+        # sort-merge join that shuffled the EDGE table every round).
+        # Broadcasting the vertex-sized sides keeps the edge table
+        # un-shuffled all rounds; only vertex-sized aggregates move
+        # (guide §3.1: pick the strategy deliberately when estimates
+        # are blind; §2.4). At 100 TB the labels table is |V|-sized —
+        # the same per-round broadcast the peel loops (q_kcore/core
+        # numbers) already use for their kept-vertex semi-joins.
         nb_min = (
-            und.join(labels.select(F.col("n").alias("dn"), "lbl"), und.dst == F.col("dn"))
+            und.join(
+                F.broadcast(labels.select(F.col("n").alias("dn"), "lbl")),
+                und.dst == F.col("dn"),
+            )
             .groupBy("src")
             .agg(F.min("lbl").alias("nl"))
         )
         labels = (
-            labels.join(nb_min, labels.n == nb_min.src, "left")
+            labels.join(F.broadcast(nb_min), labels.n == nb_min.src, "left")
             .select(
                 F.col("n"),
                 F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),

@@ -297,26 +297,33 @@ QUERIES["q_ndcg_eval"] = QuerySpec(
 # derived from md5("rp-i-j") (top bit of the first nibble), scaled by
 # 1/sqrt(16). Entirely map-side — each output row folds its own
 # 64-element products sequentially; no shuffle at all (the projection
-# rides the scan). At cluster scale the sign matrix would be
-# precomputed once and broadcast instead of re-hashed per row; the
-# inline hash keeps the query self-contained and both engines derive
-# the identical matrix.
+# rides the scan). The sign matrix is data-independent, so it is
+# computed ONCE driver-side (hashlib.md5 — identical digests to
+# Spark's md5) and embedded as literal arrays: the old inline-hash
+# formulation re-derived all 1,024 matrix cells with md5+concat+
+# substring PER ROW, which dominated the query (guide §1.2: fix the
+# per-task work). The fold order over i is unchanged, so the float
+# sums are bit-identical; the oracle keeps the self-contained md5
+# derivation and still matches.
 
 RP_IN = 64
 RP_OUT = 16
 
 
-def _rp_sign(i: F.Column, j: F.Column) -> F.Column:
-    hexc = F.substring(
-        F.md5(
-            F.concat(
-                F.lit("rp-"), i.cast("string"), F.lit("-"), j.cast("string")
-            )
-        ),
-        1,
-        1,
-    )
-    return F.when(hexc.isin(*list("01234567")), F.lit(1.0)).otherwise(F.lit(-1.0))
+def _rp_sign_matrix() -> list[list[float]]:
+    """signs[j][i] = +-1.0 from md5('rp-i-j'), same derivation as the
+    oracle SQL (first hex nibble in 0..7 -> +1)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"rp-{i}-{j}".encode()).hexdigest()[0] in "01234567"
+            else -1.0
+            for i in range(RP_IN)
+        ]
+        for j in range(RP_OUT)
+    ]
 
 
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,21 +332,24 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     )
-    proj = F.transform(
-        F.sequence(F.lit(0), F.lit(RP_OUT - 1)),
-        lambda j: F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("e"),
-                    F.sequence(F.lit(0), F.lit(RP_IN - 1)),
-                    lambda x, i: x * _rp_sign(i, j),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    signs = _rp_sign_matrix()
+    proj = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("e"),
+                        F.array(*[F.lit(s) for s in signs[j]]),
+                        lambda x, s: x * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / 4.0,
+                8,
             )
-            / 4.0,
-            8,
-        ),
+            for j in range(RP_OUT)
+        ]
     )
     return (
         emb.select("vec_id", F.posexplode(proj).alias("dim", "v"))

@@ -40,9 +40,16 @@ AA_TOPK = 20
 
 
 def q_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).distinct()
+    from kcore_spark.caching import transient_persist
+
+    # transient_persist: the deduped bipartite edge list feeds BOTH the
+    # degree aggregate and the join probe — uncached, the scan +
+    # distinct shuffle ran twice (before-plan: 2 parquet scans)
+    li = transient_persist(
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
     # Pass 1: degree filter BEFORE any collect, so the per-part supplier
     # array built in pass 2 is provably bounded by AA_MAX_FANOUT even on
     # hub keys (collect_set before the filter would bloat one aggregation
@@ -65,7 +72,9 @@ def q_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(20,12)"
             ),
         )
-        .repartition(32, "pk")  # AQE under-coalesces the explode stage
+        # AQE under-coalesces the explode stage; core-count-adaptive,
+        # not a local[32] constant
+        .repartition(spark.sparkContext.defaultParallelism, "pk")
     )
     pairs = (
         grp.select("term", F.explode("ss").alias("s1"), "ss")

@@ -285,7 +285,16 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w = Window.partitionBy("c").orderBy("i")
-    capped = cp.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _CF_CAP)
+    # transient_persist: capped feeds THREE consumers (the pair explode
+    # and both n_i probes) — uncached, the scan + fact join + distinct +
+    # window cap subtree executed three times (plan audit r13-opt: the
+    # before-plan shows the subtree tripled under two SortMergeJoins).
+    # Released by the harness after the terminal collect.
+    from kcore_spark.caching import transient_persist
+
+    capped = transient_persist(
+        cp.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _CF_CAP)
+    )
     n_i = capped.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
     # map-side pair explode from each customer's sorted item set (the
     # co_order_edges idiom, operators/graph.py) — identical pair set
@@ -306,9 +315,24 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cooc"))
         .where(F.col("cooc") >= 2)
     )
+    # n_i is part-count-sized (≤ distinct i): broadcast both probes so
+    # the multi-million-row pair table is not sort-merge-shuffled twice
+    # just to attach a count (before-plan: 2 SortMergeJoins + 3 Exchanges
+    # over the pair table; after: 2 BroadcastHashJoins riding the pair
+    # aggregation's output)
     scored = (
-        pairs.join(n_i.withColumnRenamed("i", "ia").withColumnRenamed("n_i", "na"), "ia")
-        .join(n_i.withColumnRenamed("i", "ib").withColumnRenamed("n_i", "nb"), "ib")
+        pairs.join(
+            F.broadcast(
+                n_i.withColumnRenamed("i", "ia").withColumnRenamed("n_i", "na")
+            ),
+            "ia",
+        )
+        .join(
+            F.broadcast(
+                n_i.withColumnRenamed("i", "ib").withColumnRenamed("n_i", "nb")
+            ),
+            "ib",
+        )
         .select(
             "ia",
             "ib",

@@ -38,42 +38,79 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", F.unix_timestamp("ts").alias("t"), "event_id"
     )
     purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "t")
+    # the view side's columns carry UNIQUE names (vu, vt): when both
+    # cogroup inputs share a column name, Spark dedups it out of the
+    # right-side pandas frame under an expression grouping key
     views = ev.where(F.col("event_type") == "view").select(
-        "user_id", F.col("t").alias("vt")
+        F.col("user_id").alias("vu"), F.col("t").alias("vt")
     )
 
+    # Cogroup on a HASH BUCKET of users, not on single users: the
+    # per-user cogroup called the Python function once per user (tens
+    # of thousands of calls, each building a 1-row DataFrame), and that
+    # per-call overhead dominated the query — ~8.5s at sf0.1 for a
+    # searchsorted that is microseconds of real work (guide §4.5:
+    # amortize per-task/per-call cost; §4.2: hand whole batches to
+    # vectorized numpy). One call now processes ~1/B of the users with
+    # numpy only — the as-of itself via ONE searchsorted over
+    # (user, ts)-composite keys, the per-user reduction via reduceat.
+    # B scales with cluster parallelism so per-bucket slices stay
+    # ~|events|/(8·cores) as the data and cluster grow together.
+    n_buckets = max(spark.sparkContext.defaultParallelism * 8, 32)
+
     def asof(key, left, right):
+        import numpy as np
         import pandas as pd
 
+        cols = ["user_id", "n_purchases", "n_matched", "avg_gap_s"]
         if left.empty:
-            return pd.DataFrame(
-                columns=["user_id", "n_purchases", "n_matched", "avg_gap_s"]
-            )
-        lt = left.sort_values("t")["t"].to_numpy()
-        vt = right.sort_values("vt")["vt"].to_numpy() if not right.empty else None
-        gaps = []
-        if vt is not None and len(vt):
-            import numpy as np
-
-            idx = np.searchsorted(vt, lt, side="left") - 1  # strictly before
-            for i, j in enumerate(idx):
-                if j >= 0:
-                    gaps.append(int(lt[i] - vt[j]))
+            return pd.DataFrame(columns=cols)
+        lu = left["user_id"].to_numpy(dtype=np.int64)
+        lt = left["t"].to_numpy(dtype=np.int64)
+        order = np.lexsort((lt, lu))
+        lu, lt = lu[order], lt[order]
+        # composite key u·2^34 + t orders by (user, ts); epoch seconds
+        # < 2^34 so the packing is collision-free
+        shift = np.int64(1) << np.int64(34)
+        pkey = lu * shift + lt
+        if right.empty:
+            matched = np.zeros(len(lt), dtype=bool)
+            gap = np.zeros(len(lt), dtype=np.int64)
+        else:
+            vu = right["vu"].to_numpy(dtype=np.int64)
+            vt = right["vt"].to_numpy(dtype=np.int64)
+            vorder = np.lexsort((vt, vu))
+            vu, vt = vu[vorder], vt[vorder]
+            vkey = vu * shift + vt
+            # last view strictly before the purchase, same user: the
+            # predecessor in composite-key order, valid only if it
+            # belongs to the same user
+            idx = np.searchsorted(vkey, pkey, side="left") - 1
+            sel = np.maximum(idx, 0)
+            matched = (idx >= 0) & (vu[sel] == lu)
+            gap = np.where(matched, lt - vt[sel], np.int64(0))
+        uniq, start = np.unique(lu, return_index=True)
+        n_p = np.diff(np.append(start, len(lu)))
+        n_m = np.add.reduceat(matched.astype(np.int64), start)
+        g_s = np.add.reduceat(gap, start)
+        # raw mean; the .625-style half-way cases are rounded
+        # ENGINE-side (HALF_UP both engines) — int64/int64 division is
+        # the same IEEE double as the old per-user sum(gaps)/len(gaps).
+        # object dtype so no-view users surface as NULL, not NaN
+        avg = (g_s / np.maximum(n_m, 1)).astype(object)
+        avg[n_m == 0] = None
         return pd.DataFrame(
             {
-                "user_id": [int(key[0])],
-                "n_purchases": [len(lt)],
-                "n_matched": [len(gaps)],
-                # raw mean; the .625-style half-way cases are rounded
-                # ENGINE-side (HALF_UP both engines) — Python's round()
-                # is banker's and split a k/8 boundary across engines
-                "avg_gap_s": [sum(gaps) / len(gaps) if gaps else None],
+                "user_id": uniq,
+                "n_purchases": n_p.astype(np.int64),
+                "n_matched": n_m,
+                "avg_gap_s": avg,
             }
         )
 
     out = (
-        purchases.groupBy("user_id")
-        .cogroup(views.groupBy("user_id"))
+        purchases.groupBy((F.col("user_id") % n_buckets).alias("b"))
+        .cogroup(views.groupBy((F.col("vu") % n_buckets).alias("b")))
         .applyInPandas(
             asof, "user_id long, n_purchases long, n_matched long, avg_gap_s double"
         )

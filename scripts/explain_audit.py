@@ -309,6 +309,13 @@ KNOWN_UNPUSHABLE = {
     # commit log (group_id + last-writer-wins rank), never the data path
     "q_topic_consumer_lag",
     "q_backtest_folds",  # role filter is on the derived train/test tag
+    # r13-opt: the deduped bipartite edge list is transient-persisted
+    # (it feeds the degree aggregate AND the join probe), so the
+    # parquet scan sits under an InMemoryRelation; the only Filters are
+    # the post-aggregate degree band and the join null-guards on cached
+    # columns — nothing was ever pushable (the distinct covers the
+    # whole table by design)
+    "q_link_prediction_aa",
     # r9: whole-table distinct-domain scans; the only Filters are the
     # blocked self-join's key conditions / the post-date_add null guard
     # — derived columns, nothing reaches the part/events scan
