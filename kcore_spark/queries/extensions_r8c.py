@@ -593,9 +593,22 @@ def _bpe_learn_merges(spark: SparkSession, sf_dir: str):
     """Run the merge-learning loop; returns (merge one-row DFs, the
     final spaced word table with the merges applied, keyed by word).
     Shared by q_bpe_learn (reports the merges) and q_tokenizer_apply
-    (tokenizes the corpus with them)."""
+    (tokenizes the corpus with them).
+
+    r13: each round's winning pair is a bounded 1-row control-plane
+    collect (the same convention as the streaming cutoff probes), and
+    the merge is applied with LITERAL pair/merged strings. The old
+    shape kept the top-1 as a lazy broadcast-crossJoin, so round k's
+    `spaced` lineage re-derived round k-1's `spaced` TWICE (once under
+    the top-k subplan, once as the replace input) — an exponential
+    2^k re-derivation of the corpus explode+groupBy that put 50
+    Exchanges in q_tokenizer_apply's plan. The vocab table is
+    transient-persisted so the three rounds' pair counts scan the
+    cached vocabulary instead of re-running the corpus explode."""
+    from kcore_spark.caching import transient_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    words = (
+    words = transient_persist(
         docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
@@ -623,16 +636,34 @@ def _bpe_learn_merges(spark: SparkSession, sf_dir: str):
             .groupBy("pair")
             .agg(F.sum("freq").cast("long").alias("cnt"))
         )
-        top = counts.orderBy(F.col("cnt").desc(), F.col("pair")).limit(1).select(
-            F.lit(step).alias("step"),
-            "pair",
-            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
-            "cnt",
+        rows = counts.orderBy(F.col("cnt").desc(), F.col("pair")).limit(1).collect()
+        if not rows:
+            # degenerate corpus (no 2-token word survives): identical to
+            # the old crossJoin-with-empty-top behavior — empty merge
+            # row, spaced empties for the remaining rounds
+            empty = spark.range(0).select(
+                F.lit(step).alias("step"),
+                F.lit("").alias("pair"),
+                F.lit("").alias("merged"),
+                F.lit(0).cast("long").alias("cnt"),
+            )
+            merges.append(empty)
+            spaced = spaced.where(F.lit(False))
+            continue
+        pair_s, merged_s = rows[0]["pair"], rows[0]["pair"].replace(" ", "")
+        merges.append(
+            spark.range(1).select(
+                F.lit(step).alias("step"),
+                F.lit(pair_s).alias("pair"),
+                F.lit(merged_s).alias("merged"),
+                F.lit(int(rows[0]["cnt"])).cast("long").alias("cnt"),
+            )
         )
-        merges.append(top)
-        spaced = spaced.crossJoin(F.broadcast(top.select("pair", "merged"))).select(
+        spaced = spaced.select(
             "word",
-            F.replace(F.col("spaced"), F.col("pair"), F.col("merged")).alias("spaced"),
+            F.replace(
+                F.col("spaced"), F.lit(pair_s), F.lit(merged_s)
+            ).alias("spaced"),
             "freq",
         )
     return merges, spaced
@@ -710,8 +741,11 @@ def q_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_words = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
     ).where(F.col("word") != "")
+    # tok_cnt is vocabulary-sized but sits on a 3-round iterative plan
+    # whose size the planner cannot estimate — hint the broadcast so
+    # the corpus-sized exploded side is never shuffled (guide §3.1)
     return (
-        doc_words.join(tok_cnt, "word")
+        doc_words.join(F.broadcast(tok_cnt), "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
