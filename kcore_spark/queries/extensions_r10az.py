@@ -143,31 +143,53 @@ QUERIES["q_embedding_drift"] = QuerySpec(
 
 
 def q_two_nn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    other = emb.select(
-        F.col("label").alias("label2"),
-        F.col("vec_id").alias("vid2"),
-        F.col("e").alias("e2"),
-    )
-    pairs = emb.join(
-        other,
-        (F.col("label") == F.col("label2")) & (F.col("vec_id") != F.col("vid2")),
-    ).select(
-        "vec_id",
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(F.col("e"), F.col("e2"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    """r13 shape: the label-blocked pair space is walked with numpy
+    inside one applyInPandas per label block (guide §4.2) instead of a
+    Catalyst self-join + per-pair HOF fold + row_number window — the
+    interpreted zip_with/aggregate over |block|² pairs dominated the
+    old plan (4.8s → ~1s at sf0.1), and the window shuffled every
+    pair. Bit-exactness: the distance accumulates DIMENSION-
+    SEQUENTIALLY in float64 (acc += (a_d−b_d)² for d = 0..63), the
+    exact addition order of both the old F.aggregate fold and the
+    oracle's list_reduce, so sqrt/log land on identical doubles; NN
+    selection is a stable lexsort on (dist, vid2), the old window's
+    ordering. Per-point work is quadratic in the BLOCK (as before);
+    blocks parallelize across tasks. The final decimal sum is
+    order-free, unchanged."""
+
+    def _block_nn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        X = np.array(pdf["e"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"vec_id": [], "r1": [], "r2": []}).astype(
+                {"vec_id": "int64", "r1": "float64", "r2": "float64"}
             )
-        ).alias("dist"),
-        F.col("vid2"),
+        acc = np.zeros((n, n))
+        for d in range(X.shape[1]):
+            diff = X[:, d][:, None] - X[:, d][None, :]
+            acc += diff * diff
+        D = np.sqrt(acc)
+        np.fill_diagonal(D, np.inf)  # vec_id != vid2
+        r1 = np.empty(n)
+        r2 = np.empty(n)
+        for i in range(n):
+            order = np.lexsort((ids, D[i]))
+            r1[i] = D[i, order[0]]
+            # with a single candidate the old rn<=2 window yields one
+            # row (r1 == r2, dropped by the r2 > r1 filter below)
+            r2[i] = D[i, order[1]] if n >= 3 else r1[i]
+        return pd.DataFrame({"vec_id": ids, "r1": r1, "r2": r2})
+
+    emb = _emb(spark, sf_dir)
+    rr = (
+        emb.groupBy("label")
+        .applyInPandas(_block_nn, "vec_id long, r1 double, r2 double")
+        .where((F.col("r1") > 0) & (F.col("r2") > F.col("r1")))
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "vid2")
-    nn = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
-    rr = nn.groupBy("vec_id").agg(
-        F.min("dist").alias("r1"), F.max("dist").alias("r2")
-    ).where((F.col("r1") > 0) & (F.col("r2") > F.col("r1")))
     agg = rr.agg(
         F.count(F.lit(1)).cast("long").alias("m"),
         F.sum(
