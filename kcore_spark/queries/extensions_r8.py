@@ -802,7 +802,17 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    def peel(e: DataFrame, k: int) -> DataFrame:
+    def peel(start: DataFrame, k: int) -> DataFrame:
+        # r13: peel on the VERTEX set, as q_kcore_subgraph does — the
+        # kept set shrinks monotonically (e_i ⊆ e_{i-1} ⟹ degrees only
+        # drop ⟹ kept_i ⊆ kept_{i-1}), so filtering the PHASE-START
+        # edge set by the current kept set is identical to iteratively
+        # filtering edges. Only the (small) kept set materializes per
+        # round; the edge set stays a lazy pair of broadcast semi-joins
+        # over the localCheckpointed base — one job per round instead
+        # of two (the old shape re-materialized the edge table every
+        # round).
+        e = start
         prev_nodes = None
         for _ in range(CORE_PEELS):
             deg = (
@@ -817,17 +827,18 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             prev_nodes = n_nodes
             keep = F.broadcast(kept)
-            e = (
-                e.join(keep, e.p1 == keep.n, "left_semi")
-                .join(keep, F.col("p2") == keep.n, "left_semi")
-                .localCheckpoint()
+            e = start.join(keep, start.p1 == keep.n, "left_semi").join(
+                keep, F.col("p2") == keep.n, "left_semi"
             )
         return e
 
     cores = {1: vertices(edges)}
     e = edges
     for k in range(2, CORE_KMAX + 1):
-        e = peel(e, k)
+        # one materialization per PHASE (not per round): the next
+        # phase's rounds and the final vertex union then read a
+        # truncated base instead of re-deriving the whole peel chain
+        e = peel(e, k).localCheckpoint()
         cores[k] = vertices(e)
     # core number of v = max k with v ∈ cores[k]; histogram per level
     labeled = None
