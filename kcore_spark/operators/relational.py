@@ -42,6 +42,30 @@ def qty(col: str | Column) -> Column:
     return c.cast(QTY)
 
 
+def spread(df: DataFrame, *keys: str | Column) -> DataFrame:
+    """Hash-repartition to the session's default parallelism by stable
+    key columns (r13, guide §2.2/§2.5).
+
+    Why: the fixture parquet files carry ONE row group each, so every
+    scan is a single task and any heavy per-row work riding it
+    (BigDecimal partial aggregates, HOF folds, shingle hashing) runs
+    serially regardless of core count. One explicit hash exchange on a
+    high-cardinality stable key moves that work onto every core; when
+    a downstream groupBy/window clusters by a superset of (or exactly)
+    these keys, EnsureRequirements reuses this exchange, so the plan
+    pays no extra shuffle. Keyed (not round-robin) on purpose:
+    round-robin repartition pays a local sort of the whole input in
+    the serial scan task (SPARK-23207), and a hash key derived from
+    stable column values is retry-deterministic. Partition count
+    follows ``defaultParallelism`` (the SPARK_GRAFT_CPUS contract), so
+    the same code is scale-adaptive on a cluster; results cannot
+    change — every downstream aggregate in this repo is order-free by
+    the FIXTURES.md determinism rules."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    return df.repartition(n, *cols)
+
+
 def dsum(col: Column, alias: str) -> Column:
     """Exact decimal sum surfaced as double (stable across part orders)."""
     return F.sum(col).cast("double").alias(alias)

@@ -198,7 +198,12 @@ def q_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = money("l_extendedprice") * (
         F.lit(1).cast("decimal(4,2)") - rate("l_discount")
     )
-    base = (
+    from kcore_spark.caching import transient_persist
+
+    # persisted (transient registry): base feeds BOTH the per-nation
+    # return series and the market series — unpersisted, the
+    # lineitem⋈orders fact join + daily rollup runs twice
+    base = transient_persist(
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))

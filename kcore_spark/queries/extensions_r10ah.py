@@ -52,7 +52,15 @@ def _rater(salt: str):
 
 
 def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    from kcore_spark.operators.relational import spread
+
+    # spread: the three md5 raters (3 md5+conv per row) otherwise run
+    # in the serial single-row-group scan task; the (o_orderkey, cat)
+    # and o_orderkey groupBys both reuse this one exchange
+    orders = spread(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+    )
     votes = orders.select(
         "o_orderkey",
         F.explode(F.array(_rater("r1"), _rater("r2"), _rater("r3"))).alias("cat"),

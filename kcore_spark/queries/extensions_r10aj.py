@@ -38,9 +38,25 @@ QUERIES: dict[str, QuerySpec] = {}
 
 
 def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("decimal(15,2)").alias("x"),
-        (F.col("l_extendedprice").cast("decimal(15,2)") / 1000).alias("y"),
+    from kcore_spark.caching import transient_persist
+
+    # r13: the fixture ships one row group per file, so the scan (and
+    # the expensive BigDecimal moment fold riding it) is a single
+    # task. Spread the projected 2-column slice across the session's
+    # parallelism once and persist it — BOTH moment passes (m1
+    # coefficients, m2 residuals) then aggregate in parallel from the
+    # cache instead of re-running the serial scan+fold twice. Decimal
+    # sums are order-free, so the repartition cannot change the
+    # result. At cluster scale the conf-driven split planning already
+    # yields parallel scans and this repartition coalesces into the
+    # same shuffle count.
+    li = transient_persist(
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("decimal(15,2)").alias("x"),
+            (F.col("l_extendedprice").cast("decimal(15,2)") / 1000).alias("y"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     m1 = li.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -142,7 +142,18 @@ QUERIES["q_forecast_accuracy"] = QuerySpec(
 
 
 def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from kcore_spark.operators.relational import spread
+
+    # spread by l_partkey: the serial single-row-group scan otherwise
+    # runs the (partkey, day) decimal rollup in one task, and BOTH the
+    # rollup (clustering subset) and the per-part window below reuse
+    # this one exchange — the whole query pays a single shuffle
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_shipdate", "l_quantity"
+        ),
+        "l_partkey",
+    )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ev = (
         li.groupBy("l_partkey", F.date_trunc("day", F.col("l_shipdate")).alias("d"))

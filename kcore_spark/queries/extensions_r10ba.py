@@ -169,9 +169,21 @@ QUERIES["q_pareto_share"] = QuerySpec(
 
 
 def q_assoc_measures2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from kcore_spark.caching import transient_persist
+    from kcore_spark.operators.relational import spread
+
+    # r13: baskets feeds FOUR branches (order count, brand supports,
+    # both sides of the pair self-join) — persist it once. The spread
+    # on l_orderkey parallelizes the broadcast-join + distinct off the
+    # serial single-row-group scan, the distinct reuses the exchange
+    # (clustering subset), and the cached partitioning makes the pair
+    # self-join on l_orderkey exchange-free on both sides.
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
+    baskets = transient_persist(
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
         .distinct()

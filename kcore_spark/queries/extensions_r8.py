@@ -32,11 +32,18 @@ QUERIES: dict[str, QuerySpec] = {}
 # control-plane-collect pattern as topic-log offset assignment.
 
 
-def _dist_rank(df: DataFrame, sort_cols: list, n_parts: int = 32) -> DataFrame:
+def _dist_rank(
+    df: DataFrame, sort_cols: list, n_parts: int | None = None
+) -> DataFrame:
     """Append a global 1-based row number ``rk`` ordered by sort_cols,
     computed distributed. localCheckpoint pins the sampled range
     boundaries so the offsets job and the rank job see the SAME
-    partitioning (repartitionByRange resamples per job otherwise)."""
+    partitioning (repartitionByRange resamples per job otherwise).
+    n_parts defaults to the session's parallelism (r13 — was a
+    hard-coded 32): rank/cumsum over a total order are partition-count
+    invariant, so the same code scales with the core budget."""
+    if n_parts is None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
     src = (
         df.repartitionByRange(n_parts, *[c.asc() for c in sort_cols])
         .withColumn("__pid", F.spark_partition_id())
@@ -64,7 +71,7 @@ def _dist_cumsum(
     sort_cols: list,
     val_col: str,
     out_col: str = "cum",
-    n_parts: int = 32,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Append the INCLUSIVE global prefix sum of ``val_col`` over the
     ``sort_cols`` order, computed distributed — the running-sum twin
@@ -72,6 +79,8 @@ def _dist_cumsum(
     running sums in parallel, then one broadcast map of the ≤n_parts
     cumulative partition totals. The collect is control-plane
     (n_parts rows), never data-plane; no single-partition window."""
+    if n_parts is None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
     src = (
         df.repartitionByRange(n_parts, *[c.asc() for c in sort_cols])
         .withColumn("__pid", F.spark_partition_id())
@@ -104,7 +113,7 @@ def _dist_rank_cumsum(
     val_col: str,
     rk_col: str = "rk",
     cum_col: str = "cum",
-    n_parts: int = 32,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Append BOTH the global 1-based row number and the inclusive
     global prefix sum of ``val_col`` over the ``sort_cols`` order, in
@@ -115,6 +124,8 @@ def _dist_rank_cumsum(
     average precision (precision@i = cum_pos/i at every positive).
     Added r12 when the bounded-domain probe showed q_pr_auc's score
     table is row-count-sized by construction."""
+    if n_parts is None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
     src = (
         df.repartitionByRange(n_parts, *[c.asc() for c in sort_cols])
         .withColumn("__pid", F.spark_partition_id())

@@ -684,10 +684,20 @@ QUERIES["q_ks_test"] = QuerySpec(
 
 
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("flag"),
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
-        F.col("l_quantity").cast("long").alias("wt"),
+    from kcore_spark.operators.relational import spread
+
+    # spread on the exact groupBy key: the (flag, cents) hash agg is
+    # near-distinct (one group per price), so the serial scan task was
+    # building a ~500k-entry hash map; the groupBy below reuses this
+    # exchange (same clustering), so the plan pays no extra shuffle
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+            F.col("l_quantity").cast("long").alias("wt"),
+        ),
+        "flag",
+        "cents",
     )
     vals = li.groupBy("flag", "cents").agg(F.sum("wt").alias("w"))
     win = Window.partitionBy("flag").orderBy("cents").rowsBetween(

@@ -216,8 +216,17 @@ def _em_estep_mstep(src: DataFrame, params: DataFrame) -> DataFrame:
 
 
 def q_gaussian_em(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = load_table(spark, sf_dir, "orders").select(
-        F.log(F.col("o_totalprice")).alias("x")
+    from kcore_spark.caching import transient_persist
+
+    # r13: persist the ln(x) projection — init + four EM rounds each
+    # re-scanned the parquet otherwise. Deliberately NOT repartitioned:
+    # the m-step sums are double (order-sensitive); the cache preserves
+    # the scan's partitioning, so the fold order — and the oracle hash
+    # — are unchanged.
+    src = transient_persist(
+        load_table(spark, sf_dir, "orders").select(
+            F.log(F.col("o_totalprice")).alias("x")
+        )
     )
     init = src.agg(
         F.lit(0.5).alias("pi2"),

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kcore_spark.catalog import load_table
-from kcore_spark.operators.relational import davg, dsum, money, qty, rate
+from kcore_spark.operators.relational import davg, dsum, money, qty, rate, spread
 from kcore_spark.queries import QuerySpec
 
 # ---------------------------------------------------------------- q01
@@ -27,8 +27,14 @@ from kcore_spark.queries import QuerySpec
 
 
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    # spread: the single-row-group scan otherwise runs the whole
+    # BigDecimal partial aggregate in one task (A/B min-of-5 at sf0.1:
+    # 1.31s -> 0.81s); see operators/relational.py::spread
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").where(
+            F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+        ),
+        "l_orderkey",
     )
     disc_price = money("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - rate("l_discount"))
     charge = disc_price * (F.lit(1).cast("decimal(4,2)") + rate("l_tax"))
@@ -204,7 +210,9 @@ LIMIT 20
 
 
 def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread: broadcast join + decimal partial agg otherwise ride the
+    # serial single-row-group scan task (relational.py::spread)
+    li = spread(load_table(spark, sf_dir, "lineitem"), "l_partkey")
     part = load_table(spark, sf_dir, "part")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)

@@ -285,6 +285,12 @@ KNOWN_UNPUSHABLE = {
     # full-corpus scan by design (power iteration touches every vector);
     # the only Filter in the plan is the post-explode null guard
     "q_pca_power_iteration",
+    # r13 rewrites: full-table scans by design; the only Filters are on
+    # COMPUTED columns — two_nn's r1/r2 come out of the per-block
+    # pandas NN walk, spearman's are join-key null guards over the
+    # cached projected slice. No source predicate exists to push.
+    "q_two_nn_intrinsic_dim",
+    "q_spearman_corr",
     "q_window_topk_orders",
     "q_window_analytics",  # percent_rank filter is post-window by nature
     "q_events_dedup_first",
