@@ -393,7 +393,12 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook (16..24) are oracle-pinned like q_ann_ivf_topk's."""
     from kcore_spark.operators.similarity import as_double, cosine, with_norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r13: spread the single-row-group scan so the per-row HOF folds
+    # (assignment cosines, PQ subspace distances) run on every core
+    # instead of one
+    from kcore_spark.operators.relational import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     cents = emb.where(F.col("vec_id") < 16)
     codebook = emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 24)).select(
         (F.col("vec_id") - 16).alias("code"), F.col("embedding").alias("vector")
@@ -402,22 +407,46 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") >= 32)
 
     # 1. bucket assignment (corpus AND queries → argmax-cosine centroid)
+    # r13: the 16 centroids fold into ONE broadcast row and the argmax
+    # is a per-row array_max over (csim, −centroid_id) structs — the
+    # same map-side shape as q_kmeans_lloyd's _assign. The old k-row
+    # cross + row_number window shuffled the whole corpus of embedding
+    # arrays ×16 just to undo the fan-out (guide §2.4). The csim
+    # expression inside the transform is the identical sequential-fold
+    # cosine, so the argmax (tie-break: lower centroid id) is
+    # bit-identical to the old window pick.
     cn = with_norm(cents, "embedding", "vec_id").withColumnsRenamed(
         {"id": "centroid_id", "e": "ce", "nrm": "cn"}
+    )
+    cent_row = cn.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").alias("cid"),
+                    F.col("ce").alias("ce"),
+                    F.col("cn").alias("cn"),
+                )
+            )
+        ).alias("cs")
     )
 
     def assign(df, id_alias):
         n = with_norm(df, "embedding", "vec_id").withColumnsRenamed({"id": id_alias})
-        sims = n.crossJoin(F.broadcast(cn)).withColumn(
-            "csim", cosine(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cn"))
-        )
-        w = Window.partitionBy(id_alias).orderBy(
-            F.col("csim").desc(), F.col("centroid_id")
+        m = F.array_max(
+            F.transform(
+                F.col("cs"),
+                lambda s: F.struct(
+                    cosine(F.col("e"), s["ce"], F.col("nrm"), s["cn"]).alias("csim"),
+                    (-s["cid"]).alias("negcid"),
+                ),
+            )
         )
         return (
-            sims.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select(id_alias, "e", "nrm", "centroid_id")
+            n.crossJoin(F.broadcast(cent_row))
+            .withColumn("m", m)
+            .select(
+                id_alias, "e", "nrm", (-F.col("m.negcid")).alias("centroid_id")
+            )
         )
 
     from pyspark.sql import Window
@@ -425,25 +454,41 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_a = assign(corpus, "neighbor_id")
     queries_a = assign(queries, "query_id")
 
-    # 2. PQ-encode candidates: per subspace j, nearest codebook code
+    # 2. PQ-encode candidates: per subspace j, nearest codebook code —
+    # same map-side fold: 8 codes in one broadcast row, per-(point, j)
+    # array_min over (dist, code) structs replaces the 8-way cross +
+    # row_number window over the whole corpus. dist is the identical
+    # slice/zip/fold expression; array_min tie-breaks on lower code,
+    # the old window's ordering.
     cb = codebook.select("code", as_double(F.col("vector")).alias("ce2"))
-    sub = 8
-    d_sub = F.expr(
-        "aggregate(zip_with(slice(e, j * 8 + 1, 8), slice(ce2, j * 8 + 1, 8),"
-        " (a, b) -> (a - b) * (a - b)), cast(0.0 as double), (acc, v) -> acc + v)"
+    cb_row = cb.agg(
+        F.array_sort(F.collect_list(F.struct("code", "ce2"))).alias("cbs")
     )
-    pairs = (
-        corpus_a.crossJoin(F.broadcast(cb))
-        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(7))))
-        .withColumn("dist", d_sub)
-    )
-    wbest = Window.partitionBy("neighbor_id", "j").orderBy(
-        F.col("dist").asc(), F.col("code").asc()
+
+    def d_sub_of(e_col, ce2_col, j_col):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(e_col, j_col * 8 + 1, 8),
+                F.slice(ce2_col, j_col * 8 + 1, 8),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("cbs"),
+            lambda s: F.struct(
+                d_sub_of(F.col("e"), s["ce2"], F.col("j")).alias("dist"),
+                s["code"].alias("code"),
+            ),
+        )
     )
     codes = (
-        pairs.withColumn("__rn", F.row_number().over(wbest))
-        .where(F.col("__rn") == 1)
-        .select("neighbor_id", "centroid_id", "j", "code")
+        corpus_a.crossJoin(F.broadcast(cb_row))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .select("neighbor_id", "centroid_id", "j", best["code"].alias("code"))
     )
 
     # 3. ADC: query joins its bucket's candidates, distance = sum over
@@ -575,7 +620,11 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what q_embedding_neardup_lsh vs q_embedding_neardup shows)."""
     from kcore_spark.operators.graph import connected_components
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    from kcore_spark.operators.relational import spread
+
+    # spread: the per-row sign-bit signature fold otherwise rides the
+    # serial single-row-group scan task
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     pairs = signbit_lsh_pairs(emb, "vec_id", "embedding", min_cos=0.45)
     edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     cc = connected_components(edges)
@@ -637,9 +686,12 @@ QUERIES["q_semantic_clusters"] = QuerySpec(
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from kcore_spark.operators.relational import spread
     from kcore_spark.operators.similarity import cosine, ivf_topk, with_norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread: the 20-query exact cosine scan and the IVF assignment
+    # folds otherwise ride the serial single-row-group scan task
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     centroids = emb.where(F.col("vec_id") < 16)
     queries = emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 36))
     corpus = emb.where(F.col("vec_id") >= 36)
