@@ -34,7 +34,17 @@ QUERIES: dict[str, QuerySpec] = {}
 
 
 def q_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from kcore_spark.operators.relational import spread
+
+    # spread by l_partkey: the (part, month) decimal rollup otherwise
+    # runs in the serial single-row-group scan task; both groupBys
+    # below reuse this one exchange (clustering subset)
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_shipdate", "l_quantity"
+        ),
+        "l_partkey",
+    )
     monthly = li.groupBy(
         "l_partkey", F.date_trunc("month", F.col("l_shipdate")).alias("mon")
     ).agg(F.sum(F.col("l_quantity").cast("decimal(15,2)")).alias("q"))

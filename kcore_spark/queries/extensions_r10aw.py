@@ -162,8 +162,16 @@ _PAIRS = [(a, b) for i, (a, _) in enumerate(_COLS) for b, _ in _COLS[i + 1:]]
 
 
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        *[F.col(src).cast("decimal(15,2)").alias(name) for name, src in _COLS]
+    from kcore_spark.operators.relational import spread
+
+    # spread on the near-unique price column: the 17-term BigDecimal
+    # moment fold otherwise runs in the serial single-row-group scan
+    # task; decimal sums are order-free so the result is unchanged
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            *[F.col(src).cast("decimal(15,2)").alias(name) for name, src in _COLS]
+        ),
+        "price",
     )
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for name, _ in _COLS:

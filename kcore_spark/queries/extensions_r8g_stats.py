@@ -42,13 +42,22 @@ AA_TOPK = 20
 def q_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kcore_spark.caching import transient_persist
 
+    from kcore_spark.operators.relational import spread
+
     # transient_persist: the deduped bipartite edge list feeds BOTH the
     # degree aggregate and the join probe — uncached, the scan +
-    # distinct shuffle ran twice (before-plan: 2 parquet scans)
+    # distinct shuffle ran twice (before-plan: 2 parquet scans).
+    # r13: spread on pk first — the serial single-row-group scan no
+    # longer runs the distinct's partial dedup, and every downstream
+    # pk-clustered op (distinct, degree agg, join, collect_set group)
+    # reuses this one exchange.
     li = transient_persist(
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
-        .distinct()
+        spread(
+            load_table(spark, sf_dir, "lineitem").select(
+                F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+            ),
+            "pk",
+        ).distinct()
     )
     # Pass 1: degree filter BEFORE any collect, so the per-part supplier
     # array built in pass 2 is provably bounded by AA_MAX_FANOUT even on
@@ -72,9 +81,9 @@ def q_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(20,12)"
             ),
         )
-        # AQE under-coalesces the explode stage; core-count-adaptive,
-        # not a local[32] constant
-        .repartition(spark.sparkContext.defaultParallelism, "pk")
+        # the pk-spread at the source keeps this stage at full
+        # parallelism (explicit repartitions are never AQE-coalesced),
+        # so the former extra repartition here is gone
     )
     pairs = (
         grp.select("term", F.explode("ss").alias("s1"), "ss")
