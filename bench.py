@@ -304,15 +304,20 @@ def _warm_tws(spark) -> None:
 def default_detail_path() -> str:
     """Default destination for the full-detail artifact.
 
-    Round-stamped (r12 VERDICT "what's wrong" #4): the driver and judge
-    run bench.py with no env set, and a fixed tracked filename meant
-    every such run dirtied the committed BENCH_DETAIL.json. The default
-    is now BENCH_DETAIL_r{N}.json (N = current round from the driver's
-    PROGRESS.jsonl, last line), which is gitignored — so a
-    driver-shaped run leaves `git status` clean. The builder's closing
-    gates refresh the committed BENCH_DETAIL.json explicitly via
-    BENCH_DETAIL_PATH. Falls back to BENCH_DETAIL.json if
-    PROGRESS.jsonl is absent/unparseable (e.g. a bare checkout).
+    Round-stamped (r12 VERDICT "what's wrong" #4) AND cpu-stamped
+    (r13 VERDICT "what's wrong" #5): the driver and judge run bench.py
+    with no env set, and a fixed tracked filename meant every such run
+    dirtied the committed BENCH_DETAIL.json; the r13 round-only stamp
+    then let the driver's lower-core scaling rerun overwrite the same
+    round's 32-core detail, muddling provenance. The default is now
+    BENCH_DETAIL_r{N}_c{cpus}.json (N = current round from the
+    driver's PROGRESS.jsonl, last line; cpus = the SPARK_GRAFT_CPUS
+    contract value), which is gitignored — so a driver-shaped run
+    leaves `git status` clean and each run's detail is attributable to
+    its (round, cpus). The builder's closing gates refresh the
+    committed BENCH_DETAIL.json explicitly via BENCH_DETAIL_PATH.
+    Falls back to BENCH_DETAIL.json if PROGRESS.jsonl is
+    absent/unparseable (e.g. a bare checkout).
     """
     import json as _json
 
@@ -321,7 +326,8 @@ def default_detail_path() -> str:
         with open(os.path.join(repo, "PROGRESS.jsonl"), "rb") as f:
             last = f.read().strip().splitlines()[-1]
         rnd = int(_json.loads(last)["round"])
-        return os.path.join(repo, f"BENCH_DETAIL_r{rnd:02d}.json")
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        return os.path.join(repo, f"BENCH_DETAIL_r{rnd:02d}_c{cpus}.json")
     except Exception:
         return os.path.join(repo, "BENCH_DETAIL.json")
 

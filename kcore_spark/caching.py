@@ -48,8 +48,10 @@ def release_transients() -> None:
 
 def release_session_caches() -> None:
     """Full reset: transient persists AND the deliberately
-    session-scoped shared intermediates (shingle tables)."""
+    session-scoped shared intermediates (shingle tables, co-order
+    edge tables)."""
     release_transients()
+    from kcore_spark.operators import graph as graph_ops
     from kcore_spark.queries import dedup as dedup_queries
 
     for df in dedup_queries._SHINGLES.values():
@@ -58,3 +60,9 @@ def release_session_caches() -> None:
         except Exception:
             pass
     dedup_queries._SHINGLES.clear()
+    for df in graph_ops._CO_EDGES.values():
+        try:
+            df.unpersist()  # localCheckpointed RDD blocks also free on deref
+        except Exception:
+            pass
+    graph_ops._CO_EDGES.clear()

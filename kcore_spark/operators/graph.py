@@ -20,8 +20,33 @@ to truncate lineage (iterative plans otherwise grow exponentially).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Session-scoped materialized co-purchase edge tables, keyed by
+# (applicationId, sf_dir) exactly like the shared shingle table
+# (queries/dedup.py::_SHINGLES) — the materialized-intermediate
+# pattern: q_kcore_subgraph / q_core_numbers / q_ktruss all consume
+# the identical projection, and each paid the collect_set + pair
+# explode independently (~1.5 s × 3 at sf0.1). The first consumer in
+# a session pays the build inside its own timing; cleared by
+# caching.release_session_caches.
+_CO_EDGES: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize ``co_order_edges`` once per (session, sf_dir) and
+    share the localCheckpointed result across its three consumers.
+    Not a result cache: it is an intermediate table recomputed from
+    the parquet inputs by whichever query first needs it in a session
+    (the shingle-table precedent, r13 VERDICT 'next round' #5)."""
+    from kcore_spark.catalog import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CO_EDGES:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        _CO_EDGES[key] = co_order_edges(li).localCheckpoint()
+    return _CO_EDGES[key]
 
 
 def co_order_edges(li: DataFrame, min_w: int = 2) -> DataFrame:

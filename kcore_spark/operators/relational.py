@@ -58,12 +58,91 @@ def spread(df: DataFrame, *keys: str | Column) -> DataFrame:
     the serial scan task (SPARK-23207), and a hash key derived from
     stable column values is retry-deterministic. Partition count
     follows ``defaultParallelism`` (the SPARK_GRAFT_CPUS contract), so
-    the same code is scale-adaptive on a cluster; results cannot
-    change — every downstream aggregate in this repo is order-free by
-    the FIXTURES.md determinism rules."""
+    the same code is scale-adaptive on a cluster. Callers must verify
+    the downstream aggregates are order-free (decimal/integer folds, or
+    per-row-rounded terms) — raw double sums are order-SENSITIVE and
+    must keep their scan partitioning (see q_gaussian_em)."""
     n = df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     return df.repartition(n, *cols)
+
+
+# Layout-probe cache: (defaultParallelism, input-file set) → effective
+# scan width. Layout metadata only (never data or results); one probe
+# per table layout per process.
+_SCAN_WIDTH: dict[tuple[int, tuple[str, ...]], int] = {}
+
+
+def _parquet_row_groups(files: tuple[str, ...]) -> int | None:
+    """Total row groups across locally readable parquet files, or None
+    when any footer is unreachable (object-store path, missing file)."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is a test-env dep
+        return None
+    total = 0
+    for uri in files:
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            total += pq.read_metadata(path).num_row_groups
+        except Exception:
+            return None
+    return total
+
+
+def effective_scan_width(df: DataFrame) -> int:
+    """Best-effort count of scan tasks that will actually produce rows
+    for a scan-shaped frame (guide §6: split planning cannot divide a
+    parquet row group, so a one-row-group file is ONE effective task
+    however many byte-splits cover it).
+
+    Planned split count (physical planning only — no job runs), capped
+    by the total row-group count when footers are locally readable.
+    Footers are consulted only when the file list is shorter than the
+    session's parallelism: a many-file input is already parallel and
+    needs no footer I/O, which keeps the probe O(1) driver work on a
+    100 TB layout. Cached per (parallelism, file set)."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        return n  # unprobeable source: assume parallel, never add an exchange blind
+    key = (n, files)
+    if key not in _SCAN_WIDTH:
+        if len(files) >= n:
+            width = len(files)
+        else:
+            width = df.rdd.getNumPartitions()
+            rg = _parquet_row_groups(files)
+            if rg is not None:
+                width = min(width, rg)
+        _SCAN_WIDTH[key] = max(1, width)
+    return _SCAN_WIDTH[key]
+
+
+def spread_if_serial(
+    df: DataFrame, *keys: str | Column, probe: DataFrame | None = None
+) -> DataFrame:
+    """``spread`` gated on OBSERVED scan parallelism (r13 VERDICT #1).
+
+    For a downstream aggregate whose grouping keys are NOT a superset
+    of the spread key (q01's 4-group rollup, q_brand_volume's per-brand
+    agg, q_corr_matrix's global moments), the spread exchange is a real
+    extra full-data shuffle — the right trade only while the scan is
+    effectively serial (the fixtures' one-row-group-per-file layout).
+    On a layout whose scan is already parallel — the 100 TB case — that
+    exchange would shuffle every fact row for nothing, so the frame is
+    returned unchanged and the map-side partial aggregate rides the
+    parallel scan as Catalyst plans it.
+
+    ``probe`` (default ``df``) is the frame whose scan layout is
+    inspected; pass the bare table scan when ``df`` carries filters so
+    the probe result is shared across queries over the same table."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if 2 * effective_scan_width(probe if probe is not None else df) > n:
+        return df
+    return spread(df, *keys)
 
 
 def dsum(col: Column, alias: str) -> Column:

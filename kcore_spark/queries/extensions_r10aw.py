@@ -162,16 +162,21 @@ _PAIRS = [(a, b) for i, (a, _) in enumerate(_COLS) for b, _ in _COLS[i + 1:]]
 
 
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kcore_spark.operators.relational import spread
+    from kcore_spark.operators.relational import spread_if_serial
 
-    # spread on the near-unique price column: the 17-term BigDecimal
-    # moment fold otherwise runs in the serial single-row-group scan
-    # task; decimal sums are order-free so the result is unchanged
-    li = spread(
-        load_table(spark, sf_dir, "lineitem").select(
+    # spread_if_serial (r14) on the near-unique price column: the
+    # 17-term BigDecimal moment fold otherwise runs in the serial
+    # single-row-group scan task; decimal sums are order-free so the
+    # result is unchanged. The global aggregate shares no key with the
+    # spread, so the exchange is layout-gated: an already-parallel
+    # scan feeds the map-side partial moments directly.
+    base = load_table(spark, sf_dir, "lineitem")
+    li = spread_if_serial(
+        base.select(
             *[F.col(src).cast("decimal(15,2)").alias(name) for name, src in _COLS]
         ),
         "price",
+        probe=base,
     )
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for name, _ in _COLS:

@@ -141,6 +141,48 @@ QUERIES["q_embedding_drift"] = QuerySpec(
 # Facco two-NN: per point, r1/r2 = 1st/2nd NN distance WITHIN its
 # label block; d̂ = m / Σ ln(r2/r1).
 
+# ≤16M float64 elements (~128 MB) per (chunk × n) distance buffer —
+# the per-task memory bound for _block_nn's tiled pair walk
+_NN_TILE_ELEMS = 16 << 20
+
+
+def _block_nn(pdf):
+    """Tiled exact two-NN walk over one label block (module-level so
+    tests can drive the multi-chunk path directly)."""
+    import numpy as np
+    import pandas as pd
+
+    X = np.array(pdf["e"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame({"vec_id": [], "r1": [], "r2": []}).astype(
+            {"vec_id": "int64", "r1": "float64", "r2": "float64"}
+        )
+    r1 = np.empty(n)
+    r2 = np.empty(n)
+    # row-chunk the pair space: 3 (chunk × n) buffers live at peak —
+    # bounded memory whatever the block size
+    chunk = max(1, min(n, _NN_TILE_ELEMS // n))
+    for s in range(0, n, chunk):
+        t = min(s + chunk, n)
+        acc = np.zeros((t - s, n))
+        for d in range(X.shape[1]):
+            diff = X[s:t, d][:, None] - X[:, d][None, :]
+            acc += diff * diff
+        D = np.sqrt(acc)
+        D[np.arange(t - s), np.arange(s, t)] = np.inf  # vec_id != vid2
+        if n >= 3:
+            two = np.partition(D, 1, axis=1)
+            r1[s:t] = two[:, 0]
+            r2[s:t] = two[:, 1]
+        else:
+            # with a single candidate the old rn<=2 window yields
+            # one row (r1 == r2, dropped by the r2 > r1 filter)
+            r1[s:t] = D.min(axis=1)
+            r2[s:t] = r1[s:t]
+    return pd.DataFrame({"vec_id": ids, "r1": r1, "r2": r2})
+
 
 def q_two_nn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r13 shape: the label-blocked pair space is walked with numpy
@@ -151,42 +193,25 @@ def q_two_nn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair. Bit-exactness: the distance accumulates DIMENSION-
     SEQUENTIALLY in float64 (acc += (a_d−b_d)² for d = 0..63), the
     exact addition order of both the old F.aggregate fold and the
-    oracle's list_reduce, so sqrt/log land on identical doubles; NN
-    selection is a stable lexsort on (dist, vid2), the old window's
-    ordering. Per-point work is quadratic in the BLOCK (as before);
-    blocks parallelize across tasks. The final decimal sum is
-    order-free, unchanged."""
-
-    def _block_nn(pdf):
-        import numpy as np
-        import pandas as pd
-
-        X = np.array(pdf["e"].tolist(), dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy()
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"vec_id": [], "r1": [], "r2": []}).astype(
-                {"vec_id": "int64", "r1": "float64", "r2": "float64"}
-            )
-        acc = np.zeros((n, n))
-        for d in range(X.shape[1]):
-            diff = X[:, d][:, None] - X[:, d][None, :]
-            acc += diff * diff
-        D = np.sqrt(acc)
-        np.fill_diagonal(D, np.inf)  # vec_id != vid2
-        r1 = np.empty(n)
-        r2 = np.empty(n)
-        for i in range(n):
-            order = np.lexsort((ids, D[i]))
-            r1[i] = D[i, order[0]]
-            # with a single candidate the old rn<=2 window yields one
-            # row (r1 == r2, dropped by the r2 > r1 filter below)
-            r2[i] = D[i, order[1]] if n >= 3 else r1[i]
-        return pd.DataFrame({"vec_id": ids, "r1": r1, "r2": r2})
-
+    oracle's list_reduce, so sqrt/log land on identical doubles; r1/r2
+    are the two smallest distance VALUES per row — the old
+    (dist, vid2) window's rn<=2 picks exactly those (the vid2
+    tie-break orders equal distances but cannot change which two
+    values rank first), so np.partition reproduces them bit-for-bit.
+    Per-point work is quadratic in the BLOCK (as before); blocks
+    parallelize across tasks. r14: the distance matrix is TILED in row
+    chunks sized to a fixed element budget, so peak memory per task is
+    O(chunk × block) — bounded — instead of the r13 dense n×n (an 8 TB
+    allocation at a 1M-row block; r13 VERDICT #2 / ADVICE #3). The
+    final decimal sum is order-free, unchanged."""
     emb = _emb(spark, sf_dir)
     rr = (
-        emb.groupBy("label")
+        # NULL labels never join in the oracle's a.label = b.label (a
+        # bare groupBy would give them their own block) — pin the join
+        # semantics explicitly (r13 ADVICE #2; fixture labels are all
+        # non-NULL, so the hash is unchanged)
+        emb.where(F.col("label").isNotNull())
+        .groupBy("label")
         .applyInPandas(_block_nn, "vec_id long, r1 double, r2 double")
         .where((F.col("r1") > 0) & (F.col("r2") > F.col("r1")))
     )

@@ -50,12 +50,13 @@ def q_kcore_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint truncates the iterative lineage. Returns the core
     vertices with their within-core degrees (the discriminating
     output: a wrong peel changes degrees, not just membership)."""
-    from kcore_spark.operators.graph import co_order_edges
+    from kcore_spark.operators.graph import shared_co_order_edges
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # map-side pair explode (operators/graph.py::co_order_edges) —
-    # identical edge set to the former lineitem self-join, ~2.4x faster
-    edges = co_order_edges(li).localCheckpoint()  # materialize once; 8 peels re-read it
+    # identical edge set to the former lineitem self-join, ~2.4x
+    # faster; r14: materialized once per session and shared with
+    # q_core_numbers / q_ktruss (operators/graph.py::_CO_EDGES)
+    edges = shared_co_order_edges(spark, sf_dir)
     # Peel on the VERTEX set: because the kept set shrinks
     # monotonically, filtering the ORIGINAL edge table by the current
     # kept set is identical to iteratively filtering edges — so only

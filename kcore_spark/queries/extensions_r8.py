@@ -801,10 +801,11 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated per peel, fixpoint early-exit) run per k on a shrinking
     edge set — later k's start from the previous core, so the
     decomposition costs barely more than the deepest single core."""
-    from kcore_spark.operators.graph import co_order_edges
+    from kcore_spark.operators.graph import shared_co_order_edges
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = co_order_edges(li).localCheckpoint()
+    # r14: session-shared materialized edge projection (identical
+    # edge set; see operators/graph.py::shared_co_order_edges)
+    edges = shared_co_order_edges(spark, sf_dir)
 
     def vertices(e: DataFrame) -> DataFrame:
         return (

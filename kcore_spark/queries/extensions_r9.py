@@ -476,10 +476,11 @@ TRUSS_PEELS = 5
 
 
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kcore_spark.operators.graph import co_order_edges
+    from kcore_spark.operators.graph import shared_co_order_edges
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    e = co_order_edges(li).localCheckpoint()
+    # r14: session-shared materialized edge projection (identical
+    # edge set; see operators/graph.py::shared_co_order_edges)
+    e = shared_co_order_edges(spark, sf_dir)
 
     def support(ed: DataFrame) -> DataFrame:
         tri = (

@@ -279,29 +279,39 @@ _CF_CAP = 64  # per-customer item cap; fixture max is far below
 def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cp = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("i"))
-        .distinct()
-    )
-    w = Window.partitionBy("c").orderBy("i")
-    # transient_persist: capped feeds THREE consumers (the pair explode
-    # and both n_i probes) — uncached, the scan + fact join + distinct +
-    # window cap subtree executed three times (plan audit r13-opt: the
-    # before-plan shows the subtree tripled under two SortMergeJoins).
-    # Released by the harness after the terminal collect.
     from kcore_spark.caching import transient_persist
 
-    capped = transient_persist(
-        cp.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _CF_CAP)
+    # r14: the capped per-customer item set is built in ONE keyed
+    # aggregate — collect_set dedups (c, i) during the partial/final
+    # aggregation (map-side partials shrink the shuffle exactly like
+    # the old distinct's partial dedup did), and
+    # slice(array_sort(set), 1, CAP) IS the old row_number()<=CAP over
+    # the i-ordered window (a set has no ties, so the first CAP of the
+    # sorted set are precisely the rn<=CAP rows). Replaces the r13
+    # distinct + window + collect_set chain: one Exchange(c) instead
+    # of Exchange(c,i) + Exchange(c), no window sort, and the
+    # persisted table holds one array row per customer instead of CAP
+    # item rows. Memory boundary: the aggregation buffer holds each
+    # customer's distinct item set pre-cap — same per-key state the
+    # old window sort carried, bounded by the catalog's part count.
+    # transient_persist: baskets feeds the pair explode AND n_i;
+    # released by the harness after the terminal collect.
+    baskets = transient_persist(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("i"))
+        .groupBy("c")
+        .agg(F.slice(F.array_sort(F.collect_set("i")), 1, _CF_CAP).alias("ps"))
     )
-    n_i = capped.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    n_i = (
+        baskets.select(F.explode("ps").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+    )
     # map-side pair explode from each customer's sorted item set (the
     # co_order_edges idiom, operators/graph.py) — identical pair set
     # to the former self-join on c, without shuffling the basket twice
     pairs = (
-        capped.groupBy("c")
-        .agg(F.array_sort(F.collect_set("i")).alias("ps"))
+        baskets
         .select(
             F.explode(
                 F.expr(

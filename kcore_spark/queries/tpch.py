@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kcore_spark.catalog import load_table
-from kcore_spark.operators.relational import davg, dsum, money, qty, rate, spread
+from kcore_spark.operators.relational import (
+    davg,
+    dsum,
+    money,
+    qty,
+    rate,
+    spread_if_serial,
+)
 from kcore_spark.queries import QuerySpec
 
 # ---------------------------------------------------------------- q01
@@ -27,14 +34,18 @@ from kcore_spark.queries import QuerySpec
 
 
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread: the single-row-group scan otherwise runs the whole
+    # spread_if_serial (r14, was unconditional spread in r13): the
+    # fixtures' single-row-group scan otherwise runs the whole
     # BigDecimal partial aggregate in one task (A/B min-of-5 at sf0.1:
-    # 1.31s -> 0.81s); see operators/relational.py::spread
-    li = spread(
-        load_table(spark, sf_dir, "lineitem").where(
-            F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
-        ),
+    # 1.31s -> 0.81s) — but the 4-group rollup is NOT keyed by
+    # l_orderkey, so on an already-parallel scan layout the exchange
+    # would shuffle the whole fact table for nothing; the layout probe
+    # keeps it fixture-only (operators/relational.py::spread_if_serial)
+    base = load_table(spark, sf_dir, "lineitem")
+    li = spread_if_serial(
+        base.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")),
         "l_orderkey",
+        probe=base,
     )
     disc_price = money("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - rate("l_discount"))
     charge = disc_price * (F.lit(1).cast("decimal(4,2)") + rate("l_tax"))
@@ -210,9 +221,11 @@ LIMIT 20
 
 
 def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread: broadcast join + decimal partial agg otherwise ride the
-    # serial single-row-group scan task (relational.py::spread)
-    li = spread(load_table(spark, sf_dir, "lineitem"), "l_partkey")
+    # spread_if_serial (r14): broadcast join + decimal partial agg
+    # otherwise ride the serial single-row-group scan task; the
+    # per-brand agg is not keyed by l_partkey, so the exchange is
+    # layout-gated — an already-parallel scan keeps its partitioning
+    li = spread_if_serial(load_table(spark, sf_dir, "lineitem"), "l_partkey")
     part = load_table(spark, sf_dir, "part")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)

