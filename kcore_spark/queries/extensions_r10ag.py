@@ -198,12 +198,13 @@ def q_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = money("l_extendedprice") * (
         F.lit(1).cast("decimal(4,2)") - rate("l_discount")
     )
-    from kcore_spark.caching import transient_persist
-
-    # persisted (transient registry): base feeds BOTH the per-nation
-    # return series and the market series — unpersisted, the
-    # lineitem⋈orders fact join + daily rollup runs twice
-    base = transient_persist(
+    # r14: REVERTED the r13 transient_persist of base. Driver-
+    # contradicted (PERF_r13: 2.94 -> 3.49 s) and confirmed by a 6-rep
+    # interleaved equal-load A/B this round (r12 3.70 s vs r13 4.02 s
+    # min-of-6): the broadcast-sided fact join + daily rollup is
+    # cheaper to recompute once than to materialize and read back.
+    # Recorded so a future round doesn't re-try the persist here.
+    base = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))

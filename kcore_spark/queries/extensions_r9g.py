@@ -388,22 +388,15 @@ def _midrank2(df: DataFrame, col: str) -> DataFrame:
 
 
 def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kcore_spark.caching import transient_persist
-    from kcore_spark.operators.relational import spread
-
-    # r13: one spread exchange on y + a transient persist serve the
-    # whole query — the y tie table (583k distinct values, the
-    # expensive hash agg) and the final y-keyed join both reuse the
-    # partitioning, the x tie table and n() read the cache instead of
-    # re-scanning, and the serial single-row-group scan no longer runs
-    # any of the hash aggregation
-    li = transient_persist(
-        spread(
-            load_table(spark, sf_dir, "lineitem").select(
-                F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
-            ),
-            "y",
-        )
+    # r14: REVERTED to the r12 shape. The r13 spread(y)+persist was
+    # driver-contradicted (PERF_r13: 3.10 -> 4.01 s) and a 6-rep
+    # interleaved equal-load A/B this round confirmed it: r12 4.22 s
+    # vs r13 4.66 s min-of-6 — the cache materialization costs more
+    # than re-deriving the projected 2-column scan 4x, and the y-keyed
+    # exchange reuse never paid for the extra write. Recorded so a
+    # future round doesn't re-try the spread here.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
     )
     rx = _midrank2(li, "x").withColumnRenamed("two_rank", "trx")
     ry = _midrank2(li, "y").withColumnRenamed("two_rank", "try_")
