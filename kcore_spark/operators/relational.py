@@ -67,10 +67,12 @@ def spread(df: DataFrame, *keys: str | Column) -> DataFrame:
     return df.repartition(n, *cols)
 
 
-# Layout-probe cache: (defaultParallelism, input-file set) → effective
-# scan width. Layout metadata only (never data or results); one probe
-# per table layout per process.
-_SCAN_WIDTH: dict[tuple[int, tuple[str, ...]], int] = {}
+# Layout-probe cache: (defaultParallelism, input-file set | caller
+# key) → effective scan width. Layout metadata only (never data or
+# results); one probe per table layout per process. Callers that scan
+# a stable path pass ``cache_key`` so repeat constructions skip even
+# the file listing (measured ~0.2 s/construction under load).
+_SCAN_WIDTH: dict[tuple[int, object], int] = {}
 
 
 def _parquet_row_groups(files: tuple[str, ...]) -> int | None:
@@ -90,7 +92,7 @@ def _parquet_row_groups(files: tuple[str, ...]) -> int | None:
     return total
 
 
-def effective_scan_width(df: DataFrame) -> int:
+def effective_scan_width(df: DataFrame, cache_key: str | None = None) -> int:
     """Best-effort count of scan tasks that will actually produce rows
     for a scan-shaped frame (guide §6: split planning cannot divide a
     parquet row group, so a one-row-group file is ONE effective task
@@ -101,9 +103,13 @@ def effective_scan_width(df: DataFrame) -> int:
     Footers are consulted only when the file list is shorter than the
     session's parallelism: a many-file input is already parallel and
     needs no footer I/O, which keeps the probe O(1) driver work on a
-    100 TB layout. Cached per (parallelism, file set)."""
+    100 TB layout. Cached per (parallelism, file set) — or per
+    (parallelism, ``cache_key``) when the caller names the stable
+    source path, which also skips the per-construction file listing."""
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
+    if cache_key is not None and (n, cache_key) in _SCAN_WIDTH:
+        return _SCAN_WIDTH[(n, cache_key)]
     try:
         files = tuple(sorted(df.inputFiles()))
     except Exception:
@@ -118,11 +124,16 @@ def effective_scan_width(df: DataFrame) -> int:
             if rg is not None:
                 width = min(width, rg)
         _SCAN_WIDTH[key] = max(1, width)
+    if cache_key is not None:
+        _SCAN_WIDTH[(n, cache_key)] = _SCAN_WIDTH[key]
     return _SCAN_WIDTH[key]
 
 
 def spread_if_serial(
-    df: DataFrame, *keys: str | Column, probe: DataFrame | None = None
+    df: DataFrame,
+    *keys: str | Column,
+    probe: DataFrame | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """``spread`` gated on OBSERVED scan parallelism (r13 VERDICT #1).
 
@@ -138,9 +149,12 @@ def spread_if_serial(
 
     ``probe`` (default ``df``) is the frame whose scan layout is
     inspected; pass the bare table scan when ``df`` carries filters so
-    the probe result is shared across queries over the same table."""
+    the probe result is shared across queries over the same table, and
+    pass ``cache_key`` (the stable source path) so repeat
+    constructions skip the probe entirely."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    if 2 * effective_scan_width(probe if probe is not None else df) > n:
+    width = effective_scan_width(probe if probe is not None else df, cache_key)
+    if 2 * width > n:
         return df
     return spread(df, *keys)
 

@@ -177,6 +177,7 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "price",
         probe=base,
+        cache_key=f"{sf_dir}/lineitem",
     )
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for name, _ in _COLS:

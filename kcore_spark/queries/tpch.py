@@ -46,6 +46,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")),
         "l_orderkey",
         probe=base,
+        cache_key=f"{sf_dir}/lineitem",
     )
     disc_price = money("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - rate("l_discount"))
     charge = disc_price * (F.lit(1).cast("decimal(4,2)") + rate("l_tax"))
@@ -225,7 +226,11 @@ def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise ride the serial single-row-group scan task; the
     # per-brand agg is not keyed by l_partkey, so the exchange is
     # layout-gated — an already-parallel scan keeps its partitioning
-    li = spread_if_serial(load_table(spark, sf_dir, "lineitem"), "l_partkey")
+    li = spread_if_serial(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_partkey",
+        cache_key=f"{sf_dir}/lineitem",
+    )
     part = load_table(spark, sf_dir, "part")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
