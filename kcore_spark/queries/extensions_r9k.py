@@ -54,6 +54,16 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
+    # r14 NEGATIVE RESULT (recorded so later rounds don't retry):
+    # spread(emb, "vec_id") before this crossJoin — per_vec's
+    # groupBy(vec_id, label) reuses the exchange, so it looked like
+    # the free family — A/B'd NEUTRAL over 7 interleaved reps (min
+    # 2.35 vs 2.16 s, medians noisy): the embeddings fixture is only
+    # 2,000 rows, so the n×k×64 fold is sub-second and the query is
+    # plan-latency-bound (noop-profiled: per_vec 0.83 s serial vs
+    # 0.80 s spread). At cluster scale the spread would also move the
+    # 64-double arrays through the exchange where today only the
+    # per_vec partial-agg rows (2 doubles) shuffle. Left alone.
     crossed = emb.crossJoin(
         F.broadcast(cent.select(F.col("label").alias("clabel"), "c"))
     ).select(
