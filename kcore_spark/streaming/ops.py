@@ -301,18 +301,28 @@ def run_tws_to_table(
     changelog_key = (
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     )
+    # r14: numRowsTotal is telemetry, not results — RocksDB maintains
+    # it with an extra get/count on every state put/delete, a pure
+    # write-path tax that grows with state volume. Interleaved A/B at
+    # sf0.1 (7 reps): q_stream_tws_sessions min 10.9 s tracked vs
+    # 5.9 s untracked (wins 5/7 pairs); q_stream_tws_type_counts
+    # neutral. Output rows identical (asserted per rep).
+    track_key = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
     prev_provider = spark.conf.get(
         provider_key,
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
     )
     prev_changelog = spark.conf.get(changelog_key, "false")
+    prev_track = spark.conf.get(track_key, "true")
     spark.conf.set(
         provider_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     spark.conf.set(changelog_key, "true")
+    spark.conf.set(track_key, "false")
     try:
         return run_to_table(stream_df, output_mode, state_partitions=state_partitions)
     finally:
         spark.conf.set(provider_key, prev_provider)
         spark.conf.set(changelog_key, prev_changelog)
+        spark.conf.set(track_key, prev_track)
